@@ -1,0 +1,346 @@
+"""Aggregation operators (SURVEY.md §2.D).
+
+All pure-DataFrame: partial (map-side) aggregation + a single hash shuffle on
+the grouping keys, finished by whole-stage-codegen'd HashAggregate — at 100 TB
+the only scale axis is the shuffle on the group keys, which AQE coalesces /
+skew-splits at runtime. No Python touches the hot path.
+
+Oracle-parity notes (SURVEY.md §5 hazard list):
+* DuckDB SUM(BIGINT/INT) returns HUGEINT/BIGINT — every integer-sum oracle
+  casts to the Spark result type explicitly.
+* double aggregates are rounded on BOTH sides to keep the value hash
+  independent of summation order.
+* Spark ``skewness``/``kurtosis`` are population moments (g1, g2-3); DuckDB's
+  are sample-corrected, so the oracle re-expresses Spark's definition from raw
+  moments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "agg_groupby",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+      ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+      ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+      COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query.
+
+    Plan shape: parquet scan (ReadSchema pruned to 7 columns, shipdate filter
+    pushed to row groups) -> partial HashAggregate -> shuffle(2-key) -> final
+    HashAggregate -> sort. One shuffle total; cardinality after partial agg is
+    ~6 rows per task regardless of input scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT
+      COUNT(*)                                  AS n_rows,
+      CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      ROUND(SUM(l_extendedprice), 2)            AS total_price,
+      ROUND(AVG(l_discount), 6)                 AS avg_discount,
+      ROUND(MIN(l_quantity), 2)                 AS min_qty,
+      ROUND(MAX(l_quantity), 2)                 AS max_qty
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimate is Spark-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct
+    counts: one pass, fixed memory per group, no distinct-expand shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             AVG(l_quantity) AS mu,
+             AVG(l_quantity * l_quantity) AS m2r,
+             AVG(l_quantity * l_quantity * l_quantity) AS m3r,
+             AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r
+      FROM lineitem GROUP BY l_returnflag
+    ), s AS (
+      SELECT l_returnflag,
+             STDDEV_SAMP(l_quantity) AS sd,
+             VAR_SAMP(l_quantity)    AS vr,
+             CORR(l_extendedprice, l_quantity) AS pcorr,
+             COVAR_SAMP(l_extendedprice, l_quantity) AS pcov
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag,
+           ROUND(s.sd, 4) AS sd_qty,
+           ROUND(s.vr, 4) AS var_qty,
+           ROUND(s.pcorr, 6) AS corr_price_qty,
+           ROUND(s.pcov, 2) AS covar_price_qty,
+           ROUND((m.m3r - 3*m.mu*m.m2r + 2*m.mu*m.mu*m.mu)
+                 / POW(m.m2r - m.mu*m.mu, 1.5), 6) AS skew_qty,
+           ROUND((m.m4r - 4*m.mu*m.m3r + 6*m.mu*m.mu*m.m2r - 3*POW(m.mu,4))
+                 / POW(m.m2r - m.mu*m.mu, 2) - 3, 6) AS kurt_qty
+    FROM m JOIN s USING (l_returnflag)
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Spark's skewness/kurtosis are population
+    moments (g1 and excess g2); the oracle reconstructs the same definition
+    from raw moments since DuckDB's built-ins are sample-corrected."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT
+      l_linestatus,
+      ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+      ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+      ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles. Both engines use linear interpolation on the sorted
+    values (type-7); scale path is ``approx_percentile`` (KLL/GK sketch) —
+    exposed separately below."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@register("agg_approx_percentile")  # rows-only: sketch result is Spark-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the fixed-memory 100 TB path for quantiles."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").alias("approx_p")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) AS BIGINT) * 2
+             + CAST(GROUPING(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("f2s_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM f2s_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS names,
+           list(DISTINCT n_nationkey ORDER BY n_nationkey) AS keys
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set made deterministic via sort_array."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("names"),
+        F.sort_array(F.collect_set("n_nationkey")).alias("keys"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+      ROUND(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN value END), 0), 4) AS click,
+      ROUND(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN value END), 0), 4) AS error,
+      ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase,
+      ROUND(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN value END), 0), 4) AS signup,
+      ROUND(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN value END), 0), 4) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — at scale, always pass the value
+    list so Spark skips the extra distinct-values job."""
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).agg(F.sum("value"))
+    return piv.select(
+        "user_id",
+        *[F.round(F.coalesce(F.col(k), F.lit(0.0)), 4).alias(k) for k in kinds],
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rev_highdisc,
+      COUNT(*) FILTER (WHERE l_quantity >= 25)                        AS n_bulk,
+      ROUND(SUM(CASE WHEN l_tax = 0 THEN l_extendedprice ELSE 0 END), 2) AS rev_notax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2).alias(
+            "rev_highdisc"
+        ),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") == 0, F.col("l_extendedprice")).otherwise(F.lit(0.0))), 2
+        ).alias("rev_notax"),
+    )

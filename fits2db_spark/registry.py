@@ -1,0 +1,78 @@
+"""Query + oracle registry backing ``__spark_entry__``.
+
+Operator modules register callables with :func:`register`; the driver-facing
+``queries()`` / ``oracle_sql()`` in ``__spark_entry__.py`` are thin wrappers
+over :func:`all_queries` / :func:`all_oracles`.
+
+Contract (SURVEY.md §3.3, __spark_entry__.py docstring):
+* every callable takes ``(spark, sf_dir)`` and returns an *unexecuted*
+  DataFrame;
+* every computed column is aliased identically in the Spark query and the
+  oracle SQL (the driver sorts columns by name before hashing);
+* queries whose results are not SQL-reproducible (RNG, Spark-specific hashes,
+  approximate aggregates, live streaming semantics) register with
+  ``oracle=None`` → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+# Operator modules to import for registration side effects.
+_OPERATOR_MODULES = (
+    "fits2db_spark.operators.scans",
+    "fits2db_spark.operators.etl",
+    "fits2db_spark.operators.joins",
+    "fits2db_spark.operators.aggregates",
+    "fits2db_spark.operators.windows",
+    "fits2db_spark.operators.sorts_sets",
+    "fits2db_spark.operators.scalar_functions",
+    "fits2db_spark.operators.llm_text",
+    "fits2db_spark.operators.llm_vectors",
+    "fits2db_spark.operators.multimodal",
+    "fits2db_spark.operators.streaming_batch",
+    "fits2db_spark.operators.udfs",
+)
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all_modules() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+    _loaded = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all_modules()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all_modules()
+    return dict(_ORACLES)

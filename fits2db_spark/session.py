@@ -1,0 +1,70 @@
+"""SparkSession factory + runtime tuning.
+
+Two contexts use this module:
+
+* Our own tests / bench build sessions via :func:`get_spark` (tuned for a
+  single-box ``local[N]`` run of small scale factors — SURVEY.md §6).
+* The driver hands us an already-built session for ``entry()`` / ``queries()``;
+  for that path :func:`ensure_runtime_confs` applies the *runtime-settable*
+  confs we depend on (notably reading nanosecond parquet timestamps).
+
+Scale note (100 TB design): every conf here is a per-session knob, not a
+semantic dependency. On a real cluster the same code runs with
+``spark.sql.shuffle.partitions`` sized to cores×3, AQE coalescing enabled
+(default in 4.x), and file-based partition sizing via
+``spark.sql.files.maxPartitionBytes``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set at runtime on a live session.
+_RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores timestamp[ns]; Spark 4 refuses TIMESTAMP(NANOS)
+    # unless told to surface it as a raw int64 (we convert in tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow transfer for pandas UDF / toPandas paths (vectorized exchange).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime re-planning, partition coalescing, skew-join handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds; reads will fail loudly later
+            # if it truly didn't take, which is the correct failure mode.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "fits2db_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a tuned local session.
+
+    ``shuffle_partitions`` defaults to the core count capped at 32 — at the
+    fixture scale factors the 200-partition default just burns task-launch
+    overhead (SURVEY.md §6 bench notes).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = min(int(cpus), 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_runtime_confs(spark)
