@@ -1,1 +1,232 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Row-level ETL operators (SURVEY.md §2.B) — the reference's own surface.
+
+fits2db's per-row conversions (name normalization, type casts, NaN/sentinel ->
+NULL, array expansion, derived columns — SURVEY.md §1.1, §3.1) re-expressed as
+Catalyst expressions: all stay inside whole-stage codegen, all pushdown-
+friendly (a filter after these projections still reaches the parquet scan
+because they are deterministic expressions, not UDFs).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+_SQL_RESERVED = {
+    "select", "from", "where", "group", "order", "table", "user", "default",
+    "primary", "key", "index", "column", "desc", "asc", "join", "union", "case",
+}
+
+
+def sql_safe_name(name: str) -> str:
+    """Normalize a raw column name (e.g. a FITS TTYPEn value) to a SQL-safe
+    identifier: lowercase, non-alnum -> underscore, leading digit prefixed,
+    reserved words suffixed. Mirrors the reference's TTYPE normalization
+    (SURVEY.md §2.B project_rename)."""
+    n = re.sub(r"[^0-9a-zA-Z_]", "_", name.strip()).lower()
+    n = re.sub(r"_+", "_", n).strip("_") or "col"
+    if n[0].isdigit():
+        n = "c_" + n
+    if n in _SQL_RESERVED:
+        n = n + "_"
+    return n
+
+
+def with_sql_safe_names(df: DataFrame) -> DataFrame:
+    """Rename all columns to SQL-safe identifiers, de-duplicating collisions."""
+    seen: dict[str, int] = {}
+    out = []
+    for c in df.columns:
+        n = sql_safe_name(c)
+        if n in seen:
+            seen[n] += 1
+            n = f"{n}_{seen[n]}"
+        else:
+            seen[n] = 0
+        out.append(n)
+    return df.toDF(*out)
+
+
+@register(
+    "project_rename",
+    oracle="""
+    SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+           l_returnflag AS flag, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@register(
+    "cast_types",
+    oracle="""
+    SELECT CAST(l_orderkey AS INTEGER)        AS okey_i32,
+           CAST(l_linenumber AS BIGINT)       AS line_i64,
+           CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int,
+           CAST(l_returnflag AS VARCHAR)      AS flag_str,
+           CAST(l_shipdate AS DATE)           AS ship_day
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit type coercion per the §1.2 FITS->Spark->SQL map. Spark casts
+    double->int by truncation; DuckDB CAST rounds, so the oracle TRUNCs first."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        F.col("l_orderkey").cast("int").alias("okey_i32"),
+        F.col("l_linenumber").cast("long").alias("line_i64"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_returnflag").cast("string").alias("flag_str"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE (l_returnflag IN ('A', 'R') OR l_linestatus LIKE 'O%')
+      AND l_quantity BETWEEN 10 AND 40
+      AND NOT (l_discount > 0.08)
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates (AND/OR/NOT/IN/BETWEEN/LIKE/IS NULL). All push to
+    the parquet scan as data filters (verified in plan tests)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag").isin("A", "R") | F.col("l_linestatus").like("O%"))
+        & F.col("l_quantity").between(10, 40)
+        & ~(F.col("l_discount") > 0.08)
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "nan_to_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 25 THEN NULL ELSE l_quantity END AS qty_clean,
+           COALESCE(CASE WHEN l_discount > 0.05 THEN NULL ELSE l_discount END, -1.0)
+             AS disc_filled
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def nan_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's numeric-missing handling (FITS has no numeric NULL;
+    NaN / TNULL sentinels map to SQL NULL — SURVEY.md §1.1). We manufacture
+    NaN/Inf deterministically, then scrub: NaN -> NULL via nanvl-style
+    replacement, and demonstrate sentinel fill."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    qty_nan = F.when(F.col("l_quantity") > 25, F.lit(float("nan"))).otherwise(
+        F.col("l_quantity")
+    )
+    qty_clean = F.when(F.isnan(qty_nan), F.lit(None)).otherwise(qty_nan)
+    disc_inf = F.when(F.col("l_discount") > 0.05, F.lit(float("inf"))).otherwise(
+        F.col("l_discount")
+    )
+    disc_null = F.when(disc_inf.isin(float("inf"), float("-inf")), F.lit(None)).otherwise(
+        disc_inf
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qty_clean.alias("qty_clean"),
+        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_filled"),
+    )
+
+
+@register(
+    "null_default",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE ROUND(c_acctbal, 2) END, 0.0)
+             AS bal_or_zero,
+           COALESCE(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END,
+                    'UNKNOWN') AS seg_or_unknown
+    FROM customer
+    """,
+)
+def null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel -> NULL -> default fill via DataFrameNaFunctions (df.na.fill)."""
+    c = load(spark, sf_dir, "customer")
+    nulled = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("bal_or_zero"),
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_or_unknown"),
+    )
+    return nulled.na.fill({"bal_or_zero": 0.0, "seg_or_unknown": "UNKNOWN"})
+
+
+@register("add_random_id")  # rows-only: Spark RNG stream is engine-specific
+def add_random_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform random_id column for repeatable subsampling — the Data Lab
+    load-time convention (SURVEY.md §1.1). Seeded => stable across runs of
+    the same plan; still not DuckDB-reproducible, so rows-only."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", F.rand(seed=42).alias("random_id"))
+
+
+@register(
+    "add_rowid",
+    oracle="""
+    SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def add_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate row id over an explicit total order. The unordered scale
+    path is monotonically_increasing_id() (no shuffle, per-partition blocks);
+    exposed as add_rowid_unordered (rows-only)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    from pyspark.sql import Window
+
+    return o.select(
+        "o_orderkey", F.row_number().over(Window.orderBy("o_orderkey")).alias("row_id")
+    )
+
+
+@register("add_rowid_unordered")  # rows-only: block-allocated ids are Spark-specific
+def add_rowid_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", F.monotonically_increasing_id().alias("row_id"))
+
+
+@register(
+    "array_expand",
+    oracle="""
+    SELECT vec_id,
+           embedding[1] AS e0, embedding[2] AS e1,
+           embedding[3] AS e2, embedding[4] AS e3,
+           CAST(len(embedding) AS INTEGER) AS dim
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def array_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length array column -> scalar columns col_0..col_n — fits2db's
+    array-column expansion (TFORM repeat counts, SURVEY.md §1.2)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        *[F.col("embedding")[i].alias(f"e{i}") for i in range(4)],
+        F.size("embedding").alias("dim"),
+    )

@@ -1,1 +1,331 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Join operators (SURVEY.md §2.C).
+
+Physical-strategy notes (the part that matters at 100 TB):
+* dimension joins (`part`, `customer`, `nation`, `region`) are explicitly
+  ``broadcast()`` — no shuffle of the fact table;
+* fact-fact joins (lineitem x orders) shuffle both sides on the key and
+  sort-merge; AQE handles skew-splitting at runtime;
+* the as-of join is the union+window formulation — ONE shuffle on the key,
+  no pair explosion (the naive range-join alternative is O(events x orders
+  per key));
+* the theta/range join keeps the build side tiny and broadcast, so the
+  nested-loop probe streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price, p.p_name
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#13'
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join, dimension side broadcast (BroadcastHashJoin)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+        "p_name",
+    )
+
+
+@register(
+    "join_sortmerge",
+    oracle="""
+    SELECT o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join -> SortMergeJoin (broadcast disabled via hint).
+
+    At 100 TB: both sides shuffle on l_orderkey/o_orderkey; pre-bucketing the
+    two tables on the key (``bucketBy(N, key)``) removes this shuffle entirely
+    on repeated runs.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS total
+    FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT a.c_custkey AS left_key, b.o_custkey AS right_key, b.o_orderkey
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100) a
+    FULL JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey >= 50) b
+      ON a.c_custkey = b.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 50)
+        .select("o_custkey", "o_orderkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.col("c_custkey").alias("left_key"),
+        F.col("o_custkey").alias("right_key"),
+        "o_orderkey",
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT b.band, p.p_partkey, p.p_size
+    FROM part p
+    JOIN (SELECT r_regionkey AS band, r_regionkey * 10 AS lo, r_regionkey * 10 + 9 AS hi
+          FROM region) b
+      ON p.p_size BETWEEN b.lo AND b.hi
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join. The tiny band table is broadcast, so the physical
+    plan is BroadcastNestedLoopJoin with the fact side streaming — the only
+    sane shape for inequality joins at scale (never shuffle-NLJ)."""
+    p = load(spark, sf_dir, "part")
+    bands = (
+        load(spark, sf_dir, "region")
+        .select(
+            F.col("r_regionkey").alias("band"),
+            (F.col("r_regionkey") * 10).alias("lo"),
+            (F.col("r_regionkey") * 10 + 9).alias("hi"),
+        )
+    )
+    return p.join(
+        F.broadcast(bands), (p.p_size >= bands.lo) & (p.p_size <= bands.hi), "inner"
+    ).select("band", "p_partkey", "p_size")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           x.o_orderkey AS asof_orderkey,
+           ROUND(x.o_totalprice, 2) AS asof_totalprice
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      ORDER BY o_orderdate DESC, o_orderkey DESC
+      LIMIT 1
+    ) x ON TRUE
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest order at-or-before its
+    timestamp for the same user.
+
+    Spark has no native batch as-of; the scalable formulation is
+    union-tag + running ``last(ignorenulls)`` window: ONE shuffle on the key,
+    state is a single row per key — no (event x candidate-order) blow-up.
+    Ties on o_orderdate resolve to the highest o_orderkey (orders sort before
+    events at identical timestamps via the kind column).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = ev.unionByName(od)
+    return (
+        u.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_total", F.last("o_totalprice", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            "asof_orderkey",
+            F.round("asof_total", 2).alias("asof_totalprice"),
+        )
+    )
+
+
+@register(
+    "join_self_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence self-join (part pairs within an order). Bounded because
+    lines-per-order is small; at scale, skewed giant orders would be capped
+    or salted before pairing."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "join_star_q5",
+    oracle="""
+    SELECT r.r_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r.r_name
+    ORDER BY revenue DESC
+    """,
+)
+def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: one fact-fact SMJ (lineitem x orders), then
+    broadcast joins down the dimension chain — the fact table never shuffles
+    again after the first key exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc())
+    )

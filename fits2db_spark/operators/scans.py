@@ -1,1 +1,58 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Scan / source operators (SURVEY.md §2.A).
+
+The reference's interchange formats are CSV (its emission format) and the
+database itself; here every scan uses an EXPLICIT StructType — mirroring the
+reference's declared-schema philosophy (FITS headers declare types; nothing is
+inferred — SURVEY.md §1.1). The CSV/JSON entries exercise a full write->read
+round trip through /tmp so the scan path is genuinely driven.
+
+Scale note: schema-explicit reads skip the inference pass entirely (at 100 TB
+``inferSchema`` is an extra full scan); globs/multi-path reads parallelize by
+file split, not by file count.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import SCHEMAS, load
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "fits2db_spark_scratch")
+
+
+@register("scan_parquet", oracle="SELECT * FROM region")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet scan with the declared schema (vectorized reader)."""
+    return load(spark, sf_dir, "region")
+
+
+@register("scan_csv", oracle="SELECT * FROM nation")
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip: emit the reference's interchange format, read it back
+    with an explicit StructType (header on, standard quoting)."""
+    out = os.path.join(_SCRATCH, "nation_csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(SCHEMAS["nation"]).option("header", True).csv(out)
+
+
+@register("scan_json", oracle="SELECT * FROM nation")
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip with explicit schema."""
+    out = os.path.join(_SCRATCH, "nation_json")
+    load(spark, sf_dir, "nation").write.mode("overwrite").json(out)
+    return spark.read.schema(SCHEMAS["nation"]).json(out)
+
+
+@register(
+    "multi_file_union",
+    oracle="SELECT * FROM nation UNION ALL SELECT * FROM nation",
+)
+def multi_file_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file ingest as one table (the reference accepts N input FITS
+    files per run — SURVEY.md §2.A): one read over a path list."""
+    path = f"{sf_dir}/nation.parquet"
+    return spark.read.parquet(path, path)

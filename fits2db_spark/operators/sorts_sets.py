@@ -1,1 +1,148 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Sort / limit / top-k (§2.F) and set operations (§2.G).
+
+Scale notes: ``topk_global`` must plan as TakeOrderedAndProject (per-partition
+heap + tiny driver merge — never a global sort); verified in tests via the
+physical plan. Set ops are hash shuffles on the full row; at 100 TB prefer
+key-projected distinct before wide-row set ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS total,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS maybe_cust
+    FROM orders
+    ORDER BY o_orderstatus ASC, maybe_cust DESC NULLS LAST, o_orderkey
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null ordering. (The driver's value hash is
+    order-insensitive; determinism of content is what's checked, the sort
+    plan itself is asserted in unit tests.)"""
+    o = load(spark, sf_dir, "orders")
+    maybe = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(F.col("o_custkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total"),
+            maybe.alias("maybe_cust"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("maybe_cust").desc_nulls_last(),
+            F.col("o_orderkey").asc(),
+        )
+    )
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k -> TakeOrderedAndProject: each task keeps a k-row heap,
+    driver merges k*partitions rows. No global sort at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey").orderBy("o_orderkey").offset(100).limit(50)
+
+
+def _ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two overlapping single-column bags: customer keys (set) and order
+    custkeys of big orders (bag with duplicates)."""
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return a, b
+
+
+_AB_SQL = """
+    WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 100),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+@register("set_union_all", oracle=_AB_SQL + "SELECT k FROM a UNION ALL SELECT k FROM b")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _ab(spark, sf_dir)
+    return a.unionByName(b)
+
+
+@register("set_union_distinct", oracle=_AB_SQL + "SELECT k FROM a UNION SELECT k FROM b")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _ab(spark, sf_dir)
+    return a.unionByName(b).distinct()
+
+
+@register("set_intersect", oracle=_AB_SQL + "SELECT k FROM a INTERSECT SELECT k FROM b")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _ab(spark, sf_dir)
+    return a.intersect(b)
+
+
+@register(
+    "set_intersect_all", oracle=_AB_SQL + "SELECT k FROM a INTERSECT ALL SELECT k FROM b"
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _ab(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+@register("set_except", oracle=_AB_SQL + "SELECT k FROM a EXCEPT SELECT k FROM b")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _ab(spark, sf_dir)
+    return a.subtract(b)
+
+
+@register("set_except_all", oracle=_AB_SQL + "SELECT k FROM b EXCEPT ALL SELECT k FROM a")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _ab(spark, sf_dir)
+    return b.exceptAll(a)
+
+
+@register(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate elimination — the idempotent-reload primitive the
+    reference needs for safe re-ingest (SURVEY.md §2.G)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_custkey", "o_orderstatus").dropDuplicates()
