@@ -1,1 +1,358 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""Scalar function groups (SURVEY.md §2.H) — one query per family.
+
+Everything here is a built-in Catalyst expression (JVM-side, inside
+whole-stage codegen): the fast path at any scale. Cross-engine parity
+hazards handled per SURVEY.md §5:
+
+* DuckDB has no ``initcap`` / ``pmod`` / ``months_between`` — the oracle
+  re-expresses the same semantics (per-word capitalization via
+  ``list_transform``; ``((a % b) + b) % b``); ``soundex`` has no DuckDB
+  equivalent at all -> rows-only entry.
+* ``dayofweek``: Spark counts Sunday=1, DuckDB Sunday=0 -> oracle adds 1.
+* Spark ``floor``/``ceil`` return BIGINT; DuckDB returns DOUBLE -> casts.
+* Spark ``round`` is HALF_UP (away from zero for positives) == DuckDB round
+  for the all-positive fixture values; ``bround`` (HALF_EVEN) maps to
+  DuckDB ``round_even``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                         AS up,
+           lower(p_type)                         AS lo,
+           CAST(length(p_name) AS INTEGER)       AS nlen,
+           trim(concat(' ', p_name, ' '))        AS trimmed,
+           substring(p_name, 1, 4)               AS sub4,
+           concat(p_brand, ':', p_type)          AS joined,
+           concat_ws('-', p_brand, p_type)       AS joined_ws,
+           string_split(p_name, ' ')             AS words,
+           lpad(p_brand, 12, '*')                AS padded_l,
+           rpad(p_brand, 12, '.')                AS padded_r,
+           replace(p_name, 'widget', 'gadget')   AS replaced,
+           reverse(p_brand)                      AS revd,
+           array_to_string(
+             list_transform(string_split(p_name, ' '),
+                            x -> concat(upper(x[1]), lower(x[2:]))), ' ') AS capped
+    FROM part WHERE p_partkey < 150
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.length("p_name").alias("nlen"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("p_name", 1, 4).alias("sub4"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("joined"),
+        F.concat_ws("-", "p_brand", "p_type").alias("joined_ws"),
+        F.split("p_name", " ").alias("words"),
+        F.lpad("p_brand", 12, "*").alias("padded_l"),
+        F.rpad("p_brand", 12, ".").alias("padded_r"),
+        F.replace(F.col("p_name"), F.lit("widget"), F.lit("gadget")).alias("replaced"),
+        F.reverse("p_brand").alias("revd"),
+        F.initcap("p_name").alias("capped"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, 'Customer#(\\d+)', 1)       AS idstr,
+           CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT) AS idnum,
+           regexp_replace(c_name, '0+', '0', 'g')              AS squeezed,
+           regexp_matches(c_name, '[13579]$')                  AS odd_tail,
+           (c_name LIKE '%7')                                  AS like7
+    FROM customer
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike / like. NOTE: Spark
+    regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("idstr"),
+        F.regexp_extract("c_name", r"(\d+)", 1).cast("long").alias("idnum"),
+        F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+        F.col("c_name").rlike("[13579]$").alias("odd_tail"),
+        F.col("c_name").like("%7").alias("like7"),
+    )
+
+
+@register(
+    "fn_fuzzy",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, 'cold widget') AS INTEGER)  AS lev_name,
+           CAST(levenshtein(p_brand, 'Brand#10') AS INTEGER)    AS lev_brand
+    FROM part
+    """,
+)
+def fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance support for near-dup pipelines (SURVEY.md §2.H fn_fuzzy)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_name"), F.lit("cold widget")).alias("lev_name"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#10")).alias("lev_brand"),
+    )
+
+
+@register("fn_soundex")  # rows-only: DuckDB has no soundex
+def fn_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", F.soundex("p_name").alias("sx_name"))
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)        AS yr,
+           CAST(month(o_orderdate) AS INTEGER)       AS mo,
+           CAST(day(o_orderdate) AS INTEGER)         AS dy,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) + 30            AS plus30,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')
+                AS INTEGER)                          AS days_to_2002,
+           last_day(CAST(o_orderdate AS DATE))       AS month_end,
+           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS unix_sec,
+           CAST(o_orderdate AS DATE)                 AS as_date,
+           make_date(2024, 1, 15)                    AS fixed_date
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions. Hazards: Spark dayofweek is Sunday=1 (DuckDB 0);
+    Spark datediff(end, start) == DuckDB date_diff('day', start, end)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        F.col("o_orderdate").cast("date").alias("as_date"),
+        F.make_date(F.lit(2024), F.lit(1), F.lit(15)).alias("fixed_date"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                       AS r1,
+           round_even(l_quantity / 2, 0)                   AS br1,
+           CAST(floor(l_extendedprice) AS BIGINT)          AS flr,
+           CAST(ceil(l_extendedprice) AS BIGINT)           AS cl,
+           abs(l_discount - 0.05)                          AS adev,
+           round(exp(l_discount), 8)                       AS e_disc,
+           round(ln(l_extendedprice), 8)                   AS ln_price,
+           round(log10(l_extendedprice), 8)                AS log_price,
+           round(pow(l_quantity, 2), 2)                    AS qty_sq,
+           round(sqrt(l_quantity), 8)                      AS qty_rt,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)         AS sgn,
+           CAST(((l_linenumber - 3) % 5 + 5) % 5 AS INTEGER) AS pm,
+           greatest(l_quantity, l_discount * 100)          AS g,
+           least(l_quantity, l_discount * 100)             AS l
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        # HALF_EVEN demonstrated on exactly-representable halves (x.0 / x.5):
+        # binary doubles near .5 differ between engines' decimal handling.
+        F.bround(F.col("l_quantity") / 2, 0).alias("br1"),
+        F.floor("l_extendedprice").alias("flr"),
+        F.ceil("l_extendedprice").alias("cl"),
+        F.abs(F.col("l_discount") - 0.05).alias("adev"),
+        F.round(F.exp("l_discount"), 8).alias("e_disc"),
+        F.round(F.log("l_extendedprice"), 8).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 8).alias("log_price"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 8).alias("qty_rt"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.pmod(F.col("l_linenumber") - 3, F.lit(5)).alias("pm"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("l"),
+    )
+
+
+@register(
+    "fn_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                          AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')   AS status2,
+           COALESCE(CASE WHEN o_custkey % 2 = 0 THEN NULL ELSE o_custkey END, -1)
+                                                          AS odd_cust,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey ELSE 0 END
+                                                          AS urgent_key
+    FROM orders
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status2"
+        ),
+        F.nvl(
+            F.when(F.col("o_custkey") % 2 == 0, F.lit(None).cast("long")).otherwise(
+                F.col("o_custkey")
+            ),
+            F.lit(-1).cast("long"),
+        ).alias("odd_cust"),
+        F.ifnull(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_orderkey")),
+            F.lit(0).cast("long"),
+        ).alias("urgent_key"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           arr,
+           CAST(len(arr) AS INTEGER)                     AS n,
+           list_contains(arr, 3)                         AS has3,
+           list_sort(arr, 'DESC')                        AS sorted_desc,
+           list_sort(list_distinct(flatten([arr, arr]))) AS dedup,
+           arr[2:4]                                      AS mid,
+           arr[2]                                        AS second,
+           list_transform(arr, x -> x * 10)              AS tens,
+           list_filter(arr, x -> x % 2 = 0)              AS evens,
+           CAST(list_sum(arr) AS BIGINT)                 AS total,
+           list_transform(generate_series(1, len(arr)),
+                          i -> arr[i] + arr[len(arr) + 1 - i]) AS palindrome_sum
+    FROM (SELECT vec_id, generate_series(1, label + 1) AS arr
+          FROM embeddings WHERE vec_id < 200)
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions incl. higher-order transform/filter/aggregate/zip_with
+    — all JVM-side lambda expressions, no Python."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    base = e.select(
+        "vec_id",
+        F.sequence(F.lit(1).cast("long"), (F.col("label") + 1).cast("long")).alias("arr"),
+    )
+    arr = F.col("arr")
+    return base.select(
+        "vec_id",
+        arr,
+        F.size(arr).alias("n"),
+        F.array_contains(arr, 3).alias("has3"),
+        F.sort_array(arr, asc=False).alias("sorted_desc"),
+        F.sort_array(F.array_distinct(F.flatten(F.array(arr, arr)))).alias("dedup"),
+        F.slice(arr, 2, 3).alias("mid"),
+        F.try_element_at(arr, F.lit(2)).alias("second"),
+        F.transform(arr, lambda x: x * 10).alias("tens"),
+        F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x).alias("total"),
+        F.zip_with(arr, F.reverse(arr), lambda a, b: a + b).alias("palindrome_sum"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id, 'etype' AS key, event_type AS value FROM events WHERE event_id < 300
+    UNION ALL
+    SELECT event_id, 'uid', CAST(user_id AS VARCHAR) FROM events WHERE event_id < 300
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + explode back to rows (create_map / map_from_arrays /
+    explode). The oracle reproduces the exploded rows relationally."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    m = F.map_from_arrays(
+        F.array(F.lit("etype"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return ev.select("event_id", F.explode(m).alias("key", "value"))
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER)        AS k_int,
+           concat('{"k":', CAST(json_extract(props, '$.k') AS INTEGER), '}') AS rebuilt
+    FROM events WHERE event_id < 400
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing of events.props: get_json_object, from_json + field
+    access, to_json round trip."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("rebuilt"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)    AS h_md5,
+           sha256(c_name) AS h_sha256
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha256"),
+    )
+
+
+@register("fn_hash_native")  # rows-only: xxhash64/crc32/hash are Spark-specific
+def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("h_xx64"),
+        F.crc32("c_name").alias("h_crc32"),
+        F.hash("c_name").alias("h_spark"),
+    )
