@@ -1,1 +1,580 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""LLM training-data pipeline — text operators (SURVEY.md §2.N).
+
+Deduplication, tokenization, TF-IDF, n-grams, quality scoring, language-ID
+heuristics and document fingerprinting over the ``documents`` table. All
+pure-DataFrame (JVM expressions, no Python on the data path) so they hold at
+100 TB: the heavy ops shuffle once on (term) or (doc pair) keys, and the
+near-dup candidate generation is LSH-banded so candidate volume scales with
+true-duplicate density, not O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+def _norm_text(col):
+    """lower + collapse whitespace + trim — the canonical pre-dedup form."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, md5(norm) AS fp
+    FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+          FROM documents)
+    GROUP BY norm
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization: hash-groupBy on the normalized text,
+    keep the lowest doc_id. One shuffle on the text hash; at 100 TB group on
+    ``sha2(norm)`` (fixed 64-byte key) instead of the full text to keep
+    shuffle rows narrow — fp column shows the pattern."""
+    d = load(spark, sf_dir, "documents")
+    norm = _norm_text(F.col("text")).alias("norm")
+    return (
+        d.select("doc_id", norm)
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies", F.md5("norm").alias("fp"))
+    )
+
+
+@register(
+    "text_tokenize_counts",
+    oracle="""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+)
+def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenize -> top terms (word count). Map-side partial
+    aggregation makes the shuffle proportional to vocabulary, not corpus."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "text_token_count_bpeish",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+             AS bpeish_tokens,
+           CAST(CEIL(length(text) / 4.0) AS INTEGER) AS byte_est_tokens
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def text_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, a BPE-ish regex segmentation
+    (letter runs / digit runs / other), and the bytes/4 estimate."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpeish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("byte_est_tokens"),
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 500
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM toks)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ROUND(tf.tf * LN(n.n / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF by pure DataFrame math: tf join df (broadcast — vocabulary is
+    small) times ln(N/df). At corpus scale the df table is the broadcast side
+    and the tf table never reshuffles after its groupBy."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.select("doc_id").distinct().count()
+    return tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+    )
+
+
+@register(
+    "text_ngram",
+    oracle="""
+    SELECT doc_id,
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> concat(t[i], ' ', t[i+1])) AS bigrams,
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS trigrams
+    FROM (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE doc_id < 200)
+    WHERE len(t) >= 3
+    """,
+)
+def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word n-gram shingling via JVM higher-order functions (no UDF)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.split("text", " ")
+    base = d.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    tok = F.col("t")
+
+    def grams(width):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(tok) - width),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, (i + k + 1).cast("int")) for k in range(width)]
+            ),
+        )
+
+    return base.select(
+        "doc_id", grams(2).alias("bigrams"), grams(3).alias("trigrams")
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 2) AS p50_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 2).alias("p50_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / len(toks), 6) AS avg_tok_len,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE)
+                 / len(toks), 6) AS short_tok_ratio,
+           CAST(nc BETWEEN 100 AND 500
+                AND len(toks) >= 20 AS BOOLEAN) AS passes_gate
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / stopword / short-token ratios +
+    a pass/fail gate) — the C4/Gopher-style filter shape, as expressions."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = F.split("text", " ")
+    base = d.select("doc_id", F.length("text").alias("nc"), toks.alias("toks"))
+    n = F.size("toks").cast("double")
+    return base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).cast("double")
+            / n,
+            6,
+        ).alias("avg_tok_len"),
+        F.round(
+            F.size(F.filter(F.col("toks"), lambda x: x.isin("the", "a"))).cast("double") / n, 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.filter(F.col("toks"), lambda x: F.length(x) <= 2)).cast("double") / n, 6
+        ).alias("short_tok_ratio"),
+        (F.col("nc").between(100, 500) & (F.size("toks") >= 20)).alias("passes_gate"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS s_en,
+             len(list_filter(string_split(text, ' '), x -> x IN ('table', 'batch'))) AS s_de,
+             len(list_filter(string_split(text, ' '), x -> x IN ('data', 'value'))) AS s_es,
+             len(list_filter(string_split(text, ' '), x -> x IN ('key', 'hash'))) AS s_fr,
+             len(list_filter(string_split(text, ' '), x -> x IN ('row', 'column'))) AS s_zh
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS predicted
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token frequency argmax (first-match tie
+    break). The marker sets are synthetic (fixture text shares one
+    vocabulary) but the operator shape — per-language stopword scoring +
+    argmax — is the standard n-gram/stopword LID structure."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split("text", " ")
+    markers = {
+        "en": ("the", "a"),
+        "de": ("table", "batch"),
+        "es": ("data", "value"),
+        "fr": ("key", "hash"),
+        "zh": ("row", "column"),
+    }
+    def marker_count(m):
+        # closure factory: a default-arg lambda would be read by PySpark as a
+        # binary (element, index) lambda and bind m to the index Column
+        return F.size(F.filter(toks, lambda x: x.isin(*m)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[marker_count(m).alias(f"s_{k}") for k, m in markers.items()],
+    )
+    order = ["en", "de", "es", "fr", "zh"]
+    pred = F.lit("zh")
+    for k in reversed(order[:-1]):
+        cond = None
+        for other in order[order.index(k) + 1 :]:
+            c = F.col(f"s_{k}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(k)).otherwise(pred)
+    return scored.select("doc_id", "lang", pred.alias("predicted"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              x -> CAST(ascii(x) * 100 + length(x) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 1000000007) AS fp
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the token stream (Rabin-Karp shape):
+    fp = fold(tokens, 0, (acc, t) -> (acc*131 + code(t)) mod p). A position-
+    sensitive fingerprint, unlike the bag-of-words md5 in dedup_exact_text."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    codes = F.transform(
+        F.split("text", " "),
+        lambda x: (F.ascii(x) * 100 + F.length(x)).cast("long"),
+    )
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, b: (a * 131 + b) % 1000000007
+        ).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection suite (SURVEY.md §2.N dedup_*)
+# Cross-engine hash primitive: first 15 hex chars of md5 -> int64, identical
+# in Spark (conv(_,16,10)) and DuckDB ('0x'||_::BIGINT) — verified.
+# ---------------------------------------------------------------------------
+
+_N_PERM = 16          # minhash permutations
+_N_BANDS = 4          # LSH bands (4 rows per band)
+_JACCARD_T = 0.5      # verify threshold
+
+
+def _h64(col):
+    """md5-based 60-bit integer hash, reproducible in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct word 3-shingles per document."""
+    t = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, (i + 1).cast("int")),
+            F.element_at(t, (i + 2).cast("int")),
+            F.element_at(t, (i + 3).cast("int")),
+        ),
+    )
+    return (
+        d.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(tri)).alias("shingle"))
+    )
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6)
+             AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= {_JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    explode shingles -> self-join on shingle -> count common -> Jaccard.
+    The inverted-index join makes cost proportional to shared-shingle pairs,
+    not O(n^2); at 100 TB, hot shingles (stop-phrases) are dropped by a
+    document-frequency cap before the self-join."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15): minhash signature from per-permutation md5 salts."""
+    hashed = sh.select(
+        "doc_id",
+        *[
+            _h64(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(_N_PERM)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_PERM)]
+    )
+
+
+def _minhash_sig_sql() -> str:
+    hcols = ", ".join(
+        f"CAST(concat('0x', substr(md5(concat('{j}:', shingle)), 1, 15)) AS BIGINT) AS h{j}"
+        for j in range(_N_PERM)
+    )
+    mins = ", ".join(f"MIN(h{j}) AS m{j}" for j in range(_N_PERM))
+    return f"""
+    hashed AS (SELECT doc_id, {hcols} FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+    """
+
+
+def _band_exprs():
+    rows_per_band = _N_PERM // _N_BANDS
+    return [
+        [f"m{b * rows_per_band + k}" for k in range(rows_per_band)]
+        for b in range(_N_BANDS)
+    ]
+
+
+@register(
+    "dedup_near_minhash",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    {_minhash_sig_sql()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {', '.join(cols)})) AS bkey FROM sig"
+          for b, cols in enumerate(_band_exprs())
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6)
+             AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= {_JACCARD_T}
+    """,
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle -> 16-permutation minhash signature ->
+    4 LSH bands -> band-bucket join for candidates -> exact-Jaccard verify.
+
+    The oracle mirrors the SAME algorithm (same md5-salted permutations), so
+    the comparison is exact; LSH recall vs ground truth is asserted in unit
+    tests against dedup_ngram_jaccard. At 100 TB: candidate volume scales
+    with duplicate density; hot buckets are salted/capped before the
+    bucket self-join."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sig = _minhash_sig(sh)
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+        )
+        for b, cols in enumerate(_band_exprs())
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb_ = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb_, "doc_b")
+        .filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, md5-based): per-token hash votes +1/-1 on each bit
+    position; fingerprint = majority bits. Near-dups have small Hamming
+    distance — at scale, bucket on fingerprint bytes for candidate pairs."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    th = tok.select("doc_id", _h64(F.col("token")).alias("h"))
+    bits = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("vote"),
+    )
+    w = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("w"))
+    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    return w.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("w") > 0, bit_value).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,1 +1,295 @@
-"""Placeholder — populated in this round (SURVEY.md §2)."""
+"""LLM pipeline — embedding / similarity operators (SURVEY.md §2.N).
+
+All cosine math is done in DOUBLE via JVM higher-order functions
+(zip_with/aggregate) — no Python in the data path. The oracle replicates the
+same double-precision expressions element-by-element (never DuckDB's
+float32 ``list_cosine_similarity``), with ROUND(6) absorbing summation-order
+ulps.
+
+100 TB design notes:
+* brute-force top-k broadcasts the (small) query set and computes partial
+  top-k per partition before the final k-merge — never a global sort;
+* the LSH variant buckets both sides by sign bits so the candidate join is
+  equi on (bucket) — shuffle volume scales with bucket occupancy;
+* block-matmul (mapInArrow + numpy GEMM over broadcast query blocks) is the
+  next rung when query count grows — the operator API stays the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+_DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _cos(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# DuckDB equivalents (explicit double math, element order identical)
+_D_DOT = (
+    "list_sum(list_transform(generate_series(1, {d}),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _d_dot(a, b):
+    return _D_DOT.format(a=a, b=b, d=_DIM)
+
+
+def _d_norm(a):
+    return f"sqrt({_d_dot(a, a)})"
+
+
+def _d_cos(a, b):
+    return f"({_d_dot(a, b)} / ({_d_norm(a)} * {_d_norm(b)}))"
+
+
+@register(
+    "vec_norm_stats",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG({_d_norm('embedding')}), 6) AS avg_norm,
+           ROUND(MIN({_d_norm('embedding')}), 6) AS min_norm,
+           ROUND(MAX({_d_norm('embedding')}), 6) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def vec_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    nrm = _norm(F.col("embedding"))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "vec_centroid",
+    oracle=f"""
+    SELECT label, pos, ROUND(AVG(v), 6) AS centroid_v
+    FROM (SELECT label,
+                 unnest(generate_series(0, {_DIM - 1})) AS pos,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean). posexplode + groupBy(label,pos)
+    keeps partial aggregation map-side; result is label x dim rows — tiny at
+    any corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
+    )
+
+
+@register(
+    "sim_pair_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_d_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim,
+           ROUND({_d_dot('a.embedding', 'b.embedding')}, 6) AS dot
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250
+    WHERE a.vec_id < 250
+    """,
+)
+def sim_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity for explicit id pairs (vec i vs vec i+250)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")).filter(
+        F.col("id_a") < 250
+    )
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    j = a.join(b, F.col("id_b") == F.col("id_a") + 250)
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(_cos(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        F.round(_dot(F.col("ea"), F.col("eb")), 6).alias("dot"),
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_d_cos('q.embedding', 'c.embedding')}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_d_cos('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rk
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 3 AND c.vec_id != q.vec_id) t
+    WHERE rk <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k nearest neighbors for a small query set.
+
+    The query side is broadcast (tiny) and the corpus streams through the
+    nested-loop probe; the per-query top-k is a WindowGroupLimit, so only k
+    rows per query survive each partition before the final merge. For large
+    query sets the same API is served by block-matmul (mapInArrow + numpy)
+    or the LSH variant below."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sim = _cos(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim_raw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id", "neighbor_id", F.round("sim_raw", 6).alias("cos_sim"), "rk"
+        )
+    )
+
+
+_BUCKET_BITS = (0, 8, 16, 24)  # coordinate-hyperplane LSH: sign of these dims
+
+_D_BUCKET = " + ".join(
+    f"(CASE WHEN {{t}}.embedding[{d + 1}] > 0 THEN {1 << k} ELSE 0 END)"
+    for k, d in enumerate(_BUCKET_BITS)
+)
+
+
+def _bucket(col):
+    b = F.lit(0)
+    for k, d in enumerate(_BUCKET_BITS):
+        b = b + F.when(col[d] > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return b
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_d_cos('q.embedding', 'c.embedding')}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_d_cos('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rk
+      FROM embeddings q JOIN embeddings c
+        ON ({_D_BUCKET.format(t='q')}) = ({_D_BUCKET.format(t='c')})
+       AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 10) t
+    WHERE rk <= 3
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-bit LSH bucketing (coordinate hyperplanes on 4 dims ->
+    16 buckets): candidates = same-bucket equi-join, then exact cosine top-k
+    within candidates. The scale path for similarity search — the join is
+    hash on bucket id, ~1/16 of the corpus probed per query."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _bucket(F.col("embedding")).alias("bucket"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _bucket(F.col("embedding")).alias("bucket"),
+    )
+    sim = _cos(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim_raw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id", "neighbor_id", F.round("sim_raw", 6).alias("cos_sim"), "rk"
+        )
+    )
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_d_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_d_cos('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (a cheap coarse
+    quantizer): only same-label pairs are compared. At 100 TB the blocking
+    key comes from an IVF/LSH assignment instead of a given label — the
+    join shape is identical."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    sim = _cos(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", sim.alias("sim_raw"))
+        .filter(F.col("sim_raw") >= 0.35)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "multimodal_join",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           ROUND({_d_norm('e.embedding')}, 6) AS vnorm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang IN ('en', 'de') AND d.n_chars > 200 AND e.label < 5
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text x vector modality join with filters on both sides — both filters
+    push to their respective parquet scans before the join."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de") & (F.col("n_chars") > 200)
+    )
+    e = load(spark, sf_dir, "embeddings").filter(F.col("label") < 5)
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.round(_norm(F.col("embedding")), 6).alias("vnorm"),
+    )
