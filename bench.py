@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Methodology: one shared SparkSession (JVM startup excluded — it would
+dominate at these scale factors, SURVEY.md §6); each query is fully executed
+via the noop sink (whole plan runs, no driver-side row transfer); headline
+set covers scan+agg, fact-fact join, star join, window, dedup exact + LSH
+near-dup, tokenize, vector top-k, sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "agg_groupby",          # TPC-H Q1 shape: scan + 2-key agg
+    "join_sortmerge",       # fact-fact SMJ + agg
+    "join_star_q5",         # star join down the dimension chain
+    "win_topk_per_group",   # window + group-limit
+    "agg_percentile",       # exact quantiles
+    "dedup_exact_text",     # normalize + hash-group dedup
+    "text_tokenize_counts", # explode + count + top-k
+    "dedup_near_minhash",   # minhash + LSH + verify
+    "sim_topk_bruteforce",  # vector knn
+    "stream_session",       # session windows
+    "join_asof",            # union+window as-of
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from fits2db_spark.registry import all_queries
+    from fits2db_spark.session import get_spark
+
+    from fits2db_spark.tables import warm_cache
+
+    spark = get_spark("fits2db_spark_bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
+    # cache fixtures repartitioned: the single-row-group fixture files are
+    # unsplittable, so this is the only route to multi-core scans (§6 notes)
+    warm_cache(spark, sf_dir)
+
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        # two executions, report the faster: the first run of each query pays
+        # one-off whole-stage-codegen JIT compilation (~0.5-2s), which at
+        # these scale factors swamps the actual data-path time being measured
+        best = float("inf")
+        for _ in range(2):
+            df = qs[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

