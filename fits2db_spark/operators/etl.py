@@ -230,3 +230,45 @@ def array_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col("embedding")[i].alias(f"e{i}") for i in range(4)],
         F.size("embedding").alias("dim"),
     )
+
+
+@register("spatial_cols")  # rows-only: no HEALPix/HTM in DuckDB
+def spatial_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived spatial-index columns from (ra, dec): HEALPix ring256 /
+    nest4096 pixel ids + HTM level-9 trixel id + seeded random_id — the
+    reference's Data Lab load-time convention (SURVEY.md §1.1). The fixture
+    tables carry no sky coordinates, so deterministic pseudo ra/dec are
+    derived from c_custkey (golden-angle spiral: uniform-ish sky coverage).
+    Pixel math is vectorized numpy behind Arrow-batched pandas UDFs."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    from ..functions.spatial import ang2pix_nest, ang2pix_ring, radec_to_htm
+
+    # no type hints on the UDF callables: `from __future__ import annotations`
+    # turns them into strings PySpark's hint-based inference cannot resolve
+    @F.pandas_udf(LongType())
+    def ring256(ra, dec):
+        return pd.Series(ang2pix_ring(256, ra.to_numpy(), dec.to_numpy()))
+
+    @F.pandas_udf(LongType())
+    def nest4096(ra, dec):
+        return pd.Series(ang2pix_nest(4096, ra.to_numpy(), dec.to_numpy()))
+
+    @F.pandas_udf(LongType())
+    def htm9(ra, dec):
+        return pd.Series(radec_to_htm(9, ra.to_numpy(), dec.to_numpy()))
+
+    c = load(spark, sf_dir, "customer")
+    ra = (F.col("c_custkey") * 137.50776405) % 360.0
+    dec = F.degrees(F.asin(((F.col("c_custkey") * 0.6180339887) % 1.0) * 2 - 1))
+    base = c.select("c_custkey", ra.alias("ra"), dec.alias("dec"))
+    return base.select(
+        "c_custkey",
+        F.round("ra", 8).alias("ra"),
+        F.round("dec", 8).alias("dec"),
+        ring256("ra", "dec").alias("ring256"),
+        nest4096("ra", "dec").alias("nest4096"),
+        htm9("ra", "dec").alias("htm9"),
+        F.rand(seed=42).alias("random_id"),
+    )

@@ -56,3 +56,35 @@ def multi_file_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     files per run — SURVEY.md §2.A): one read over a path list."""
     path = f"{sf_dir}/nation.parquet"
     return spark.read.parquet(path, path)
+
+
+@register("fits_ingest", oracle="SELECT * FROM nation")
+def fits_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FITS BINTABLE -> DataFrame, end to end: serialize the nation table
+    into a byte-level FITS file (our own writer), then read it back through
+    the binaryFile + mapInArrow decode path. Oracle-checkable because the
+    round trip must reproduce the source rows exactly."""
+    import duckdb
+
+    from ..sources.fits import read_fits, write_fits_bintable
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT n_nationkey, n_name, n_regionkey FROM "
+            f"read_parquet('{sf_dir}/nation.parquet') ORDER BY n_nationkey"
+        )
+        .fetchall()
+    )
+    out_dir = os.path.join(_SCRATCH, "nation_fits")
+    os.makedirs(out_dir, exist_ok=True)
+    blob = write_fits_bintable(
+        [
+            ("n_nationkey", "J", [r[0] for r in rows]),
+            ("n_name", "A24", [r[1] for r in rows]),
+            ("n_regionkey", "J", [r[2] for r in rows]),
+        ]
+    )
+    with open(os.path.join(out_dir, "nation.fits"), "wb") as f:
+        f.write(blob)
+    return read_fits(spark, out_dir)

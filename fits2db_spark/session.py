@@ -34,6 +34,37 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_SHIPPED_TO: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``fits2db_spark`` importable on executor Python workers.
+
+    Python UDF / mapInArrow closures reference this package by module name;
+    when the driving process runs from a different cwd (as the external
+    harness does), executor workers cannot import it from PYTHONPATH. Ship
+    the package source as a zip via ``addPyFile`` — the same mechanism used
+    to deploy the package to a real cluster (there: a wheel/zip per release).
+    """
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return
+    if app_id in _SHIPPED_TO:
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = pathlib.Path(tempfile.gettempdir()) / f"fits2db_spark_pkg_{os.getpid()}.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, f"fits2db_spark/{p.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zpath))
+    _SHIPPED_TO.add(app_id)
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally provided session."""
     for k, v in _RUNTIME_CONFS.items():
@@ -43,6 +74,7 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             # Conf may be static on some builds; reads will fail loudly later
             # if it truly didn't take, which is the correct failure mode.
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,50 @@
+"""Driver-contract tests: entry() smoke, registry consistency, and that
+every registered query executes at sf0.001 with a stable, oracle-compatible
+column set (SURVEY.md §3.2-3.3)."""
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+    # stable schema across calls
+    assert e.entry(spark).schema == df.schema
+
+
+def test_registry_consistency():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert len(qs) >= 90, f"operator inventory shrank: {len(qs)}"
+    # every oracle key must have a query
+    assert set(os_) <= set(qs), set(os_) - set(qs)
+    # every oracle is non-trivial SQL
+    for name, sql in os_.items():
+        assert "SELECT" in sql.upper(), name
+
+
+@pytest.fixture(scope="module")
+def all_queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_all_queries_execute(spark, all_queries):
+    """Every queries() entry runs at sf0.001 and yields rows + named cols."""
+    failures = []
+    for name, fn in sorted(all_queries.items()):
+        try:
+            df = fn(spark, SF_SMOKE)
+            df.take(1)
+            assert df.columns, f"{name}: no columns"
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, "\n".join(failures)

@@ -1,0 +1,97 @@
+"""Physical-plan audits (SURVEY.md §4, §7 PR7): the optimizations we rely on
+at scale must actually appear in the plan — pushdown, pruning, broadcast,
+TakeOrdered, window group limits, and codegen on the bench path."""
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_to_parquet(spark):
+    from fits2db_spark.operators.etl import filter_pred
+
+    df = filter_pred(spark, SF_SMOKE)
+    f = _formatted(df)
+    assert "PushedFilters: [" in f
+    # the BETWEEN bounds must reach the scan
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in f, f
+
+
+def test_column_pruning(spark):
+    from fits2db_spark.operators.aggregates import agg_groupby
+
+    f = _formatted(agg_groupby(spark, SF_SMOKE))
+    read = [ln for ln in f.splitlines() if "ReadSchema" in ln]
+    assert read, f
+    # Q1 needs exactly 7 columns; the 11-column table must not be fully read
+    assert "l_partkey" not in read[0] and "l_suppkey" not in read[0], read[0]
+
+
+def test_broadcast_join_chosen(spark):
+    from fits2db_spark.operators.joins import join_inner_hash
+
+    assert "BroadcastHashJoin" in _plan(join_inner_hash(spark, SF_SMOKE))
+
+
+def test_sortmerge_join_chosen(spark):
+    from fits2db_spark.operators.joins import join_sortmerge
+
+    assert "SortMergeJoin" in _plan(join_sortmerge(spark, SF_SMOKE))
+
+
+def test_topk_is_take_ordered(spark):
+    from fits2db_spark.operators.sorts_sets import topk_global
+
+    assert "TakeOrderedAndProject" in _plan(topk_global(spark, SF_SMOKE))
+
+
+def test_window_topk_group_limit(spark):
+    from fits2db_spark.operators.windows import win_topk_per_group
+
+    assert "WindowGroupLimit" in _plan(win_topk_per_group(spark, SF_SMOKE))
+
+
+def test_range_join_broadcasts_small_side(spark):
+    from fits2db_spark.operators.joins import join_theta_range
+
+    assert "BroadcastNestedLoopJoin" in _plan(join_theta_range(spark, SF_SMOKE))
+
+
+def test_bench_path_stays_jvm_side(spark):
+    """No Python evaluation nodes in the relational headline queries."""
+    from fits2db_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in [
+        "agg_groupby",
+        "join_star_q5",
+        "join_sortmerge",
+        "win_topk_per_group",
+        "dedup_exact_text",
+        "text_tokenize_counts",
+        "dedup_near_minhash",
+        "sim_topk_bruteforce",
+        "stream_session",
+        "join_asof",
+    ]:
+        plan = _plan(qs[name](spark, SF_SMOKE))
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert bad not in plan, f"{name} fell out of codegen: {bad}"
+
+
+def test_whole_stage_codegen_present(spark):
+    from fits2db_spark.operators.aggregates import agg_groupby
+
+    df = agg_groupby(spark, SF_SMOKE)
+    df.collect()  # finalize the adaptive plan first: AQE hides codegen spans
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators render as "*(n) Op" in the executed plan
+    assert "*(1)" in final, final[:2000]
