@@ -1,0 +1,233 @@
+"""Advanced relational + pipeline operators beyond the core §2 inventory:
+subqueries (scalar / IN / correlated — exercising Catalyst decorrelation),
+time-series gap-fill, sampling, iterative k-means, and the block-matmul ANN
+scale path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery -> Catalyst plans a one-row broadcast."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("f2s_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+        FROM f2s_orders_sq
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM f2s_orders_sq)
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      AND c_mktsegment = 'BUILDING'
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery -> rewritten to a left-semi join by the optimizer."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("f2s_cust_sq")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("f2s_ord_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM f2s_cust_sq
+        WHERE c_custkey IN (SELECT o_custkey FROM f2s_ord_sq
+                            WHERE o_orderpriority = '1-URGENT')
+          AND c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, ROUND(p.p_retailprice, 2) AS price
+    FROM part p
+    WHERE p.p_retailprice > 1.01 * (SELECT AVG(p2.p_retailprice) FROM part p2
+                                   WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts priced 1% above their brand's
+    mean) — Catalyst decorrelates to an aggregate + join; DuckDB does the
+    same rewrite, so results match exactly."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("f2s_part_sq")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, ROUND(p.p_retailprice, 2) AS price
+        FROM f2s_part_sq p
+        WHERE p.p_retailprice > 1.01 * (SELECT AVG(p2.p_retailprice) FROM f2s_part_sq p2
+                                       WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "gapfill_timeseries",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+    ),
+    agg AS (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT g.hour_start, COALESCE(a.n, 0) AS n_purchases
+    FROM grid g LEFT JOIN agg a USING (hour_start)
+    """,
+)
+def gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time grid with zero-filled gaps: sequence() generates the
+    grid (one row, exploded — no driver loop), left join fills. The standard
+    resample/gap-fill primitive for event streams."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grid.join(agg, "hour_start", "left").select(
+        "hour_start", F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases")
+    )
+
+
+@register("sample_fraction")  # rows-only: Spark's sampling RNG is engine-specific
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed (repeatable subsample — the
+    random_id convention's query-time counterpart)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register("sample_stratified")  # rows-only: per-stratum RNG is engine-specific
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling via sampleBy: per-key fractions in one pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.sampleBy(
+        "o_orderstatus", fractions={"F": 0.05, "O": 0.2, "P": 1.0}, seed=42
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@register("vec_kmeans")  # rows-only: iterative refinement is not one SQL query
+def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's) over the embedding column, pure DataFrame ops.
+
+    Deterministic: centroids initialized from vec_id 0..k-1, 5 fixed
+    iterations. Per iteration: broadcast the k x 64 centroids (driver-held,
+    tiny), assign via JVM-side argmin over squared distance, recompute
+    centroids with posexplode + groupBy(cluster, pos). Only k*64 doubles ever
+    reach the driver — the assignment pass streams at any corpus size."""
+    k, iters = 5, 5
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    for _ in range(iters):
+        cent_col = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+        dist2 = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("embedding"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            F.array_position(
+                F.transform(cent_col, dist2),
+                F.array_min(F.transform(cent_col, dist2)),
+            ).cast("int").alias("cluster"),
+        )
+        new_cents = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+            .select("cluster", F.col("ps.m").alias("centroid"))
+            .orderBy("cluster")
+            .collect()
+        )
+        cents = [[float(x) for x in r.centroid] for r in new_cents]
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(dist2(F.element_at(cent_col, F.col("cluster")))), 6).alias("avg_dist2"),
+    )
+
+
+@register("sim_topk_matmul")  # rows-only: numpy GEMM sum order != SQL fold
+def sim_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN, block-matmul formulation — the 100 TB scale path for
+    large query sets (SURVEY.md §4): broadcast the query matrix, GEMM each
+    Arrow batch of corpus vectors against it in numpy, keep per-batch top-k,
+    then a global per-query top-k merge. Python cost is per-batch, compute is
+    BLAS."""
+    import numpy as np
+    import pandas as pd
+
+    k = 5
+    e = load(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.embedding for r in qrows], dtype="float64")
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq = spark.sparkContext.broadcast(q_mat)
+
+    def topk_batches(it):
+        for pdf in it:
+            ids = pdf["vec_id"].to_numpy()
+            m = np.array(list(pdf["embedding"]), dtype="float64")
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = bq.value @ m.T  # (n_q, batch)
+            for qi, qid in enumerate(bq_ids.value):
+                s = sims[qi]
+                mask = ids != qid
+                idx = np.argsort(-s[mask])[:k]
+                cand_ids = ids[mask][idx]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids,
+                        "cos_sim": np.round(s[mask][idx], 6),
+                    }
+                )
+
+    partial = e.select("vec_id", "embedding").mapInPandas(
+        topk_batches, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "fits2db_spark.operators.multimodal",
     "fits2db_spark.operators.streaming_batch",
     "fits2db_spark.operators.udfs",
+    "fits2db_spark.operators.advanced",
 )
 
 _loaded = False

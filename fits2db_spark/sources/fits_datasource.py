@@ -1,0 +1,79 @@
+"""FITS as a first-class Spark data source: ``spark.read.format("fits")``
+(Spark 4 Python DataSource API — SURVEY.md §4 candidate 3).
+
+One InputPartition per FITS file -> per-file parallel decode, same pure-numpy
+parser as sources/fits.py, rows delivered as Arrow batches. Options:
+
+    spark.read.format("fits").option("hdu", 1).load("/data/catalog/*.fits")
+
+Schema comes from the FIRST file's header (declared, never inferred from
+data); pass an explicit ``.schema(...)`` to skip the probe or to read
+heterogeneous-ordered files by name.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .fits import decode_bintable
+
+
+class FitsInputPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class FitsDataSourceReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self._paths = _resolve_paths(options.get("path"))
+        self._hdu = int(options.get("hdu", 1))
+        self._schema = schema
+
+    def partitions(self):
+        return [FitsInputPartition(p) for p in self._paths]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        with open(partition.path, "rb") as f:
+            data = f.read()
+        _, cols = decode_bintable(data, self._hdu)
+        names = [f.name for f in self._schema.fields]
+        yield pa.RecordBatch.from_pydict({n: pa.array(c) for n, c in zip(names, cols)})
+
+
+class FitsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fits"
+
+    def schema(self):
+        paths = _resolve_paths(self.options.get("path"))
+        if not paths:
+            raise FileNotFoundError(f"no FITS files at {self.options.get('path')!r}")
+        with open(paths[0], "rb") as f:
+            schema, _ = decode_bintable(f.read(), int(self.options.get("hdu", 1)))
+        return schema
+
+    def reader(self, schema):
+        return FitsDataSourceReader(self.options, schema)
+
+
+def _resolve_paths(path: str | None) -> list[str]:
+    if not path:
+        raise ValueError("fits datasource requires a load path")
+    path = path.removeprefix("file:")
+    if os.path.isdir(path):
+        path = os.path.join(path, "*")
+    return sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+
+
+def register(spark) -> None:
+    """Register the 'fits' format on a session (idempotent)."""
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # executors must be able to import the parser
+    spark.dataSource.register(FitsDataSource)
