@@ -207,10 +207,17 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     values (type-7); scale path is ``approx_percentile`` (KLL/GK sketch) —
     exposed separately below."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    # ONE array-percentile aggregation, not three: each percentile() is its
+    # own sort-based agg pass otherwise (3x the work at any scale)
+    return (
+        li.groupBy("l_linestatus")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("p"))
+        .select(
+            "l_linestatus",
+            F.round(F.col("p")[0], 4).alias("p50_price"),
+            F.round(F.col("p")[1], 4).alias("p90_price"),
+            F.round(F.col("p")[2], 4).alias("p99_price"),
+        )
     )
 
 
