@@ -231,3 +231,141 @@ def sim_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS total, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the hand-rolled skew mitigation for
+    hot keys (l_returnflag has only 3 values: maximal skew). Stage 1 groups
+    on (key, salt16) so the hot key spreads over 16 reducers; stage 2 merges
+    the 3x16 partials. Semantics-preserving, so the oracle is the plain
+    GROUP BY. AQE's skew handling covers joins; aggregation salting is the
+    code-level pattern (SURVEY.md §4)."""
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", (F.spark_partition_id() % 16))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_extendedprice").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("s"), 2).alias("total"), F.sum("c").alias("n")
+    )
+
+
+@register(
+    "agg_extras",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)                       AS all_over_1k,
+           bool_or(o_totalprice > 400000)                      AS any_over_400k,
+           CAST(bit_and(o_custkey) AS BIGINT)                  AS key_bit_and,
+           CAST(bit_or(o_custkey) AS BIGINT)                   AS key_bit_or,
+           CAST(bit_xor(o_custkey) AS BIGINT)                  AS key_bit_xor,
+           CAST(max_by(o_orderkey, o_totalprice) AS BIGINT)    AS biggest_order,
+           CAST(min_by(o_orderkey, o_totalprice) AS BIGINT)    AS smallest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail aggregates: every/any, bitwise aggs, arg-max/min.
+    (mode() is excluded from the oracle: its tie-break is engine-specific.)"""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.bit_and("o_custkey").alias("key_bit_and"),
+        F.bit_or("o_custkey").alias("key_bit_or"),
+        F.bit_xor("o_custkey").alias("key_bit_xor"),
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot (melt) — the inverse of agg_pivot."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "fn_generators",
+    oracle="""
+    WITH base AS (SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 10)
+    SELECT n_nationkey, 'a' AS tag, CAST(n_regionkey AS BIGINT) AS v FROM base
+    UNION ALL
+    SELECT n_nationkey, 'b', CAST(n_nationkey % 3 AS BIGINT) FROM base
+    UNION ALL
+    SELECT n_nationkey, NULL, NULL FROM base WHERE n_regionkey = 0
+    """,
+)
+def fn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generators: stack() (n-column unpivot literal) + explode_outer
+    (null-preserving explode) combined: each nation yields its two tagged
+    measures, and region-0 nations additionally yield a null row through the
+    outer explode of an empty array."""
+    n = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    stacked = n.select(
+        "n_nationkey",
+        F.expr(
+            "stack(2, 'a', CAST(n_regionkey AS BIGINT), 'b', CAST(n_nationkey % 3 AS BIGINT))"
+        ).alias("tag", "v"),
+    )
+    empties = (
+        n.filter(F.col("n_regionkey") == 0)
+        .select(
+            "n_nationkey",
+            F.explode_outer(F.array().cast("array<string>")).alias("tag"),
+            F.lit(None).cast("long").alias("v"),
+        )
+    )
+    return stacked.unionByName(empties)
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey & 12        AS b_and,
+           n_nationkey | 5         AS b_or,
+           xor(n_nationkey, 9)     AS b_xor,
+           ~n_nationkey            AS b_not,
+           n_nationkey << 2        AS b_shl,
+           n_nationkey >> 1        AS b_shr
+    FROM nation
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(12)).alias("b_and"),
+        k.bitwiseOR(F.lit(5)).alias("b_or"),
+        k.bitwiseXOR(F.lit(9)).alias("b_xor"),
+        F.bitwise_not(k).alias("b_not"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 1).alias("b_shr"),
+    )
