@@ -418,19 +418,37 @@ _MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 _MH_AB = [(1000003 + 4591 * j, 998244353 % _MH_P + 7 * j) for j in range(_N_PERM)]
 
 
-def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m15): minhash signature via affine perms of one md5."""
-    hashed = sh.select(
-        "doc_id", (_h64(F.col("shingle")) % _MH_P).alias("h31")
-    ).select(
-        "doc_id",
-        *[
-            ((F.lit(a) * F.col("h31") + F.lit(b)) % _MH_P).alias(f"h{j}")
-            for j, (a, b) in enumerate(_MH_AB)
-        ],
+def _minhash_sig(d: DataFrame) -> DataFrame:
+    """documents -> (doc_id, m0..m15) minhash signature, shuffle-free.
+
+    The per-doc shingle ARRAY (no explode) maps to base hashes once
+    (transform + one md5 per shingle), then each permutation is an
+    array_min — the signature build never shuffles (the exploded variant
+    costs a 16-column groupBy exchange). Values are identical to the
+    min-over-group form the oracle uses.
+    """
+    t = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, (i + 1).cast("int")),
+            F.element_at(t, (i + 2).cast("int")),
+            F.element_at(t, (i + 3).cast("int")),
+        ),
     )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_PERM)]
+    base = (
+        d.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.array_distinct(tri).alias("shingles"))
+    )
+    ints = F.transform(F.col("shingles"), lambda s: _h64(s) % _MH_P)
+
+    def perm_min(a: int, b: int):
+        # closure factory (a default-arg lambda reads as an (elem, idx) pair)
+        return F.array_min(F.transform(ints, lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P))
+
+    return base.select(
+        "doc_id", *[perm_min(a, b).alias(f"m{j}") for j, (a, b) in enumerate(_MH_AB)]
     )
 
 
@@ -501,10 +519,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with duplicate density; hot buckets are salted/capped before the
     bucket self-join."""
     d = load(spark, sf_dir, "documents")
-    # the shingle set feeds the signature build AND both sides of the
-    # verify join — persist so the explode+distinct runs once, not 4x
+    # the shingle set feeds both sides of the verify join — persist so the
+    # explode+distinct runs once; the signature derives from the un-exploded
+    # arrays and never shuffles
     sh = _shingles(d).persist()
-    sig = _minhash_sig(sh)
+    sig = _minhash_sig(d)
     band_frames = [
         sig.select(
             "doc_id",

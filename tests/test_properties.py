@@ -85,9 +85,8 @@ def test_minhash_identical_docs_get_identical_signatures(spark):
     rows = [(1, "the quick brown fox jumps over the lazy dog today"),
             (2, "the quick brown fox jumps over the lazy dog today")]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    from fits2db_spark.operators.llm_text import _shingles
 
-    sig = _minhash_sig(_shingles(d)).collect()
+    sig = _minhash_sig(d).collect()
     s1 = [v for k, v in sorted(sig[0].asDict().items()) if k != "doc_id"]
     s2 = [v for k, v in sorted(sig[1].asDict().items()) if k != "doc_id"]
     assert s1 == s2
