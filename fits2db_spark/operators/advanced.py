@@ -369,3 +369,86 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("b_shl"),
         F.shiftright(k, 1).alias("b_shr"),
     )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT r.range_id, l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    JOIN (SELECT p_partkey AS range_id,
+                 p_size - 2.0 AS lo, p_size + 2.0 AS hi
+          FROM part WHERE p_partkey < 50) r
+      ON l.l_quantity BETWEEN r.lo AND r.hi
+    WHERE l.l_orderkey < 200
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via BINNING — the large x large scale path for interval
+    joins (SURVEY.md §2.C join_theta_range note). Each range of width <= 5
+    expands to the fixed-width bins (width 5) it overlaps; points map to one
+    bin; the join becomes EQUI on bin + a residual BETWEEN filter. Shuffle
+    volume is rows x overlap factor instead of the broadcast-NLJ's rows x
+    ranges — the standard trick when neither side fits in a broadcast."""
+    width = 5.0
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("bin", F.floor(F.col("l_quantity") / width))
+    )
+    ranges = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 50)
+        .select(
+            F.col("p_partkey").alias("range_id"),
+            (F.col("p_size") - 2.0).alias("lo"),
+            (F.col("p_size") + 2.0).alias("hi"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / width), F.floor(F.col("hi") / width)
+                )
+            ),
+        )
+    )
+    return (
+        li.join(ranges, "bin")
+        .filter(F.col("l_quantity").between(F.col("lo"), F.col("hi")))
+        .select("range_id", "l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "fn_trig",
+    oracle="""
+    SELECT n_nationkey,
+           ROUND(sin(radians(n_nationkey * 10.0)), 10)  AS s,
+           ROUND(cos(radians(n_nationkey * 10.0)), 10)  AS c,
+           ROUND(tan(n_nationkey * 0.1), 10)            AS t,
+           ROUND(atan2(CAST(n_nationkey AS DOUBLE), 3.0), 10) AS a2,
+           ROUND(degrees(atan(n_nationkey * 0.1)), 10)  AS deg,
+           ROUND((exp(n_nationkey * 0.1) - exp(-n_nationkey * 0.1)) / 2, 10) AS sh,
+           ROUND((exp(n_nationkey * 0.1) + exp(-n_nationkey * 0.1)) / 2, 10) AS ch,
+           ROUND((exp(2 * n_nationkey * 0.1) - 1) / (exp(2 * n_nationkey * 0.1) + 1), 10) AS th
+    FROM nation
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/hyperbolic functions (spherical-geometry support for
+    the spatial columns: HEALPix/HTM math uses exactly these)."""
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        F.round(F.sin(F.radians(k * 10.0)), 10).alias("s"),
+        F.round(F.cos(F.radians(k * 10.0)), 10).alias("c"),
+        F.round(F.tan(k * 0.1), 10).alias("t"),
+        F.round(F.atan2(k.cast("double"), F.lit(3.0)), 10).alias("a2"),
+        F.round(F.degrees(F.atan(k * 0.1)), 10).alias("deg"),
+        F.round(F.sinh(k * 0.1), 10).alias("sh"),
+        F.round(F.cosh(k * 0.1), 10).alias("ch"),
+        F.round(F.tanh(k * 0.1), 10).alias("th"),
+    )
