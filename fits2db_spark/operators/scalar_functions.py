@@ -356,3 +356,34 @@ def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("c_name").alias("h_crc32"),
         F.hash("c_name").alias("h_spark"),
     )
+
+
+@register(
+    "fn_encode",
+    oracle="""
+    SELECT n_nationkey,
+           to_base64(encode(n_name))                 AS b64,
+           CAST(from_base64(to_base64(encode(n_name))) AS VARCHAR) AS roundtrip,
+           lower(hex(encode(n_name)))                AS hexed,
+           CAST(unhex(lower(hex(encode(n_name)))) AS VARCHAR) AS unhexed,
+           CAST(ascii(n_name) AS INTEGER)            AS first_code,
+           chr(CAST(65 + n_nationkey % 26 AS INTEGER)) AS letter
+    FROM nation
+    """,
+)
+def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/text codecs: base64, hex, ascii/chr round trips."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.base64(F.encode(F.col("n_name"), "utf-8")).alias("b64"),
+        F.decode(F.unbase64(F.base64(F.encode(F.col("n_name"), "utf-8"))), "utf-8").alias(
+            "roundtrip"
+        ),
+        F.lower(F.hex(F.encode(F.col("n_name"), "utf-8"))).alias("hexed"),
+        F.decode(F.unhex(F.lower(F.hex(F.encode(F.col("n_name"), "utf-8")))), "utf-8").alias(
+            "unhexed"
+        ),
+        F.ascii("n_name").alias("first_code"),
+        F.chr(F.lit(65) + F.col("n_nationkey") % 26).alias("letter"),
+    )
