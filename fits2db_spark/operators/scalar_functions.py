@@ -387,3 +387,72 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("n_name").alias("first_code"),
         F.chr(F.lit(65) + F.col("n_nationkey") % 26).alias("letter"),
     )
+
+
+@register(
+    "fn_map_access",
+    oracle="""
+    SELECT event_id,
+           map_keys(map(['t', 'u'], [event_type, CAST(user_id AS VARCHAR)]))   AS ks,
+           map_values(map(['t', 'u'], [event_type, CAST(user_id AS VARCHAR)])) AS vs,
+           map(['t', 'u'], [event_type, CAST(user_id AS VARCHAR)])['t'][1]     AS t_val,
+           CAST(cardinality(map(['t', 'u'],
+                [event_type, CAST(user_id AS VARCHAR)])) AS INTEGER)           AS n
+    FROM events WHERE event_id < 250
+    """,
+)
+def fn_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key/value access (map_keys / map_values /
+    element_at / size). DuckDB map extraction yields a LIST — the oracle
+    unwraps [1]."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 250)
+    m = F.map_from_arrays(
+        F.array(F.lit("t"), F.lit("u")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.element_at(m, F.lit("t")).alias("t_val"),
+        F.size(m).alias("n"),
+    )
+
+
+@register(
+    "fn_json_tuple",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k
+    FROM events WHERE event_id < 250
+    """,
+)
+def fn_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple generator: extract multiple JSON fields in one pass."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 250)
+    return ev.select("event_id", F.json_tuple(F.col("props"), "k").alias("k"))
+
+
+@register(
+    "fn_try",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE ROUND(value / (user_id % 3), 6) END AS safe_div,
+           TRY_CAST(event_type AS INTEGER)               AS bad_cast,
+           TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT)  AS good_cast
+    FROM events WHERE event_id < 250
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: try_divide / try_cast return NULL instead of
+    failing the job — essential at scale where one malformed row must not
+    kill a 10-hour pipeline."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 250)
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("value"), (F.col("user_id") % 3).cast("double")), 6
+        ).alias("safe_div"),
+        F.col("event_type").try_cast("int").alias("bad_cast"),
+        F.col("user_id").cast("string").try_cast("long").alias("good_cast"),
+    )

@@ -174,3 +174,58 @@ def test_foreach_batch_sink_jdbc(spark, staged_events, tmp_path):
         spark.read.format("jdbc").option("url", url).option("dbtable", "events_sink").load()
     )
     assert back.count() == n_events
+
+
+def test_stream_batch_parity_sliding(spark, staged_events):
+    """Live sliding windows must equal the batch stream_sliding result."""
+    staging, _ = staged_events
+    stream = events_stream(spark, staging)
+    sliding = (
+        stream.withWatermark("ts", "100 days")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = run_stream_to_memory(sliding, "t_parity_slide", output_mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM t_parity_slide").collect()
+    }
+    from fits2db_spark.operators.streaming_batch import stream_sliding
+
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in stream_sliding(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_stream_batch_parity_session(spark, staged_events):
+    """Live session windows must equal the batch stream_session result."""
+    from fits2db_spark.streaming.live import session_counts
+
+    staging, _ = staged_events
+    q = run_stream_to_memory(
+        session_counts(events_stream(spark, staging), watermark="100 days"),
+        "t_parity_sess",
+        output_mode="complete",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM t_parity_sess").collect()
+    }
+    from fits2db_spark.operators.streaming_batch import stream_session
+
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in stream_session(spark, SF_SMOKE).collect()
+    }
+    assert got == want
