@@ -335,7 +335,12 @@ def _h64(col):
 
 
 def _shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle): distinct word 3-shingles per document."""
+    """(doc_id, shingle): distinct HASHED word 3-shingles per document.
+
+    Shingles travel as md5-derived int64s, not strings: the inverted-index
+    self-join and the minhash verify join shuffle 8-byte keys instead of
+    ~25-byte text (collision odds over a corpus are ~n^2/2^61 — negligible,
+    and identical in the DuckDB oracle, which hashes the same way)."""
     t = F.split("text", " ")
     tri = F.transform(
         F.sequence(F.lit(0), F.size(t) - 3),
@@ -346,9 +351,10 @@ def _shingles(d: DataFrame) -> DataFrame:
             F.element_at(t, (i + 3).cast("int")),
         ),
     )
+    hashed = F.array_distinct(F.transform(tri, _h64))
     return (
         d.filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(tri)).alias("shingle"))
+        .select("doc_id", F.explode(hashed).alias("shingle"))
     )
 
 
@@ -370,7 +376,9 @@ def _shingles_cached(spark: SparkSession, d: DataFrame, sf_dir: str) -> DataFram
 _SHINGLES_SQL = """
       SELECT doc_id, unnest(list_distinct(
                list_transform(generate_series(1, len(t) - 2),
-                              i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS shingle
+                 i -> CAST(concat('0x', substr(md5(
+                        concat(t[i], ' ', t[i+1], ' ', t[i+2])), 1, 15)) AS BIGINT))))
+             AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       WHERE len(t) >= 3
 """
@@ -454,9 +462,9 @@ def _minhash_sig(d: DataFrame) -> DataFrame:
     )
     base = (
         d.filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.array_distinct(tri).alias("shingles"))
+        .select("doc_id", F.array_distinct(F.transform(tri, _h64)).alias("shingles"))
     )
-    ints = F.transform(F.col("shingles"), lambda s: _h64(s) % _MH_P)
+    ints = F.transform(F.col("shingles"), lambda h: h % _MH_P)
 
     def perm_min(a: int, b: int):
         # closure factory (a default-arg lambda reads as an (elem, idx) pair)
@@ -474,10 +482,7 @@ def _minhash_sig_sql() -> str:
     )
     mins = ", ".join(f"MIN(h{j}) AS m{j}" for j in range(_N_PERM))
     return f"""
-    based AS (SELECT doc_id,
-                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
-                       % {_MH_P} AS h31
-              FROM sh),
+    based AS (SELECT doc_id, shingle % {_MH_P} AS h31 FROM sh),
     hashed AS (SELECT doc_id, {hcols} FROM based),
     sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
     """
