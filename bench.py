@@ -45,7 +45,9 @@ def main() -> None:
 
     from fits2db_spark.tables import warm_cache
 
-    spark = get_spark("fits2db_spark_bench")
+    # 16 shuffle partitions: measured best at sf0.1 on local[32] (32 adds
+    # task-launch overhead, 8 loses parallelism — SURVEY.md §6 bench notes)
+    spark = get_spark("fits2db_spark_bench", shuffle_partitions=16)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
     # cache fixtures repartitioned: the single-row-group fixture files are
     # unsplittable, so this is the only route to multi-core scans (§6 notes)
