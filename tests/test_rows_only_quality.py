@@ -117,3 +117,17 @@ def test_spatial_cols_pixels_in_range(spark):
         assert 0 <= r.nest4096 < 12 * 4096 * 4096
         assert 8 * 4**9 <= r.htm9 < 16 * 4**9
         assert 0.0 <= r.random_id < 1.0
+
+
+def test_dedup_components_consistent_with_pairs(spark):
+    """Every near-dup pair must land in one component; keep_doc is the min."""
+    comps = _q("dedup_components")(spark, SF_SMOKE).collect()
+    assert comps, "fixture has near-dup clusters"
+    assert all(r.keep_doc <= r.comp or r.keep_doc == r.comp for r in comps)
+    assert all(r.cluster_size >= 2 for r in comps)
+    # total clustered docs == docs appearing in the pair graph
+    from fits2db_spark.operators.llm_text import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    in_graph = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert sum(r.cluster_size for r in comps) == len(in_graph)
