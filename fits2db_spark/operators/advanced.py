@@ -452,3 +452,31 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cosh(k * 0.1), 10).alias("ch"),
         F.round(F.tanh(k * 0.1), 10).alias("th"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS bucket_mean
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by bucket arithmetic — one partial-aggregated
+    shuffle regardless of data size (the bucket count, not the row count,
+    bounds the result)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return (
+        o.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 50000).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("bucket_mean"),
+        )
+    )

@@ -680,3 +680,53 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keep_doc"))
         .filter(F.col("cluster_size") > 1)
     )
+
+
+@register(
+    "doc_winnowing",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, len(t) - 2),
+                 i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])),
+               s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      FROM (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id < 300)
+      WHERE len(t) >= 6
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+             list_transform(generate_series(1, len(hs) - 3),
+               w -> list_min(hs[w:w+3])))) AS fingerprint
+    FROM h
+    """,
+)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken): k-gram hashes ->
+    sliding window of 4 -> min hash per window -> distinct set. Guarantees
+    any sufficiently long shared substring contributes a shared fingerprint
+    entry — the plagiarism/near-dup detection classic, all as array
+    expressions (hash positions stay inside the row; no explode)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, (i + 1).cast("int")),
+            F.element_at(t, (i + 2).cast("int")),
+            F.element_at(t, (i + 3).cast("int")),
+        ),
+    )
+    base = d.filter(F.size(F.split("text", " ")) >= 6).select(
+        "doc_id", F.transform(tri, _h64).alias("hs")
+    )
+    windows_min = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - 3),
+        lambda w: F.array_min(F.slice("hs", w.cast("int"), 4)),
+    )
+    return base.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(windows_min)).alias("fingerprint"),
+    )
