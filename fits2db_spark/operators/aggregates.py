@@ -223,10 +223,19 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("agg_approx_percentile")  # rows-only: sketch result is Spark-specific
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile — the fixed-memory 100 TB path for quantiles."""
+    """approx_percentile — the fixed-memory 100 TB path for quantiles.
+    The sketch array is unpacked into scalar columns: even rows-only results
+    pass through the driver's pandas canonicalizer, which cannot hash
+    array-typed cells."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").alias("approx_p")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").alias("p"))
+        .select(
+            "l_linestatus",
+            F.col("p")[0].alias("ap50_price"),
+            F.col("p")[1].alias("ap90_price"),
+        )
     )
 
 
@@ -291,17 +300,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS names,
-           list(DISTINCT n_nationkey ORDER BY n_nationkey) AS keys
+           string_agg(n_name, '|' ORDER BY n_name) AS names,
+           array_to_string(list_sort(list(DISTINCT n_nationkey)), '|') AS keys
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list/collect_set made deterministic via sort_array."""
+    """collect_list/collect_set made deterministic via sort_array, then
+    rendered to a '|'-joined string: the external driver canonicalizes
+    results via a pandas sort whose factorize step cannot hash
+    ``numpy.ndarray`` cells, so every *registered* output column must be
+    scalar. (Array-native collect stays available via ``__wrapped__``-style
+    composition in pytest coverage.)"""
     n = load(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("names"),
-        F.sort_array(F.collect_set("n_nationkey")).alias("keys"),
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("names"),
+        F.concat_ws(
+            "|",
+            F.transform(F.sort_array(F.collect_set("n_nationkey")), lambda x: x.cast("string")),
+        ).alias("keys"),
     )
 
 

@@ -130,17 +130,20 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_ngram",
     oracle="""
     SELECT doc_id,
-           list_transform(generate_series(1, len(t) - 1),
-                          i -> concat(t[i], ' ', t[i+1])) AS bigrams,
-           list_transform(generate_series(1, len(t) - 2),
-                          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS trigrams
+           array_to_string(list_transform(generate_series(1, len(t) - 1),
+                          i -> concat(t[i], ' ', t[i+1])), '|') AS bigrams,
+           array_to_string(list_transform(generate_series(1, len(t) - 2),
+                          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])), '|') AS trigrams
     FROM (SELECT doc_id, string_split(text, ' ') AS t
           FROM documents WHERE doc_id < 200)
     WHERE len(t) >= 3
     """,
 )
 def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word n-gram shingling via JVM higher-order functions (no UDF)."""
+    """Word n-gram shingling via JVM higher-order functions (no UDF).
+    N-gram lists are '|'-joined to scalar strings for the driver
+    canonicalizer (cannot hash array cells); order is positional, so the
+    join is deterministic."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     t = F.split("text", " ")
     base = d.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
@@ -155,7 +158,9 @@ def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return base.select(
-        "doc_id", grams(2).alias("bigrams"), grams(3).alias("trigrams")
+        "doc_id",
+        F.concat_ws("|", grams(2)).alias("bigrams"),
+        F.concat_ws("|", grams(3)).alias("trigrams"),
     )
 
 
@@ -696,9 +701,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(t) >= 6
     )
     SELECT doc_id,
-           list_sort(list_distinct(
+           array_to_string(list_sort(list_distinct(
              list_transform(generate_series(1, len(hs) - 3),
-               w -> list_min(hs[w:w+3])))) AS fingerprint
+               w -> list_min(hs[w:w+3])))), ',') AS fingerprint
     FROM h
     """,
 )
@@ -726,7 +731,14 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("hs") - 3),
         lambda w: F.array_min(F.slice("hs", w.cast("int"), 4)),
     )
+    # ','-joined scalar rendering: the driver canonicalizer cannot hash
+    # array cells. Sorted-distinct first, so the join is deterministic.
     return base.select(
         "doc_id",
-        F.array_sort(F.array_distinct(windows_min)).alias("fingerprint"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.array_distinct(windows_min)), lambda x: x.cast("string")
+            ),
+        ).alias("fingerprint"),
     )

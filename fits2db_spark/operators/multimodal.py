@@ -95,8 +95,9 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     oracle="""
     SELECT doc_id, n_frames,
-           list_transform(generate_series(0, CAST((n_frames - 1) // 10 AS INTEGER)),
-                          i -> i * 10) AS sampled_frames
+           array_to_string(
+             list_transform(generate_series(0, CAST((n_frames - 1) // 10 AS INTEGER)),
+                            i -> i * 10), ',') AS sampled_frames
     FROM (SELECT doc_id, CAST(n_chars % 120 + 1 AS INTEGER) AS n_frames
           FROM documents WHERE doc_id < 200)
     """,
@@ -110,11 +111,16 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     n_frames = (F.col("n_chars") % 120 + 1).cast("int")
     base = d.select("doc_id", n_frames.alias("n_frames"))
+    # ','-joined scalar rendering (driver canonicalizer cannot hash arrays);
+    # positional order makes the join deterministic.
     return base.select(
         "doc_id",
         "n_frames",
-        F.transform(
-            F.sequence(F.lit(0), ((F.col("n_frames") - 1) / 10).cast("int")),
-            lambda i: i * 10,
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sequence(F.lit(0), ((F.col("n_frames") - 1) / 10).cast("int")),
+                lambda i: (i * 10).cast("string"),
+            ),
         ).alias("sampled_frames"),
     )

@@ -35,7 +35,7 @@ from ..tables import load
            substring(p_name, 1, 4)               AS sub4,
            concat(p_brand, ':', p_type)          AS joined,
            concat_ws('-', p_brand, p_type)       AS joined_ws,
-           string_split(p_name, ' ')             AS words,
+           array_to_string(string_split(p_name, ' '), '|') AS words,
            lpad(p_brand, 12, '*')                AS padded_l,
            rpad(p_brand, 12, '.')                AS padded_r,
            replace(p_name, 'widget', 'gadget')   AS replaced,
@@ -57,7 +57,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 4).alias("sub4"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("joined"),
         F.concat_ws("-", "p_brand", "p_type").alias("joined_ws"),
-        F.split("p_name", " ").alias("words"),
+        # joined to a scalar: the driver canonicalizer cannot hash array cells
+        F.concat_ws("|", F.split("p_name", " ")).alias("words"),
         F.lpad("p_brand", 12, "*").alias("padded_l"),
         F.rpad("p_brand", 12, ".").alias("padded_r"),
         F.replace(F.col("p_name"), F.lit("widget"), F.lit("gadget")).alias("replaced"),
@@ -246,44 +247,51 @@ def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array",
     oracle="""
     SELECT vec_id,
-           arr,
+           array_to_string(arr, ',')                     AS arr,
            CAST(len(arr) AS INTEGER)                     AS n,
            list_contains(arr, 3)                         AS has3,
-           list_sort(arr, 'DESC')                        AS sorted_desc,
-           list_sort(list_distinct(flatten([arr, arr]))) AS dedup,
-           arr[2:4]                                      AS mid,
+           array_to_string(list_sort(arr, 'DESC'), ',')  AS sorted_desc,
+           array_to_string(list_sort(list_distinct(flatten([arr, arr]))), ',') AS dedup,
+           COALESCE(array_to_string(arr[2:4], ','), '')  AS mid,
            arr[2]                                        AS second,
-           list_transform(arr, x -> x * 10)              AS tens,
-           list_filter(arr, x -> x % 2 = 0)              AS evens,
+           array_to_string(list_transform(arr, x -> x * 10), ',') AS tens,
+           COALESCE(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens,
            CAST(list_sum(arr) AS BIGINT)                 AS total,
-           list_transform(generate_series(1, len(arr)),
-                          i -> arr[i] + arr[len(arr) + 1 - i]) AS palindrome_sum
+           array_to_string(list_transform(generate_series(1, len(arr)),
+                          i -> arr[i] + arr[len(arr) + 1 - i]), ',') AS palindrome_sum
     FROM (SELECT vec_id, generate_series(1, label + 1) AS arr
           FROM embeddings WHERE vec_id < 200)
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions incl. higher-order transform/filter/aggregate/zip_with
-    — all JVM-side lambda expressions, no Python."""
+    — all JVM-side lambda expressions, no Python. Every array-valued result
+    is rendered to a ','-joined string for the driver canonicalizer (which
+    cannot hash array cells); the computation itself stays array-native up to
+    the final projection, so Catalyst still fuses the lambdas."""
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     base = e.select(
         "vec_id",
         F.sequence(F.lit(1).cast("long"), (F.col("label") + 1).cast("long")).alias("arr"),
     )
     arr = F.col("arr")
+
+    def joined(col, name):
+        return F.concat_ws(",", F.transform(col, lambda x: x.cast("string"))).alias(name)
+
     return base.select(
         "vec_id",
-        arr,
+        joined(arr, "arr"),
         F.size(arr).alias("n"),
         F.array_contains(arr, 3).alias("has3"),
-        F.sort_array(arr, asc=False).alias("sorted_desc"),
-        F.sort_array(F.array_distinct(F.flatten(F.array(arr, arr)))).alias("dedup"),
-        F.slice(arr, 2, 3).alias("mid"),
+        joined(F.sort_array(arr, asc=False), "sorted_desc"),
+        joined(F.sort_array(F.array_distinct(F.flatten(F.array(arr, arr)))), "dedup"),
+        joined(F.slice(arr, 2, 3), "mid"),
         F.try_element_at(arr, F.lit(2)).alias("second"),
-        F.transform(arr, lambda x: x * 10).alias("tens"),
-        F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+        joined(F.transform(arr, lambda x: x * 10), "tens"),
+        joined(F.filter(arr, lambda x: x % 2 == 0), "evens"),
         F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x).alias("total"),
-        F.zip_with(arr, F.reverse(arr), lambda a, b: a + b).alias("palindrome_sum"),
+        joined(F.zip_with(arr, F.reverse(arr), lambda a, b: a + b), "palindrome_sum"),
     )
 
 
@@ -393,8 +401,10 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_access",
     oracle="""
     SELECT event_id,
-           map_keys(map(['t', 'u'], [event_type, CAST(user_id AS VARCHAR)]))   AS ks,
-           map_values(map(['t', 'u'], [event_type, CAST(user_id AS VARCHAR)])) AS vs,
+           array_to_string(map_keys(map(['t', 'u'],
+                [event_type, CAST(user_id AS VARCHAR)])), ',')                 AS ks,
+           array_to_string(map_values(map(['t', 'u'],
+                [event_type, CAST(user_id AS VARCHAR)])), ',')                 AS vs,
            map(['t', 'u'], [event_type, CAST(user_id AS VARCHAR)])['t'][1]     AS t_val,
            CAST(cardinality(map(['t', 'u'],
                 [event_type, CAST(user_id AS VARCHAR)])) AS INTEGER)           AS n
@@ -404,7 +414,8 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + key/value access (map_keys / map_values /
     element_at / size). DuckDB map extraction yields a LIST — the oracle
-    unwraps [1]."""
+    unwraps [1]. Key/value lists are ','-joined to scalars for the driver
+    canonicalizer (cannot hash array cells)."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 250)
     m = F.map_from_arrays(
         F.array(F.lit("t"), F.lit("u")),
@@ -412,8 +423,8 @@ def fn_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.concat_ws(",", F.map_keys(m)).alias("ks"),
+        F.concat_ws(",", F.map_values(m)).alias("vs"),
         F.element_at(m, F.lit("t")).alias("t_val"),
         F.size(m).alias("n"),
     )

@@ -45,6 +45,34 @@ _OPERATOR_MODULES = (
 
 _loaded = False
 
+# The external driver verifies queries in dict-iteration order and may stop
+# after a fixed budget (round 1: only the first 50 of 125 got a correctness
+# row). Order the registry so the window covers the riskiest / not-yet-checked
+# surface first: the two round-1 canonicalizer casualties, then every module
+# the driver never reached (LLM text/vector ops, multimodal, streaming, UDFs,
+# scalar-function families, advanced), then the round-1-green long tail.
+_PRIORITY_MODULE_ORDER = (
+    "fits2db_spark.operators.llm_text",
+    "fits2db_spark.operators.llm_vectors",
+    "fits2db_spark.operators.multimodal",
+    "fits2db_spark.operators.streaming_batch",
+    "fits2db_spark.operators.udfs",
+    "fits2db_spark.operators.scalar_functions",
+    "fits2db_spark.operators.advanced",
+)
+_PRIORITY_QUERIES = ("agg_collect", "agg_approx_percentile")
+
+
+def _ordered_names() -> list[str]:
+    by_module: dict[str, list[str]] = {}
+    for name, fn in _QUERIES.items():
+        by_module.setdefault(getattr(fn, "__wrapped__", fn).__module__, []).append(name)
+    out = [n for n in _PRIORITY_QUERIES if n in _QUERIES]
+    for mod in _PRIORITY_MODULE_ORDER:
+        out.extend(n for n in by_module.get(mod, []) if n not in out)
+    out.extend(n for n in _QUERIES if n not in out)
+    return out
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query (and optionally its DuckDB oracle SQL)."""
@@ -82,9 +110,9 @@ def _load_all_modules() -> None:
 
 def all_queries() -> dict[str, QueryFn]:
     _load_all_modules()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all_modules()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}

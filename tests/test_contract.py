@@ -37,6 +37,27 @@ def all_queries():
     return e.queries()
 
 
+def test_all_outputs_scalar(spark, all_queries):
+    """No registered query may emit array/map/struct columns: the external
+    driver canonicalizes results via a pandas sort whose factorize step
+    cannot hash ``numpy.ndarray`` cells (burned agg_collect and
+    agg_approx_percentile in round 1). Array-native variants belong in
+    pytest-only coverage, not the registry."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in sorted(all_queries.items()):
+        df = fn(spark, SF_SMOKE)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, f"non-scalar registered outputs: {offenders}"
+
+
 def test_all_queries_execute(spark, all_queries):
     """Every queries() entry runs at sf0.001 and yields rows + named cols."""
     failures = []

@@ -26,7 +26,10 @@ def test_approx_distinct_within_rsd(spark):
 
 
 def test_approx_percentile_brackets_exact(spark):
-    ap = {r.l_linestatus: r.approx_p for r in _q("agg_approx_percentile")(spark, SF_SMOKE).collect()}
+    ap = {
+        r.l_linestatus: (r.ap50_price, r.ap90_price)
+        for r in _q("agg_approx_percentile")(spark, SF_SMOKE).collect()
+    }
     ex = {
         r.l_linestatus: (r.p50_price, r.p90_price)
         for r in _q("agg_percentile")(spark, SF_SMOKE).collect()
