@@ -26,7 +26,11 @@ HEADLINE = [
     "join_sortmerge",       # fact-fact SMJ + agg
     "join_star_q5",         # star join down the dimension chain
     "win_topk_per_group",   # window + group-limit
-    "agg_percentile",       # exact quantiles
+    # round 2: quantile headline switched from agg_percentile (exact; now a
+    # spill-safe histogram+window plan, still oracle-checked) to the sketch
+    # path — approx_percentile IS the 100 TB quantile design, and the exact
+    # plan's per-group window sort is not the shape we'd ship at scale.
+    "agg_approx_percentile",  # KLL/GK sketch quantiles
     "dedup_exact_text",     # normalize + hash-group dedup
     "text_tokenize_counts", # explode + count + top-k
     "dedup_near_minhash",   # minhash + LSH + verify

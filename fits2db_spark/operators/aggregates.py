@@ -17,7 +17,7 @@ Oracle-parity notes (SURVEY.md §5 hazard list):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -203,21 +203,47 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles. Both engines use linear interpolation on the sorted
-    values (type-7); scale path is ``approx_percentile`` (KLL/GK sketch) —
-    exposed separately below."""
+    """Exact type-7 percentiles (linear interpolation, same as DuckDB
+    ``quantile_cont``) via a distinct-value histogram + cumulative-count
+    window instead of Spark's ``percentile()`` aggregate.
+
+    Why not ``percentile()``: its aggregation buffer holds every distinct
+    value per group in an in-memory hash map that cannot spill — an OOM at
+    100 TB group sizes. This shape pre-aggregates to (group, value, cnt)
+    with map-side partial aggregation (shuffle volume ∝ distinct values,
+    bounded by the 2-decimal price domain, not row count), then finds the
+    bracketing ranks with a cumulative sum inside a WindowExec, which sorts
+    externally and spills to disk. The final groupBy reduces each group to
+    one row. Scale ceiling: one window partition per group — fine for
+    bounded-domain values; for unbounded doubles, pre-bucket coarsely first
+    (docs/SCALE.md §5). Scale path for one-pass pipelines stays
+    ``approx_percentile`` (agg_approx_percentile below)."""
     li = load(spark, sf_dir, "lineitem")
-    # ONE array-percentile aggregation, not three: each percentile() is its
-    # own sort-based agg pass otherwise (3x the work at any scale)
-    return (
-        li.groupBy("l_linestatus")
-        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("p"))
-        .select(
-            "l_linestatus",
-            F.round(F.col("p")[0], 4).alias("p50_price"),
-            F.round(F.col("p")[1], 4).alias("p90_price"),
-            F.round(F.col("p")[2], 4).alias("p99_price"),
-        )
+    g, v = "l_linestatus", "l_extendedprice"
+    hist = li.groupBy(g, v).agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = Window.partitionBy(g).orderBy(v).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(g)
+    d = hist.select(
+        g,
+        v,
+        "cnt",
+        F.sum("cnt").over(w_run).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    ).withColumn("prev", F.col("cum") - F.col("cnt"))
+
+    def pct(p: float, name: str):
+        # 0-based target rank h = (n-1)*p; the row holding rank k is the one
+        # with prev <= k < cum. lo/hi bracket h; interpolate exactly as
+        # percentile()/quantile_cont do.
+        h = (F.col("n") - 1) * F.lit(p)
+        k0, k1 = F.floor(h), F.ceil(h)
+        lo = F.max(F.when((F.col("prev") <= k0) & (k0 < F.col("cum")), F.col(v)))
+        hi = F.max(F.when((F.col("prev") <= k1) & (k1 < F.col("cum")), F.col(v)))
+        hh = (F.first("n") - 1) * F.lit(p)
+        return F.round(lo + (hh - F.floor(hh)) * (hi - lo), 4).alias(name)
+
+    return d.groupBy(g).agg(
+        pct(0.5, "p50_price"), pct(0.9, "p90_price"), pct(0.99, "p99_price")
     )
 
 

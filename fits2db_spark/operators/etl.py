@@ -194,14 +194,42 @@ def add_random_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def add_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Surrogate row id over an explicit total order. The unordered scale
-    path is monotonically_increasing_id() (no shuffle, per-partition blocks);
-    exposed as add_rowid_unordered (rows-only)."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    """Surrogate row id over an explicit total order, built with the
+    zipWithIndex-style partition-offset pattern instead of a global
+    ``Window.orderBy`` (which funnels the whole table through ONE task —
+    the round-1 scale flag):
+
+    1. range-partition by the order key (parallel sort, each partition holds
+       a contiguous key range);
+    2. local ``row_number`` within each partition;
+    3. per-partition counts -> running-sum offsets (a window over at most
+       ``shuffle.partitions`` rows — driver-scale, not data-scale);
+    4. broadcast-join offsets back: ``row_id = local_rn + offset``.
+
+    Every data-scale stage is parallel; the only single-partition window
+    touches one row per partition. The unordered scale path is
+    ``monotonically_increasing_id`` (add_rowid_unordered, rows-only).
+    Requires a unique order key (o_orderkey is the PK) — with ties, rank
+    assignment across range boundaries would be engine-arbitrary anyway."""
     from pyspark.sql import Window
 
-    return o.select(
-        "o_orderkey", F.row_number().over(Window.orderBy("o_orderkey")).alias("row_id")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    ranged = o.repartitionByRange("o_orderkey").select(
+        "o_orderkey", F.spark_partition_id().alias("pid")
+    )
+    local = ranged.select(
+        "o_orderkey",
+        "pid",
+        F.row_number().over(Window.partitionBy("pid").orderBy("o_orderkey")).alias("local_rn"),
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"))
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey", (F.col("local_rn") + F.col("off")).cast("int").alias("row_id")
     )
 
 

@@ -112,17 +112,27 @@ def text_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF by pure DataFrame math: tf join df (broadcast — vocabulary is
     small) times ln(N/df). At corpus scale the df table is the broadcast side
-    and the tf table never reshuffles after its groupBy."""
+    and the tf table never reshuffles after its groupBy.
+
+    N (corpus size) is a broadcast crossJoin of a one-row countDistinct
+    aggregate, NOT a driver-side ``.count()``: constructing a registered
+    query must launch no Spark job (round-1 advisory), and an eager count is
+    a full extra pass over the corpus at scale. Everything stays one lazy
+    plan; Catalyst dedups the shared ``toks`` scan subtree."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = toks.select("doc_id").distinct().count()
-    return tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+    n = toks.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
 
 
@@ -332,6 +342,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PERM = 16          # minhash permutations
 _N_BANDS = 4          # LSH bands (4 rows per band)
 _JACCARD_T = 0.5      # verify threshold
+# Hot-key caps — the quadratic-blowup guards for the dedup self-joins.
+# A shingle shared by k docs contributes k(k-1)/2 candidate pairs; a
+# stop-phrase ("terms of service apply") at corpus scale makes that
+# quadratic. Shingles above the document-frequency cap are excluded from
+# CANDIDATE GENERATION only (verification still uses full shingle sets, so
+# reported Jaccard stays exact); LSH buckets above the bucket cap are
+# degenerate (boilerplate collapses many docs into one band hash) and are
+# dropped the same way. Both caps are mirrored in the DuckDB oracles.
+_SH_DF_CAP = 128      # max docs per shingle in the inverted index
+_LSH_BUCKET_CAP = 64  # max docs per LSH band bucket
 
 
 def _h64(col):
@@ -339,13 +359,15 @@ def _h64(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle): distinct HASHED word 3-shingles per document.
+def _doc_shingle_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles): per-doc ARRAY of distinct hashed word 3-shingles.
 
-    Shingles travel as md5-derived int64s, not strings: the inverted-index
-    self-join and the minhash verify join shuffle 8-byte keys instead of
-    ~25-byte text (collision odds over a corpus are ~n^2/2^61 — negligible,
-    and identical in the DuckDB oracle, which hashes the same way)."""
+    Shingles are md5-derived int64s, not strings: downstream joins shuffle
+    8-byte keys instead of ~25-byte text (collision odds over a corpus are
+    ~n^2/2^61 — negligible, and identical in the DuckDB oracle, which hashes
+    the same way). Kept un-exploded: the minhash signature AND the exact
+    verify both work on the arrays directly (array_min / array_intersect),
+    so the expensive md5 pass runs once and nothing re-shuffles it."""
     t = F.split("text", " ")
     tri = F.transform(
         F.sequence(F.lit(0), F.size(t) - 3),
@@ -359,13 +381,39 @@ def _shingles(d: DataFrame) -> DataFrame:
     hashed = F.array_distinct(F.transform(tri, _h64))
     return (
         d.filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.explode(hashed).alias("shingle"))
+        .select("doc_id", hashed.alias("shingles"))
     )
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle): exploded form of :func:`_doc_shingle_arrays` —
+    the inverted-index shape for the exact-Jaccard candidate join."""
+    return _doc_shingle_arrays(d).select("doc_id", F.explode("shingles").alias("shingle"))
 
 
 # one persisted shingle set per (session, sf_dir): repeat invocations (bench,
 # interactive use) share a single cache instead of stacking new persists
 _SH_CACHE: dict[tuple[str, str], DataFrame] = {}
+# dedup_components' final-round labels cache (one live entry; see clear_caches)
+_CC_FINAL_CACHE: dict[str, DataFrame] = {}
+
+
+def clear_caches() -> None:
+    """Unpersist every cache this module holds (shingle sets, component
+    labels) — the session-hygiene hook for long-lived interactive sessions."""
+    for cache in (_SH_CACHE, _ARR_CACHE, _BANDS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
+    last = _CC_FINAL_CACHE.pop("last", None)
+    if last is not None:
+        try:
+            last.unpersist()
+        except Exception:
+            pass
 
 
 def _shingles_cached(spark: SparkSession, d: DataFrame, sf_dir: str) -> DataFrame:
@@ -376,6 +424,57 @@ def _shingles_cached(spark: SparkSession, d: DataFrame, sf_dir: str) -> DataFram
     if key not in _SH_CACHE:
         _SH_CACHE[key] = _shingles(d).persist()
     return _SH_CACHE[key]
+
+
+# per-doc shingle ARRAYS per (session, sf_dir): one row per doc. This is the
+# expensive md5 pass; the minhash signature, the LSH band table (read three
+# times: bucket counts + both self-join sides), and the exact verify all
+# derive from it with cheap array arithmetic. Without the cache the bucket
+# cap rebuilt signatures from raw text on every read (measured 3.4x the
+# whole query's cost at sf0.1).
+_ARR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _arrays_cached(spark: SparkSession, d: DataFrame, sf_dir: str) -> DataFrame:
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        return _doc_shingle_arrays(d)
+    if key not in _ARR_CACHE:
+        _ARR_CACHE[key] = _doc_shingle_arrays(d).persist()
+    return _ARR_CACHE[key]
+
+
+# LSH band table per (session, sf_dir): 4 rows per doc, 3 readers (bucket
+# counts + both self-join sides). Cached so the 16-permutation signature
+# arithmetic runs once, not once per reader.
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bands(arrs: DataFrame) -> DataFrame:
+    sig = _minhash_sig(arrs)
+    frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+        )
+        for b, cols in enumerate(_band_exprs())
+    ]
+    out = frames[0]
+    for bf in frames[1:]:
+        out = out.unionByName(bf)
+    return out
+
+
+def _bands_cached(spark: SparkSession, arrs: DataFrame, sf_dir: str) -> DataFrame:
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        return _bands(arrs)
+    if key not in _BANDS_CACHE:
+        _BANDS_CACHE[key] = _bands(arrs).persist()
+    return _BANDS_CACHE[key]
 
 
 _SHINGLES_SQL = """
@@ -389,15 +488,48 @@ _SHINGLES_SQL = """
 """
 
 
+def _jaccard_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from the inverted shingle index,
+    document-frequency capped: shingles in more than ``_SH_DF_CAP`` docs are
+    excluded before the self-join (the quadratic-blowup guard — a stop-phrase
+    shared by k docs would emit k(k-1)/2 pairs). The hot-shingle list is tiny
+    by construction, so the exclusion is a broadcast anti-join."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SH_DF_CAP)
+        .select("shingle")
+    )
+    shc = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = shc.alias("a"), shc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_SH_DF_CAP}),
+    shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
     )
     SELECT c.doc_a, c.doc_b, c.n_common,
            ROUND(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6)
@@ -410,21 +542,21 @@ _SHINGLES_SQL = """
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    explode shingles -> self-join on shingle -> count common -> Jaccard.
-    The inverted-index join makes cost proportional to shared-shingle pairs,
-    not O(n^2); at 100 TB, hot shingles (stop-phrases) are dropped by a
-    document-frequency cap before the self-join."""
+    candidate pairs from a document-frequency-capped self-join
+    (:func:`_jaccard_candidates`), then exact verification on the FULL
+    shingle sets — so the cap bounds join cost without biasing the reported
+    Jaccard. Pairs whose only overlap is hot (stop-phrase) shingles are
+    below any useful threshold anyway. The oracle mirrors the cap."""
     d = load(spark, sf_dir, "documents")
     sh = _shingles_cached(spark, d, sf_dir)
+    cand = _jaccard_candidates(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
@@ -446,36 +578,19 @@ _MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 _MH_AB = [(1000003 + 4591 * j, 998244353 % _MH_P + 7 * j) for j in range(_N_PERM)]
 
 
-def _minhash_sig(d: DataFrame) -> DataFrame:
-    """documents -> (doc_id, m0..m15) minhash signature, shuffle-free.
-
-    The per-doc shingle ARRAY (no explode) maps to base hashes once
-    (transform + one md5 per shingle), then each permutation is an
-    array_min — the signature build never shuffles (the exploded variant
-    costs a 16-column groupBy exchange). Values are identical to the
-    min-over-group form the oracle uses.
-    """
-    t = F.split("text", " ")
-    tri = F.transform(
-        F.sequence(F.lit(0), F.size(t) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(t, (i + 1).cast("int")),
-            F.element_at(t, (i + 2).cast("int")),
-            F.element_at(t, (i + 3).cast("int")),
-        ),
-    )
-    base = (
-        d.filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.array_distinct(F.transform(tri, _h64)).alias("shingles"))
-    )
+def _minhash_sig(arrs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) arrays -> (doc_id, m0..m15) minhash signature,
+    shuffle-free: each permutation is an ``array_min`` over an affine
+    transform of the base hashes (the exploded variant costs a 16-column
+    groupBy exchange). Values are identical to the min-over-group form the
+    oracle uses."""
     ints = F.transform(F.col("shingles"), lambda h: h % _MH_P)
 
     def perm_min(a: int, b: int):
         # closure factory (a default-arg lambda reads as an (elem, idx) pair)
         return F.array_min(F.transform(ints, lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P))
 
-    return base.select(
+    return arrs.select(
         "doc_id", *[perm_min(a, b).alias(f"m{j}") for j, (a, b) in enumerate(_MH_AB)]
     )
 
@@ -501,6 +616,32 @@ def _band_exprs():
     ]
 
 
+def _lsh_candidates(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from LSH band buckets, bucket-size
+    capped: buckets holding more than ``_LSH_BUCKET_CAP`` docs are degenerate
+    (boilerplate collapsing many docs onto one band hash would emit
+    k(k-1)/2 pairs) and are dropped via a broadcast anti-join before the
+    bucket self-join."""
+    hotb = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") > _LSH_BUCKET_CAP)
+        .select("band", "bkey")
+    )
+    bands_c = bands.join(F.broadcast(hotb), ["band", "bkey"], "left_anti")
+    a, b = bands_c.alias("a"), bands_c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_near_minhash",
     oracle=f"""
@@ -512,9 +653,12 @@ def _band_exprs():
           for b, cols in enumerate(_band_exprs())
       )}
     ),
+    hotb AS (SELECT band, bkey FROM bands
+             GROUP BY band, bkey HAVING COUNT(*) > {_LSH_BUCKET_CAP}),
+    bands_c AS (SELECT bands.* FROM bands ANTI JOIN hotb USING (band, bkey)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bands_c a JOIN bands_c b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -541,51 +685,26 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle mirrors the SAME algorithm (same md5-salted permutations), so
     the comparison is exact; LSH recall vs ground truth is asserted in unit
     tests against dedup_ngram_jaccard. At 100 TB: candidate volume scales
-    with duplicate density; hot buckets are salted/capped before the
-    bucket self-join."""
+    with duplicate density; degenerate buckets are capped before the bucket
+    self-join (:func:`_lsh_candidates`).
+
+    Verify stage works on the cached per-doc shingle ARRAYS: two doc-id
+    equi-joins of the candidate pairs against a one-row-per-doc table, then
+    ``array_intersect`` computes the overlap inside the row — no exploded
+    (doc, shingle) shuffle, no groupBy, no separate sizes join (the round-1
+    bench's dominant re-shuffle)."""
     d = load(spark, sf_dir, "documents")
-    # the shingle set feeds both sides of the verify join — session-cached so
-    # the explode+distinct runs once per sf_dir; the signature derives from
-    # the un-exploded arrays and never shuffles
-    sh = _shingles_cached(spark, d, sf_dir)
-    sig = _minhash_sig(d)
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("bkey"),
-        )
-        for b, cols in enumerate(_band_exprs())
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    arrs = _arrays_cached(spark, d, sf_dir)
+    cand = _lsh_candidates(_bands_cached(spark, arrs, sf_dir))
+    pairs = cand.join(
+        arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
+    ).join(
+        arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
     )
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb_ = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        common.join(sa, "doc_a")
-        .join(sb_, "doc_b")
-        .filter(jac >= _JACCARD_T)
+        pairs.filter(jac >= _JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -656,30 +775,51 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # previous invocation's final labels cache is superseded now
+    stale = _CC_FINAL_CACHE.pop("last", None)
+    if stale is not None:
+        stale.unpersist()
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
     labels = d.select("doc_id", F.col("doc_id").alias("comp"))
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("comp").alias("nb_comp"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
-                    "new_comp"
-                ),
-                "comp",
+    # each round persists its labels and unpersists the superseded round's —
+    # executor storage stays O(1) rounds, not O(rounds) (round-1 advisory
+    # leak); the final round's cache backs the returned DataFrame and is
+    # retired on the next invocation.
+    prev_cached = None
+    try:
+        for _ in range(20):
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.doc_id)
+                .groupBy(F.col("doc_a").alias("doc_id"))
+                .agg(F.min("comp").alias("nb_comp"))
             )
-        ).persist()
-        changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
-        labels = updated.select("doc_id", F.col("new_comp").alias("comp"))
-        if changed == 0:
-            break
+            updated = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
+                        "new_comp"
+                    ),
+                    "comp",
+                )
+            ).persist()
+            changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = updated
+            labels = updated.select("doc_id", F.col("new_comp").alias("comp"))
+            if changed == 0:
+                break
+        _CC_FINAL_CACHE["last"] = prev_cached
+        prev_cached = None
+    finally:
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        # the returned plan re-derives edges from lineage if re-executed
+        # after this; correctness never depends on the cache
+        edges.unpersist()
     return (
         labels.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keep_doc"))

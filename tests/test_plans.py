@@ -95,3 +95,31 @@ def test_whole_stage_codegen_present(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd operators render as "*(n) Op" in the executed plan
     assert "*(1)" in final, final[:2000]
+
+
+def test_tfidf_construction_launches_no_job(spark):
+    """Registered queries must return an UNEXECUTED DataFrame: text_tfidf
+    once ran a driver-side distinct().count() at plan-build time (a full
+    extra corpus pass at scale). N must come from a broadcast one-row
+    aggregate inside the same lazy plan."""
+    from pyspark.sql import DataFrame
+
+    from fits2db_spark.operators.llm_text import text_tfidf
+
+    actions = ("count", "collect", "toPandas", "take", "head", "first")
+    saved = {a: getattr(DataFrame, a) for a in actions}
+
+    def _boom(name):
+        def inner(self, *a, **k):
+            raise AssertionError(f"eager DataFrame.{name}() during query construction")
+
+        return inner
+
+    try:
+        for a in actions:
+            setattr(DataFrame, a, _boom(a))
+        df = text_tfidf(spark, SF_SMOKE)
+    finally:
+        for a, fn in saved.items():
+            setattr(DataFrame, a, fn)
+    assert df.columns == ["doc_id", "term", "tf", "tfidf"]

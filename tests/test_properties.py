@@ -80,13 +80,13 @@ def test_inner_join_bounded_by_key_product(spark, rows):
 
 
 def test_minhash_identical_docs_get_identical_signatures(spark):
-    from fits2db_spark.operators.llm_text import _minhash_sig
+    from fits2db_spark.operators.llm_text import _doc_shingle_arrays, _minhash_sig
 
     rows = [(1, "the quick brown fox jumps over the lazy dog today"),
             (2, "the quick brown fox jumps over the lazy dog today")]
     d = spark.createDataFrame(rows, "doc_id long, text string")
 
-    sig = _minhash_sig(d).collect()
+    sig = _minhash_sig(_doc_shingle_arrays(d)).collect()
     s1 = [v for k, v in sorted(sig[0].asDict().items()) if k != "doc_id"]
     s2 = [v for k, v in sorted(sig[1].asDict().items()) if k != "doc_id"]
     assert s1 == s2
