@@ -1,0 +1,163 @@
+"""Command-line entry point: ``python -m fits2db_spark``.
+
+The reference tool is a CLI (SURVEY.md §3.1: argv -> dialect / table /
+create / drop / truncate / HDU / chunk options -> DDL + CSV/COPY text or a
+direct database load). This wrapper reproduces that surface on the Spark
+engine:
+
+    python -m fits2db_spark data/*.fits --table stars --create --dialect postgres
+    python -m fits2db_spark cat.fits --table t --ddl-only
+    python -m fits2db_spark cat.fits --table t --csv-out /tmp/out
+    python -m fits2db_spark cat.fits --table t \
+        --jdbc-url jdbc:derby:/tmp/db;create=true \
+        --jdbc-driver org.apache.derby.jdbc.EmbeddedDriver --mode create
+
+Differences from the reference, by design (Spark-first): the "chunked row
+loop" is Spark's per-file parallel decode (one task per FITS file); CSV
+output is a partitioned directory unless --single-file; the JDBC load runs
+one connection per partition (--num-partitions caps it to the database's
+ingest capacity, not the cluster's core count).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fits2db_spark",
+        description="FITS binary tables -> SQL (DDL / CSV / JDBC), on Spark.",
+    )
+    p.add_argument("inputs", nargs="+", help="FITS file(s) or glob(s)")
+    p.add_argument("--table", required=True, help="target SQL table name")
+    p.add_argument(
+        "--hdu",
+        default="1",
+        help="BINTABLE extension: 1-based index or EXTNAME (default 1)",
+    )
+    p.add_argument(
+        "--dialect",
+        default="postgres",
+        choices=("postgres", "sqlite", "mysql", "duckdb"),
+        help="SQL dialect for DDL / column types",
+    )
+    # DDL emission (the reference's --create/--drop/--truncate trio)
+    p.add_argument("--create", action="store_true", help="emit CREATE TABLE DDL")
+    p.add_argument("--drop", action="store_true", help="emit DROP TABLE first")
+    p.add_argument("--truncate", action="store_true", help="emit TRUNCATE TABLE")
+    p.add_argument("--ddl-only", action="store_true", help="emit DDL and exit")
+    p.add_argument("--sql-out", default="-", help="DDL destination file ('-' = stdout)")
+    # CSV sink
+    p.add_argument("--csv-out", help="write rows as CSV to this directory")
+    p.add_argument("--single-file", action="store_true", help="coalesce CSV to one part")
+    p.add_argument("--delimiter", default=",")
+    p.add_argument("--null-marker", default=r"\N", help="NULL text (COPY default \\N)")
+    # JDBC sink
+    p.add_argument("--jdbc-url", help="load rows into this JDBC database")
+    p.add_argument("--jdbc-driver", help="JDBC driver class name")
+    p.add_argument(
+        "--mode",
+        default="create",
+        choices=("create", "append", "overwrite", "truncate"),
+        help="JDBC load mode",
+    )
+    p.add_argument("--batchsize", type=int, default=10_000, help="rows per JDBC batch")
+    p.add_argument(
+        "--num-partitions",
+        type=int,
+        help="cap concurrent JDBC connections / CSV part files",
+    )
+    return p
+
+
+def _hdu_arg(raw: str) -> int | str:
+    try:
+        return int(raw)
+    except ValueError:
+        return raw
+
+
+def load_frame(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
+    """Union all matched FITS inputs into one DataFrame (schema from the
+    first file's header — declared, never inferred)."""
+    from .sources.fits import read_fits
+
+    hdu = _hdu_arg(args.hdu)
+    df = read_fits(spark, args.inputs[0], hdu=hdu)
+    for path in args.inputs[1:]:
+        df = df.unionByName(read_fits(spark, path, hdu=hdu, schema=df.schema))
+    return df
+
+
+def emit_ddl(schema, args: argparse.Namespace, out) -> None:
+    from .sinks.ddl import create_table_ddl, drop_table_ddl, truncate_table_ddl
+
+    if args.drop:
+        print(drop_table_ddl(args.table, args.dialect), file=out)
+    if args.create or args.ddl_only:
+        print(create_table_ddl(schema, args.table, args.dialect), file=out)
+    if args.truncate:
+        print(truncate_table_ddl(args.table, args.dialect), file=out)
+
+
+def run(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark("fits2db_spark_cli")
+
+    df = load_frame(spark, args)
+
+    wants_ddl = args.create or args.drop or args.truncate or args.ddl_only
+    if wants_ddl:
+        if args.sql_out == "-":
+            emit_ddl(df.schema, args, sys.stdout)
+        else:
+            with open(args.sql_out, "w") as f:
+                emit_ddl(df.schema, args, f)
+    if args.ddl_only:
+        return 0
+
+    did_output = False
+    if args.csv_out:
+        from .sinks.csv_sink import write_csv
+
+        out_df = df.repartition(args.num_partitions) if args.num_partitions else df
+        write_csv(
+            out_df,
+            args.csv_out,
+            delimiter=args.delimiter,
+            null_marker=args.null_marker,
+            single_file=args.single_file,
+        )
+        did_output = True
+    if args.jdbc_url:
+        from .sinks.jdbc import write_jdbc
+
+        write_jdbc(
+            df,
+            args.jdbc_url,
+            args.table,
+            mode=args.mode,
+            dialect=args.dialect,
+            batchsize=args.batchsize,
+            num_partitions=args.num_partitions,
+            driver=args.jdbc_driver,
+        )
+        did_output = True
+
+    if not did_output and not wants_ddl:
+        # dry run: schema + row count (the reference prints a summary too)
+        print(f"table {args.table}: {df.count()} rows")
+        for f in df.schema.fields:
+            print(f"  {f.name}: {f.dataType.simpleString()}")
+    return 0
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))

@@ -30,12 +30,21 @@ def write_jdbc(
     num_partitions: int | None = None,
     driver: str | None = None,
     properties: dict | None = None,
+    column_types: str | None = None,
 ) -> None:
     """Load a DataFrame into a SQL table.
 
     mode: 'create' (error if exists), 'append', 'overwrite' (drop+recreate),
     'truncate' (overwrite keeping the existing table's DDL in place).
-    """
+
+    Column DDL on create: Spark's JdbcDialect maps the DataFrame schema to
+    the target database's types automatically. ``column_types`` overrides
+    per-column types — its value must be SPARK SQL type syntax (e.g.
+    ``"name VARCHAR(16), flux DOUBLE"``), which Spark parses and re-maps;
+    database-native strings like ``double precision`` are a parse error by
+    design (that mapping belongs to ddl.create_table_ddl, the explicit-DDL
+    path). ``dialect`` is kept for the explicit-DDL emit path signature
+    parity."""
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}")
     if num_partitions:
@@ -50,13 +59,13 @@ def write_jdbc(
         w = w.option("driver", driver)
     for k, v in (properties or {}).items():
         w = w.option(k, v)
+    if column_types:
+        w = w.option("createTableColumnTypes", column_types)
     if mode == "create":
-        w = w.option("createTableColumnTypes", jdbc_column_types(df.schema, dialect))
         w.mode("errorifexists").save()
     elif mode == "append":
         w.mode("append").save()
     elif mode == "overwrite":
-        w = w.option("createTableColumnTypes", jdbc_column_types(df.schema, dialect))
         w.mode("overwrite").save()
     else:  # truncate
         w.option("truncate", "true").mode("overwrite").save()

@@ -76,6 +76,32 @@ class FitsFormatError(ValueError):
 # Header parsing
 # ---------------------------------------------------------------------------
 
+def _card_value(raw: str) -> str:
+    """Value field of one header card (text after ``= ``).
+
+    Quoted strings are scanned to their CLOSING quote first — honoring the
+    FITS ``''`` escape — before the ``/ comment`` separator is considered:
+    a ``/`` inside a quoted value (common in unit/name strings like
+    'erg/s/cm^2') is part of the value, not a comment marker."""
+    s = raw.strip()
+    if not s.startswith("'"):
+        return s.split("/")[0].strip()
+    # scan for the closing quote; '' is an escaped literal quote
+    out = []
+    i = 1
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            if i + 1 < len(s) and s[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            break  # closing quote — anything after (incl. /comment) ignored
+        out.append(ch)
+        i += 1
+    return "".join(out).rstrip()
+
+
 def _parse_header(buf: bytes, off: int) -> tuple[dict, int]:
     """Parse one FITS header starting at ``off``; return (cards, next_off)."""
     cards: dict[str, str] = {}
@@ -96,10 +122,7 @@ def _parse_header(buf: bytes, off: int) -> tuple[dict, int]:
                 continue
             if card[8:10] != "= ":
                 continue
-            val = card[10:].split("/")[0].strip()
-            if val.startswith("'"):
-                val = val[1:].split("'")[0].rstrip()
-            cards[key] = val
+            cards[key] = _card_value(card[10:])
         if done:
             return cards, pos
 
@@ -111,32 +134,55 @@ def _header_int(cards: dict, key: str) -> int:
         raise FitsFormatError(f"missing required card {key}") from e
 
 
-def parse_bintable_header(data: bytes, hdu: int = 1) -> tuple[dict, list[dict], int]:
+def _hdu_data_size(cards: dict) -> int:
+    """Data-area byte count of one HDU per the FITS standard formula:
+    ``(|BITPIX|/8) * GCOUNT * (PCOUNT + NAXIS1*...*NAXISn)`` — covering
+    empty primaries, IMAGE extensions (BITPIX/8 factor and all axes), and
+    BINTABLE/TABLE heaps (PCOUNT). The round-1 advisory found the previous
+    table-only NAXIS1*NAXIS2 shortcut seeks to the wrong offset on files
+    with a non-empty heap or image extensions."""
+    naxis = _header_int(cards, "NAXIS")
+    if naxis == 0:
+        return 0
+    axes = 1
+    for a in range(1, naxis + 1):
+        axes *= _header_int(cards, f"NAXIS{a}")
+    bitpix = abs(_header_int(cards, "BITPIX"))
+    gcount = int(cards.get("GCOUNT", 1))
+    pcount = int(cards.get("PCOUNT", 0))
+    return (bitpix // 8) * gcount * (pcount + axes)
+
+
+def parse_bintable_header(data: bytes, hdu: int | str = 1) -> tuple[dict, list[dict], int]:
     """Walk HDUs to the requested extension; return (cards, columns, data_off).
 
-    columns: [{name, tform, repeat, letter, spark_type, np_dtype}, ...]
+    ``hdu`` selects the extension by 1-based index (0 = primary is never a
+    BINTABLE) or by ``EXTNAME`` string (case-insensitive, per convention).
+
+    columns: [{name, tform, repeat, letter, spark_type, np_dtype,
+               tnull, tscale, tzero}, ...]
     """
     off = 0
     cards: dict[str, str] = {}
-    for idx in range(hdu + 1):
+    found = False
+    idx = 0
+    while off < len(data):
         cards, off = _parse_header(data, off)
-        if idx == 0:
-            # primary HDU: skip its (usually empty) data
-            naxis = _header_int(cards, "NAXIS")
-            size = 0
-            if naxis:
-                bitpix = abs(_header_int(cards, "BITPIX"))
-                size = bitpix // 8
-                for a in range(1, naxis + 1):
-                    size *= _header_int(cards, f"NAXIS{a}")
-            off += math.ceil(size / BLOCK) * BLOCK
-        elif idx < hdu:
-            if cards.get("XTENSION", "").startswith(("BINTABLE", "TABLE", "IMAGE")):
-                size = _header_int(cards, "NAXIS1") * _header_int(cards, "NAXIS2")
-                # crude: works for tables (2 axes); images would need a product
-                off += math.ceil(size / BLOCK) * BLOCK
-            else:
-                raise FitsFormatError(f"unsupported intermediate HDU {idx}")
+        if isinstance(hdu, str):
+            if (
+                idx > 0
+                and cards.get("XTENSION", "").startswith("BINTABLE")
+                and cards.get("EXTNAME", "").strip().upper() == hdu.strip().upper()
+            ):
+                found = True
+                break
+        elif idx == hdu:
+            found = True
+            break
+        off += math.ceil(_hdu_data_size(cards) / BLOCK) * BLOCK
+        idx += 1
+    if not found:
+        raise FitsFormatError(f"HDU {hdu!r} not found")
     if not cards.get("XTENSION", "").startswith("BINTABLE"):
         raise FitsFormatError(f"HDU {hdu} is not a BINTABLE (XTENSION={cards.get('XTENSION')!r})")
 
@@ -157,29 +203,60 @@ def parse_bintable_header(data: bytes, hdu: int = 1) -> tuple[dict, list[dict], 
             # FITS 'rA' means ONE string of length r (common convention)
             cols.append(
                 dict(name=name, letter="A", repeat=1, width=max(repeat, width),
-                     spark_type=StringType(), np_dtype=f"S{max(repeat, width)}")
+                     spark_type=StringType(), np_dtype=f"S{max(repeat, width)}",
+                     tnull=None, kind="raw", tscale=1.0, tzero=0.0)
             )
             continue
         if letter == "X":
             nbytes = (repeat + 7) // 8
             cols.append(
                 dict(name=name, letter="X", repeat=1, width=nbytes,
-                     spark_type=BinaryType(), np_dtype=f"{nbytes}u1")
+                     spark_type=BinaryType(), np_dtype=f"{nbytes}u1",
+                     tnull=None, kind="raw", tscale=1.0, tzero=0.0)
             )
             continue
         np_char, stype = _SCALAR_MAP[letter]
+        # TNULLn: integer sentinel -> SQL NULL (FITS has no native numeric
+        # null — SURVEY.md §1.1); TSCALn/TZEROn: physical = zero + scale*raw
+        tnull = int(cards[f"TNULL{i}"]) if f"TNULL{i}" in cards and letter in "BIJK" else None
+        tscale = float(cards.get(f"TSCAL{i}", 1.0))
+        tzero = float(cards.get(f"TZERO{i}", 0.0))
+        stype, kind = _physical_type(letter, stype, tscale, tzero)
         if repeat > 1:
             cols.append(
                 dict(name=name, letter=letter, repeat=repeat, width=None,
                      spark_type=ArrayType(stype), np_dtype=f"{repeat}{np_char}"
-                     if letter != "L" else f"{repeat}S1")
+                     if letter != "L" else f"{repeat}S1",
+                     tnull=tnull, kind=kind, tscale=tscale, tzero=tzero)
             )
         else:
             cols.append(
                 dict(name=name, letter=letter, repeat=1, width=None,
-                     spark_type=stype, np_dtype=np_char)
+                     spark_type=stype, np_dtype=np_char,
+                     tnull=tnull, kind=kind, tscale=tscale, tzero=tzero)
             )
     return cards, cols, off
+
+
+def _physical_type(letter: str, stype: DataType, tscale: float, tzero: float):
+    """Physical (post TSCAL/TZERO) Spark type + decode kind.
+
+    The integer-offset conventions (the FITS way of storing unsigned ints:
+    ``I`` + TZERO=32768 = uint16, ``J`` + TZERO=2^31 = uint32, ``B`` +
+    TZERO=-128 = signed byte) stay integral with a widened type; any other
+    scaling produces DOUBLE. ``K`` with an offset would need uint64 — no
+    Spark type holds it, so it is rejected loudly rather than silently
+    wrapped."""
+    if tscale == 1.0 and tzero == 0.0:
+        return stype, "raw"
+    if letter in "BIJK" and tscale == 1.0 and float(tzero).is_integer():
+        if letter == "K":
+            raise FitsFormatError("K with TZERO offset (uint64) is not representable")
+        promoted = {"B": ShortType(), "I": IntegerType(), "J": LongType()}[letter]
+        return promoted, "int_offset"
+    if letter == "L":
+        return stype, "raw"
+    return DoubleType(), "float_scale"
 
 
 def fits_spark_schema(cols: list[dict]) -> StructType:
@@ -190,8 +267,16 @@ def fits_spark_schema(cols: list[dict]) -> StructType:
 # Row decode (vectorized)
 # ---------------------------------------------------------------------------
 
-def decode_bintable(data: bytes, hdu: int = 1):
-    """bytes -> (schema, list-of-column numpy/object arrays) for one file."""
+_NP_TARGET = {ShortType: "i2", IntegerType: "i4", LongType: "i8"}
+
+
+def decode_bintable(data: bytes, hdu: int | str = 1):
+    """bytes -> (schema, list-of-column numpy/object arrays) for one file.
+
+    Column arrays are 1D for scalar columns, 2D (nrows x repeat) for
+    repeat>1 columns, and ``np.ma.MaskedArray`` where a TNULLn sentinel
+    declares nulls — :func:`to_arrow_columns` turns all three into Arrow
+    arrays (list-typed for 2D, null-bearing for masked)."""
     cards, cols, off = parse_bintable_header(data, hdu)
     nrows = _header_int(cards, "NAXIS2")
     rowbytes = _header_int(cards, "NAXIS1")
@@ -211,18 +296,64 @@ def decode_bintable(data: bytes, hdu: int = 1):
         elif c["letter"] == "X":
             out.append([bytes(x) for x in a])
         else:
-            # big-endian -> native for Arrow
-            out.append(a.astype(a.dtype.newbyteorder("=")))
+            native = a.astype(a.dtype.newbyteorder("="))
+            # TNULL mask is evaluated on RAW stored values, before scaling
+            mask = (native == c["tnull"]) if c["tnull"] is not None else None
+            if c["kind"] == "int_offset":
+                elem = c["spark_type"].elementType if c["repeat"] > 1 else c["spark_type"]
+                native = (native.astype("i8") + int(c["tzero"])).astype(
+                    _NP_TARGET[type(elem)]
+                )
+            elif c["kind"] == "float_scale":
+                native = native.astype("f8") * c["tscale"] + c["tzero"]
+            elif c["letter"] == "B":
+                # unsigned byte: Spark has no u1; widen to int16 (Arrow would
+                # otherwise hand Spark an unsupported uint8 array)
+                native = native.astype("i2")
+            if mask is not None:
+                native = np.ma.MaskedArray(native, mask=mask)
+            out.append(native)
     return fits_spark_schema(cols), out
+
+
+def to_arrow_columns(schema: StructType, out: list):
+    """Decoded numpy columns -> pyarrow arrays matching the Spark schema.
+
+    Handles the two shapes plain ``pa.array`` rejects: 2D repeat-count
+    arrays become ListArrays (vectorized offsets, no per-row Python), and
+    masked arrays carry their TNULL nulls into Arrow validity bitmaps."""
+    import pyarrow as pa
+
+    arrs = []
+    for field, a in zip(schema.fields, out):
+        if isinstance(a, np.ndarray) and a.ndim == 2:
+            n, r = a.shape
+            if isinstance(a, np.ma.MaskedArray):
+                flat = pa.array(a.data.ravel(), mask=a.mask.ravel())
+            else:
+                flat = pa.array(a.ravel())
+            offsets = pa.array(np.arange(n + 1, dtype="i4") * r)
+            arrs.append(pa.ListArray.from_arrays(offsets, flat))
+        elif isinstance(a, np.ma.MaskedArray):
+            arrs.append(pa.array(a.data, mask=np.ma.getmaskarray(a)))
+        else:
+            arrs.append(pa.array(a))
+    return arrs
 
 
 # ---------------------------------------------------------------------------
 # Spark reader
 # ---------------------------------------------------------------------------
 
-def read_fits(spark: SparkSession, path: str, hdu: int = 1, schema: StructType | None = None) -> DataFrame:
+def read_fits(
+    spark: SparkSession,
+    path: str,
+    hdu: int | str = 1,
+    schema: StructType | None = None,
+) -> DataFrame:
     """Read a FITS file / glob of files into a DataFrame.
 
+    ``hdu`` selects the BINTABLE extension by 1-based index or EXTNAME.
     ``schema`` may be passed to skip the driver-side header probe; otherwise
     the first file's header declares it (never inferred from row data).
     """
@@ -245,10 +376,8 @@ def read_fits(spark: SparkSession, path: str, hdu: int = 1, schema: StructType |
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             for payload in tbl.column("content"):
-                _, cols = decode_bintable(payload.as_py(), hdu)
-                yield pa.RecordBatch.from_pydict(
-                    {n: pa.array(c) for n, c in zip(names, cols)}
-                )
+                s, cols = decode_bintable(payload.as_py(), hdu)
+                yield pa.RecordBatch.from_arrays(to_arrow_columns(s, cols), names=names)
 
     return files.select("content").mapInArrow(decode_files, schema=schema)
 
@@ -275,13 +404,7 @@ def _pad(b: bytes, fill: bytes = b"\x00") -> bytes:
     return b if rem == 0 else b + fill * (BLOCK - rem)
 
 
-def write_fits_bintable(columns: list[tuple[str, str, list]], out: io.IOBase | None = None) -> bytes:
-    """Build a single-BINTABLE FITS file.
-
-    columns: [(name, tform, values), ...] with tform in the §1.2 set
-    (e.g. 'J', 'D', 'A12', '3E', 'L', '8X').
-    """
-    nrows = len(columns[0][2]) if columns else 0
+def _primary_hdu() -> bytes:
     hdr = b"".join(
         [
             _card("SIMPLE", True),
@@ -291,8 +414,52 @@ def write_fits_bintable(columns: list[tuple[str, str, list]], out: io.IOBase | N
             b"END".ljust(CARD),
         ]
     )
-    primary = _pad(hdr, b" ")
+    return _pad(hdr, b" ")
 
+
+def write_fits_bintable(
+    columns: list[tuple[str, str, list]],
+    out: io.IOBase | None = None,
+    extname: str | None = None,
+    extra_cards: list[tuple[str, object]] | None = None,
+) -> bytes:
+    """Build a single-BINTABLE FITS file.
+
+    columns: [(name, tform, values), ...] with tform in the §1.2 set
+    (e.g. 'J', 'D', 'A12', '3E', 'L', '8X'). ``extra_cards`` appends raw
+    header cards (TNULLn / TSCALn / TZEROn in tests); ``extname`` sets
+    EXTNAME for by-name HDU selection.
+    """
+    blob = _primary_hdu() + _bintable_ext(columns, extname, extra_cards)
+    if out is not None:
+        out.write(blob)
+    return blob
+
+
+def write_fits_multi(
+    hdus: list[dict],
+    out: io.IOBase | None = None,
+) -> bytes:
+    """Build a multi-extension FITS file: primary + one BINTABLE per entry.
+
+    hdus: [{"columns": [...], "extname": str|None, "extra_cards": [...]}]
+    """
+    blob = _primary_hdu() + b"".join(
+        _bintable_ext(h["columns"], h.get("extname"), h.get("extra_cards"), h.get("heap", b""))
+        for h in hdus
+    )
+    if out is not None:
+        out.write(blob)
+    return blob
+
+
+def _bintable_ext(
+    columns: list[tuple[str, str, list]],
+    extname: str | None = None,
+    extra_cards: list[tuple[str, object]] | None = None,
+    heap: bytes = b"",
+) -> bytes:
+    nrows = len(columns[0][2]) if columns else 0
     np_fields, encoded = [], []
     for name, tform, values in columns:
         m = _TFORM_RE.match(tform)
@@ -309,8 +476,16 @@ def write_fits_bintable(columns: list[tuple[str, str, list]], out: io.IOBase | N
             np_fields.append((name, f"{nbytes}u1"))
             encoded.append(np.array([np.frombuffer(v, dtype="u1") for v in values], dtype="u1"))
         elif letter == "L":
-            np_fields.append((name, "S1"))
-            encoded.append(np.array([b"T" if v else b"F" for v in values], dtype="S1"))
+            if repeat > 1:
+                np_fields.append((name, f"{repeat}S1"))
+                encoded.append(
+                    np.array(
+                        [[b"T" if v else b"F" for v in row] for row in values], dtype="S1"
+                    )
+                )
+            else:
+                np_fields.append((name, "S1"))
+                encoded.append(np.array([b"T" if v else b"F" for v in values], dtype="S1"))
         else:
             np_char, _ = _SCALAR_MAP[letter]
             if repeat > 1:
@@ -331,17 +506,17 @@ def write_fits_bintable(columns: list[tuple[str, str, list]], out: io.IOBase | N
         _card("NAXIS", 2),
         _card("NAXIS1", dtype.itemsize),
         _card("NAXIS2", nrows),
-        _card("PCOUNT", 0),
+        _card("PCOUNT", len(heap)),
         _card("GCOUNT", 1),
         _card("TFIELDS", len(columns)),
     ]
     for i, (name, tform, _) in enumerate(columns, 1):
         cards.append(_card(f"TTYPE{i}", name))
         cards.append(_card(f"TFORM{i}", tform))
+    if extname is not None:
+        cards.append(_card("EXTNAME", extname))
+    for key, value in extra_cards or []:
+        cards.append(_card(key, value))
     cards.append(b"END".ljust(CARD))
     ext_hdr = _pad(b"".join(cards), b" ")
-
-    blob = primary + ext_hdr + _pad(rows.tobytes())
-    if out is not None:
-        out.write(blob)
-    return blob
+    return ext_hdr + _pad(rows.tobytes() + heap)

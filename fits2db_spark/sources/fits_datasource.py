@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from .fits import decode_bintable
+from .fits import decode_bintable, to_arrow_columns
 
 
 class FitsInputPartition(InputPartition):
@@ -29,7 +29,7 @@ class FitsInputPartition(InputPartition):
 class FitsDataSourceReader(DataSourceReader):
     def __init__(self, options, schema):
         self._paths = _resolve_paths(options.get("path"))
-        self._hdu = int(options.get("hdu", 1))
+        self._hdu = _hdu_option(options)
         self._schema = schema
 
     def partitions(self):
@@ -40,9 +40,9 @@ class FitsDataSourceReader(DataSourceReader):
 
         with open(partition.path, "rb") as f:
             data = f.read()
-        _, cols = decode_bintable(data, self._hdu)
+        s, cols = decode_bintable(data, self._hdu)
         names = [f.name for f in self._schema.fields]
-        yield pa.RecordBatch.from_pydict({n: pa.array(c) for n, c in zip(names, cols)})
+        yield pa.RecordBatch.from_arrays(to_arrow_columns(s, cols), names=names)
 
 
 class FitsDataSource(DataSource):
@@ -55,11 +55,20 @@ class FitsDataSource(DataSource):
         if not paths:
             raise FileNotFoundError(f"no FITS files at {self.options.get('path')!r}")
         with open(paths[0], "rb") as f:
-            schema, _ = decode_bintable(f.read(), int(self.options.get("hdu", 1)))
+            schema, _ = decode_bintable(f.read(), _hdu_option(self.options))
         return schema
 
     def reader(self, schema):
         return FitsDataSourceReader(self.options, schema)
+
+
+def _hdu_option(options) -> int | str:
+    """``hdu`` option: numeric string -> 1-based index, else EXTNAME."""
+    raw = options.get("hdu", 1)
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return str(raw)
 
 
 def _resolve_paths(path: str | None) -> list[str]:

@@ -1,0 +1,100 @@
+"""CLI end-to-end tests (SURVEY.md §3.1): the reference is a command-line
+tool — argv -> DDL emission / CSV / JDBC load. Runs the real `run()` with a
+shared session (spawning a JVM per test would dominate)."""
+
+import pytest
+
+from fits2db_spark.cli import run
+from fits2db_spark.sources.fits import write_fits_bintable
+
+
+@pytest.fixture()
+def fits_file(tmp_path):
+    blob = write_fits_bintable(
+        [
+            ("id", "K", [1, 2, 3]),
+            ("flux", "D", [0.5, 1.5, 2.5]),
+            ("name", "A8", ["aa", "bb", "cc"]),
+        ]
+    )
+    p = tmp_path / "cat.fits"
+    p.write_bytes(blob)
+    return str(p)
+
+
+def test_cli_ddl_only(fits_file, tmp_path, spark, capsys):
+    rc = run([fits_file, "--table", "stars", "--ddl-only", "--drop"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'DROP TABLE IF EXISTS "stars";' in out
+    assert 'CREATE TABLE "stars"' in out
+    assert '"id" bigint' in out and '"flux" double precision' in out and '"name" text' in out
+
+
+def test_cli_ddl_dialects(fits_file, spark, capsys):
+    run([fits_file, "--table", "t", "--ddl-only", "--dialect", "mysql"], spark=spark)
+    out = capsys.readouterr().out
+    assert "CREATE TABLE `t`" in out and "`id` bigint" in out
+
+
+def test_cli_csv_out(fits_file, tmp_path, spark):
+    out_dir = str(tmp_path / "csv")
+    rc = run(
+        [fits_file, "--table", "t", "--csv-out", out_dir, "--single-file"], spark=spark
+    )
+    assert rc == 0
+    import glob
+
+    parts = glob.glob(f"{out_dir}/part-*.csv")
+    assert len(parts) == 1
+    lines = open(parts[0]).read().strip().splitlines()
+    assert lines[0] == "id,flux,name"
+    assert sorted(lines[1:]) == ["1,0.5,aa", "2,1.5,bb", "3,2.5,cc"]
+
+
+def test_cli_jdbc_load_derby(fits_file, tmp_path, spark):
+    """The full reference pipeline: FITS file -> CREATE + load -> SQL table,
+    verified by reading the Derby table back through JDBC."""
+    url = f"jdbc:derby:{tmp_path}/cli_db;create=true"
+    rc = run(
+        [
+            fits_file,
+            "--table", "stars",
+            "--jdbc-url", url,
+            "--mode", "create",
+            "--num-partitions", "1",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    back = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", "stars").load()
+    )
+    rows = sorted((r.id, r.flux, r.name) for r in back.collect())
+    assert rows == [(1, 0.5, "aa"), (2, 1.5, "bb"), (3, 2.5, "cc")]
+
+
+def test_cli_multi_file_union(tmp_path, spark, capsys):
+    for i in range(2):
+        blob = write_fits_bintable([("id", "J", [i * 2, i * 2 + 1])])
+        (tmp_path / f"f{i}.fits").write_bytes(blob)
+    rc = run([str(tmp_path / "f0.fits"), str(tmp_path / "f1.fits"), "--table", "t"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "table t: 4 rows" in out
+
+
+def test_cli_hdu_by_name(tmp_path, spark, capsys):
+    from fits2db_spark.sources.fits import write_fits_multi
+
+    blob = write_fits_multi(
+        [
+            {"columns": [("a", "J", [1])], "extname": "RAW"},
+            {"columns": [("b", "J", [5, 6, 7])], "extname": "CAL"},
+        ]
+    )
+    (tmp_path / "m.fits").write_bytes(blob)
+    rc = run([str(tmp_path / "m.fits"), "--table", "t", "--hdu", "CAL"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "table t: 3 rows" in out and "b: int" in out
