@@ -473,7 +473,11 @@ def _bands_cached(spark: SparkSession, arrs: DataFrame, sf_dir: str) -> DataFram
     except Exception:
         return _bands(arrs)
     if key not in _BANDS_CACHE:
-        _BANDS_CACHE[key] = _bands(arrs).persist()
+        # the 4-way union would inherit 4x the arrays cache's partitions
+        # (128 tiny partitions at bench scale = pure task-launch overhead in
+        # every downstream stage); the band table is 4 small rows per doc,
+        # so cache it in few partitions
+        _BANDS_CACHE[key] = _bands(arrs).coalesce(8).persist()
     return _BANDS_CACHE[key]
 
 
