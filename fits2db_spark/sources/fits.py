@@ -18,8 +18,9 @@ reference's philosophy). Type map per SURVEY.md §1.2:
     E -> float     D -> double            A<n> -> string
     rT (repeat>1) -> array<T>
 
-Variable-length descriptors (P/Q) and compressed HDUs are out of scope and
-rejected loudly.
+Variable-length array columns (``PT(max)`` 32-bit / ``QT(max)`` 64-bit
+descriptors into the heap) decode to ``ArrayType`` columns; compressed HDUs
+are out of scope and rejected loudly.
 
 Scale note: one FITS file = one Arrow decode task; a 100 TB archive of FITS
 files parallelizes by file (the reference processes files serially on one
@@ -197,7 +198,23 @@ def parse_bintable_header(data: bytes, hdu: int | str = 1) -> tuple[dict, list[d
         repeat = int(m.group(1)) if m.group(1) else 1
         letter = m.group(2)
         if letter[0] in ("P", "Q"):
-            raise FitsFormatError("variable-length (P/Q) arrays are not supported")
+            # variable-length array: the row stores a (count, heap-offset)
+            # descriptor — 2x int32 for P, 2x int64 for Q; elements live in
+            # the heap after the fixed-width rows (THEAP/PCOUNT)
+            elem = letter[1] if len(letter) > 1 else ""
+            if elem not in _SCALAR_MAP:
+                raise FitsFormatError(
+                    f"variable-length element type {elem!r} not supported (TFORM{i}={tform!r})"
+                )
+            np_char, stype = _SCALAR_MAP[elem]
+            desc = ">i4" if letter[0] == "P" else ">i8"
+            cols.append(
+                dict(name=name, letter=letter[0], repeat=1, width=None,
+                     spark_type=ArrayType(ShortType() if elem == "B" else stype),
+                     np_dtype=f"2{desc}", vla_elem=elem, vla_np=np_char,
+                     tnull=None, kind="raw", tscale=1.0, tzero=0.0)
+            )
+            continue
         if letter[0] == "A":
             width = int(letter[1:]) if len(letter) > 1 else repeat
             # FITS 'rA' means ONE string of length r (common convention)
@@ -286,9 +303,28 @@ def decode_bintable(data: bytes, hdu: int | str = 1):
             f"row width mismatch: dtype {dtype.itemsize} vs NAXIS1 {rowbytes}"
         )
     raw = np.frombuffer(data, dtype=dtype, count=nrows, offset=off)
+    # heap (variable-length array storage) starts THEAP bytes into the data
+    # area; default THEAP = the fixed-width row block
+    heap0 = off + int(cards.get("THEAP", rowbytes * nrows))
     out = []
     for c in cols:
         a = raw[c["name"]]
+        if c["letter"] in ("P", "Q"):
+            desc = a.astype(a.dtype.newbyteorder("="))  # (nrows, 2): count, offset
+            elem = c["vla_elem"]
+            elem_dt = np.dtype(c["vla_np"])
+            rows = []
+            for cnt, o in desc:
+                v = np.frombuffer(data, dtype=elem_dt, count=int(cnt), offset=heap0 + int(o))
+                if elem == "L":
+                    v = v == b"T"
+                elif elem == "B":
+                    v = v.astype("i2")
+                else:
+                    v = v.astype(elem_dt.newbyteorder("="))
+                rows.append(v)
+            out.append(rows)
+            continue
         if c["letter"] == "L":
             out.append(a == b"T")
         elif c["letter"] == "A":
@@ -461,13 +497,28 @@ def _bintable_ext(
 ) -> bytes:
     nrows = len(columns[0][2]) if columns else 0
     np_fields, encoded = [], []
+    vla_heap = bytearray()
     for name, tform, values in columns:
         m = _TFORM_RE.match(tform)
         if not m:
             raise FitsFormatError(f"bad tform {tform!r}")
         repeat = int(m.group(1)) if m.group(1) else 1
         letter = m.group(2)
-        if letter[0] == "A":
+        if letter[0] in ("P", "Q"):
+            elem = letter[1]
+            desc_dt = ">i4" if letter[0] == "P" else ">i8"
+            np_fields.append((name, f"2{desc_dt}"))
+            descs = np.zeros((nrows, 2), dtype=desc_dt)
+            for r, vals in enumerate(values):
+                if elem == "L":
+                    enc = np.array([b"T" if v else b"F" for v in vals], dtype="S1")
+                else:
+                    np_char, _ = _SCALAR_MAP[elem]
+                    enc = np.array(vals).astype(np_char)
+                descs[r] = (len(vals), len(vla_heap))
+                vla_heap += enc.tobytes()
+            encoded.append(descs)
+        elif letter[0] == "A":
             width = int(letter[1:]) if len(letter) > 1 else repeat
             np_fields.append((name, f"S{width}"))
             encoded.append(np.array([str(v)[:width].encode("ascii") for v in values], dtype=f"S{width}"))
@@ -506,7 +557,7 @@ def _bintable_ext(
         _card("NAXIS", 2),
         _card("NAXIS1", dtype.itemsize),
         _card("NAXIS2", nrows),
-        _card("PCOUNT", len(heap)),
+        _card("PCOUNT", len(vla_heap) + len(heap)),
         _card("GCOUNT", 1),
         _card("TFIELDS", len(columns)),
     ]
@@ -519,4 +570,4 @@ def _bintable_ext(
         cards.append(_card(key, value))
     cards.append(b"END".ljust(CARD))
     ext_hdr = _pad(b"".join(cards), b" ")
-    return ext_hdr + _pad(rows.tobytes() + heap)
+    return ext_hdr + _pad(rows.tobytes() + bytes(vla_heap) + heap)
