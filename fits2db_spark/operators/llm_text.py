@@ -886,3 +886,97 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions — registered at the END of the driver ordering
+# (registry.deprioritize) so they extend coverage without displacing the
+# curated first-50 verification window.
+# ---------------------------------------------------------------------------
+
+# deterministic PII-bearing text: the fixture corpus is synthetic and clean,
+# so the query plants an email / phone / id derived from doc_id, then
+# redacts them — both sides of the oracle build and scrub identical strings.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+_PII_NINE = r"\b\d{9}\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             concat(substr(text, 1, 40), ' reach user', doc_id,
+                    '@mail.example.org or +1-555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' id ', lpad(CAST(doc_id AS VARCHAR), 9, '0'), ' end'),
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_NINE}', '<ID>', 'g') AS redacted
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass (emails,
+    phone numbers, 9-digit ids -> typed placeholders) as chained JVM
+    regexp_replace (Spark replaces globally by default; the DuckDB oracle
+    needs the 'g' flag). Patterns are RE2-safe so both engines agree. At
+    100 TB this is a pure map stage — no shuffle, full codegen."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    planted = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" id "), F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+        F.lit(" end"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_NINE,
+        "<ID>",
+    )
+    return d.select("doc_id", red.alias("redacted"))
+
+
+@register(
+    "dedup_keep_longest",
+    oracle="""
+    SELECT doc_id, n_chars, n_copies FROM (
+      SELECT doc_id, n_chars,
+             COUNT(*) OVER (PARTITION BY norm) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY norm
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM (SELECT doc_id, n_chars,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+            FROM documents))
+    WHERE rk = 1
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the keep-LONGEST policy (vs dedup_exact_text's
+    keep-lowest-id): the usual choice when near-identical docs differ by
+    truncation. Window per normalized-text group; at 100 TB group on
+    sha2(norm) to keep the shuffle key fixed-width."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    norm = _norm_text(F.col("text"))
+    w = Window.partitionBy("norm").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "n_chars", norm.alias("norm"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("norm")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "n_chars", "n_copies")
+    )
+
+
+from ..registry import deprioritize  # noqa: E402
+
+deprioritize("text_pii_redact", "dedup_keep_longest")

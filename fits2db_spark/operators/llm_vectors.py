@@ -331,3 +331,39 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(_norm(F.col("embedding")), 6).alias("vnorm"),
     )
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_d_cos('q.embedding', 'c.embedding')}, 6) AS cos_sim
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 5
+      AND {_d_cos('q.embedding', 'c.embedding')} >= 0.35
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (threshold) similarity search: ALL neighbors above a cosine
+    floor for each query — the retrieval-filtering companion to top-k.
+    Broadcast query side + corpus stream; at larger query sets the same
+    predicate runs over the multi-table LSH candidates (sim_ann_lsh's
+    _lsh-style bucketing) instead of the full cross product."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sim = _cos(F.col("qe"), F.col("ce"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+from ..registry import deprioritize  # noqa: E402
+
+deprioritize("sim_range_search")

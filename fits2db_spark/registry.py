@@ -62,6 +62,15 @@ _PRIORITY_MODULE_ORDER = (
 )
 _PRIORITY_QUERIES = ("agg_collect", "agg_approx_percentile")
 
+# Queries forced to the END of the ordering regardless of module: round-2+
+# additions that must not displace the curated first-50 verification window
+# (they are oracle-verified locally via tools/check_oracle.py either way).
+_DEPRIORITIZED: set[str] = set()
+
+
+def deprioritize(*names: str) -> None:
+    _DEPRIORITIZED.update(names)
+
 
 def _ordered_names() -> list[str]:
     by_module: dict[str, list[str]] = {}
@@ -69,8 +78,11 @@ def _ordered_names() -> list[str]:
         by_module.setdefault(getattr(fn, "__wrapped__", fn).__module__, []).append(name)
     out = [n for n in _PRIORITY_QUERIES if n in _QUERIES]
     for mod in _PRIORITY_MODULE_ORDER:
-        out.extend(n for n in by_module.get(mod, []) if n not in out)
-    out.extend(n for n in _QUERIES if n not in out)
+        out.extend(
+            n for n in by_module.get(mod, []) if n not in out and n not in _DEPRIORITIZED
+        )
+    out.extend(n for n in _QUERIES if n not in out and n not in _DEPRIORITIZED)
+    out.extend(n for n in _QUERIES if n in _DEPRIORITIZED)
     return out
 
 
