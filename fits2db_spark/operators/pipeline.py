@@ -1,0 +1,629 @@
+"""Training-data pipeline operators (round 2): deterministic splits, sequence
+packing, vocabulary stats, benchmark-contamination checks, anomaly flagging,
+data-quality profiling, robust statistics, and int8 embedding quantization.
+
+These extend SURVEY.md §2.N/§2.V — the "what a 100 TB training-data pipeline
+needs beyond the reference's own surface" mandate (BASELINE.json north star).
+Every query is a single declarative DataFrame plan (no driver-side loops, no
+Python UDFs); cross-engine reproducibility uses the md5→int64 primitive shared
+with llm_text (`_h64`), so each operator except the sketch has an exact DuckDB
+oracle.
+
+Scale notes are per-operator; the common theme: one shuffle per groupBy on a
+key whose cardinality grows with the data (doc_id, token, shingle), broadcast
+for O(groups)-sized side tables (per-type stats, the CMS sketch), and window
+partitions chosen so no partition degenerates to a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import deprioritize, register
+from ..tables import load
+from .llm_text import _SHINGLES_SQL, _h64, _shingles_cached
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split
+# ---------------------------------------------------------------------------
+@register(
+    "split_train_test",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS h,
+             len(string_split(text, ' ')) AS ntok,
+             n_chars
+      FROM documents
+    )
+    SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END
+             AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM t GROUP BY 1
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test split keyed on md5(doc_id) — the standard
+    reshuffle-proof split: a document's assignment is a pure function of its
+    id, so adding data or re-partitioning never migrates a doc across splits
+    (no train/test leakage between pipeline runs). Scale: the hash is a
+    narrow map; the summary is one partial-agg shuffle over 3 groups."""
+    d = load(spark, sf_dir, "documents")
+    h = F.pmod(_h64(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("ntok"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing into fixed context windows
+# ---------------------------------------------------------------------------
+_CTX = 2048  # tokens per context window
+
+
+@register(
+    "seq_pack_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, ntok,
+             SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(FLOOR((cum - ntok) / {_CTX}.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY lang, bin
+    """,
+)
+def seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate each language's token stream in
+    doc_id order and cut it into {_CTX}-token context windows; a document
+    belongs to the bin where it STARTS (documents may straddle bins — the
+    packer splits them, as training pipelines do). Emits per-bin document
+    counts and token totals. Scale: the running sum partitions by lang, so
+    parallelism = languages × AQE coalescing — for a near-monolingual corpus
+    pre-shard by hash(doc_id) range first (same pattern, more partitions);
+    the window itself is one shuffle + one sort, no iteration."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("lang", "doc_id", F.size(F.split("text", " ")).alias("ntok"))
+    c = t.withColumn("cum", F.sum("ntok").over(w))
+    return (
+        c.select(
+            "lang",
+            "doc_id",
+            "ntok",
+            F.floor((F.col("cum") - F.col("ntok")) / F.lit(float(_CTX))).alias("bin"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global vocabulary top-k
+# ---------------------------------------------------------------------------
+@register(
+    "text_vocab_topk",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 50
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (the vocab-building /
+    stopword-discovery primitive). Scale: explode → partial-agg groupBy
+    (map-side combine collapses each partition to its distinct tokens before
+    the shuffle) → TakeOrderedAndProject for the top-k; nothing global except
+    the final 50-row take."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check
+# ---------------------------------------------------------------------------
+_CONTAM_MIN_SHARED = 3
+
+
+@register(
+    "contamination_ngram",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    b AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    bsh AS (SELECT DISTINCT shingle FROM sh SEMI JOIN b USING (doc_id)),
+    csh AS (SELECT * FROM sh ANTI JOIN b USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY doc_id),
+    shared AS (
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM csh SEMI JOIN bsh USING (shingle)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, CAST(s.n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(s.n_shared AS DOUBLE) / z.n_sh, 6) AS shared_frac
+    FROM shared s JOIN sizes z USING (doc_id)
+    WHERE s.n_shared >= {_CONTAM_MIN_SHARED}
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: treating source='src0' documents as the
+    held-out benchmark, flag corpus documents sharing >= {_CONTAM_MIN_SHARED}
+    distinct word-3-shingles with ANY benchmark doc (the n-gram-overlap
+    decontamination test run before LLM training). Reuses the session shingle
+    cache, so the md5 pass is shared with the dedup family. Scale: the
+    benchmark shingle set is usually <<corpus — Spark picks a broadcast hash
+    join under AQE when it fits, else a shuffle on the 8-byte shingle key;
+    per-doc overlap is a partial-agg groupBy on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles_cached(spark, d, sf_dir)
+    bench = d.filter(F.col("source") == "src0").select("doc_id")
+    bench_sh = sh.join(bench, "doc_id", "semi").select("shingle").distinct()
+    corp_sh = sh.join(bench, "doc_id", "anti")
+    sizes = corp_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        corp_sh.join(bench_sh, "shingle", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+    )
+    return shared.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_sh"), 6).alias("shared_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score anomaly flagging
+# ---------------------------------------------------------------------------
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ABS((e.value - s.mu) / s.sd) > 2.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier events: |z| > 2.5 against the per-event-type mean/stddev.
+    Implemented as groupBy-stats + broadcast join back to the facts (NOT a
+    window partitioned by event_type: with ~5 types a window would funnel the
+    whole table through 5 tasks, while the broadcast join keeps the base scan
+    fully parallel and the stats table is O(types))."""
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profile
+# ---------------------------------------------------------------------------
+_DQ_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+def _dq_oracle() -> str:
+    parts = []
+    for c in _DQ_COLS:
+        if c == "o_totalprice":
+            mn, mx = f"CAST(ROUND(MIN({c}), 2) AS VARCHAR)", f"CAST(ROUND(MAX({c}), 2) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({c}) AS n_null,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_s, {mx} AS max_s FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("dq_profile", oracle=_dq_oracle())
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of `orders` (row count, null count,
+    exact distinct count, min/max rendered as strings) — the pre-ingest
+    validation report. Scale: ONE pass over the table; Spark rewrites the
+    multi-distinct aggregate with Expand (one shuffle, grouping-id keyed)
+    instead of N scans; swap COUNT(DISTINCT) for approx_count_distinct when a
+    2% error beats the expand cost at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _DQ_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if c == "o_totalprice":
+            aggs.append(F.round(F.min(c), 2).cast("string").alias(f"{c}__min"))
+            aggs.append(F.round(F.max(c), 2).cast("string").alias(f"{c}__max"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    row = load(spark, sf_dir, "orders").agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c in _DQ_COLS
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: deterministic mode + median
+# ---------------------------------------------------------------------------
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l_returnflag, l_linestatus AS mode_status,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_linestatus) AS rn
+      FROM c
+    ),
+    med AS (
+      SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 4) AS median_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT m.l_returnflag, m.mode_status, med.median_qty
+    FROM m JOIN med USING (l_returnflag) WHERE rn = 1
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag modal line status and median quantity. Mode is computed
+    deterministically (count-groupBy + row_number with a value tiebreak)
+    rather than via the built-in `mode()`, whose tie choice is
+    engine-defined — determinism is what makes the result oracle-checkable.
+    Scale: the count table is O(flag x status) = tiny, so the window and the
+    join are on a table of a few rows; the two base aggregations are
+    partial-agg shuffles that AQE can share a scan for."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "l_linestatus")
+    m = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty")
+    )
+    return m.join(med, "l_returnflag").select("l_returnflag", "mode_status", "median_qty")
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance / regression aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)        AS corr_qp,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4)  AS covs_qp,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4)   AS covp_qp,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4)  AS slope_pq,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: correlation, sample/population
+    covariance, and the least-squares fit of price on quantity — all single
+    partial-aggregable JVM aggregates (one shuffle over 3 groups; results
+    rounded so the two engines' summation orders cannot diverge a hash)."""
+    li = load(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("corr_qp"),
+        F.round(F.covar_samp(q, p), 4).alias("covs_qp"),
+        F.round(F.covar_pop(q, p), 4).alias("covp_qp"),
+        F.round(F.regr_slope(p, q), 4).alias("slope_pq"),
+        F.round(F.regr_intercept(p, q), 4).alias("icept_pq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of embeddings
+# ---------------------------------------------------------------------------
+@register(
+    "vec_quantize_int8",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, v,
+             mn + FLOOR((v - mn) / ((mx - mn) / 255.0) + 0.5) * ((mx - mn) / 255.0)
+               AS deq
+      FROM x
+    ),
+    per AS (
+      SELECT vec_id, label, SQRT(AVG((v - deq) * (v - deq))) AS rmse
+      FROM q GROUP BY vec_id, label
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(rmse), 6) AS avg_rmse, ROUND(MAX(rmse), 6) AS max_rmse
+    FROM per GROUP BY label
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine, 256 levels — the
+    standard embedding-compression step before ANN serving) with per-label
+    reconstruction-RMSE summary. Rounding uses floor(x+0.5) explicitly so
+    both engines round identically, and all arithmetic is cast to double
+    BEFORE the subtraction (float32 intermediates would diverge between
+    engines). Scale: entirely per-row array expressions (no shuffle until the
+    O(labels) summary); the quantized form shrinks the column 4x, which is
+    the point at 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    e2 = e.withColumn("mn", mn).withColumn("mx", mx).withColumn(
+        "scale", (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    )
+    deq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor((x.cast("double") - F.col("mn")) / F.col("scale") + F.lit(0.5))
+        * F.col("scale")
+        + F.col("mn"),
+    )
+    se = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), deq, lambda a, b: F.pow(a.cast("double") - b, F.lit(2.0))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rmse = F.sqrt(se / F.size("embedding"))
+    per = e2.select("vec_id", "label", rmse.alias("rmse"))
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+        F.round(F.max("rmse"), 6).alias("max_rmse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (rows-only: Spark-specific xxhash64)
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 1024
+
+
+@register("cms_heavy_hitters")  # rows-only: sketch uses Spark's xxhash64
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch built AS a DataFrame: each token
+    occurrence increments d={_CMS_D} cells (row i, col xxhash64(token, i) mod
+    w={_CMS_W}); the sketch is the groupBy-count of those cells (d*w rows
+    total, partial-aggregated map-side). Estimates join each distinct token
+    back to its d cells against the BROADCAST sketch and take the min —
+    the classic one-sided (over-)estimate. Returns the top-20 tokens by
+    estimate. Scale: the sketch stays {_CMS_D}x{_CMS_W} rows no matter the
+    corpus size — that fixed size is the entire point vs the exact
+    `text_vocab_topk`; the only data-sized shuffles are the two partial-agg
+    groupBys. Verified against exact counts in
+    tests/test_rows_only_quality.py (estimate >= exact, error <= eps*N)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = toks.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("token", F.lit(i)), F.lit(_CMS_W))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("row", "col")
+    )
+    sketch = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    distinct_toks = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_true"))
+    probes = distinct_toks.select(
+        "token",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("token", F.lit(i)), F.lit(_CMS_W))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("row", "col"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .orderBy(F.col("est_cnt").desc(), "token")
+        .limit(20)
+    )
+    return est
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE (upsert) as a full-outer join
+# ---------------------------------------------------------------------------
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, ROUND(o_totalprice * 1.1, 2) AS price
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS k, ROUND(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    m AS (
+      SELECT COALESCE(s.k, t.o_orderkey) AS o_orderkey,
+             CASE WHEN s.k IS NULL THEN 'kept'
+                  WHEN t.o_orderkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS merge_action,
+             ROUND(COALESCE(s.price, t.o_totalprice), 2) AS o_totalprice
+      FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.k
+    )
+    SELECT merge_action, COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM m GROUP BY merge_action
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the upsert every CDC / incremental-ingest
+    pipeline needs) expressed as a full-outer join: matched target rows take
+    the source's values, unmatched source rows are inserts, unmatched target
+    rows are kept. The CDC batch is derived deterministically from the
+    fixture (10% updates, ~1% inserts at shifted keys) so the oracle can
+    reproduce it. Scale: one shuffle on the merge key — against a BUCKETED
+    target table the join is exchange-free on the target side and only the
+    (much smaller) CDC batch shuffles; summarized to per-action counts so
+    the registered output is stable."""
+    o = load(spark, sf_dir, "orders")
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .select(F.col("o_orderkey").alias("k"), F.round(F.col("o_totalprice") * 1.1, 2).alias("price"))
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select((F.col("o_orderkey") + 100000000).alias("k"), F.round("o_totalprice", 2).alias("price"))
+    )
+    src = upd.unionByName(ins)
+    t = o.select("o_orderkey", "o_totalprice")
+    m = t.join(src, t.o_orderkey == src.k, "full_outer").select(
+        F.coalesce(src.k, t.o_orderkey).alias("o_orderkey"),
+        F.when(src.k.isNull(), F.lit("kept"))
+        .when(t.o_orderkey.isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+        F.round(F.coalesce(src.price, t.o_totalprice), 2).alias("o_totalprice"),
+    )
+    return m.groupBy("merge_action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 intervals (gaps-and-islands)
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rn2
+      FROM orders
+    )
+    SELECT o_custkey, o_orderpriority,
+           MIN(o_orderdate) AS valid_from, MAX(o_orderdate) AS valid_to,
+           COUNT(*) AS n_orders
+    FROM r GROUP BY o_custkey, o_orderpriority, rn - rn2
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    customer's consecutive same-priority order runs into validity intervals
+    (the classic gaps-and-islands `rn - rn2` trick — one island per run).
+    This is how a dimension table's change history is reconstructed from an
+    event log. Scale: both row_numbers share the o_custkey shuffle (the
+    second window only sub-partitions it), then one partial-agg groupBy;
+    nothing global."""
+    o = load(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    r = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        (F.row_number().over(w1) - F.row_number().over(w2)).alias("island"),
+    )
+    return (
+        r.groupBy("o_custkey", "o_orderpriority", "island")
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .drop("island")
+    )
+
+
+deprioritize(
+    "merge_upsert",
+    "scd2_intervals",
+    "split_train_test",
+    "seq_pack_bins",
+    "text_vocab_topk",
+    "contamination_ngram",
+    "anomaly_zscore",
+    "dq_profile",
+    "agg_mode_median",
+    "corr_covar",
+    "vec_quantize_int8",
+    "cms_heavy_hitters",
+)

@@ -41,6 +41,7 @@ _OPERATOR_MODULES = (
     "fits2db_spark.operators.streaming_batch",
     "fits2db_spark.operators.udfs",
     "fits2db_spark.operators.advanced",
+    "fits2db_spark.operators.pipeline",
 )
 
 _loaded = False

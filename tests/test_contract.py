@@ -59,11 +59,32 @@ def test_all_outputs_scalar(spark, all_queries):
 
 
 def test_all_queries_execute(spark, all_queries):
-    """Every queries() entry runs at sf0.001 and yields rows + named cols."""
+    """Every queries() entry runs at sf0.001 and yields rows + named cols.
+
+    Default mode executes only the queries the DuckDB oracle replica CANNOT
+    execution-check (`tools/check_oracle.py`, run every round, covers the
+    oracle-backed set end-to-end) plus a small cross-module canary set —
+    executing all ~140 at sf0.001 took the suite past 20 minutes, nearly all
+    of it re-verifying what the oracle gate already verifies. Set
+    FITS2DB_FULL_EXEC=1 to execute everything (CI / pre-round mode)."""
+    import os
+
+    import __spark_entry__ as e
+
+    if os.environ.get("FITS2DB_FULL_EXEC"):
+        targets = sorted(all_queries)
+    else:
+        oracled = set(e.oracle_sql())
+        canaries = [
+            "agg_groupby", "join_star_q5", "win_topk_per_group",
+            "dedup_exact_text", "sim_topk_bruteforce", "stream_session",
+            "fits_ingest", "udf_pandas_scalar", "fn_string",
+        ]
+        targets = sorted((set(all_queries) - oracled) | set(canaries))
     failures = []
-    for name, fn in sorted(all_queries.items()):
+    for name in targets:
         try:
-            df = fn(spark, SF_SMOKE)
+            df = all_queries[name](spark, SF_SMOKE)
             df.take(1)
             assert df.columns, f"{name}: no columns"
         except Exception as ex:  # noqa: BLE001

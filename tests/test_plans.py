@@ -123,3 +123,51 @@ def test_tfidf_construction_launches_no_job(spark):
         for a, fn in saved.items():
             setattr(DataFrame, a, fn)
     assert df.columns == ["doc_id", "term", "tf", "tfidf"]
+
+
+def test_pipeline_ops_stay_jvm_side(spark):
+    """Round-2 pipeline operators are pure JVM expression plans — no Python
+    eval nodes anywhere (the sketch, packing, split, contamination and
+    quantization paths must all survive whole-stage codegen)."""
+    from fits2db_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in [
+        "split_train_test",
+        "seq_pack_bins",
+        "text_vocab_topk",
+        "contamination_ngram",
+        "anomaly_zscore",
+        "dq_profile",
+        "agg_mode_median",
+        "corr_covar",
+        "vec_quantize_int8",
+        "cms_heavy_hitters",
+    ]:
+        plan = _plan(qs[name](spark, SF_SMOKE))
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert bad not in plan, f"{name} fell out of codegen: {bad}"
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """The top-50 must be TakeOrderedAndProject (no global sort of the whole
+    vocabulary)."""
+    from fits2db_spark.operators.pipeline import text_vocab_topk
+
+    assert "TakeOrderedAndProject" in _plan(text_vocab_topk(spark, SF_SMOKE))
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """The per-type stats side must broadcast — the fact scan stays parallel."""
+    from fits2db_spark.operators.pipeline import anomaly_zscore
+
+    assert "BroadcastHashJoin" in _plan(anomaly_zscore(spark, SF_SMOKE))
+
+
+def test_cms_sketch_broadcasts(spark):
+    """The d*w sketch joins the probe side as a broadcast."""
+    from fits2db_spark.registry import all_queries
+
+    assert "BroadcastHashJoin" in _plan(
+        all_queries()["cms_heavy_hitters"](spark, SF_SMOKE)
+    )

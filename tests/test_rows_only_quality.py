@@ -136,6 +136,17 @@ def test_dedup_components_consistent_with_pairs(spark):
     assert sum(r.cluster_size for r in comps) == len(in_graph)
 
 
+def test_dedup_components_bigstar_matches_label_propagation(spark):
+    """Large-star/small-star CC must produce the identical clustering as the
+    label-propagation implementation on the same pair graph."""
+    lp = sorted(tuple(r) for r in _q("dedup_components")(spark, SF_SMOKE).collect())
+    bs = sorted(
+        tuple(r) for r in _q("dedup_components_bigstar")(spark, SF_SMOKE).collect()
+    )
+    assert lp == bs
+    assert lp, "fixture has near-dup clusters"
+
+
 # ---------------------------------------------------------------------------
 # Round-2: golden-value spatial tests. Values are hand-derived from the
 # PUBLISHED algorithms (HEALPix primer ang2pix arithmetic; HTM subdivision
@@ -244,3 +255,60 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     }
     recall = len(ann & exact) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(exact)} truth pairs)"
+
+
+def test_cms_heavy_hitters_bounds(spark):
+    """Count-min estimates must dominate exact counts (one-sided error) and
+    stay within eps*N of them; the top-20 estimate set must contain the
+    exact top-5 tokens (heavy hitters survive sketching)."""
+    from fits2db_spark.operators.pipeline import _CMS_D, _CMS_W
+    from fits2db_spark.tables import load
+
+    est = {r.token: r.est_cnt for r in _q("cms_heavy_hitters")(spark, SF_SMOKE).collect()}
+    toks = load(spark, SF_SMOKE, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    n_total = toks.count()
+    exact = {
+        r.token: r.cnt
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+        .collect()
+    }
+    eps = 2.718 / _CMS_W  # standard CMS bound with w counters per row
+    for tok, e_cnt in est.items():
+        if tok in exact:
+            assert e_cnt >= exact[tok], (tok, e_cnt, exact[tok])
+            assert e_cnt - exact[tok] <= eps * n_total, (tok, e_cnt, exact[tok])
+    top5_exact = sorted(exact, key=lambda t: (-exact[t], t))[:5]
+    assert set(top5_exact) <= set(est), (top5_exact, sorted(est))
+
+
+def test_seq_pack_bins_conservation(spark):
+    """Sequence packing must conserve tokens and documents per language, and
+    every non-final bin boundary must be consistent with the context size."""
+    from fits2db_spark.operators.pipeline import _CTX
+    from fits2db_spark.tables import load
+
+    bins = _q("seq_pack_bins")(spark, SF_SMOKE).collect()
+    d = load(spark, SF_SMOKE, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("ntok")
+    )
+    truth = {
+        r.lang: (r.n, r.tok)
+        for r in d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ntok").alias("tok"))
+        .collect()
+    }
+    per_lang = {}
+    for r in bins:
+        n, tok = per_lang.get(r.lang, (0, 0))
+        per_lang[r.lang] = (n + r.n_docs, tok + r.bin_tokens)
+        assert r.bin >= 0
+    assert per_lang == truth
+    # bins are dense 0..max per language
+    for lang in truth:
+        ids = sorted(r.bin for r in bins if r.lang == lang)
+        assert ids == list(range(len(ids))), (lang, ids)
