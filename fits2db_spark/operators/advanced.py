@@ -575,3 +575,134 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register("graph_pagerank")  # rows-only: iterative fixpoint
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped power iterations, d=0.85) over the part-supplier
+    bipartite graph from lineitem — the iterative-graph-analytics shape
+    (influence/centrality over an entity graph mined from a fact table).
+    Node ids: suppliers as-is, parts offset by 10^6. Each iteration is one
+    join (ranks onto edges) + one groupBy (sum contributions) — the exact
+    per-round shuffle profile PageRank has on any cluster; ranks never
+    leave the executors, iteration count is fixed (no driver-side
+    convergence action), and each round's ranks are persisted while the
+    previous round's are unpersisted, so executor storage stays O(1).
+    Returns the top-20 nodes by rank. Invariants (rank conservation,
+    positivity, determinism) in tests/test_rows_only_quality.py."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_partkey") + 1_000_000).alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select("src")
+    n_nodes = nodes.count()  # one small action; node count is a scalar input
+    ranks = nodes.select("src", F.lit(1.0).alias("rank"))
+    prev = None
+    for _ in range(5):
+        contribs = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("src"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "src", "left")
+            .select(
+                "src",
+                (F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .persist()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    return (
+        ranks.select(
+            F.col("src").alias("node_id"),
+            F.when(F.col("src") >= 1_000_000, F.lit("part")).otherwise(F.lit("supplier")).alias(
+                "node_type"
+            ),
+            F.round("rank", 6).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "node_id")
+        .limit(20)
+    )
+
+
+from ..registry import deprioritize  # noqa: E402
+
+deprioritize("graph_pagerank")
+
+
+@register("vec_pca_evr")  # rows-only: LAPACK eig on the driver's 64x64 Gram
+def vec_pca_evr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of the embedding column — the dimensionality-reduction step a
+    100 TB pipeline runs before ANN indexing / whitening. Distributed part:
+    each Arrow batch contributes its 64x64 partial Gram (X^T X, one BLAS
+    GEMM per batch via mapInPandas) and per-dimension sums; a groupBy(i, j)
+    reduces them — so the shuffle is O(batches * 64^2) regardless of corpus
+    size, and only the final 64x64 covariance (plus the mean) ever reaches
+    the driver, where the eigendecomposition is O(64^3) scalar work.
+    Returns the top-8 components' eigenvalues and explained-variance
+    ratios. Checked against single-node numpy PCA in
+    tests/test_rows_only_quality.py."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+
+    def partial_gram(batches):
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if not len(x):
+                continue
+            g = x.T @ x
+            i, j = np.indices(g.shape)
+            yield pd.DataFrame(
+                {
+                    "i": np.append(i.ravel(), np.full(x.shape[1], -1)),
+                    "j": np.append(j.ravel(), np.arange(x.shape[1])),
+                    "v": np.append(g.ravel(), x.sum(axis=0)),
+                    "n": np.append(np.zeros(g.size, dtype=np.int64),
+                                    np.full(x.shape[1], len(x), dtype=np.int64)),
+                }
+            )
+
+    parts = (
+        e.mapInPandas(partial_gram, "i int, j int, v double, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
+        .collect()
+    )
+    d = 64
+    gram = np.zeros((d, d))
+    mean_sum = np.zeros(d)
+    n = 0
+    for r in parts:
+        if r.i < 0:
+            mean_sum[r.j] = r.v
+            n = max(n, r.n)
+        else:
+            gram[r.i, r.j] = r.v
+    mu = mean_sum / n
+    cov = gram / n - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    rows = [
+        (int(k + 1), float(round(evals[k], 8)), float(round(evals[k] / total, 6)))
+        for k in range(8)
+    ]
+    return spark.createDataFrame(rows, "component int, eigenvalue double, evr double")
+
+
+deprioritize("vec_pca_evr")

@@ -367,3 +367,87 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("sim_range_search")
+
+
+@register("sim_ann_ivf")  # rows-only: iterative k-means training
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF (inverted-file) coarse quantizer — the other classic
+    100 TB similarity-search rung next to sign-LSH (`sim_ann_lsh`): train k
+    centroids with a few Lloyd rounds (only k x 64 doubles ever reach the
+    driver), assign every corpus vector to its nearest centroid in ONE
+    JVM-side pass (this is the partition/bucketing key a real deployment
+    would write the corpus by), then answer each query by probing only the
+    `nprobe` nearest cells and ranking exact cosine inside them. Probe cost
+    per query is ~(nprobe/k) of the corpus vs LSH's (tables/buckets)
+    fraction; recall vs brute force is asserted in
+    tests/test_rows_only_quality.py."""
+    k, iters, nprobe = 8, 3, 3
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+    def dist2_to(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def cent_array():
+        return F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+
+    def nearest(n):
+        d = F.transform(cent_array(), dist2_to)
+        srt = F.array_sort(d)
+        return F.transform(
+            F.slice(srt, 1, n), lambda v: F.array_position(d, v).cast("int")
+        )
+
+    for _ in range(iters):
+        assigned = e.select(
+            "vec_id", "embedding", F.element_at(nearest(1), 1).alias("cell")
+        )
+        cents = [
+            [float(x) for x in r.centroid]
+            for r in (
+                assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+                .select("cell", F.col("ps.m").alias("centroid"))
+                .orderBy("cell")
+                .collect()
+            )
+        ]
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.element_at(nearest(1), 1).alias("cell"),
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(nearest(nprobe)).alias("cell"),
+        )
+    )
+    sim = _cos(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    return (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim_raw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("cos_sim"), "rk")
+    )
+
+
+deprioritize("sim_ann_ivf")

@@ -312,3 +312,72 @@ def test_seq_pack_bins_conservation(spark):
     for lang in truth:
         ids = sorted(r.bin for r in bins if r.lang == lang)
         assert ids == list(range(len(ids))), (lang, ids)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF (k=8, nprobe=3) must recover >= 85% of the exact top-3 neighbor
+    pairs on the smoke fixture (measured 0.93 when written)."""
+    from pyspark.sql import Window
+
+    from fits2db_spark.tables import load
+
+    sf = SF_SMOKE
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in _q("sim_ann_ivf")(spark, sf).collect()
+    }
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ce"))
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(F.transform("qe", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nb = F.sqrt(F.aggregate(F.transform("ce", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), "nid")
+    exact = {
+        (r.qid, r.nid)
+        for r in (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("nid") != F.col("qid"))
+            .select("qid", "nid", (dot / (na * nb)).alias("s"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+        ).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.85, f"IVF recall {recall:.3f} < 0.85 ({len(exact)} truth pairs)"
+
+
+def test_pagerank_invariants(spark):
+    """PageRank: deterministic across invocations, strictly positive ranks,
+    descending order, and suppliers (the high-degree side of the bipartite
+    graph) must dominate the top ranks."""
+    a = _q("graph_pagerank")(spark, SF_SMOKE).collect()
+    b = _q("graph_pagerank")(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 20
+    ranks = [r.rank for r in a]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(x > 0 for x in ranks)
+    assert a[0].node_type == "supplier"
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed Gram-matrix PCA must reproduce single-node numpy PCA
+    eigenvalues to 6 decimals on the smoke fixture."""
+    import numpy as np
+
+    from fits2db_spark.tables import load
+
+    got = {r.component: r.eigenvalue for r in _q("vec_pca_evr")(spark, SF_SMOKE).collect()}
+    X = np.asarray(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in load(spark, SF_SMOKE, "embeddings").select("embedding").collect()
+        ]
+    )
+    ev = np.linalg.eigvalsh(np.cov(X.T, bias=True))[::-1]
+    for k in range(8):
+        assert abs(got[k + 1] - float(ev[k])) < 1e-6, (k, got[k + 1], float(ev[k]))
