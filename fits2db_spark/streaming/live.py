@@ -132,3 +132,46 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_user_counters_tws(stream: DataFrame) -> DataFrame:
+    """Per-key running counters via transformWithStateInPandas — the Spark
+    4.x arbitrary-stateful API that supersedes applyInPandasWithState
+    (typed per-key state handles, explicit init/close lifecycle, multiple
+    state variables, timers). Same semantics as
+    :func:`running_user_counters`, asserted equal in tests; kept alongside
+    it because both APIs are part of the public surface. State here is one
+    (count, total) ValueState per user — O(keys) store entries, RocksDB-
+    backed on a real cluster. NOTE: executing a TWS query requires protobuf
+    (the state-server wire protocol); in environments without it the query
+    fails at stream start — the parity test import-skips accordingly, and
+    applyInPandasWithState (:func:`running_user_counters`) remains the
+    fully-exercised stateful path."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    output_schema = "user_id long, n_events long, total_value double"
+
+    class Counters(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Counters(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

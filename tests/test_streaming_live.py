@@ -229,3 +229,26 @@ def test_stream_batch_parity_session(spark, staged_events):
         for r in stream_session(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_stateful_running_counters_tws(spark, staged_events):
+    """transformWithStateInPandas (Spark 4 stateful API) must reach the same
+    per-user totals as the applyInPandasWithState implementation.
+
+    Requires protobuf (the TWS state-server protocol dependency); skipped
+    when absent — this container has no protobuf and installs are barred."""
+    pytest.importorskip("google.protobuf")
+    from fits2db_spark.streaming.live import running_user_counters_tws
+
+    staging, n_events = staged_events
+    q = run_stream_to_memory(
+        running_user_counters_tws(events_stream(spark, staging)), "t_state_tws", "update"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        """SELECT user_id, max_by(n_events, n_events) n FROM t_state_tws GROUP BY user_id"""
+    )
+    want = load(spark, SF_SMOKE, "events").groupBy("user_id").count()
+    g = {r.user_id: r.n for r in got.collect()}
+    w = {r.user_id: r["count"] for r in want.collect()}
+    assert g == w
