@@ -103,15 +103,13 @@ def _card_value(raw: str) -> str:
     return "".join(out).rstrip()
 
 
-def _parse_header(buf: bytes, off: int) -> tuple[dict, int]:
-    """Parse one FITS header starting at ``off``; return (cards, next_off)."""
+def _parse_header_blocks(next_block) -> dict:
+    """Parse one FITS header from a callable yielding 2880-byte blocks."""
     cards: dict[str, str] = {}
-    pos = off
     while True:
-        if pos + BLOCK > len(buf):
+        block = next_block()
+        if len(block) < BLOCK:
             raise FitsFormatError("truncated header block")
-        block = buf[pos : pos + BLOCK]
-        pos += BLOCK
         done = False
         for i in range(0, BLOCK, CARD):
             card = block[i : i + CARD].decode("ascii", errors="replace")
@@ -125,7 +123,21 @@ def _parse_header(buf: bytes, off: int) -> tuple[dict, int]:
                 continue
             cards[key] = _card_value(card[10:])
         if done:
-            return cards, pos
+            return cards
+
+
+def _parse_header(buf: bytes, off: int) -> tuple[dict, int]:
+    """Parse one FITS header starting at ``off``; return (cards, next_off)."""
+    pos = off
+
+    def next_block() -> bytes:
+        nonlocal pos
+        block = buf[pos : pos + BLOCK]
+        pos += BLOCK
+        return block
+
+    cards = _parse_header_blocks(next_block)
+    return cards, pos
 
 
 def _header_int(cards: dict, key: str) -> int:
@@ -186,7 +198,41 @@ def parse_bintable_header(data: bytes, hdu: int | str = 1) -> tuple[dict, list[d
         raise FitsFormatError(f"HDU {hdu!r} not found")
     if not cards.get("XTENSION", "").startswith("BINTABLE"):
         raise FitsFormatError(f"HDU {hdu} is not a BINTABLE (XTENSION={cards.get('XTENSION')!r})")
+    return cards, _parse_columns(cards), off
 
+
+def parse_bintable_header_path(path: str, hdu: int | str = 1) -> tuple[dict, list[dict], int]:
+    """Header-only probe of a FITS file on disk: walk HDUs with seeks,
+    reading ONLY header blocks (never data) — O(headers) I/O however large
+    the file. This is what lets the data source plan row-range partitions
+    for a multi-GB BINTABLE without touching its payload."""
+    with open(path, "rb") as f:
+        off = 0
+        idx = 0
+        while True:
+            f.seek(off)
+            try:
+                cards = _parse_header_blocks(lambda: f.read(BLOCK))
+            except FitsFormatError:
+                raise FitsFormatError(f"HDU {hdu!r} not found") from None
+            hdr_end = f.tell()
+            if isinstance(hdu, str):
+                if (
+                    idx > 0
+                    and cards.get("XTENSION", "").startswith("BINTABLE")
+                    and cards.get("EXTNAME", "").strip().upper() == hdu.strip().upper()
+                ):
+                    break
+            elif idx == hdu:
+                break
+            off = hdr_end + math.ceil(_hdu_data_size(cards) / BLOCK) * BLOCK
+            idx += 1
+    if not cards.get("XTENSION", "").startswith("BINTABLE"):
+        raise FitsFormatError(f"HDU {hdu} is not a BINTABLE (XTENSION={cards.get('XTENSION')!r})")
+    return cards, _parse_columns(cards), hdr_end
+
+
+def _parse_columns(cards: dict) -> list[dict]:
     tfields = _header_int(cards, "TFIELDS")
     cols = []
     for i in range(1, tfields + 1):
@@ -252,7 +298,7 @@ def parse_bintable_header(data: bytes, hdu: int | str = 1) -> tuple[dict, list[d
                      spark_type=stype, np_dtype=np_char,
                      tnull=tnull, kind=kind, tscale=tscale, tzero=tzero)
             )
-    return cards, cols, off
+    return cols
 
 
 def _physical_type(letter: str, stype: DataType, tscale: float, tzero: float):
@@ -306,6 +352,46 @@ def decode_bintable(data: bytes, hdu: int | str = 1):
     # heap (variable-length array storage) starts THEAP bytes into the data
     # area; default THEAP = the fixed-width row block
     heap0 = off + int(cards.get("THEAP", rowbytes * nrows))
+    out = _decode_columns(cols, raw, memoryview(data)[heap0:])
+    return fits_spark_schema(cols), out
+
+
+def decode_bintable_range(
+    path: str, hdu: int | str = 1, row_start: int = 0, row_count: int | None = None
+):
+    """Decode ONLY rows [row_start, row_start+row_count) of a BINTABLE on
+    disk — the partitioned-read primitive: fixed-width rows make the byte
+    range exact (data_off + row_start*NAXIS1), so a 100 GB table splits into
+    independent seek+read chunks with no coordination. Variable-length (P/Q)
+    columns additionally read the heap region once per chunk (descriptor
+    offsets are heap-relative, so any row subset resolves against it)."""
+    cards, cols, off = parse_bintable_header_path(path, hdu)
+    nrows = _header_int(cards, "NAXIS2")
+    rowbytes = _header_int(cards, "NAXIS1")
+    start = min(max(row_start, 0), nrows)
+    cnt = nrows - start if row_count is None else max(0, min(row_count, nrows - start))
+    dtype = np.dtype([(c["name"], c["np_dtype"]) for c in cols])
+    if dtype.itemsize != rowbytes:
+        raise FitsFormatError(
+            f"row width mismatch: dtype {dtype.itemsize} vs NAXIS1 {rowbytes}"
+        )
+    heap_buf = b""
+    with open(path, "rb") as f:
+        f.seek(off + start * rowbytes)
+        raw = np.frombuffer(f.read(cnt * rowbytes), dtype=dtype, count=cnt)
+        if any(c["letter"] in ("P", "Q") for c in cols):
+            theap = int(cards.get("THEAP", rowbytes * nrows))
+            pcount = int(cards.get("PCOUNT", 0))
+            # heap spans [data_off+THEAP, data_off + NAXIS1*NAXIS2 + PCOUNT)
+            f.seek(off + theap)
+            heap_buf = f.read(rowbytes * nrows + pcount - theap)
+    return fits_spark_schema(cols), _decode_columns(cols, raw, heap_buf)
+
+
+def _decode_columns(cols: list[dict], raw: np.ndarray, heap_buf) -> list:
+    """Shared fixed-row decode: ``raw`` is the structured row array, and
+    ``heap_buf`` the heap region (offsets in P/Q descriptors are relative
+    to its start)."""
     out = []
     for c in cols:
         a = raw[c["name"]]
@@ -315,7 +401,7 @@ def decode_bintable(data: bytes, hdu: int | str = 1):
             elem_dt = np.dtype(c["vla_np"])
             rows = []
             for cnt, o in desc:
-                v = np.frombuffer(data, dtype=elem_dt, count=int(cnt), offset=heap0 + int(o))
+                v = np.frombuffer(heap_buf, dtype=elem_dt, count=int(cnt), offset=int(o))
                 if elem == "L":
                     v = v == b"T"
                 elif elem == "B":
@@ -349,7 +435,7 @@ def decode_bintable(data: bytes, hdu: int | str = 1):
             if mask is not None:
                 native = np.ma.MaskedArray(native, mask=mask)
             out.append(native)
-    return fits_spark_schema(cols), out
+    return out
 
 
 def to_arrow_columns(schema: StructType, out: list):

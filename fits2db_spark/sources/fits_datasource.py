@@ -22,25 +22,49 @@ from .fits import decode_bintable, to_arrow_columns
 
 
 class FitsInputPartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, row_start: int, row_count: int):
         self.path = path
+        self.row_start = row_start
+        self.row_count = row_count
 
 
 class FitsDataSourceReader(DataSourceReader):
+    """Plans one partition per ~chunk_mb of fixed-width rows PER FILE (not
+    per file): a single multi-GB BINTABLE reads in parallel because rows are
+    fixed width, so each task seeks straight to its byte range. Planning
+    cost is a header-only probe per file (O(header blocks) I/O, no data)."""
+
     def __init__(self, options, schema):
         self._paths = _resolve_paths(options.get("path"))
         self._hdu = _hdu_option(options)
         self._schema = schema
+        self._chunk_bytes = int(float(options.get("chunk_mb", 64)) * 1024 * 1024)
 
     def partitions(self):
-        return [FitsInputPartition(p) for p in self._paths]
+        from .fits import _header_int, parse_bintable_header_path
+
+        parts = []
+        for p in self._paths:
+            cards, _, _ = parse_bintable_header_path(p, self._hdu)
+            nrows = _header_int(cards, "NAXIS2")
+            rowbytes = _header_int(cards, "NAXIS1")
+            rows_per_chunk = max(1, self._chunk_bytes // max(rowbytes, 1))
+            start = 0
+            while start < max(nrows, 1):
+                parts.append(FitsInputPartition(p, start, min(rows_per_chunk, nrows - start)))
+                start += rows_per_chunk
+                if nrows == 0:
+                    break
+        return parts
 
     def read(self, partition):
         import pyarrow as pa
 
-        with open(partition.path, "rb") as f:
-            data = f.read()
-        s, cols = decode_bintable(data, self._hdu)
+        from .fits import decode_bintable_range
+
+        s, cols = decode_bintable_range(
+            partition.path, self._hdu, partition.row_start, partition.row_count
+        )
         names = [f.name for f in self._schema.fields]
         yield pa.RecordBatch.from_arrays(to_arrow_columns(s, cols), names=names)
 
