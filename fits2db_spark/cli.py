@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="BINTABLE extension: 1-based index or EXTNAME (default 1)",
     )
     p.add_argument(
+        "--ascii",
+        action="store_true",
+        help="inputs are ASCII TABLE extensions (XTENSION=TABLE) instead of BINTABLE",
+    )
+    p.add_argument(
         "--dialect",
         default="postgres",
         choices=("postgres", "sqlite", "mysql", "duckdb"),
@@ -84,12 +89,13 @@ def _hdu_arg(raw: str) -> int | str:
 def load_frame(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
     """Union all matched FITS inputs into one DataFrame (schema from the
     first file's header — declared, never inferred)."""
-    from .sources.fits import read_fits
+    from .sources.fits import read_fits, read_fits_ascii
 
+    reader = read_fits_ascii if getattr(args, "ascii", False) else read_fits
     hdu = _hdu_arg(args.hdu)
-    df = read_fits(spark, args.inputs[0], hdu=hdu)
+    df = reader(spark, args.inputs[0], hdu=hdu)
     for path in args.inputs[1:]:
-        df = df.unionByName(read_fits(spark, path, hdu=hdu, schema=df.schema))
+        df = df.unionByName(reader(spark, path, hdu=hdu, schema=df.schema))
     return df
 
 

@@ -479,6 +479,21 @@ def read_fits(
     ``schema`` may be passed to skip the driver-side header probe; otherwise
     the first file's header declares it (never inferred from row data).
     """
+    return _read_fits_with(spark, path, hdu, schema, decode_bintable)
+
+
+def read_fits_ascii(
+    spark: SparkSession,
+    path: str,
+    hdu: int | str = 1,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Read ASCII TABLE extension(s) into a DataFrame (same per-file
+    parallel decode as :func:`read_fits`, using :func:`decode_asciitable`)."""
+    return _read_fits_with(spark, path, hdu, schema, decode_asciitable)
+
+
+def _read_fits_with(spark, path, hdu, schema, decoder) -> DataFrame:
     import pyarrow as pa
 
     from ..session import ensure_runtime_confs
@@ -489,7 +504,7 @@ def read_fits(
         first = files.select("content").limit(1).collect()
         if not first:
             raise FitsFormatError(f"no files matched {path!r}")
-        s, _ = decode_bintable(bytes(first[0][0]), hdu)
+        s, _ = decoder(bytes(first[0][0]), hdu)
         schema = s
 
     names = [f.name for f in schema.fields]
@@ -498,7 +513,7 @@ def read_fits(
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             for payload in tbl.column("content"):
-                s, cols = decode_bintable(payload.as_py(), hdu)
+                s, cols = decoder(payload.as_py(), hdu)
                 yield pa.RecordBatch.from_arrays(to_arrow_columns(s, cols), names=names)
 
     return files.select("content").mapInArrow(decode_files, schema=schema)
@@ -657,3 +672,179 @@ def _bintable_ext(
     cards.append(b"END".ljust(CARD))
     ext_hdr = _pad(b"".join(cards), b" ")
     return ext_hdr + _pad(rows.tobytes() + bytes(vla_heap) + heap)
+
+
+# ---------------------------------------------------------------------------
+# ASCII TABLE extensions (XTENSION = 'TABLE')
+# ---------------------------------------------------------------------------
+
+_ASCII_TFORM_RE = re.compile(r"^([AIFED])(\d+)(?:\.(\d+))?$")
+
+
+def parse_asciitable_header(data: bytes, hdu: int | str = 1) -> tuple[dict, list[dict], int]:
+    """Walk HDUs to an ASCII TABLE extension; return (cards, columns, data_off).
+
+    ASCII tables (the older FITS table flavor, still common for small
+    catalogs) store each row as NAXIS1 characters; TBCOLn gives the 1-based
+    start column, TFORMn one of Aw / Iw / Fw.d / Ew.d / Dw.d. TNULLn is a
+    literal string that marks a null field; TSCALn/TZEROn scale numerics
+    exactly as in binary tables."""
+    off = 0
+    cards: dict[str, str] = {}
+    found = False
+    idx = 0
+    while off < len(data):
+        cards, off = _parse_header(data, off)
+        if isinstance(hdu, str):
+            if (
+                idx > 0
+                and cards.get("XTENSION", "").startswith("TABLE")
+                and cards.get("EXTNAME", "").strip().upper() == hdu.strip().upper()
+            ):
+                found = True
+                break
+        elif idx == hdu:
+            found = True
+            break
+        off += math.ceil(_hdu_data_size(cards) / BLOCK) * BLOCK
+        idx += 1
+    if not found:
+        raise FitsFormatError(f"HDU {hdu!r} not found")
+    if not cards.get("XTENSION", "").startswith("TABLE"):
+        raise FitsFormatError(
+            f"HDU {hdu} is not an ASCII TABLE (XTENSION={cards.get('XTENSION')!r})"
+        )
+    tfields = _header_int(cards, "TFIELDS")
+    cols = []
+    for i in range(1, tfields + 1):
+        tform = cards.get(f"TFORM{i}", "").strip()
+        m = _ASCII_TFORM_RE.match(tform)
+        if not m:
+            raise FitsFormatError(f"unparseable ASCII TFORM{i}={tform!r}")
+        letter, width = m.group(1), int(m.group(2))
+        stype = {"A": StringType(), "I": LongType()}.get(letter, DoubleType())
+        tscale = float(cards.get(f"TSCAL{i}", 1.0))
+        tzero = float(cards.get(f"TZERO{i}", 0.0))
+        if letter != "A" and (tscale != 1.0 or tzero != 0.0):
+            stype = DoubleType()
+        cols.append(
+            dict(
+                name=cards.get(f"TTYPE{i}", f"col{i}").strip(),
+                letter=letter,
+                width=width,
+                tbcol=_header_int(cards, f"TBCOL{i}"),
+                spark_type=stype,
+                tnull=cards.get(f"TNULL{i}", None),
+                tscale=tscale,
+                tzero=tzero,
+            )
+        )
+    return cards, cols, off
+
+
+def decode_asciitable(data: bytes, hdu: int | str = 1):
+    """bytes -> (schema, columns) for one ASCII TABLE HDU.
+
+    Vectorized: a structured dtype with explicit field OFFSETS (TBCOLn-1)
+    slices every field of every row in one frombuffer — no per-row Python.
+    Null fields (blank or == the TNULLn string) become masked entries;
+    Fortran 'D' exponents are folded to 'E' before float conversion."""
+    cards, cols, off = parse_asciitable_header(data, hdu)
+    nrows = _header_int(cards, "NAXIS2")
+    rowbytes = _header_int(cards, "NAXIS1")
+    dtype = np.dtype(
+        {
+            "names": [c["name"] for c in cols],
+            "formats": [f"S{c['width']}" for c in cols],
+            "offsets": [c["tbcol"] - 1 for c in cols],
+            "itemsize": rowbytes,
+        }
+    )
+    raw = np.frombuffer(data, dtype=dtype, count=nrows, offset=off)
+    out = []
+    for c in cols:
+        a = np.char.strip(raw[c["name"]])
+        null_mask = a == b""
+        if c["tnull"] is not None:
+            null_mask |= a == c["tnull"].encode("ascii")
+        if c["letter"] == "A":
+            s = np.char.decode(a, "ascii").astype(object)
+            if null_mask.any():
+                s = np.ma.MaskedArray(s, mask=null_mask)
+            out.append(s)
+            continue
+        filled = np.where(null_mask, b"0", a)
+        if c["letter"] == "I":
+            v = filled.astype("i8")
+        else:
+            v = np.char.replace(np.char.replace(filled, b"D", b"E"), b"d", b"e").astype("f8")
+        if c["tscale"] != 1.0 or c["tzero"] != 0.0:
+            v = v.astype("f8") * c["tscale"] + c["tzero"]
+        if null_mask.any():
+            v = np.ma.MaskedArray(v, mask=null_mask)
+        out.append(v)
+    schema = StructType([StructField(c["name"], c["spark_type"], True) for c in cols])
+    return schema, out
+
+
+def write_fits_asciitable(
+    columns: list[tuple[str, str, list]],
+    extname: str | None = None,
+    null_token: str | None = None,
+    extra_cards: list[tuple[str, object]] | None = None,
+) -> bytes:
+    """Test/fixture writer for ASCII TABLE extensions. ``columns`` entries
+    are (name, tform, values) with tform in Aw/Iw/Fw.d/Ew.d/Dw.d; ``None``
+    values are written as ``null_token`` (declared via TNULLn)."""
+    nrows = len(columns[0][2]) if columns else 0
+    widths = []
+    for _, tform, _ in columns:
+        m = _ASCII_TFORM_RE.match(tform)
+        if not m:
+            raise FitsFormatError(f"unparseable ASCII TFORM {tform!r}")
+        widths.append(int(m.group(2)))
+    rowbytes = sum(widths)
+    lines = []
+    for r in range(nrows):
+        parts = []
+        for (name, tform, vals), w in zip(columns, widths):
+            v = vals[r]
+            if v is None:
+                s = (null_token or "").rjust(w)
+            elif tform[0] == "A":
+                s = str(v).ljust(w)
+            elif tform[0] == "I":
+                s = str(int(v)).rjust(w)
+            else:
+                d = int(tform.split(".")[1]) if "." in tform else 6
+                s = f"{float(v):.{d}f}".rjust(w) if tform[0] == "F" else f"{float(v):.{d}E}".rjust(w)
+            if len(s) > w:
+                raise FitsFormatError(f"value {v!r} wider than {tform}")
+            parts.append(s)
+        lines.append("".join(parts))
+    payload = "".join(lines).encode("ascii")
+    cards = [
+        _card("XTENSION", "TABLE"),
+        _card("BITPIX", 8),
+        _card("NAXIS", 2),
+        _card("NAXIS1", rowbytes),
+        _card("NAXIS2", nrows),
+        _card("PCOUNT", 0),
+        _card("GCOUNT", 1),
+        _card("TFIELDS", len(columns)),
+    ]
+    tbcol = 1
+    for i, ((name, tform, _), w) in enumerate(zip(columns, widths), start=1):
+        cards.append(_card(f"TTYPE{i}", name))
+        cards.append(_card(f"TFORM{i}", tform))
+        cards.append(_card(f"TBCOL{i}", tbcol))
+        if null_token is not None and tform[0] != "A":
+            cards.append(_card(f"TNULL{i}", null_token))
+        tbcol += w
+    if extname:
+        cards.append(_card("EXTNAME", extname))
+    for k, v in extra_cards or []:
+        cards.append(_card(k, v))
+    cards.append(b"END".ljust(CARD))
+    header = _pad(b"".join(cards), b" ")
+    return _primary_hdu() + header + _pad(payload)

@@ -98,3 +98,26 @@ def test_cli_hdu_by_name(tmp_path, spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "table t: 3 rows" in out and "b: int" in out
+
+
+def test_cli_ascii_table_csv(tmp_path, spark):
+    """--ascii reads an ASCII TABLE extension end-to-end to CSV."""
+    from fits2db_spark.sources.fits import write_fits_asciitable
+
+    blob = write_fits_asciitable(
+        [("name", "A5", ["aa", "bb"]), ("val", "I4", [7, 9])], extname="CAT"
+    )
+    src = tmp_path / "cat.fits"
+    src.write_bytes(blob)
+    out = tmp_path / "csv"
+    rc = run(
+        [str(src), "--table", "cat", "--ascii", "--csv-out", str(out), "--single-file"],
+        spark=spark,
+    )
+    assert rc == 0
+    import glob
+
+    [f] = glob.glob(str(out / "part-*.csv"))
+    body = open(f).read().strip().splitlines()
+    assert body[0].split(",")[:2] == ["name", "val"]
+    assert sorted(body[1:]) == ["aa,7", "bb,9"]
