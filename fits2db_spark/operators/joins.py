@@ -329,3 +329,73 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc())
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           x.o_orderkey AS asof_orderkey,
+           ROUND(x.o_totalprice, 2) AS asof_totalprice
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = e.user_id
+        AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 90 DAYS
+      ORDER BY o_orderdate DESC, o_orderkey DESC
+      LIMIT 1
+    ) x ON TRUE
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance horizon (pandas ``merge_asof(tolerance=…)``
+    semantics): the latest order at-or-before each event, but only if it is
+    within 90 days — older matches become NULL. Same single-shuffle
+    union-tag + window plan as :func:`join_asof`, with the matched order's
+    timestamp carried through the window so the tolerance is one filter on
+    top; no extra shuffle, no candidate blow-up."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = ev.unionByName(od)
+    order_t = F.when(F.col("kind") == 0, F.col("t"))
+    within = F.col("asof_t").isNotNull() & (
+        F.col("asof_t") >= F.col("t") - F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        u.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_total", F.last("o_totalprice", ignorenulls=True).over(w))
+        .withColumn("asof_t", F.last(order_t, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.when(within, F.col("asof_orderkey")).alias("asof_orderkey"),
+            F.round(F.when(within, F.col("asof_total")), 2).alias("asof_totalprice"),
+        )
+    )
+
+
+from ..registry import deprioritize  # noqa: E402
+
+deprioritize("join_asof_tolerance")
