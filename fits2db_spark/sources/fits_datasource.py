@@ -16,7 +16,12 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .fits import decode_bintable, to_arrow_columns
 
@@ -85,6 +90,9 @@ class FitsDataSource(DataSource):
     def reader(self, schema):
         return FitsDataSourceReader(self.options, schema)
 
+    def simpleStreamReader(self, schema):
+        return FitsSimpleStreamReader(self.options, schema)
+
 
 def _hdu_option(options) -> int | str:
     """``hdu`` option: numeric string -> 1-based index, else EXTNAME."""
@@ -110,3 +118,52 @@ def register(spark) -> None:
 
     ensure_runtime_confs(spark)  # executors must be able to import the parser
     spark.dataSource.register(FitsDataSource)
+
+
+class FitsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming FITS directory source: each micro-batch picks up FITS files
+    not seen by a previous batch — `readStream.format("fits")` is the
+    streaming version of the reference's loader (watch an archive directory,
+    land rows continuously into a DB via foreachBatch + the JDBC sink).
+
+    Offsets record the set of processed file paths, which keeps replay exact
+    (readBetweenOffsets re-decodes precisely the files of that batch —
+    required for exactly-once sinks). A production-hardened variant would
+    compact the seen-set into a retention-bounded log the way Spark's own
+    FileStreamSource does; the contract here is identical."""
+
+    def __init__(self, options, schema):
+        self._options = options
+        self._schema = schema
+        self._hdu = _hdu_option(options)
+        self._path = options.get("path")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _rows_for(self, paths):
+        # returns a LIST iterator: the simple-stream runner caches and
+        # copy.copy()s the batch iterator (generators are not copyable)
+        import pyarrow as pa
+
+        from .fits import decode_bintable
+
+        names = [f.name for f in self._schema.fields]
+        rows = []
+        for p in sorted(paths):
+            with open(p, "rb") as f:
+                s, cols = decode_bintable(f.read(), self._hdu)
+            tbl = pa.Table.from_arrays(to_arrow_columns(s, cols), names=names)
+            rows.extend(tuple(rec[n] for n in names) for rec in tbl.to_pylist())
+        return iter(rows)
+
+    def read(self, start: dict):
+        current = _resolve_paths(self._path)
+        seen = set(start.get("seen", []))
+        new = [p for p in current if p not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return self._rows_for(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        batch = set(end.get("seen", [])) - set(start.get("seen", []))
+        return self._rows_for(batch)

@@ -252,3 +252,39 @@ def test_stateful_running_counters_tws(spark, staged_events):
     g = {r.user_id: r.n for r in got.collect()}
     w = {r.user_id: r["count"] for r in want.collect()}
     assert g == w
+
+
+def test_fits_streaming_source(spark, tmp_path):
+    """readStream.format('fits'): new FITS files landing in a watched
+    directory appear as new micro-batch rows, and a restarted query resumes
+    from the checkpointed offset (only unseen files are decoded)."""
+    from fits2db_spark.sources.fits import write_fits_bintable
+    from fits2db_spark.sources.fits_datasource import register as register_fits
+
+    register_fits(spark)
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    chk = str(tmp_path / "chk")
+    for i in range(2):
+        (watch / f"f{i}.fits").write_bytes(
+            write_fits_bintable([("id", "J", [i * 10, i * 10 + 1])])
+        )
+    sink = str(tmp_path / "landed")
+    stream = spark.readStream.format("fits").load(str(watch))
+    q = (
+        stream.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", chk).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got1 = sorted(r.id for r in spark.read.parquet(sink).collect())
+    assert got1 == [0, 1, 10, 11]
+    # a third file lands; the resumed query must decode ONLY the new file
+    (watch / "f2.fits").write_bytes(write_fits_bintable([("id", "J", [99])]))
+    stream2 = spark.readStream.format("fits").load(str(watch))
+    q2 = (
+        stream2.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", chk).trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(r.id for r in spark.read.parquet(sink).collect())
+    assert got2 == [0, 1, 10, 11, 99]
