@@ -764,7 +764,9 @@ def decode_asciitable(data: bytes, hdu: int | str = 1):
     out = []
     for c in cols:
         a = np.char.strip(raw[c["name"]])
-        null_mask = a == b""
+        # blank numeric fields are undefined -> NULL; a blank A field is a
+        # legitimate empty string (only its TNULL sentinel means null)
+        null_mask = (a == b"") if c["letter"] != "A" else np.zeros(len(a), dtype=bool)
         if c["tnull"] is not None:
             null_mask |= a == c["tnull"].encode("ascii")
         if c["letter"] == "A":

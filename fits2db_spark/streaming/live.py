@@ -175,3 +175,34 @@ def running_user_counters_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def click_purchase_interval_join(stream: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same user's
+    clicks in the preceding hour. Both sides carry event-time watermarks, so
+    the join state store evicts rows once they can no longer match — bounded
+    state, the condition for running a stream-stream join forever. The time
+    bound in the join predicate is what makes eviction possible; an
+    unbounded-equality stream join would accumulate state indefinitely."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("buy_value"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    return clicks.join(
+        buys,
+        F.expr(
+            """c_user = b_user AND
+               buy_ts >= click_ts AND
+               buy_ts <= click_ts + INTERVAL 1 HOUR"""
+        ),
+    )

@@ -90,3 +90,59 @@ def test_minhash_identical_docs_get_identical_signatures(spark):
     s1 = [v for k, v in sorted(sig[0].asDict().items()) if k != "doc_id"]
     s2 = [v for k, v in sorted(sig[1].asDict().items()) if k != "doc_id"]
     assert s1 == s2
+
+
+_FITS_VALS = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        st.floats(min_value=-1e30, max_value=1e30, allow_nan=False, width=64),
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=8).map(
+            lambda s: s.replace("'", " ").strip()
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=_FITS_VALS)
+@_settings
+def test_fits_bintable_roundtrip_property(vals):
+    """write_fits_bintable -> decode_bintable is the identity on J/D/A
+    columns for arbitrary values (byte-level format invariant, no Spark)."""
+    import numpy as np
+
+    from fits2db_spark.sources.fits import decode_bintable, write_fits_bintable
+
+    ints = [v[0] for v in vals]
+    dbls = [v[1] for v in vals]
+    strs = [v[2] for v in vals]
+    width = max(1, max((len(s) for s in strs), default=1))
+    blob = write_fits_bintable(
+        [("i", "J", ints), ("d", "D", dbls), ("s", f"A{width}", strs)]
+    )
+    _, cols = decode_bintable(blob, 1)
+    assert list(cols[0]) == ints
+    assert np.allclose(cols[1], dbls, rtol=0, atol=0)
+    assert list(cols[2]) == [s.rstrip() for s in strs]
+
+
+@given(vals=_FITS_VALS)
+@_settings
+def test_fits_asciitable_roundtrip_property(vals):
+    """write_fits_asciitable -> decode_asciitable round-trips I/F/A fields
+    (within the fixed-point precision the F format declares)."""
+    from fits2db_spark.sources.fits import decode_asciitable, write_fits_asciitable
+
+    ints = [v[0] for v in vals]
+    dbls = [max(-1e9, min(1e9, v[1])) for v in vals]
+    strs = [v[2] for v in vals]
+    width = max(1, max((len(s) for s in strs), default=1))
+    blob = write_fits_asciitable(
+        [("i", "I12", ints), ("f", "F24.6", dbls), ("s", f"A{width}", strs)]
+    )
+    _, cols = decode_asciitable(blob, 1)
+    assert [int(v) for v in cols[0]] == ints
+    for got, want in zip(cols[1], dbls):
+        assert abs(got - want) <= max(1e-6, abs(want)) * 1e-6 + 1e-6
+    assert list(cols[2]) == [s.rstrip() for s in strs]

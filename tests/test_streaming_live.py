@@ -288,3 +288,38 @@ def test_fits_streaming_source(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = sorted(r.id for r in spark.read.parquet(sink).collect())
     assert got2 == [0, 1, 10, 11, 99]
+
+
+def test_stream_stream_interval_join_parity(spark, staged_events):
+    """The live stream-stream interval join must produce exactly the batch
+    join's (click, purchase) pairs."""
+    from fits2db_spark.streaming.live import click_purchase_interval_join
+
+    staging, _ = staged_events
+    q = run_stream_to_memory(
+        click_purchase_interval_join(events_stream(spark, staging, max_files_per_trigger=3)),
+        "t_ssj",
+        "append",
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.c_user, r.click_ts, r.buy_ts)
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    ev = load(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts")
+    )
+    want = {
+        (r.c_user, r.click_ts, r.buy_ts)
+        for r in clicks.join(
+            buys,
+            F.expr(
+                "c_user = b_user AND buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want and want
