@@ -706,3 +706,48 @@ def vec_pca_evr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 deprioritize("vec_pca_evr")
+
+
+_JOIN_SALT = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-salted skew join: the fact side gets a random-ish salt (derived
+    deterministically from l_linenumber so the result is reproducible), the
+    dimension side is replicated once per salt value via an explode, and the
+    join key becomes (key, salt) — a hot orderkey's rows now land on
+    _JOIN_SALT different reducers instead of one. Semantics-preserving, so
+    the oracle is the plain join. This is the manual fallback for skew AQE
+    cannot fix (e.g. a broadcast-ineligible dimension with one hot key);
+    replication multiplies the dimension by _JOIN_SALT, which is the price
+    of flattening the straggler."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    salted_fact = li.withColumn("salt", F.pmod(F.col("l_linenumber"), F.lit(_JOIN_SALT)))
+    replicated_dim = o.select(
+        "o_orderkey", F.explode(F.array(*[F.lit(i) for i in range(_JOIN_SALT)])).alias("salt")
+    )
+    j = salted_fact.join(
+        replicated_dim,
+        (salted_fact.l_orderkey == replicated_dim.o_orderkey)
+        & (salted_fact.salt == replicated_dim.salt),
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+deprioritize("join_skew_salted")
