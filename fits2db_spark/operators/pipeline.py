@@ -627,3 +627,69 @@ deprioritize(
     "vec_quantize_int8",
     "cms_heavy_hitters",
 )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orderkey_unique' AS rule,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                       OR o_orderdate >= TIMESTAMP '2010-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk_customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based expectation checks (the validate step next to
+    `dq_profile`'s profile step): uniqueness, not-null, range, and
+    referential-integrity rules each report a violation count. The scalar
+    rules share ONE aggregation pass (conditional sums in a single agg);
+    the FK rule is a broadcast anti-join. At 100 TB the same plan holds —
+    one scan for all scalar rules, one semi/anti join per FK rule."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    one = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orderkey_unique"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("custkey_not_null"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "totalprice_positive"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("orderdate_in_range"),
+    )
+    rules = ["orderkey_unique", "custkey_not_null", "totalprice_positive", "orderdate_in_range"]
+    scalar = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("rule"), F.col(r).cast("long").alias("n_violations"))
+                    for r in rules
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("custkey_fk_customer").alias("rule"), "n_violations")
+    )
+    return scalar.unionByName(fk)
+
+
+deprioritize("dq_expectations")
