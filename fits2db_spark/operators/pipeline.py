@@ -693,3 +693,34 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 deprioritize("dq_expectations")
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
+    FROM orders
+    WHERE o_custkey < 50
+    GROUP BY o_custkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg semantics): each
+    customer's order keys concatenated in a DETERMINISTIC order — the
+    determinism (sort inside the aggregate) is what makes a concatenated
+    string comparable across engines and runs; an unordered listagg is
+    nondeterministic under parallel aggregation by construction. Built as
+    collect_list -> sort_array -> concat_ws (partial-aggregable)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col("o_orderkey").cast("string")))
+        ).alias("order_keys"),
+    )
+
+
+deprioritize("agg_string_concat")
