@@ -135,3 +135,50 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH w AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY day_idx
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM w
+    )
+    SELECT day_idx, event_type, n, total, rk FROM r WHERE rk <= 2
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per daily tumbling window — the 'trending items
+    per window' streaming shape, expressed in batch mode so the oracle can
+    hash it. Live form: the same `window()` aggregation with a watermark,
+    ranked per closed window in foreachBatch (rank-over-stream isn't
+    incremental, so production ranks at window close). The plan shares the
+    window-agg shuffle with a WindowGroupLimit rank — top-k rows only ever
+    shuffle k per window. Day buckets are epoch arithmetic (tz-free): a
+    `window('1 day')` bucket shifts with the session timezone, which a
+    cross-engine hash comparison cannot tolerate."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        e.groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("day_idx"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("day_idx").orderBy(F.col("n").desc(), "event_type")
+    )
+    return w.withColumn("rk", rk).filter(F.col("rk") <= 2)
+
+
+from ..registry import deprioritize  # noqa: E402
+
+deprioritize("stream_windowed_topk")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType
 
-from ..registry import register
+from ..registry import deprioritize, register
 from ..tables import load
 
 
@@ -212,3 +212,31 @@ def udf_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, t.pos, t.token FROM f2s_docs_udtf, LATERAL f2s_tokenize(text) t"
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice * (1 + 0.07), 4) AS taxed
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (`useArrow=True`, Spark 3.5+/4): the
+    third Python-UDF execution mode next to pickled-row UDFs and pandas
+    UDFs — per-row Python semantics but Arrow-batch transfer, so it
+    avoids pickle without requiring vectorized pandas code. Still the slow
+    path vs built-in expressions (the oracle IS the builtin equivalent);
+    registered for §2.U API-surface parity, not for hot paths."""
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(returnType=DoubleType(), useArrow=True)
+    def add_tax(p: float) -> float:
+        return round(p * 1.07, 4)
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select("o_orderkey", add_tax("o_totalprice").alias("taxed"))
+
+
+deprioritize("udf_arrow_scalar")
