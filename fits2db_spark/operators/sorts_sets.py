@@ -97,42 +97,61 @@ _AB_SQL = """
 """
 
 
-@register("set_union_all", oracle=_AB_SQL + "SELECT k FROM a UNION ALL SELECT k FROM b")
-def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a, b = _ab(spark, sf_dir)
-    return a.unionByName(b)
-
-
-@register("set_union_distinct", oracle=_AB_SQL + "SELECT k FROM a UNION SELECT k FROM b")
-def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a, b = _ab(spark, sf_dir)
-    return a.unionByName(b).distinct()
-
-
-@register("set_intersect", oracle=_AB_SQL + "SELECT k FROM a INTERSECT SELECT k FROM b")
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a, b = _ab(spark, sf_dir)
-    return a.intersect(b)
+# Round 3: each set-op family is one registered key covering BOTH the bag
+# (ALL) and set (DISTINCT) semantics via a `mode` tag column, so the whole
+# family fits the external driver's ~50-key verification window while every
+# row of both variants is still value-hashed against the oracle.
 
 
 @register(
-    "set_intersect_all", oracle=_AB_SQL + "SELECT k FROM a INTERSECT ALL SELECT k FROM b"
+    "set_union",
+    oracle=_AB_SQL
+    + """
+    SELECT 'all' AS mode, k FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'distinct' AS mode, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+    """,
 )
-def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + UNION DISTINCT in one mode-tagged result (SURVEY.md §2.G)."""
     a, b = _ab(spark, sf_dir)
-    return a.intersectAll(b)
+    bag = a.unionByName(b).select(F.lit("all").alias("mode"), "k")
+    dedup = a.unionByName(b).distinct().select(F.lit("distinct").alias("mode"), "k")
+    return bag.unionByName(dedup)
 
 
-@register("set_except", oracle=_AB_SQL + "SELECT k FROM a EXCEPT SELECT k FROM b")
+@register(
+    "set_intersect",
+    oracle=_AB_SQL
+    + """
+    SELECT 'distinct' AS mode, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'all' AS mode, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + INTERSECT ALL in one mode-tagged result (SURVEY.md §2.G)."""
+    a, b = _ab(spark, sf_dir)
+    dedup = a.intersect(b).select(F.lit("distinct").alias("mode"), "k")
+    bag = a.intersectAll(b).select(F.lit("all").alias("mode"), "k")
+    return dedup.unionByName(bag)
+
+
+@register(
+    "set_except",
+    oracle=_AB_SQL
+    + """
+    SELECT 'distinct' AS mode, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    UNION ALL
+    SELECT 'all' AS mode, k FROM (SELECT k FROM b EXCEPT ALL SELECT k FROM a)
+    """,
+)
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT + EXCEPT ALL in one mode-tagged result (SURVEY.md §2.G)."""
     a, b = _ab(spark, sf_dir)
-    return a.subtract(b)
-
-
-@register("set_except_all", oracle=_AB_SQL + "SELECT k FROM b EXCEPT ALL SELECT k FROM a")
-def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a, b = _ab(spark, sf_dir)
-    return b.exceptAll(a)
+    dedup = a.subtract(b).select(F.lit("distinct").alias("mode"), "k")
+    bag = b.exceptAll(a).select(F.lit("all").alias("mode"), "k")
+    return dedup.unionByName(bag)
 
 
 @register(
