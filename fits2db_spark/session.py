@@ -22,10 +22,10 @@ import os
 from pyspark.sql import SparkSession
 
 # Confs that are safe (and required) to set at runtime on a live session.
+# NOTE: events.parquet stores timestamp[ns]; PySpark 4.1.2 reads it natively
+# as TIMESTAMP_NTZ (µs-truncated) and the legacy nanosAsLong conf is inert —
+# tables.py branches on the actual loaded dtype instead of any conf here.
 _RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet stores timestamp[ns]; Spark 4 refuses TIMESTAMP(NANOS)
-    # unless told to surface it as a raw int64 (we convert in tables.py).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow transfer for pandas UDF / toPandas paths (vectorized exchange).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # AQE: runtime re-planning, partition coalescing, skew-join handling.

@@ -3,11 +3,11 @@
 Mirrors the reference's declared-schema philosophy (FITS headers declare
 TTYPEn/TFORMn; schemas are never inferred — SURVEY.md §1.1): every fixture
 table gets an explicit ``StructType`` and the loader asserts the parquet
-footer agrees. ``events.ts`` is stored as parquet timestamp[ns], which Spark 4
-cannot read natively; we read it as int64 nanoseconds
-(``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds —
-the same truncation DuckDB applies when casting TIMESTAMP_NS -> TIMESTAMP,
-keeping the oracle comparison exact.
+footer agrees. ``events.ts`` is stored as parquet timestamp[ns]; ``load()``
+normalizes it to a µs TIMESTAMP whatever dtype the reader surfaces
+(TIMESTAMP_NTZ on PySpark 4.1+, int64 ns on builds honoring the legacy
+``nanosAsLong`` conf) — the same truncation DuckDB applies when casting
+TIMESTAMP_NS -> TIMESTAMP, keeping the oracle comparison exact.
 
 Scale note: loaders are plain ``spark.read.parquet`` scans — column pruning
 and predicate pushdown flow into the scan from whatever the caller selects
@@ -169,10 +169,18 @@ def load(spark: SparkSession, sf_dir: str, name: str, _use_cache: bool = True) -
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     if name == "events":
-        # ts arrives as int64 nanoseconds (nanosAsLong). Truncate to µs —
-        # matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast (verified: both
-        # floor positive epochs).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts is stored as parquet timestamp[ns]. How it arrives depends
+        # on the Spark version: 4.1+ reads it natively as TIMESTAMP_NTZ (µs
+        # truncation already applied by the reader); older builds honoring
+        # spark.sql.legacy.parquet.nanosAsLong deliver int64 nanoseconds.
+        # Branch on the ACTUAL dtype — the conf is inert on PySpark 4.1.2.
+        # Both paths floor to µs, matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
+        # cast; session tz is UTC so NTZ -> TIMESTAMP is shift-free.
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
 
