@@ -47,11 +47,71 @@ _OPERATOR_MODULES = (
 _loaded = False
 
 # The external driver verifies queries in dict-iteration order and may stop
-# after a fixed budget (round 1: only the first 50 of 125 got a correctness
-# row). Order the registry so the window covers the riskiest / not-yet-checked
-# surface first: the two round-1 canonicalizer casualties, then every module
-# the driver never reached (LLM text/vector ops, multimodal, streaming, UDFs,
-# scalar-function families, advanced), then the round-1-green long tail.
+# after a fixed budget (~50 keys per round). Rounds 1-3 covered 98 of the 148
+# keys; this explicit window is EXACTLY the 50 keys that have never had a
+# driver correctness row (computed from CORRECTNESS_r01∪r02∪r03 at the start
+# of round 4). They go first so round 4's budget lands on unverified surface;
+# everything already driver-green follows in module order.
+_PRIORITY_QUERIES = (
+    # scalar / subquery / sampling never reached
+    "fn_try",
+    "subquery_scalar",
+    "subquery_in",
+    "subquery_correlated",
+    "sample_fraction",
+    "sample_stratified",
+    # sort/limit/set-op family (merged r3 keys, never checked)
+    "limit_offset",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "distinct_rows",
+    # joins / windows never reached
+    "join_asof_tolerance",
+    "join_range_binned",
+    "join_skew_salted",
+    "win_range_frame",
+    # aggregate extras
+    "agg_skew_salted",
+    "agg_extras",
+    "agg_histogram",
+    "agg_mode_median",
+    "corr_covar",
+    "agg_string_concat",
+    "unpivot_melt",
+    # scalar-function extras
+    "fn_generators",
+    "fn_bitwise",
+    "fn_trig",
+    # time-series / sessionization pipeline
+    "gapfill_timeseries",
+    "funnel_analysis",
+    "retention_cohorts",
+    "anomaly_zscore",
+    "stream_windowed_topk",
+    # LLM pipeline twelve
+    "text_pii_redact",
+    "text_vocab_topk",
+    "contamination_ngram",
+    "split_train_test",
+    "seq_pack_bins",
+    "vec_quantize_int8",
+    "cms_heavy_hitters",
+    "dq_profile",
+    "dq_expectations",
+    "merge_upsert",
+    "scd2_intervals",
+    "dedup_keep_longest",
+    # vector / ML / graph extras
+    "dedup_components_bigstar",
+    "sim_range_search",
+    "sim_ann_ivf",
+    "sim_topk_matmul",
+    "vec_kmeans",
+    "vec_pca_evr",
+    "graph_pagerank",
+    "udf_arrow_scalar",
+)
 _PRIORITY_MODULE_ORDER = (
     "fits2db_spark.operators.llm_text",
     "fits2db_spark.operators.llm_vectors",
@@ -61,7 +121,6 @@ _PRIORITY_MODULE_ORDER = (
     "fits2db_spark.operators.scalar_functions",
     "fits2db_spark.operators.advanced",
 )
-_PRIORITY_QUERIES = ("agg_collect", "agg_approx_percentile")
 
 # Queries forced to the END of the ordering regardless of module: round-2+
 # additions that must not displace the curated first-50 verification window
