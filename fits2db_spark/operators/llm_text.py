@@ -1031,61 +1031,74 @@ def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    e = _cc_sym(pairs).distinct()
-    prev_chk = None
-    prev_cached = None
-    try:
-        for _ in range(12):
-            # --- large-star
-            mn = (
-                e.groupBy("src")
-                .agg(F.min("dst").alias("mnd"))
-                .select("src", F.least(F.col("mnd"), F.col("src")).alias("m"))
-            )
-            ls = (
+    # Lineage MUST be truncated between rounds: each star step references its
+    # input 2+ times, so the nested logical plan grows geometrically per
+    # round — analysis alone was the round-3 86s-at-sf0.01 pathology and blew
+    # the heap of a default-1g driver session. ``localCheckpoint(eager)``
+    # materializes and cuts the plan; on a real cluster swap in reliable
+    # ``checkpoint()`` against the cluster FS (survives executor loss).
+    und = (
+        pairs.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        """One large-star (link larger neighbors to the min) or small-star
+        (link smaller-or-equal ones) step over a symmetric edge list; returns
+        the canonical undirected result."""
+        mn = (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("mnd"))
+            .select("src", F.least(F.col("mnd"), F.col("src")).alias("m"))
+        )
+        if large:
+            moved = (
                 e.join(mn, "src")
                 .filter(F.col("dst") > F.col("src"))
                 .select(F.col("dst").alias("a"), F.col("m").alias("b"))
             )
-            und = ls.select(
-                F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
-            ).filter(F.col("src") != F.col("dst")).distinct()
-            e = _cc_sym(und)
-            # --- small-star
-            mn = (
-                e.groupBy("src")
-                .agg(F.min("dst").alias("mnd"))
-                .select("src", F.least(F.col("mnd"), F.col("src")).alias("m"))
-            )
-            ss = (
+        else:
+            moved = (
                 e.join(mn, "src")
                 .filter(F.col("dst") <= F.col("src"))
                 .select(F.col("dst").alias("a"), F.col("m").alias("b"))
                 .unionByName(mn.select(F.col("src").alias("a"), F.col("m").alias("b")))
             )
-            und = ss.select(
-                F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
-            ).filter(F.col("src") != F.col("dst")).distinct().persist()
-            chk = und.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("src") * 31 + F.col("dst")).alias("s"),
-            ).first()
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = und
-            e = _cc_sym(und)
-            if prev_chk == (chk.n, chk.s):
-                break
-            prev_chk = (chk.n, chk.s)
-        # fixpoint star graph: every undirected edge is (root, node)
-        final = _summary(prev_cached)
-        if memo_key is not None:
-            _CC_FINAL_CACHE[memo_key] = prev_cached
-            prev_cached = None
-    finally:
-        if prev_cached is not None:
-            prev_cached.unpersist()
-    return final
+        return (
+            moved.select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    max_rounds = 15
+    prev_chk = None
+    converged = False
+    for _ in range(max_rounds):
+        # checkpoint blocks of superseded rounds are reclaimed by the
+        # ContextCleaner once the Python references drop out of scope
+        ls = _star(_cc_sym(und), large=True).localCheckpoint(eager=True)
+        und = _star(_cc_sym(ls), large=False).localCheckpoint(eager=True)
+        chk = und.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("src") * 31 + F.col("dst")).alias("s"),
+        ).first()
+        if prev_chk == (chk.n, chk.s):
+            converged = True
+            break
+        prev_chk = (chk.n, chk.s)
+    # Silently-wrong clusters are worse than a loud failure: at the
+    # fixpoint every undirected edge must be (component-min, member),
+    # which only holds if the LS/SS alternation actually converged.
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components_bigstar: no fixpoint after {max_rounds} "
+            "LS/SS rounds — raise max_rounds or inspect the edge graph"
+        )
+    if memo_key is not None:
+        _CC_FINAL_CACHE[memo_key] = und
+    return _summary(und)
 
 
 deprioritize("dedup_components_bigstar")

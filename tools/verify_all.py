@@ -1,0 +1,81 @@
+"""One-command verify gate: driver-sim + oracle replica + pytest + bench.
+
+Runs, in order, and FAILS LOUDLY (exit nonzero) on the first red:
+
+1. driver simulation — fresh subprocess from a foreign cwd with a PLAIN
+   SparkSession (the exact contract the external harness exercises);
+2. ``tools/check_oracle.py`` at sf0.01 — every registry query vs DuckDB;
+3. ``pytest tests/`` — unit + semantic suites;
+4. ``bench.py`` — must emit its one-line JSON (a crash here is a red).
+
+Appends one JSON line per run to PROGRESS.jsonl so each verify is on the
+record. Run this before every end-of-round commit — a repo-wide breakage
+must never survive a round again (round-3 postmortem).
+
+Usage: python tools/verify_all.py [--fast]
+  --fast  skip pytest and bench (oracle gate + driver sim only)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+
+DRIVER_SIM = (
+    "import sys; sys.path.insert(0, '/root/repo')\n"
+    "from pyspark.sql import SparkSession\n"
+    "spark = (SparkSession.builder.master('local[8]')\n"
+    "         .config('spark.ui.enabled','false').getOrCreate())\n"
+    "import __spark_entry__ as e\n"
+    "rows = e.entry(spark).collect()\n"
+    "assert len(rows) >= 1, 'entry() returned 0 rows'\n"
+    "q, o = e.queries(), e.oracle_sql()\n"
+    "assert set(o) <= set(q), 'oracle keys not subset of query keys'\n"
+    "print(f'driver-sim ok: {len(rows)} entry rows, {len(q)} queries, {len(o)} oracles')\n"
+)
+
+
+def run(label: str, cmd: list[str], cwd: str = REPO) -> float:
+    t0 = time.time()
+    print(f"--- {label}: {' '.join(cmd[:4])} ...", flush=True)
+    proc = subprocess.run(cmd, cwd=cwd)
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        print(f"!!! {label} FAILED (rc={proc.returncode}, {dt:.1f}s)", flush=True)
+        _record(label, False, dt)
+        sys.exit(proc.returncode or 1)
+    print(f"--- {label} ok ({dt:.1f}s)", flush=True)
+    return dt
+
+
+def _record(stage: str, ok: bool, seconds: float) -> None:
+    entry = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "event": "verify_all",
+        "stage": stage,
+        "ok": ok,
+        "seconds": round(seconds, 1),
+    }
+    with open(f"{REPO}/PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    t0 = time.time()
+    run("driver-sim", [sys.executable, "-c", DRIVER_SIM], cwd="/tmp")
+    run("oracle-gate", [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01"])
+    if not fast:
+        run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+        run("bench", [sys.executable, "bench.py"])
+    _record("all", True, time.time() - t0)
+    print(f"=== verify_all GREEN ({time.time() - t0:.1f}s{' fast' if fast else ''}) ===")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
