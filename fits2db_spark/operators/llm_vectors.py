@@ -38,6 +38,19 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _nearest_cells(dists, n):
+    """1-based indexes of the ``n`` smallest entries of a distance-array
+    column, tie-safe: each distance is paired with its cell index BEFORE
+    sorting, so duplicate distances (e.g. collapsed k-means centroids) still
+    yield DISTINCT cells. (An ``array_position`` lookup on the sorted raw
+    distances returns the first match for every tie — regression-tested in
+    tests/test_rows_only_quality.py::test_ivf_nearest_cells_tie_safe.)"""
+    pairs = F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, n), lambda s: (s["i"] + 1).cast("int")
+    )
+
+
 def _cos(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -401,11 +414,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
 
     def nearest(n):
-        d = F.transform(cent_array(), dist2_to)
-        srt = F.array_sort(d)
-        return F.transform(
-            F.slice(srt, 1, n), lambda v: F.array_position(d, v).cast("int")
-        )
+        return _nearest_cells(F.transform(cent_array(), dist2_to), n)
 
     for _ in range(iters):
         assigned = e.select(

@@ -381,3 +381,34 @@ def test_pca_matches_numpy(spark):
     ev = np.linalg.eigvalsh(np.cov(X.T, bias=True))[::-1]
     for k in range(8):
         assert abs(got[k + 1] - float(ev[k])) < 1e-6, (k, got[k + 1], float(ev[k]))
+
+
+def test_ivf_nearest_cells_tie_safe(spark):
+    """Duplicate centroid distances (Lloyd collapse) must still probe
+    DISTINCT cells — the round-3 array_position bug returned the first
+    matching cell for every tie, duplicating probes and potentially
+    ranking one neighbor at two rk positions."""
+    from fits2db_spark.operators.llm_vectors import _nearest_cells
+
+    # distances with a tie for nearest (cells 1 and 3 both at 0.5)
+    df = spark.range(1).select(
+        _nearest_cells(F.array(F.lit(0.5), F.lit(2.0), F.lit(0.5), F.lit(1.0)), 3).alias("cells")
+    )
+    [row] = df.collect()
+    assert sorted(row.cells) == [1, 3, 4], row.cells
+    assert len(set(row.cells)) == 3, f"duplicate probe cells: {row.cells}"
+
+
+def test_ann_ivf_no_duplicate_neighbors(spark):
+    """Every (query_id, neighbor_id) appears once and rk is dense 1..k."""
+    out = _q("sim_ann_ivf")(spark, SF_SMOKE).collect()
+    seen = {}
+    for r in out:
+        key = (r.query_id, r.neighbor_id)
+        assert key not in seen, f"neighbor ranked twice: {key}"
+        seen[key] = r.rk
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rk)
+    for qid, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), (qid, rks)
