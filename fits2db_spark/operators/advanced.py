@@ -626,7 +626,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev is not None:
             prev.unpersist()
         prev = ranks
-    return (
+    # Materialize the 20-row result eagerly, then release BOTH loop caches —
+    # edges.persist() previously outlived every invocation (round-3 storage
+    # leak). The checkpointed result is 20 rows; executor storage is flat
+    # across repeated invocations (tests/test_rows_only_quality.py).
+    result = (
         ranks.select(
             F.col("src").alias("node_id"),
             F.when(F.col("src") >= 1_000_000, F.lit("part")).otherwise(F.lit("supplier")).alias(
@@ -636,7 +640,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank").desc(), "node_id")
         .limit(20)
+        .localCheckpoint(eager=True)
     )
+    ranks.unpersist()
+    edges.unpersist()
+    return result
 
 
 from ..registry import deprioritize  # noqa: E402

@@ -412,3 +412,14 @@ def test_ann_ivf_no_duplicate_neighbors(spark):
         per_q.setdefault(r.query_id, []).append(r.rk)
     for qid, rks in per_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), (qid, rks)
+
+
+def test_pagerank_storage_flat_across_invocations(spark):
+    """Repeated pagerank invocations must not accumulate executor storage
+    (round-3 leak: edges.persist() was never released). Each invocation may
+    leave only its tiny 20-row checkpointed result behind."""
+    _q("graph_pagerank")(spark, SF_SMOKE).collect()
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    _q("graph_pagerank")(spark, SF_SMOKE).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - base <= 1, f"storage grew {base}->{after} on reinvocation"
