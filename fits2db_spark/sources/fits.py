@@ -16,6 +16,7 @@ reference's philosophy). Type map per SURVEY.md §1.2:
     L -> boolean   X -> binary(bitfield)  B -> short (unsigned byte)
     I -> short     J -> int               K -> long
     E -> float     D -> double            A<n> -> string
+    C -> struct<re:float,im:float>        M -> struct<re:double,im:double>
     rT (repeat>1) -> array<T>
 
 Variable-length array columns (``PT(max)`` 32-bit / ``QT(max)`` 64-bit
@@ -55,7 +56,15 @@ from pyspark.sql.types import (
 BLOCK = 2880
 CARD = 80
 
-_TFORM_RE = re.compile(r"^(\d*)([LXBIJKED]|A\d*|[PQ].*)$")
+_TFORM_RE = re.compile(r"^(\d*)([LXBIJKEDCM]|A\d*|[PQ].*)$")
+
+
+def _complex_struct(t: DataType) -> StructType:
+    """SURVEY.md §1.2: FITS complex (C = 2xfloat32, M = 2xfloat64) maps to
+    struct<re,im> — SQL has no complex scalar, and a struct keeps the pair
+    queryable (col.re / col.im) without the lossy split into two columns."""
+    return StructType([StructField("re", t, True), StructField("im", t, True)])
+
 
 # TFORM letter -> (numpy dtype char (big-endian), spark type)
 _SCALAR_MAP: dict[str, tuple[str, DataType]] = {
@@ -66,6 +75,8 @@ _SCALAR_MAP: dict[str, tuple[str, DataType]] = {
     "K": (">i8", LongType()),
     "E": (">f4", FloatType()),
     "D": (">f8", DoubleType()),
+    "C": (">c8", _complex_struct(FloatType())),
+    "M": (">c16", _complex_struct(DoubleType())),
 }
 
 
@@ -248,7 +259,7 @@ def _parse_columns(cards: dict) -> list[dict]:
             # descriptor — 2x int32 for P, 2x int64 for Q; elements live in
             # the heap after the fixed-width rows (THEAP/PCOUNT)
             elem = letter[1] if len(letter) > 1 else ""
-            if elem not in _SCALAR_MAP:
+            if elem not in _SCALAR_MAP or elem in "CM":
                 raise FitsFormatError(
                     f"variable-length element type {elem!r} not supported (TFORM{i}={tform!r})"
                 )
@@ -312,6 +323,8 @@ def _physical_type(letter: str, stype: DataType, tscale: float, tzero: float):
     wrapped."""
     if tscale == 1.0 and tzero == 0.0:
         return stype, "raw"
+    if letter in "CM":
+        raise FitsFormatError("TSCAL/TZERO on complex (C/M) columns is not supported")
     if letter in "BIJK" and tscale == 1.0 and float(tzero).is_integer():
         if letter == "K":
             raise FitsFormatError("K with TZERO offset (uint64) is not representable")
@@ -446,6 +459,16 @@ def to_arrow_columns(schema: StructType, out: list):
     masked arrays carry their TNULL nulls into Arrow validity bitmaps."""
     import pyarrow as pa
 
+    def _plain(flat: np.ndarray) -> "pa.Array":
+        # complex (FITS C/M) -> struct<re,im>; Arrow has no complex type
+        if np.issubdtype(flat.dtype, np.complexfloating):
+            return pa.StructArray.from_arrays(
+                [pa.array(np.ascontiguousarray(flat.real)),
+                 pa.array(np.ascontiguousarray(flat.imag))],
+                ["re", "im"],
+            )
+        return pa.array(flat)
+
     arrs = []
     for field, a in zip(schema.fields, out):
         if isinstance(a, np.ndarray) and a.ndim == 2:
@@ -453,11 +476,13 @@ def to_arrow_columns(schema: StructType, out: list):
             if isinstance(a, np.ma.MaskedArray):
                 flat = pa.array(a.data.ravel(), mask=a.mask.ravel())
             else:
-                flat = pa.array(a.ravel())
+                flat = _plain(a.ravel())
             offsets = pa.array(np.arange(n + 1, dtype="i4") * r)
             arrs.append(pa.ListArray.from_arrays(offsets, flat))
         elif isinstance(a, np.ma.MaskedArray):
             arrs.append(pa.array(a.data, mask=np.ma.getmaskarray(a)))
+        elif isinstance(a, np.ndarray):
+            arrs.append(_plain(a))
         else:
             arrs.append(pa.array(a))
     return arrs
