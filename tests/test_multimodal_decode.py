@@ -1,0 +1,117 @@
+"""Pure-numpy image decoder unit tests (multimodal.py): synthetic bytes in,
+exact pixels out — no Spark session needed."""
+
+import numpy as np
+import pytest
+
+from fits2db_spark.operators.multimodal import (
+    ImageFormatError,
+    decode_bmp,
+    decode_image,
+    decode_pnm,
+    image_features,
+    resize_nearest,
+)
+
+
+def _ppm_bytes(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype("u1").tobytes()
+
+
+def _bmp_bytes(img: np.ndarray, bottom_up: bool = True) -> bytes:
+    """Minimal uncompressed 24bpp BMP writer (BITMAPINFOHEADER)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype="u1")
+    bgr = img[:, :, [2, 1, 0]]
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    if bottom_up:
+        rows = rows[::-1]
+    px = rows.tobytes()
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[2:6] = (54 + len(px)).to_bytes(4, "little")
+    header[10:14] = (54).to_bytes(4, "little")
+    header[14:18] = (40).to_bytes(4, "little")
+    header[18:22] = w.to_bytes(4, "little")
+    header[22:26] = (h if bottom_up else -h).to_bytes(4, "little", signed=True)
+    header[26:28] = (1).to_bytes(2, "little")
+    header[28:30] = (24).to_bytes(2, "little")
+    return bytes(header) + px
+
+
+RNG = np.random.default_rng(7)
+IMG = RNG.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip_exact_pixels():
+    np.testing.assert_array_equal(decode_pnm(_ppm_bytes(IMG)), IMG)
+
+
+def test_ppm_header_comments_and_whitespace():
+    blob = b"P6\n# a comment\n 7\t5 # inline\n255\n" + IMG.tobytes()
+    np.testing.assert_array_equal(decode_pnm(blob), IMG)
+
+
+def test_pgm_grayscale():
+    g = IMG[:, :, 0:1]
+    blob = f"P5\n{g.shape[1]} {g.shape[0]}\n255\n".encode() + g.tobytes()
+    out = decode_pnm(blob)
+    assert out.shape == (5, 7, 1)
+    np.testing.assert_array_equal(out, g)
+
+
+def test_ppm_16bit_maxval():
+    img16 = RNG.integers(0, 65536, size=(3, 4, 3), dtype=np.uint16)
+    blob = b"P6\n4 3\n65535\n" + img16.astype(">u2").tobytes()
+    np.testing.assert_array_equal(decode_pnm(blob), img16)
+
+
+def test_bmp_roundtrip_bottom_up_and_top_down():
+    np.testing.assert_array_equal(decode_bmp(_bmp_bytes(IMG, True)), IMG)
+    np.testing.assert_array_equal(decode_bmp(_bmp_bytes(IMG, False)), IMG)
+
+
+def test_bmp_row_padding():
+    # width 3 -> 9-byte rows padded to 12; padding must not leak into pixels
+    img = RNG.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(_bmp_bytes(img)), img)
+
+
+def test_bmp_compressed_rejected():
+    blob = bytearray(_bmp_bytes(IMG))
+    blob[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(ImageFormatError, match="compressed"):
+        decode_bmp(bytes(blob))
+
+
+def test_pnm_truncated_header_rejected():
+    with pytest.raises(ImageFormatError, match="truncated"):
+        decode_pnm(b"P6\n7 ")
+
+
+def test_decode_image_dispatch():
+    assert decode_image(_ppm_bytes(IMG)) == (7, 5, 3)
+    assert decode_image(_bmp_bytes(IMG)) == (7, 5, 3)
+    # unknown formats take the documented deterministic fallback
+    w, h, c = decode_image(b"\x89PNG\r\n\x1a\nfakefake")
+    assert c == 3 and w >= 64 and h >= 64
+
+
+def test_resize_nearest_shapes_and_identity():
+    up = resize_nearest(IMG, 14, 10)
+    assert up.shape == (10, 14, 3)
+    np.testing.assert_array_equal(resize_nearest(IMG, 7, 5), IMG)
+    # 2x upscale of a constant image stays constant
+    const = np.full((2, 2, 3), 9, dtype="u1")
+    assert (resize_nearest(const, 4, 4) == 9).all()
+
+
+def test_image_features_known_values():
+    img = np.zeros((2, 2, 3), dtype="u1")
+    img[:, :, 0] = 30  # R=30, G=0, B=0 everywhere
+    f = image_features(img)
+    assert f["mean_r"] == 30.0 and f["mean_g"] == 0.0 and f["mean_b"] == 0.0
+    assert f["mean_lum"] == 10.0
+    assert f["std_lum"] == 0.0

@@ -93,18 +93,29 @@ def test_matmul_topk_matches_expression_topk(spark):
     assert mm == bf, {k: (bf.get(k), mm.get(k)) for k in set(bf) ^ set(mm) | set(bf)}
 
 
-def test_decode_stub_consistent_with_payload(spark):
-    from fits2db_spark.operators.multimodal import decode_image
+def test_decode_features_real_ppm_decode(spark):
+    """mm_decode_features must run the REAL PPM decoder on the JVM-built
+    payloads: dims, byte counts, and pixel features all match an
+    independent Python decode of the same bytes."""
+    from fits2db_spark.operators.multimodal import (
+        decode_pnm,
+        image_features,
+        ppm_fixture_payload,
+    )
     from fits2db_spark.tables import load
 
     rows = {r.doc_id: r for r in _q("mm_decode_features")(spark, SF_SMOKE).collect()}
     docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200).collect()
     assert len(rows) == len(docs)
     for d in docs[:20]:
-        payload = d.text.encode("utf-8")
-        w, h, c = decode_image(payload)
+        payload = ppm_fixture_payload(d.text, d.doc_id, d.n_chars)
+        img = decode_pnm(payload)
+        feats = image_features(img)
         r = rows[d.doc_id]
-        assert (r.width, r.height, r.channels, r.n_bytes) == (w, h, c, len(payload))
+        assert (r.width, r.height, r.channels) == (img.shape[1], img.shape[0], 3)
+        assert r.n_bytes == len(payload)
+        assert r.mean_lum == round(feats["mean_lum"], 4)
+        assert r.std_lum == round(feats["std_lum"], 4)
 
 
 def test_soundex_shape(spark):
