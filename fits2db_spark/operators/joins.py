@@ -221,37 +221,38 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties on o_orderdate resolve to the highest o_orderkey (orders sort before
     events at identical timestamps via the kind column).
     """
+    # Carried order columns ride the shuffle as ONE nullable struct: the
+    # union is 5 columns wide instead of 6 and the window computes a single
+    # last(ignorenulls) instead of two. The struct's field order also makes
+    # the tie sort key (orderkey) available without an extra column.
     ev = load(spark, sf_dir, "events").select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
         F.lit(1).alias("kind"),
         "event_id",
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>").alias("ov"),
     )
     od = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("t"),
         F.lit(0).alias("kind"),
         F.lit(None).cast("long").alias("event_id"),
-        "o_orderkey",
-        "o_totalprice",
+        F.struct("o_orderkey", "o_totalprice").alias("ov"),
     )
     w = (
         Window.partitionBy("k")
-        .orderBy("t", "kind", F.col("o_orderkey").asc_nulls_last())
+        .orderBy("t", "kind", F.col("ov.o_orderkey").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = ev.unionByName(od)
     return (
-        u.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
-        .withColumn("asof_total", F.last("o_totalprice", ignorenulls=True).over(w))
+        u.withColumn("asof", F.last("ov", ignorenulls=True).over(w))
         .filter(F.col("kind") == 1)
         .select(
             "event_id",
             F.col("k").alias("user_id"),
-            "asof_orderkey",
-            F.round("asof_total", 2).alias("asof_totalprice"),
+            F.col("asof.o_orderkey").alias("asof_orderkey"),
+            F.round(F.col("asof.o_totalprice"), 2).alias("asof_totalprice"),
         )
     )
 
@@ -361,37 +362,36 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("t"),
         F.lit(1).alias("kind"),
         "event_id",
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None)
+        .cast("struct<o_orderkey:bigint,o_totalprice:double,o_t:timestamp>")
+        .alias("ov"),
     )
     od = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("t"),
         F.lit(0).alias("kind"),
         F.lit(None).cast("long").alias("event_id"),
-        "o_orderkey",
-        "o_totalprice",
+        F.struct(
+            "o_orderkey", "o_totalprice", F.col("o_orderdate").alias("o_t")
+        ).alias("ov"),
     )
     w = (
         Window.partitionBy("k")
-        .orderBy("t", "kind", F.col("o_orderkey").asc_nulls_last())
+        .orderBy("t", "kind", F.col("ov.o_orderkey").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = ev.unionByName(od)
-    order_t = F.when(F.col("kind") == 0, F.col("t"))
-    within = F.col("asof_t").isNotNull() & (
-        F.col("asof_t") >= F.col("t") - F.expr("INTERVAL 90 DAYS")
+    within = F.col("asof.o_t").isNotNull() & (
+        F.col("asof.o_t") >= F.col("t") - F.expr("INTERVAL 90 DAYS")
     )
     return (
-        u.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
-        .withColumn("asof_total", F.last("o_totalprice", ignorenulls=True).over(w))
-        .withColumn("asof_t", F.last(order_t, ignorenulls=True).over(w))
+        u.withColumn("asof", F.last("ov", ignorenulls=True).over(w))
         .filter(F.col("kind") == 1)
         .select(
             "event_id",
             F.col("k").alias("user_id"),
-            F.when(within, F.col("asof_orderkey")).alias("asof_orderkey"),
-            F.round(F.when(within, F.col("asof_total")), 2).alias("asof_totalprice"),
+            F.when(within, F.col("asof.o_orderkey")).alias("asof_orderkey"),
+            F.round(F.when(within, F.col("asof.o_totalprice")), 2).alias("asof_totalprice"),
         )
     )
 
