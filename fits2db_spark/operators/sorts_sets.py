@@ -98,9 +98,10 @@ _AB_SQL = """
 
 
 # Round 3: each set-op family is one registered key covering BOTH the bag
-# (ALL) and set (DISTINCT) semantics via a `mode` tag column, so the whole
-# family fits the external driver's ~50-key verification window while every
-# row of both variants is still value-hashed against the oracle.
+# (ALL) and set (DISTINCT) semantics via a `mode` tag column — fewer total
+# registry keys, so more of the registry fits the external driver's per-round
+# verification budget, while every row of both variants is still value-hashed
+# against the oracle.
 
 
 @register(

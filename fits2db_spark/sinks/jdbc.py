@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .ddl import jdbc_column_types
 
 MODES = ("create", "append", "overwrite", "truncate")
 
