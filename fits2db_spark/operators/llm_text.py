@@ -760,7 +760,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_components")  # rows-only: iterative fixpoint, not one SQL query
+# The ENGINE is iterative (label propagation / star-contraction), but the
+# RESULT — connected components of the near-dup pair graph — is fully
+# SQL-reproducible: DuckDB computes the same pair graph (the jaccard oracle)
+# and closes it with a recursive CTE, so both CC variants get the full
+# row-count + schema + value-hash check instead of a rows-only pass.
+def _cc_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_SH_DF_CAP}),
+    shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    jp AS (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+            >= {_JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.node = e.v
+    ),
+    labels AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+    SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(node) AS keep_doc
+    FROM labels GROUP BY comp HAVING COUNT(*) > 1
+    """
+
+
+@register("dedup_components", oracle=_cc_oracle_sql())
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph -> canonical doc
     per duplicate cluster (the final step of corpus dedup: keep one doc per
@@ -994,7 +1041,7 @@ def _cc_sym(e: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_components_bigstar")  # rows-only: iterative, not SQL-expressible
+@register("dedup_components_bigstar", oracle=_cc_oracle_sql())
 def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     (Kiveris et al., "Connected Components in MapReduce and Beyond") — the

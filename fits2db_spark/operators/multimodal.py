@@ -163,7 +163,49 @@ def ppm_fixture_payload(text: str, doc_id: int, n_chars: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode("ascii") + body.encode("ascii")
 
 
-@register("mm_decode_features")  # rows-only: pixel features engine-local
+@register(
+    "mm_decode_features",
+    # The decode is REAL but the payload is deterministic (P6 header +
+    # md5-hex pixel bytes), so DuckDB can re-derive every output column —
+    # including the pixel statistics — from the same fixture rows: the
+    # oracle rebuilds the payload string, re-extracts the ASCII pixel
+    # values with list lambdas, and mirrors numpy's two-pass population
+    # std. round_even(4) matches Python's banker's rounding — the byte means
+    # are rationals like 21/32 that land EXACTLY on .00005 ties, where
+    # DuckDB's ROUND (half-up) and Python round (half-even) disagree.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(n_chars % 16 + 4 AS INT) AS w,
+             CAST(doc_id % 12 + 4 AS INT) AS h,
+             md5(text) AS mh
+      FROM documents WHERE doc_id < 200
+    ),
+    pay AS (
+      SELECT doc_id, w, h, 3*w*h AS need,
+             substr(repeat(mh, (3*w*h) // 32 + 1), 1, 3*w*h) AS body
+      FROM base
+    ),
+    feats AS (
+      SELECT doc_id, w, h, need,
+             list_transform(generate_series(1, need),
+                            i -> CAST(ascii(substr(body, i, 1)) AS DOUBLE)) AS bytes,
+             list_transform(generate_series(0, w*h - 1),
+                            i -> (ascii(substr(body, 3*i+1, 1))
+                                  + ascii(substr(body, 3*i+2, 1))
+                                  + ascii(substr(body, 3*i+3, 1))) / 3.0) AS lums
+      FROM pay
+    ),
+    mus AS (SELECT *, list_avg(lums) AS mu FROM feats)
+    SELECT doc_id, w AS width, h AS height, 3 AS channels,
+           CAST(3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR))
+                + 5 + need AS BIGINT) AS n_bytes,
+           round_even(list_avg(bytes), 4) AS mean_lum,
+           round_even(sqrt(list_avg(list_transform(lums, x -> (x - mu) * (x - mu)))), 4)
+             AS std_lum
+    FROM mus
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary image column -> decoded metadata + pixel features via
     mapInPandas: Arrow batches of binary payloads into Python, fixed scalar
