@@ -184,7 +184,27 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_matmul")  # rows-only: numpy GEMM sum order != SQL fold
+def _matmul_oracle() -> str:
+    # GEMM accumulation order differs from DuckDB's sequential list fold,
+    # but both run in f8 where 64-term dot products agree to ~1e-15 —
+    # ROUND(6) absorbs that; round_even mirrors np.round's banker's ties.
+    from .llm_vectors import _d_cos
+
+    return f"""
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round_even({_d_cos('q.embedding', 'c.embedding')}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round_even({_d_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                        c.vec_id) AS rk
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 8 AND c.vec_id != q.vec_id) t
+    WHERE rk <= 5
+    """
+
+
+@register("sim_topk_matmul", oracle=_matmul_oracle())
 def sim_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force ANN, block-matmul formulation — the 100 TB scale path for
     large query sets (SURVEY.md §4): broadcast the query matrix, GEMM each

@@ -112,7 +112,50 @@ def fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_soundex")  # rows-only: DuckDB has no soundex
+@register(
+    "fn_soundex",
+    # DuckDB ships no soundex, but Spark's variant is a small deterministic
+    # automaton, reproduced here exactly (verified against F.soundex on edge
+    # cases this round): letters map via translate() to codes with H/W='7'
+    # (skipped, does NOT reset), vowels AND any non-letter ='0' (resets the
+    # last code), adjacent equal codes collapse, result is first letter +
+    # 3 codes zero-padded; a non-letter FIRST character returns the input
+    # unchanged. The fold is a list_reduce over "result||lastCode" states.
+    oracle="""
+    WITH ch AS (
+      SELECT p_partkey, p_name,
+             list_transform(generate_series(1, length(p_name)),
+                            i -> substr(upper(p_name), i, 1)) AS cs
+      FROM part
+    ),
+    cod AS (
+      SELECT *, list_transform(cs, c -> CASE
+               WHEN c BETWEEN 'A' AND 'Z'
+               THEN translate(c, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 '01230127022455012623017202')
+               ELSE '0' END) AS ks
+      FROM ch
+    ),
+    st AS (
+      SELECT *, list_reduce(
+        list_prepend(cs[1] || ks[1], ks[2:]),
+        (acc, k) -> CASE
+          WHEN k = '7' THEN acc
+          WHEN k = '0' THEN substr(acc, 1, length(acc) - 1) || '0'
+          WHEN k = substr(acc, length(acc), 1) THEN acc
+          WHEN length(acc) <= 4
+            THEN substr(acc, 1, length(acc) - 1) || k || k
+          ELSE substr(acc, 1, length(acc) - 1) || k
+        END) AS state
+      FROM cod
+    )
+    SELECT p_partkey,
+           CASE WHEN cs[1] BETWEEN 'A' AND 'Z'
+                THEN rpad(substr(state, 1, length(state) - 1), 4, '0')
+                ELSE p_name END AS sx_name
+    FROM st
+    """,
+)
 def fn_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     return p.select("p_partkey", F.soundex("p_name").alias("sx_name"))
