@@ -597,7 +597,42 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank")  # rows-only: iterative fixpoint
+def _pagerank_oracle() -> str:
+    # Fixed iteration count makes the "iterative" fixpoint SQL-expressible:
+    # unroll the 5 damped power iterations as chained CTEs. Per-node
+    # contribution sums fold in different orders across engines (ulp noise);
+    # ROUND(6) on the output absorbs it, and ties order by node_id on both
+    # sides, so the top-20 cut is deterministic.
+    it = """
+    r{b} AS (
+      SELECT n.node, 0.15 + 0.85 * COALESCE(s.t, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / d.deg) AS t
+        FROM edges e
+        JOIN r{a} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.node = n.node
+    )"""
+    rounds = ",".join(it.format(a=i, b=i + 1) for i in range(5))
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_partkey + 1000000 AS src, l_suppkey AS dst FROM lineitem
+    ),
+    edges AS (SELECT src, dst FROM li UNION ALL SELECT dst AS src, src AS dst FROM li),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+    {rounds}
+    SELECT node AS node_id,
+           CASE WHEN node >= 1000000 THEN 'part' ELSE 'supplier' END AS node_type,
+           ROUND(rank, 6) AS rank
+    FROM r5
+    ORDER BY ROUND(rank, 6) DESC, node
+    LIMIT 20
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 damped power iterations, d=0.85) over the part-supplier
     bipartite graph from lineitem — the iterative-graph-analytics shape
