@@ -143,9 +143,18 @@ def warm_cache(spark: SparkSession, sf_dir: str, partitions: int | None = None) 
     import os
 
     n_parts = partitions or min(int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8), 32)
+    # Fact tables are repartitioned BY KEY, not round-robin: the cached
+    # InMemoryRelation then reports hashpartitioning on the table's primary
+    # join/group key, and Catalyst elides the exchange in key-aligned joins
+    # and aggregations — the cache-layer equivalent of the bucketed layout a
+    # 100 TB deployment writes these tables in (tests/test_bucketing.py
+    # proves the on-disk variant).
+    _KEYED = {"lineitem": "l_orderkey", "orders": "o_orderkey", "events": "user_id"}
     for name in TABLE_NAMES:
         df = load(spark, sf_dir, name, _use_cache=False)
-        if name in ("lineitem", "orders", "events", "documents", "embeddings"):
+        if name in _KEYED:
+            df = df.repartition(n_parts, _KEYED[name])
+        elif name in ("documents", "embeddings"):
             df = df.repartition(n_parts)
         df = df.cache()
         df.count()  # materialize
