@@ -137,7 +137,53 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderstatus")
 
 
-@register("vec_kmeans")  # rows-only: iterative refinement is not one SQL query
+def _kmeans_oracle(k: int = 5, iters: int = 5, d: int = 64) -> str:
+    # Deterministic init + fixed iteration count -> unroll the Lloyd rounds
+    # as chained CTEs (same trick as the pagerank oracle). Assignment ties
+    # go to the lowest cluster index on both sides (Spark: array_position of
+    # the min; SQL: ROW_NUMBER ordered by dist, cluster). Centroid averages
+    # fold in different orders across engines, but assignment margins are
+    # many orders above the ~1e-13 ulp noise, and ROUND(6) absorbs it in
+    # the reported avg_dist2.
+    def dist2(emb: str, cent: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {d}), i -> "
+            f"(CAST({emb}[i] AS DOUBLE) - {cent}[i])"
+            f" * (CAST({emb}[i] AS DOUBLE) - {cent}[i])))"
+        )
+
+    ctes = [
+        "emb AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+      SELECT CAST(vec_id + 1 AS INT) AS cluster,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM embeddings WHERE vec_id < {k})""",
+    ]
+    for n in range(1, iters + 1):
+        ctes.append(f"""a{n} AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist2('e.embedding', 'c.centroid')},
+                                           c.cluster) AS rk
+        FROM emb e CROSS JOIN c{n - 1} c) WHERE rk = 1)""")
+        if n < iters:
+            ctes.append(f"""c{n} AS (
+      SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+        SELECT cluster, gs.i AS pos,
+               AVG(CAST(a{n}.embedding[gs.i] AS DOUBLE)) AS m
+        FROM a{n}, generate_series(1, {d}) gs(i)
+        GROUP BY cluster, gs.i) GROUP BY cluster)""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG({dist2('a.embedding', 'c.centroid')}), 6) AS avg_dist2
+    FROM a{iters} a JOIN c{iters - 1} c USING (cluster)
+    GROUP BY cluster
+    """
+
+
+@register("vec_kmeans", oracle=_kmeans_oracle())
 def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (Lloyd's) over the embedding column, pure DataFrame ops.
 

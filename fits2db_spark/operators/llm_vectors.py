@@ -382,7 +382,68 @@ from ..registry import deprioritize  # noqa: E402
 deprioritize("sim_range_search")
 
 
-@register("sim_ann_ivf")  # rows-only: iterative k-means training
+def _ivf_oracle(k: int = 8, iters: int = 3, nprobe: int = 3, d: int = _DIM) -> str:
+    # Same unrolled-Lloyd trick as the vec_kmeans oracle (deterministic
+    # init, fixed rounds), then the probe phase in plain SQL: top-nprobe
+    # cells per query (ties to the lower cell, mirroring the tie-safe
+    # struct sort in _nearest_cells), equi-join on cell, exact cosine rank.
+    def dist2(emb: str, cent: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {d}), i -> "
+            f"(CAST({emb}[i] AS DOUBLE) - {cent}[i])"
+            f" * (CAST({emb}[i] AS DOUBLE) - {cent}[i])))"
+        )
+
+    ctes = [
+        "emb AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+      SELECT CAST(vec_id + 1 AS INT) AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM embeddings WHERE vec_id < {k})""",
+    ]
+    for n in range(1, iters + 1):
+        ctes.append(f"""a{n} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist2('e.embedding', 'c.centroid')},
+                                           c.cell) AS rk
+        FROM emb e CROSS JOIN c{n - 1} c) WHERE rk = 1)""")
+        ctes.append(f"""c{n} AS (
+      SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+        SELECT cell, gs.i AS pos,
+               AVG(CAST(a{n}.embedding[gs.i] AS DOUBLE)) AS m
+        FROM a{n}, generate_series(1, {d}) gs(i)
+        GROUP BY cell, gs.i) GROUP BY cell)""")
+    cf = f"c{iters}"
+    return f"""
+    WITH {','.join(ctes)},
+    corpus AS (
+      SELECT vec_id AS neighbor_id, embedding AS ce, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist2('e.embedding', 'c.centroid')},
+                                           c.cell) AS rk
+        FROM emb e CROSS JOIN {cf} c) WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qe, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist2('e.embedding', 'c.centroid')},
+                                           c.cell) AS rk
+        FROM emb e CROSS JOIN {cf} c
+        WHERE e.vec_id < 10) WHERE rk <= {nprobe})
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rk FROM (
+      SELECT p.query_id, c.neighbor_id, {_d_cos('p.qe', 'c.ce')} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                ORDER BY {_d_cos('p.qe', 'c.ce')} DESC,
+                                         c.neighbor_id) AS rk
+      FROM probes p JOIN corpus c USING (cell)
+      WHERE c.neighbor_id != p.query_id) WHERE rk <= 3
+    """
+
+
+@register("sim_ann_ivf", oracle=_ivf_oracle())
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via an IVF (inverted-file) coarse quantizer — the other classic
     100 TB similarity-search rung next to sign-LSH (`sim_ann_lsh`): train k
