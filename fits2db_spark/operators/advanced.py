@@ -194,12 +194,16 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the driver — the assignment pass streams at any corpus size."""
     k, iters = 5, 5
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # cents carries (label, centroid) pairs: labels stay STABLE if a Lloyd
+    # round empties a cluster (a positional list would silently relabel all
+    # higher clusters and diverge from the oracle's stable-label CTEs).
     cents = [
-        [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        (i + 1, [float(x) for x in r.embedding])
+        for i, r in enumerate(e.filter(F.col("vec_id") < k).orderBy("vec_id").collect())
     ]
     for _ in range(iters):
-        cent_col = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+        cent_col = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
+        label_col = F.array(*[F.lit(lb) for lb, _ in cents])
         dist2 = lambda c: F.aggregate(  # noqa: E731
             F.zip_with(F.col("embedding"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
             F.lit(0.0),
@@ -208,10 +212,13 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = e.select(
             "vec_id",
             "embedding",
-            F.array_position(
-                F.transform(cent_col, dist2),
-                F.array_min(F.transform(cent_col, dist2)),
-            ).cast("int").alias("cluster"),
+            F.element_at(
+                label_col,
+                F.array_position(
+                    F.transform(cent_col, dist2),
+                    F.array_min(F.transform(cent_col, dist2)),
+                ).cast("int"),
+            ).alias("cluster"),
         )
         new_cents = (
             assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
@@ -223,10 +230,13 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster")
             .collect()
         )
-        cents = [[float(x) for x in r.centroid] for r in new_cents]
+        cents = [(int(r.cluster), [float(x) for x in r.centroid]) for r in new_cents]
+    own_cent = F.element_at(
+        cent_col, F.array_position(label_col, F.col("cluster")).cast("int")
+    )
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(dist2(F.element_at(cent_col, F.col("cluster")))), 6).alias("avg_dist2"),
+        F.round(F.avg(dist2(own_cent)), 6).alias("avg_dist2"),
     )
 
 
@@ -278,13 +288,18 @@ def sim_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qi, qid in enumerate(bq_ids.value):
                 s = sims[qi]
                 mask = ids != qid
-                idx = np.argsort(-s[mask])[:k]
-                cand_ids = ids[mask][idx]
+                # the batch cut must use the SAME ordering as the global
+                # window (rounded value desc, neighbor id asc): cutting on
+                # the unrounded value could keep the ulp-larger of two
+                # round-to-equal candidates and drop the one the final
+                # (rounded, neighbor_id) rank would have chosen
+                rounded = np.round(s[mask], 6)
+                idx = np.lexsort((ids[mask], -rounded))[:k]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "neighbor_id": cand_ids,
-                        "cos_sim": np.round(s[mask][idx], 6),
+                        "neighbor_id": ids[mask][idx],
+                        "cos_sim": rounded[idx],
                     }
                 )
 

@@ -457,9 +457,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_rows_only_quality.py."""
     k, iters, nprobe = 8, 3, 3
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # (label, centroid) pairs: cell labels stay stable if a Lloyd round
+    # empties a cell (positional collapse would relabel every higher cell
+    # and diverge from the oracle's stable-label CTEs)
     cents = [
-        [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        (i + 1, [float(x) for x in r.embedding])
+        for i, r in enumerate(e.filter(F.col("vec_id") < k).orderBy("vec_id").collect())
     ]
 
     def dist2_to(c):
@@ -472,17 +475,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def cent_array():
-        return F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+        return F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
 
     def nearest(n):
-        return _nearest_cells(F.transform(cent_array(), dist2_to), n)
+        # _nearest_cells yields POSITIONS into cents; map to stable labels
+        labels = F.array(*[F.lit(lb) for lb, _ in cents])
+        return F.transform(
+            _nearest_cells(F.transform(cent_array(), dist2_to), n),
+            lambda p: F.element_at(labels, p),
+        )
 
     for _ in range(iters):
         assigned = e.select(
             "vec_id", "embedding", F.element_at(nearest(1), 1).alias("cell")
         )
         cents = [
-            [float(x) for x in r.centroid]
+            (int(r.cell), [float(x) for x in r.centroid])
             for r in (
                 assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
                 .groupBy("cell", "pos")

@@ -65,6 +65,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if payload[:2] != b"BM":
         raise ImageFormatError("not a BMP payload")
     px_off = int(np.frombuffer(payload, "<u4", 1, 10)[0])
+    dib_size = int(np.frombuffer(payload, "<u4", 1, 14)[0])
     w = int(np.frombuffer(payload, "<i4", 1, 18)[0])
     h_raw = int(np.frombuffer(payload, "<i4", 1, 22)[0])
     bpp = int(np.frombuffer(payload, "<u2", 1, 28)[0])
@@ -80,7 +81,18 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     img = rows[:, : w * c].reshape(h, w, c)
     if bottom_up:
         img = img[::-1]
-    if c >= 3:  # BGR(A) -> RGB(A)
+    if c == 1:
+        # 8bpp pixels index the mandatory BGRA color table (right after the
+        # DIB header) — resolve through the palette; a pure-gray palette
+        # yields one channel, anything else expands to RGB
+        n_colors = int(np.frombuffer(payload, "<u4", 1, 46)[0]) or 256
+        pal = np.frombuffer(payload, "u1", n_colors * 4, 14 + dib_size).reshape(-1, 4)
+        rgb = pal[img[:, :, 0]][:, :, [2, 1, 0]]  # BGRA rows -> RGB lookup
+        if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (rgb[:, :, 1] == rgb[:, :, 2]).all():
+            img = rgb[:, :, :1]
+        else:
+            img = rgb
+    elif c >= 3:  # BGR(A) -> RGB(A)
         img = img[:, :, [2, 1, 0] + ([3] if c == 4 else [])]
     return np.ascontiguousarray(img)
 
@@ -111,15 +123,19 @@ def image_features(img: np.ndarray) -> dict:
 def decode_image(payload: bytes) -> tuple[int, int, int]:
     """Image payload -> (width, height, channels).
 
-    REAL decode for PPM/PGM/BMP (pure numpy, above); other formats fall
-    back to a deterministic fake (documented: JPEG/PNG need codec libs not
-    present here) so unknown binaries never kill a batch."""
-    if payload[:2] in (b"P5", b"P6"):
-        img = decode_pnm(payload)
-        return img.shape[1], img.shape[0], img.shape[2]
-    if payload[:2] == b"BM":
-        img = decode_bmp(payload)
-        return img.shape[1], img.shape[0], img.shape[2]
+    REAL decode for PPM/PGM/BMP (pure numpy, above); other formats — and
+    MALFORMED payloads of a known format — fall back to a deterministic
+    fake (documented: JPEG/PNG need codec libs not present here) so no
+    payload ever kills a whole Arrow batch."""
+    try:
+        if payload[:2] in (b"P5", b"P6"):
+            img = decode_pnm(payload)
+            return img.shape[1], img.shape[0], img.shape[2]
+        if payload[:2] == b"BM":
+            img = decode_bmp(payload)
+            return img.shape[1], img.shape[0], img.shape[2]
+    except (ImageFormatError, ValueError, IndexError):
+        pass  # corrupt header/body: take the deterministic fallback below
     w = 64 + (payload[0] if payload else 0) % 192 if payload else 64
     h = 64 + (payload[-1] if payload else 0) % 192 if payload else 64
     return int(w), int(h), 3

@@ -142,7 +142,7 @@ def _ordered_names() -> list[str]:
             n for n in by_module.get(mod, []) if n not in out and n not in _DEPRIORITIZED
         )
     out.extend(n for n in _QUERIES if n not in out and n not in _DEPRIORITIZED)
-    out.extend(n for n in _QUERIES if n in _DEPRIORITIZED)
+    out.extend(n for n in _QUERIES if n in _DEPRIORITIZED and n not in out)
     return out
 
 

@@ -23,9 +23,18 @@ from pyspark.sql import SparkSession
 
 # Confs that are safe (and required) to set at runtime on a live session.
 # NOTE: events.parquet stores timestamp[ns]; PySpark 4.1.2 reads it natively
-# as TIMESTAMP_NTZ (µs-truncated) and the legacy nanosAsLong conf is inert —
-# tables.py branches on the actual loaded dtype instead of any conf here.
+# as TIMESTAMP_NTZ (µs-truncated) and the legacy nanosAsLong conf is inert
+# there — tables.py branches on the actual loaded dtype. The conf is still
+# set for OLDER builds that refuse TIMESTAMP(NANOS) without it (they then
+# take tables.py's int64 branch); on builds where it is static-only the
+# try/except below ignores the failure.
 _RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Timestamp semantics must be timezone-stable on ANY session the
+    # harness hands us: the NTZ->TIMESTAMP cast in tables.py and the
+    # datetime rendering at collect() both follow the session tz, and the
+    # DuckDB oracle compares naive UTC wall-clock values.
+    "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for pandas UDF / toPandas paths (vectorized exchange).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # AQE: runtime re-planning, partition coalescing, skew-join handling.

@@ -115,3 +115,47 @@ def test_image_features_known_values():
     assert f["mean_r"] == 30.0 and f["mean_g"] == 0.0 and f["mean_b"] == 0.0
     assert f["mean_lum"] == 10.0
     assert f["std_lum"] == 0.0
+
+
+def _bmp8_bytes(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal uncompressed 8bpp BMP with a color table."""
+    h, w = idx.shape
+    stride = (w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype="u1")
+    rows[:, :w] = idx
+    px = rows[::-1].tobytes()  # bottom-up
+    pal = np.zeros((256, 4), dtype="u1")
+    pal[: len(palette)] = palette  # BGRA entries
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[10:14] = (54 + 1024).to_bytes(4, "little")
+    header[14:18] = (40).to_bytes(4, "little")
+    header[18:22] = w.to_bytes(4, "little")
+    header[22:26] = h.to_bytes(4, "little")
+    header[26:28] = (1).to_bytes(2, "little")
+    header[28:30] = (8).to_bytes(2, "little")
+    return bytes(header) + pal.tobytes() + px
+
+
+def test_bmp_8bpp_palette_resolved():
+    idx = np.array([[0, 1], [1, 0]], dtype="u1")
+    # color palette (BGRA): entry0 = red, entry1 = blue -> must expand to RGB
+    color = np.array([[0, 0, 255, 0], [255, 0, 0, 0]], dtype="u1")
+    img = decode_bmp(_bmp8_bytes(idx, color))
+    assert img.shape == (2, 2, 3)
+    np.testing.assert_array_equal(img[0, 0], [255, 0, 0])  # red
+    np.testing.assert_array_equal(img[0, 1], [0, 0, 255])  # blue
+    # grayscale palette (inverted) -> single channel of palette VALUES
+    gray = np.array([[200, 200, 200, 0], [10, 10, 10, 0]], dtype="u1")
+    img = decode_bmp(_bmp8_bytes(idx, gray))
+    assert img.shape == (2, 2, 1)
+    np.testing.assert_array_equal(img[:, :, 0], [[200, 10], [10, 200]])
+
+
+def test_decode_image_malformed_known_magic_falls_back():
+    # valid magic, truncated body: must take the deterministic fallback,
+    # never raise out of the batch
+    w, h, c = decode_image(b"P6\n100 100\n255\nxx")
+    assert (w, h, c) == (64 + ord("P") % 192, 64 + ord("x") % 192, 3)
+    w2, h2, c2 = decode_image(b"BMgarbage")
+    assert c2 == 3 and w2 >= 64 and h2 >= 64
