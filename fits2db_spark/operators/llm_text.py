@@ -835,48 +835,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cluster_size") > 1)
         )
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Lineage is CUT each round (eager localCheckpoint; reliable
+    # checkpoint() on a real cluster): the per-round join references the
+    # previous labels, so uncut plans nest geometrically — the same
+    # analysis-cost pathology fixed in dedup_components_bigstar. Superseded
+    # checkpoint blocks are reclaimed by the ContextCleaner once their
+    # Python references drop.
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = d.select("doc_id", F.col("doc_id").alias("comp"))
-    # each round persists its labels and unpersists the superseded round's —
-    # executor storage stays O(1) rounds, not O(rounds) (round-1 advisory
-    # leak); the final round's cache backs the returned DataFrame and is
-    # retired on the next invocation.
-    prev_cached = None
-    try:
-        for _ in range(20):
-            neighbor_min = (
-                edges.join(labels, edges.doc_b == labels.doc_id)
-                .groupBy(F.col("doc_a").alias("doc_id"))
-                .agg(F.min("comp").alias("nb_comp"))
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+                "comp",
             )
-            updated = (
-                labels.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
-                        "new_comp"
-                    ),
-                    "comp",
-                )
-            ).persist()
-            changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = updated
-            labels = updated.select("doc_id", F.col("new_comp").alias("comp"))
-            if changed == 0:
-                break
-        if memo_key is not None:
-            _CC_FINAL_CACHE[memo_key] = prev_cached
-            prev_cached = None
-    finally:
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        # the returned plan re-derives edges from lineage if re-executed
-        # after this; correctness never depends on the cache
-        edges.unpersist()
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
+        labels = updated.select("doc_id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    if memo_key is not None:
+        _CC_FINAL_CACHE[memo_key] = updated
     return (
         labels.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keep_doc"))
