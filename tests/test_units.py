@@ -91,3 +91,29 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert exact, "fixture should contain at least one strong near-dup pair"
     missed = exact - lsh
     assert len(missed) <= max(1, len(exact) // 10), f"LSH recall too low: missed {missed}"
+
+
+def test_runtime_confs_contract(spark):
+    """ensure_runtime_confs: pins UTC + Arrow + AQE, right-sizes the
+    shuffle width ONLY when the session still holds the 200 default, and
+    never clobbers an explicit setting."""
+    from fits2db_spark.session import ensure_runtime_confs
+
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # untouched default -> resized to the core count (clamped to [8,32])
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        ensure_runtime_confs(spark)
+        resized = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cores = spark.sparkContext.defaultParallelism
+        assert resized == min(max(cores, 8), 32)
+        # explicit setting -> preserved
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        ensure_runtime_confs(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # timezone + arrow + AQE pinned unconditionally
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
