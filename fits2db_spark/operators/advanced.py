@@ -120,21 +120,74 @@ def gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_fraction")  # rows-only: Spark's sampling RNG is engine-specific
-def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sampling with a fixed seed (repeatable subsample — the
-    random_id convention's query-time counterpart)."""
+def sample_fraction_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-RNG Bernoulli sampling (``df.sample``) with a fixed seed —
+    kept as a module function for users who want Spark's native sampler;
+    not registered because the RNG stream is engine-specific."""
     li = load(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
 
 
-@register("sample_stratified")  # rows-only: per-stratum RNG is engine-specific
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling via sampleBy: per-key fractions in one pass."""
+@register(
+    "sample_fraction",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), '-',
+                 CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 < 100
+    """,
+)
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample keyed on md5 of the row's PK —
+    the reshuffle-proof subsample convention (same trick as
+    split_train_test): membership is a pure function of the key, so the
+    sample is identical across runs, engines, partitionings, and appends.
+    Scale: a narrow map + filter, fully pushed into the scan stage; no RNG
+    state, no shuffle. The engine-RNG variant remains available as
+    ``sample_fraction_rng``."""
+    from .llm_text import _h64
+
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                      F.col("l_linenumber").cast("string"))
+    return li.filter(F.pmod(_h64(key), F.lit(1000)) < 100).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def sample_stratified_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-RNG stratified sampling via ``sampleBy`` — module function
+    only (per-stratum RNG is engine-specific)."""
     o = load(spark, sf_dir, "orders")
     return o.sampleBy(
         "o_orderstatus", fractions={"F": 0.05, "O": 0.2, "P": 1.0}, seed=42
     ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000
+          < CASE o_orderstatus WHEN 'F' THEN 50 WHEN 'O' THEN 200 ELSE 1000 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum fractions (F 5%,
+    O 20%, P 100%) applied as hash thresholds on md5(o_orderkey). One
+    narrow pass — the per-key threshold is a CASE expression, so unlike
+    ``sampleBy`` there is no RNG and the result is engine-reproducible.
+    The RNG variant remains as ``sample_stratified_rng``."""
+    from .llm_text import _h64
+
+    o = load(spark, sf_dir, "orders")
+    h = F.pmod(_h64(F.col("o_orderkey").cast("string")), F.lit(1000))
+    thresh = (
+        F.when(F.col("o_orderstatus") == "F", 50)
+        .when(F.col("o_orderstatus") == "O", 200)
+        .otherwise(1000)
+    )
+    return o.filter(h < thresh).select("o_orderkey", "o_orderstatus")
 
 
 def _kmeans_oracle(k: int = 5, iters: int = 5, d: int = 64) -> str:
@@ -209,16 +262,23 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda a, x: a + x,
         )
+        # Single-evaluation argmin: one k-element distance array per row,
+        # min over struct(dist, label) — struct ordering breaks distance
+        # ties to the lowest label, matching the oracle's ORDER BY dist,
+        # cluster. (The previous array_position(transform, array_min(
+        # transform)) form built the distance array TWICE per row; codegen
+        # CSE does not reliably merge the copies, so plan size and per-row
+        # cost scaled 2x in k.)
         assigned = e.select(
             "vec_id",
             "embedding",
-            F.element_at(
-                label_col,
-                F.array_position(
+            F.array_min(
+                F.zip_with(
                     F.transform(cent_col, dist2),
-                    F.array_min(F.transform(cent_col, dist2)),
-                ).cast("int"),
-            ).alias("cluster"),
+                    label_col,
+                    lambda dd, lb: F.struct(dd.alias("d"), lb.alias("lb")),
+                )
+            )["lb"].alias("cluster"),
         )
         new_cents = (
             assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))

@@ -177,13 +177,40 @@ def null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nulled.na.fill({"bal_or_zero": 0.0, "seg_or_unknown": "UNKNOWN"})
 
 
-@register("add_random_id")  # rows-only: Spark RNG stream is engine-specific
-def add_random_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform random_id column for repeatable subsampling — the Data Lab
-    load-time convention (SURVEY.md §1.1). Seeded => stable across runs of
-    the same plan; still not DuckDB-reproducible, so rows-only."""
+def add_random_id_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.rand``-based random_id — module function only: a seeded Spark
+    RNG stream is stable across runs of the same plan but not
+    engine-reproducible (and not stable under repartitioning)."""
     c = load(spark, sf_dir, "customer")
     return c.select("c_custkey", F.rand(seed=42).alias("random_id"))
+
+
+@register(
+    "add_random_id",
+    oracle="""
+    SELECT c_custkey,
+           CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                     AS BIGINT) AS DOUBLE) / 1152921504606846976 AS random_id
+    FROM customer
+    """,
+)
+def add_random_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform random_id in [0,1) for repeatable subsampling — the Data Lab
+    load-time convention (SURVEY.md §1.1), made engine-reproducible: the id
+    is md5(key)'s top 60 bits scaled by 2^-60, a pure function of the row
+    key. Identical across runs, engines, and partitionings (unlike a seeded
+    ``F.rand``, which is plan-layout-dependent — that variant remains as
+    ``add_random_id_rng``). The long->double conversion rounds once under
+    IEEE nearest-even on both engines and the 2^-60 scale is a power of
+    two, so the float compare is exact."""
+    from .llm_text import _h64
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        (_h64(F.col("c_custkey").cast("string")).cast("double")
+         / F.lit(float(1 << 60))).alias("random_id"),
+    )
 
 
 @register(

@@ -807,6 +807,63 @@ def _cc_oracle_sql() -> str:
     """
 
 
+def _label_propagate(pairs: DataFrame, nodes: DataFrame, max_rounds: int = 20):
+    """Min-label propagation over an undirected pair graph.
+
+    ``pairs``: (doc_a, doc_b) edges; ``nodes``: one ``doc_id`` per vertex.
+    Returns ``(updated, labels)`` where ``labels`` is (doc_id, comp) at the
+    fixpoint and ``updated`` additionally carries the final ``new_comp``
+    column (the memo shape).
+
+    Lineage is CUT each round (eager localCheckpoint; reliable checkpoint()
+    on a real cluster): the per-round join references the previous labels,
+    so uncut plans nest geometrically — the same analysis-cost pathology
+    fixed in dedup_components_bigstar. Superseded checkpoint blocks are
+    reclaimed by the ContextCleaner once their Python references drop.
+
+    Raises RuntimeError if no fixpoint is reached within ``max_rounds``:
+    silently-wrong clusters are worse than a loud failure (mirrors
+    dedup_components_bigstar) — min-label propagation needs rounds ~= graph
+    diameter, so an unconverged exit means the labels are NOT components.
+    Callers must never memoize a non-fixpoint (this function raises before
+    returning one).
+    """
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("comp"))
+    converged = False
+    updated = None
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+                "comp",
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
+        labels = updated.select("doc_id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components: no fixpoint after {max_rounds} label-"
+            "propagation rounds — use dedup_components_bigstar (O(log n) "
+            "rounds) for high-diameter graphs, or raise max_rounds"
+        )
+    return updated, labels
+
+
 @register("dedup_components", oracle=_cc_oracle_sql())
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph -> canonical doc
@@ -835,36 +892,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cluster_size") > 1)
         )
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # Lineage is CUT each round (eager localCheckpoint; reliable
-    # checkpoint() on a real cluster): the per-round join references the
-    # previous labels, so uncut plans nest geometrically — the same
-    # analysis-cost pathology fixed in dedup_components_bigstar. Superseded
-    # checkpoint blocks are reclaimed by the ContextCleaner once their
-    # Python references drop.
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = d.select("doc_id", F.col("doc_id").alias("comp"))
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("comp").alias("nb_comp"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
-                    "new_comp"
-                ),
-                "comp",
-            )
-        ).localCheckpoint(eager=True)
-        changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
-        labels = updated.select("doc_id", F.col("new_comp").alias("comp"))
-        if changed == 0:
-            break
+    updated, labels = _label_propagate(pairs, d.select("doc_id"))
     if memo_key is not None:
         _CC_FINAL_CACHE[memo_key] = updated
     return (

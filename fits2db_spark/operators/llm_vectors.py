@@ -433,10 +433,11 @@ def _ivf_oracle(k: int = 8, iters: int = 3, nprobe: int = 3, d: int = _DIM) -> s
                                            c.cell) AS rk
         FROM emb e CROSS JOIN {cf} c
         WHERE e.vec_id < 10) WHERE rk <= {nprobe})
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim, rk FROM (
-      SELECT p.query_id, c.neighbor_id, {_d_cos('p.qe', 'c.ce')} AS cos,
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT p.query_id, c.neighbor_id,
+             ROUND({_d_cos('p.qe', 'c.ce')}, 6) AS cos_sim,
              ROW_NUMBER() OVER (PARTITION BY p.query_id
-                                ORDER BY {_d_cos('p.qe', 'c.ce')} DESC,
+                                ORDER BY ROUND({_d_cos('p.qe', 'c.ce')}, 6) DESC,
                                          c.neighbor_id) AS rk
       FROM probes p JOIN corpus c USING (cell)
       WHERE c.neighbor_id != p.query_id) WHERE rk <= 3
@@ -516,15 +517,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sim = _cos(F.col("qe"), F.col("ce"))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    # Rank on the ROUNDED cosine (as sim_topk_matmul does): the unrounded
+    # values depend on each engine's fold order for the 64-term dot product,
+    # so near-ties could flip the rk<=3 cut between Spark and the oracle.
+    # Rounding to 6 places before the window makes rank ties engine-stable;
+    # neighbor_id breaks exact ties deterministically on both sides.
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         F.broadcast(probes)
         .join(corpus, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim_raw"))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("cos_sim"), "rk")
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
 
 

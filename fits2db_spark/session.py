@@ -84,15 +84,18 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             # if it truly didn't take, which is the correct failure mode.
             pass
     # Size the shuffle width to the actual core count, but ONLY when the
-    # session still carries the untouched 200-partition default (never
-    # clobber an explicit setting). At fixture scale the default multiplies
+    # conf was never set on this session: ``conf.get(key, None)`` returns
+    # None for the untouched built-in default and the string value for any
+    # explicit runtime- or builder-time setting (verified for both paths in
+    # tests/test_units.py), so an owner who deliberately chose 200 is never
+    # clobbered. At fixture scale the 200-partition default multiplies
     # task-launch overhead ~6x on the iterative operators (pagerank on a
     # bare local[8] session: 55s vs ~10s) without adding parallelism;
     # partition count never affects results. On a real cluster the owner
     # sets this (or AQE coalescing absorbs it) — this guard only fires on
     # default-configured sessions.
     try:
-        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        if spark.conf.get("spark.sql.shuffle.partitions", None) is None:
             cores = spark.sparkContext.defaultParallelism
             spark.conf.set("spark.sql.shuffle.partitions", str(min(max(cores, 8), 32)))
     except Exception:

@@ -20,8 +20,11 @@ reference's philosophy). Type map per SURVEY.md §1.2:
     rT (repeat>1) -> array<T>
 
 Variable-length array columns (``PT(max)`` 32-bit / ``QT(max)`` 64-bit
-descriptors into the heap) decode to ``ArrayType`` columns; compressed HDUs
-are out of scope and rejected loudly.
+descriptors into the heap) decode to ``ArrayType`` columns. Tile-compressed
+(fpack'd) BINTABLEs — ``ZTABLE = T`` with per-column RICE_1 / GZIP_1 /
+NOCOMPRESS streams — decode transparently via ``fits_compress`` (both the
+whole-file and the row-range paths; ranged reads touch only overlapped
+tiles).
 
 Scale note: one FITS file = one Arrow decode task; a 100 TB archive of FITS
 files parallelizes by file (the reference processes files serially on one
@@ -354,6 +357,10 @@ def decode_bintable(data: bytes, hdu: int | str = 1):
     declares nulls — :func:`to_arrow_columns` turns all three into Arrow
     arrays (list-typed for 2D, null-bearing for masked)."""
     cards, cols, off = parse_bintable_header(data, hdu)
+    if cards.get("ZTABLE", "").strip() == "T":
+        from .fits_compress import decode_compressed_bintable
+
+        return decode_compressed_bintable(data, cards, cols, off)
     nrows = _header_int(cards, "NAXIS2")
     rowbytes = _header_int(cards, "NAXIS1")
     dtype = np.dtype([(c["name"], c["np_dtype"]) for c in cols])
@@ -379,6 +386,10 @@ def decode_bintable_range(
     columns additionally read the heap region once per chunk (descriptor
     offsets are heap-relative, so any row subset resolves against it)."""
     cards, cols, off = parse_bintable_header_path(path, hdu)
+    if cards.get("ZTABLE", "").strip() == "T":
+        from .fits_compress import decode_compressed_range
+
+        return decode_compressed_range(path, cards, cols, off, row_start, row_count)
     nrows = _header_int(cards, "NAXIS2")
     rowbytes = _header_int(cards, "NAXIS1")
     start = min(max(row_start, 0), nrows)

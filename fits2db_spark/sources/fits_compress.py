@@ -1,0 +1,423 @@
+"""Tiled-table compression for FITS BINTABLEs (ZTABLE convention) + RICE_1.
+
+Real FITS archives ship fpack'd tables: the original BINTABLE is stored as a
+*compressed container* BINTABLE where each row is one TILE of ``ZTILELEN``
+original rows and each cell holds the compressed byte stream of ONE column's
+contiguous values for that tile. The layout and keywords follow the public
+"Tiled-Table Compression" convention (Pence, Seaman & White 2013; FITS 4.0
+standard §10):
+
+    ZTABLE  = T          marks a tile-compressed table
+    ZTILELEN= <rows>     original rows per tile
+    ZNAXIS1 / ZNAXIS2    original row width / row count
+    ZFORMn  = <tform>    original TFORMn of column n
+    ZCTYPn  = <algo>     per-column algorithm: RICE_1 | GZIP_1 | NOCOMPRESS
+    TFORMn  = '1QB'      container cell = variable-length byte array (heap)
+
+RICE_1 is the Rice/White/Greenfield adaptive Golomb-Rice coder used by
+fpack, implemented here from the published algorithm description (NOT a code
+port): the first sample is stored raw (8*bytepix bits, big-endian); the
+remaining samples are successive differences, zigzag-mapped to unsigned
+(d>=0 -> 2d, d<0 -> -2d-1), and emitted in blocks of 32. Each block carries
+a code of ``fsbits`` bits: 0 = all differences zero; fsmax+1 = the block is
+stored raw (bbits per value); otherwise code-1 is the split position FS and
+every value v is written as unary(v >> FS) — that many 0-bits then a 1 —
+followed by the FS low bits of v. Per-bytepix constants match the published
+convention: bytepix 1 -> (fsbits 3, fsmax 6), 2 -> (4, 14), 4 -> (5, 25).
+
+Scale note (100 TB): tiles are INDEPENDENTLY decodable — the container row
+holds per-column heap descriptors, so a row-range read touches only the
+tiles it overlaps (``decode_compressed_range`` seeks per-cell; the DSv2
+partitioned reader maps partitions to tile ranges). Decompression happens
+inside the executor's Arrow decode task, one tile at a time, so memory is
+bounded by tile size, not table size. The bit-level RICE loops here are
+plain Python (fine at test scale); a production build would swap in a
+numba/C kernel behind the same function signatures.
+
+Not supported under compression (rejected loudly): variable-length (P/Q)
+and bit-array (X) original columns — fpack has the same restriction for
+P/Q descriptors pointing into a shared heap.
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+
+import numpy as np
+
+BLOCK = 2880
+_RICE_BLOCK = 32
+# bytepix -> (fsbits, fsmax); bbits = 8*bytepix
+_RICE_PARAMS = {1: (3, 6), 2: (4, 14), 4: (5, 25)}
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits <= 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, n: int) -> None:
+        # n zero-bits followed by a single 1 bit
+        while n >= 32:
+            self.write(0, 32)
+            n -= 32
+        self.write(1, n + 1)
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.buf.append((self.acc << pad) & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, bits: int) -> int:
+        while self.nbits < bits:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= bits
+        v = (self.acc >> self.nbits) & ((1 << bits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+
+def rice_encode(values: np.ndarray, bytepix: int) -> bytes:
+    """RICE_1-encode a 1-D signed-integer array of width ``bytepix``."""
+    fsbits, fsmax = _RICE_PARAMS[bytepix]
+    bbits = 8 * bytepix
+    mask = (1 << bbits) - 1
+    v = np.asarray(values, dtype=np.int64)
+    w = _BitWriter()
+    if v.size == 0:
+        return w.getvalue()
+    w.write(int(v[0]) & mask, bbits)
+    # differences wrap modulo 2^bbits (the natural fixed-width integer
+    # arithmetic of the published coder): a full-range sample pair's diff
+    # spans bbits+1 bits, but its wrapped value round-trips exactly
+    sign = 1 << (bbits - 1)
+    d = ((np.diff(v) + sign) & mask) - sign
+    # zigzag map to unsigned — wrapped diffs fit in bbits bits
+    u = np.where(d >= 0, 2 * d, -2 * d - 1).astype(np.uint64)
+    for b0 in range(0, u.size, _RICE_BLOCK):
+        blk = u[b0 : b0 + _RICE_BLOCK]
+        bsum = int(blk.sum())
+        if bsum == 0:
+            w.write(0, fsbits)
+            continue
+        # split position ~ log2(mean difference)
+        mean = bsum / blk.size
+        fs = max(0, int(mean).bit_length() - 1)
+        if fs >= fsmax:
+            # escape code fsmax+1: raw dump. (fs is capped BELOW fsmax —
+            # code fs+1 == fsmax+1 would collide with the escape marker.)
+            w.write(fsmax + 1, fsbits)
+            for x in blk:
+                w.write(int(x) & mask, bbits)
+            continue
+        w.write(fs + 1, fsbits)
+        for x in blk:
+            w.write_unary(int(x) >> fs)
+            w.write(int(x), fs)
+    return w.getvalue()
+
+
+def rice_decode(buf: bytes, n: int, bytepix: int) -> np.ndarray:
+    """Decode ``n`` samples from a RICE_1 stream produced by
+    :func:`rice_encode` (or any encoder following the published format)."""
+    fsbits, fsmax = _RICE_PARAMS[bytepix]
+    bbits = 8 * bytepix
+    sign = 1 << (bbits - 1)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    r = _BitReader(buf)
+    first = r.read(bbits)
+    if first & sign:  # sign-extend the raw first sample
+        first -= 1 << bbits
+    out[0] = first
+    i = 1
+    while i < n:
+        code = r.read(fsbits)
+        blk = min(_RICE_BLOCK, n - i)
+        if code == 0:
+            out[i : i + blk] = 0
+        elif code == fsmax + 1:
+            for j in range(blk):
+                x = r.read(bbits)
+                out[i + j] = x
+        else:
+            fs = code - 1
+            for j in range(blk):
+                top = r.read_unary()
+                low = r.read(fs)
+                out[i + j] = (top << fs) | low
+        i += blk
+    # un-zigzag the diffs, prefix-sum from the raw first sample, and wrap
+    # back into the signed bytepix range (mirrors the encoder's mod-2^bbits
+    # difference arithmetic)
+    d = out[1:]
+    neg = (d & 1) == 1
+    d = np.where(neg, -((d + 1) >> 1), d >> 1)
+    out[1:] = d
+    acc = np.cumsum(out)
+    return ((acc + sign) & ((1 << bbits) - 1)) - sign
+
+
+# ---------------------------------------------------------------------------
+# per-column codec dispatch
+# ---------------------------------------------------------------------------
+
+_RICE_LETTERS = {"B": 1, "I": 2, "J": 4}  # letter -> bytepix
+
+
+def default_algo(letter: str) -> str:
+    """fpack-style default: RICE for the integer widths RICE supports,
+    gzip for everything else (floats, strings, 64-bit ints, logicals)."""
+    return "RICE_1" if letter in _RICE_LETTERS else "GZIP_1"
+
+
+def _compress_cell(colbytes: bytes, algo: str, letter: str) -> bytes:
+    if algo == "NOCOMPRESS":
+        return colbytes
+    if algo == "GZIP_1":
+        return gzip.compress(colbytes, compresslevel=6, mtime=0)
+    if algo == "RICE_1":
+        bytepix = _RICE_LETTERS[letter]
+        vals = np.frombuffer(colbytes, dtype=f">i{bytepix}").astype(np.int64)
+        return rice_encode(vals, bytepix)
+    raise ValueError(f"unknown ZCTYP algorithm {algo!r}")
+
+
+def _decompress_cell(cell: bytes, algo: str, letter: str, nvals: int, np_base: str) -> bytes:
+    if algo == "NOCOMPRESS":
+        return cell
+    if algo == "GZIP_1":
+        return gzip.decompress(cell)
+    if algo == "RICE_1":
+        bytepix = _RICE_LETTERS[letter]
+        vals = rice_decode(cell, nvals, bytepix)
+        return vals.astype(f">i{bytepix}").tobytes()
+    raise ValueError(f"unknown ZCTYP algorithm {algo!r}")
+
+
+# ---------------------------------------------------------------------------
+# writer: plain columns -> compressed-container FITS file
+# ---------------------------------------------------------------------------
+
+def write_fits_bintable_compressed(
+    columns: list[tuple[str, str, list]],
+    tile_len: int = 100,
+    out=None,
+    extname: str | None = None,
+    algos: dict[str, str] | None = None,
+    extra_cards: list[tuple[str, object]] | None = None,
+) -> bytes:
+    """Build a tile-compressed (ZTABLE) FITS file from plain columns.
+
+    Same ``columns`` shape as :func:`fits.write_fits_bintable`; ``algos``
+    optionally overrides the per-column algorithm by column name. The
+    original row images are reconstructed bit-identically on read (lossless
+    for every supported type).
+    """
+    from .fits import (
+        FitsFormatError,
+        _bintable_ext,
+        _primary_hdu,
+        _SCALAR_MAP,
+        _TFORM_RE,
+    )
+
+    nrows = len(columns[0][2]) if columns else 0
+    ntiles = max(1, math.ceil(nrows / tile_len)) if nrows else 0
+    enc_cols = []  # (name, letter, np big-endian 2D-able array, tform)
+    znaxis1 = 0
+    for name, tform, values in columns:
+        m = _TFORM_RE.match(tform)
+        if not m:
+            raise FitsFormatError(f"bad tform {tform!r}")
+        repeat = int(m.group(1)) if m.group(1) else 1
+        letter = m.group(2)
+        if letter[0] in ("P", "Q", "X"):
+            raise FitsFormatError(
+                f"column {name!r}: {letter[0]}-type columns cannot be tile-compressed"
+            )
+        if letter[0] == "A":
+            width = int(letter[1:]) if len(letter) > 1 else repeat
+            arr = np.array([str(v)[:width].encode("ascii") for v in values], dtype=f"S{width}")
+            znaxis1 += width
+        elif letter == "L":
+            arr = np.array(
+                [[b"T" if x else b"F" for x in (v if repeat > 1 else [v])] for v in values],
+                dtype="S1",
+            )
+            znaxis1 += repeat
+        else:
+            np_char, _ = _SCALAR_MAP[letter]
+            arr = np.array(values).astype(np_char)
+            znaxis1 += np.dtype(np_char).itemsize * repeat
+        enc_cols.append((name, letter if letter[0] != "A" else "A", arr, tform))
+
+    cells: list[list[bytes]] = [[] for _ in enc_cols]
+    algos = algos or {}
+    chosen = [algos.get(name, default_algo(letter)) for name, letter, _, _ in enc_cols]
+    for t in range(ntiles):
+        lo, hi = t * tile_len, min((t + 1) * tile_len, nrows)
+        for ci, (name, letter, arr, _) in enumerate(enc_cols):
+            cells[ci].append(_compress_cell(arr[lo:hi].tobytes(), chosen[ci], letter))
+
+    container = [
+        (name, "QB", [np.frombuffer(c, dtype="u1") for c in cells[ci]])
+        for ci, (name, _, _, _) in enumerate(enc_cols)
+    ]
+    zcards: list[tuple[str, object]] = [
+        ("ZTABLE", True),
+        ("ZTILELEN", tile_len),
+        ("ZNAXIS1", znaxis1),
+        ("ZNAXIS2", nrows),
+        ("ZPCOUNT", 0),
+    ]
+    for i, ((_, _, _, tform), algo) in enumerate(zip(enc_cols, chosen), 1):
+        zcards.append((f"ZFORM{i}", tform))
+        zcards.append((f"ZCTYP{i}", algo))
+    zcards.extend(extra_cards or [])
+    blob = _primary_hdu() + _bintable_ext(container, extname, zcards)
+    if out is not None:
+        out.write(blob)
+    return blob
+
+
+# ---------------------------------------------------------------------------
+# reader: compressed container -> original (schema, column arrays)
+# ---------------------------------------------------------------------------
+
+def _orig_columns(cards: dict) -> list[dict]:
+    """Column defs of the ORIGINAL table: the container cards with TFORMn
+    swapped for ZFORMn (TNULLn/TSCALn/TZEROn keep their plain names under
+    the convention, so sentinel-null and scaling handling carries over)."""
+    from .fits import FitsFormatError, _header_int, _parse_columns
+
+    synth = dict(cards)
+    for i in range(1, _header_int(cards, "TFIELDS") + 1):
+        zform = cards.get(f"ZFORM{i}")
+        if zform is None:
+            raise FitsFormatError(f"ZTABLE container missing ZFORM{i}")
+        synth[f"TFORM{i}"] = zform.strip()
+    return _parse_columns(synth)
+
+
+def decode_compressed_tiles(
+    cards: dict,
+    cell_bytes: "callable",
+    tile_indices: range,
+) -> np.ndarray:
+    """Decode the given tiles into a structured row array of the ORIGINAL
+    dtype. ``cell_bytes(tile_idx, col_idx) -> bytes`` abstracts where the
+    compressed cells come from (in-memory buffer vs per-cell file seeks)."""
+    from .fits import _header_int
+
+    ocols = _orig_columns(cards)
+    tile_len = _header_int(cards, "ZTILELEN")
+    znrows = _header_int(cards, "ZNAXIS2")
+    odtype = np.dtype([(c["name"], c["np_dtype"]) for c in ocols])
+    counts = [
+        min(tile_len, znrows - t * tile_len) for t in tile_indices
+    ]
+    raw = np.zeros(sum(counts), dtype=odtype)
+    pos = 0
+    for t, cnt in zip(tile_indices, counts):
+        for ci, c in enumerate(ocols):
+            algo = cards.get(f"ZCTYP{ci + 1}", "NOCOMPRESS").strip()
+            sub = np.dtype(c["np_dtype"])  # per-row field dtype (may be (rep,))
+            nvals = cnt * (sub.itemsize // (sub.base.itemsize or 1))
+            colbytes = _decompress_cell(
+                cell_bytes(t, ci), algo, c["letter"], nvals, c["np_dtype"]
+            )
+            vals = np.frombuffer(colbytes, dtype=sub.base, count=nvals)
+            raw[c["name"]][pos : pos + cnt] = vals.reshape((cnt, -1)).squeeze()
+        pos += cnt
+    return raw
+
+
+def decode_compressed_bintable(data: bytes, cards: dict, cols: list[dict], off: int):
+    """In-memory decode of a whole ZTABLE HDU -> (schema, column arrays),
+    the :func:`fits.decode_bintable` backend for compressed HDUs."""
+    from .fits import _decode_columns, _header_int, fits_spark_schema
+
+    ntiles = _header_int(cards, "NAXIS2")
+    rowbytes = _header_int(cards, "NAXIS1")
+    dtype = np.dtype([(c["name"], c["np_dtype"]) for c in cols])
+    descs = np.frombuffer(data, dtype=dtype, count=ntiles, offset=off)
+    heap0 = off + int(cards.get("THEAP", rowbytes * ntiles))
+    heap = memoryview(data)[heap0:]
+
+    def cell(t: int, ci: int) -> bytes:
+        cnt, o = (int(x) for x in descs[cols[ci]["name"]][t])
+        return bytes(heap[o : o + cnt])
+
+    raw = decode_compressed_tiles(cards, cell, range(ntiles))
+    ocols = _orig_columns(cards)
+    return fits_spark_schema(ocols), _decode_columns(ocols, raw, b"")
+
+
+def decode_compressed_range(
+    path: str, cards: dict, cols: list[dict], off: int,
+    row_start: int, row_count: int | None,
+):
+    """Row-range decode touching ONLY the overlapped tiles: reads the tile
+    descriptors for those container rows, then seeks each compressed cell
+    directly — I/O is proportional to tiles hit, never table size (the
+    partitioned-read primitive for a 100 GB fpack'd table)."""
+    from .fits import _decode_columns, _header_int, fits_spark_schema
+
+    tile_len = _header_int(cards, "ZTILELEN")
+    znrows = _header_int(cards, "ZNAXIS2")
+    ntiles = _header_int(cards, "NAXIS2")
+    rowbytes = _header_int(cards, "NAXIS1")
+    start = min(max(row_start, 0), znrows)
+    cnt = znrows - start if row_count is None else max(0, min(row_count, znrows - start))
+    t0, t1 = (start // tile_len, math.ceil((start + cnt) / tile_len)) if cnt else (0, 0)
+    dtype = np.dtype([(c["name"], c["np_dtype"]) for c in cols])
+    heap_off = off + int(cards.get("THEAP", rowbytes * ntiles))
+    with open(path, "rb") as f:
+        f.seek(off + t0 * rowbytes)
+        descs = np.frombuffer(f.read((t1 - t0) * rowbytes), dtype=dtype, count=t1 - t0)
+
+        def cell(t: int, ci: int) -> bytes:
+            n, o = (int(x) for x in descs[cols[ci]["name"]][t - t0])
+            f.seek(heap_off + o)
+            return f.read(n)
+
+        raw = decode_compressed_tiles(cards, cell, range(t0, t1))
+    lo = start - t0 * tile_len
+    ocols = _orig_columns(cards)
+    return fits_spark_schema(ocols), _decode_columns(ocols, raw[lo : lo + cnt], b"")

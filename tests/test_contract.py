@@ -61,17 +61,18 @@ def test_all_outputs_scalar(spark, all_queries):
 def test_all_queries_execute(spark, all_queries):
     """Every queries() entry runs at sf0.001 and yields rows + named cols.
 
-    Default mode executes only the queries the DuckDB oracle replica CANNOT
-    execution-check (`tools/check_oracle.py`, run every round, covers the
-    oracle-backed set end-to-end) plus a small cross-module canary set —
-    executing all ~140 at sf0.001 took the suite past 20 minutes, nearly all
-    of it re-verifying what the oracle gate already verifies. Set
-    FITS2DB_FULL_EXEC=1 to execute everything (CI / pre-round mode)."""
+    Default mode executes ALL registered queries (~2 min at sf0.001 with the
+    shared session fixture — re-measured round 5; the >20-min figure that
+    once justified an opt-in gate predates the session/memo reuse). Set
+    FITS2DB_FAST_EXEC=1 for the quick-iteration subset: only the queries the
+    DuckDB oracle replica CANNOT execution-check (`tools/check_oracle.py`
+    covers the oracle-backed set end-to-end) plus a cross-module canary
+    set."""
     import os
 
     import __spark_entry__ as e
 
-    if os.environ.get("FITS2DB_FULL_EXEC"):
+    if not os.environ.get("FITS2DB_FAST_EXEC"):
         targets = sorted(all_queries)
     else:
         oracled = set(e.oracle_sql())

@@ -147,6 +147,26 @@ def test_dedup_components_consistent_with_pairs(spark):
     assert sum(r.cluster_size for r in comps) == len(in_graph)
 
 
+def test_label_propagation_raises_on_high_diameter_graph(spark):
+    """A path graph of diameter > max_rounds must raise, not silently return
+    (and never memoize) unconverged labels — the guard mirrored from
+    dedup_components_bigstar."""
+    import pytest
+
+    from fits2db_spark.operators.llm_text import _label_propagate
+
+    n = 12
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _label_propagate(chain, nodes, max_rounds=3)
+    # and with enough rounds the same graph converges to a single component
+    _, labels = _label_propagate(chain, nodes, max_rounds=n)
+    assert {r.comp for r in labels.collect()} == {0}
+
+
 def test_dedup_components_bigstar_matches_label_propagation(spark):
     """Large-star/small-star CC must produce the identical clustering as the
     label-propagation implementation on the same pair graph."""

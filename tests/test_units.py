@@ -95,25 +95,29 @@ def test_minhash_lsh_recall_vs_exact(spark):
 
 def test_runtime_confs_contract(spark):
     """ensure_runtime_confs: pins UTC + Arrow + AQE, right-sizes the
-    shuffle width ONLY when the session still holds the 200 default, and
-    never clobbers an explicit setting."""
+    shuffle width ONLY when the conf was never set on the session, and
+    never clobbers an explicit setting — including an explicit 200, which
+    is indistinguishable from the default by value but not by
+    ``conf.get(key, None)`` (None iff unset)."""
     from fits2db_spark.session import ensure_runtime_confs
 
-    original = spark.conf.get("spark.sql.shuffle.partitions")
+    key = "spark.sql.shuffle.partitions"
+    original = spark.conf.get(key)
     try:
-        # untouched default -> resized to the core count (clamped to [8,32])
-        spark.conf.set("spark.sql.shuffle.partitions", "200")
-        ensure_runtime_confs(spark)
-        resized = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        cores = spark.sparkContext.defaultParallelism
-        assert resized == min(max(cores, 8), 32)
-        # explicit setting -> preserved
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
-        ensure_runtime_confs(spark)
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # never-set conf -> resized to the core count (clamped to [8,32])
+        spark.conf.unset(key)
+        if spark.conf.get(key, None) is None:  # unset survives builder confs
+            ensure_runtime_confs(spark)
+            cores = spark.sparkContext.defaultParallelism
+            assert int(spark.conf.get(key)) == min(max(cores, 8), 32)
+        # explicit settings -> preserved, even the default-valued 200
+        for explicit in ("200", "7"):
+            spark.conf.set(key, explicit)
+            ensure_runtime_confs(spark)
+            assert spark.conf.get(key) == explicit
         # timezone + arrow + AQE pinned unconditionally
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
         assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", original)
+        spark.conf.set(key, original)
