@@ -119,3 +119,51 @@ def fits_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(blob)
 
     return read_fits(spark, _scratch_dir(spark, sf_dir, "nation_fits", write))
+
+
+@register(
+    "fits_ingest_compressed",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def fits_ingest_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-compressed (ZTABLE/fpack-style) FITS BINTABLE -> DataFrame, end
+    to end: serialize the customer table into a compressed FITS file (RICE_1
+    on the 32-bit integer column, GZIP on strings/doubles/64-bit ints — the
+    fpack-style per-type defaults), then read it back through the same binaryFile +
+    mapInArrow path as ``fits_ingest``, which detects ZTABLE and
+    decompresses per tile. Lossless, so the round trip is oracle-checkable
+    against the source rows."""
+    import duckdb
+
+    from ..sources.fits import read_fits
+    from ..sources.fits_compress import write_fits_bintable_compressed
+
+    def write(out_dir: str) -> None:
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2), "
+                f"c_mktsegment FROM read_parquet('{sf_dir}/customer.parquet') "
+                "ORDER BY c_custkey"
+            )
+            .fetchall()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        blob = write_fits_bintable_compressed(
+            [
+                ("c_custkey", "K", [r[0] for r in rows]),
+                ("c_name", "A25", [r[1] for r in rows]),
+                ("c_nationkey", "J", [r[2] for r in rows]),
+                ("c_acctbal", "D", [r[3] for r in rows]),
+                ("c_mktsegment", "A10", [r[4] for r in rows]),
+            ],
+            tile_len=64,
+        )
+        with open(os.path.join(out_dir, "customer_z.fits"), "wb") as f:
+            f.write(blob)
+
+    return read_fits(spark, _scratch_dir(spark, sf_dir, "customer_zfits", write))

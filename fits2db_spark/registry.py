@@ -73,9 +73,10 @@ _PRIORITY_QUERIES = (
     "fn_hash_native",
     "cms_heavy_hitters",
     "vec_pca_evr",
-    # (b) code changed this round
+    # (b) code changed / added this round
     "vec_kmeans",
     "sim_ann_ivf",
+    "fits_ingest_compressed",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

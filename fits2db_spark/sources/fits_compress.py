@@ -11,7 +11,9 @@ standard §10):
     ZTILELEN= <rows>     original rows per tile
     ZNAXIS1 / ZNAXIS2    original row width / row count
     ZFORMn  = <tform>    original TFORMn of column n
-    ZCTYPn  = <algo>     per-column algorithm: RICE_1 | GZIP_1 | NOCOMPRESS
+    ZCTYPn  = <algo>     per-column algorithm: RICE_1 | GZIP_1 | GZIP_2 |
+                         NOCOMPRESS (GZIP_2 = gzip over byte-shuffled data,
+                         the fpack default for floating-point columns)
     TFORMn  = '1QB'      container cell = variable-length byte array (heap)
 
 RICE_1 is the Rice/White/Greenfield adaptive Golomb-Rice coder used by
@@ -201,16 +203,26 @@ _RICE_LETTERS = {"B": 1, "I": 2, "J": 4}  # letter -> bytepix
 
 
 def default_algo(letter: str) -> str:
-    """fpack-style default: RICE for the integer widths RICE supports,
-    gzip for everything else (floats, strings, 64-bit ints, logicals)."""
-    return "RICE_1" if letter in _RICE_LETTERS else "GZIP_1"
+    """fpack-style per-type default: RICE for the integer widths RICE
+    supports; GZIP_2 (byte-shuffled gzip — same-significance bytes of
+    neighboring values are similar, so transposing them groups runs the
+    deflate window can exploit) for floats and 64-bit ints; plain GZIP_1
+    for strings and logicals, where byte position carries no structure."""
+    if letter in _RICE_LETTERS:
+        return "RICE_1"
+    if letter in ("E", "D", "K", "C", "M"):
+        return "GZIP_2"
+    return "GZIP_1"
 
 
-def _compress_cell(colbytes: bytes, algo: str, letter: str) -> bytes:
+def _compress_cell(colbytes: bytes, algo: str, letter: str, itemsize: int) -> bytes:
     if algo == "NOCOMPRESS":
         return colbytes
     if algo == "GZIP_1":
         return gzip.compress(colbytes, compresslevel=6, mtime=0)
+    if algo == "GZIP_2":
+        shuffled = np.frombuffer(colbytes, dtype="u1").reshape(-1, itemsize).T.tobytes()
+        return gzip.compress(shuffled, compresslevel=6, mtime=0)
     if algo == "RICE_1":
         bytepix = _RICE_LETTERS[letter]
         vals = np.frombuffer(colbytes, dtype=f">i{bytepix}").astype(np.int64)
@@ -218,11 +230,14 @@ def _compress_cell(colbytes: bytes, algo: str, letter: str) -> bytes:
     raise ValueError(f"unknown ZCTYP algorithm {algo!r}")
 
 
-def _decompress_cell(cell: bytes, algo: str, letter: str, nvals: int, np_base: str) -> bytes:
+def _decompress_cell(cell: bytes, algo: str, letter: str, nvals: int, itemsize: int) -> bytes:
     if algo == "NOCOMPRESS":
         return cell
     if algo == "GZIP_1":
         return gzip.decompress(cell)
+    if algo == "GZIP_2":
+        raw = gzip.decompress(cell)
+        return np.frombuffer(raw, dtype="u1").reshape(itemsize, -1).T.tobytes()
     if algo == "RICE_1":
         bytepix = _RICE_LETTERS[letter]
         vals = rice_decode(cell, nvals, bytepix)
@@ -293,7 +308,9 @@ def write_fits_bintable_compressed(
     for t in range(ntiles):
         lo, hi = t * tile_len, min((t + 1) * tile_len, nrows)
         for ci, (name, letter, arr, _) in enumerate(enc_cols):
-            cells[ci].append(_compress_cell(arr[lo:hi].tobytes(), chosen[ci], letter))
+            cells[ci].append(
+                _compress_cell(arr[lo:hi].tobytes(), chosen[ci], letter, arr.dtype.itemsize)
+            )
 
     container = [
         (name, "QB", [np.frombuffer(c, dtype="u1") for c in cells[ci]])
@@ -358,9 +375,9 @@ def decode_compressed_tiles(
         for ci, c in enumerate(ocols):
             algo = cards.get(f"ZCTYP{ci + 1}", "NOCOMPRESS").strip()
             sub = np.dtype(c["np_dtype"])  # per-row field dtype (may be (rep,))
-            nvals = cnt * (sub.itemsize // (sub.base.itemsize or 1))
+            nvals = cnt * (sub.itemsize // sub.base.itemsize)
             colbytes = _decompress_cell(
-                cell_bytes(t, ci), algo, c["letter"], nvals, c["np_dtype"]
+                cell_bytes(t, ci), algo, c["letter"], nvals, sub.base.itemsize
             )
             vals = np.frombuffer(colbytes, dtype=sub.base, count=nvals)
             raw[c["name"]][pos : pos + cnt] = vals.reshape((cnt, -1)).squeeze()
