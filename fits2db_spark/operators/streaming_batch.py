@@ -179,6 +179,111 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.withColumn("rk", rk).filter(F.col("rk") <= 2)
 
 
+# ---------------------------------------------------------------------------
+# Driver-visible LIVE streaming: a real Structured Streaming run inside a
+# queries() entry. Everything else in streaming/live.py is pytest-only by
+# the batch-oracle contract; this entry closes that gap for the tumbling
+# aggregation by draining an availableNow stream to a memory sink and
+# returning the sink table — deterministic (availableNow processes every
+# staged file then stops; complete mode emits all windows, so no
+# watermark-withholding of trailing windows) and therefore oracle-checkable
+# against the SAME SQL as the batch stream_tumbling.
+# ---------------------------------------------------------------------------
+
+_LIVE_DONE: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "stream_live_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 1h tumbling counts computed by LIVE Structured Streaming:
+    the events table is staged as 3 time-ordered parquet files, read back
+    with ``readStream`` (maxFilesPerTrigger=1 -> 3 micro-batches), windowed
+    exactly like the batch ``stream_tumbling``, and drained to a memory
+    sink under ``trigger(availableNow=True)``. The stream runs once per
+    (session, sf_dir); repeat calls return the materialized sink table.
+
+    Scale: the identical plan runs unbounded on a real file/Kafka source —
+    state lives in the state store keyed by (window, event_type); here the
+    memory sink and complete mode are the bounded-fixture drain strategy
+    (a production job uses append mode + watermark eviction)."""
+    import os
+
+    from ..streaming.live import events_stream, run_stream_to_memory, tumbling_counts
+    from .scans import _scratch_dir
+
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = ""
+    key = (app_id, sf_dir)
+    if key in _LIVE_DONE:
+        return spark.table(_LIVE_DONE[key])
+
+    def stage(out_dir: str) -> None:
+        import glob as _glob
+        import shutil
+        import tempfile
+
+        ev = load(spark, sf_dir, "events")
+        n = ev.count()
+        per = max(1, (n + 2) // 3)
+        # 3 contiguous time slices -> 3 deterministic micro-batches; the
+        # per-slice write is a one-time staging cost, then part files are
+        # flattened so the file-stream source lists them in name order
+        from pyspark.sql import Window as W
+
+        rn = ev.select(
+            "*", F.row_number().over(W.orderBy("ts", "event_id")).alias("_rn")
+        )
+        tmp = tempfile.mkdtemp(prefix="evt_stage_")
+        for i in range(3):
+            (
+                rn.filter(
+                    (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
+                )
+                .drop("_rn")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"batch{i}"))
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(3):
+            (part,) = _glob.glob(os.path.join(tmp, f"batch{i}", "*.parquet"))
+            shutil.copy(part, os.path.join(out_dir, f"{i:03d}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    staging = _scratch_dir(spark, sf_dir, "events_stream_stage", stage)
+    name = f"live_tumbling_{abs(hash(key)) % 10**8}"
+    q = run_stream_to_memory(
+        tumbling_counts(
+            events_stream(spark, staging, max_files_per_trigger=1),
+            watermark="100 days",
+        ),
+        name,
+        output_mode="complete",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_live_tumbling: availableNow drain did not terminate in "
+            "300s — a partial sink table must never be returned (or memoized)"
+        )
+    _LIVE_DONE[key] = name
+    return spark.table(name)
+
+
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("stream_windowed_topk")

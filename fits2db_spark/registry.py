@@ -77,6 +77,7 @@ _PRIORITY_QUERIES = (
     "vec_kmeans",
     "sim_ann_ivf",
     "fits_ingest_compressed",
+    "stream_live_tumbling",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
