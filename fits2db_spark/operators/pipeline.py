@@ -73,6 +73,45 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-source document cap (domain balancing)
+# ---------------------------------------------------------------------------
+_SRC_CAP = 15  # max docs kept per source
+
+
+@register(
+    "cap_docs_per_source",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM r WHERE rk <= {_SRC_CAP}
+    """,
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap each source (domain) at {_SRC_CAP} documents so
+    no single domain dominates the training mix — the web-corpus
+    "cap per registered domain" step. Selection order is md5(doc_id), i.e. a
+    deterministic uniform-random draw that is reshuffle-proof and
+    engine-reproducible (the same property as split_train_test), with doc_id
+    breaking hash ties. Scale: one shuffle on source + WindowGroupLimit —
+    Spark pushes the rank<=k filter into the sort, so per-source state is k
+    rows, never the domain's full document list; a skewed mega-domain costs
+    one partition's sort of its ids, not memory."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SRC_CAP)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing into fixed context windows
 # ---------------------------------------------------------------------------
 _CTX = 2048  # tokens per context window

@@ -78,6 +78,7 @@ _PRIORITY_QUERIES = (
     "sim_ann_ivf",
     "fits_ingest_compressed",
     "stream_live_tumbling",
+    "cap_docs_per_source",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
