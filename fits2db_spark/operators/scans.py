@@ -17,6 +17,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import SCHEMAS, load
@@ -75,6 +76,41 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: load(spark, sf_dir, "nation").write.mode("overwrite").json(p),
     )
     return spark.read.schema(SCHEMAS["nation"]).json(out)
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS BIGINT) AS n_extra
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(n_nationkey AS BIGINT) * 10 AS n_extra
+    FROM nation
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet file generations of one table —
+    the second adds an ``n_extra`` column — read as ONE DataFrame with
+    ``mergeSchema``; rows from the older generation surface NULL for the
+    added column. This is the long-lived-table reality (a 100 TB archive is
+    written over years of schema versions); merge-on-read beats rewriting
+    history. Scale note: mergeSchema reconciles FOOTERS only (no data
+    read), and per-file column pruning still applies — old files simply
+    have no pages for the new column."""
+    def write(out_dir: str) -> None:
+        n = load(spark, sf_dir, "nation")
+        n.write.mode("overwrite").parquet(os.path.join(out_dir, "gen=1"))
+        n.withColumn(
+            "n_extra", (F.col("n_nationkey").cast("long") * 10)
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "gen=2"))
+
+    out = _scratch_dir(spark, sf_dir, "nation_evolving", write)
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(out, "gen=1"), os.path.join(out, "gen=2"))
+        .select("n_nationkey", "n_name", "n_regionkey", "n_extra")
+    )
 
 
 @register(

@@ -79,6 +79,7 @@ _PRIORITY_QUERIES = (
     "fits_ingest_compressed",
     "stream_live_tumbling",
     "cap_docs_per_source",
+    "scan_schema_evolution",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

@@ -1,6 +1,8 @@
 """Property-based invariants (SURVEY.md §5.3) over generated inputs:
 algebraic laws the engine must preserve regardless of data."""
 
+import numpy as np
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -146,3 +148,43 @@ def test_fits_asciitable_roundtrip_property(vals):
     for got, want in zip(cols[1], dbls):
         assert abs(got - want) <= max(1e-6, abs(want)) * 1e-6 + 1e-6
     assert list(cols[2]) == [s.rstrip() for s in strs]
+
+
+@given(
+    vals=st.lists(st.integers(-2**31, 2**31 - 1), min_size=0, max_size=300),
+    bytepix=st.sampled_from([1, 2, 4]),
+)
+@_settings
+def test_rice_codec_roundtrip_property(vals, bytepix):
+    """rice_encode -> rice_decode is the identity for ANY signed sequence of
+    the declared width — including adversarial block boundaries, all-equal
+    runs, alternating extremes, and wrap-around diffs."""
+    from fits2db_spark.sources.fits_compress import rice_decode, rice_encode
+
+    lo, hi = -(2 ** (8 * bytepix - 1)), 2 ** (8 * bytepix - 1) - 1
+    arr = np.array([max(lo, min(hi, v)) for v in vals], dtype=np.int64)
+    out = rice_decode(rice_encode(arr, bytepix), len(arr), bytepix)
+    assert np.array_equal(out, arr)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(-10**6, 10**6),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ).map(float),
+        min_size=1,
+        max_size=120,
+    ),
+    tile_len=st.integers(1, 50),
+)
+@_settings
+def test_ztable_double_column_roundtrip_property(vals, tile_len):
+    """Tile-compressed D columns are lossless for arbitrary finite doubles
+    at ANY tile length (incl. tile_len 1 and tiles larger than the table)."""
+    from fits2db_spark.sources.fits import decode_bintable
+    from fits2db_spark.sources.fits_compress import write_fits_bintable_compressed
+
+    blob = write_fits_bintable_compressed([("x", "D", vals)], tile_len=tile_len)
+    _, out = decode_bintable(blob, 1)
+    assert list(out[0]) == vals
