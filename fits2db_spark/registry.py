@@ -80,6 +80,7 @@ _PRIORITY_QUERIES = (
     "stream_live_tumbling",
     "cap_docs_per_source",
     "scan_schema_evolution",
+    "join_fuzzy_blocked",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
