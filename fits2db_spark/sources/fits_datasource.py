@@ -51,9 +51,22 @@ class FitsDataSourceReader(DataSourceReader):
         parts = []
         for p in self._paths:
             cards, _, _ = parse_bintable_header_path(p, self._hdu)
-            nrows = _header_int(cards, "NAXIS2")
-            rowbytes = _header_int(cards, "NAXIS1")
-            rows_per_chunk = max(1, self._chunk_bytes // max(rowbytes, 1))
+            if cards.get("ZTABLE", "").strip() == "T":
+                # tile-compressed table: the container's NAXIS2 counts TILES,
+                # but decode_bintable_range addresses ORIGINAL rows — plan in
+                # original-row space (ZNAXIS1/ZNAXIS2) and align chunks to
+                # tile boundaries so no tile decompresses in two tasks
+                nrows = _header_int(cards, "ZNAXIS2")
+                rowbytes = _header_int(cards, "ZNAXIS1")
+                tile_len = _header_int(cards, "ZTILELEN")
+                rows_per_chunk = max(1, self._chunk_bytes // max(rowbytes, 1))
+                rows_per_chunk = max(
+                    tile_len, rows_per_chunk - rows_per_chunk % tile_len
+                )
+            else:
+                nrows = _header_int(cards, "NAXIS2")
+                rowbytes = _header_int(cards, "NAXIS1")
+                rows_per_chunk = max(1, self._chunk_bytes // max(rowbytes, 1))
             start = 0
             while start < max(nrows, 1):
                 parts.append(FitsInputPartition(p, start, min(rows_per_chunk, nrows - start)))
