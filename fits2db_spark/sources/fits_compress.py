@@ -272,6 +272,8 @@ def write_fits_bintable_compressed(
         _TFORM_RE,
     )
 
+    if tile_len < 1:
+        raise ValueError(f"tile_len must be >= 1, got {tile_len}")
     nrows = len(columns[0][2]) if columns else 0
     ntiles = max(1, math.ceil(nrows / tile_len)) if nrows else 0
     enc_cols = []  # (name, letter, np big-endian 2D-able array, tform)
