@@ -444,6 +444,111 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sky cross-match (zone algorithm) --------------------------------------
+_XM_RADIUS_ARCSEC = 30.0
+_XM_ZONE_DEG = _XM_RADIUS_ARCSEC / 3600.0
+
+_XM_SQL_COORDS = """
+      SELECT c_custkey AS id,
+             (c_custkey * 137.50776405) % 360.0 AS ra,
+             degrees(asin(((c_custkey * 0.6180339887) % 1.0) * 2 - 1)) AS dec
+      FROM customer
+"""
+
+
+def _xmatch_oracle() -> str:
+    # direct quadratic join — the oracle checks RESULTS, not the plan; the
+    # Spark side must produce the identical pair set via the zone join
+    sep = """
+      2 * asin(sqrt(
+        sin(radians(b.dec - a.dec) / 2) * sin(radians(b.dec - a.dec) / 2)
+        + cos(radians(a.dec)) * cos(radians(b.dec))
+          * sin(radians(b.ra - a.ra) / 2) * sin(radians(b.ra - a.ra) / 2)))
+    """
+    return f"""
+    WITH base AS ({_XM_SQL_COORDS}),
+    a AS (SELECT id AS a_id, ra, dec FROM base),
+    b AS (
+      SELECT id AS b_id,
+             ra + ((id % 21) - 10) * 0.0001 AS ra,
+             dec + ((id % 17) - 8) * 0.0001
+                 + CASE WHEN id % 5 = 0 THEN 2.0 ELSE 0.0 END AS dec
+      FROM base
+    )
+    SELECT a.a_id, b.b_id,
+           ROUND(degrees({sep}) * 3600, 2) AS sep_arcsec
+    FROM a JOIN b
+      ON degrees({sep}) * 3600 <= {_XM_RADIUS_ARCSEC}
+    """
+
+
+@register("join_xmatch_zone", oracle=_xmatch_oracle())
+def join_xmatch_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sky cross-match within a {_XM_RADIUS_ARCSEC}-arcsec radius — THE
+    flagship astronomy join (matching a new observation catalog against a
+    master catalog), via the SDSS zone algorithm (Gray, Szalay et al.):
+    assign each object to a declination zone of height == match radius,
+    join candidates only on zone == zone±1 (each B row expands to its 3
+    neighbor zones), then verify with the exact haversine separation. The
+    fixture tables carry no sky coordinates, so both catalogs derive
+    deterministic positions from c_custkey (the same golden-angle spiral as
+    ``spatial_cols``); catalog B is jittered by key-derived sub-arcsec
+    offsets, and every 5th object is displaced 2 degrees (a non-match).
+
+    Scale: the zone join is ONE equi-shuffle on (zone) with candidate
+    volume ~ objects x 3 x zone density — never the O(n x m) cross join the
+    oracle uses; spiral spacing (~5 deg at this n) vs the 30-arcsec radius
+    means zone-boundary float jitter cannot change the RESULT set, only the
+    candidate set. A production build adds an RA window prefilter with
+    wraparound handling; haversine is periodic in delta-RA, so correctness
+    does not depend on it."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    ra = (F.col("id") * 137.50776405) % 360.0
+    dec = F.degrees(F.asin(((F.col("id") * 0.6180339887) % 1.0) * 2 - 1))
+    base = c.select("id", ra.alias("ra"), dec.alias("dec"))
+    a = base.select(
+        F.col("id").alias("a_id"),
+        F.col("ra").alias("a_ra"),
+        F.col("dec").alias("a_dec"),
+        F.floor((F.col("dec") + 90.0) / _XM_ZONE_DEG).alias("zone"),
+    )
+    b_dec = (
+        F.col("dec")
+        + ((F.col("id") % 17) - 8) * 0.0001
+        + F.when(F.col("id") % 5 == 0, 2.0).otherwise(0.0)
+    )
+    b = base.select(
+        F.col("id").alias("b_id"),
+        (F.col("ra") + ((F.col("id") % 21) - 10) * 0.0001).alias("b_ra"),
+        b_dec.alias("b_dec"),
+    ).select(
+        "b_id",
+        "b_ra",
+        "b_dec",
+        F.explode(
+            F.array(
+                F.floor((F.col("b_dec") + 90.0) / _XM_ZONE_DEG) - 1,
+                F.floor((F.col("b_dec") + 90.0) / _XM_ZONE_DEG),
+                F.floor((F.col("b_dec") + 90.0) / _XM_ZONE_DEG) + 1,
+            )
+        ).alias("zone"),
+    )
+    sep_rad = 2 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("b_dec") - F.col("a_dec")) / 2), 2)
+            + F.cos(F.radians("a_dec"))
+            * F.cos(F.radians("b_dec"))
+            * F.pow(F.sin(F.radians(F.col("b_ra") - F.col("a_ra")) / 2), 2)
+        )
+    )
+    sep_arcsec = F.degrees(sep_rad) * 3600
+    return (
+        a.join(b, "zone")
+        .filter(sep_arcsec <= _XM_RADIUS_ARCSEC)
+        .select("a_id", "b_id", F.round(sep_arcsec, 2).alias("sep_arcsec"))
+    )
+
+
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("join_asof_tolerance")

@@ -81,6 +81,7 @@ _PRIORITY_QUERIES = (
     "cap_docs_per_source",
     "scan_schema_evolution",
     "join_fuzzy_blocked",
+    "join_xmatch_zone",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
