@@ -323,3 +323,17 @@ def test_stream_stream_interval_join_parity(spark, staged_events):
         ).collect()
     }
     assert got == want and want
+
+
+def test_stream_live_tumbling_registry_entry_matches_batch(spark):
+    """The driver-visible live-streaming query (readStream -> availableNow ->
+    memory sink) must equal the batch stream_tumbling result row-for-row."""
+    from fits2db_spark.operators.streaming_batch import (
+        stream_live_tumbling,
+        stream_tumbling,
+    )
+
+    live = sorted(tuple(r) for r in stream_live_tumbling(spark, SF_SMOKE).collect())
+    batch = sorted(tuple(r) for r in stream_tumbling(spark, SF_SMOKE).collect())
+    assert live == batch
+    assert live, "fixture events must produce windows"
