@@ -230,6 +230,37 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS price_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucketing (ntile),
+    percent_rank, and cume_dist per order priority, the remaining §2.E
+    surface next to ranking/offset/frame functions. The o_orderkey
+    tie-break makes ntile assignment engine-deterministic (equal prices
+    would otherwise split across quartile boundaries arbitrarily).
+    Scale: all three share ONE (partition, sort) pass — a single shuffle +
+    sort, no extra exchange per function."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("win_range_frame")

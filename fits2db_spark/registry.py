@@ -82,6 +82,7 @@ _PRIORITY_QUERIES = (
     "scan_schema_evolution",
     "join_fuzzy_blocked",
     "join_xmatch_zone",
+    "win_distribution",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
