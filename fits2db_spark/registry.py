@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "fits2db_spark.operators.udfs",
     "fits2db_spark.operators.advanced",
     "fits2db_spark.operators.pipeline",
+    "fits2db_spark.operators.stats",
 )
 
 _loaded = False
@@ -83,6 +84,10 @@ _PRIORITY_QUERIES = (
     "join_fuzzy_blocked",
     "join_xmatch_zone",
     "win_distribution",
+    "agg_linreg",
+    "agg_entropy",
+    "anomaly_mad",
+    "events_ohlc",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
