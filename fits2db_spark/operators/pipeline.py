@@ -763,3 +763,170 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 deprioritize("agg_string_concat")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic domain-mixture rebalancing
+# ---------------------------------------------------------------------------
+@register(
+    "domain_mix_sample",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    k AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept
+      FROM documents d JOIN c USING (source) CROSS JOIN m
+      WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000
+            < (CAST(m.mn AS DOUBLE) / c.n) * 1000000
+      GROUP BY d.source
+    )
+    SELECT c.source, c.n AS n_before,
+           COALESCE(k.kept, 0) AS n_kept,
+           ROUND(CAST(m.mn AS DOUBLE) / c.n, 6) AS target_rate
+    FROM c CROSS JOIN m LEFT JOIN k USING (source)
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture rebalancing: downsample every source to
+    the size of the smallest one (uniform mixture) by keeping the docs whose
+    md5(doc_id) hash-bucket falls under the per-source target rate — the
+    hash-threshold idiom shared with split_train_test, so the selected
+    subset is a pure function of doc ids (reshuffle-proof, reproducible
+    across engines and runs, and monotone: lowering a source's rate only
+    removes docs, never swaps them).
+
+    Scale: one count aggregate over sources, its MIN broadcast back as a
+    1-row cross join (no driver collect), then a narrow hash filter on the
+    scan — the selection itself never shuffles. This is the standard
+    deterministic alternative to rand()-based mixture sampling in a
+    training-data pipeline (target weights here: equal per source; any
+    weight table broadcasts the same way)."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = c.agg(F.min("n").alias("mn"))
+    rate = F.col("mn").cast("double") / F.col("n")
+    kept = (
+        d.join(c, "source")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            F.pmod(_h64(F.col("doc_id").cast("string")), F.lit(1_000_000))
+            < rate * 1_000_000
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("kept"))
+    )
+    return (
+        c.crossJoin(F.broadcast(m))
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_before"),
+            F.coalesce(F.col("kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.round(rate, 6).alias("target_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / diversity quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(l) AS n_words,
+             CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio,
+             CAST(list_max(list_transform(list_distinct(l),
+                    x -> len(list_filter(l, y -> y = x)))) AS DOUBLE) / len(l)
+               AS top_word_frac,
+             CAST(list_max(list_transform(
+                    list_distinct(list_transform(range(1, len(l)),
+                                                 i -> l[i] || ' ' || l[i + 1])),
+                    x -> len(list_filter(
+                           list_transform(range(1, len(l)),
+                                          i -> l[i] || ' ' || l[i + 1]),
+                           y -> y = x)))) AS DOUBLE)
+               / (len(l) - 1) AS top_bigram_frac
+      FROM w WHERE len(l) >= 2
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(uniq_ratio, 6) AS uniq_ratio,
+           ROUND(top_word_frac, 6) AS top_word_frac,
+           ROUND(top_bigram_frac, 6) AS top_bigram_frac,
+           (uniq_ratio < 0.4 OR top_word_frac > 0.15 OR top_bigram_frac > 0.12)
+             AS is_repetitive
+    FROM s
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition / diversity signals in the Gopher-rules
+    family: unique-word ratio, most-frequent-word fraction, and
+    most-frequent-bigram fraction, plus the composite is_repetitive flag
+    (dedup catches copies ACROSS documents; these catch degenerate text
+    WITHIN a document — boilerplate loops, keyword stuffing, template spam).
+
+    Entirely array-lambda math on the per-doc token array: a narrow map
+    with NO shuffle and no explode — which beats exploding 100 TB of
+    tokens into a groupBy(doc, token) shuffle just to find each doc's max.
+    The per-doc mode count is the longest run of equal adjacent elements
+    in the SORTED array, found by one F.aggregate fold (O(n log n) sort +
+    O(n) scan per doc). The naive transform(distinct, x ->
+    size(filter(arr, y -> y = x))) form is 40x slower here: higher-order
+    lambdas are interpreted (no codegen), and the inner filter re-derives
+    its argument expression per distinct element — the same
+    double-evaluation trap the r4 review caught in vec_kmeans. Thresholds
+    follow Rae et al. (Gopher) appendix A1 in spirit; exact values are
+    fixture-tuned."""
+    d = load(spark, sf_dir, "documents")
+
+    def max_run(sorted_arr):
+        # longest run of equal adjacent elements == count of the mode
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+            )
+
+        return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+    base = d.select("doc_id", F.split("text", " ").alias("l")).filter(F.size("l") >= 2)
+    arrs = base.select(
+        "doc_id",
+        F.size("l").alias("n"),
+        F.array_sort("l").alias("sw"),
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("l", i), F.element_at("l", i + 1)
+                ),
+            )
+        ).alias("sb"),
+    )
+    n = F.col("n")
+    uniq_ratio = F.size(F.array_distinct("sw")).cast("double") / n
+    top_word = max_run(F.col("sw")).cast("double") / n
+    top_bigram = max_run(F.col("sb")).cast("double") / (n - 1)
+    return arrs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(top_word, 6).alias("top_word_frac"),
+        F.round(top_bigram, 6).alias("top_bigram_frac"),
+        ((uniq_ratio < 0.4) | (top_word > 0.15) | (top_bigram > 0.12)).alias(
+            "is_repetitive"
+        ),
+    )

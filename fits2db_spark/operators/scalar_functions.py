@@ -510,3 +510,34 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").try_cast("int").alias("bad_cast"),
         F.col("user_id").cast("string").try_cast("long").alias("good_cast"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           CAST(json_extract(props, '$.missing') AS INTEGER) IS NULL
+             AS missing_is_null
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
+    into an open-schema binary-encoded value, then typed path extraction
+    with ``variant_get`` / ``try_variant_get`` — the engine-native path for
+    JSON event payloads whose schema drifts (vs ``fn_json``'s
+    get_json_object string reparsing: VARIANT parses once and extracts
+    many times from the binary encoding). Missing paths surface as NULL
+    rather than errors. Scale: narrow map, columnar VARIANT stays JVM-side
+    through whole-stage codegen."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_bucket"),
+        F.try_variant_get(v, "$.missing", "int").isNull().alias("missing_is_null"),
+    )

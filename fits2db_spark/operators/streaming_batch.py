@@ -190,46 +190,24 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the SAME SQL as the batch stream_tumbling.
 # ---------------------------------------------------------------------------
 
-_LIVE_DONE: dict[tuple[str, str], str] = {}
+_LIVE_DONE: dict[tuple[str, str, str], str] = {}
 
 
-@register(
-    "stream_live_tumbling",
-    oracle="""
-    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
-           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
-             + INTERVAL 1 HOUR AS window_end,
-           event_type,
-           COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS total_value
-    FROM events
-    GROUP BY 1, 2, 3
-    """,
-)
-def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type 1h tumbling counts computed by LIVE Structured Streaming:
-    the events table is staged as 3 time-ordered parquet files, read back
-    with ``readStream`` (maxFilesPerTrigger=1 -> 3 micro-batches), windowed
-    exactly like the batch ``stream_tumbling``, and drained to a memory
-    sink under ``trigger(availableNow=True)``. The stream runs once per
-    (session, sf_dir); repeat calls return the materialized sink table.
-
-    Scale: the identical plan runs unbounded on a real file/Kafka source —
-    state lives in the state store keyed by (window, event_type); here the
-    memory sink and complete mode are the bounded-fixture drain strategy
-    (a production job uses append mode + watermark eviction)."""
-    import os
-
-    from ..streaming.live import events_stream, run_stream_to_memory, tumbling_counts
-    from .scans import _scratch_dir
-
+def _live_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple[str, str, str]:
     try:
         app_id = spark.sparkContext.applicationId
     except Exception:
         app_id = ""
-    key = (app_id, sf_dir)
-    if key in _LIVE_DONE:
-        return spark.table(_LIVE_DONE[key])
+    return (app_id, sf_dir, tag)
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as 3 time-ordered parquet files (one per
+    future micro-batch). Memoized per (session, sf_dir) via _scratch_dir,
+    so every live-streaming query shares one staging pass."""
+    import os
+
+    from .scans import _scratch_dir
 
     def stage(out_dir: str) -> None:
         import glob as _glob
@@ -264,7 +242,41 @@ def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy(part, os.path.join(out_dir, f"{i:03d}.parquet"))
         shutil.rmtree(tmp, ignore_errors=True)
 
-    staging = _scratch_dir(spark, sf_dir, "events_stream_stage", stage)
+    return _scratch_dir(spark, sf_dir, "events_stream_stage", stage)
+
+
+@register(
+    "stream_live_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 1h tumbling counts computed by LIVE Structured Streaming:
+    the events table is staged as 3 time-ordered parquet files, read back
+    with ``readStream`` (maxFilesPerTrigger=1 -> 3 micro-batches), windowed
+    exactly like the batch ``stream_tumbling``, and drained to a memory
+    sink under ``trigger(availableNow=True)``. The stream runs once per
+    (session, sf_dir); repeat calls return the materialized sink table.
+
+    Scale: the identical plan runs unbounded on a real file/Kafka source —
+    state lives in the state store keyed by (window, event_type); here the
+    memory sink and complete mode are the bounded-fixture drain strategy
+    (a production job uses append mode + watermark eviction)."""
+    from ..streaming.live import events_stream, run_stream_to_memory, tumbling_counts
+
+    key = _live_key(spark, sf_dir, "tumbling")
+    if key in _LIVE_DONE:
+        return spark.table(_LIVE_DONE[key])
+
+    staging = _staged_events_dir(spark, sf_dir)
     name = f"live_tumbling_{abs(hash(key)) % 10**8}"
     q = run_stream_to_memory(
         tumbling_counts(
@@ -278,6 +290,52 @@ def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError(
             "stream_live_tumbling: availableNow drain did not terminate in "
+            "300s — a partial sink table must never be returned (or memoized)"
+        )
+    _LIVE_DONE[key] = name
+    return spark.table(name)
+
+
+@register(
+    "stream_live_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup, driver-visible: first occurrence of each
+    (user_id, event_type) pair across micro-batches via
+    ``withWatermark + dropDuplicates`` on a LIVE ``readStream`` over the
+    same 3-file staging as ``stream_live_tumbling`` (the staging pass is
+    shared), drained to a memory sink in append mode. Projecting only the
+    key columns makes the result the exact distinct key set regardless of
+    which physical row the state store retained first — which is what
+    keeps a stateful streaming query oracle-checkable.
+
+    Scale: dedup state is one entry per distinct key within the watermark
+    horizon, evicted as event-time advances; the identical plan is the
+    standard exactly-once idempotent-ingest guard in front of a streaming
+    sink (streaming/live.py:dedup_stream is the event_id variant, tested
+    for batch/stream parity in tests/test_streaming_live.py)."""
+    from ..streaming.live import events_stream, run_stream_to_memory
+
+    key = _live_key(spark, sf_dir, "dedup")
+    if key in _LIVE_DONE:
+        return spark.table(_LIVE_DONE[key])
+
+    staging = _staged_events_dir(spark, sf_dir)
+    name = f"live_dedup_{abs(hash(key)) % 10**8}"
+    stream = (
+        events_stream(spark, staging, max_files_per_trigger=1)
+        .withWatermark("ts", "100 days")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = run_stream_to_memory(stream, name, output_mode="append")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_live_dedup: availableNow drain did not terminate in "
             "300s — a partial sink table must never be returned (or memoized)"
         )
     _LIVE_DONE[key] = name

@@ -88,6 +88,11 @@ _PRIORITY_QUERIES = (
     "agg_entropy",
     "anomaly_mad",
     "events_ohlc",
+    "graph_triangles",
+    "domain_mix_sample",
+    "text_repetition",
+    "fn_variant",
+    "stream_live_dedup",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
