@@ -552,3 +552,65 @@ def join_xmatch_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("join_asof_tolerance")
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP)
+               + INTERVAL 1 SECOND * CAST(floor(value * 60) AS BIGINT) AS e
+      FROM events
+    )
+    SELECT a.user_id,
+           a.event_id AS event_a, b.event_id AS event_b,
+           CAST(date_diff('second', greatest(a.s, b.s), least(a.e, b.e)) AS BIGINT)
+             AS overlap_secs
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: each event occupies [ts, ts + value
+    minutes]; find every overlapping pair of intervals belonging to the
+    same user and report the overlap duration — the temporal-join shape
+    behind "concurrent sessions", double-booking detection, and
+    interval-algebra workloads.
+
+    Scale: the equi-key (user_id) does the heavy lifting — Spark plans a
+    shuffle/sort-merge join on user_id and evaluates the two range
+    predicates inside each co-partitioned group, so the pair explosion is
+    bounded per key, never global. When no equi key exists, the fallback
+    is binning intervals to coarse time buckets and equi-joining on the
+    bucket (the join_range_binned pattern); AQE's skew-join split handles
+    a user with pathologically many events."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add("SECOND", (F.col("value") * 60).cast("long"), F.col("ts")).alias(
+            "e"
+        ),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (
+                F.unix_timestamp(F.least(F.col("a.e"), F.col("b.e")))
+                - F.unix_timestamp(F.greatest(F.col("a.s"), F.col("b.s")))
+            ).alias("overlap_secs"),
+        )
+    )

@@ -930,3 +930,63 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_repetitive"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy (rare-document filter)
+# ---------------------------------------------------------------------------
+@register(
+    "text_perplexity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(c) AS t FROM cnt),
+    pd AS (
+      SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             AVG(-ln(cnt.c / tot.t)) AS nll
+      FROM tok JOIN cnt USING (token) CROSS JOIN tot
+      GROUP BY tok.doc_id
+    ),
+    g AS (SELECT AVG(nll) AS gn FROM pd)
+    SELECT doc_id, n_tokens, ROUND(nll, 6) AS avg_nll,
+           ROUND(nll, 6) > ROUND(gn * 1.02, 6) AS is_outlier
+    FROM pd CROSS JOIN g
+    """,
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity proxy: per-document average
+    negative log-likelihood under the corpus's own unigram distribution —
+    the cheap stand-in for the neural-LM perplexity filter every
+    large-scale training-data pipeline runs (docs dominated by rare tokens
+    score high; is_outlier flags docs 2% above the corpus mean, compared
+    on ROUNDed values so the cut is engine-stable).
+
+    Scale: token counts partial-aggregate before one shuffle on token;
+    the per-doc scoring joins tokens to the vocabulary on token (at
+    fixture scale Catalyst broadcasts the tiny vocab; a 100 TB vocab is
+    still millions of rows — broadcastable — or bucketed on token if
+    not), then re-aggregates on doc_id. The two 1-row scalars (corpus
+    size, corpus-mean NLL) are broadcast cross joins, not driver
+    collects."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    pd_ = (
+        tok.join(cnt, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(-F.log(F.col("c") / F.col("t"))).alias("nll"),
+        )
+    )
+    g = pd_.agg(F.avg("nll").alias("gn"))
+    return pd_.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "n_tokens",
+        F.round("nll", 6).alias("avg_nll"),
+        (F.round("nll", 6) > F.round(F.col("gn") * 1.02, 6)).alias("is_outlier"),
+    )

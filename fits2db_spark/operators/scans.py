@@ -203,3 +203,52 @@ def fits_ingest_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(blob)
 
     return read_fits(spark, _scratch_dir(spark, sf_dir, "customer_zfits", write))
+
+
+@register(
+    "scan_partition_pruning",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS event_date,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+          BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+    GROUP BY 1, 2
+    """,
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: the events table
+    is staged ONCE partitioned by event_date (`write.partitionBy` →
+    `event_date=2024-01-03/` directories), then read back with a filter on
+    the partition column. Catalyst turns the filter into partition-directory
+    pruning — the scan lists only the 3 matching directories and never
+    opens the others' files (asserted on the physical plan in
+    tests/test_plans.py). This is THE layout decision that matters most at
+    100 TB: a date-partitioned event store makes every time-bounded query
+    O(days touched), not O(corpus); the same pruning applies to any
+    partition column (source, lang, healpix shard...)."""
+
+    def write(out_dir: str) -> None:
+        ev = load(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.date_trunc("day", F.col("ts")).cast("date"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out_dir)
+        )
+
+    path = _scratch_dir(spark, sf_dir, "events_partitioned", write)
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("event_date") >= F.lit("2024-01-03").cast("date"))
+            & (F.col("event_date") <= F.lit("2024-01-05").cast("date"))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -264,3 +264,66 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("win_range_frame")
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS g
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, MIN(d) AS streak_start,
+             CAST(COUNT(*) AS BIGINT) AS streak_days
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id, streak_days, streak_start
+    FROM (
+      SELECT user_id, streak_days, streak_start,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_days DESC, streak_start) AS rk
+      FROM streaks)
+    WHERE rk = 1
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per user
+    (ties broken by earliest start) — the classic SQL streak/sessionize-
+    by-calendar pattern (login streaks, sensor uptime, SLA windows). The
+    island key is the date minus the per-user day row_number: consecutive
+    days share it, any gap shifts it.
+
+    Scale: both windows partition by user_id (no global sort), the
+    distinct-days aggregate partial-aggregates map-side before its
+    shuffle, and all three shuffles share the user_id key so Spark reuses
+    one exchange. State per user is its distinct-day count — bounded by
+    the calendar, not the event volume."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id", "d", F.date_sub(F.col("d"), F.row_number().over(w)).alias("g")
+    )
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.min("d").alias("streak_start"),
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+    )
+    rk = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )

@@ -93,6 +93,10 @@ _PRIORITY_QUERIES = (
     "text_repetition",
     "fn_variant",
     "stream_live_dedup",
+    "join_interval_overlap",
+    "win_gaps_islands",
+    "text_perplexity",
+    "scan_partition_pruning",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

@@ -171,3 +171,50 @@ def test_cms_sketch_broadcasts(spark):
     assert "BroadcastHashJoin" in _plan(
         all_queries()["cms_heavy_hitters"](spark, SF_SMOKE)
     )
+
+
+def test_partition_pruning_fires(spark):
+    # the staged hive layout + partition filter must prune to 3 directories:
+    # the scan's partition filters mention event_date and the file listing
+    # excludes out-of-range partitions
+    from fits2db_spark.operators.scans import scan_partition_pruning
+
+    df = scan_partition_pruning(spark, SF_SMOKE)
+    f = _formatted(df)
+    pf = [ln for ln in f.splitlines() if "PartitionFilters" in ln]
+    assert pf, f
+    # both range bounds must appear as PARTITION filters (directory-level
+    # pruning), not data filters; inputFiles() can't show this — it lists
+    # the pre-pruning relation
+    assert "event_date" in pf[0], pf[0]
+    assert ">=" in pf[0] and "<=" in pf[0], pf[0]
+    dataf = [ln for ln in f.splitlines() if "PushedFilters" in ln]
+    if dataf:
+        assert "event_date" not in dataf[0], dataf[0]
+
+
+def test_ohlc_has_no_window_sort(spark):
+    # OHLC bars use min_by/max_by (algebraic agg): the plan must be a
+    # hash aggregate, not a per-partition WindowExec sort
+    from fits2db_spark.operators.stats import events_ohlc
+
+    p = _plan(events_ohlc(spark, SF_SMOKE))
+    assert "Window" not in p, p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p, p
+
+
+def test_linreg_is_partial_agg(spark):
+    # regr_* must partial-aggregate map-side before one shuffle
+    from fits2db_spark.operators.stats import agg_linreg
+
+    p = _plan(agg_linreg(spark, SF_SMOKE))
+    assert p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2, p
+
+
+def test_interval_overlap_is_equi_join(spark):
+    # the user_id equi-key must make this a hash/sort-merge join with the
+    # range predicates as join conditions — never a cartesian
+    from fits2db_spark.operators.joins import join_interval_overlap
+
+    p = _plan(join_interval_overlap(spark, SF_SMOKE))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p, p
