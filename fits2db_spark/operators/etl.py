@@ -327,3 +327,56 @@ def spatial_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         htm9("ra", "dec").alias("htm9"),
         F.rand(seed=42).alias("random_id"),
     )
+
+
+@register(
+    "etl_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE l.l_extendedprice < q.lo) AS BIGINT)
+             AS n_clipped_low,
+           CAST(COUNT(*) FILTER (WHERE l.l_extendedprice > q.hi) AS BIGINT)
+             AS n_clipped_high,
+           ROUND(AVG(l.l_extendedprice), 4) AS avg_raw,
+           ROUND(AVG(least(greatest(l.l_extendedprice, q.lo), q.hi)), 4)
+             AS avg_winsorized
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp a numeric column to its per-group [p01, p99]
+    band — the standard outlier-robust preprocessing for features and
+    label columns before training (vs dropping rows, which biases counts).
+    Reports clip counts and the mean before/after.
+
+    Scale: one exact-percentile aggregate producing an O(groups) table
+    that broadcasts back onto the fact scan (the anomaly_mad shape); the
+    clamp itself is a narrow map. At 100 TB swap the exact percentile for
+    approx_percentile — the clamp bounds only move by sketch error."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(x < F.col("lo"), 1).otherwise(0)).cast("long").alias("n_clipped_low"),
+            F.sum(F.when(x > F.col("hi"), 1).otherwise(0)).cast("long").alias("n_clipped_high"),
+            F.round(F.avg(x), 4).alias("avg_raw"),
+            F.round(F.avg(F.least(F.greatest(x, F.col("lo")), F.col("hi"))), 4).alias(
+                "avg_winsorized"
+            ),
+        )
+    )

@@ -300,3 +300,121 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sampled_frames"),
     )
+
+
+def dhash_bits(img: "np.ndarray", nbits: int = 60) -> int:
+    """Difference hash (dHash) of an image: sample luminance on a 9x8
+    nearest-neighbor grid, emit 1 where a cell is brighter than its right
+    neighbor. 60 bits so the value stays positive in an int64 on every
+    engine. Public algorithm (Krawetz); resize indices match
+    ``resize_nearest``'s ``out*in//n`` convention."""
+    h, w = img.shape[:2]
+    lum = img.reshape(h, w, -1)[:, :, :3].astype("f8").mean(axis=2)
+    acc = 0
+    for k in range(nbits):
+        r, c = k // 8, k % 8
+        yi = r * h // 8
+        a = lum[yi, c * w // 9]
+        b = lum[yi, (c + 1) * w // 9]
+        if a > b:
+            acc |= 1 << k
+    return acc
+
+
+@register(
+    "mm_phash_dedup",
+    # The oracle mirrors the whole pipeline in SQL: rebuild the
+    # deterministic P6 payload from the fixture, re-derive the luminance
+    # plane from the ASCII pixel bytes, sample the same 9x8 grid
+    # (out*in//n indices), reassemble the 60-bit integer with BIGINT
+    # shifts (doubles would lose exactness past 2^53), and group. Float
+    # luminances are identical on both engines (sum of 3 uint8s / 3.0),
+    # so the > comparisons agree bit-for-bit.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             md5(lang || '|' || source) AS mh
+      FROM documents WHERE doc_id < 200
+    ),
+    dims AS (
+      SELECT doc_id, mh,
+             CAST(ascii(substr(mh, 1, 1)) % 16 + 4 AS INT) AS w,
+             CAST(ascii(substr(mh, 2, 1)) % 12 + 4 AS INT) AS h
+      FROM base
+    ),
+    pay AS (
+      SELECT doc_id, w, h,
+             substr(repeat(mh, (3*w*h) // 32 + 1), 1, 3*w*h) AS body
+      FROM dims
+    ),
+    lum AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, w*h - 1),
+                            i -> (ascii(substr(body, 3*i+1, 1))
+                                  + ascii(substr(body, 3*i+2, 1))
+                                  + ascii(substr(body, 3*i+3, 1))) / 3.0) AS lums
+      FROM pay
+    ),
+    ph AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, 59), k ->
+               CASE WHEN
+                 lums[((k // 8) * h // 8) * w + ((k % 8) * w // 9) + 1]
+                 >
+                 lums[((k // 8) * h // 8) * w + (((k % 8) + 1) * w // 9) + 1]
+               THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+               AS phash
+      FROM lum
+    ),
+    grp AS (
+      SELECT phash, CAST(COUNT(*) AS BIGINT) AS group_size,
+             MIN(doc_id) AS canonical_doc
+      FROM ph GROUP BY phash
+    )
+    SELECT p.doc_id, CAST(p.phash AS BIGINT) AS phash, g.group_size,
+           g.canonical_doc, g.group_size > 1 AS is_dup
+    FROM ph p JOIN grp g USING (phash)
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: decode the binary image column (REAL P6
+    payloads synthesized JVM-side, same decoder path as
+    mm_decode_features; content and dims keyed on (lang, source) so the
+    same image genuinely recurs under many doc_ids — the "one asset,
+    re-uploaded everywhere" shape; 171 of the 200 docs land in multi-doc
+    groups at sf0.01), compute a 60-bit dHash per image in the Arrow
+    batch, then group by hash — the visual-dedup step of a multimodal
+    curation pipeline.
+
+    Scale: the decode+hash is mapInPandas (Arrow-batched, no JVM<->Python
+    row ping-pong); the dedup is one groupBy on the 8-byte hash — exactly
+    dedup_exact_text's shuffle profile. Near-dup (hamming<=k) extends this
+    by banding the 60 bits into 4x15-bit keys and OR-ing bucket joins —
+    the dedup_near_minhash machinery unchanged."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mh = F.md5(F.concat_ws("|", "lang", "source"))
+    w = (F.ascii(F.substring(mh, 1, 1)) % 16 + 4).cast("int")
+    h = (F.ascii(F.substring(mh, 2, 1)) % 12 + 4).cast("int")
+    need = (F.lit(3) * w * h).cast("int")
+    body = F.substring(F.repeat(mh, (need / 32 + 1).cast("int")), F.lit(1), need)
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    src = d.select("doc_id", F.encode(F.concat(header, body), "utf-8").alias("payload"))
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                dhash_bits(decode_pnm(bytes(p))) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    ph = src.mapInPandas(hash_batches, schema="doc_id long, phash long")
+    grp = ph.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    return ph.join(grp, "phash").select(
+        "doc_id", "phash", "group_size", "canonical_doc",
+        (F.col("group_size") > 1).alias("is_dup"),
+    )

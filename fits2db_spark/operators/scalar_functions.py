@@ -541,3 +541,61 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).alias("k_bucket"),
         F.try_variant_get(v, "$.missing", "int").isNull().alias("missing_is_null"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang,
+             'https://WWW.' || source || '.Example.COM/articles/'
+               || CAST(doc_id AS VARCHAR) || '?utm_source=feed&ref=' || lang
+               || '#frag' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&#]+)', 1) AS ref_param,
+           'https://'
+             || regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+                               '^www\\.', '')
+             || regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS norm_url
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization: split a URL into host / path /
+    query-param with ``parse_url`` (JVM-native), then produce the
+    normalized form — lowercase host, ``www.`` stripped, query string and
+    fragment dropped — the dedup key a web-corpus pipeline groups on
+    before any content hashing (URL canonicalization collapses most
+    crawl-level duplicates for free). URLs here are synthesized
+    deterministically from the documents fixture; the oracle re-derives
+    every piece with regexes. Scale: narrow map, whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        F.col("lang"),
+        F.lit("#frag"),
+    )
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    ref = F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref"))
+    norm = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(F.lower(host), r"^www\.", ""),
+        path,
+    )
+    return d.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        "url",
+        F.lower(host).alias("host"),
+        path.alias("path"),
+        ref.alias("ref_param"),
+        norm.alias("norm_url"),
+    )

@@ -97,6 +97,9 @@ _PRIORITY_QUERIES = (
     "win_gaps_islands",
     "text_perplexity",
     "scan_partition_pruning",
+    "mm_phash_dedup",
+    "fn_url",
+    "etl_winsorize",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
