@@ -321,17 +321,33 @@ def dhash_bits(img: "np.ndarray", nbits: int = 60) -> int:
     return acc
 
 
-@register(
-    "mm_phash_dedup",
-    # The oracle mirrors the whole pipeline in SQL: rebuild the
-    # deterministic P6 payload from the fixture, re-derive the luminance
-    # plane from the ASCII pixel bytes, sample the same 9x8 grid
-    # (out*in//n indices), reassemble the 60-bit integer with BIGINT
-    # shifts (doubles would lose exactness past 2^53), and group. Float
-    # luminances are identical on both engines (sum of 3 uint8s / 3.0),
-    # so the > comparisons agree bit-for-bit.
-    oracle="""
-    WITH base AS (
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash): synthesize the deterministic P6 payloads (content
+    and dims keyed on (lang, source)), decode them with the real PNM
+    decoder, and dHash each image — shared by mm_phash_dedup and
+    mm_phash_near."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mh = F.md5(F.concat_ws("|", "lang", "source"))
+    w = (F.ascii(F.substring(mh, 1, 1)) % 16 + 4).cast("int")
+    h = (F.ascii(F.substring(mh, 2, 1)) % 12 + 4).cast("int")
+    need = (F.lit(3) * w * h).cast("int")
+    body = F.substring(F.repeat(mh, (need / 32 + 1).cast("int")), F.lit(1), need)
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    src = d.select("doc_id", F.encode(F.concat(header, body), "utf-8").alias("payload"))
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [dhash_bits(decode_pnm(bytes(p))) for p in pdf["payload"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return src.mapInPandas(hash_batches, schema="doc_id long, phash long")
+
+
+#: shared CTE prefix for the phash oracles: rebuild payloads + hashes in SQL
+_PHASH_SQL = """
+    base AS (
       SELECT doc_id,
              md5(lang || '|' || source) AS mh
       FROM documents WHERE doc_id < 200
@@ -357,21 +373,35 @@ def dhash_bits(img: "np.ndarray", nbits: int = 60) -> int:
     ),
     ph AS (
       SELECT doc_id,
-             list_sum(list_transform(generate_series(0, 59), k ->
+             CAST(list_sum(list_transform(generate_series(0, 59), k ->
                CASE WHEN
                  lums[((k // 8) * h // 8) * w + ((k % 8) * w // 9) + 1]
                  >
                  lums[((k // 8) * h // 8) * w + (((k % 8) + 1) * w // 9) + 1]
                THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
-               AS phash
+               AS BIGINT) AS phash
       FROM lum
-    ),
+    )
+"""
+
+
+@register(
+    "mm_phash_dedup",
+    # The oracle mirrors the whole pipeline in SQL: rebuild the
+    # deterministic P6 payload from the fixture, re-derive the luminance
+    # plane from the ASCII pixel bytes, sample the same 9x8 grid
+    # (out*in//n indices), reassemble the 60-bit integer with BIGINT
+    # shifts (doubles would lose exactness past 2^53), and group. Float
+    # luminances are identical on both engines (sum of 3 uint8s / 3.0),
+    # so the > comparisons agree bit-for-bit.
+    oracle=f"""
+    WITH {_PHASH_SQL},
     grp AS (
       SELECT phash, CAST(COUNT(*) AS BIGINT) AS group_size,
              MIN(doc_id) AS canonical_doc
       FROM ph GROUP BY phash
     )
-    SELECT p.doc_id, CAST(p.phash AS BIGINT) AS phash, g.group_size,
+    SELECT p.doc_id, p.phash, g.group_size,
            g.canonical_doc, g.group_size > 1 AS is_dup
     FROM ph p JOIN grp g USING (phash)
     """,
@@ -391,25 +421,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact_text's shuffle profile. Near-dup (hamming<=k) extends this
     by banding the 60 bits into 4x15-bit keys and OR-ing bucket joins —
     the dedup_near_minhash machinery unchanged."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    mh = F.md5(F.concat_ws("|", "lang", "source"))
-    w = (F.ascii(F.substring(mh, 1, 1)) % 16 + 4).cast("int")
-    h = (F.ascii(F.substring(mh, 2, 1)) % 12 + 4).cast("int")
-    need = (F.lit(3) * w * h).cast("int")
-    body = F.substring(F.repeat(mh, (need / 32 + 1).cast("int")), F.lit(1), need)
-    header = F.concat(
-        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
-    )
-    src = d.select("doc_id", F.encode(F.concat(header, body), "utf-8").alias("payload"))
-
-    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hashes = [
-                dhash_bits(decode_pnm(bytes(p))) for p in pdf["payload"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
-
-    ph = src.mapInPandas(hash_batches, schema="doc_id long, phash long")
+    ph = _phash_frame(spark, sf_dir)
     grp = ph.groupBy("phash").agg(
         F.count(F.lit(1)).cast("long").alias("group_size"),
         F.min("doc_id").alias("canonical_doc"),
@@ -417,4 +429,84 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ph.join(grp, "phash").select(
         "doc_id", "phash", "group_size", "canonical_doc",
         (F.col("group_size") > 1).alias("is_dup"),
+    )
+
+
+@register(
+    "mm_phash_near",
+    oracle=f"""
+    WITH {_PHASH_SQL},
+    bands AS (
+      SELECT doc_id, phash, k, (phash >> (15 * k)) & 32767 AS bk
+      FROM ph, unnest([0, 1, 2, 3]) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash AS pa, b.phash AS pb
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa, pb)) AS INT) AS hamming,
+           pa = pb AS is_exact
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 3
+    """,
+)
+def mm_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs by perceptual hash: band the 60-bit
+    dHash into 4 x 15-bit keys, equi-join on (band, key), then verify
+    candidates with the exact hamming distance (bit_count of xor —
+    JVM-native on both engines). By pigeonhole, any pair within hamming 3
+    shares at least one identical band, so recall at the <=3 threshold is
+    exactly 1 — the same band-then-verify contract as dedup_near_minhash,
+    in hamming space instead of Jaccard space.
+
+    Scale: candidates ∝ images per (band, key) bucket, never all-pairs;
+    a degenerate bucket (e.g. flat-black thumbnails hashing to 0) gets
+    the same bucket-cap guard as the LSH dedup (_LSH_BUCKET_CAP pattern).
+    The verify is O(1) per candidate (one xor + popcount)."""
+    ph = _phash_frame(spark, sf_dir)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright(F.col("phash"), 15 * k)
+                        .bitwiseAND(F.lit(32767))
+                        .alias("bk"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "phash", F.col("band.k").alias("k"), F.col("band.bk").alias("bk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.filter(ham <= 3)
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.cast("int").alias("hamming"),
+            (F.col("pa") == F.col("pb")).alias("is_exact"),
+        )
     )

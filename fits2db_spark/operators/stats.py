@@ -22,7 +22,7 @@ ordering key, because DuckDB's arg_min cannot take a struct key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -219,5 +219,98 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", okey).alias("close"),
             F.count(F.lit(1)).cast("long").alias("n_ticks"),
             F.round(F.sum("value"), 4).alias("volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (bounded-window exponential decay)
+# ---------------------------------------------------------------------------
+@register(
+    "events_ewma",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.event_id, a.event_type, ROUND(a.value, 2) AS value,
+           ROUND(SUM(b.value * power(0.9, a.rn - b.rn))
+                 / SUM(power(0.9, a.rn - b.rn)), 6) AS ewma
+    FROM r a JOIN r b
+      ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 19 AND a.rn
+    GROUP BY a.event_id, a.event_type, a.value
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the last 20 events per
+    type (decay 0.9) — the standard smoothing pass before thresholding a
+    noisy metric stream. Spark side: collect the bounded window frame as
+    an ordered array and fold it with one weighted F.aggregate lambda —
+    O(K) state per row, one shuffle+sort per partition key, NO self-join.
+    The oracle reproduces the identical numbers with the textbook
+    rn-offset self-join (a second formulation, which doubles as a
+    cross-check of the window-frame semantics). At 100 TB the window form
+    wins: the join form shuffles the fact table twice and its range
+    predicate defeats pushdown; the frame form is one WindowExec whose
+    state is K doubles."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    frame = F.collect_list("value").over(w)  # ordered oldest -> newest
+    rev = F.reverse(frame)  # newest first: weight 0.9^j at offset j
+    wsum = F.aggregate(
+        F.zip_with(
+            rev,
+            F.transform(F.sequence(F.lit(0), F.size(rev) - 1), lambda j: F.pow(F.lit(0.9), j)),
+            lambda x, wt: F.struct((x * wt).alias("xw"), wt.alias("w")),
+        ),
+        F.struct(F.lit(0.0).alias("xw"), F.lit(0.0).alias("w")),
+        lambda acc, p: F.struct(
+            (acc["xw"] + p["xw"]).alias("xw"), (acc["w"] + p["w"]).alias("w")
+        ),
+        lambda acc: acc["xw"] / acc["w"],
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.round(wsum, 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram (binned heatmap)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_histogram2d",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 5) AS INT) AS bin_qty,
+           CAST(floor(l_discount / 0.02) AS INT) AS bin_disc,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram: joint distribution of quantity x discount with a
+    per-cell price average — the binned-heatmap aggregation behind every
+    density plot and drill-down matrix. One partial-agg shuffle over
+    O(cells) groups; bin indices are computed in the scan projection, so
+    the exchange carries two ints per row."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 5).cast("int").alias("bin_qty"),
+            F.floor(F.col("l_discount") / 0.02).cast("int").alias("bin_disc"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         )
     )

@@ -100,6 +100,9 @@ _PRIORITY_QUERIES = (
     "mm_phash_dedup",
     "fn_url",
     "etl_winsorize",
+    "mm_phash_near",
+    "events_ewma",
+    "agg_histogram2d",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
