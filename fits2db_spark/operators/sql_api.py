@@ -1,0 +1,148 @@
+"""Raw-SQL API surface (round 5): the same engine through ``spark.sql``.
+
+The reference is a SQL-facing tool — its users write SQL, not DataFrame
+chains. These queries register the fixture tables as temp views and run
+TEXTUAL ANSI SQL through ``spark.sql(...)``, proving the full surface
+(views, joins, aggregates, windows, date arithmetic) works for a SQL-only
+user and lands on the identical Catalyst plans the DataFrame API produces
+(same optimizer, same physical operators — the API is syntax, not a
+different engine). The oracle strings are near-verbatim the submitted SQL,
+which is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as session temp views (idempotent; suffixed
+    by nothing — the driver uses one session per run, and re-registering
+    simply replaces the identical view)."""
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "sql_tpch_q6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) submitted as raw SQL text —
+    the filter-heavy scan+agg archetype. All four predicates reach the
+    parquet scan as PushedFilters exactly as in the DataFrame variant;
+    the aggregate is algebraic. One plan, zero shuffled rows beyond the
+    1-row partial sums."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "sql_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority: top unshipped orders by potential
+    revenue) as raw SQL — the join-then-rank archetype. Catalyst plans
+    customer as a broadcast dimension, the orders-lineitem join as the one
+    real shuffle, and the ORDER BY+LIMIT as TakeOrderedAndProject (no
+    global sort) — identical physical shapes to the DataFrame-built
+    join_star_q5. Deterministic tie-break on l_orderkey."""
+    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "sql_window_ranking",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           CAST(rk AS BIGINT) AS rk,
+           ROUND(cum_spend, 2) AS cum_spend
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+             SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING) AS cum_spend
+      FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def sql_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through raw SQL: each customer's top-3 orders by
+    price with the running spend — ROW_NUMBER + framed SUM sharing one
+    (partition, sort) pass, planned with WindowGroupLimit exactly like
+    the DataFrame win_topk_per_group."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               o_orderkey,
+               ROUND(o_totalprice, 2) AS o_totalprice,
+               CAST(rk AS BIGINT) AS rk,
+               ROUND(cum_spend, 2) AS cum_spend
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+                 SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING) AS cum_spend
+          FROM orders)
+        WHERE rk <= 3
+        """
+    )

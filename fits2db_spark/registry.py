@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "fits2db_spark.operators.advanced",
     "fits2db_spark.operators.pipeline",
     "fits2db_spark.operators.stats",
+    "fits2db_spark.operators.sql_api",
 )
 
 _loaded = False
@@ -103,6 +104,9 @@ _PRIORITY_QUERIES = (
     "mm_phash_near",
     "events_ewma",
     "agg_histogram2d",
+    "sql_tpch_q6",
+    "sql_tpch_q3",
+    "sql_window_ranking",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
