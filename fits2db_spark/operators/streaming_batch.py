@@ -342,6 +342,61 @@ def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_live_interval_join",
+    oracle="""
+    SELECT c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(b.ts AS TIMESTAMP) AS buy_ts,
+           ROUND(b.value, 2) AS buy_value
+    FROM events c JOIN events b
+      ON c.user_id = b.user_id
+     AND c.event_type = 'click' AND b.event_type = 'purchase'
+     AND CAST(b.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join, driver-visible: purchases matched to
+    the same user's clicks in the preceding hour, both sides watermarked
+    so the join state store evicts rows that can no longer match — the
+    condition for running a stream-stream join forever
+    (streaming/live.py:click_purchase_interval_join, already
+    parity-tested; here it runs as a LIVE query over the shared 3-file
+    staging and drains to a memory sink). The result equals the batch
+    interval join because the staging is time-ordered (no late data) and
+    inner joins emit matches eagerly — which is what makes this the one
+    stream-stream shape an exact SQL oracle can check.
+
+    Scale: per-key state is bounded by the 1h join window + 2h watermark
+    delay; the equi-key (user) shards the state store, the time bound in
+    the join predicate is what licenses eviction."""
+    from ..streaming.live import click_purchase_interval_join, events_stream, run_stream_to_memory
+
+    key = _live_key(spark, sf_dir, "ivjoin")
+    if key in _LIVE_DONE:
+        return spark.table(_LIVE_DONE[key])
+
+    staging = _staged_events_dir(spark, sf_dir)
+    name = f"live_ivjoin_{abs(hash(key)) % 10**8}"
+    joined = click_purchase_interval_join(
+        events_stream(spark, staging, max_files_per_trigger=1)
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "buy_ts",
+        F.round("buy_value", 2).alias("buy_value"),
+    )
+    q = run_stream_to_memory(joined, name, output_mode="append")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_live_interval_join: availableNow drain did not terminate "
+            "in 300s — a partial sink table must never be returned (or memoized)"
+        )
+    _LIVE_DONE[key] = name
+    return spark.table(name)
+
+
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("stream_windowed_topk")

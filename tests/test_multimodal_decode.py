@@ -159,3 +159,35 @@ def test_decode_image_malformed_known_magic_falls_back():
     assert (w, h, c) == (64 + ord("P") % 192, 64 + ord("x") % 192, 3)
     w2, h2, c2 = decode_image(b"BMgarbage")
     assert c2 == 3 and w2 >= 64 and h2 >= 64
+
+
+def test_dhash_golden_vertical_edge():
+    # 2x2 image, left column bright, right column dark: the 9-wide sample
+    # grid maps columns 0-4 -> pixel col 0 and 5-8 -> pixel col 1, so the
+    # only brighter-than-right-neighbor comparisons are at grid col 4
+    # (k % 8 == 4), for every full row r=0..6 within the 60-bit budget
+    import numpy as np
+
+    from fits2db_spark.operators.multimodal import dhash_bits
+
+    img = np.zeros((2, 2, 3), dtype="u1")
+    img[:, 0, :] = 255
+    expected = sum(1 << k for k in (4, 12, 20, 28, 36, 44, 52))
+    assert dhash_bits(img) == expected
+
+
+def test_dhash_invariances():
+    import numpy as np
+
+    from fits2db_spark.operators.multimodal import dhash_bits, resize_nearest
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 12, 3)).astype("u1")
+    h = dhash_bits(img)
+    assert 0 <= h < (1 << 60)
+    assert dhash_bits(img.copy()) == h  # deterministic
+    # nearest-neighbor upscale by an integer factor preserves which source
+    # pixel every grid sample hits (out*in//n with in' = 2*in, and the 2x
+    # grid index floors back to the same pixel), hence the hash
+    up = resize_nearest(img, 24, 32)
+    assert dhash_bits(up) == h
