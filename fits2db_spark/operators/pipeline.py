@@ -990,3 +990,89 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nll", 6).alias("avg_nll"),
         (F.round("nll", 6) > F.round(F.col("gn") * 1.02, 6)).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (composition)
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_curate_e2e",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars, text,
+             len(string_split(text, ' ')) AS ntok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_chars BETWEEN 100 AND 1000 AND uniq_ratio >= 0.3
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(lower(trim(text)))
+                    ORDER BY doc_id) AS rk
+        FROM gated)
+      WHERE rk = 1
+    ),
+    split AS (
+      SELECT *,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(uniq_ratio), 6) AS avg_uniq_ratio
+    FROM split GROUP BY split, lang
+    """,
+)
+def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed declarative plan:
+    quality gate (length band + unique-word ratio) -> exact dedup on
+    normalized text (keep lowest doc_id) -> reshuffle-proof md5 train/
+    valid/test split -> per-(split, lang) corpus summary. This is the
+    query a real training-data pipeline runs nightly; registering the
+    composition (not just the stages) proves the operators compose into
+    one Catalyst plan — filters push through the dedup window, the split
+    is a narrow map, and the only shuffles are the dedup's hash partition
+    and the final summary aggregate.
+
+    Scale: stage order matters and is the cheap-first order — the gate
+    drops rows before the dedup shuffle, the dedup drops rows before the
+    split/summary; nothing materializes between stages (no temp tables,
+    one lazy plan end to end)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        F.size(toks).alias("ntok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("uniq_ratio"),
+    )
+    gated = scored.filter(
+        F.col("n_chars").between(100, 1000) & (F.col("uniq_ratio") >= 0.3)
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    deduped = gated.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    h = F.pmod(_h64(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    return (
+        deduped.select(split.alias("split"), "lang", "ntok", "n_chars", "uniq_ratio")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"),
+        )
+    )

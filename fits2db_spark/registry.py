@@ -108,6 +108,7 @@ _PRIORITY_QUERIES = (
     "sql_tpch_q3",
     "sql_window_ranking",
     "stream_live_interval_join",
+    "pipeline_curate_e2e",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
