@@ -535,3 +535,60 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 deprioritize("sim_ann_ivf")
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE jp AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_d_cos('a.embedding', 'b.embedding')} >= 0.35
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.node = e.v
+    ),
+    labels AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+    SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(node) AS keep_id
+    FROM labels GROUP BY comp HAVING COUNT(*) > 1
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end to end: the embedding-cosine near-dup pair graph
+    (label-blocked, cos >= 0.35 — dedup_embed_cosine's exact pair set)
+    closed into connected components by the shared label-propagation loop
+    (llm_text._label_propagate), yielding one canonical id per cluster of
+    transitively-similar items. This is the pipeline that catches
+    paraphrase-level duplicates exact/minhash dedup cannot: A~B and B~C
+    collapse to one kept item even when A and C are not directly similar.
+
+    Scale: pairs ∝ block occupancy (IVF/LSH cells at corpus scale, label
+    here); propagation is O(diameter) rounds of join+groupBy with
+    per-round lineage cuts, raising if 20 rounds pass unconverged —
+    identical posture to the text-side dedup_components. Oracle: the
+    same closure as a recursive CTE."""
+    from .llm_text import _label_propagate
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = (
+        dedup_embed_cosine(spark, sf_dir)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    _, labels = _label_propagate(pairs, e.select(F.col("vec_id").alias("doc_id")))
+    return (
+        labels.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )

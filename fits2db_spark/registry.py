@@ -109,6 +109,7 @@ _PRIORITY_QUERIES = (
     "sql_window_ranking",
     "stream_live_interval_join",
     "pipeline_curate_e2e",
+    "dedup_semantic_clusters",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
