@@ -314,3 +314,170 @@ def agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (sliding distinct-count)
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_active",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    contrib AS (
+      SELECT event_type, user_id, d + CAST(o AS INTEGER) AS win_end
+      FROM days, unnest(generate_series(0, 6)) AS t(o)
+    )
+    SELECT event_type, win_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM contrib GROUP BY event_type, win_end
+    """,
+)
+def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per event type (the WAU/DAU
+    family): each (type, user, day) contributes to the 7 windows ending on
+    day..day+6, then one distinct-count per (type, window). Sliding
+    distinct counts canNOT be window-framed (COUNT(DISTINCT) is not
+    frame-able in either engine) — the contribute-then-aggregate explode
+    is the standard distributed formulation, and its blow-up factor is the
+    window length (7×), applied AFTER the (type,user,day) distinct
+    collapses the raw event volume. At 100 TB the distinct pre-collapse
+    is what keeps the explode bounded: days × users × types, independent
+    of event count; beyond that, HLL sketches merge across windows."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "event_type",
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).distinct()
+    contrib = days.select(
+        "event_type",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+    ).select(
+        "event_type", "user_id", F.date_add(F.col("d"), F.col("o")).alias("win_end")
+    )
+    return contrib.groupBy("event_type", "win_end").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users_7d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+@register(
+    "orders_rfm",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                            DATE '2002-01-01') AS INTEGER) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(r AS INT) || '-' || CAST(f AS INT) || '-' || CAST(m AS INT)
+             AS rfm_segment
+    FROM (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM rfm)
+    """,
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days before the 2002-01-01 reference) /
+    frequency / monetary per customer, each quartiled with ntile and
+    composed into the classic 'r-f-m' segment label — the standard
+    customer-analytics scoring every warehouse runs. Ties break on
+    custkey so quartile boundaries are engine-stable.
+
+    Scale: one partial-agg groupBy builds the per-customer triple; the
+    three ntiles are global sorts over O(customers) rows (already tiny
+    relative to orders). For billions of customers, replace ntile with
+    approx-percentile threshold lookups — same labels, no global sort."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max("o_orderdate").cast("date")
+        ).cast("int").alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy("recency_days", "o_custkey"))
+    f_ = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.concat_ws(
+            "-", r.cast("int").cast("string"), f_.cast("int").cast("string"),
+            m.cast("int").cast("string")
+        ).alias("rfm_segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair lift
+# ---------------------------------------------------------------------------
+@register(
+    "basket_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n_orders FROM op),
+    pc AS (SELECT p, CAST(COUNT(*) AS DOUBLE) AS c FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, n_both,
+           ROUND(n_both * n.n_orders / (ca.c * cb.c), 6) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.p = part_a
+    JOIN pc cb ON cb.p = part_b
+    CROSS JOIN n
+    ORDER BY ROUND(n_both * n.n_orders / (ca.c * cb.c), 6) DESC,
+             part_a, part_b
+    LIMIT 40
+    """,
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: part pairs co-occurring in >= 3 orders,
+    ranked by lift P(a,b)/(P(a)P(b)) — the co-purchase affinity behind
+    every 'frequently bought together'. The min-support HAVING is the
+    classic a-priori prune, applied where it matters: the pair explosion
+    within an order is bounded by basket size (items per order), and the
+    support filter runs inside the pair aggregate, before lift math.
+    Order count and per-part supports are broadcast joins; rank cuts
+    compare ROUNDed lift with (part_a, part_b) tie-breaks. At 100 TB a
+    hub cap on promiscuous parts (the _SH_DF_CAP pattern) bounds the
+    basket self-join."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    n = op.agg(F.countDistinct("o").cast("double").alias("n_orders"))
+    pc = op.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    lift = F.col("n_both") * F.col("n_orders") / (F.col("ca") * F.col("cb"))
+    return (
+        pairs.join(F.broadcast(pc.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))), "part_a")
+        .join(F.broadcast(pc.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", "n_both", F.round(lift, 6).alias("lift"))
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(40)
+    )

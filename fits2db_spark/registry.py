@@ -110,6 +110,9 @@ _PRIORITY_QUERIES = (
     "stream_live_interval_join",
     "pipeline_curate_e2e",
     "dedup_semantic_clusters",
+    "events_rolling_active",
+    "orders_rfm",
+    "basket_lift",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
