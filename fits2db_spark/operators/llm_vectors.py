@@ -592,3 +592,51 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cluster_size") > 1)
     )
+
+
+@register(
+    "vec_truncate_mrl",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS full_e,
+             list_sum(list_transform(embedding[1:16],
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS head_e
+      FROM embeddings
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(head_e / full_e), 6) AS avg_energy_16,
+           ROUND(MIN(head_e / full_e), 6) AS min_energy_16,
+           ROUND(AVG(sqrt(head_e) / sqrt(full_e)), 6) AS avg_norm_ratio
+    FROM e GROUP BY label
+    """,
+)
+def vec_truncate_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation analysis: how much of each embedding's
+    energy (squared L2 mass) survives keeping only the first 16 of 64
+    dims — the measurement behind MRL-style dimension reduction (truncate
+    + renormalize, trading recall for 4x less storage/compute in the ANN
+    index). Reports per-label mean/min energy fraction and the norm
+    ratio; a label whose min is low is unsafe to serve truncated.
+
+    Scale: pure array-lambda math per row (zip-free: two list_sum folds),
+    one partial-agg shuffle over O(labels) groups — the same profile as
+    vec_norm_stats. The follow-on (actually truncating + re-bucketing
+    the IVF index on 16-dim centroids) reuses sim_ann_ivf unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    full_e = sq(F.col("embedding"))
+    head_e = sq(F.slice(F.col("embedding"), 1, 16))
+    base = e.select("label", full_e.alias("full_e"), head_e.alias("head_e"))
+    frac = F.col("head_e") / F.col("full_e")
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(frac), 6).alias("avg_energy_16"),
+        F.round(F.min(frac), 6).alias("min_energy_16"),
+        F.round(F.avg(F.sqrt(F.col("head_e")) / F.sqrt(F.col("full_e"))), 6).alias(
+            "avg_norm_ratio"
+        ),
+    )

@@ -1076,3 +1076,95 @@ def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of) lookup against the SCD2 dimension history
+# ---------------------------------------------------------------------------
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rn2
+      FROM orders
+    ),
+    iv AS (
+      SELECT o_custkey, o_orderpriority, MIN(o_orderdate) AS vf
+      FROM r GROUP BY o_custkey, o_orderpriority, rn - rn2
+    ),
+    iv2 AS (
+      SELECT o_custkey, o_orderpriority, vf,
+             LEAD(vf) OVER (PARTITION BY o_custkey
+                            ORDER BY vf, o_orderpriority) AS vt
+      FROM iv
+    ),
+    f AS (
+      SELECT l.l_orderkey, CAST(l.l_shipdate AS TIMESTAMP) AS ship_ts,
+             o.o_custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linenumber = 1
+    )
+    SELECT f.l_orderkey, f.o_custkey, f.ship_ts,
+           i.o_orderpriority AS priority_at_ship,
+           CAST(i.vf AS TIMESTAMP) AS valid_from
+    FROM f JOIN iv2 i
+      ON f.o_custkey = i.o_custkey
+     AND f.ship_ts >= CAST(i.vf AS TIMESTAMP)
+     AND (i.vt IS NULL OR f.ship_ts < CAST(i.vt AS TIMESTAMP))
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: join each shipment fact to the
+    customer's priority state AS OF the ship date, against the SCD2
+    history built by the scd2_intervals logic — the temporal-correctness
+    join every warehouse needs to avoid leaking FUTURE dimension values
+    into historical facts (and every feature store needs to avoid
+    train-time leakage). Intervals are made half-open [valid_from,
+    next_valid_from) via LEAD, so each fact matches exactly one row.
+
+    Scale: the history table is O(entities x changes) — orders of
+    magnitude smaller than facts — so Catalyst broadcasts it and the
+    fact scan never shuffles; with an un-broadcastable history, bucket
+    both sides on the entity key and the range predicate evaluates
+    in-partition (the join_interval_overlap shape)."""
+    o = load(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    iv = (
+        o.select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            (F.row_number().over(w1) - F.row_number().over(w2)).alias("island"),
+        )
+        .groupBy("o_custkey", "o_orderpriority", "island")
+        .agg(F.min("o_orderdate").alias("vf"))
+        .drop("island")
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("vf", "o_orderpriority")
+    iv2 = iv.withColumn("vt", F.lead("vf").over(wl))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    f = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", F.col("l_shipdate").alias("ship_ts"), "o_custkey"
+    )
+    return (
+        f.join(
+            F.broadcast(iv2),
+            (f.o_custkey == iv2.o_custkey)
+            & (F.col("ship_ts") >= F.col("vf"))
+            & (F.col("vt").isNull() | (F.col("ship_ts") < F.col("vt"))),
+        )
+        .select(
+            "l_orderkey",
+            f.o_custkey.alias("o_custkey"),
+            "ship_ts",
+            F.col("o_orderpriority").alias("priority_at_ship"),
+            F.col("vf").alias("valid_from"),
+        )
+    )

@@ -327,3 +327,42 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "streak_days", "streak_start")
     )
+
+
+@register(
+    "win_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN value >= 5 THEN value END, 2) AS raw,
+           ROUND(LAST_VALUE(CASE WHEN value >= 5 THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS filled
+    FROM events
+    """,
+)
+def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward): sensor
+    readings below the sensitivity floor (< 5 here) become NULL, then each
+    gap takes the most recent valid reading per user — ``last(...,
+    ignorenulls=True)`` over a running frame, the time-series imputation
+    every gap-ridden metric stream needs before aggregation. Leading
+    NULLs (no prior observation) stay NULL on both engines.
+
+    Scale: one window per user (shuffle on user_id, in-partition sort);
+    state is a single value per partition cursor — the cheapest possible
+    windowed imputation (vs interpolation, which needs the NEXT value too
+    and a second reversed pass)."""
+    ev = load(spark, sf_dir, "events")
+    x = F.when(F.col("value") >= 5, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(x, 2).alias("raw"),
+        F.round(F.last(x, ignorenulls=True).over(w), 2).alias("filled"),
+    )

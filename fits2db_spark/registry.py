@@ -113,6 +113,10 @@ _PRIORITY_QUERIES = (
     "events_rolling_active",
     "orders_rfm",
     "basket_lift",
+    # positions 50+: oracle-green locally; queue for next round's window
+    "win_forward_fill",
+    "join_scd2_pointintime",
+    "vec_truncate_mrl",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
