@@ -252,3 +252,74 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "scan_csv_corrupt",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row-tolerant CSV ingest: the nation table staged as CSV
+    with 3 corrupt lines appended (wrong arity, unparseable ints), read
+    back in PERMISSIVE mode with an explicit schema + a corrupt-record
+    column — bad rows land in `_corrupt_record` instead of failing the
+    load, and the query reports good/corrupt counts plus a checksum over
+    the good rows (proving corruption never bleeds into parsed values).
+    This is the error-budget ingest posture a bulk loader needs: at
+    100 TB a handful of mangled rows must quarantine, not kill the job;
+    the corrupt records themselves are routed to a dead-letter sink in
+    production (same column, different writer)."""
+    import duckdb
+
+    from ..tables import SCHEMAS
+
+    def write(out_dir: str) -> None:
+        import glob as _glob
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="csv_corrupt_")
+        load(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(tmp)
+        (part,) = _glob.glob(os.path.join(tmp, "*.csv"))
+        os.makedirs(out_dir, exist_ok=True)
+        dst = os.path.join(out_dir, "nation.csv")
+        shutil.copy(part, dst)
+        with open(dst, "a", encoding="utf-8") as f:
+            f.write("only,two\n")
+            f.write("notanint,BADLAND,alsonotanint,oops\n")
+            f.write("1,TOO,2,MANY,FIELDS,HERE\n")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    path = _scratch_dir(spark, sf_dir, "nation_csv_corrupt", write)
+    # StructType.add mutates in place — build a fresh copy so the shared
+    # SCHEMAS["nation"] never grows a corrupt-record column
+    from pyspark.sql.types import StructType
+
+    schema = StructType(list(SCHEMAS["nation"].fields)).add("_corrupt_record", "string")
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # required: corrupt-record columns need the same scan to
+        # serve both branches of the aggregate (Spark documents this)
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey")))
+        .cast("long")
+        .alias("key_sum"),
+    )

@@ -117,6 +117,7 @@ _PRIORITY_QUERIES = (
     "win_forward_fill",
     "join_scd2_pointintime",
     "vec_truncate_mrl",
+    "scan_csv_corrupt",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
