@@ -614,3 +614,104 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_secs"),
         )
     )
+
+
+_XM_NEAREST_DEG = 4.0  # nearest-neighbor search radius (degrees)
+
+
+def _xmatch_nearest_oracle() -> str:
+    sep = """
+      2 * asin(sqrt(
+        sin(radians(b.dec - a.dec) / 2) * sin(radians(b.dec - a.dec) / 2)
+        + cos(radians(a.dec)) * cos(radians(b.dec))
+          * sin(radians(b.ra - a.ra) / 2) * sin(radians(b.ra - a.ra) / 2)))
+    """
+    return f"""
+    WITH base AS ({_XM_SQL_COORDS}),
+    a AS (SELECT id AS a_id, ra, dec FROM base),
+    b AS (
+      SELECT id AS b_id,
+             ra + ((id % 21) - 10) * 0.0001 AS ra,
+             dec + ((id % 17) - 8) * 0.0001
+                 + CASE WHEN id % 5 = 0 THEN 2.0 ELSE 0.0 END AS dec
+      FROM base
+    ),
+    cand AS (
+      SELECT b.b_id, a.a_id,
+             ROUND(degrees({sep}) * 3600, 4) AS sep_arcsec
+      FROM a JOIN b ON degrees({sep}) <= {_XM_NEAREST_DEG}
+    )
+    SELECT b_id, a_id, ROUND(sep_arcsec, 2) AS sep_arcsec
+    FROM (
+      SELECT b_id, a_id, sep_arcsec,
+             ROW_NUMBER() OVER (PARTITION BY b_id
+                                ORDER BY sep_arcsec, a_id) AS rk
+      FROM cand)
+    WHERE rk = 1
+    """
+
+
+@register("join_xmatch_nearest", oracle=_xmatch_nearest_oracle())
+def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor sky match: for every object in catalog B, the
+    single closest catalog-A object within 4 degrees — the other flagship
+    astronomy join (xmatch_zone answers "all matches within radius";
+    this answers "which master-catalog source IS this observation"). Same
+    zone algorithm with 4-degree zones, then a per-B-object window keeps
+    rank 1 by (rounded separation, a_id) — rounded BEFORE ranking so
+    near-tie cuts are engine-stable, the sim_topk_matmul convention.
+
+    Scale: candidates ∝ objects x 3-zone density, and Spark plans the
+    rank-1 filter as WindowGroupLimit — per-B state in the sort is ONE
+    row, so the wide search radius costs candidate volume, never window
+    memory. The displaced every-5th objects (2 deg off) exercise the
+    non-trivial path: their nearest is genuinely contested among ~100
+    candidates."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    ra = (F.col("id") * 137.50776405) % 360.0
+    dec = F.degrees(F.asin(((F.col("id") * 0.6180339887) % 1.0) * 2 - 1))
+    base = c.select("id", ra.alias("ra"), dec.alias("dec"))
+    zone = lambda d: F.floor((d + 90.0) / _XM_NEAREST_DEG)  # noqa: E731
+    a = base.select(
+        F.col("id").alias("a_id"),
+        F.col("ra").alias("a_ra"),
+        F.col("dec").alias("a_dec"),
+        zone(F.col("dec")).alias("zone"),
+    )
+    b_dec = (
+        F.col("dec")
+        + ((F.col("id") % 17) - 8) * 0.0001
+        + F.when(F.col("id") % 5 == 0, 2.0).otherwise(0.0)
+    )
+    b = base.select(
+        F.col("id").alias("b_id"),
+        (F.col("ra") + ((F.col("id") % 21) - 10) * 0.0001).alias("b_ra"),
+        b_dec.alias("b_dec"),
+    ).select(
+        "b_id",
+        "b_ra",
+        "b_dec",
+        F.explode(
+            F.array(
+                zone(F.col("b_dec")) - 1, zone(F.col("b_dec")), zone(F.col("b_dec")) + 1
+            )
+        ).alias("zone"),
+    )
+    sep_rad = 2 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("b_dec") - F.col("a_dec")) / 2), 2)
+            + F.cos(F.radians("a_dec"))
+            * F.cos(F.radians("b_dec"))
+            * F.pow(F.sin(F.radians(F.col("b_ra") - F.col("a_ra")) / 2), 2)
+        )
+    )
+    sep_deg = F.degrees(sep_rad)
+    w = Window.partitionBy("b_id").orderBy("sep_arcsec", "a_id")
+    return (
+        a.join(b, "zone")
+        .filter(sep_deg <= _XM_NEAREST_DEG)
+        .select("b_id", "a_id", F.round(sep_deg * 3600, 4).alias("sep_arcsec"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("b_id", "a_id", F.round("sep_arcsec", 2).alias("sep_arcsec"))
+    )

@@ -397,6 +397,61 @@ def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_live_counters",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_live_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY stateful streaming, driver-visible: per-user running
+    event count + value total via ``applyInPandasWithState``
+    (streaming/live.py:running_user_counters) over the shared 3-file
+    staging, drained in update mode to a memory sink. Update mode emits
+    one counter row per (user, micro-batch); because both counters are
+    monotone non-decreasing, the FINAL state per user is the max over the
+    drained rows — which equals the plain batch aggregate, making the
+    custom-state path exactly oracle-checkable (the per-batch
+    intermediate emissions are the streaming semantics; the max recovers
+    the fixpoint).
+
+    Scale: state is 2 numbers per user in the state store, sharded by the
+    groupBy key; Python sees Arrow batches per key per trigger — the
+    applyInPandasWithState contract. This is the surface for stateful
+    logic Spark's built-in aggregates can't express (decaying counters,
+    session models, fraud scores)."""
+    from ..streaming.live import events_stream, run_stream_to_memory, running_user_counters
+
+    key = _live_key(spark, sf_dir, "counters")
+    if key in _LIVE_DONE:
+        name = _LIVE_DONE[key]
+    else:
+        staging = _staged_events_dir(spark, sf_dir)
+        name = f"live_counters_{abs(hash(key)) % 10**8}"
+        q = run_stream_to_memory(
+            running_user_counters(events_stream(spark, staging, max_files_per_trigger=1)),
+            name,
+            output_mode="update",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_live_counters: availableNow drain did not terminate in "
+                "300s — a partial sink table must never be returned (or memoized)"
+            )
+        _LIVE_DONE[key] = name
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.round(F.max("total_value"), 4).alias("total_value"),
+        )
+    )
+
+
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("stream_windowed_topk")

@@ -118,6 +118,8 @@ _PRIORITY_QUERIES = (
     "join_scd2_pointintime",
     "vec_truncate_mrl",
     "scan_csv_corrupt",
+    "join_xmatch_nearest",
+    "stream_live_counters",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
