@@ -1167,3 +1167,63 @@ def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 deprioritize("dedup_components_bigstar")
+
+
+_CONTAIN_T = 0.7  # containment threshold
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_SH_DF_CAP}),
+    shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+             AS containment
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / min(|A|, |B|) —
+    catches a short document embedded inside a long one (quote farms,
+    templated wrappers), which symmetric Jaccard misses because the union
+    in its denominator is dominated by the longer doc. Same DF-capped
+    candidate machinery as dedup_ngram_jaccard (the cap bounds join cost,
+    and pairs whose only overlap is hot shingles fall below threshold);
+    verification runs on the FULL shingle sets so the reported
+    containment is exact."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles_cached(spark, d, sf_dir)
+    cand = _jaccard_candidates(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(cont >= _CONTAIN_T)
+        .select("doc_a", "doc_b", "n_common", F.round(cont, 6).alias("containment"))
+    )

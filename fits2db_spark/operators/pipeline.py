@@ -1168,3 +1168,53 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vf").alias("valid_from"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (fraud/DQ screen)
+# ---------------------------------------------------------------------------
+@register(
+    "dq_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
+    SELECT c.digit, c.n,
+           ROUND(c.n / t.tot, 6) AS obs_share,
+           ROUND(log10(1 + 1.0 / c.digit), 6) AS benford_share,
+           ROUND(pow(c.n / t.tot - log10(1 + 1.0 / c.digit), 2)
+                 / log10(1 + 1.0 / c.digit) * t.tot, 4) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance of order totals — the classic
+    fabricated-numbers screen (synthetic or tampered financial columns
+    drift from the log10(1 + 1/d) distribution; a large chi-square total
+    flags the column for audit). Per-digit observed vs expected share and
+    the chi-square contribution.
+
+    Scale: one partial-agg groupBy over 9 groups + a 1-row broadcast
+    total — the cheapest possible full-column screen, and a natural
+    companion to dq_profile in the ingest DQ pass."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("double").alias("tot"))
+    obs = F.col("n") / F.col("tot")
+    exp_ = F.log10(1 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp_, 6).alias("benford_share"),
+        F.round(F.pow(obs - exp_, 2) / exp_ * F.col("tot"), 4).alias("chi2_term"),
+    )

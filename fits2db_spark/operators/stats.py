@@ -481,3 +481,107 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+@register(
+    "events_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    t AS (SELECT prev_type, CAST(SUM(n) AS DOUBLE) AS tot FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           ROUND(c.n / t.tot, 6) AS p
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next_type | prev_type) from lag pairs — the sequence-analytics
+    primitive behind journey analysis, next-action prediction baselines,
+    and anomalous-flow detection (a transition whose observed p collapses
+    week-over-week is a broken funnel).
+
+    Scale: one lag window per user (the same user_id exchange every
+    sessionization query uses), then a types² aggregate — the matrix is
+    O(|types|²) regardless of event volume, and row-normalization joins
+    on the tiny prev_type margin."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").cast("double").alias("tot"))
+    return c.join(F.broadcast(t), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (HHI + top-k share)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_returnflag, l_suppkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY l_returnflag, l_suppkey
+    ),
+    tot AS (SELECT l_returnflag, SUM(r) AS tr FROM rev GROUP BY l_returnflag),
+    rk AS (
+      SELECT rev.*, tot.tr,
+             ROW_NUMBER() OVER (PARTITION BY rev.l_returnflag
+                                ORDER BY rev.r DESC, rev.l_suppkey) AS rn
+      FROM rev JOIN tot USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM((r / tr) * (r / tr)), 6) AS hhi,
+           ROUND(SUM(CASE WHEN rn <= 5 THEN r / tr ELSE 0 END), 6) AS top5_share
+    FROM rk GROUP BY l_returnflag
+    """,
+)
+def agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration metrics per return flag: the Herfindahl index
+    (sum of squared supplier revenue shares — the antitrust measure of
+    how dominated a segment is) and the top-5 supplier share. Answers
+    "is this revenue stream diversified or five-supplier-fragile".
+
+    Scale: one partial-agg over (flag, supplier), a tiny per-flag total
+    joined back, one window ranking over O(suppliers) rows per flag, one
+    final fold — nothing touches raw lineitem twice."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    tot = rev.groupBy("l_returnflag").agg(F.sum("r").alias("tr"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("r").desc(), "l_suppkey")
+    rk = rev.join(F.broadcast(tot), "l_returnflag").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    share = F.col("r") / F.col("tr")
+    return rk.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.round(F.sum(share * share), 6).alias("hhi"),
+        F.round(F.sum(F.when(F.col("rn") <= 5, share).otherwise(0.0)), 6).alias(
+            "top5_share"
+        ),
+    )

@@ -120,6 +120,10 @@ _PRIORITY_QUERIES = (
     "scan_csv_corrupt",
     "join_xmatch_nearest",
     "stream_live_counters",
+    "dedup_containment",
+    "dq_benford",
+    "events_markov",
+    "agg_concentration",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
