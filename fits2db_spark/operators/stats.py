@@ -585,3 +585,50 @@ def agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top5_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period growth (BI daily series)
+# ---------------------------------------------------------------------------
+@register(
+    "events_growth",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             ROUND(SUM(value), 4) AS revenue
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, revenue,
+           ROUND(revenue - LAG(revenue) OVER (PARTITION BY event_type ORDER BY d),
+                 4) AS delta,
+           ROUND((revenue - LAG(revenue) OVER (PARTITION BY event_type ORDER BY d))
+                 / LAG(revenue) OVER (PARTITION BY event_type ORDER BY d), 6)
+             AS pct_change
+    FROM daily
+    """,
+)
+def events_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: daily revenue per event type with the
+    absolute delta and percent change vs the previous day — the BI series
+    every dashboard opens with (DoD/WoW/MoM are the same plan at coarser
+    truncation). First day per type has NULL deltas on both engines.
+
+    Scale: the aggregate collapses event volume to O(types x days) BEFORE
+    the lag window touches anything — the window sorts a tiny series, so
+    growth over 100 TB of raw events costs one partial-agg shuffle plus a
+    per-type sort of day counts. LAG is computed once per alias; the
+    rounded aggregate feeds both delta and ratio so engines agree."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.round(F.sum("value"), 4).alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "event_type",
+        "d",
+        "revenue",
+        F.round(F.col("revenue") - prev, 4).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    )

@@ -124,6 +124,7 @@ _PRIORITY_QUERIES = (
     "dq_benford",
     "events_markov",
     "agg_concentration",
+    "events_growth",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
