@@ -640,3 +640,54 @@ def vec_truncate_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_norm_ratio"
         ),
     )
+
+
+def _ann_recall_oracle() -> str:
+    # composition: reuse the EXACT registered oracles of the two ANN
+    # queries as derived tables (DuckDB allows WITH inside a subquery), so
+    # this oracle can never drift from theirs
+    from ..registry import all_oracles
+
+    o = all_oracles()
+    return f"""
+    SELECT b.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_matched,
+           ROUND(COUNT(l.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM ({o["sim_topk_bruteforce"]}) b
+    LEFT JOIN ({o["sim_ann_lsh"]}) l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+     AND l.rk <= 5
+    GROUP BY b.query_id
+    """
+
+
+@register("sim_ann_recall_eval", oracle=_ann_recall_oracle())
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVALUATION AS AN OPERATOR: recall@5 of the LSH ANN index against
+    the brute-force ground truth, per query — the measurement loop every
+    ANN deployment runs continuously (index drift, new data, parameter
+    changes all move recall; pytest asserts >=0.9 once, this makes the
+    metric a first-class query you can schedule). Composes the two
+    REGISTERED queries — and their registered oracles verbatim as derived
+    tables — so the evaluation can never drift from what it evaluates.
+
+    Scale: ground truth on a SAMPLE of queries (here vec_id < 3) is the
+    standard practice — brute force over the sample costs one corpus
+    scan; the join/aggregate is O(sample x k)."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    lsh = (
+        sim_ann_lsh(spark, sf_dir)
+        .filter(F.col("rk") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("lsh_neighbor"))
+    )
+    j = bf.join(
+        lsh,
+        (bf.query_id == lsh.query_id) & (F.col("bf_neighbor") == F.col("lsh_neighbor")),
+        "left",
+    )
+    return j.groupBy(bf.query_id.alias("query_id")).agg(
+        F.count("lsh_neighbor").cast("long").alias("n_matched"),
+        F.round(F.count("lsh_neighbor") / 5.0, 6).alias("recall_at_5"),
+    )

@@ -125,6 +125,7 @@ _PRIORITY_QUERIES = (
     "events_markov",
     "agg_concentration",
     "events_growth",
+    "sim_ann_recall_eval",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
