@@ -323,3 +323,107 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("key_sum"),
     )
+
+
+_WCS_CARDS = [
+    ("CRVAL1", 180.0), ("CRVAL2", -30.0),
+    ("CRPIX1", 1000.5), ("CRPIX2", 1000.5),
+    ("CD1_1", -0.0002777778), ("CD1_2", 0.0),
+    ("CD2_1", 0.0), ("CD2_2", 0.0002777778),
+    ("CTYPE1", "RA---TAN"), ("CTYPE2", "DEC--TAN"),
+]
+
+
+@register(
+    "fits_wcs_ingest",
+    oracle="""
+    WITH px AS (
+      SELECT c_custkey AS src_id,
+             CAST((c_custkey * 37) % 2000 AS DOUBLE) AS px,
+             CAST((c_custkey * 53) % 2000 AS DOUBLE) AS py
+      FROM customer WHERE c_custkey < 300
+    ),
+    std AS (
+      SELECT src_id, px, py,
+             radians(-0.0002777778 * (px - 1000.5) + 0.0 * (py - 1000.5)) AS xi,
+             radians(0.0 * (px - 1000.5) + 0.0002777778 * (py - 1000.5)) AS eta,
+             radians(-30.0) AS d0
+      FROM px
+    )
+    SELECT src_id, px, py,
+           ROUND(180.0 + degrees(atan2(xi, cos(d0) - eta * sin(d0))), 6) AS ra,
+           ROUND(degrees(atan2(sin(d0) + eta * cos(d0),
+                 sqrt(xi * xi + pow(cos(d0) - eta * sin(d0), 2)))), 6) AS dec
+    FROM std
+    """,
+)
+def fits_wcs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FITS WCS end to end: a BINTABLE of detector pixel coordinates is
+    written with TAN-projection WCS keywords (CRVALn/CRPIXn/CD matrix —
+    the FITS Paper II convention), read back through the binaryFile
+    decode path, and the WORLD coordinates (ra, dec) are computed from
+    the header's own WCS values via the inverse gnomonic projection —
+    the astrometric-calibration step every detector catalog goes through
+    before it can be cross-matched (join_xmatch_zone consumes exactly
+    this output shape). The WCS parameters are read from the FITS header
+    with the header-only parser (O(headers) I/O) and folded into the
+    plan as literals — per-file scalar metadata, the same pattern a
+    production job uses per observation; the projection itself is JVM
+    trig in whole-stage codegen. The oracle recomputes the projection
+    with the expected constants, so a header mis-read (wrong card, wrong
+    sign, string-vs-float) hash-fails rather than silently mispointing
+    the catalog."""
+    import duckdb
+
+    from ..sources.fits import (
+        parse_bintable_header_path,
+        read_fits,
+        write_fits_bintable,
+    )
+
+    def write(out_dir: str) -> None:
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT c_custkey, CAST((c_custkey * 37) % 2000 AS DOUBLE), "
+                "CAST((c_custkey * 53) % 2000 AS DOUBLE) FROM "
+                f"read_parquet('{sf_dir}/customer.parquet') "
+                "WHERE c_custkey < 300 ORDER BY c_custkey"
+            )
+            .fetchall()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        blob = write_fits_bintable(
+            [
+                ("src_id", "J", [r[0] for r in rows]),
+                ("px", "D", [r[1] for r in rows]),
+                ("py", "D", [r[2] for r in rows]),
+            ],
+            extname="OBJ",
+            extra_cards=_WCS_CARDS,
+        )
+        with open(os.path.join(out_dir, "catalog.fits"), "wb") as f:
+            f.write(blob)
+
+    path = _scratch_dir(spark, sf_dir, "catalog_wcs_fits", write)
+    df = read_fits(spark, path)
+    # WCS is per-file scalar metadata: header-only read (no data I/O)
+    fits_file = os.path.join(path, "catalog.fits")
+    cards, _cols, _off = parse_bintable_header_path(fits_file, 1)
+    if cards.get("CTYPE1") != "RA---TAN" or cards.get("CTYPE2") != "DEC--TAN":
+        raise ValueError(f"unsupported WCS projection: {cards.get('CTYPE1')}")
+    crval1, crval2 = float(cards["CRVAL1"]), float(cards["CRVAL2"])
+    crpix1, crpix2 = float(cards["CRPIX1"]), float(cards["CRPIX2"])
+    cd11, cd12 = float(cards["CD1_1"]), float(cards["CD1_2"])
+    cd21, cd22 = float(cards["CD2_1"]), float(cards["CD2_2"])
+    xi = F.radians(cd11 * (F.col("px") - crpix1) + cd12 * (F.col("py") - crpix2))
+    eta = F.radians(cd21 * (F.col("px") - crpix1) + cd22 * (F.col("py") - crpix2))
+    d0 = F.radians(F.lit(crval2))
+    den = F.cos(d0) - eta * F.sin(d0)
+    ra = F.lit(crval1) + F.degrees(F.atan2(xi, den))
+    dec = F.degrees(
+        F.atan2(F.sin(d0) + eta * F.cos(d0), F.sqrt(xi * xi + den * den))
+    )
+    return df.select(
+        "src_id", "px", "py", F.round(ra, 6).alias("ra"), F.round(dec, 6).alias("dec")
+    )

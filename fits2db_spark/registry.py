@@ -126,6 +126,7 @@ _PRIORITY_QUERIES = (
     "agg_concentration",
     "events_growth",
     "sim_ann_recall_eval",
+    "fits_wcs_ingest",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
