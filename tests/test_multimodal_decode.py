@@ -191,3 +191,27 @@ def test_dhash_invariances():
     # grid index floors back to the same pixel), hence the hash
     up = resize_nearest(img, 24, 32)
     assert dhash_bits(up) == h
+
+
+def test_phash_near_banding_has_full_recall(spark):
+    # pigeonhole guarantee: every pair within hamming <= 3 shares one of
+    # the 4 x 15-bit bands, so the banded join must find EXACTLY the pairs
+    # a brute-force hamming scan finds
+    from tests.conftest import SF_SMOKE
+
+    from fits2db_spark.operators.multimodal import _phash_frame, mm_phash_near
+
+    hashes = {
+        r.doc_id: r.phash for r in _phash_frame(spark, SF_SMOKE).collect()
+    }
+    brute = {
+        (a, b)
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b) for r in mm_phash_near(spark, SF_SMOKE).collect()
+    }
+    assert banded == brute
+    assert brute, "fixture should contain at least one near-dup pair"
