@@ -940,7 +940,9 @@ deprioritize("join_skew_salted")
 # ---------------------------------------------------------------------------
 # Triangle counting on a co-occurrence graph
 # ---------------------------------------------------------------------------
-_TRI_EDGE_CACHE: dict = {}
+from ..tables import register_aux_cache  # noqa: E402
+
+_TRI_EDGE_CACHE: dict = register_aux_cache({})
 
 
 @register(

@@ -649,22 +649,26 @@ def _ann_recall_oracle() -> str:
     from ..registry import all_oracles
 
     o = all_oracles()
+    # recall@3, NOT @5: sim_ann_lsh returns top-3 neighbors, so the
+    # denominator must be the rank depth BOTH sides produce — dividing
+    # the 5-deep ground truth by 5 would cap a perfect index at 0.6
     return f"""
     SELECT b.query_id,
            CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_matched,
-           ROUND(COUNT(l.neighbor_id) / 5.0, 6) AS recall_at_5
-    FROM ({o["sim_topk_bruteforce"]}) b
+           ROUND(COUNT(l.neighbor_id) / 3.0, 6) AS recall_at_3
+    FROM (SELECT * FROM ({o["sim_topk_bruteforce"]}) t WHERE t.rk <= 3) b
     LEFT JOIN ({o["sim_ann_lsh"]}) l
       ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
-     AND l.rk <= 5
     GROUP BY b.query_id
     """
 
 
 @register("sim_ann_recall_eval", oracle=_ann_recall_oracle())
 def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EVALUATION AS AN OPERATOR: recall@5 of the LSH ANN index against
-    the brute-force ground truth, per query — the measurement loop every
+    """EVALUATION AS AN OPERATOR: recall@3 of the LSH ANN index against
+    the brute-force ground truth, per query (3 = the rank depth the LSH
+    query serves; a deeper denominator would structurally cap the
+    metric) — the measurement loop every
     ANN deployment runs continuously (index drift, new data, parameter
     changes all move recall; pytest asserts >=0.9 once, this makes the
     metric a first-class query you can schedule). Composes the two
@@ -674,13 +678,13 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ground truth on a SAMPLE of queries (here vec_id < 3) is the
     standard practice — brute force over the sample costs one corpus
     scan; the join/aggregate is O(sample x k)."""
-    bf = sim_topk_bruteforce(spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    bf = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rk") <= 3)
+        .select("query_id", F.col("neighbor_id").alias("bf_neighbor"))
     )
-    lsh = (
-        sim_ann_lsh(spark, sf_dir)
-        .filter(F.col("rk") <= 5)
-        .select("query_id", F.col("neighbor_id").alias("lsh_neighbor"))
+    lsh = sim_ann_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("lsh_neighbor")
     )
     j = bf.join(
         lsh,
@@ -689,5 +693,5 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(bf.query_id.alias("query_id")).agg(
         F.count("lsh_neighbor").cast("long").alias("n_matched"),
-        F.round(F.count("lsh_neighbor") / 5.0, 6).alias("recall_at_5"),
+        F.round(F.count("lsh_neighbor") / 3.0, 6).alias("recall_at_3"),
     )

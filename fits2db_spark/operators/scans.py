@@ -274,9 +274,6 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB a handful of mangled rows must quarantine, not kill the job;
     the corrupt records themselves are routed to a dead-letter sink in
     production (same column, different writer)."""
-    import duckdb
-
-    from ..tables import SCHEMAS
 
     def write(out_dir: str) -> None:
         import glob as _glob

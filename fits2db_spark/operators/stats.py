@@ -16,8 +16,9 @@ to 100 TB: the shuffle moves O(groups) rows, not O(input).
 Cross-engine notes: ``regr_slope/intercept/r2`` exist natively in both
 Spark and DuckDB (same Welford-style definitions); medians interpolate
 (quantile_cont semantics) in both; OHLC first/last use ``min_by/max_by``
-(Spark) vs ``arg_min/arg_max`` (DuckDB) over the same scalar composite
-ordering key, because DuckDB's arg_min cannot take a struct key.
+over a (ts, event_id) STRUCT key on the Spark side, while the oracle
+uses the equivalent double-row_number window formulation because
+DuckDB's arg_min cannot take a struct key.
 """
 
 from __future__ import annotations
@@ -176,17 +177,28 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_ohlc",
     oracle="""
-    SELECT event_type,
-           time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS bar_start,
-           arg_min(value, CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) * 1000000
-                          + event_id) AS open,
+    WITH w AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS bar_start,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type, bar_start,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) * 1000000
-                          + event_id) AS close,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
            CAST(COUNT(*) AS BIGINT) AS n_ticks,
            ROUND(SUM(value), 4) AS volume
-    FROM events
+    FROM w
     GROUP BY 1, 2
     """,
 )
@@ -195,18 +207,21 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     open/high/low/close/volume bars per event type — the canonical
     time-series resample (ticks -> candles).
 
-    Open/close use ``min_by``/``max_by`` over a composite ordering key
-    (epoch-millis * 10^6 + event_id, which fits int64 and breaks
-    within-millisecond ties deterministically on both engines — DuckDB's
-    ``arg_min`` requires a scalar key, so the struct form is off the
-    table). min_by/max_by are algebraic: the map side keeps one (key,
-    value) candidate per group, so unlike the row_number-window
-    formulation there is no per-partition sort and no WindowExec — one
-    partial-agg shuffle of O(types x windows) rows total. That is the
-    difference between "resample 100 TB of ticks" shuffling gigabytes
-    versus shuffling the whole stream through a sort."""
+    Open/close use ``min_by``/``max_by`` over a STRUCT ordering key
+    (ts, event_id) — lexicographic struct comparison gives exact
+    first/last-by-time-with-id-tiebreak at ANY scale (an arithmetic
+    composite key like millis*1e6+id would silently collide once ids
+    pass 1e6 — the r5 review caught exactly that). min_by/max_by stay
+    algebraic: the plan is a SortAggregate (struct ordering keys aren't
+    hash-aggregable) whose map side still partial-aggregates — the
+    shuffle carries ONE candidate per group, and the per-partition sort
+    is by the low-cardinality grouping key, never a WindowExec over the
+    raw tick stream (asserted in test_plans). (DuckDB's arg_min cannot
+    take a struct key, so the ORACLE uses the equivalent
+    double-row_number window formulation instead — two formulations,
+    same semantics.)"""
     ev = load(spark, sf_dir, "events")
-    okey = (F.unix_millis(F.col("ts")) * F.lit(1_000_000) + F.col("event_id")).alias("ok")
+    okey = F.struct(F.col("ts"), F.col("event_id")).alias("ok")
     return (
         ev.groupBy(
             "event_type",

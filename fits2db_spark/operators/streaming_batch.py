@@ -201,6 +201,27 @@ def _live_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple[str, str, str
     return (app_id, sf_dir, tag)
 
 
+def _drain_live(
+    spark: SparkSession, key: tuple, prefix: str, stream_df: DataFrame, output_mode: str
+) -> DataFrame:
+    """Drain a live stream to a memory sink (availableNow), memoize the sink
+    table per (session, sf_dir, tag), and return it. Raises rather than
+    memoizing if the drain does not terminate — a partial sink table must
+    never be returned. The ONE drain contract for every stream_live_* query."""
+    from ..streaming.live import run_stream_to_memory
+
+    name = f"{prefix}_{abs(hash(key)) % 10**8}"
+    q = run_stream_to_memory(stream_df, name, output_mode=output_mode)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            f"{prefix}: availableNow drain did not terminate in 300s — a "
+            "partial sink table must never be returned (or memoized)"
+        )
+    _LIVE_DONE[key] = name
+    return spark.table(name)
+
+
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as 3 time-ordered parquet files (one per
     future micro-batch). Memoized per (session, sf_dir) via _scratch_dir,
@@ -270,30 +291,22 @@ def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     state lives in the state store keyed by (window, event_type); here the
     memory sink and complete mode are the bounded-fixture drain strategy
     (a production job uses append mode + watermark eviction)."""
-    from ..streaming.live import events_stream, run_stream_to_memory, tumbling_counts
+    from ..streaming.live import events_stream, tumbling_counts
 
     key = _live_key(spark, sf_dir, "tumbling")
     if key in _LIVE_DONE:
         return spark.table(_LIVE_DONE[key])
-
     staging = _staged_events_dir(spark, sf_dir)
-    name = f"live_tumbling_{abs(hash(key)) % 10**8}"
-    q = run_stream_to_memory(
+    return _drain_live(
+        spark,
+        key,
+        "live_tumbling",
         tumbling_counts(
             events_stream(spark, staging, max_files_per_trigger=1),
             watermark="100 days",
         ),
-        name,
-        output_mode="complete",
+        "complete",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "stream_live_tumbling: availableNow drain did not terminate in "
-            "300s — a partial sink table must never be returned (or memoized)"
-        )
-    _LIVE_DONE[key] = name
-    return spark.table(name)
 
 
 @register(
@@ -317,29 +330,19 @@ def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard exactly-once idempotent-ingest guard in front of a streaming
     sink (streaming/live.py:dedup_stream is the event_id variant, tested
     for batch/stream parity in tests/test_streaming_live.py)."""
-    from ..streaming.live import events_stream, run_stream_to_memory
+    from ..streaming.live import events_stream
 
     key = _live_key(spark, sf_dir, "dedup")
     if key in _LIVE_DONE:
         return spark.table(_LIVE_DONE[key])
-
     staging = _staged_events_dir(spark, sf_dir)
-    name = f"live_dedup_{abs(hash(key)) % 10**8}"
     stream = (
         events_stream(spark, staging, max_files_per_trigger=1)
         .withWatermark("ts", "100 days")
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = run_stream_to_memory(stream, name, output_mode="append")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "stream_live_dedup: availableNow drain did not terminate in "
-            "300s — a partial sink table must never be returned (or memoized)"
-        )
-    _LIVE_DONE[key] = name
-    return spark.table(name)
+    return _drain_live(spark, key, "live_dedup", stream, "append")
 
 
 @register(
@@ -370,14 +373,12 @@ def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-key state is bounded by the 1h join window + 2h watermark
     delay; the equi-key (user) shards the state store, the time bound in
     the join predicate is what licenses eviction."""
-    from ..streaming.live import click_purchase_interval_join, events_stream, run_stream_to_memory
+    from ..streaming.live import click_purchase_interval_join, events_stream
 
     key = _live_key(spark, sf_dir, "ivjoin")
     if key in _LIVE_DONE:
         return spark.table(_LIVE_DONE[key])
-
     staging = _staged_events_dir(spark, sf_dir)
-    name = f"live_ivjoin_{abs(hash(key)) % 10**8}"
     joined = click_purchase_interval_join(
         events_stream(spark, staging, max_files_per_trigger=1)
     ).select(
@@ -386,15 +387,7 @@ def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "buy_ts",
         F.round("buy_value", 2).alias("buy_value"),
     )
-    q = run_stream_to_memory(joined, name, output_mode="append")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "stream_live_interval_join: availableNow drain did not terminate "
-            "in 300s — a partial sink table must never be returned (or memoized)"
-        )
-    _LIVE_DONE[key] = name
-    return spark.table(name)
+    return _drain_live(spark, key, "live_ivjoin", joined, "append")
 
 
 @register(
@@ -422,29 +415,22 @@ def stream_live_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState contract. This is the surface for stateful
     logic Spark's built-in aggregates can't express (decaying counters,
     session models, fraud scores)."""
-    from ..streaming.live import events_stream, run_stream_to_memory, running_user_counters
+    from ..streaming.live import events_stream, running_user_counters
 
     key = _live_key(spark, sf_dir, "counters")
     if key in _LIVE_DONE:
-        name = _LIVE_DONE[key]
+        drained = spark.table(_LIVE_DONE[key])
     else:
         staging = _staged_events_dir(spark, sf_dir)
-        name = f"live_counters_{abs(hash(key)) % 10**8}"
-        q = run_stream_to_memory(
+        drained = _drain_live(
+            spark,
+            key,
+            "live_counters",
             running_user_counters(events_stream(spark, staging, max_files_per_trigger=1)),
-            name,
-            output_mode="update",
+            "update",
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "stream_live_counters: availableNow drain did not terminate in "
-                "300s — a partial sink table must never be returned (or memoized)"
-            )
-        _LIVE_DONE[key] = name
     return (
-        spark.table(name)
-        .groupBy("user_id")
+        drained.groupBy("user_id")
         .agg(
             F.max("n_events").cast("long").alias("n_events"),
             F.round(F.max("total_value"), 4).alias("total_value"),

@@ -161,6 +161,17 @@ def warm_cache(spark: SparkSession, sf_dir: str, partitions: int | None = None) 
         _CACHE[(sf_dir, name)] = df
 
 
+# Operator modules with their own persisted-DataFrame memo dicts register
+# them here so clear_cache() is the ONE reset path (r5 review: the
+# graph_triangles edge memo leaked past clear_cache).
+_AUX_CACHES: list[dict] = []
+
+
+def register_aux_cache(cache: dict) -> dict:
+    _AUX_CACHES.append(cache)
+    return cache
+
+
 def clear_cache() -> None:
     for df in _CACHE.values():
         try:
@@ -168,6 +179,13 @@ def clear_cache() -> None:
         except Exception:
             pass
     _CACHE.clear()
+    for aux in _AUX_CACHES:
+        for df in aux.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        aux.clear()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str, _use_cache: bool = True) -> DataFrame:

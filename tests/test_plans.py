@@ -193,14 +193,17 @@ def test_partition_pruning_fires(spark):
         assert "event_date" not in dataf[0], dataf[0]
 
 
-def test_ohlc_has_no_window_sort(spark):
-    # OHLC bars use min_by/max_by (algebraic agg): the plan must be a
-    # hash aggregate, not a per-partition WindowExec sort
+def test_ohlc_is_partial_agg_not_window(spark):
+    # OHLC bars use min_by/max_by over a struct key: plans as
+    # SortAggregate (struct ordering keys aren't hash-aggregable) but the
+    # scale properties that matter must hold — map-side partial
+    # aggregation (the shuffle carries one candidate per group) and NO
+    # WindowExec over the raw tick stream
     from fits2db_spark.operators.stats import events_ohlc
 
     p = _plan(events_ohlc(spark, SF_SMOKE))
     assert "Window" not in p, p
-    assert "HashAggregate" in p or "ObjectHashAggregate" in p, p
+    assert "partial_min_by" in p and "partial_max_by" in p, p
 
 
 def test_linreg_is_partial_agg(spark):
