@@ -1,0 +1,353 @@
+"""Statistical inference & decision-analysis operators (round 5, batch 2).
+
+Extends the ``stats`` module (grouped OLS / entropy / MAD / OHLC) with the
+hypothesis-testing and distribution-comparison queries an analyst runs to
+*decide* something about the data: a two-sample Kolmogorov-Smirnov test
+(did this slice drift?), a chi-square independence test (are these two
+categoricals related?), series autocorrelation (is there day-over-day
+structure?), a Zipf-law fit over the corpus vocabulary (is this text
+natural language?), and the Pareto skyline (which points are undominated?).
+
+Scale design shared by all five: every operator reduces the raw table with
+one partial-aggregating groupBy whose key cardinality is tiny (price
+buckets, category cells, days, vocabulary, sizes) before any window or
+join runs. The windows therefore sort hundreds of rows, not the input —
+the only stage that sees data volume is the first map-side-combining
+aggregate, which scales linearly. No operator here ever applies a global
+window directly to raw rows.
+
+Cross-engine notes: ``corr`` / ``regr_*`` are sample-statistics in both
+Spark and DuckDB; integer ``%`` agrees for the non-negative keys used;
+``FLOOR`` is applied before any BIGINT cast in the oracles because DuckDB
+``CAST(double AS BIGINT)`` rounds where Spark truncates; day arithmetic
+uses integer day indexes (``datediff`` from a fixed epoch) instead of
+DATE + INTERVAL so both engines join on exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (binned ECDF)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_ks_test",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+      FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1
+    ),
+    t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM b),
+    c AS (
+      SELECT SUM(n1) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c1,
+             SUM(n2) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c2
+      FROM b
+    )
+    SELECT CAST(t.t1 AS BIGINT) AS n_open,
+           CAST(t.t2 AS BIGINT) AS n_filled,
+           ROUND(MAX(ABS(c.c1 / t.t1 - c.c2 / t.t2)), 6) AS ks_d,
+           ROUND(1.358 * SQRT((t.t1 + t.t2) / (t.t1 * t.t2)), 6) AS ks_crit_05,
+           CAST(MAX(ABS(c.c1 / t.t1 - c.c2 / t.t2))
+                > 1.358 * SQRT((t.t1 + t.t2) / (t.t1 * t.t2)) AS INTEGER) AS reject_05
+    FROM c CROSS JOIN t
+    GROUP BY t.t1, t.t2
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test on the order-price distribution of open ('O') vs
+    filled ('F') orders: D = max |ECDF1 - ECDF2|, compared against the
+    large-sample 5% critical value 1.358*sqrt((n1+n2)/(n1*n2)).
+
+    The ECDFs are computed over fixed 5000-wide price buckets (a binned
+    KS), which is what makes the operator scale-safe: the raw table is
+    reduced by one map-side-combining groupBy(bucket) to O(price range /
+    5000) rows, and only that tiny frame passes through the cumulative-sum
+    window. An exact per-row KS would need a global sort of the input;
+    the binned statistic converges to it from below as bins shrink and is
+    the standard drift-monitor formulation.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / 5000).alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+    )
+    t = b.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = b.select(F.sum("n1").over(w).alias("c1"), F.sum("n2").over(w).alias("c2"))
+    gap = F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))
+    crit = 1.358 * F.sqrt((F.col("t1") + F.col("t2")) / (F.col("t1") * F.col("t2")))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("t1", "t2")
+        .agg(F.max(gap).alias("d"), F.first(crit).alias("crit"))
+        .select(
+            F.col("t1").cast("long").alias("n_open"),
+            F.col("t2").cast("long").alias("n_filled"),
+            F.round("d", 6).alias("ks_d"),
+            F.round("crit", 6).alias("ks_crit_05"),
+            (F.col("d") > F.col("crit")).cast("int").alias("reject_05"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence
+# ---------------------------------------------------------------------------
+@register(
+    "agg_chisq",
+    oracle="""
+    WITH o AS (
+      SELECT c_mktsegment AS seg, c_nationkey % 5 AS band,
+             CAST(COUNT(*) AS DOUBLE) AS obs
+      FROM customer GROUP BY 1, 2
+    ),
+    r AS (SELECT seg, SUM(obs) AS row_tot FROM o GROUP BY seg),
+    c AS (SELECT band, SUM(obs) AS col_tot FROM o GROUP BY band),
+    n AS (SELECT SUM(obs) AS tot FROM o)
+    SELECT CAST(n.tot AS BIGINT) AS n_customers,
+           CAST((COUNT(DISTINCT o.seg) - 1) * (COUNT(DISTINCT o.band) - 1)
+                AS BIGINT) AS dof,
+           ROUND(SUM(POW(o.obs - r.row_tot * c.col_tot / n.tot, 2)
+                     / (r.row_tot * c.col_tot / n.tot)), 6) AS chi2
+    FROM o JOIN r USING (seg) JOIN c USING (band) CROSS JOIN n
+    GROUP BY n.tot
+    """,
+)
+def agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between market segment and a
+    nation band (nationkey mod 5): chi2 = sum (obs - exp)^2 / exp over the
+    contingency cells, with exp = row_total * col_total / N.
+
+    Plan: one groupBy(seg, band) over the raw table (the only stage that
+    sees data volume, partial-aggregated map-side), then the marginals are
+    re-aggregated from the cell counts — never from the raw table again —
+    and joined back broadcast (the contingency table is O(segments x
+    bands) rows). One data-volume shuffle total; everything after runs on
+    dozens of rows.
+    """
+    cust = load(spark, sf_dir, "customer")
+    o = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("band"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    r = o.groupBy("seg").agg(F.sum("obs").alias("row_tot"))
+    c = o.groupBy("band").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("tot"))
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("tot")
+    return (
+        o.join(F.broadcast(r), "seg")
+        .join(F.broadcast(c), "band")
+        .crossJoin(F.broadcast(n))
+        .groupBy("tot")
+        .agg(
+            ((F.countDistinct("seg") - 1) * (F.countDistinct("band") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round(F.sum(F.pow(F.col("obs") - exp, 2) / exp), 6).alias("chi2"),
+        )
+        .select(
+            F.col("tot").cast("long").alias("n_customers"), "dof", "chi2"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Series autocorrelation (ACF at fixed lags)
+# ---------------------------------------------------------------------------
+@register(
+    "events_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s1.event_type, lags.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(s1.v, s2.v), 6) AS acf
+    FROM daily s1
+    CROSS JOIN (VALUES (1), (2), (3), (7)) AS lags(lag)
+    JOIN daily s2 ON s2.event_type = s1.event_type AND s2.d = s1.d + lags.lag
+    GROUP BY s1.event_type, lags.lag
+    """,
+)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily per-type revenue series at lags 1, 2,
+    3 and 7 (the day-over-day / week-over-week structure check): acf(L) =
+    corr(v_t, v_{t+L}) over aligned day pairs.
+
+    The raw event stream collapses to one row per (type, day) in a single
+    map-side-combining aggregate — the only data-volume stage. The lag
+    alignment is then a self-join of that tiny series on an *integer* day
+    index (datediff from a fixed epoch), sidestepping DATE+INTERVAL type
+    coercion differences between engines; ``corr`` is the sample Pearson
+    coefficient in both. Series length is O(days), so the join and the
+    final groupBy are negligible at any input scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(F.sum("value").alias("v"))
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(7))).alias("lag")
+    )
+    s1 = daily.alias("s1").crossJoin(F.broadcast(lags))
+    s2 = daily.alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s2.event_type") == F.col("s1.event_type"))
+            & (F.col("s2.d") == F.col("s1.d") + F.col("lag")),
+        )
+        .groupBy(F.col("s1.event_type").alias("event_type"), "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.corr("s1.v", "s2.v"), 6).alias("acf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the corpus vocabulary
+# ---------------------------------------------------------------------------
+@register(
+    "text_zipf",
+    oracle="""
+    WITH v AS (
+      SELECT lang, term, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY lang, term
+    ),
+    r AS (
+      SELECT lang, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+      FROM v
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(ln(n), ln(rk)), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(n), ln(rk)), 6) AS zipf_intercept,
+           ROUND(regr_r2(ln(n), ln(rk)), 6) AS fit_r2
+    FROM r WHERE rk <= 200
+    GROUP BY lang
+    """,
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS of ln(frequency) on ln(rank) over
+    each language's top-200 vocabulary. Natural text fits a slope near -1
+    with high r2; a far-off slope flags templated or machine-generated corpora —
+    a standard corpus-quality screen before LLM training.
+
+    Plan: explode + groupBy(lang, term) is the only stage proportional to
+    corpus size (vocabulary shuffles, not tokens, thanks to map-side
+    combine). The rank window is per-lang over vocabulary rows and the
+    rk <= 200 filter plans as WindowGroupLimit, so each language keeps
+    only 200 rows before the closed-form ``regr_*`` fold. Ties rank
+    deterministically (freq desc, term asc) in both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    v = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    r = v.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 200)
+    ln_n, ln_rk = F.log("n"), F.log("rk")
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.regr_slope(ln_n, ln_rk), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_rk), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_rk), 6).alias("fit_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (undominated points)
+# ---------------------------------------------------------------------------
+@register(
+    "skyline_pareto",
+    oracle="""
+    WITH best AS (
+      SELECT p_size, MAX(p_retailprice) AS best_price,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_size
+    ),
+    sk AS (
+      SELECT p_size, best_price, n_parts,
+             MAX(best_price) OVER (ORDER BY p_size
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prior_best
+      FROM best
+    )
+    SELECT sk.p_size, ROUND(sk.best_price, 2) AS best_price, sk.n_parts,
+           MIN(p.p_partkey) AS exemplar_partkey
+    FROM sk JOIN part p
+      ON p.p_size = sk.p_size AND p.p_retailprice = sk.best_price
+    WHERE sk.prior_best IS NULL OR sk.best_price > sk.prior_best
+    GROUP BY sk.p_size, sk.best_price, sk.n_parts
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts under minimize-size /
+    maximize-price: the points no other part dominates on both axes,
+    with a deterministic exemplar part per frontier point.
+
+    The classic skyline is an O(n^2) dominance join; this plan uses the
+    sort-reduce decomposition instead: (1) one map-side-combining
+    groupBy(p_size) keeps only each size's best price — the single stage
+    proportional to input — then (2) the frontier falls out of a running
+    max over the O(|distinct sizes|) reduced rows (a point survives iff
+    it beats every smaller size's best). The exemplar lookup joins the
+    tiny frontier back broadcast-side. Equality on the double price is
+    safe because both sides carry the identical stored value.
+    """
+    part = load(spark, sf_dir, "part")
+    best = part.groupBy("p_size").agg(
+        F.max("p_retailprice").alias("best_price"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    sk = (
+        best.withColumn("prior_best", F.max("best_price").over(w))
+        .filter(F.col("prior_best").isNull() | (F.col("best_price") > F.col("prior_best")))
+        .select(
+            F.col("p_size").alias("sk_size"),
+            "best_price",
+            "n_parts",
+        )
+    )
+    return (
+        part.join(
+            F.broadcast(sk),
+            (part.p_size == sk.sk_size) & (part.p_retailprice == sk.best_price),
+        )
+        .groupBy("sk_size", "best_price", "n_parts")
+        .agg(F.min("p_partkey").alias("exemplar_partkey"))
+        .select(
+            F.col("sk_size").alias("p_size"),
+            F.round("best_price", 2).alias("best_price"),
+            "n_parts",
+            "exemplar_partkey",
+        )
+    )

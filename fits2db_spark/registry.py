@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "fits2db_spark.operators.advanced",
     "fits2db_spark.operators.pipeline",
     "fits2db_spark.operators.stats",
+    "fits2db_spark.operators.inference",
     "fits2db_spark.operators.sql_api",
 )
 
@@ -127,6 +128,11 @@ _PRIORITY_QUERIES = (
     "events_growth",
     "sim_ann_recall_eval",
     "fits_wcs_ingest",
+    "agg_ks_test",
+    "agg_chisq",
+    "events_acf",
+    "text_zipf",
+    "skyline_pareto",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
