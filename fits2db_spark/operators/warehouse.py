@@ -1,0 +1,351 @@
+"""Warehouse maintenance & enrichment patterns (round 5, batch 2).
+
+Four operations a production lakehouse runs between queries: snapshot
+diffing (what changed between two table versions — the read side of CDC),
+Z-order clustering (the physical-layout decision that makes min/max data
+skipping work), gap repair by linear interpolation (time-series
+completeness), and touch attribution (the sessionized enrichment marketing
+analytics runs on every event stream).
+
+Scale posture: ``snapshot_diff`` is one full-outer join on the primary key
+(bucket both snapshots by that key and it is shuffle-free); the other three
+reduce the raw table with one partial-aggregating groupBy before any window
+or join, so their windows sort O(days)/O(files)/O(events-per-user) rows.
+
+Cross-engine notes: the deterministic "version B" price bump multiplies the
+same stored double by the same literal, so IEEE results agree exactly and
+unchanged rows subtract to an exact 0.0; Morton codes use explicit
+bit-shift expansions in both engines (integer ``>>``/``<<``, no doubles);
+interpolation uses IGNORE NULLS window fills, supported by both Spark and
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC read side)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_totalprice AS old_price
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS new_price
+      FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.old_price <> b.new_price THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(COALESCE(b.new_price, 0) - COALESCE(a.old_price, 0)), 2)
+             AS price_delta
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every primary key across two deterministic snapshots of
+    ``orders`` as added / removed / changed / unchanged, with the net
+    price delta per class — the read side of change-data-capture (what a
+    MERGE would write, `merge_upsert` is the write side).
+
+    Snapshot A drops keys divisible by 97 (rows "added" later), snapshot B
+    drops keys divisible by 101 ("removed") and bumps prices 10% on keys
+    divisible by 89 ("changed"). The diff is ONE full-outer sort-merge
+    join on the key followed by a 4-group aggregate. At 100 TB both
+    snapshots live bucketed by primary key, which elides the exchange
+    entirely — the diff then streams partition-local. The price bump
+    multiplies identical stored doubles by the same literal in both
+    engines, so unchanged rows compare exactly equal and subtract to 0.
+    """
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("old_price")
+    )
+    b = o.filter(F.col("o_orderkey") % 101 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    j = a.join(b, "k", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(
+                F.coalesce(F.col("new_price"), F.lit(0.0))
+                - F.coalesce(F.col("old_price"), F.lit(0.0))
+            ),
+            2,
+        ).alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering layout
+# ---------------------------------------------------------------------------
+
+_ZBITS = 8  # 8 bits per dimension -> 16-bit Morton code, 256 files
+
+
+def _morton_sql(bx: str, by: str) -> str:
+    return " + ".join(
+        f"((({bx} >> {i}) & 1) << {2 * i}) + ((({by} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_ZBITS)
+    )
+
+
+def _morton_col(bx: Column, by: Column) -> Column:
+    z = F.lit(0).cast("long")
+    for i in range(_ZBITS):
+        z = z + F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 2000) AS BIGINT), 255) AS bx,
+             LEAST(CAST(FLOOR(datediff('day', DATE '1995-01-01',
+                                       CAST(o_orderdate AS DATE)) / 10.0)
+                        AS BIGINT), 255) AS by
+      FROM orders
+    ),
+    coded AS (SELECT bx, by, ({_morton_sql('bx', 'by')}) >> 8 AS file_id FROM binned)
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(bx) - MIN(bx) + 1 AS BIGINT) AS bx_span,
+           CAST(MAX(by) - MIN(by) + 1 AS BIGINT) AS by_span
+    FROM coded GROUP BY file_id
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every order a 16-bit Morton (Z-order) code over binned
+    (price, order-date) and split the code space into 256 files; report
+    each file's row count and its min/max span in BOTH dimensions.
+
+    This is the clustering decision behind min/max data skipping: a
+    Z-ordered file covers a ~16x16 square of the 256x256 bin grid, so a
+    predicate on EITHER dimension prunes ~15/16 of files, where a
+    single-column sort gives perfect pruning on one dimension and none on
+    the other (its per-file span in the second dimension is the full
+    256). The spans in the output are the evidence — tests assert they
+    are square-ish and far below 256. The whole operator is bit
+    arithmetic (a narrow map) plus one groupBy(file_id); at 100 TB the
+    same Morton expression feeds ``repartitionByRange(z)`` + sortWithin
+    at write time, and this query becomes the layout-quality audit.
+    """
+    o = load(spark, sf_dir, "orders")
+    bx = F.least(F.floor(F.col("o_totalprice") / 2000).cast("long"), F.lit(255))
+    by = F.least(
+        F.floor(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            / 10.0
+        ).cast("long"),
+        F.lit(255),
+    )
+    coded = o.select(bx.alias("bx"), by.alias("by")).select(
+        "bx", "by", F.shiftright(_morton_col(F.col("bx"), F.col("by")), 8).alias("file_id")
+    )
+    return coded.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.max("bx") - F.min("bx") + 1).cast("long").alias("bx_span"),
+        (F.max("by") - F.min("by") + 1).cast("long").alias("by_span"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap repair: linear interpolation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT event_type, d,
+             CASE WHEN d % 5 = 2 THEN NULL ELSE v END AS v_obs
+      FROM daily
+    ),
+    filled AS (
+      SELECT event_type, d, v_obs,
+             LAST_VALUE(v_obs IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             FIRST_VALUE(v_obs IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM marked
+    )
+    SELECT event_type, d,
+           CAST(CASE WHEN v_obs IS NULL THEN 1 ELSE 0 END AS INTEGER) AS was_missing,
+           ROUND(COALESCE(v_obs,
+                          pv + (nv - pv) * (d - pd) / (nd - pd),
+                          pv, nv), 6) AS v_filled
+    FROM filled
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair gaps in the daily per-type value series by linear
+    interpolation between the nearest observed neighbors (day-index
+    weighted), falling back to the nearest single neighbor at the series
+    edges. Days where ``d % 5 == 2`` are deterministically masked to
+    simulate sensor dropout, so the oracle reproduces the same gaps.
+
+    Plan: the raw stream collapses to one row per (type, day) in a
+    map-side-combining aggregate — the only data-volume stage — then four
+    IGNORE-NULLS window fills (two directions x value/day) run per type
+    over O(days) rows. State per window is one (value, day) pair, so at
+    100 TB the cost is entirely in the first groupBy; the same plan
+    shape serves any gauge-table repair job.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.avg("value").alias("v"))
+    v_obs = F.when(F.col("d") % 5 == 2, F.lit(None)).otherwise(F.col("v"))
+    m = daily.select("event_type", "d", v_obs.alias("v_obs"))
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    d_obs = F.when(F.col("v_obs").isNotNull(), F.col("d"))
+    f = m.select(
+        "event_type",
+        "d",
+        "v_obs",
+        F.last("v_obs", ignorenulls=True).over(wp).alias("pv"),
+        F.last(d_obs, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v_obs", ignorenulls=True).over(wn).alias("nv"),
+        F.first(d_obs, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (F.col("d") - F.col("pd")) / (
+        F.col("nd") - F.col("pd")
+    )
+    return f.select(
+        "event_type",
+        "d",
+        F.col("v_obs").isNull().cast("int").alias("was_missing"),
+        F.round(F.coalesce(F.col("v_obs"), interp, F.col("pv"), F.col("nv")), 6).alias(
+            "v_filled"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pre AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN conv USING (user_id)
+      WHERE e.ts < conv.first_purchase
+    ),
+    ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk_first,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk_last
+      FROM pre
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first_touch,
+           CAST(SUM(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_last_touch
+    FROM ranked
+    GROUP BY event_type
+    HAVING SUM(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) > 0
+        OR SUM(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every user who
+    converted (has a 'purchase' event), credit the event type of their
+    earliest and their latest interaction strictly before the first
+    purchase, then count credits per channel. Ties on timestamp break by
+    event_id in both directions, so both engines rank identically.
+
+    Plan: the conversion timestamps are one groupBy(user) over the
+    purchase slice (predicate pushed to the scan), joined back on
+    user_id; the two row_number windows share one user_id sort. Per-user
+    window state is a single row. At 100 TB the stream is already
+    partitioned by user for sessionization, so the join and both windows
+    ride the existing exchange.
+    """
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    pre = ev.join(conv, "user_id").filter(F.col("ts") < F.col("first_purchase"))
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = pre.select(
+        "event_type",
+        F.row_number().over(w_first).alias("rk_first"),
+        F.row_number().over(w_last).alias("rk_last"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum((F.col("rk_first") == 1).cast("int")).cast("long").alias("n_first_touch"),
+            F.sum((F.col("rk_last") == 1).cast("int")).cast("long").alias("n_last_touch"),
+        )
+        .filter((F.col("n_first_touch") > 0) | (F.col("n_last_touch") > 0))
+    )

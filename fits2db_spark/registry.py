@@ -44,6 +44,7 @@ _OPERATOR_MODULES = (
     "fits2db_spark.operators.pipeline",
     "fits2db_spark.operators.stats",
     "fits2db_spark.operators.inference",
+    "fits2db_spark.operators.warehouse",
     "fits2db_spark.operators.sql_api",
 )
 
@@ -133,6 +134,10 @@ _PRIORITY_QUERIES = (
     "events_acf",
     "text_zipf",
     "skyline_pareto",
+    "snapshot_diff",
+    "zorder_layout",
+    "ts_interpolate",
+    "events_attribution",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
