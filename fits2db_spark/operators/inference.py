@@ -283,6 +283,122 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test
+# ---------------------------------------------------------------------------
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderstatus AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(o_totalprice) AS m,
+             var_samp(o_totalprice) AS v
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+      GROUP BY 1
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_open,
+           CAST(b.n AS BIGINT) AS n_filled,
+           ROUND(a.m - b.m, 6) AS mean_diff,
+           ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 6) AS t_stat,
+           ROUND(POW(a.v / a.n + b.v / b.n, 2)
+                 / (POW(a.v / a.n, 2) / (a.n - 1)
+                    + POW(b.v / b.n, 2) / (b.n - 1)), 2) AS welch_dof
+    FROM g a JOIN g b ON a.grp = 'O' AND b.grp = 'F'
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean order price, open ('O') vs
+    filled ('F') orders: t = (m1-m2)/sqrt(v1/n1+v2/n2) with the
+    Welch-Satterthwaite degrees of freedom. Complements ``agg_ks_test``:
+    KS detects any distributional drift, Welch answers the narrower
+    "did the mean move" with a statistic robust to unequal variances.
+
+    Plan: ONE partial-aggregating groupBy produces a 3-number summary
+    (n, mean, sample variance — all algebraic, combined map-side) per
+    group; the test statistic is computed on a 2-row frame by a self-join
+    of the summaries. Nothing after the first aggregate sees data volume.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    g = o.groupBy(F.col("o_orderstatus").alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.var_samp("o_totalprice").alias("v"),
+    )
+    a = g.filter(F.col("grp") == "O").alias("a")
+    b = g.filter(F.col("grp") == "F").alias("b")
+    se2 = F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("a.v") / F.col("a.n"), 2) / (F.col("a.n") - 1)
+        + F.pow(F.col("b.v") / F.col("b.n"), 2) / (F.col("b.n") - 1)
+    )
+    return a.crossJoin(b).select(
+        F.col("a.n").cast("long").alias("n_open"),
+        F.col("b.n").cast("long").alias("n_filled"),
+        F.round(F.col("a.m") - F.col("b.m"), 6).alias("mean_diff"),
+        F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dof, 2).alias("welch_dof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth decile histogram
+# ---------------------------------------------------------------------------
+@register(
+    "agg_decile_stats",
+    oracle="""
+    WITH b AS (
+      SELECT list_transform(quantile_cont(l_extendedprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               x -> ROUND(x, 6)) AS bs
+      FROM lineitem
+    )
+    SELECT len(list_filter(b.bs, e -> l.l_extendedprice >= e)) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(l.l_extendedprice), 4) AS avg_price,
+           ROUND(MIN(l.l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l.l_extendedprice), 2) AS max_price
+    FROM lineitem l CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def agg_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: exact decile boundaries of the extended price,
+    then per-decile count/avg/min/max — the optimizer-statistics build
+    (histogram construction) exposed as a query. Counts near n/10 per bin
+    are the equi-depth property; min/max per bin recover the boundaries.
+
+    Plan: pass 1 computes the 9 boundaries with the exact interpolating
+    percentile (one aggregate; both engines share quantile_cont
+    interpolation semantics, boundaries rounded to 6dp before binning so
+    the bin edges are bit-identical across engines); pass 2 broadcasts
+    the 1-row boundary array back and bins every row with a JVM-side
+    array fold — a narrow map feeding one partial-agg groupBy on a
+    10-value key. At 100 TB swap pass 1 for the mergeable
+    approx_percentile sketch (the decile semantics tolerate sketch
+    error); pass 2 is unchanged.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    b = li.agg(
+        F.transform(
+            F.percentile("l_extendedprice", qs), lambda x: F.round(x, 6)
+        ).alias("bs")
+    )
+    binned = li.crossJoin(F.broadcast(b)).select(
+        F.col("l_extendedprice").alias("price"),
+        F.size(
+            F.filter(F.col("bs"), lambda e: F.col("l_extendedprice") >= e)
+        ).alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("price"), 4).alias("avg_price"),
+        F.round(F.min("price"), 2).alias("min_price"),
+        F.round(F.max("price"), 2).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pareto skyline (undominated points)
 # ---------------------------------------------------------------------------
 @register(

@@ -438,6 +438,72 @@ def stream_live_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_live_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed by LIVE Structured Streaming: the same
+    30-minute-gap per-user sessionization as the batch ``stream_session``,
+    but running as ``session_window`` state over the shared 3-file
+    ``readStream`` staging and drained under ``availableNow`` in complete
+    mode. Sessions MERGE across micro-batches (a user active in batch 1
+    and batch 2 within the gap must yield one session), so this exercises
+    the state-store merge path that distinguishes streaming sessionization
+    from a windowed groupBy — and the final merged state equals the batch
+    answer, which is what keeps it oracle-checkable against the identical
+    lag + gap-flag + running-sum SQL as the batch variant.
+
+    Scale: session state is one (start, end, aggregates) tuple per open
+    session per user, sharded by the grouping key and evicted by the
+    watermark as event time advances; a production job runs append mode
+    with a real watermark and emits each session once, on close."""
+    key = _live_key(spark, sf_dir, "session")
+    if key in _LIVE_DONE:
+        return spark.table(_LIVE_DONE[key])
+    from ..streaming.live import events_stream
+
+    staging = _staged_events_dir(spark, sf_dir)
+    stream = (
+        events_stream(spark, staging, max_files_per_trigger=1)
+        .withWatermark("ts", "100 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain_live(spark, key, "live_session", stream, "complete")
+
+
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("stream_windowed_topk")

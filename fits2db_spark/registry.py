@@ -138,6 +138,9 @@ _PRIORITY_QUERIES = (
     "zorder_layout",
     "ts_interpolate",
     "events_attribution",
+    "stream_live_session",
+    "agg_welch_ttest",
+    "agg_decile_stats",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

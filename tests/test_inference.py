@@ -94,6 +94,34 @@ def test_zipf_fit_shape(spark):
     assert got[got.lang == lang].zipf_slope.iloc[0] == pytest.approx(slope, abs=1e-6)
 
 
+def test_welch_ttest_matches_numpy(spark):
+    got = _run(spark, "agg_welch_ttest").iloc[0]
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    a = o[o.o_orderstatus == "O"].o_totalprice.to_numpy()
+    b = o[o.o_orderstatus == "F"].o_totalprice.to_numpy()
+    se2 = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    dof = se2**2 / (
+        (a.var(ddof=1) / len(a)) ** 2 / (len(a) - 1)
+        + (b.var(ddof=1) / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert got["n_open"] == len(a) and got["n_filled"] == len(b)
+    assert got["t_stat"] == pytest.approx(t, abs=1e-5)
+    assert got["welch_dof"] == pytest.approx(dof, abs=0.02)
+
+
+def test_decile_histogram_is_equi_depth(spark):
+    got = _run(spark, "agg_decile_stats").sort_values("decile")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    n = len(li)
+    assert list(got.decile) == list(range(10))
+    assert got.n.sum() == n
+    # equi-depth: every bin within one row of n/10 (interpolated edges)
+    assert (abs(got.n - n / 10) <= 1).all()
+    # bins tile the range in order
+    assert (got.max_price.to_numpy()[:-1] <= got.min_price.to_numpy()[1:]).all()
+
+
 def test_skyline_is_exactly_the_undominated_set(spark):
     got = _run(spark, "skyline_pareto")
     p = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
