@@ -508,14 +508,31 @@ def read_fits(
     path: str,
     hdu: int | str = 1,
     schema: StructType | None = None,
+    verify_checksum: bool = False,
 ) -> DataFrame:
     """Read a FITS file / glob of files into a DataFrame.
 
     ``hdu`` selects the BINTABLE extension by 1-based index or EXTNAME.
     ``schema`` may be passed to skip the driver-side header probe; otherwise
     the first file's header declares it (never inferred from row data).
+    ``verify_checksum=True`` validates the public CHECKSUM/DATASUM
+    convention on every HDU of every file, executor-side before decode,
+    and fails the job on the first corrupt HDU (files without the
+    keywords pass — unprotected is not corrupt).
     """
-    return _read_fits_with(spark, path, hdu, schema, decode_bintable)
+    decoder = decode_bintable
+    if verify_checksum:
+
+        def decoder(data: bytes, h: int | str = 1):  # noqa: F811
+            for r in verify_checksums(data):
+                if r["datasum_ok"] is False or r["checksum_ok"] is False:
+                    raise FitsFormatError(
+                        f"FITS checksum mismatch in HDU {r['hdu']}"
+                        f" (extname={r['extname']!r})"
+                    )
+            return decode_bintable(data, h)
+
+    return _read_fits_with(spark, path, hdu, schema, decoder)
 
 
 def read_fits_ascii(
@@ -886,3 +903,130 @@ def write_fits_asciitable(
     cards.append(b"END".ljust(CARD))
     header = _pad(b"".join(cards), b" ")
     return _primary_hdu() + header + _pad(payload)
+
+
+# ---------------------------------------------------------------------------
+# CHECKSUM / DATASUM convention (the public FITS checksum keyword proposal:
+# 1's-complement 32-bit sums, ASCII-encoded complement, whole-HDU sum of
+# 0xFFFFFFFF on verify). Archives ship fpack'd + checksummed files; this is
+# the integrity half of that contract.
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_EXCLUDE = frozenset(b":;<=>?@[\\]^_`")
+
+
+def _sum32(buf: bytes, initial: int = 0) -> int:
+    """1's-complement 32-bit sum over big-endian words with end-around
+    carry. FITS blocks are 2880 bytes (divisible by 4), so every header
+    and padded data area is word-aligned by construction."""
+    if len(buf) % 4:
+        raise FitsFormatError("checksum region not 4-byte aligned")
+    a = np.frombuffer(buf, dtype=">u4")
+    s = int(a.sum(dtype=np.uint64)) + int(initial)
+    while s >> 32:
+        s = (s & 0xFFFFFFFF) + (s >> 32)
+    return s
+
+
+def encode_checksum(value: int) -> str:
+    """ASCII-encode a 32-bit value for the CHECKSUM card: each byte is
+    spread over 4 characters offset from ASCII '0' (so a '0'*16
+    placeholder contributes exactly the baseline), punctuation in the
+    excluded set is resolved by balanced +1/-1 pair shifts (sum
+    preserved), and the 16-char string is rotated one place right to
+    line its most-significant characters up with the 4-byte word grid at
+    the card's value offset (column 11 = 3 mod 4)."""
+    asc = bytearray(16)
+    for i in range(4):
+        byte = (value >> (24 - 8 * i)) & 0xFF
+        q, r = divmod(byte, 4)
+        ch = [0x30 + q] * 4
+        ch[0] += r
+        changed = True
+        while changed:
+            changed = False
+            for j in (0, 2):
+                if ch[j] in _CHECKSUM_EXCLUDE or ch[j + 1] in _CHECKSUM_EXCLUDE:
+                    ch[j] += 1
+                    ch[j + 1] -= 1
+                    changed = True
+        for j in range(4):
+            asc[4 * j + i] = ch[j]
+    return bytes(asc[-1:] + asc[:-1]).decode("ascii")
+
+
+def _header_records(buf: bytes, off: int, data_off: int) -> list[bytes]:
+    """The 80-byte card images of one header, up to and excluding END."""
+    recs = []
+    for p in range(off, data_off, CARD):
+        card = buf[p : p + CARD]
+        if card[:8].rstrip() == b"END":
+            return recs
+        recs.append(card)
+    raise FitsFormatError("header without END card")
+
+
+def add_checksums(blob: bytes) -> bytes:
+    """Return ``blob`` with correct DATASUM + CHECKSUM cards on every HDU
+    (existing ones replaced). DATASUM is the decimal 1's-complement sum
+    of the padded data area; CHECKSUM is written so the whole-HDU sum is
+    0xFFFFFFFF — asserted here, so a miswritten card can never leave
+    this function."""
+    out = bytearray()
+    off = 0
+    while off < len(blob):
+        cards, data_off = _parse_header(blob, off)
+        dsize = _hdu_data_size(cards)
+        padded = (dsize + BLOCK - 1) // BLOCK * BLOCK
+        data = blob[data_off : data_off + padded]
+        recs = [
+            r
+            for r in _header_records(blob, off, data_off)
+            if r[:8].rstrip() not in (b"DATASUM", b"CHECKSUM")
+        ]
+        recs.append(_card("DATASUM", str(_sum32(data))))
+        recs.append(_card("CHECKSUM", "0" * 16))
+        cks_rec = len(recs) - 1
+        recs.append(b"END".ljust(CARD))
+        header = bytearray(_pad(b"".join(recs), b" "))
+        tmp = _sum32(bytes(header) + data)
+        enc = encode_checksum(~tmp & 0xFFFFFFFF).encode("ascii")
+        vpos = cks_rec * CARD + 11  # value chars inside the quoted string
+        header[vpos : vpos + 16] = enc
+        if _sum32(bytes(header) + data) != 0xFFFFFFFF:
+            raise FitsFormatError("checksum encoding failed self-verification")
+        out += bytes(header) + data
+        off = data_off + padded
+    return bytes(out)
+
+
+def verify_checksums(blob: bytes) -> list[dict]:
+    """Walk every HDU and report integrity: ``datasum_ok`` compares the
+    stored DATASUM against the recomputed data sum, ``checksum_ok``
+    requires the whole-HDU 1's-complement sum to be 0xFFFFFFFF (the
+    convention's self-cancelling property — no decode step needed). A
+    missing keyword reports None for its check, so callers distinguish
+    'unprotected' from 'corrupt'."""
+    results = []
+    off = 0
+    idx = 0
+    while off < len(blob):
+        cards, data_off = _parse_header(blob, off)
+        dsize = _hdu_data_size(cards)
+        padded = (dsize + BLOCK - 1) // BLOCK * BLOCK
+        if data_off + padded > len(blob):
+            raise FitsFormatError("truncated HDU data area")
+        data = blob[data_off : data_off + padded]
+        entry: dict = {"hdu": idx, "extname": cards.get("EXTNAME")}
+        entry["datasum_ok"] = (
+            int(cards["DATASUM"]) == _sum32(data) if "DATASUM" in cards else None
+        )
+        entry["checksum_ok"] = (
+            _sum32(blob[off : data_off + padded]) == 0xFFFFFFFF
+            if "CHECKSUM" in cards
+            else None
+        )
+        results.append(entry)
+        off = data_off + padded
+        idx += 1
+    return results
