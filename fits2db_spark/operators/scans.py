@@ -255,6 +255,68 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_dpp",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE datediff('day', DATE '2024-01-01', CAST(ts AS TIMESTAMP)) % 7 = 3
+      AND CAST(ts AS TIMESTAMP) < DATE '2024-01-01' + INTERVAL 62 DAYS
+    GROUP BY event_type
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: join the date-partitioned event store
+    (same staged layout as ``scan_partition_pruning``) against a small
+    filtered calendar dimension ("campaign days": every 7th day) on the
+    PARTITION column, with NO literal filter on that column anywhere.
+    Catalyst injects the dimension's filtered key set into the scan as a
+    runtime subquery (``dynamicpruning`` in the plan, asserted in
+    tests/test_plans.py), so only the matching date directories are ever
+    listed — the static-pruning benefit of ``scan_partition_pruning``
+    extended to predicates known only at run time.
+
+    At 100 TB this is the fact-dim pattern that decides whether a
+    campaign-scoped query reads 9/62 partitions or all of them; it works
+    for any dim filter without rewriting the query, which is exactly what
+    static partition filters cannot do. The dimension broadcasts, so the
+    pruning subquery reuses the broadcast exchange (no extra scan)."""
+    from .scans import _scratch_dir  # self-import keeps the staging tag shared
+
+    def write(out_dir: str) -> None:
+        ev = load(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.date_trunc("day", F.col("ts")).cast("date"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out_dir)
+        )
+
+    path = _scratch_dir(spark, sf_dir, "events_partitioned", write)
+    ev = spark.read.parquet(path)
+    dim = (
+        spark.range(62)
+        .select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+                "event_date"
+            ),
+            F.col("id").alias("day_idx"),
+        )
+        .filter(F.col("day_idx") % 7 == 3)
+        .drop("day_idx")
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
     "scan_csv_corrupt",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_good,

@@ -141,6 +141,7 @@ _PRIORITY_QUERIES = (
     "stream_live_session",
     "agg_welch_ttest",
     "agg_decile_stats",
+    "join_dpp",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

@@ -193,6 +193,19 @@ def test_partition_pruning_fires(spark):
         assert "event_date" not in dataf[0], dataf[0]
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    # join_dpp filters the partition column only THROUGH the dimension
+    # join — the scan must carry a runtime dynamicpruning subquery, not a
+    # static partition filter and not an unpruned full scan
+    from fits2db_spark.operators.scans import join_dpp
+
+    df = join_dpp(spark, SF_SMOKE)
+    f = _formatted(df)
+    assert "dynamicpruning" in f.lower(), f
+    pf = [ln for ln in f.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0], f
+
+
 def test_ohlc_is_partial_agg_not_window(spark):
     # OHLC bars use min_by/max_by over a struct key: plans as
     # SortAggregate (struct ordering keys aren't hash-aggregable) but the
