@@ -647,3 +647,252 @@ def events_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 4).alias("delta"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection
+# ---------------------------------------------------------------------------
+@register(
+    "events_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, AVG(v) AS mu, stddev_samp(v) AS sd
+      FROM daily GROUP BY event_type
+    ),
+    p AS (
+      SELECT daily.event_type, d,
+             SUM((v - mu) / sd - 0.5) OVER (
+               PARTITION BY daily.event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+      FROM daily JOIN stats USING (event_type)
+    )
+    SELECT event_type, d,
+           ROUND(pf - LEAST(MIN(pf) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 6) AS cusum,
+           CAST(pf - LEAST(MIN(pf) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) > 5
+             AS INTEGER) AS alarm
+    FROM p
+    """,
+)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detector over the daily per-type
+    revenue series: standardize (z = (v-mu)/sd), accumulate drift above
+    the k=0.5 allowance, alarm when the statistic exceeds h=5 — the
+    textbook (k, h) = (0.5σ, 5σ) small-shift monitor.
+
+    The CUSUM recursion s_t = max(0, s_{t-1} + z_t - k) is not a plain
+    window aggregate, but it has a closed prefix form: with
+    p_t = Σ(z_τ - k), s_t = p_t - min(0, running_min(p)) — so two
+    stacked windows (running sum, running min over it) compute the exact
+    reset recursion declaratively in both engines. Everything after the
+    daily groupBy runs on O(days) rows per type; per-type stats join
+    back broadcast."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.sum("value").alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        F.sum((F.col("v") - F.col("mu")) / F.col("sd") - 0.5).over(w).alias("pf"),
+    )
+    s = F.col("pf") - F.least(F.min("pf").over(w), F.lit(0.0))
+    return p.select(
+        "event_type",
+        "d",
+        F.round(s, 6).alias("cusum"),
+        (s > 5).cast("int").alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile
+# ---------------------------------------------------------------------------
+@register(
+    "events_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (SELECT event_type, AVG(v) AS grand FROM daily GROUP BY event_type)
+    SELECT daily.event_type, daily.d % 7 AS weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(v) - grand, 6) AS seasonal_offset,
+           ROUND(AVG(v) / grand, 6) AS seasonal_ratio
+    FROM daily JOIN base USING (event_type)
+    GROUP BY daily.event_type, daily.d % 7, grand
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile: the additive offset and multiplicative
+    ratio of each weekday's average daily value vs the type's grand mean —
+    the decomposition step before any deseasonalized comparison (and the
+    input to seasonal-naive forecasting).
+
+    Plan: daily groupBy (the only data-volume stage), a per-type grand
+    mean re-aggregated from the DAILY rows (never the raw table), and a
+    7-row-per-type final aggregate with the grand mean broadcast back.
+    Day index arithmetic (d % 7) keeps weekday identical across engines
+    regardless of locale/week-start conventions."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.sum("value").alias("v"))
+    base = daily.groupBy("event_type").agg(F.avg("v").alias("grand"))
+    return (
+        daily.join(F.broadcast(base), "event_type")
+        .groupBy("event_type", (F.col("d") % 7).alias("weekday"), "grand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg("v") - F.col("grand"), 6).alias("seasonal_offset"),
+            F.round(F.avg("v") / F.col("grand"), 6).alias("seasonal_ratio"),
+        )
+        .drop("grand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto 80/15/5) classification
+# ---------------------------------------------------------------------------
+@register(
+    "orders_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT SUM(revenue) AS tot FROM rev),
+    c AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) / tot AS cum_share
+      FROM rev CROSS JOIN t
+    )
+    SELECT CASE WHEN ROUND(cum_share, 9) <= 0.8 THEN 'A'
+                WHEN ROUND(cum_share, 9) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(revenue), 2) AS class_revenue,
+           ROUND(SUM(revenue) / MAX(tot), 6) AS revenue_share
+    FROM c CROSS JOIN t
+    GROUP BY 1
+    """,
+)
+def orders_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank parts by
+    lineitem revenue, take the cumulative share, and bucket A (first
+    80%), B (next 15%), C (tail) — the inventory-management cut that
+    names the skyline's cousin (a few parts carry most revenue).
+
+    The cumulative share is compared on ROUND(·, 9) so a part sitting
+    within float-fold noise of the 0.8/0.95 boundary classifies
+    identically in both engines. Plan: per-part revenue is one
+    map-side-combining groupBy over the facts; the running-sum window
+    then orders O(parts) dimension rows — orders of magnitude below the
+    fact volume (at true dimension scale, a range-partitioned global
+    sort + per-range offsets computes the same cumsum distributively)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    t = rev.agg(F.sum("revenue").alias("tot"))
+    w = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = rev.crossJoin(F.broadcast(t)).select(
+        "revenue",
+        "tot",
+        (F.sum("revenue").over(w) / F.col("tot")).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.round(F.col("cum_share"), 9) <= 0.8, "A")
+        .when(F.round(F.col("cum_share"), 9) <= 0.95, "B")
+        .otherwise("C")
+    )
+    return c.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        F.round(F.sum("revenue") / F.max("tot"), 6).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient (Lorenz-curve inequality)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+             SUM(o.o_totalprice) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT seg, x,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY x, ck) AS rk
+      FROM rev
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(x), 2) AS total_revenue,
+           ROUND(2.0 * SUM(rk * x) / (COUNT(*) * SUM(x))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r GROUP BY seg
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each market
+    segment — the Lorenz-curve inequality measure (0 = revenue spread
+    evenly across customers, →1 = concentrated in a few). Complements
+    ``agg_concentration``'s Herfindahl/top-5 with the full-distribution
+    statistic, via the rank identity G = 2·Σ(rk·x)/(n·Σx) − (n+1)/n.
+
+    Plan: one groupBy collapsing orders to per-(segment, customer)
+    revenue — the only stage that sees fact volume — then a per-segment
+    rank window over O(customers) rows feeding a closed-form aggregate.
+    Ties rank deterministically by (revenue, custkey), which leaves the
+    Gini value unchanged (equal x under differing ranks cancel in the
+    sum) but keeps both engines' intermediate frames identical."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("ck"))
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.partitionBy("seg").orderBy("x", "ck")
+    r = rev.withColumn("rk", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return r.groupBy("seg").agg(
+        n.cast("long").alias("n_customers"),
+        F.round(F.sum("x"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("x")) / (n * F.sum("x"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -142,6 +142,10 @@ _PRIORITY_QUERIES = (
     "agg_welch_ttest",
     "agg_decile_stats",
     "join_dpp",
+    "events_cusum",
+    "events_seasonality",
+    "orders_abc",
+    "agg_gini",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

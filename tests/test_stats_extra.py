@@ -1,0 +1,83 @@
+"""Semantic checks for the round-5 CUSUM / seasonality / ABC / Gini
+operators: independent numpy/pandas re-derivations, including the CUSUM
+prefix-form identity against the literal reset recursion."""
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+
+from fits2db_spark.operators import stats  # noqa: F401  (registration)
+from fits2db_spark.registry import all_queries
+
+
+def _run(spark, name):
+    return all_queries()[name](spark, SF_SMOKE).toPandas()
+
+
+def _daily(col="value"):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    return ev.groupby(["event_type", "d"])[col].sum()
+
+
+def test_cusum_prefix_form_equals_reset_recursion(spark):
+    got = _run(spark, "events_cusum")
+    daily = _daily()
+    for t, s in daily.groupby(level=0):
+        v = s.droplevel(0).sort_index().to_numpy()
+        z = (v - v.mean()) / v.std(ddof=1)
+        cus, out = 0.0, []
+        for zi in z:
+            cus = max(0.0, cus + zi - 0.5)
+            out.append(cus)
+        mine = got[got.event_type == t].sort_values("d").cusum.to_numpy()
+        assert np.allclose(mine, np.array(out), atol=1e-5)
+        alarms = got[got.event_type == t].sort_values("d").alarm.to_numpy()
+        assert (alarms == (np.array(out) > 5).astype(int)).all()
+
+
+def test_seasonality_offsets_and_ratios_are_consistent(spark):
+    got = _run(spark, "events_seasonality")
+    daily = _daily()
+    for t, s in daily.groupby(level=0):
+        v = s.droplevel(0)
+        grand = v.mean()
+        sub = got[got.event_type == t]
+        assert sorted(sub.weekday) == sorted(set(v.index % 7))
+        for row in sub.itertuples():
+            wd_avg = v[v.index % 7 == row.weekday].mean()
+            assert abs(row.seasonal_offset - (wd_avg - grand)) < 1e-4
+            assert abs(row.seasonal_ratio - wd_avg / grand) < 1e-6
+        # additive offsets weighted by day counts cancel out
+        assert abs((sub.seasonal_offset * sub.n_days).sum()) < 1e-3
+
+
+def test_abc_classes_tile_the_revenue_distribution(spark):
+    got = _run(spark, "orders_abc").set_index("abc_class")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    rev = (li.l_extendedprice * (1 - li.l_discount)).groupby(li.l_partkey).sum()
+    assert got.n_parts.sum() == len(rev)
+    assert abs(got.revenue_share.sum() - 1.0) < 1e-5
+    # A-class revenue share is at most 0.8 (boundary part goes to A)
+    # plus one part's worth of share slack
+    assert got.loc["A", "revenue_share"] <= 0.8 + rev.max() / rev.sum()
+    assert got.loc["A", "revenue_share"] > 0.5
+    # independent classification
+    cum = rev.sort_values(ascending=False).cumsum() / rev.sum()
+    n_a = int((cum.round(9) <= 0.8).sum())
+    assert got.loc["A", "n_parts"] == n_a
+
+
+def test_gini_matches_numpy(spark):
+    got = _run(spark, "agg_gini").set_index("seg")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    rev = j.groupby(["c_mktsegment", "o_custkey"]).o_totalprice.sum()
+    for seg, s in rev.groupby(level=0):
+        x = np.sort(s.to_numpy())
+        n = len(x)
+        gini = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
+        assert got.loc[seg, "n_customers"] == n
+        assert abs(got.loc[seg, "gini"] - gini) < 1e-6
