@@ -1218,3 +1218,71 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_, 6).alias("benford_share"),
         F.round(F.pow(obs - exp_, 2) / exp_ * F.col("tot"), 4).alias("chi2_term"),
     )
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    flat AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(2, len(l)), i -> l[i-1])) AS w1,
+             unnest(list_transform(generate_series(2, len(l)), i -> l[i])) AS w2
+      FROM toks
+    ),
+    bg AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cbg FROM flat GROUP BY 1, 2),
+    u AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS cw1 FROM flat GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsize
+          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents))
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((cbg + 1) / (cw1 + vsize))), 6) AS bigram_nll
+    FROM flat f JOIN bg USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+    WHERE f.doc_id < 400
+    GROUP BY f.doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing: per-document
+    average negative log-probability −ln p(w_i | w_{i-1}) under the
+    corpus's own bigram counts, p = (c(w1,w2)+1)/(c(w1·)+V). The
+    second-order upgrade of ``text_perplexity`` — word-salad documents
+    whose unigrams look normal light up here, the standard next screen in
+    a curation stack.
+
+    Plan: bigrams are materialized JVM-side (an index-transform over the
+    token array — no self-join of exploded tokens), counted with
+    map-side-combining groupBys, and joined back on (w1, w2) — a shuffle
+    join whose build side is the bigram vocabulary, orders below corpus
+    volume; V is a broadcast 1-row scalar. The scored-docs filter bounds
+    the output, not the corpus statistics."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    flat = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bg = flat.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("cbg"))
+    u = flat.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("cw1"))
+    v = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("vsize"))
+    )
+    return (
+        flat.filter(F.col("doc_id") < 400)
+        .join(bg, ["w1", "w2"])
+        .join(u, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("cbg") + 1) / (F.col("cw1") + F.col("vsize")))), 6
+            ).alias("bigram_nll"),
+        )
+    )

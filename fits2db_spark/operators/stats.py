@@ -896,3 +896,53 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time statistics
+# ---------------------------------------------------------------------------
+@register(
+    "events_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_s), 6) AS avg_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: the gap in seconds
+    between a user's consecutive events of the same type — mean, median
+    and p90 (the latency-style profile that separates burst traffic from
+    steady usage, and the input to any Poisson-rate model).
+
+    Plan: one LAG window on the (user_id, event_type) sort — per-key
+    window state is a single timestamp — then a per-type aggregate.
+    Timestamps diff in integer microseconds (epoch_us / unix_micros) so
+    both engines subtract exactly; medians interpolate with
+    quantile_cont semantics in both. At 100 TB the window rides the same
+    user-partitioned exchange as sessionization; swap the exact
+    percentiles for the mergeable sketch when types are few and hot."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "event_type", ((us - F.lag(us).over(w)) / 1_000_000.0).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("median_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+    )

@@ -146,6 +146,9 @@ _PRIORITY_QUERIES = (
     "events_seasonality",
     "orders_abc",
     "agg_gini",
+    "sql_tpch_q1",
+    "text_bigram_lm",
+    "events_interarrival",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

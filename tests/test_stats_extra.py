@@ -81,3 +81,46 @@ def test_gini_matches_numpy(spark):
         gini = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
         assert got.loc[seg, "n_customers"] == n
         assert abs(got.loc[seg, "gini"] - gini) < 1e-6
+
+
+def test_interarrival_matches_pandas(spark):
+    got = _run(spark, "events_interarrival").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    )
+    ev["gap"] = ev.groupby(["user_id", "event_type"]).ts.diff().dt.total_seconds()
+    gaps = ev.dropna(subset=["gap"])
+    for t, s in gaps.groupby("event_type").gap:
+        assert got.loc[t, "n_gaps"] == len(s)
+        assert abs(got.loc[t, "avg_gap_s"] - s.mean()) < 1e-4
+        assert abs(got.loc[t, "median_gap_s"] - s.quantile(0.5)) < 1e-4
+        assert abs(got.loc[t, "p90_gap_s"] - s.quantile(0.9)) < 1e-4
+
+
+def test_bigram_lm_matches_pure_python(spark):
+    from fits2db_spark.operators import pipeline  # noqa: F401
+
+    got = _run(spark, "text_bigram_lm").set_index("doc_id")
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    from collections import Counter
+
+    bg, uni, vocab = Counter(), Counter(), set()
+    docs = {}
+    for row in d.itertuples():
+        toks = row.text.split(" ")
+        vocab.update(toks)
+        pairs = list(zip(toks, toks[1:]))
+        bg.update(pairs)
+        uni.update(t for t, _ in pairs)
+        if row.doc_id < 400:
+            docs[row.doc_id] = pairs
+    V = len(vocab)
+    for doc_id, pairs in list(docs.items())[:25]:
+        if not pairs:
+            assert doc_id not in got.index
+            continue
+        nll = sum(
+            -np.log((bg[p] + 1) / (uni[p[0]] + V)) for p in pairs
+        ) / len(pairs)
+        assert got.loc[doc_id, "n_bigrams"] == len(pairs)
+        assert abs(got.loc[doc_id, "bigram_nll"] - nll) < 1e-5
