@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="inputs are ASCII TABLE extensions (XTENSION=TABLE) instead of BINTABLE",
     )
     p.add_argument(
+        "--verify-checksum",
+        action="store_true",
+        help="validate CHECKSUM/DATASUM on every HDU before decode; "
+        "fail the load on the first corrupt HDU (unprotected files pass)",
+    )
+    p.add_argument(
         "--dialect",
         default="postgres",
         choices=("postgres", "sqlite", "mysql", "duckdb"),
@@ -91,8 +97,16 @@ def load_frame(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
     first file's header — declared, never inferred)."""
     from .sources.fits import read_fits, read_fits_ascii
 
-    reader = read_fits_ascii if getattr(args, "ascii", False) else read_fits
     hdu = _hdu_arg(args.hdu)
+    if getattr(args, "ascii", False):
+        reader = read_fits_ascii
+    elif getattr(args, "verify_checksum", False):
+
+        def reader(spark, path, hdu=1, schema=None):
+            return read_fits(spark, path, hdu=hdu, schema=schema, verify_checksum=True)
+
+    else:
+        reader = read_fits
     df = reader(spark, args.inputs[0], hdu=hdu)
     for path in args.inputs[1:]:
         df = df.unionByName(reader(spark, path, hdu=hdu, schema=df.schema))

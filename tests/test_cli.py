@@ -121,3 +121,23 @@ def test_cli_ascii_table_csv(tmp_path, spark):
     body = open(f).read().strip().splitlines()
     assert body[0].split(",")[:2] == ["name", "val"]
     assert sorted(body[1:]) == ["aa,7", "bb,9"]
+
+
+def test_cli_verify_checksum_good_and_tampered(tmp_path, spark, capsys):
+    from fits2db_spark.sources.fits import add_checksums
+
+    blob = add_checksums(
+        write_fits_bintable([("id", "J", [1, 2, 3]), ("v", "D", [0.5, 1.5, 2.5])])
+    )
+    good = tmp_path / "good.fits"
+    good.write_bytes(blob)
+    rc = run([str(good), "--table", "t", "--verify-checksum"], spark=spark)
+    assert rc == 0
+    assert "3 rows" in capsys.readouterr().out
+
+    bad = bytearray(blob)
+    bad[-50] ^= 0x01
+    badf = tmp_path / "bad.fits"
+    badf.write_bytes(bytes(bad))
+    with pytest.raises(Exception, match="checksum mismatch"):
+        run([str(badf), "--table", "t", "--verify-checksum"], spark=spark)
