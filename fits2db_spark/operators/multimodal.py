@@ -9,7 +9,9 @@ libraries this container does not ship; those payloads fall back to a
 clearly-marked deterministic fake so the distributed plumbing still
 exercises end-to-end. ``mm_decode_features`` synthesizes REAL P6 payloads
 JVM-side from the documents fixture, so the query path runs the real
-decoder.
+decoder. Audio gets the same treatment: a from-scratch RIFF/WAVE codec
+(chunk-walking parser, PCM16) with ``mm_wav_features`` decoding real
+self-synthesized waveforms to duration/RMS/peak/ZCR.
 """
 
 from __future__ import annotations
@@ -509,4 +511,165 @@ def mm_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("int").alias("hamming"),
             (F.col("pa") == F.col("pb")).alias("is_exact"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAV decode + features
+# ---------------------------------------------------------------------------
+
+
+class AudioFormatError(ValueError):
+    pass
+
+
+def write_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM 16-bit mono, the canonical 44-byte
+    header layout (RIFF size, fmt chunk, data chunk)."""
+    pcm = samples.astype("<i2").tobytes()
+    hdr = b"".join(
+        [
+            b"RIFF",
+            np.uint32(36 + len(pcm)).tobytes(),
+            b"WAVE",
+            b"fmt ",
+            np.uint32(16).tobytes(),
+            np.uint16(1).tobytes(),  # PCM
+            np.uint16(1).tobytes(),  # mono
+            np.uint32(sample_rate).tobytes(),
+            np.uint32(sample_rate * 2).tobytes(),  # byte rate
+            np.uint16(2).tobytes(),  # block align
+            np.uint16(16).tobytes(),  # bits/sample
+            b"data",
+            np.uint32(len(pcm)).tobytes(),
+        ]
+    )
+    return hdr + pcm
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE -> (sample_rate, int16 samples). Walks the chunk list
+    (not fixed offsets), so files with extra chunks (LIST/INFO, fact)
+    parse correctly; PCM 16-bit, mono or interleaved stereo."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioFormatError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int(np.frombuffer(payload, "<u4", 1, pos + 4)[0])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int(np.frombuffer(body, "<u2", 1, 0)[0])
+            if fmt != 1:
+                raise AudioFormatError(f"non-PCM WAV (format {fmt}) not supported")
+            channels = int(np.frombuffer(body, "<u2", 1, 2)[0])
+            rate = int(np.frombuffer(body, "<u4", 1, 4)[0])
+            bits = int(np.frombuffer(body, "<u2", 1, 14)[0])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise AudioFormatError("missing fmt or data chunk")
+    if bits != 16:
+        raise AudioFormatError(f"{bits}-bit WAV not supported")
+    samples = np.frombuffer(data, "<i2")
+    if channels and channels > 1:
+        samples = samples.reshape(-1, channels)
+    return rate, samples
+
+
+def audio_features(rate: int, samples: np.ndarray) -> dict:
+    """Duration, RMS energy, peak, zero-crossing rate — the cheap gates an
+    audio curation pass filters on before expensive transcription."""
+    x = samples.astype("f8").ravel()
+    crossings = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return {
+        "n_samples": int(len(x)),
+        "duration_s": len(x) / rate,
+        "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+        "peak": int(np.abs(samples).max()) if len(x) else 0,
+        "zcr": crossings / (len(x) - 1) if len(x) > 1 else 0.0,
+    }
+
+
+@register(
+    "mm_wav_features",
+    # The payloads are REAL RIFF/WAVE bytes (square waves whose amplitude/
+    # period/length derive deterministically from fixture columns), so the
+    # oracle re-derives every feature in closed form: a ±A square wave has
+    # RMS exactly A and peak A; N samples of period P starting positive
+    # contain 2N/P − 1 sign changes.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST((doc_id % 8 + 1) * 1000 AS DOUBLE) AS amp,
+             2 * (n_chars % 10 + 2) AS p,
+             CAST(2 * (n_chars % 10 + 2) * (doc_id % 5 + 20) AS BIGINT) AS n
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           n AS n_samples,
+           8000 AS sample_rate,
+           ROUND(n / 8000.0, 6) AS duration_s,
+           ROUND(amp, 4) AS rms,
+           CAST(amp AS BIGINT) AS peak,
+           ROUND((2.0 * n / p - 1) / (n - 1), 6) AS zcr
+    FROM base
+    """,
+)
+def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio column end to end: synthesize REAL RIFF/WAVE payloads (PCM
+    16-bit square waves, amplitude/period/length deterministic from the
+    documents fixture), ship them through Arrow as a binary column, and
+    decode with the chunk-walking RIFF parser to duration / RMS / peak /
+    zero-crossing-rate features.
+
+    Two mapInPandas stages — synthesize, then decode — with the binary
+    column crossing the Arrow boundary between them, exactly the shape of
+    a real pipeline where stage 1 is an object-store fetch. No shuffle
+    anywhere: both stages are narrow maps, so the operator scales with
+    scan bandwidth. The decode is real (chunk list walk, fmt/data parse);
+    the features have closed-form oracle values because the waveform is a
+    perfect square wave."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    src = d.select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                amp = (doc_id % 8 + 1) * 1000
+                half = n_chars % 10 + 2
+                n = 2 * half * (doc_id % 5 + 20)
+                one = np.concatenate(
+                    [np.full(half, amp, "<i2"), np.full(half, -amp, "<i2")]
+                )
+                payloads.append(write_wav(np.tile(one, n // (2 * half))))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = src.mapInPandas(synth, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                f = audio_features(rate, samples)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": f["n_samples"],
+                        "sample_rate": rate,
+                        "duration_s": round(f["duration_s"], 6),
+                        "rms": round(f["rms"], 4),
+                        "peak": f["peak"],
+                        "zcr": round(f["zcr"], 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return wav.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_samples long, sample_rate int, "
+        "duration_s double, rms double, peak long, zcr double",
     )

@@ -149,6 +149,7 @@ _PRIORITY_QUERIES = (
     "sql_tpch_q1",
     "text_bigram_lm",
     "events_interarrival",
+    "mm_wav_features",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

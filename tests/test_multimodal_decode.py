@@ -215,3 +215,64 @@ def test_phash_near_banding_has_full_recall(spark):
     }
     assert banded == brute
     assert brute, "fixture should contain at least one near-dup pair"
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAV codec
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from fits2db_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        write_wav,
+    )
+
+    x = np.array([100, -100, 200, -200, 300, -300], dtype="<i2")
+    rate, back = decode_wav(write_wav(x, 16000))
+    assert rate == 16000
+    assert (back == x).all()
+    f = audio_features(rate, back)
+    assert f["n_samples"] == 6 and f["peak"] == 300
+    assert abs(f["rms"] - np.sqrt((100**2 + 200**2 + 300**2) / 3.0)) < 1e-9
+    assert f["zcr"] == 1.0  # alternating signs: every adjacent pair crosses
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    import numpy as np
+
+    from fits2db_spark.operators.multimodal import decode_wav, write_wav
+
+    blob = bytearray(write_wav(np.array([1, -1, 1], dtype="<i2"), 8000))
+    # splice a LIST chunk (odd size -> word-aligned) between WAVE and fmt
+    extra = b"LIST" + np.uint32(5).tobytes() + b"INFOx" + b"\x00"
+    blob[12:12] = extra
+    blob[4:8] = np.uint32(len(blob) + len(extra) - 8).tobytes()
+    rate, samples = decode_wav(bytes(blob))
+    assert rate == 8000 and list(samples) == [1, -1, 1]
+
+
+def test_wav_stereo_interleave_and_errors():
+    import numpy as np
+    import pytest
+
+    from fits2db_spark.operators.multimodal import (
+        AudioFormatError,
+        decode_wav,
+        write_wav,
+    )
+
+    blob = bytearray(write_wav(np.array([1, 2, 3, 4], dtype="<i2"), 8000))
+    blob[22:24] = np.uint16(2).tobytes()  # claim stereo
+    rate, samples = decode_wav(bytes(blob))
+    assert samples.shape == (2, 2)
+
+    with pytest.raises(AudioFormatError, match="RIFF"):
+        decode_wav(b"nope")
+    nonpcm = bytearray(write_wav(np.array([1], dtype="<i2")))
+    nonpcm[20:22] = np.uint16(3).tobytes()  # IEEE float format tag
+    with pytest.raises(AudioFormatError, match="non-PCM"):
+        decode_wav(bytes(nonpcm))
