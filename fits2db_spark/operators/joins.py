@@ -715,3 +715,97 @@ def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("b_id", "a_id", F.round("sep_arcsec", 2).alias("sep_arcsec"))
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           x.o_orderkey AS near_orderkey,
+           ROUND(x.o_totalprice, 2) AS near_totalprice,
+           ROUND((epoch_us(x.o_orderdate)
+                  - epoch_us(CAST(e.ts AS TIMESTAMP))) / 1000000.0, 6) AS near_dt_s
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice, o_orderdate
+      FROM orders o
+      WHERE o.o_custkey = e.user_id
+      ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(CAST(e.ts AS TIMESTAMP))),
+               (o.o_orderdate > CAST(e.ts AS TIMESTAMP)),
+               CASE WHEN o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+                    THEN -o_orderkey ELSE o_orderkey END
+      LIMIT 1
+    ) x ON TRUE
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: each event matched to the closest order
+    in EITHER direction for the same user (backward wins distance ties;
+    within a side, ties resolve to the highest orderkey backward / lowest
+    forward — the direction each window naturally serves). Completes the
+    as-of family: `join_asof` (backward), `join_asof_tolerance`
+    (backward, bounded), and this (bidirectional nearest — the sensor-
+    alignment semantics, where the closest reading matters, not the last).
+
+    Same scalable shape as `join_asof`: ONE shuffle of the union on the
+    key, then TWO window passes over the same sort (running last for the
+    backward candidate, following-frame first for the forward candidate)
+    and a per-row argmin on exact integer-microsecond distances. No
+    (event x candidate) blow-up; per-key window state is one struct in
+    each direction. The kind column orders same-timestamp orders before
+    events, so an order at exactly ts is a backward match at distance 0.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None)
+        .cast("struct<o_orderkey:bigint,o_totalprice:double,ot:timestamp>")
+        .alias("ov"),
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(
+            "o_orderkey", "o_totalprice", F.col("o_orderdate").alias("ot")
+        ).alias("ov"),
+    )
+    order_cols = ("t", "kind", F.col("ov.o_orderkey").asc_nulls_last())
+    wb = (
+        Window.partitionBy("k")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy(*order_cols)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    u = ev.unionByName(od)
+    cand = (
+        u.withColumn("bwd", F.last("ov", ignorenulls=True).over(wb))
+        .withColumn("fwd", F.first("ov", ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    db = F.unix_micros(F.col("t")) - F.unix_micros(F.col("bwd.ot"))
+    df_ = F.unix_micros(F.col("fwd.ot")) - F.unix_micros(F.col("t"))
+    chosen = (
+        F.when(F.col("bwd").isNull(), F.col("fwd"))
+        .when(F.col("fwd").isNull(), F.col("bwd"))
+        .when(db <= df_, F.col("bwd"))
+        .otherwise(F.col("fwd"))
+    )
+    return cand.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        chosen.getField("o_orderkey").alias("near_orderkey"),
+        F.round(chosen.getField("o_totalprice"), 2).alias("near_totalprice"),
+        F.round(
+            (F.unix_micros(chosen.getField("ot")) - F.unix_micros(F.col("t")))
+            / 1_000_000.0,
+            6,
+        ).alias("near_dt_s"),
+    )

@@ -150,6 +150,7 @@ _PRIORITY_QUERIES = (
     "text_bigram_lm",
     "events_interarrival",
     "mm_wav_features",
+    "join_asof_nearest",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
