@@ -159,6 +159,11 @@ def _header_int(cards: dict, key: str) -> int:
         return int(cards[key])
     except KeyError as e:
         raise FitsFormatError(f"missing required card {key}") from e
+    except ValueError as e:
+        # a garbled numeric value (e.g. a corrupted byte in the card) is a
+        # format error, not a programming error — callers rely on the typed
+        # exception to distinguish "corrupt file" from a bug
+        raise FitsFormatError(f"malformed integer card {key}={cards[key]!r}") from e
 
 
 def _hdu_data_size(cards: dict) -> int:
@@ -175,8 +180,8 @@ def _hdu_data_size(cards: dict) -> int:
     for a in range(1, naxis + 1):
         axes *= _header_int(cards, f"NAXIS{a}")
     bitpix = abs(_header_int(cards, "BITPIX"))
-    gcount = int(cards.get("GCOUNT", 1))
-    pcount = int(cards.get("PCOUNT", 0))
+    gcount = _header_int(cards, "GCOUNT") if "GCOUNT" in cards else 1
+    pcount = _header_int(cards, "PCOUNT") if "PCOUNT" in cards else 0
     return (bitpix // 8) * gcount * (pcount + axes)
 
 

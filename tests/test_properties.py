@@ -188,3 +188,55 @@ def test_ztable_double_column_roundtrip_property(vals, tile_len):
     blob = write_fits_bintable_compressed([("x", "D", vals)], tile_len=tile_len)
     _, out = decode_bintable(blob, 1)
     assert list(out[0]) == vals
+
+
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), max_size=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(deadline=None, max_examples=40)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as np
+
+    from fits2db_spark.operators.multimodal import decode_wav, write_wav
+
+    x = np.array(samples, dtype="<i2")
+    got_rate, back = decode_wav(write_wav(x, rate))
+    assert got_rate == rate
+    assert list(back) == samples
+
+
+@given(
+    hdus=st.lists(
+        st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=1, max_size=40),
+        min_size=1,
+        max_size=3,
+    ),
+    flip=st.integers(min_value=0, max_value=10**9),
+)
+@settings(deadline=None, max_examples=30)
+def test_checksum_stamp_verify_tamper_property(hdus, flip):
+    from fits2db_spark.sources.fits import (
+        add_checksums,
+        verify_checksums,
+        write_fits_multi,
+    )
+
+    blob = add_checksums(
+        write_fits_multi([{"columns": [("v", "J", vals)]} for vals in hdus])
+    )
+    assert all(r["checksum_ok"] and r["datasum_ok"] for r in verify_checksums(blob))
+    # flip one byte ANYWHERE -> detected: either a checksum mismatch in
+    # some HDU, or (when the flip lands on a structural header card and
+    # the file can no longer be walked) a loud parse error — silence is
+    # the only failure mode
+    from fits2db_spark.sources.fits import FitsFormatError
+
+    t = bytearray(blob)
+    pos = flip % len(t)
+    t[pos] ^= 0x5A
+    try:
+        results = verify_checksums(bytes(t))
+    except FitsFormatError:
+        return
+    assert any(r["checksum_ok"] is False for r in results)
