@@ -695,3 +695,162 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("lsh_neighbor").cast("long").alias("n_matched"),
         F.round(F.count("lsh_neighbor") / 3.0, 6).alias("recall_at_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) codebook training
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle(m: int = 8, sub: int = 8, k: int = 4) -> str:
+    # Same unrolled-Lloyd trick as the vec_kmeans oracle, but jointly over
+    # all m subspaces: the explode key is (vec_id, subspace) and centroids
+    # key on (subspace, code). 2 fixed rounds; ties to the lowest code.
+    def dist2(v: str, cent: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub}), i -> "
+            f"({v}[i] - {cent}[i]) * ({v}[i] - {cent}[i])))"
+        )
+
+    return f"""
+    WITH sv AS (
+      SELECT vec_id, s.s AS subspace,
+             list_transform(generate_series(1, {sub}),
+                            i -> CAST(embedding[s.s * {sub} + i] AS DOUBLE)) AS v
+      FROM embeddings, generate_series(0, {m - 1}) s(s)
+    ),
+    c0 AS (
+      SELECT subspace, CAST(vec_id + 1 AS INT) AS code, v AS centroid
+      FROM sv WHERE vec_id < {k}
+    ),
+    a1 AS (
+      SELECT vec_id, subspace, v, code FROM (
+        SELECT sv.vec_id, sv.subspace, sv.v, c.code,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
+                                  ORDER BY {dist2('sv.v', 'c.centroid')},
+                                           c.code) AS rk
+        FROM sv JOIN c0 c USING (subspace)) WHERE rk = 1
+    ),
+    c1 AS (
+      SELECT subspace, code, list(mu ORDER BY pos) AS centroid FROM (
+        SELECT subspace, code, gs.i AS pos, AVG(v[gs.i]) AS mu
+        FROM a1, generate_series(1, {sub}) gs(i)
+        GROUP BY subspace, code, gs.i) GROUP BY subspace, code
+    ),
+    a2 AS (
+      SELECT vec_id, subspace, v, code FROM (
+        SELECT sv.vec_id, sv.subspace, sv.v, c.code,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
+                                  ORDER BY {dist2('sv.v', 'c.centroid')},
+                                           c.code) AS rk
+        FROM sv JOIN c1 c USING (subspace)) WHERE rk = 1
+    )
+    SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG({dist2('a.v', 'c.centroid')}), 6) AS avg_dist2
+    FROM a2 a JOIN c1 c USING (subspace, code)
+    GROUP BY subspace, code
+    """
+
+
+@register("vec_pq_train", oracle=_pq_oracle())
+def vec_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: split each 64-dim embedding
+    into m=8 subspaces of 8 dims, run k=4 Lloyd's k-means in EVERY
+    subspace jointly (2 fixed rounds, seeds = vec_id 0..3's sub-vectors),
+    and report each (subspace, code) cell's population and quantization
+    error. PQ is the memory backbone of serving-scale ANN: 8 one-byte
+    codes replace 64 floats (32x), and asymmetric distances sum from 8
+    tiny lookup tables.
+
+    Spark-first shape: the subspace split is a JVM transform+posexplode
+    (one row per (vec, subspace)); every Lloyd round assigns via a
+    BROADCAST LITERAL of all m*k centroids (element_at by subspace, then
+    the same single-evaluation struct-argmin as vec_kmeans — no join, no
+    shuffle in the assignment map) and updates with one groupBy(subspace,
+    code, pos). Only m*k*8 = 256 doubles ever reach the driver per round;
+    codes with emptied cells drop from the literal, keeping labels STABLE
+    (mirrors the oracle's join-through-c1). The final pass scores against
+    the round-1 centroids — exactly the oracle's a2-join-c1 frame."""
+    m, sub, k = 8, 8, 4
+    e = load(spark, sf_dir, "embeddings")
+    sv = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> "
+                f"transform(slice(embedding, s * {sub} + 1, {sub}), "
+                "x -> CAST(x AS DOUBLE)))"
+            )
+        ).alias("subspace", "v"),
+    )
+    seeds = sv.filter(F.col("vec_id") < k).collect()
+    cents: dict[tuple[int, int], list[float]] = {
+        (int(r.subspace), int(r.vec_id) + 1): [float(x) for x in r.v] for r in seeds
+    }
+
+    def cent_literal():
+        per_sub = []
+        for s in range(m):
+            entries = sorted(
+                (code, c) for (s2, code), c in cents.items() if s2 == s
+            )
+            per_sub.append(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(code).alias("code"),
+                            F.array(*[F.lit(x) for x in c]).alias("cent"),
+                        )
+                        for code, c in entries
+                    ]
+                )
+            )
+        return F.array(*per_sub)
+
+    def dist2(cent):
+        return F.aggregate(
+            F.zip_with(F.col("v"), cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def assign():
+        row_cents = F.element_at(cent_literal(), F.col("subspace") + 1)
+        return sv.select(
+            "vec_id",
+            "subspace",
+            "v",
+            F.array_min(
+                F.transform(
+                    row_cents,
+                    lambda c: F.struct(
+                        dist2(c["cent"]).alias("d"), c["code"].alias("code")
+                    ),
+                )
+            )["code"].alias("code"),
+        )
+
+    # round 1: assign to seeds, recompute centroids (one tiny collect)
+    a1 = assign()
+    updated = (
+        a1.select("subspace", "code", F.posexplode("v").alias("pos", "val"))
+        .groupBy("subspace", "code", "pos")
+        .agg(F.avg("val").alias("mu"))
+        .groupBy("subspace", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+        .select("subspace", "code", F.col("pm.mu").alias("cent"))
+        .collect()
+    )
+    cents = {
+        (int(r.subspace), int(r.code)): [float(x) for x in r.cent] for r in updated
+    }
+    # round 2: assign to the refreshed codebook and score against it
+    a2 = assign()
+    row_cents = F.element_at(cent_literal(), F.col("subspace") + 1)
+    own = F.element_at(
+        F.filter(row_cents, lambda c: c["code"] == F.col("code")), 1
+    )["cent"]
+    return a2.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(dist2(own)), 6).alias("avg_dist2"),
+    )

@@ -151,6 +151,7 @@ _PRIORITY_QUERIES = (
     "events_interarrival",
     "mm_wav_features",
     "join_asof_nearest",
+    "vec_pq_train",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
