@@ -697,23 +697,29 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 # ---------------------------------------------------------------------------
-# Product quantization (PQ) codebook training
+# Product quantization (PQ): codebook training + asymmetric-distance ANN
 # ---------------------------------------------------------------------------
 
+_PQ_M, _PQ_SUB, _PQ_K = 8, 8, 4  # 8 subspaces x 8 dims, 4 codes each
 
-def _pq_oracle(m: int = 8, sub: int = 8, k: int = 4) -> str:
-    # Same unrolled-Lloyd trick as the vec_kmeans oracle, but jointly over
-    # all m subspaces: the explode key is (vec_id, subspace) and centroids
-    # key on (subspace, code). 2 fixed rounds; ties to the lowest code.
-    def dist2(v: str, cent: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, {sub}), i -> "
-            f"({v}[i] - {cent}[i]) * ({v}[i] - {cent}[i])))"
-        )
 
-    return f"""
-    WITH sv AS (
+def _pq_sql_dist2(v: str, cent: str, sub: int = _PQ_SUB) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {sub}), i -> "
+        f"({v}[i] - {cent}[i]) * ({v}[i] - {cent}[i])))"
+    )
+
+
+def _pq_ctes(m: int = _PQ_M, sub: int = _PQ_SUB, k: int = _PQ_K) -> str:
+    """Shared oracle CTE chain: subspace split -> seed codebook -> 2
+    unrolled Lloyd rounds keyed on (subspace, code), stable labels through
+    emptied cells (same trick as the vec_kmeans oracle, jointly over all
+    subspaces). Ends with a2 (final assignments) and c1 (the codebook a2
+    was assigned against)."""
+    d = _pq_sql_dist2
+    return f"""sv AS (
       SELECT vec_id, s.s AS subspace,
              list_transform(generate_series(1, {sub}),
                             i -> CAST(embedding[s.s * {sub} + i] AS DOUBLE)) AS v
@@ -727,7 +733,7 @@ def _pq_oracle(m: int = 8, sub: int = 8, k: int = 4) -> str:
       SELECT vec_id, subspace, v, code FROM (
         SELECT sv.vec_id, sv.subspace, sv.v, c.code,
                ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
-                                  ORDER BY {dist2('sv.v', 'c.centroid')},
+                                  ORDER BY {d('sv.v', 'c.centroid')},
                                            c.code) AS rk
         FROM sv JOIN c0 c USING (subspace)) WHERE rk = 1
     ),
@@ -741,99 +747,134 @@ def _pq_oracle(m: int = 8, sub: int = 8, k: int = 4) -> str:
       SELECT vec_id, subspace, v, code FROM (
         SELECT sv.vec_id, sv.subspace, sv.v, c.code,
                ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
-                                  ORDER BY {dist2('sv.v', 'c.centroid')},
+                                  ORDER BY {d('sv.v', 'c.centroid')},
                                            c.code) AS rk
         FROM sv JOIN c1 c USING (subspace)) WHERE rk = 1
-    )
+    )"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_ctes()}
     SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG({dist2('a.v', 'c.centroid')}), 6) AS avg_dist2
+           ROUND(AVG({_pq_sql_dist2('a.v', 'c.centroid')}), 6) AS avg_dist2
     FROM a2 a JOIN c1 c USING (subspace, code)
     GROUP BY subspace, code
     """
 
 
-@register("vec_pq_train", oracle=_pq_oracle())
-def vec_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codebook training: split each 64-dim embedding
-    into m=8 subspaces of 8 dims, run k=4 Lloyd's k-means in EVERY
-    subspace jointly (2 fixed rounds, seeds = vec_id 0..3's sub-vectors),
-    and report each (subspace, code) cell's population and quantization
-    error. PQ is the memory backbone of serving-scale ANN: 8 one-byte
-    codes replace 64 floats (32x), and asymmetric distances sum from 8
-    tiny lookup tables.
+def _pq_ann_oracle(nq: int = 5, topk: int = 5) -> str:
+    # ADC: per-query lookup table against the trained codebook, approximate
+    # distance = sum of per-subspace table entries for the vector's codes.
+    # Rank on ROUND(·, 6): the 8-term sum folds in different orders across
+    # engines (~1e-13 noise).
+    return f"""
+    WITH {_pq_ctes()},
+    q AS (SELECT vec_id AS query_id, subspace, v FROM sv WHERE vec_id < {nq}),
+    lut AS (
+      SELECT q.query_id, c.subspace, c.code,
+             {_pq_sql_dist2('q.v', 'c.centroid')} AS d
+      FROM q JOIN c1 c ON c.subspace = q.subspace
+    ),
+    adist AS (
+      SELECT l.query_id, e.vec_id, SUM(l.d) AS ad
+      FROM a2 e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
+      GROUP BY l.query_id, e.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, ROUND(ad, 6) AS pq_dist2, rk FROM (
+      SELECT query_id, vec_id, ad,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(ad, 6), vec_id) AS rk
+      FROM adist WHERE vec_id != query_id) t
+    WHERE rk <= {topk}
+    """
 
-    Spark-first shape: the subspace split is a JVM transform+posexplode
-    (one row per (vec, subspace)); every Lloyd round assigns via a
-    BROADCAST LITERAL of all m*k centroids (element_at by subspace, then
-    the same single-evaluation struct-argmin as vec_kmeans — no join, no
-    shuffle in the assignment map) and updates with one groupBy(subspace,
-    code, pos). Only m*k*8 = 256 doubles ever reach the driver per round;
-    codes with emptied cells drop from the literal, keeping labels STABLE
-    (mirrors the oracle's join-through-c1). The final pass scores against
-    the round-1 centroids — exactly the oracle's a2-join-c1 frame."""
-    m, sub, k = 8, 8, 4
+
+_PQ_FIT_CACHE: dict = {}
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    sv = e.select(
+    return e.select(
         "vec_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, {m - 1}), s -> "
-                f"transform(slice(embedding, s * {sub} + 1, {sub}), "
+                f"transform(sequence(0, {_PQ_M - 1}), s -> "
+                f"transform(slice(embedding, s * {_PQ_SUB} + 1, {_PQ_SUB}), "
                 "x -> CAST(x AS DOUBLE)))"
             )
         ).alias("subspace", "v"),
     )
-    seeds = sv.filter(F.col("vec_id") < k).collect()
-    cents: dict[tuple[int, int], list[float]] = {
+
+
+def _pq_cent_literal(cents: dict):
+    """All m*k centroids as ONE literal: array indexed by subspace of
+    arrays of struct(code, cent). Codes with emptied cells are absent,
+    keeping labels stable (mirrors the oracle's join-through-c1)."""
+    per_sub = []
+    for s in range(_PQ_M):
+        entries = sorted((code, c) for (s2, code), c in cents.items() if s2 == s)
+        per_sub.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(code).alias("code"),
+                        F.array(*[F.lit(x) for x in c]).alias("cent"),
+                    )
+                    for code, c in entries
+                ]
+            )
+        )
+    return F.array(*per_sub)
+
+
+def _pq_dist2(cent):
+    return F.aggregate(
+        F.zip_with(F.col("v"), cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _pq_assign(sv: DataFrame, cents: dict) -> DataFrame:
+    """Zero-shuffle assignment map: element_at the centroid literal by
+    subspace, then the single-evaluation struct-argmin (ties -> lowest
+    code, matching the oracle's ORDER BY dist, code)."""
+    row_cents = F.element_at(_pq_cent_literal(cents), F.col("subspace") + 1)
+    return sv.select(
+        "vec_id",
+        "subspace",
+        "v",
+        F.array_min(
+            F.transform(
+                row_cents,
+                lambda c: F.struct(
+                    _pq_dist2(c["cent"]).alias("d"), c["code"].alias("code")
+                ),
+            )
+        )["code"].alias("code"),
+    )
+
+
+def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """Seeds from vec_id 0..k-1, ONE Lloyd update (the oracle's c1); the
+    caller assigns against the returned codebook for the second, final
+    round. Memoized per (session, sf_dir): training collects only
+    m*k*sub = 256 doubles. Returns (sub-vector frame, codebook dict)."""
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        key = ("", sf_dir)
+    sv = _pq_subvectors(spark, sf_dir)
+    if key in _PQ_FIT_CACHE:
+        return sv, _PQ_FIT_CACHE[key]
+    seeds = sv.filter(F.col("vec_id") < _PQ_K).collect()
+    cents = {
         (int(r.subspace), int(r.vec_id) + 1): [float(x) for x in r.v] for r in seeds
     }
-
-    def cent_literal():
-        per_sub = []
-        for s in range(m):
-            entries = sorted(
-                (code, c) for (s2, code), c in cents.items() if s2 == s
-            )
-            per_sub.append(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(code).alias("code"),
-                            F.array(*[F.lit(x) for x in c]).alias("cent"),
-                        )
-                        for code, c in entries
-                    ]
-                )
-            )
-        return F.array(*per_sub)
-
-    def dist2(cent):
-        return F.aggregate(
-            F.zip_with(F.col("v"), cent, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
-    def assign():
-        row_cents = F.element_at(cent_literal(), F.col("subspace") + 1)
-        return sv.select(
-            "vec_id",
-            "subspace",
-            "v",
-            F.array_min(
-                F.transform(
-                    row_cents,
-                    lambda c: F.struct(
-                        dist2(c["cent"]).alias("d"), c["code"].alias("code")
-                    ),
-                )
-            )["code"].alias("code"),
-        )
-
-    # round 1: assign to seeds, recompute centroids (one tiny collect)
-    a1 = assign()
     updated = (
-        a1.select("subspace", "code", F.posexplode("v").alias("pos", "val"))
+        _pq_assign(sv, cents)
+        .select("subspace", "code", F.posexplode("v").alias("pos", "val"))
         .groupBy("subspace", "code", "pos")
         .agg(F.avg("val").alias("mu"))
         .groupBy("subspace", "code")
@@ -844,13 +885,117 @@ def vec_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = {
         (int(r.subspace), int(r.code)): [float(x) for x in r.cent] for r in updated
     }
-    # round 2: assign to the refreshed codebook and score against it
-    a2 = assign()
-    row_cents = F.element_at(cent_literal(), F.col("subspace") + 1)
+    _PQ_FIT_CACHE[key] = cents
+    return sv, cents
+
+
+@register("vec_pq_train", oracle=_pq_oracle())
+def vec_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: split each 64-dim embedding
+    into m=8 subspaces of 8 dims, run k=4 Lloyd's k-means in EVERY
+    subspace jointly (2 fixed rounds, seeds = vec_id 0..3's sub-vectors),
+    and report each (subspace, code) cell's population and quantization
+    error. PQ is the memory backbone of serving-scale ANN: 8 one-byte
+    codes replace 64 floats (32x).
+
+    Spark-first shape: the subspace split is a JVM transform+posexplode
+    (one row per (vec, subspace)); every Lloyd round assigns via a
+    BROADCAST LITERAL of all m*k centroids (element_at by subspace, then
+    the same single-evaluation struct-argmin as vec_kmeans — no join, no
+    shuffle in the assignment map) and updates with one groupBy(subspace,
+    code, pos). Only 256 doubles ever reach the driver per round. The
+    final pass scores against the round-1 centroids — exactly the
+    oracle's a2-join-c1 frame."""
+    sv, cents = _pq_fit(spark, sf_dir)
+    a2 = _pq_assign(sv, cents)
+    row_cents = F.element_at(_pq_cent_literal(cents), F.col("subspace") + 1)
     own = F.element_at(
         F.filter(row_cents, lambda c: c["code"] == F.col("code")), 1
     )["cent"]
     return a2.groupBy("subspace", "code").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg(dist2(own)), 6).alias("avg_dist2"),
+        F.round(F.avg(_pq_dist2(own)), 6).alias("avg_dist2"),
+    )
+
+
+@register("sim_ann_pq", oracle=_pq_ann_oracle())
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search: encode the corpus as 8
+    one-byte codes, precompute each query's 8x4 lookup table of exact
+    query-sub-vector -> centroid distances, and score every corpus vector
+    as the SUM of 8 table entries selected by its codes — the serving
+    data path of FAISS-style IVF-PQ indexes, where the corpus never
+    touches float vectors at query time.
+
+    Spark-first shape: encoding is the zero-shuffle literal-broadcast
+    argmin (shared trainer with vec_pq_train — one codebook per session);
+    the query LUTs are a 5x8x4-entry nested map LITERAL built driver-side
+    from 5 collected query vectors (bounded: 160 doubles), so scoring is
+    a narrow map — per corpus vector, 8 map lookups and an 8-term fold,
+    no join, no float vectors read. The only shuffle is the final per-
+    query WindowGroupLimit top-k. Ranks compare on ROUND(·, 6) because
+    the 8-term sum folds in engine-specific order."""
+    nq, topk = 5, 5
+    sv, cents = _pq_fit(spark, sf_dir)
+    a2 = _pq_assign(sv, cents)
+    encoded = (
+        a2.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("subspace", "code"))).alias("sc"))
+        .select("vec_id", F.col("sc.code").alias("codes"))
+    )
+    queries = {
+        (int(r.vec_id), int(r.subspace)): [float(x) for x in r.v]
+        for r in sv.filter(F.col("vec_id") < nq).collect()
+    }
+    qids = sorted({q for q, _ in queries})
+
+    def d2(a: list, b: list) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    luts = F.array(
+        *[
+            F.array(
+                *[
+                    F.create_map(
+                        *[
+                            lit
+                            for (s2, code), cent in sorted(cents.items())
+                            if s2 == s
+                            for lit in (
+                                F.lit(code),
+                                F.lit(d2(queries[(q, s)], cent)),
+                            )
+                        ]
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+            for q in qids
+        ]
+    )
+    qdf = spark.range(len(qids)).select(
+        (F.col("id") + 1).cast("int").alias("qidx"),
+        F.element_at(F.array(*[F.lit(q) for q in qids]), (F.col("id") + 1).cast("int"))
+        .cast("long")
+        .alias("query_id"),
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.element_at(luts, F.col("qidx")), s + 1),
+            F.element_at(F.col("codes"), s + 1),
+        ),
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adist.alias("ad"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("ad"), 6), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", F.round("ad", 6).alias("pq_dist2"), "rk")
     )

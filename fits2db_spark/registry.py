@@ -152,6 +152,7 @@ _PRIORITY_QUERIES = (
     "mm_wav_features",
     "join_asof_nearest",
     "vec_pq_train",
+    "sim_ann_pq",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
