@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -252,6 +254,43 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "fits_image_ingest",
+    oracle="""
+    SELECT gx.x, gy.y,
+           CAST(100 + 0.5 * (((gx.x * 31 + gy.y * 17) % 1000) - 200)
+                AS DOUBLE) AS val
+    FROM generate_series(0, 47) gx(x), generate_series(0, 31) gy(y)
+    """,
+)
+def fits_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FITS IMAGE extension -> pixel table: a 48x32 int16 science image
+    (values (x*31 + y*17) % 1000 - 200, BSCALE 0.5 / BZERO 100) staged by
+    our own writer, read back through the same binaryFile + mapInArrow
+    path as the table reader, emerging as one (x, y, val) row per pixel
+    with the physical scaling applied. The tabular view is what makes
+    array data joinable (source catalog x cutout pixels) inside the same
+    engine — and the closed-form pixel function makes every value
+    oracle-checkable.
+
+    Scale: one image file = one decode task, like the table path; a
+    mosaic of tiles parallelizes by file, and downstream pixel queries
+    (cone cutouts, background stats) are plain filters/aggregates that
+    push into the scan."""
+    from ..sources.fits import read_fits_image, write_fits_image
+
+    def write(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        img = (
+            (np.arange(32)[:, None] * 17 + np.arange(48)[None, :] * 31) % 1000 - 200
+        ).astype("i2")
+        with open(os.path.join(out_dir, "sci.fits"), "wb") as f:
+            write_fits_image(img, bscale=0.5, bzero=100.0, extname="SCI", out=f)
+
+    out = _scratch_dir(spark, sf_dir, "fits_image", write)
+    return read_fits_image(spark, os.path.join(out, "sci.fits"), hdu="SCI")
 
 
 @register(

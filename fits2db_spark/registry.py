@@ -153,6 +153,7 @@ _PRIORITY_QUERIES = (
     "join_asof_nearest",
     "vec_pq_train",
     "sim_ann_pq",
+    "fits_image_ingest",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

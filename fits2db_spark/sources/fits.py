@@ -1035,3 +1035,114 @@ def verify_checksums(blob: bytes) -> list[dict]:
         off = data_off + padded
         idx += 1
     return results
+
+
+# ---------------------------------------------------------------------------
+# IMAGE extensions (XTENSION = 'IMAGE' / primary arrays) -> pixel tables
+# ---------------------------------------------------------------------------
+
+_BITPIX_DTYPES = {8: "u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+
+
+def write_fits_image(
+    data: "np.ndarray",
+    bscale: float = 1.0,
+    bzero: float = 0.0,
+    extname: str | None = None,
+    out: io.IOBase | None = None,
+) -> bytes:
+    """Build a FITS file whose first extension is a 2-D IMAGE HDU. BITPIX
+    follows the array dtype; BSCALE/BZERO are written as given (the stored
+    integers are the RAW values — physical = BZERO + BSCALE * raw, applied
+    by the reader per the standard)."""
+    inv = {v.lstrip(">"): k for k, v in _BITPIX_DTYPES.items()}
+    key = data.dtype.newbyteorder("=").str.lstrip("<>=|")
+    if key not in inv:
+        raise FitsFormatError(f"unsupported image dtype {data.dtype}")
+    bitpix = inv[key]
+    h, w = data.shape
+    cards = [
+        _card("XTENSION", "IMAGE"),
+        _card("BITPIX", bitpix),
+        _card("NAXIS", 2),
+        _card("NAXIS1", w),
+        _card("NAXIS2", h),
+        _card("PCOUNT", 0),
+        _card("GCOUNT", 1),
+    ]
+    if bscale != 1.0:
+        cards.append(_card("BSCALE", bscale))
+    if bzero != 0.0:
+        cards.append(_card("BZERO", bzero))
+    if extname is not None:
+        cards.append(_card("EXTNAME", extname))
+    cards.append(b"END".ljust(CARD))
+    hdr = _pad(b"".join(cards), b" ")
+    payload = data.astype(_BITPIX_DTYPES[bitpix]).tobytes()
+    blob = _primary_hdu() + hdr + _pad(payload)
+    if out is not None:
+        out.write(blob)
+    return blob
+
+
+def decode_image(data: bytes, hdu: int | str = 1):
+    """IMAGE HDU -> (schema, [x, y, val]) pixel table: one row per pixel,
+    x = column (NAXIS1, the fastest axis), y = row, val = the PHYSICAL
+    value BZERO + BSCALE * raw as double. The same (schema, columns)
+    contract as :func:`decode_bintable`, so the parallel Spark read path
+    is shared."""
+    off, idx = 0, 0
+    while True:
+        cards, data_off = _parse_header(data, off)
+        is_image = (idx == 0 and cards.get("SIMPLE") == "T") or cards.get(
+            "XTENSION", ""
+        ).strip() == "IMAGE"
+        match = (
+            is_image
+            and _header_int(cards, "NAXIS") == 2
+            and (
+                (isinstance(hdu, int) and idx == hdu)
+                or (isinstance(hdu, str) and cards.get("EXTNAME") == hdu)
+            )
+        )
+        if match:
+            break
+        dsize = _hdu_data_size(cards)
+        off = data_off + (dsize + BLOCK - 1) // BLOCK * BLOCK
+        idx += 1
+        if off >= len(data):
+            raise FitsFormatError(f"IMAGE HDU {hdu!r} not found")
+    w = _header_int(cards, "NAXIS1")
+    h = _header_int(cards, "NAXIS2")
+    bitpix = _header_int(cards, "BITPIX")
+    try:
+        dt = np.dtype(_BITPIX_DTYPES[bitpix])
+    except KeyError as e:
+        raise FitsFormatError(f"bad BITPIX {bitpix}") from e
+    bscale = float(cards.get("BSCALE", 1.0))
+    bzero = float(cards.get("BZERO", 0.0))
+    raw = np.frombuffer(data, dtype=dt, count=w * h, offset=data_off)
+    x = np.tile(np.arange(w, dtype="i4"), h)
+    y = np.repeat(np.arange(h, dtype="i4"), w)
+    val = bzero + bscale * raw.astype("f8")
+    schema = StructType(
+        [
+            StructField("x", IntegerType(), False),
+            StructField("y", IntegerType(), False),
+            StructField("val", DoubleType(), False),
+        ]
+    )
+    return schema, [x, y, val]
+
+
+def read_fits_image(
+    spark: SparkSession,
+    path: str,
+    hdu: int | str = 1,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Read IMAGE extension(s) as a pixel table — one (x, y, val) row per
+    pixel with BSCALE/BZERO applied. Same per-file parallel decode as
+    :func:`read_fits`; the tabular view is what makes array data joinable
+    (source catalogs x cutouts) in the same engine as everything else."""
+    return _read_fits_with(spark, path, hdu, schema, decode_image)
