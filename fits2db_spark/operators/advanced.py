@@ -1049,3 +1049,74 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), F.col("degree").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "graph_node_similarity",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM sp GROUP BY p),
+    kept AS (SELECT sp.s, sp.p FROM sp JOIN deg USING (p) WHERE deg.d <= 31),
+    sz AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS n FROM kept GROUP BY s),
+    co AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM kept a JOIN kept b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT co.s1, co.s2, CAST(c AS BIGINT) AS shared_parts,
+             ROUND(c / (x.n + y.n - c), 6) AS jaccard
+      FROM co JOIN sz x ON x.s = co.s1 JOIN sz y ON y.s = co.s2
+    )
+    SELECT s1, s2, shared_parts, jaccard, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, s1, s2) AS rk
+      FROM scored) t
+    WHERE rk <= 50
+    """,
+)
+def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph node similarity: Jaccard overlap of the part sets two
+    suppliers ship, top-50 most-similar supplier pairs — the
+    who-is-substitutable-for-whom query (and the node-similarity step
+    link-prediction and entity-resolution pipelines run on any bipartite
+    graph).
+
+    Same scale posture as the dedup family: candidate pairs come from an
+    INVERTED INDEX on the shared part (never an all-pairs supplier join),
+    and a part-degree cap (d <= 31, the fixture's p90) bounds the d²
+    pair blow-up a hub part would cause — the cap is part of the operator
+    contract and mirrored in the oracle, so Jaccard is computed over the
+    capped sets consistently. Ranks compare on ROUND(·, 6) with (s1, s2)
+    tie-breaks, so boundary pairs order identically in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    kept = sp.join(deg.filter(F.col("d") <= 31), "p").select("s", "p")
+    sz = kept.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    co = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    scored = (
+        co.join(F.broadcast(sz.withColumnRenamed("s", "s1").withColumnRenamed("n", "nx")), "s1")
+        .join(F.broadcast(sz.withColumnRenamed("s", "s2").withColumnRenamed("n", "ny")), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("c").cast("long").alias("shared_parts"),
+            F.round(F.col("c") / (F.col("nx") + F.col("ny") - F.col("c")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), "s1", "s2")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("s1", "s2", "shared_parts", "jaccard", "rk")
+    )

@@ -154,6 +154,7 @@ _PRIORITY_QUERIES = (
     "vec_pq_train",
     "sim_ann_pq",
     "fits_image_ingest",
+    "graph_node_similarity",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
