@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="inputs are ASCII TABLE extensions (XTENSION=TABLE) instead of BINTABLE",
     )
     p.add_argument(
+        "--image",
+        action="store_true",
+        help="inputs are IMAGE extensions: load one (x, y, val) row per "
+        "pixel with BSCALE/BZERO applied",
+    )
+    p.add_argument(
         "--verify-checksum",
         action="store_true",
         help="validate CHECKSUM/DATASUM on every HDU before decode; "
@@ -95,10 +101,12 @@ def _hdu_arg(raw: str) -> int | str:
 def load_frame(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
     """Union all matched FITS inputs into one DataFrame (schema from the
     first file's header — declared, never inferred)."""
-    from .sources.fits import read_fits, read_fits_ascii
+    from .sources.fits import read_fits, read_fits_ascii, read_fits_image
 
     hdu = _hdu_arg(args.hdu)
-    if getattr(args, "ascii", False):
+    if getattr(args, "image", False):
+        reader = read_fits_image
+    elif getattr(args, "ascii", False):
         reader = read_fits_ascii
     elif getattr(args, "verify_checksum", False):
 

@@ -141,3 +141,24 @@ def test_cli_verify_checksum_good_and_tampered(tmp_path, spark, capsys):
     badf.write_bytes(bytes(bad))
     with pytest.raises(Exception, match="checksum mismatch"):
         run([str(badf), "--table", "t", "--verify-checksum"], spark=spark)
+
+
+def test_cli_image_pixel_table_csv(tmp_path, spark):
+    import numpy as np
+
+    from fits2db_spark.sources.fits import write_fits_image
+
+    img = (np.arange(12, dtype="i2")).reshape(3, 4)
+    p = tmp_path / "img.fits"
+    p.write_bytes(write_fits_image(img, bscale=2.0, extname="SCI"))
+    out = tmp_path / "csv"
+    rc = run(
+        [str(p), "--table", "pix", "--hdu", "SCI", "--image",
+         "--csv-out", str(out), "--single-file"],
+        spark=spark,
+    )
+    assert rc == 0
+    body = next(out.glob("*.csv")).read_text().strip().splitlines()
+    assert body[0] == "x,y,val"
+    assert len(body) == 13  # header + 12 pixels
+    assert "3,2,22.0" in body  # img[2,3] = 11 -> 2*11
