@@ -946,3 +946,98 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("median_gap_s"),
         F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Clickstream path mining: top session trigram paths
+# ---------------------------------------------------------------------------
+@register(
+    "events_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, sid, list(event_type ORDER BY ts, event_id) AS types
+      FROM s GROUP BY user_id, sid
+    ),
+    p AS (
+      SELECT unnest(list_transform(generate_series(2, len(types) - 1),
+                    i -> types[i-1] || '>' || types[i] || '>' || types[i+1]))
+             AS path
+      FROM g
+    )
+    SELECT path, n, rk FROM (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+      FROM p GROUP BY path) t
+    WHERE rk <= 10
+    """,
+)
+def events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: sessionize each user's stream (30-minute
+    gap), slide a 3-step window over every session's event-type sequence,
+    and rank the 10 most-travelled paths — the navigation-flow query
+    behind funnel design ('what do users actually do between view and
+    purchase').
+
+    Plan: one user-partitioned sort serves the gap-flag and running-sum
+    session assignment (two stacked windows, no self-join); each session
+    collapses to ONE array row, trigrams come from a JVM index-transform
+    over that array (no explode of raw events against itself), and the
+    final count is a partial-agg groupBy on the path string feeding a
+    TakeOrdered-style top-10. Per-session state is bounded by session
+    length; the heavy stream never shuffles more than twice."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_sess).over(wsum).alias("sid"),
+    )
+    g = s.groupBy("user_id", "sid").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias(
+            "evs"
+        )
+    )
+    types = F.col("evs.event_type")
+    trigrams = F.when(
+        F.size(types) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(types) - 2),
+            lambda i: F.concat_ws(
+                ">",
+                F.element_at(types, i),
+                F.element_at(types, i + 1),
+                F.element_at(types, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    p = g.select(F.explode(trigrams).alias("path"))
+    counted = p.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        counted.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("path", "n", "rk")
+    )

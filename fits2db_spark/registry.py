@@ -155,6 +155,7 @@ _PRIORITY_QUERIES = (
     "sim_ann_pq",
     "fits_image_ingest",
     "graph_node_similarity",
+    "events_paths",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
