@@ -366,3 +366,50 @@ def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(x, 2).alias("raw"),
         F.round(F.last(x, ignorenulls=True).over(w), 2).alias("filled"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d,
+           ROUND(quantile_cont(v, 0.5) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM daily
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of the daily per-type revenue — the
+    robust alternative to the rolling mean (one spike day cannot drag
+    it). Spark has no percentile window aggregate, so the frame is
+    collected into a bounded array (≤7 doubles) and the interpolating
+    median computed with JVM array functions: sort, then midpoint of the
+    two central elements on even counts — exactly ``quantile_cont(0.5)``
+    frame semantics, which is what the DuckDB oracle runs natively.
+
+    Scale: the raw stream collapses to O(days) rows per type before the
+    window runs, and per-row frame state is at most 7 doubles — the
+    collect_list is bounded by the FRAME, not the data, which is the
+    condition under which this pattern is legitimate (an unbounded-frame
+    collect_list would be a scale bug, not an operator)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    frame = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    return daily.select(
+        "event_type",
+        "d",
+        F.round((lo + hi) / 2.0, 6).alias("med7"),
+    )

@@ -156,6 +156,7 @@ _PRIORITY_QUERIES = (
     "fits_image_ingest",
     "graph_node_similarity",
     "events_paths",
+    "win_rolling_median",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
