@@ -1041,3 +1041,78 @@ def events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("path", "n", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted anomaly detection
+# ---------------------------------------------------------------------------
+@register(
+    "events_anomaly_seasonal",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    season AS (
+      SELECT event_type, d % 7 AS weekday, AVG(v) AS wd_avg
+      FROM daily GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT daily.event_type, d, v, v - wd_avg AS r
+      FROM daily JOIN season
+        ON season.event_type = daily.event_type AND season.weekday = daily.d % 7
+    ),
+    stats AS (
+      SELECT event_type, AVG(r) AS mu, stddev_samp(r) AS sd
+      FROM resid GROUP BY event_type
+    )
+    SELECT resid.event_type, d,
+           ROUND(v, 4) AS v,
+           ROUND((r - mu) / sd, 6) AS resid_z,
+           CAST(ABS((r - mu) / sd) > 2.5 AS INTEGER) AS is_anomaly
+    FROM resid JOIN stats USING (event_type)
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: remove each weekday's
+    average from the daily series, z-score the residual per type, and
+    flag |z| > 2.5 — the deseasonalized monitor that doesn't page every
+    Saturday because weekends are quiet (the raw-value z-score,
+    `anomaly_zscore`, would). Composes the `events_seasonality`
+    decomposition with the `anomaly_zscore` flagging rule.
+
+    Plan: the daily groupBy is the only data-volume stage; the weekday
+    profile (7 rows/type) and residual stats (1 row/type) re-aggregate
+    from the DAILY rows and broadcast back. No windows at all — every
+    stage after the first is O(types x days)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.sum("value").alias("v"))
+    season = daily.groupBy(
+        F.col("event_type").alias("s_type"), (F.col("d") % 7).alias("weekday")
+    ).agg(F.avg("v").alias("wd_avg"))
+    resid = (
+        daily.join(
+            F.broadcast(season),
+            (F.col("s_type") == F.col("event_type"))
+            & (F.col("weekday") == F.col("d") % 7),
+        )
+        .select(
+            "event_type", "d", "v", (F.col("v") - F.col("wd_avg")).alias("r")
+        )
+    )
+    stats = resid.groupBy("event_type").agg(
+        F.avg("r").alias("mu"), F.stddev_samp("r").alias("sd")
+    )
+    z = (F.col("r") - F.col("mu")) / F.col("sd")
+    return resid.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        F.round("v", 4).alias("v"),
+        F.round(z, 6).alias("resid_z"),
+        (F.abs(z) > 2.5).cast("int").alias("is_anomaly"),
+    )

@@ -157,6 +157,7 @@ _PRIORITY_QUERIES = (
     "graph_node_similarity",
     "events_paths",
     "win_rolling_median",
+    "events_anomaly_seasonal",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
