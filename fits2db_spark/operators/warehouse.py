@@ -349,3 +349,73 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_first_touch") > 0) | (F.col("n_last_touch") > 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_incremental_mv",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           ROUND(MAX(o_totalprice), 2) AS max_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-customer revenue
+    summary kept up to date by MERGING partial aggregate states instead
+    of rescanning history. The 'view' is built from orders before
+    1999-01-01, the 'new batch' is everything after; the refresh
+    combines the two partial states per key (counts add, sums add, maxes
+    max) — and the oracle is the FULL recompute over all orders, so the
+    hash check proves the incremental path is exactly equivalent.
+
+    This is the pattern that keeps a 100 TB rollup fresh at batch cost
+    proportional to the DELTA: every aggregate here is algebraic
+    (count/sum/max have mergeable states), so view ⊎ delta == full
+    recompute by construction. The merge is a full-outer join on the
+    view key — bucket the stored view by that key and refresh becomes a
+    zero-exchange streaming merge. Non-algebraic summaries (exact
+    distinct, exact median) need sketch states (HLL, KLL) to join this
+    pattern; that trade is the `agg_approx_*` family."""
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+            F.max("o_totalprice").alias("max_order"),
+        )
+
+    view = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    v = view.select(
+        "o_custkey",
+        F.col("n_orders").alias("v_n"),
+        F.col("revenue").alias("v_rev"),
+        F.col("max_order").alias("v_max"),
+    )
+    d = delta.select(
+        "o_custkey",
+        F.col("n_orders").alias("d_n"),
+        F.col("revenue").alias("d_rev"),
+        F.col("max_order").alias("d_max"),
+    )
+    merged = v.join(d, "o_custkey", "full_outer")
+    return merged.select(
+        "o_custkey",
+        (F.coalesce("v_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_orders"),
+        F.round(
+            F.coalesce("v_rev", F.lit(0.0)) + F.coalesce("d_rev", F.lit(0.0)), 2
+        ).alias("revenue"),
+        F.round(F.greatest(F.coalesce("v_max", "d_max"), F.coalesce("d_max", "v_max")), 2).alias(
+            "max_order"
+        ),
+    )

@@ -158,6 +158,7 @@ _PRIORITY_QUERIES = (
     "events_paths",
     "win_rolling_median",
     "events_anomaly_seasonal",
+    "agg_incremental_mv",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
