@@ -1116,3 +1116,121 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("resid_z"),
         (F.abs(z) > 2.5).cast("int").alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (time to repeat order, right-censored)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_survival_km",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS first_o,
+             MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS second_o
+      FROM ranked GROUP BY o_custkey
+    ),
+    subj AS (
+      SELECT CASE WHEN second_o IS NOT NULL
+                  THEN datediff('day', first_o, second_o)
+                  ELSE datediff('day', first_o, TIMESTAMP '2001-08-01') END AS dur,
+             CASE WHEN second_o IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_cust
+    ),
+    by_dur AS (
+      SELECT dur, CAST(COUNT(*) AS DOUBLE) AS m, CAST(SUM(ev) AS DOUBLE) AS d
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             SUM(m) OVER (ORDER BY dur DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_risk
+      FROM by_dur
+    ),
+    ev_times AS (SELECT dur, d, n_risk, 1 - d / n_risk AS factor
+                 FROM risk WHERE d >= 1),
+    km AS (
+      SELECT dur, d, n_risk,
+             MAX(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS zero_seen,
+             SUM(CASE WHEN factor > 0 THEN ln(factor) END) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS logsum
+      FROM ev_times
+    )
+    SELECT dur AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           ROUND(CASE WHEN zero_seen = 1 THEN 0 ELSE exp(logsum) END, 6)
+             AS survival
+    FROM km
+    """,
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-repeat-order: each
+    customer's duration runs from their first order to their second
+    (event) or to the observation end 2001-08-01 (right-censored —
+    one-order customers leave the risk set without an event, which is
+    exactly what a naive 'average days between orders' gets wrong).
+    S(t) = prod over event times <= t of (1 - d_i / n_i).
+
+    Plan: one per-customer window finds the first two orders; everything
+    after runs on O(distinct durations) rows — the risk set n_i is a
+    DESCENDING cumulative count (everyone with duration >= t), and the
+    product telescopes through exp(running sum of ln factors), with an
+    explicit zero-factor flag because Spark's ln(0) is NULL where
+    DuckDB's is -inf. No per-subject state survives the first aggregate,
+    so the curve costs the same at any order volume."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("first_o"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("second_o"),
+    )
+    end = F.lit("2001-08-01").cast("timestamp")
+    dur = F.when(
+        F.col("second_o").isNotNull(),
+        F.datediff(F.col("second_o").cast("date"), F.col("first_o").cast("date")),
+    ).otherwise(F.datediff(end.cast("date"), F.col("first_o").cast("date")))
+    subj = per_cust.select(
+        dur.alias("dur"), F.col("second_o").isNotNull().cast("int").alias("ev")
+    )
+    by_dur = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("ev").cast("double").alias("d"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = by_dur.select(
+        "dur", "d", F.sum("m").over(w_desc).alias("n_risk")
+    ).filter(F.col("d") >= 1)
+    factor = 1 - F.col("d") / F.col("n_risk")
+    w_asc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km = risk.select(
+        "dur",
+        "d",
+        "n_risk",
+        F.max((factor == 0).cast("int")).over(w_asc).alias("zero_seen"),
+        F.sum(F.when(factor > 0, F.log(factor))).over(w_asc).alias("logsum"),
+    )
+    return km.select(
+        F.col("dur").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.round(
+            F.when(F.col("zero_seen") == 1, F.lit(0.0)).otherwise(F.exp("logsum")), 6
+        ).alias("survival"),
+    )

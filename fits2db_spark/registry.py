@@ -159,6 +159,7 @@ _PRIORITY_QUERIES = (
     "win_rolling_median",
     "events_anomaly_seasonal",
     "agg_incremental_mv",
+    "orders_survival_km",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

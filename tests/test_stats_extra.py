@@ -124,3 +124,39 @@ def test_bigram_lm_matches_pure_python(spark):
         ) / len(pairs)
         assert got.loc[doc_id, "n_bigrams"] == len(pairs)
         assert abs(got.loc[doc_id, "bigram_nll"] - nll) < 1e-5
+
+
+def test_kaplan_meier_matches_manual_estimator(spark):
+    got = _run(spark, "orders_survival_km").sort_values("t_days")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet").sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    firsts = o.groupby("o_custkey").nth(0)
+    seconds = o.groupby("o_custkey").nth(1)
+    end = pd.Timestamp("2001-08-01")
+    durs, evs = [], []
+    sec_by_cust = dict(zip(seconds.o_custkey, seconds.o_orderdate))
+    for row in firsts.itertuples():
+        s = sec_by_cust.get(row.o_custkey)
+        if s is not None:
+            durs.append((s.normalize() - row.o_orderdate.normalize()).days)
+            evs.append(1)
+        else:
+            durs.append((end - row.o_orderdate.normalize()).days)
+            evs.append(0)
+    df = pd.DataFrame({"dur": durs, "ev": evs})
+    surv = 1.0
+    expect = {}
+    for t in sorted(df[df.ev == 1].dur.unique()):
+        n_risk = int((df.dur >= t).sum())
+        d = int(((df.dur == t) & (df.ev == 1)).sum())
+        surv *= 1 - d / n_risk
+        expect[t] = (n_risk, d, surv)
+    assert set(got.t_days) == set(expect)
+    for row in got.itertuples():
+        n_risk, d, s = expect[row.t_days]
+        assert row.n_risk == n_risk and row.d_events == d
+        assert abs(row.survival - s) < 1e-6
+    # survival is non-increasing and within [0, 1]
+    assert got.survival.is_monotonic_decreasing
+    assert got.survival.between(0, 1).all()
