@@ -105,16 +105,18 @@ def load_frame(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
 
     hdu = _hdu_arg(args.hdu)
     if getattr(args, "image", False):
-        reader = read_fits_image
+        base = read_fits_image
     elif getattr(args, "ascii", False):
-        reader = read_fits_ascii
-    elif getattr(args, "verify_checksum", False):
-
-        def reader(spark, path, hdu=1, schema=None):
-            return read_fits(spark, path, hdu=hdu, schema=schema, verify_checksum=True)
-
+        base = read_fits_ascii
     else:
-        reader = read_fits
+        base = read_fits
+    # --verify-checksum composes with every reader (all three accept the
+    # flag; checksums cover BINTABLE, TABLE and IMAGE HDUs alike)
+    verify = bool(getattr(args, "verify_checksum", False))
+
+    def reader(spark, path, hdu=1, schema=None):
+        return base(spark, path, hdu=hdu, schema=schema, verify_checksum=verify)
+
     df = reader(spark, args.inputs[0], hdu=hdu)
     for path in args.inputs[1:]:
         df = df.unionByName(reader(spark, path, hdu=hdu, schema=df.schema))

@@ -4,11 +4,13 @@ Extends the ``stats`` module (grouped OLS / entropy / MAD / OHLC) with the
 hypothesis-testing and distribution-comparison queries an analyst runs to
 *decide* something about the data: a two-sample Kolmogorov-Smirnov test
 (did this slice drift?), a chi-square independence test (are these two
-categoricals related?), series autocorrelation (is there day-over-day
-structure?), a Zipf-law fit over the corpus vocabulary (is this text
-natural language?), and the Pareto skyline (which points are undominated?).
+categoricals related?), Welch's unequal-variance t-test (did the mean
+move?), an equi-depth decile histogram (the optimizer-statistics build),
+series autocorrelation (is there day-over-day structure?), a Zipf-law fit
+over the corpus vocabulary (is this text natural language?), and the
+Pareto skyline (which points are undominated?).
 
-Scale design shared by all five: every operator reduces the raw table with
+Scale design shared by all seven: every operator reduces the raw table with
 one partial-aggregating groupBy whose key cardinality is tiny (price
 buckets, category cells, days, vocabulary, sizes) before any window or
 join runs. The windows therefore sort hundreds of rows, not the input —
@@ -30,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load
+from ..tables import daily_value_series, load
 
 
 # ---------------------------------------------------------------------------
@@ -201,13 +203,7 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient in both. Series length is O(days), so the join and the
     final groupBy are negligible at any input scale.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
-            "d"
-        ),
-    ).agg(F.sum("value").alias("v"))
+    daily = daily_value_series(spark, sf_dir, agg="sum")
     lags = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(7))).alias("lag")
     )

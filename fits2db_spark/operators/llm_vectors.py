@@ -790,7 +790,11 @@ def _pq_ann_oracle(nq: int = 5, topk: int = 5) -> str:
     """
 
 
-_PQ_FIT_CACHE: dict = {}
+from ..tables import register_aux_cache
+
+# registered so tables.clear_cache() stays the ONE reset path (same leak
+# class the r5 review fixed for _TRI_EDGE_CACHE)
+_PQ_FIT_CACHE: dict = register_aux_cache({})
 
 
 def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:

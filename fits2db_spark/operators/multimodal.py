@@ -559,6 +559,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         size = int(np.frombuffer(payload, "<u4", 1, pos + 4)[0])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # malformed structure is a format error, not a numpy crash —
+            # same contract as the FITS parser's typed FitsFormatError
+            if len(body) < 16:
+                raise AudioFormatError(f"fmt chunk truncated ({len(body)} bytes)")
             fmt = int(np.frombuffer(body, "<u2", 1, 0)[0])
             if fmt != 1:
                 raise AudioFormatError(f"non-PCM WAV (format {fmt}) not supported")
@@ -566,14 +570,22 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             rate = int(np.frombuffer(body, "<u4", 1, 4)[0])
             bits = int(np.frombuffer(body, "<u2", 1, 14)[0])
         elif cid == b"data":
+            if len(body) < size:
+                raise AudioFormatError("data chunk truncated")
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if rate is None or data is None:
         raise AudioFormatError("missing fmt or data chunk")
     if bits != 16:
         raise AudioFormatError(f"{bits}-bit WAV not supported")
+    if len(data) % 2:
+        raise AudioFormatError("PCM16 data chunk has an odd byte count")
     samples = np.frombuffer(data, "<i2")
     if channels and channels > 1:
+        if len(samples) % channels:
+            raise AudioFormatError(
+                f"{len(samples)} samples not divisible by {channels} channels"
+            )
         samples = samples.reshape(-1, channels)
     return rate, samples
 

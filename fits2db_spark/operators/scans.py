@@ -320,7 +320,6 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     for any dim filter without rewriting the query, which is exactly what
     static partition filters cannot do. The dimension broadcasts, so the
     pruning subquery reuses the broadcast exchange (no extra scan)."""
-    from .scans import _scratch_dir  # self-import keeps the staging tag shared
 
     def write(out_dir: str) -> None:
         ev = load(spark, sf_dir, "events")

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load
+from ..tables import daily_value_series, load
 
 
 # ---------------------------------------------------------------------------
@@ -696,11 +696,7 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     reset recursion declaratively in both engines. Everything after the
     daily groupBy runs on O(days) rows per type; per-type stats join
     back broadcast."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
-    ).agg(F.sum("value").alias("v"))
+    daily = daily_value_series(spark, sf_dir, agg="sum")
     stats = daily.groupBy("event_type").agg(
         F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
     )
@@ -755,11 +751,7 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-row-per-type final aggregate with the grand mean broadcast back.
     Day index arithmetic (d % 7) keeps weekday identical across engines
     regardless of locale/week-start conventions."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
-    ).agg(F.sum("value").alias("v"))
+    daily = daily_value_series(spark, sf_dir, agg="sum")
     base = daily.groupBy("event_type").agg(F.avg("v").alias("grand"))
     return (
         daily.join(F.broadcast(base), "event_type")
@@ -1087,11 +1079,7 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile (7 rows/type) and residual stats (1 row/type) re-aggregate
     from the DAILY rows and broadcast back. No windows at all — every
     stage after the first is O(types x days)."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
-    ).agg(F.sum("value").alias("v"))
+    daily = daily_value_series(spark, sf_dir, agg="sum")
     season = daily.groupBy(
         F.col("event_type").alias("s_type"), (F.col("d") % 7).alias("weekday")
     ).agg(F.avg("v").alias("wd_avg"))

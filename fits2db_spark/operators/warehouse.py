@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load
+from ..tables import daily_value_series, load
 
 # ---------------------------------------------------------------------------
 # Snapshot diff (CDC read side)
@@ -235,11 +235,7 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the cost is entirely in the first groupBy; the same plan
     shape serves any gauge-table repair job.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
-    ).agg(F.avg("value").alias("v"))
+    daily = daily_value_series(spark, sf_dir, agg="avg")
     v_obs = F.when(F.col("d") % 5 == 2, F.lit(None)).otherwise(F.col("v"))
     m = daily.select("event_type", "d", v_obs.alias("v_obs"))
     wp = (

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load
+from ..tables import daily_value_series, load
 
 
 @register(
@@ -398,11 +398,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list is bounded by the FRAME, not the data, which is the
     condition under which this pattern is legitimate (an unbounded-frame
     collect_list would be a scale bug, not an operator)."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
-    ).agg(F.sum("value").alias("v"))
+    daily = daily_value_series(spark, sf_dir, agg="sum")
     w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
     frame = F.array_sort(F.collect_list("v").over(w))
     n = F.size(frame)

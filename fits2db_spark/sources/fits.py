@@ -525,19 +525,29 @@ def read_fits(
     and fails the job on the first corrupt HDU (files without the
     keywords pass — unprotected is not corrupt).
     """
-    decoder = decode_bintable
-    if verify_checksum:
+    return _read_fits_with(
+        spark, path, hdu, schema, _maybe_verifying(decode_bintable, verify_checksum)
+    )
 
-        def decoder(data: bytes, h: int | str = 1):  # noqa: F811
-            for r in verify_checksums(data):
-                if r["datasum_ok"] is False or r["checksum_ok"] is False:
-                    raise FitsFormatError(
-                        f"FITS checksum mismatch in HDU {r['hdu']}"
-                        f" (extname={r['extname']!r})"
-                    )
-            return decode_bintable(data, h)
 
-    return _read_fits_with(spark, path, hdu, schema, decoder)
+def _maybe_verifying(decoder, verify: bool):
+    """Wrap any (bytes, hdu) -> (schema, cols) decoder with executor-side
+    CHECKSUM/DATASUM validation — HDUs of every kind (BINTABLE, TABLE,
+    IMAGE) are covered because :func:`verify_checksums` walks the whole
+    file. Shared by all three readers so the flag composes identically."""
+    if not verify:
+        return decoder
+
+    def verifying(data: bytes, h: int | str = 1):
+        for r in verify_checksums(data):
+            if r["datasum_ok"] is False or r["checksum_ok"] is False:
+                raise FitsFormatError(
+                    f"FITS checksum mismatch in HDU {r['hdu']}"
+                    f" (extname={r['extname']!r})"
+                )
+        return decoder(data, h)
+
+    return verifying
 
 
 def read_fits_ascii(
@@ -545,10 +555,14 @@ def read_fits_ascii(
     path: str,
     hdu: int | str = 1,
     schema: StructType | None = None,
+    verify_checksum: bool = False,
 ) -> DataFrame:
     """Read ASCII TABLE extension(s) into a DataFrame (same per-file
-    parallel decode as :func:`read_fits`, using :func:`decode_asciitable`)."""
-    return _read_fits_with(spark, path, hdu, schema, decode_asciitable)
+    parallel decode as :func:`read_fits`, using :func:`decode_asciitable`;
+    ``verify_checksum`` behaves exactly as in :func:`read_fits`)."""
+    return _read_fits_with(
+        spark, path, hdu, schema, _maybe_verifying(decode_asciitable, verify_checksum)
+    )
 
 
 def _read_fits_with(spark, path, hdu, schema, decoder) -> DataFrame:
@@ -1140,9 +1154,13 @@ def read_fits_image(
     path: str,
     hdu: int | str = 1,
     schema: StructType | None = None,
+    verify_checksum: bool = False,
 ) -> DataFrame:
     """Read IMAGE extension(s) as a pixel table — one (x, y, val) row per
     pixel with BSCALE/BZERO applied. Same per-file parallel decode as
-    :func:`read_fits`; the tabular view is what makes array data joinable
-    (source catalogs x cutouts) in the same engine as everything else."""
-    return _read_fits_with(spark, path, hdu, schema, decode_image)
+    :func:`read_fits` (and the same ``verify_checksum`` contract); the
+    tabular view is what makes array data joinable (source catalogs x
+    cutouts) in the same engine as everything else."""
+    return _read_fits_with(
+        spark, path, hdu, schema, _maybe_verifying(decode_image, verify_checksum)
+    )

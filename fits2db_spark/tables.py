@@ -220,3 +220,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (SQL entry point)."""
     for n, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(n)
+
+
+def daily_value_series(spark: SparkSession, sf_dir: str, agg: str = "sum") -> DataFrame:
+    """One row per (event_type, day index) over the events stream: the
+    shared first stage of every daily-series operator (CUSUM, seasonality,
+    ACF, interpolation, rolling median, seasonal anomalies). The day index
+    is ``datediff`` from the PINNED epoch 2024-01-01 — every paired oracle
+    replicates exactly ``datediff('day', DATE '2024-01-01', CAST(ts AS
+    DATE))``, so the epoch and the cast order live in ONE place. This is
+    also the only stage of those operators that sees event volume; it
+    partial-aggregates map-side."""
+    ev = load(spark, sf_dir, "events")
+    agg_fn = {"sum": F.sum, "avg": F.avg}[agg]
+    return ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(agg_fn("value").alias("v"))

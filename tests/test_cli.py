@@ -162,3 +162,23 @@ def test_cli_image_pixel_table_csv(tmp_path, spark):
     assert body[0] == "x,y,val"
     assert len(body) == 13  # header + 12 pixels
     assert "3,2,22.0" in body  # img[2,3] = 11 -> 2*11
+
+
+def test_cli_verify_checksum_composes_with_image(tmp_path, spark):
+    import numpy as np
+
+    from fits2db_spark.sources.fits import add_checksums, write_fits_image
+
+    blob = add_checksums(
+        write_fits_image(np.ones((4, 4), dtype="i2"), extname="SCI")
+    )
+    bad = bytearray(blob)
+    bad[-30] ^= 0x01
+    p = tmp_path / "bad_img.fits"
+    p.write_bytes(bytes(bad))
+    with pytest.raises(Exception, match="checksum mismatch"):
+        run(
+            [str(p), "--table", "pix", "--hdu", "SCI", "--image",
+             "--verify-checksum"],
+            spark=spark,
+        )
