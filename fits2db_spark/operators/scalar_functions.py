@@ -599,3 +599,47 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref.alias("ref_param"),
         norm.alias("norm_url"),
     )
+
+
+_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LO = _UP.lower()
+_DIG = "0123456789"
+
+
+@register(
+    "fn_mask",
+    oracle=f"""
+    SELECT c_custkey,
+           translate(c_name, '{_UP}{_LO}{_DIG}',
+                     '{"X" * 26}{"x" * 26}{"n" * 10}') AS masked_default,
+           regexp_replace(translate(c_name, '{_UP}{_LO}{_DIG}',
+                                    '{"U" * 26}{"l" * 26}{"D" * 10}'),
+                          '[^UlD]', 'o', 'g') AS masked_custom,
+           translate(c_mktsegment, '{_UP}{_LO}{_DIG}',
+                     '{"X" * 26}{"x" * 26}{"n" * 10}') AS masked_segment
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking function group (the governance surface: show the SHAPE
+    of PII without the content): Spark's native ``mask`` with the default
+    X/x/n classes (other characters preserved) and a fully-custom variant
+    (U/l/D with others collapsed to 'o'). The oracle reproduces the exact
+    per-character mapping with a one-pass ``translate`` alphabet — a
+    single regex chain would re-replace its own substitutions, and the
+    custom mask characters are deliberately ALPHANUMERIC so the follow-up
+    other-chars regex can never collide with an untranslated original
+    (the fixture's literal '#' broke a '#'-based mask).
+
+    Narrow JVM map, zero shuffles; complements text_pii_redact (which
+    REMOVES detected entities — masking preserves format for testing and
+    lower-trust analytics)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name", F.lit("U"), F.lit("l"), F.lit("D"), F.lit("o")
+        ).alias("masked_custom"),
+        F.mask("c_mktsegment").alias("masked_segment"),
+    )

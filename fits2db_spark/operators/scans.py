@@ -524,3 +524,20 @@ def fits_wcs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "src_id", "px", "py", F.round(ra, 6).alias("ra"), F.round(dec, 6).alias("dec")
     )
+
+
+@register("scan_orc", oracle="SELECT * FROM nation")
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip: write the nation table as ORC, read it back with
+    the declared schema — the other major columnar warehouse format
+    (Hive/Trino shops), served by the same vectorized reader machinery as
+    parquet (predicate pushdown and column pruning both apply; ORC adds
+    built-in bloom-filter and min/max index support at write time via
+    ``option("orc.bloom.filter.columns", ...)``)."""
+    out = _scratch_dir(
+        spark,
+        sf_dir,
+        "nation_orc",
+        lambda p: load(spark, sf_dir, "nation").write.mode("overwrite").orc(p),
+    )
+    return spark.read.schema(SCHEMAS["nation"]).orc(out)

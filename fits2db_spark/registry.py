@@ -160,6 +160,8 @@ _PRIORITY_QUERIES = (
     "events_anomaly_seasonal",
     "agg_incremental_mv",
     "orders_survival_km",
+    "scan_orc",
+    "fn_mask",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
