@@ -809,3 +809,82 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("near_dt_s"),
     )
+
+
+@register(
+    "cone_search",
+    oracle="""
+    WITH base AS (
+      -- e-notation literals force DOUBLE arithmetic end to end: DuckDB's
+      -- DECIMAL path computes id*137.50776405 EXACTLY, which lands on
+      -- .xxxxx50 round-half ties at 6dp that Spark's double math misses
+      SELECT c_custkey AS id,
+             (c_custkey * 137.50776405e0) % 360.0e0 AS ra,
+             degrees(asin(((c_custkey * 0.6180339887e0) % 1.0e0) * 2 - 1)) AS dec
+      FROM customer
+    ),
+    ctr AS (SELECT ra AS ra0, dec AS dec0 FROM base WHERE id = 42),
+    cand AS (
+      SELECT b.id, b.ra, b.dec, ctr.ra0, ctr.dec0
+      FROM base b CROSS JOIN ctr
+      WHERE abs(b.dec - ctr.dec0) <= 10.0
+    )
+    SELECT id, ROUND(ra, 6) AS ra, ROUND(dec, 6) AS dec,
+           ROUND(degrees(2 * asin(sqrt(
+             sin(radians(dec - dec0) / 2) * sin(radians(dec - dec0) / 2)
+             + cos(radians(dec0)) * cos(radians(dec))
+               * sin(radians(ra - ra0) / 2) * sin(radians(ra - ra0) / 2)))),
+             6) AS sep_deg
+    FROM cand
+    WHERE degrees(2 * asin(sqrt(
+            sin(radians(dec - dec0) / 2) * sin(radians(dec - dec0) / 2)
+            + cos(radians(dec0)) * cos(radians(dec))
+              * sin(radians(ra - ra0) / 2) * sin(radians(ra - ra0) / 2))))
+          <= 10.0
+    """,
+)
+def cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cone search — the archetypal archive query ('every source within R
+    of this position'): objects within 10 degrees of the spiral position
+    of id 42, exact haversine separation. The declination BAND prefilter
+    (|dec - dec0| <= R, a superset of the cone) is the sargable first cut
+    — on a real catalog dec is a stored, min/max-indexed column, so the
+    band prunes row groups before any trigonometry runs; the haversine
+    then verifies exactly. The center's coordinates are derived through
+    each engine's own trig from the same stored key, so the two sides
+    never compare a literal against a recomputed value.
+
+    Scale: a narrow filter over the scan (zero shuffles, zero joins —
+    the center is a broadcast 1-row frame); combine with the zone /
+    healpix shard column (spatial_cols) to turn the band prune into
+    partition pruning at archive scale."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    ra = (F.col("id") * 137.50776405) % 360.0
+    dec = F.degrees(F.asin(((F.col("id") * 0.6180339887) % 1.0) * 2 - 1))
+    base = c.select("id", ra.alias("ra"), dec.alias("dec"))
+    ctr = base.filter(F.col("id") == 42).select(
+        F.col("ra").alias("ra0"), F.col("dec").alias("dec0")
+    )
+    cand = base.crossJoin(F.broadcast(ctr)).filter(
+        F.abs(F.col("dec") - F.col("dec0")) <= 10.0
+    )
+    d_dec = F.radians(F.col("dec") - F.col("dec0")) / 2
+    d_ra = F.radians(F.col("ra") - F.col("ra0")) / 2
+    sep = F.degrees(
+        2
+        * F.asin(
+            F.sqrt(
+                F.sin(d_dec) * F.sin(d_dec)
+                + F.cos(F.radians(F.col("dec0")))
+                * F.cos(F.radians(F.col("dec")))
+                * F.sin(d_ra)
+                * F.sin(d_ra)
+            )
+        )
+    )
+    return cand.filter(sep <= 10.0).select(
+        "id",
+        F.round("ra", 6).alias("ra"),
+        F.round("dec", 6).alias("dec"),
+        F.round(sep, 6).alias("sep_deg"),
+    )

@@ -1222,3 +1222,93 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("zero_seen") == 1, F.lit(0.0)).otherwise(F.exp("logsum")), 6
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase-dispersion minimization (period search)
+# ---------------------------------------------------------------------------
+@register(
+    "lightcurve_pdm",
+    oracle="""
+    WITH obs AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0 AS t, value AS v
+      FROM events WHERE event_type = 'view'
+    ),
+    tot AS (SELECT var_samp(v) AS s2_tot, CAST(COUNT(*) AS DOUBLE) AS n FROM obs),
+    binned AS (
+      SELECT trials.p,
+             LEAST(CAST(FLOOR(((t / trials.p) % 1.0) * 10) AS BIGINT), 9) AS bin,
+             CAST(COUNT(*) AS DOUBLE) AS nb,
+             var_samp(v) AS s2b
+      FROM obs
+      CROSS JOIN (VALUES (0.5e0), (1.0e0), (1.5e0), (2.0e0), (3.0e0), (7.0e0))
+        AS trials(p)
+      GROUP BY 1, 2
+    ),
+    theta AS (
+      SELECT p,
+             SUM(CASE WHEN nb > 1 THEN (nb - 1) * s2b ELSE 0 END)
+               / SUM(CASE WHEN nb > 1 THEN nb - 1 ELSE 0 END) / MAX(tot.s2_tot)
+               AS stat
+      FROM binned CROSS JOIN tot
+      GROUP BY p
+    )
+    SELECT p AS trial_period_days, ROUND(stat, 6) AS pdm_theta,
+           ROW_NUMBER() OVER (ORDER BY ROUND(stat, 6), p) AS rk
+    FROM theta
+    """,
+)
+def lightcurve_pdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-dispersion minimization period search (Stellingwerf) over the
+    'view' value series: fold the times modulo each trial period, bin the
+    phase into 10 cells, and score theta = pooled within-bin variance /
+    total variance — a genuinely periodic signal drops theta well below 1
+    at the true period, and the best trial ranks first. The light-curve
+    workhorse when Lomb-Scargle's sinusoid assumption doesn't hold
+    (eclipses, transits).
+
+    Plan: one CROSS JOIN against 6 broadcast trial rows (a 6x narrow
+    expansion, not a shuffle), then ONE partial-agg groupBy(trial, bin) —
+    60 cells total — and a per-trial fold; the total variance is a single
+    broadcast scalar. Phase arithmetic is double fmod in both engines.
+    Ranks compare on ROUND(theta, 6) with the period as tie-break."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    obs = ev.select(
+        (F.unix_micros(F.col("ts")) / 86_400_000_000.0).alias("t"),
+        F.col("value").alias("v"),
+    )
+    tot = obs.agg(F.var_samp("v").alias("s2_tot"))
+    trials = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in (0.5, 1.0, 1.5, 2.0, 3.0, 7.0)])
+        ).alias("p")
+    )
+    binned = (
+        obs.crossJoin(F.broadcast(trials))
+        .groupBy(
+            "p",
+            F.least(
+                F.floor(((F.col("t") / F.col("p")) % 1.0) * 10), F.lit(9)
+            ).alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nb"),
+            F.var_samp("v").alias("s2b"),
+        )
+    )
+    stat = (
+        F.sum(F.when(F.col("nb") > 1, (F.col("nb") - 1) * F.col("s2b")).otherwise(0.0))
+        / F.sum(F.when(F.col("nb") > 1, F.col("nb") - 1).otherwise(0.0))
+        / F.max("s2_tot")
+    )
+    theta = (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("p")
+        .agg(stat.alias("stat"))
+    )
+    w = Window.orderBy(F.round(F.col("stat"), 6), "p")
+    return theta.select(
+        F.col("p").alias("trial_period_days"),
+        F.round("stat", 6).alias("pdm_theta"),
+        F.row_number().over(w).alias("rk"),
+    )

@@ -162,6 +162,8 @@ _PRIORITY_QUERIES = (
     "orders_survival_km",
     "scan_orc",
     "fn_mask",
+    "cone_search",
+    "lightcurve_pdm",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
