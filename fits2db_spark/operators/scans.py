@@ -294,6 +294,51 @@ def fits_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fits_cutout",
+    oracle="""
+    SELECT gx.x - 12 AS cx, gy.y - 9 AS cy,
+           CAST(100 + 0.5 * (((gx.x * 31 + gy.y * 17) % 1000) - 200)
+                AS DOUBLE) AS val
+    FROM generate_series(4, 20) gx(x), generate_series(3, 15) gy(y)
+    """,
+)
+def fits_cutout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image cutout — the archive's second-most-requested product after
+    the cone search: a box of half-width (8, 6) around pixel (12, 9) of
+    the staged science image, re-centered so (0, 0) is the target. On the
+    pixel-table representation a cutout is a pure FILTER + projection —
+    the box predicate pushes into the parquet scan of a materialized
+    pixel table (row-group min/max on x/y prune), and N cutouts batch as
+    one scan with N box predicates instead of N file reads.
+
+    Shares the staged image (and its closed-form pixel function) with
+    ``fits_image_ingest``, so every cutout value is oracle-checked."""
+    from ..sources.fits import read_fits_image, write_fits_image
+
+    def write(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        img = (
+            (np.arange(32)[:, None] * 17 + np.arange(48)[None, :] * 31) % 1000 - 200
+        ).astype("i2")
+        with open(os.path.join(out_dir, "sci.fits"), "wb") as f:
+            write_fits_image(img, bscale=0.5, bzero=100.0, extname="SCI", out=f)
+
+    out = _scratch_dir(spark, sf_dir, "fits_image", write)
+    px = read_fits_image(spark, os.path.join(out, "sci.fits"), hdu="SCI")
+    x0, y0, hw, hh = 12, 9, 8, 6
+    return px.filter(
+        (F.col("x") >= x0 - hw)
+        & (F.col("x") <= x0 + hw)
+        & (F.col("y") >= y0 - hh)
+        & (F.col("y") <= y0 + hh)
+    ).select(
+        (F.col("x") - x0).alias("cx"),
+        (F.col("y") - y0).alias("cy"),
+        "val",
+    )
+
+
+@register(
     "join_dpp",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -191,3 +191,36 @@ def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_totalprice >= 100000 AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — the injection-safe API every SQL-facing service
+    needs: the query text carries named parameter markers (:min_price,
+    :since) and the VALUES arrive separately through ``spark.sql(...,
+    args=...)``, so user input is bound as typed literals, never spliced
+    into the text. Catalyst constant-folds the bound values exactly like
+    inline literals — the plan (including PushedFilters from both
+    predicates) is identical to the literal query the oracle runs."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderdate >= :since
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 100000, "since": "1997-01-01 00:00:00"},
+    )

@@ -164,6 +164,8 @@ _PRIORITY_QUERIES = (
     "fn_mask",
     "cone_search",
     "lightcurve_pdm",
+    "sql_parameterized",
+    "fits_cutout",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
