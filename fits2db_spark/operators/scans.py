@@ -279,7 +279,18 @@ def fits_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mosaic of tiles parallelizes by file, and downstream pixel queries
     (cone cutouts, background stats) are plain filters/aggregates that
     push into the scan."""
-    from ..sources.fits import read_fits_image, write_fits_image
+    from ..sources.fits import read_fits_image
+
+    return read_fits_image(spark, _stage_sci_image(spark, sf_dir), hdu="SCI")
+
+
+def _stage_sci_image(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the 48x32 science image (pixel function (x*31 + y*17) % 1000
+    - 200, BSCALE 0.5 / BZERO 100) ONCE per (session, sf). Shared by
+    fits_image_ingest and fits_cutout — both write to the same scratch
+    key, so the formula must live in exactly one place or whichever
+    operator ran first would silently define the file for both."""
+    from ..sources.fits import write_fits_image
 
     def write(out_dir: str) -> None:
         os.makedirs(out_dir, exist_ok=True)
@@ -290,7 +301,7 @@ def fits_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_fits_image(img, bscale=0.5, bzero=100.0, extname="SCI", out=f)
 
     out = _scratch_dir(spark, sf_dir, "fits_image", write)
-    return read_fits_image(spark, os.path.join(out, "sci.fits"), hdu="SCI")
+    return os.path.join(out, "sci.fits")
 
 
 @register(
@@ -313,18 +324,9 @@ def fits_cutout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shares the staged image (and its closed-form pixel function) with
     ``fits_image_ingest``, so every cutout value is oracle-checked."""
-    from ..sources.fits import read_fits_image, write_fits_image
+    from ..sources.fits import read_fits_image
 
-    def write(out_dir: str) -> None:
-        os.makedirs(out_dir, exist_ok=True)
-        img = (
-            (np.arange(32)[:, None] * 17 + np.arange(48)[None, :] * 31) % 1000 - 200
-        ).astype("i2")
-        with open(os.path.join(out_dir, "sci.fits"), "wb") as f:
-            write_fits_image(img, bscale=0.5, bzero=100.0, extname="SCI", out=f)
-
-    out = _scratch_dir(spark, sf_dir, "fits_image", write)
-    px = read_fits_image(spark, os.path.join(out, "sci.fits"), hdu="SCI")
+    px = read_fits_image(spark, _stage_sci_image(spark, sf_dir), hdu="SCI")
     x0, y0, hw, hh = 12, 9, 8, 6
     return px.filter(
         (F.col("x") >= x0 - hw)

@@ -212,6 +212,8 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the text. Catalyst constant-folds the bound values exactly like
     inline literals — the plan (including PushedFilters from both
     predicates) is identical to the literal query the oracle runs."""
+    import datetime
+
     _view(spark, sf_dir, "orders")
     return spark.sql(
         """
@@ -222,5 +224,7 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice >= :min_price AND o_orderdate >= :since
         GROUP BY o_orderpriority
         """,
-        args={"min_price": 100000, "since": "1997-01-01 00:00:00"},
+        # datetime binds a true TIMESTAMP literal (a string would lean on
+        # implicit string->timestamp coercion, which strict ANSI modes drop)
+        args={"min_price": 100000, "since": datetime.datetime(1997, 1, 1)},
     )

@@ -1234,7 +1234,7 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0 AS t, value AS v
       FROM events WHERE event_type = 'view'
     ),
-    tot AS (SELECT var_samp(v) AS s2_tot, CAST(COUNT(*) AS DOUBLE) AS n FROM obs),
+    tot AS (SELECT var_samp(v) AS s2_tot FROM obs),
     binned AS (
       SELECT trials.p,
              LEAST(CAST(FLOOR(((t / trials.p) % 1.0) * 10) AS BIGINT), 9) AS bin,
