@@ -160,3 +160,57 @@ def test_kaplan_meier_matches_manual_estimator(spark):
     # survival is non-increasing and within [0, 1]
     assert got.survival.is_monotonic_decreasing
     assert got.survival.between(0, 1).all()
+
+
+def test_pdm_matches_numpy(spark):
+    got = _run(spark, "lightcurve_pdm").set_index("trial_period_days")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    obs = ev[ev.event_type == "view"]
+    t = (
+        (obs.ts - pd.Timestamp(0)).dt.total_seconds().to_numpy() / 86400.0
+    )  # resolution-agnostic (parquet surfaces us or ns depending on pyarrow)
+    v = obs.value.to_numpy()
+    s2_tot = v.var(ddof=1)
+    for p in (0.5, 1.0, 1.5, 2.0, 3.0, 7.0):
+        bins = np.minimum((((t / p) % 1.0) * 10).astype(int), 9)
+        num = den = 0.0
+        for b in range(10):
+            m = v[bins == b]
+            if len(m) > 1:
+                num += (len(m) - 1) * m.var(ddof=1)
+                den += len(m) - 1
+        theta = num / den / s2_tot
+        assert abs(got.loc[p, "pdm_theta"] - theta) < 1e-5
+    assert list(got.rk.sort_values().index) == list(
+        got.pdm_theta.sort_values(kind="stable").index
+    )
+
+
+def test_cone_search_matches_numpy(spark):
+    from fits2db_spark.operators import joins  # noqa: F401
+
+    got = _run(spark, "cone_search")
+    import math
+
+    ids = pd.read_parquet(f"{SF_SMOKE}/customer.parquet").c_custkey.to_numpy()
+    ra = (ids * 137.50776405) % 360.0
+    dec = np.degrees(np.arcsin(((ids * 0.6180339887) % 1.0) * 2 - 1))
+    ra0 = (42 * 137.50776405) % 360.0
+    dec0 = math.degrees(math.asin(((42 * 0.6180339887) % 1.0) * 2 - 1))
+    dd = np.radians(dec - dec0) / 2
+    dr = np.radians(ra - ra0) / 2
+    sep = np.degrees(
+        2
+        * np.arcsin(
+            np.sqrt(
+                np.sin(dd) ** 2
+                + np.cos(np.radians(dec0)) * np.cos(np.radians(dec)) * np.sin(dr) ** 2
+            )
+        )
+    )
+    inside = set(ids[sep <= 10.0])
+    assert set(got.id) == inside
+    assert 42 in set(got.id) and got[got.id == 42].sep_deg.iloc[0] == 0.0
+    by_id = dict(zip(ids, sep))
+    for row in got.sample(min(20, len(got)), random_state=0).itertuples():
+        assert abs(row.sep_deg - by_id[row.id]) < 1e-5
