@@ -1,0 +1,114 @@
+"""VOTable emission — the IVOA XML interchange format astronomy services
+return (cone searches, TAP queries). A fits2db-class tool's users consume
+VOTable daily; this sink renders any DataFrame as a VOTable 1.4 document:
+FIELD declarations derived from the Spark schema (never inferred from row
+data — same declared-schema philosophy as the FITS ingest), TABLEDATA rows,
+and standard null handling (empty TD for SQL NULL).
+
+Spark-first shape: the per-partition body rows render DISTRIBUTED via
+``df.rdd.mapPartitions`` into XML fragments written as one text file per
+partition, with the header/footer documents tiny and driver-side; the
+single-document convenience path collects only when the caller asks for
+one file (bounded exports — a service response, not a bulk dump). At
+archive scale the fragment-per-partition layout concatenates in object
+storage, which is how TAP services stream large result sets.
+
+Type map (Spark -> VOTable datatype):
+  boolean->boolean  short->short  int->int  long->long
+  float->float  double->double  string->char(*)  binary->unsignedByte(*)
+  timestamp/date->char(*) (ISO-8601 text, per the VOTable convention)
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame
+
+_VOTABLE_TYPES = {
+    "boolean": ("boolean", None),
+    "short": ("short", None),
+    "integer": ("int", None),
+    "long": ("long", None),
+    "float": ("float", None),
+    "double": ("double", None),
+    "string": ("char", "*"),
+    "binary": ("unsignedByte", "*"),
+    "timestamp": ("char", "*"),
+    "timestamp_ntz": ("char", "*"),
+    "date": ("char", "*"),
+}
+
+
+def _fields_xml(df: DataFrame) -> str:
+    out = []
+    for f in df.schema.fields:
+        tname = f.dataType.typeName()
+        if tname not in _VOTABLE_TYPES:
+            raise ValueError(
+                f"column {f.name!r}: no VOTable mapping for Spark type {tname}"
+                " (flatten structs/arrays before export)"
+            )
+        dt, arraysize = _VOTABLE_TYPES[tname]
+        arr = f' arraysize="{arraysize}"' if arraysize else ""
+        out.append(f'      <FIELD name="{escape(f.name)}" datatype="{dt}"{arr}/>')
+    return "\n".join(out)
+
+
+def _cell(v) -> str:
+    if v is None:
+        return "<TD/>"
+    if isinstance(v, bool):
+        return f"<TD>{'true' if v else 'false'}</TD>"
+    if isinstance(v, (bytes, bytearray)):
+        return f"<TD>{bytes(v).hex()}</TD>"
+    if hasattr(v, "isoformat"):
+        return f"<TD>{v.isoformat()}</TD>"
+    return f"<TD>{escape(str(v))}</TD>"
+
+
+def _row_xml(row) -> str:
+    return "        <TR>" + "".join(_cell(v) for v in row) + "</TR>"
+
+
+def votable_header(df: DataFrame, table_name: str = "results") -> str:
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<VOTABLE version="1.4" xmlns="http://www.ivoa.net/xml/VOTable/v1.3">\n'
+        "  <RESOURCE>\n"
+        f'    <TABLE name="{escape(table_name)}">\n'
+        f"{_fields_xml(df)}\n"
+        "      <DATA><TABLEDATA>\n"
+    )
+
+
+VOTABLE_FOOTER = "      </TABLEDATA></DATA>\n    </TABLE>\n  </RESOURCE>\n</VOTABLE>\n"
+
+
+def write_votable_fragments(df: DataFrame, path: str, table_name: str = "results") -> None:
+    """Distributed export: one XML fragment file of <TR> rows per
+    partition under ``path/`` plus ``_header.xml`` / ``_footer.xml`` —
+    concatenate header + sorted fragments + footer for the document.
+    This is the 100 TB shape: no driver collect, rows render where they
+    live."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_header.xml"), "w") as f:
+        f.write(votable_header(df, table_name))
+    with open(os.path.join(path, "_footer.xml"), "w") as f:
+        f.write(VOTABLE_FOOTER)
+    df.rdd.mapPartitions(lambda rows: ("\n".join(_row_xml(r) for r in rows),)).filter(
+        lambda s: s
+    ).saveAsTextFile(os.path.join(path, "rows"))
+
+
+def votable_string(df: DataFrame, table_name: str = "results", limit: int | None = None) -> str:
+    """Single-document convenience (service responses): collects the rows,
+    so callers bound the result (``limit``) — this path is for bounded
+    exports, never bulk dumps."""
+    if limit is not None:
+        df = df.limit(limit)
+    rows = df.collect()
+    body = "\n".join(_row_xml(r) for r in rows)
+    return votable_header(df, table_name) + body + ("\n" if body else "") + VOTABLE_FOOTER

@@ -1,0 +1,91 @@
+"""VOTable sink: well-formed XML, declared FIELD schema, value fidelity
+(parsed back with xml.etree — an independent XML implementation)."""
+
+import glob
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+NS = {"vo": "http://www.ivoa.net/xml/VOTable/v1.3"}
+
+
+def _parse(doc: str):
+    root = ET.fromstring(doc)
+    fields = [
+        (f.get("name"), f.get("datatype"))
+        for f in root.findall(".//vo:FIELD", NS)
+    ]
+    rows = [
+        [td.text for td in tr.findall("vo:TD", NS)] + [None] * 0
+        for tr in root.findall(".//vo:TR", NS)
+    ]
+    # count TD children including empty-null ones
+    rows = [
+        [td.text for td in tr] for tr in root.findall(".//vo:TR", NS)
+    ]
+    return fields, rows
+
+
+def test_votable_string_round_trips_values(spark):
+    from fits2db_spark.sinks.votable import votable_string
+    from fits2db_spark.tables import load
+
+    df = (
+        load(spark, SF_SMOKE, "nation")
+        .orderBy("n_nationkey")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    doc = votable_string(df, table_name="nation", limit=25)
+    fields, rows = _parse(doc)
+    assert fields == [
+        (f.name, {"integer": "int", "long": "long", "string": "char"}[f.dataType.typeName()])
+        for f in df.schema.fields
+    ]
+    expect = [(r.n_nationkey, r.n_name, r.n_regionkey) for r in df.collect()]
+    assert len(rows) == len(expect)
+    for got, exp in zip(rows, expect):
+        assert int(got[0]) == exp[0] and got[1] == exp[1] and int(got[2]) == exp[2]
+
+
+def test_votable_nulls_timestamps_and_escaping(spark):
+    from fits2db_spark.sinks.votable import votable_string
+
+    df = spark.createDataFrame(
+        [(1, "a<b&c", None), (2, None, 3.5)],
+        "id long, s string, v double",
+    ).withColumn("ts", F.lit("2024-01-02 03:04:05").cast("timestamp"))
+    doc = votable_string(df, table_name="t")
+    fields, rows = _parse(doc)
+    assert ("ts", "char") in fields
+    assert rows[0][1] == "a<b&c"  # XML-escaped on write, parsed back intact
+    assert rows[0][2] is None and rows[1][1] is None  # SQL NULL -> empty TD
+    assert rows[0][3].startswith("2024-01-02T03:04:05")
+
+
+def test_votable_fragments_concatenate_to_valid_document(spark, tmp_path):
+    from fits2db_spark.sinks.votable import write_votable_fragments
+    from fits2db_spark.tables import load
+
+    df = load(spark, SF_SMOKE, "region").select("r_regionkey", "r_name")
+    out = tmp_path / "vot"
+    write_votable_fragments(df.repartition(3), str(out), table_name="region")
+    doc = (out / "_header.xml").read_text()
+    for part in sorted(glob.glob(str(out / "rows" / "part-*"))):
+        with open(part) as f:
+            doc += f.read()
+    doc += (out / "_footer.xml").read_text()
+    fields, rows = _parse(doc)
+    assert [n for n, _ in fields] == ["r_regionkey", "r_name"]
+    assert len(rows) == df.count()
+
+
+def test_votable_rejects_unmapped_types(spark):
+    import pytest
+
+    from fits2db_spark.sinks.votable import votable_string
+
+    df = spark.createDataFrame([([1, 2],)], "a array<int>")
+    with pytest.raises(ValueError, match="no VOTable mapping"):
+        votable_string(df)
