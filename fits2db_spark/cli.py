@@ -73,6 +73,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--single-file", action="store_true", help="coalesce CSV to one part")
     p.add_argument("--delimiter", default=",")
     p.add_argument("--null-marker", default=r"\N", help="NULL text (COPY default \\N)")
+    # VOTable sink (IVOA XML — the astronomy service response format)
+    p.add_argument(
+        "--votable-out",
+        help="write rows as a VOTable 1.4 document (file path; "
+        "distributed fragment layout with --votable-fragments)",
+    )
+    p.add_argument(
+        "--votable-fragments",
+        action="store_true",
+        help="emit header/footer + one XML fragment per partition instead "
+        "of collecting a single document",
+    )
     # JDBC sink
     p.add_argument("--jdbc-url", help="load rows into this JDBC database")
     p.add_argument("--jdbc-driver", help="JDBC driver class name")
@@ -165,6 +177,15 @@ def run(argv: list[str], spark: SparkSession | None = None) -> int:
             null_marker=args.null_marker,
             single_file=args.single_file,
         )
+        did_output = True
+    if args.votable_out:
+        from .sinks.votable import votable_string, write_votable_fragments
+
+        if args.votable_fragments:
+            write_votable_fragments(df, args.votable_out, table_name=args.table)
+        else:
+            with open(args.votable_out, "w") as f:
+                f.write(votable_string(df, table_name=args.table))
         did_output = True
     if args.jdbc_url:
         from .sinks.jdbc import write_jdbc

@@ -182,3 +182,15 @@ def test_cli_verify_checksum_composes_with_image(tmp_path, spark):
              "--verify-checksum"],
             spark=spark,
         )
+
+
+def test_cli_votable_out(fits_file, tmp_path, spark):
+    import xml.etree.ElementTree as ET
+
+    out = tmp_path / "cat.vot"
+    rc = run([fits_file, "--table", "stars", "--votable-out", str(out)], spark=spark)
+    assert rc == 0
+    root = ET.parse(out).getroot()
+    ns = {"vo": "http://www.ivoa.net/xml/VOTable/v1.3"}
+    assert root.find(".//vo:TABLE", ns).get("name") == "stars"
+    assert len(root.findall(".//vo:TR", ns)) == 3
