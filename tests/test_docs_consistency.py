@@ -1,0 +1,42 @@
+"""Docs-vs-registry consistency: COVERAGE.md must list exactly the
+registered keys, and README's headline counts must match the registry.
+Both code reviews this round caught manual count drift — this pins it."""
+
+import re
+
+from fits2db_spark.registry import all_oracles, all_queries
+
+REPO = "/root/repo"
+
+
+def test_coverage_md_lists_exactly_the_registered_keys():
+    keys = set(all_queries())
+    text = open(f"{REPO}/docs/COVERAGE.md").read()
+    documented = set(re.findall(r"^\| `([a-z0-9_]+)`", text, flags=re.M))
+    missing = keys - documented
+    stale = documented - keys
+    assert not missing, f"registered but undocumented in COVERAGE.md: {sorted(missing)}"
+    assert not stale, f"documented but not registered: {sorted(stale)}"
+
+
+def test_readme_counts_match_registry():
+    n_q, n_o = len(all_queries()), len(all_oracles())
+    text = open(f"{REPO}/README.md").read()
+    m = re.search(r"(\d+) registered queries — (\d+) hash-checked", text)
+    assert m, "README status line not found"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
+        f"README says {m.group(1)}/{m.group(2)}, registry has {n_q}/{n_o}"
+    )
+
+
+def test_rows_only_set_is_the_documented_seven():
+    rows_only = set(all_queries()) - set(all_oracles())
+    assert rows_only == {
+        "add_rowid_unordered",
+        "spatial_cols",
+        "agg_approx_distinct",
+        "agg_approx_percentile",
+        "fn_hash_native",
+        "cms_heavy_hitters",
+        "vec_pca_evr",
+    }, sorted(rows_only)
