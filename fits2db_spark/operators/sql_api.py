@@ -228,3 +228,50 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         # implicit string->timestamp coercion, which strict ANSI modes drop)
         args={"min_price": 100000, "since": datetime.datetime(1997, 1, 1)},
     )
+
+
+@register(
+    "sql_tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) as raw SQL text — the
+    IN-subquery-with-HAVING archetype: find orders whose total quantity
+    exceeds 300, then report their customers ranked by order value.
+    Catalyst rewrites the IN subquery to a left-semi join whose build
+    side is the grouped-and-filtered aggregate (itself partial-agg'd
+    map-side), so the fact table is filtered BEFORE the 3-way join — the
+    decorrelation the reference's users get for free from a planner.
+    Deterministic LIMIT via the (price, date, orderkey) total order."""
+    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               o.o_orderdate,
+               ROUND(o.o_totalprice, 2) AS o_totalprice,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 100
+        """
+    )

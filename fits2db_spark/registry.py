@@ -166,6 +166,7 @@ _PRIORITY_QUERIES = (
     "lightcurve_pdm",
     "sql_parameterized",
     "fits_cutout",
+    "sql_tpch_q18",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
