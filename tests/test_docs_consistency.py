@@ -40,3 +40,20 @@ def test_rows_only_set_is_the_documented_seven():
         "cms_heavy_hitters",
         "vec_pca_evr",
     }, sorted(rows_only)
+
+
+def test_priority_window_names_are_all_registered():
+    # a typo'd priority entry silently drops out of _ordered_names(),
+    # wasting a driver-verification slot without any error
+    from fits2db_spark import registry
+
+    registry._load_all_modules()
+    known = set(registry._QUERIES)
+    unknown = [n for n in registry._PRIORITY_QUERIES if n not in known]
+    assert not unknown, f"priority entries with no registered query: {unknown}"
+    dupes = [
+        n
+        for n in set(registry._PRIORITY_QUERIES)
+        if registry._PRIORITY_QUERIES.count(n) > 1
+    ]
+    assert not dupes, f"duplicate priority entries: {dupes}"
