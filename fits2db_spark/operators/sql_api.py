@@ -275,3 +275,43 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """
     )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, x.o_orderkey,
+           ROUND(x.o_totalprice, 2) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) x
+    WHERE c.c_custkey < 30
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join through raw SQL: each customer's top-2
+    orders via a per-row ordered-LIMIT subquery — the SQL-standard
+    spelling of top-k-per-group that the engine's users write directly
+    (and the construct every as-of/nearest oracle in this repo leans on).
+    Catalyst decorrelates it into a ranked window over the joined
+    relation — the same WindowGroupLimit shape as win_topk_per_group —
+    rather than executing one subquery per outer row."""
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, x.o_orderkey,
+               ROUND(x.o_totalprice, 2) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) x
+        WHERE c.c_custkey < 30
+        """
+    )

@@ -1312,3 +1312,81 @@ def lightcurve_pdm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("stat", 6).alias("pdm_theta"),
         F.row_number().over(w).alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher moments: skewness + excess kurtosis via raw moments
+# ---------------------------------------------------------------------------
+@register(
+    "agg_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(l_extendedprice) AS s1,
+             SUM(l_extendedprice * l_extendedprice) AS s2,
+             SUM(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+             SUM(l_extendedprice * l_extendedprice * l_extendedprice
+                 * l_extendedprice) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+               AS m3,
+             s4 / n - 4 * (s1 / n) * s3 / n
+               + 6 * (s1 / n) * (s1 / n) * s2 / n
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(mu, 4) AS mean,
+           ROUND(m2, 2) AS variance,
+           ROUND(m3 / POW(m2, 1.5), 6) AS skewness_g1,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS kurtosis_g2
+    FROM m
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shape per group: population skewness g1 = m3/m2^1.5
+    and excess kurtosis g2 = m4/m2² − 3, computed from RAW power sums —
+    deliberately NOT the engines' built-in skewness/kurtosis, whose bias
+    conventions differ (Spark reports population g-statistics, DuckDB
+    sample-adjusted G-statistics), making them un-oracleable against
+    each other. Raw moments are plain algebraic SUMs, so both engines
+    compute bit-comparable doubles and the shuffle carries five numbers
+    per group.
+
+    Note the numerical trade: the central-moment expansion from raw sums
+    loses precision when |mean| >> stddev (catastrophic cancellation);
+    prices here have mean/sd ~ 2, far from that regime, and the 100 TB
+    alternative is Welford-style streaming central moments — the same
+    single-pass shape the built-ins use internally."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * F.col("s2") / F.col("n") + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * F.col("s3") / F.col("n")
+        + 6 * mu * mu * F.col("s2") / F.col("n")
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 4).alias("mean"),
+        F.round(m2, 2).alias("variance"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_g1"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_g2"),
+    )

@@ -167,6 +167,8 @@ _PRIORITY_QUERIES = (
     "sql_parameterized",
     "fits_cutout",
     "sql_tpch_q18",
+    "agg_moments",
+    "sql_lateral_topk",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",

@@ -214,3 +214,19 @@ def test_cone_search_matches_numpy(spark):
     by_id = dict(zip(ids, sep))
     for row in got.sample(min(20, len(got)), random_state=0).itertuples():
         assert abs(row.sep_deg - by_id[row.id]) < 1e-5
+
+
+def test_moments_match_numpy(spark):
+    got = _run(spark, "agg_moments").set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    for flag, s in li.groupby("l_returnflag").l_extendedprice:
+        x = s.to_numpy()
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        g1 = ((x - mu) ** 3).mean() / m2**1.5
+        g2 = ((x - mu) ** 4).mean() / m2**2 - 3
+        row = got.loc[flag]
+        assert row.n == len(x)
+        assert abs(row["mean"] - mu) < 1e-3
+        assert abs(row.skewness_g1 - g1) < 1e-5
+        assert abs(row.kurtosis_g2 - g2) < 1e-5
