@@ -888,3 +888,87 @@ def cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dec", 6).alias("dec"),
         F.round(sep, 6).alias("sep_deg"),
     )
+
+
+@register(
+    "er_golden_record",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, p_retailprice, string_split(p_name, ' ')[2] AS blk
+      FROM part
+    ),
+    jp AS (
+      SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+       AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.node = e.v
+    ),
+    labels AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+    SELECT comp AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(MAX(p.p_retailprice), 2) AS golden_price,
+           substr(MIN(lpad(CAST(length(p.p_name) AS VARCHAR), 3, '0')
+                      || '|' || p.p_name), 5) AS golden_name
+    FROM labels JOIN p ON p.p_partkey = labels.node
+    GROUP BY comp HAVING COUNT(*) > 1
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the MDM golden-record build: the
+    blocked fuzzy pair graph (join_fuzzy_blocked's exact pair predicate),
+    closed into entities by the shared label-propagation loop, then one
+    surviving record per multi-member entity under explicit survivorship
+    rules (highest price wins the price field; shortest-then-alphabetical
+    name wins the name field — encoded as a zero-padded length prefix so
+    one MIN computes it identically in both engines).
+
+    This is the pipeline dedup stops short of: matching (blocked, never
+    O(n²)) -> clustering (transitive: A~B~C merges even when A!~C, with
+    the converge-or-raise guard) -> survivorship (deterministic
+    per-field rules, the part a data steward actually reviews). Scale
+    posture inherits from both parents: pairs ∝ block occupancy,
+    propagation is O(diameter) join+groupBy rounds with lineage cuts."""
+    from .llm_text import _label_propagate
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        F.split("p_name", " ").getItem(1).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).between(1, 2))
+        .select(
+            F.col("a.p_partkey").alias("doc_a"), F.col("b.p_partkey").alias("doc_b")
+        )
+    )
+    _, labels = _label_propagate(pairs, p.select(F.col("p_partkey").alias("doc_id")))
+    name_key = F.concat(
+        F.lpad(F.length("p_name").cast("string"), 3, "0"), F.lit("|"), F.col("p_name")
+    )
+    return (
+        labels.join(p, labels.doc_id == p.p_partkey)
+        .groupBy(F.col("comp").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.max("p_retailprice"), 2).alias("golden_price"),
+            F.substring(F.min(name_key), 5, 1_000_000).alias("golden_name"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

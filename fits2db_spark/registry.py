@@ -169,6 +169,7 @@ _PRIORITY_QUERIES = (
     "sql_tpch_q18",
     "agg_moments",
     "sql_lateral_topk",
+    "er_golden_record",
     # (c) stalest-green rotation: headline bench queries first
     "join_star_q5",
     "join_sortmerge",
