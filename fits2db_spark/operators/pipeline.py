@@ -488,47 +488,72 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Count-min sketch heavy hitters (rows-only: Spark-specific xxhash64)
+# Count-min sketch heavy hitters (md5-salted hash -> full DuckDB oracle)
 # ---------------------------------------------------------------------------
 _CMS_D, _CMS_W = 4, 1024
 
 
-@register("cms_heavy_hitters")  # rows-only: sketch uses Spark's xxhash64
+def _cms_cell(token_col, i: int):
+    """Salted cross-engine cell index: md5-int64 of 'token#i' mod width.
+    _h64 is non-negative (60-bit), so plain % matches DuckDB's %."""
+    return _h64(F.concat_ws("#", token_col, F.lit(str(i)))) % _CMS_W
+
+
+_CMS_CELL_SQL = (
+    f"CAST(concat('0x', substr(md5(token || '#' || i.row), 1, 15)) AS BIGINT)"
+    f" % {_CMS_W}"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    rows_ AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS row),
+    cells AS (
+      SELECT i.row AS row, {_CMS_CELL_SQL} AS col FROM toks, rows_ i
+    ),
+    sketch AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY row, col),
+    dtoks AS (SELECT DISTINCT token FROM toks),
+    probes AS (
+      SELECT token, i.row AS row, {_CMS_CELL_SQL} AS col FROM dtoks, rows_ i
+    ),
+    est AS (
+      SELECT token, MIN(cnt) AS est_cnt
+      FROM probes JOIN sketch USING (row, col) GROUP BY token
+    )
+    SELECT token, est_cnt FROM est ORDER BY est_cnt DESC, token LIMIT 20
+    """,
+)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch built AS a DataFrame: each token
-    occurrence increments d={_CMS_D} cells (row i, col xxhash64(token, i) mod
+    occurrence increments d={_CMS_D} cells (row i, col h64(token#i) mod
     w={_CMS_W}); the sketch is the groupBy-count of those cells (d*w rows
     total, partial-aggregated map-side). Estimates join each distinct token
     back to its d cells against the BROADCAST sketch and take the min —
     the classic one-sided (over-)estimate. Returns the top-20 tokens by
-    estimate. Scale: the sketch stays {_CMS_D}x{_CMS_W} rows no matter the
-    corpus size — that fixed size is the entire point vs the exact
-    `text_vocab_topk`; the only data-sized shuffles are the two partial-agg
-    groupBys. Verified against exact counts in
+    estimate. The cell hash is the md5-derived _h64 (llm_text.py), so the
+    sketch is engine-reproducible and the DuckDB oracle checks the full
+    cell/probe pipeline by value. Scale: the sketch stays {_CMS_D}x{_CMS_W}
+    rows no matter the corpus size — that fixed size is the entire point vs
+    the exact `text_vocab_topk`; the only data-sized shuffles are the two
+    partial-agg groupBys. Also verified against exact counts in
     tests/test_rows_only_quality.py (estimate >= exact, error <= eps*N)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("token"))
     cells = toks.select(
         F.posexplode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64("token", F.lit(i)), F.lit(_CMS_W))
-                    for i in range(_CMS_D)
-                ]
-            )
+            F.array(*[_cms_cell(F.col("token"), i) for i in range(_CMS_D)])
         ).alias("row", "col")
     )
     sketch = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
-    distinct_toks = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_true"))
+    distinct_toks = toks.select("token").distinct()
     probes = distinct_toks.select(
         "token",
         F.posexplode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64("token", F.lit(i)), F.lit(_CMS_W))
-                    for i in range(_CMS_D)
-                ]
-            )
+            F.array(*[_cms_cell(F.col("token"), i) for i in range(_CMS_D)])
         ).alias("row", "col"),
     )
     est = (

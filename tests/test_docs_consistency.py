@@ -29,7 +29,7 @@ def test_readme_counts_match_registry():
     )
 
 
-def test_rows_only_set_is_the_documented_seven():
+def test_rows_only_set_is_the_documented_six():
     rows_only = set(all_queries()) - set(all_oracles())
     assert rows_only == {
         "add_rowid_unordered",
@@ -37,7 +37,6 @@ def test_rows_only_set_is_the_documented_seven():
         "agg_approx_distinct",
         "agg_approx_percentile",
         "fn_hash_native",
-        "cms_heavy_hitters",
         "vec_pca_evr",
     }, sorted(rows_only)
 

@@ -234,3 +234,71 @@ def test_interval_overlap_is_equi_join(spark):
 
     p = _plan(join_interval_overlap(spark, SF_SMOKE))
     assert "Cartesian" not in p and "BroadcastNestedLoop" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# Sanctioned-global-window gate (r5 verdict item 3): the set of registered
+# queries whose physical plan contains a Window/WindowGroupLimit node with an
+# EMPTY partition spec must equal the documented allowlist (docs/SCALE.md
+# "Global-window allowlist"). Each allowlisted entry is justified there:
+# either the window input is pre-aggregated to O(small) rows, or a pushed
+# TakeOrdered/limit/WindowGroupLimit bounds what reaches the single
+# partition. A new query that sneaks in an unbounded global sort fails here.
+# ---------------------------------------------------------------------------
+
+GLOBAL_WINDOW_ALLOWLIST = {
+    # ordered row ids are the operator's contract; docstring names the
+    # zipWithIndex/monotonic escape hatches for unordered-at-scale use
+    "add_rowid",
+    # binned ECDF: window input is price-range/5000 buckets, not rows
+    "agg_ks_test",
+    # top-20 path ranking: TakeOrdered pushed below the window (audited r5)
+    "events_paths",
+    # rk <= 50 filter -> WindowGroupLimit bounds the single partition
+    "graph_node_similarity",
+    # phase-fold ranking over O(periods x bins) pre-aggregated rows
+    "lightcurve_pdm",
+    # Pareto cumsum over the part dimension (O(parts), post-aggregation)
+    "orders_abc",
+    # KM curve: two windows over O(distinct event days), post-aggregation
+    "orders_survival_km",
+    # skyline rank over the O(groups) candidate frontier
+    "skyline_pareto",
+}
+
+
+def _walk_plan(node):
+    yield node
+    cn = node.getClass().getSimpleName()
+    if cn == "AdaptiveSparkPlanExec":
+        yield from _walk_plan(node.initialPlan())
+        return
+    if cn == "InMemoryTableScanExec":
+        try:
+            yield from _walk_plan(node.relation().cachedPlan())
+        except Exception:
+            pass
+    cs = node.children()
+    for i in range(cs.length()):
+        yield from _walk_plan(cs.apply(i))
+
+
+def test_global_windows_are_exactly_the_allowlist(spark):
+    import __spark_entry__ as e
+
+    hits = set()
+    for name, fn in e.queries().items():
+        df = fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan()
+        for node in _walk_plan(plan):
+            if node.getClass().getSimpleName() in (
+                "WindowExec",
+                "WindowGroupLimitExec",
+                "WindowInPandasExec",
+            ) and node.partitionSpec().isEmpty():
+                hits.add(name)
+                break
+    unsanctioned = hits - GLOBAL_WINDOW_ALLOWLIST
+    stale = GLOBAL_WINDOW_ALLOWLIST - hits
+    assert not unsanctioned, f"unsanctioned global-window queries: {sorted(unsanctioned)}"
+    assert not stale, f"allowlist entries with no global window anymore: {sorted(stale)}"

@@ -1,0 +1,37 @@
+"""spatial_nest (pure-Catalyst HEALPix nest4096) cross-validation.
+
+Three-way agreement: the Catalyst-expression pixel id must equal the numpy
+reference (functions/spatial.py:ang2pix_nest) on the identical golden-angle
+pseudo-sky, and the pandas-UDF spatial_cols nest4096 column must agree too
+(it IS the numpy path, via a different ra/dec derivation that the fixture's
+asin/sin cancellation makes numerically equivalent).
+"""
+
+import numpy as np
+
+from fits2db_spark.functions.spatial import ang2pix_nest
+from fits2db_spark.operators.etl import spatial_cols, spatial_nest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_nest_matches_numpy_reference(spark):
+    rows = spatial_nest(spark, SF_SMOKE).collect()
+    keys = np.array([r["c_custkey"] for r in rows], dtype="f8")
+    got = np.array([r["nest4096"] for r in rows])
+    ra = (keys * 137.50776405) % 360.0
+    dec = np.degrees(np.arcsin(((keys * 0.6180339887) % 1.0) * 2 - 1))
+    want = ang2pix_nest(4096, ra, dec)
+    mismatch = int((got != want).sum())
+    assert mismatch == 0, f"{mismatch}/{len(rows)} pixels differ from numpy"
+    assert got.min() >= 0 and got.max() < 12 * 4096 * 4096
+
+
+def test_nest_matches_spatial_cols_udf(spark):
+    catalyst = {
+        r["c_custkey"]: r["nest4096"] for r in spatial_nest(spark, SF_SMOKE).collect()
+    }
+    udf = {
+        r["c_custkey"]: r["nest4096"] for r in spatial_cols(spark, SF_SMOKE).collect()
+    }
+    assert catalyst == udf
