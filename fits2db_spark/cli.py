@@ -22,6 +22,7 @@ ingest capacity, not the cluster's core count).
 from __future__ import annotations
 
 import argparse
+import functools
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,9 +126,10 @@ def load_frame(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
     # --verify-checksum composes with every reader (all three accept the
     # flag; checksums cover BINTABLE, TABLE and IMAGE HDUs alike)
     verify = bool(getattr(args, "verify_checksum", False))
-
-    def reader(spark, path, hdu=1, schema=None):
-        return base(spark, path, hdu=hdu, schema=schema, verify_checksum=verify)
+    # functools.partial keeps the reader signature single-sourced: any future
+    # reader kwarg flows through instead of being dropped by a shim, and the
+    # hdu default stays defined in one place (the reader itself)
+    reader = functools.partial(base, verify_checksum=verify)
 
     df = reader(spark, args.inputs[0], hdu=hdu)
     for path in args.inputs[1:]:

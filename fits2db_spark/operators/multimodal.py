@@ -599,7 +599,8 @@ def audio_features(rate: int, samples: np.ndarray) -> dict:
         "n_samples": int(len(x)),
         "duration_s": len(x) / rate,
         "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
-        "peak": int(np.abs(samples).max()) if len(x) else 0,
+        # peak from the float copy: np.abs on int16 overflows at -32768
+        "peak": int(np.abs(x).max()) if len(x) else 0,
         "zcr": crossings / (len(x) - 1) if len(x) > 1 else 0.0,
     }
 

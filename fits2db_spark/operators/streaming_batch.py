@@ -119,7 +119,14 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user with a 30-minute gap. Spark's session_window
     end = last event + gap; the oracle reproduces that with the classic
-    lag + gap-flag + running-sum session assignment."""
+    lag + gap-flag + running-sum session assignment. Boundary semantics,
+    verified empirically on this Spark build (events 30:00 apart -> ONE
+    session; 30:00.000001 apart -> two): session_window MERGES an event
+    landing exactly at the previous event's session_end, i.e. windows
+    behave closed at the merge boundary, so the oracle splits on strictly
+    ``gap > 30min``. (An r5 advice note claimed the opposite from the
+    half-open [ts, ts+gap) interval shape; the measurement above settles
+    it — keep `>` here and in stream_live_session.)"""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

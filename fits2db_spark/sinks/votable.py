@@ -21,7 +21,7 @@ Type map (Spark -> VOTable datatype):
 
 from __future__ import annotations
 
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 from pyspark.sql import DataFrame
 
@@ -51,7 +51,7 @@ def _fields_xml(df: DataFrame) -> str:
             )
         dt, arraysize = _VOTABLE_TYPES[tname]
         arr = f' arraysize="{arraysize}"' if arraysize else ""
-        out.append(f'      <FIELD name="{escape(f.name)}" datatype="{dt}"{arr}/>')
+        out.append(f'      <FIELD name={quoteattr(f.name)} datatype="{dt}"{arr}/>')
     return "\n".join(out)
 
 
@@ -76,7 +76,7 @@ def votable_header(df: DataFrame, table_name: str = "results") -> str:
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<VOTABLE version="1.4" xmlns="http://www.ivoa.net/xml/VOTable/v1.3">\n'
         "  <RESOURCE>\n"
-        f'    <TABLE name="{escape(table_name)}">\n'
+        f'    <TABLE name={quoteattr(table_name)}>\n'
         f"{_fields_xml(df)}\n"
         "      <DATA><TABLEDATA>\n"
     )
@@ -103,10 +103,24 @@ def write_votable_fragments(df: DataFrame, path: str, table_name: str = "results
     ).saveAsTextFile(os.path.join(path, "rows"))
 
 
-def votable_string(df: DataFrame, table_name: str = "results", limit: int | None = None) -> str:
+def votable_string(
+    df: DataFrame,
+    table_name: str = "results",
+    limit: int | None = 10_000,
+    unbounded: bool = False,
+) -> str:
     """Single-document convenience (service responses): collects the rows,
-    so callers bound the result (``limit``) — this path is for bounded
-    exports, never bulk dumps."""
+    so the result is BOUNDED by default (``limit=10_000``). A service
+    wrapper that forgets to pass a limit must not be able to OOM the
+    driver: ``limit=None`` raises unless the caller states
+    ``unbounded=True`` explicitly. Bulk exports belong to
+    :func:`write_votable_fragments` (distributed, no collect)."""
+    if limit is None and not unbounded:
+        raise ValueError(
+            "votable_string(limit=None) collects the whole DataFrame on the"
+            " driver; pass unbounded=True to confirm, or use"
+            " write_votable_fragments() for bulk export"
+        )
     if limit is not None:
         df = df.limit(limit)
     rows = df.collect()

@@ -276,3 +276,14 @@ def test_wav_stereo_interleave_and_errors():
     nonpcm[20:22] = np.uint16(3).tobytes()  # IEEE float format tag
     with pytest.raises(AudioFormatError, match="non-PCM"):
         decode_wav(bytes(nonpcm))
+
+
+def test_audio_peak_full_scale_negative_sample():
+    """np.abs(-32768) on int16 wraps back to -32768; peak must come from the
+    float copy so a full-scale negative PCM16 sample reports +32768."""
+    import numpy as np
+
+    from fits2db_spark.operators.multimodal import audio_features
+
+    f = audio_features(8000, np.array([-32768, 100, -5], dtype="<i2"))
+    assert f["peak"] == 32768

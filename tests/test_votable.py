@@ -89,3 +89,32 @@ def test_votable_rejects_unmapped_types(spark):
     df = spark.createDataFrame([([1, 2],)], "a array<int>")
     with pytest.raises(ValueError, match="no VOTable mapping"):
         votable_string(df)
+
+
+def test_votable_string_unbounded_requires_opt_in(spark):
+    import pytest
+
+    from fits2db_spark.sinks.votable import votable_string
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="unbounded=True"):
+        votable_string(df, limit=None)
+    # explicit opt-in and the bounded default both work
+    assert "<TD>1</TD>" in votable_string(df, limit=None, unbounded=True)
+    assert "<TD>1</TD>" in votable_string(df)
+
+
+def test_votable_quotes_attribute_values(spark):
+    """A '"' in a column or table name must not break the attribute quoting
+    (quoteattr switches to single quotes / escapes as needed)."""
+    import xml.etree.ElementTree as ET
+
+    from fits2db_spark.sinks.votable import votable_string
+
+    df = spark.createDataFrame([(1,)], "a int").withColumnRenamed("a", 'we"ird')
+    doc = votable_string(df, table_name='t"name')
+    root = ET.fromstring(doc)  # raises if malformed
+    ns = "{http://www.ivoa.net/xml/VOTable/v1.3}"
+    table = root.find(f"{ns}RESOURCE/{ns}TABLE")
+    assert table.get("name") == 't"name'
+    assert table.find(f"{ns}FIELD").get("name") == 'we"ird'
