@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "fits2db_spark.operators.inference",
     "fits2db_spark.operators.warehouse",
     "fits2db_spark.operators.sql_api",
+    "fits2db_spark.operators.retrieval",
 )
 
 _loaded = False

@@ -1,0 +1,86 @@
+"""Semantic quality checks for the round-6 retrieval operators (the driver
+oracle proves value equality; these prove the operators mean something)."""
+
+from pyspark.sql import functions as F
+
+from fits2db_spark.operators.retrieval import (
+    _BLOOM_K,
+    _BLOOM_M,
+    _BM25_QUERIES,
+    join_bloom_filter,
+    sim_ann_binary,
+    text_bm25,
+)
+from fits2db_spark.tables import load
+from tests.conftest import SF_SMOKE
+
+
+def test_bm25_top_docs_contain_query_terms(spark):
+    """Every top-ranked document must actually contain at least one query
+    term (BM25 only scores docs from the queried postings)."""
+    rows = text_bm25(spark, SF_SMOKE).collect()
+    assert rows, "no results"
+    terms = {qid: set(ts) for qid, ts in _BM25_QUERIES}
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in load(spark, SF_SMOKE, "documents").collect()
+    }
+    for r in rows:
+        assert terms[r["query_id"]] & docs[r["cand_id"] if "cand_id" in r else r["doc_id"]]
+    # scores weakly decrease with rank within each query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rk"], r["score"]))
+    for pairs in by_q.values():
+        pairs.sort()
+        scores = [s for _, s in pairs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
+    row = join_bloom_filter(spark, SF_SMOKE).collect()[0]
+    # no false negatives: every true match passed the filter
+    assert row["n_pass_bloom"] >= row["n_true_match"]
+    # FP rate of the pass-through set vs theory: (1-exp(-kn/m))^k with
+    # n = distinct build keys; allow 5x slack on the tiny fixture
+    import math
+
+    n_keys = (
+        load(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .count()
+    )
+    p = (1 - math.exp(-_BLOOM_K * n_keys / _BLOOM_M)) ** _BLOOM_K
+    fp = (row["n_pass_bloom"] - row["n_true_match"]) / max(row["n_orders"], 1)
+    assert fp <= 5 * p + 0.01, (fp, p)
+
+
+def test_binary_ann_recall_vs_bruteforce(spark):
+    """Hamming shortlist + exact rerank must recover most of the true
+    cosine top-5 (63 sign bits carry real signal on 64-dim vectors)."""
+    got = {
+        (r["query_id"], r["cand_id"])
+        for r in sim_ann_binary(spark, SF_SMOKE).collect()
+    }
+    e = load(spark, SF_SMOKE, "embeddings")
+    from fits2db_spark.operators.llm_vectors import _cos
+    from pyspark.sql import Window
+
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id", _cos(F.col("qe"), F.col("ce")).alias("cos"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall
