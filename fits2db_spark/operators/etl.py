@@ -357,8 +357,8 @@ _NEST_NSIDE = 4096  # 2^12 -> 12 interleave bits, matches spatial_cols' nest4096
     oracle=f"""
     WITH base AS (
       SELECT c_custkey,
-             ((c_custkey * 0.6180339887) % 1.0) * 2 - 1 AS z,
-             ((c_custkey * 137.50776405) % 360.0) / 90.0 AS tt
+             ((CAST(c_custkey AS DOUBLE) * 0.6180339887) % 1.0) * 2 - 1 AS z,
+             ((CAST(c_custkey AS DOUBLE) * 137.50776405) % 360.0) / 90.0 AS tt
       FROM customer
     ),
     eqn AS (
@@ -506,3 +506,82 @@ def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"  # public geohash base32
+_GH_CHARS = 6  # 30 bits -> 6 chars, ~±0.61 km cells
+
+
+@register(
+    "spatial_geohash",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey,
+             ((CAST(c_custkey AS DOUBLE) * 137.50776405) % 360.0) - 180.0 AS lon,
+             (((CAST(c_custkey AS DOUBLE) * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+               AS lat
+      FROM customer
+    ),
+    idx AS (
+      SELECT c_custkey, lon, lat,
+             LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767)
+               AS lon_idx,
+             LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767)
+               AS lat_idx
+      FROM base
+    ),
+    coded AS (
+      SELECT c_custkey, ROUND(lon, 8) AS lon, ROUND(lat, 8) AS lat,
+             ({_interleave_sql('lat_idx', 'lon_idx', 15)}) AS cell
+      FROM idx
+    )
+    SELECT c_custkey, lon, lat, cell,
+           {" || ".join(f"substr('{_GH_ALPHABET}', CAST(((cell >> {25 - 5 * i}) & 31) AS INT) + 1, 1)" for i in range(_GH_CHARS))}
+             AS geohash6
+    FROM coded
+    """,
+)
+def spatial_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (public base32 scheme: interleave lon/lat bits MSB
+    first, lon leading, 5 bits per character) at 6-character precision —
+    the prefix-joinable spatial bucket key web-scale geo pipelines
+    partition on (shared prefix <=> shared cell, so proximity joins
+    become prefix equi-joins). Entirely Catalyst bit arithmetic; the
+    same interleave helper as `spatial_nest`.
+
+    The 30-bit cell id IS the Morton code of (lat_idx, lon_idx) with lon
+    on odd bits — highest lon bit at position 29 = the geohash's first
+    bit, matching the published bit order. As with spatial_nest, the
+    fixture pseudo-sky is chosen trig-free (lat = u*90 rather than the
+    golden-spiral asin) so every double is bit-reproducible in DuckDB
+    and floors cannot straddle engine ulps."""
+    c = load(spark, sf_dir, "customer")
+    lon = ((F.col("c_custkey") * 137.50776405) % 360.0) - 180.0
+    lat = (((F.col("c_custkey") * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+    idx = c.select(
+        "c_custkey",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        F.least(
+            F.floor((lon + 180.0) / 360.0 * 32768.0).cast("long"), F.lit(32767)
+        ).alias("lon_idx"),
+        F.least(
+            F.floor((lat + 90.0) / 180.0 * 32768.0).cast("long"), F.lit(32767)
+        ).alias("lat_idx"),
+    )
+    coded = idx.select(
+        "c_custkey",
+        F.round("lon", 8).alias("lon"),
+        F.round("lat", 8).alias("lat"),
+        _interleave_col(F.col("lat_idx"), F.col("lon_idx"), 15).alias("cell"),
+    )
+    gh = F.concat(
+        *[
+            F.expr(
+                f"substr('{_GH_ALPHABET}',"
+                f" CAST(((cell >> {25 - 5 * i}) & 31) AS INT) + 1, 1)"
+            )
+            for i in range(_GH_CHARS)
+        ]
+    )
+    return coded.select("c_custkey", "lon", "lat", "cell", gh.alias("geohash6"))

@@ -1311,3 +1311,107 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (round 6)
+# ---------------------------------------------------------------------------
+_DSIR_B = 4096  # hashed-unigram feature buckets
+
+_DSIR_BUCKET_SQL = (
+    f"CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % {_DSIR_B}"
+)
+
+
+@register(
+    "text_importance_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ),
+    tstat AS (
+      SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM toks WHERE lang = 'en' GROUP BY bucket
+    ),
+    cstat AS (
+      SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS cnt FROM toks GROUP BY bucket
+    ),
+    totals AS (
+      SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS tot_t,
+             CAST(COUNT(*) AS DOUBLE) AS tot_c
+      FROM toks
+    ),
+    lr AS (
+      SELECT c.bucket,
+             ln((COALESCE(t.cnt, 0) + 1) / (tt.tot_t + {_DSIR_B}))
+             - ln((c.cnt + 1) / (tt.tot_c + {_DSIR_B})) AS logratio
+      FROM cstat c LEFT JOIN tstat t USING (bucket) CROSS JOIN totals tt
+    )
+    SELECT k.doc_id, ANY_VALUE(k.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lr.logratio), 6) AS dsir_logweight,
+           (SUM(lr.logratio) > 0) AS selected
+    FROM toks k JOIN lr ON lr.bucket = k.bucket
+    GROUP BY k.doc_id
+    """,
+)
+def text_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): model the TARGET distribution (here the lang='en' slice)
+    and the raw corpus as bags of hashed unigrams over {_DSIR_B} buckets,
+    and score every document by its log importance ratio
+    sum_tokens [ ln p_target(bucket) - ln p_corpus(bucket) ] with add-one
+    smoothing — documents scoring > 0 look more target-like than average
+    and are the ones importance resampling keeps.
+
+    Plan: one explode + hash bucketing; the two bucket-distribution
+    tables are <= {_DSIR_B} rows each and broadcast back onto the token
+    stream; per-doc scoring is a partial-agg groupBy. At 100 TB this is
+    the standard two-pass shape (corpus statistics, then a narrow
+    re-score pass) with O(buckets) driver-independent state — the hashed
+    feature space is what makes the method corpus-size-free. The bucket
+    hash is the cross-engine md5 _h64, so the full pipeline is
+    value-checked in DuckDB."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).select("doc_id", "lang", (_h64(F.col("token")) % _DSIR_B).alias("bucket"))
+    tstat = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("tcnt"))
+    )
+    cstat = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("ccnt")
+    )
+    totals = toks.agg(
+        F.sum((F.col("lang") == "en").cast("int")).cast("double").alias("tot_t"),
+        F.count(F.lit(1)).cast("double").alias("tot_c"),
+    )
+    lr = (
+        cstat.join(tstat, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tcnt"), F.lit(0.0)) + 1)
+                    / (F.col("tot_t") + _DSIR_B)
+                )
+                - F.log((F.col("ccnt") + 1) / (F.col("tot_c") + _DSIR_B))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
+            (F.sum("logratio") > 0).alias("selected"),
+        )
+    )

@@ -230,3 +230,31 @@ def test_moments_match_numpy(spark):
         assert abs(row["mean"] - mu) < 1e-3
         assert abs(row.skewness_g1 - g1) < 1e-5
         assert abs(row.kurtosis_g2 - g2) < 1e-5
+
+
+def test_kcore_converges_within_unroll_bound(spark):
+    """The fixed-unroll peel must reach a true k-core on the fixture:
+    every surviving node keeps degree >= k, so a further round is a no-op
+    (otherwise the unroll bound _KCORE_ROUNDS silently truncates)."""
+    from fits2db_spark.operators.advanced import _KCORE_K, graph_kcore
+    from tests.conftest import SF_SMOKE
+
+    rows = graph_kcore(spark, SF_SMOKE).collect()
+    assert rows, "fixture k-core unexpectedly empty"
+    assert all(r["core_degree"] >= _KCORE_K for r in rows), rows
+
+
+def test_dsir_weights_separate_target_from_rest(spark):
+    """The hashed-unigram importance ratio must actually discriminate: the
+    lang='en' target slice should average a higher log-weight than the
+    other languages (that is the whole premise of importance resampling)."""
+    from fits2db_spark.operators.pipeline import text_importance_dsir
+    from tests.conftest import SF_SMOKE
+
+    rows = text_importance_dsir(spark, SF_SMOKE).collect()
+    en = [r["dsir_logweight"] for r in rows if r["lang"] == "en"]
+    rest = [r["dsir_logweight"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    # selection flag is consistent with the weight
+    assert all((r["dsir_logweight"] > 0) == r["selected"] for r in rows)
