@@ -766,3 +766,421 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6b: the remaining eight TPC-H archetypes — completes all 22 query
+# shapes through the raw-SQL surface. The fixture has no partsupp table, so
+# Q2/Q9/Q11/Q20's supply-cost/availability relation is emulated from
+# lineitem (cost = min unit price observed for the (supplier, part) pair;
+# availability = shipped volume) — the planner-facing structure (correlated
+# MIN, nested IN, HAVING-over-scalar, multi-EXISTS) is preserved exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_tpch_q2",
+    oracle="""
+    WITH cost AS (
+      SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           ROUND(ps.supplycost, 4) AS supplycost,
+           ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM part p
+    JOIN cost ps    ON ps.partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 20 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+      AND ps.supplycost = (
+        SELECT MIN(c2.supplycost)
+        FROM cost c2
+        JOIN supplier s2 ON s2.s_suppkey = c2.suppkey
+        JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+        WHERE c2.partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) — the correlated-MIN-subquery
+    archetype: for each qualifying part, the European supplier(s) whose
+    emulated supply cost (min observed unit price for the pair) equals
+    the part's regional minimum. Catalyst decorrelates the MIN into a
+    per-part aggregate joined back; the cost comparison is between
+    MIN-aggregates of identical doubles, so exact equality is
+    engine-stable."""
+    _view(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    return spark.sql(
+        """
+        WITH cost AS (
+          SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+                 MIN(l_extendedprice / l_quantity) AS supplycost
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT s.s_name, n.n_name, p.p_partkey, p.p_brand,
+               ROUND(ps.supplycost, 4) AS supplycost,
+               ROUND(s.s_acctbal, 2) AS s_acctbal
+        FROM part p
+        JOIN cost ps    ON ps.partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = ps.suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_size <= 20 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+          AND ps.supplycost = (
+            SELECT MIN(c2.supplycost)
+            FROM cost c2
+            JOIN supplier s2 ON s2.s_suppkey = c2.suppkey
+            JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+            JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+            WHERE c2.partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "sql_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper (local-supplier volume), as raw SQL — unlike the
+    DataFrame `join_star_q5`, this carries the LOCAL-supplier equi-
+    condition (customer and supplier share a nation) inside the supplier
+    join, which is what makes Q5 a 6-table snowflake rather than a plain
+    star. n_name tie-break keeps the ORDER deterministic."""
+    _view(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+        """
+    )
+
+
+@register(
+    "sql_tpch_q9",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) / 100 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             year(o.o_orderdate) AS o_year,
+             CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                   - 0.6e0 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT)
+               AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%rod%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year). The supply-cost
+    term is emulated as 0.6 x retail price per unit (no partsupp table);
+    the shape — a 5-table join with a LIKE part filter feeding a
+    two-level grouped profit rollup — is intact, and the LIKE predicate
+    still prunes part before the join. Per-row amounts are floored to
+    integer cents BEFORE the sum and the group total is exact BIGINT
+    arithmetic: raw double sums measurably straddled a half-cent ROUND
+    boundary across engines (...306.69 vs ...306.70), and even per-row
+    ROUND diverges at ties because the engines' rounding paths differ —
+    FLOOR on identical doubles is the operation both engines compute
+    identically."""
+    _view(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    return spark.sql(
+        """
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) / 100 AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 year(o.o_orderdate) AS o_year,
+                 CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                       - 0.6 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT)
+                   AS amount
+          FROM lineitem l
+          JOIN part p     ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN nation n   ON n.n_nationkey = s.s_nationkey
+          WHERE p.p_name LIKE '%rod%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+        """
+    )
+
+
+@register(
+    "sql_tpch_q11",
+    oracle="""
+    WITH inv AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(l.l_quantity * p.p_retailprice) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE s.s_nationkey IN (5, 6)
+      GROUP BY 1
+    )
+    SELECT partkey, ROUND(value, 2) AS value
+    FROM inv
+    WHERE value > (SELECT 0.005 * SUM(value) FROM inv)
+    ORDER BY value DESC, partkey
+    """,
+)
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) — the
+    HAVING-above-scalar-fraction archetype: per-part inventory value for
+    two nations' suppliers, kept only where it exceeds 0.5% of the
+    total. The scalar subquery re-aggregates the SAME CTE, which both
+    planners evaluate once and broadcast; value is emulated as shipped
+    quantity x retail price (no partsupp)."""
+    _view(spark, sf_dir, "lineitem", "supplier", "part")
+    return spark.sql(
+        """
+        WITH inv AS (
+          SELECT l.l_partkey AS partkey,
+                 SUM(l.l_quantity * p.p_retailprice) AS value
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN part p     ON p.p_partkey = l.l_partkey
+          WHERE s.s_nationkey IN (5, 6)
+          GROUP BY 1
+        )
+        SELECT partkey, ROUND(value, 2) AS value
+        FROM inv
+        WHERE value > (SELECT 0.005 * SUM(value) FROM inv)
+        ORDER BY value DESC, partkey
+        """
+    )
+
+
+@register(
+    "sql_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) — the view-plus-MAX-subquery archetype:
+    quarterly revenue per supplier, returning the one(s) achieving the
+    maximum. The equality compares values ROUNDed identically on both
+    sides of the same CTE, so ties and float noise cannot split
+    engines."""
+    _view(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+@register(
+    "sql_tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) — the NOT-IN-subquery +
+    COUNT DISTINCT archetype: distinct supplier counts per part
+    attribute bucket, excluding deny-listed suppliers (negative balance
+    stands in for the spec's complaints LIKE filter). The NOT IN becomes
+    a null-aware anti join; the distinct count is the expand-then-
+    partial-agg plan."""
+    _view(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+@register(
+    "sql_tpch_q20",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+      )
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > 60
+    )
+    ORDER BY s.s_name
+    """,
+)
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) — the nested-IN archetype:
+    suppliers who moved more than a volume threshold of any 'blue%' part
+    in a year. Availability (partsupp.ps_availqty) is emulated by
+    shipped volume; the two-level IN nesting (supplier in group-filtered
+    lineitem, part in LIKE-filtered part) survives and both levels
+    decorrelate to semi joins."""
+    _view(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s.s_name, n.n_name
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+          )
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(l.l_quantity) > 60
+        )
+        ORDER BY s.s_name
+        """
+    )
+
+
+@register(
+    "sql_tpch_q21",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the hardest
+    archetype: EXISTS and NOT EXISTS against the SAME fact table under
+    different correlated predicates, identifying the sole supplier that
+    shipped late (>90 days after ordering, standing in for the missing
+    receipt/commit dates) on a multi-supplier finished order. Both
+    subqueries decorrelate to one semi and one anti join on l_orderkey,
+    so lineitem is scanned three times but joined, never per-row."""
+    _view(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+        """
+    )
