@@ -1423,3 +1423,150 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_g1"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_g2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_theilsen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             ROUND(SUM(value), 4) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) / (b.day_idx - a.day_idx) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day_idx < b.day_idx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS theil_slope
+    FROM slopes GROUP BY event_type
+    """,
+)
+def agg_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type: the MEDIAN of all
+    pairwise slopes of the daily-revenue series — up to ~29% outlier
+    breakdown vs OLS's zero (Sen 1968), the standard robust alternative
+    to `agg_linreg`'s regression slope.
+
+    Scale: the pair join is per-group over the PRE-AGGREGATED daily
+    series (O(days^2) pairs per type, days bounded by the calendar —
+    the same contraction events_acf relies on), never over raw events;
+    the median is an exact percentile on the grouped frame. Daily totals
+    are rounded to 4dp first so both engines difference identical
+    doubles; day indexes are tz-free epoch arithmetic."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("day_idx"),
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day_idx") < F.col("b.day_idx")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.day_idx") - F.col("a.day_idx"))).alias(
+            "slope"
+        ),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theil_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization (round 6)
+# ---------------------------------------------------------------------------
+_SAX_W = 7          # PAA bucket width in days
+_SAX_BP = 0.6745    # Gaussian quartile breakpoints: -bp, 0, +bp -> a..d
+
+
+@register(
+    "events_sax",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, AVG(y) AS mu,
+             sqrt(AVG(y * y) - AVG(y) * AVG(y)) AS sigma,
+             MIN(day_idx) AS d0
+      FROM daily GROUP BY event_type
+    ),
+    paa AS (
+      SELECT d.event_type,
+             (d.day_idx - s.d0) // {_SAX_W} AS bucket_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             (AVG(d.y) - ANY_VALUE(s.mu)) / ANY_VALUE(s.sigma) AS z
+      FROM daily d JOIN stats s USING (event_type)
+      GROUP BY 1, 2
+    )
+    SELECT event_type, bucket_idx, n_days, ROUND(z, 6) AS paa_z,
+           CASE WHEN z < -{_SAX_BP} THEN 'a'
+                WHEN z < 0 THEN 'b'
+                WHEN z < {_SAX_BP} THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM paa
+    """,
+)
+def events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003): z-normalize
+    each event type's daily-count series, Piecewise-Aggregate-Approximate
+    it into {_SAX_W}-day buckets, and map each bucket mean to one of four
+    symbols at the Gaussian quartile breakpoints (±{_SAX_BP}, 0) — the
+    classic time-series-to-string reduction that turns subsequence
+    matching / motif discovery into cheap string algorithms.
+
+    Scale: everything happens on the O(types x days) pre-aggregated
+    frame; the z-normalization constants are one more grouped aggregate
+    joined back (broadcast — O(types) rows). sigma uses the explicit
+    sqrt(E[y^2] - E[y]^2) spelling in BOTH engines rather than their
+    differing native stddev implementations."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("day_idx"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("y").alias("mu"),
+        F.sqrt(F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias("sigma"),
+        F.min("day_idx").alias("d0"),
+    )
+    paa = (
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy(
+            "event_type",
+            F.floor((F.col("day_idx") - F.col("d0")) / _SAX_W).alias("bucket_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            ((F.avg("y") - F.first("mu")) / F.first("sigma")).alias("z"),
+        )
+    )
+    sym = (
+        F.when(F.col("z") < -_SAX_BP, "a")
+        .when(F.col("z") < 0, "b")
+        .when(F.col("z") < _SAX_BP, "c")
+        .otherwise("d")
+    )
+    return paa.select(
+        "event_type",
+        "bucket_idx",
+        "n_days",
+        F.round("z", 6).alias("paa_z"),
+        sym.alias("symbol"),
+    )

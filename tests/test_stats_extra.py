@@ -258,3 +258,51 @@ def test_dsir_weights_separate_target_from_rest(spark):
     assert sum(en) / len(en) > sum(rest) / len(rest)
     # selection flag is consistent with the weight
     assert all((r["dsir_logweight"] > 0) == r["selected"] for r in rows)
+
+
+def test_theilsen_pair_counts_and_sax_shape(spark):
+    from fits2db_spark.operators.stats import agg_theilsen, events_sax
+    from tests.conftest import SF_SMOKE
+
+    ts = {r["event_type"]: r for r in agg_theilsen(spark, SF_SMOKE).collect()}
+    assert ts, "no event types"
+    from fits2db_spark.tables import load
+    from pyspark.sql import functions as F
+
+    days = {
+        r["event_type"]: r["nd"]
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(
+                F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            ).alias("nd")
+        )
+        .collect()
+    }
+    for et, r in ts.items():
+        n = days[et]
+        assert r["n_pairs"] == n * (n - 1) // 2
+
+    sax = events_sax(spark, SF_SMOKE).collect()
+    assert sax
+    assert all(1 <= r["n_days"] <= 7 for r in sax)
+    assert {r["symbol"] for r in sax} <= {"a", "b", "c", "d"}
+    # symbol is consistent with the z value it was derived from
+    for r in sax:
+        z = r["paa_z"]
+        want = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        # boundary rows rounded to 6dp may sit exactly on a breakpoint;
+        # re-derive with a tolerance window instead of failing on them
+        if abs(abs(z) - 0.6745) > 1e-5 and abs(z) > 1e-5:
+            assert r["symbol"] == want, r
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from fits2db_spark.operators.aggregates import agg_hll_deterministic
+    from tests.conftest import SF_SMOKE
+
+    row = agg_hll_deterministic(spark, SF_SMOKE).collect()[0]
+    rel = abs(row["hll_estimate"] - row["true_distinct"]) / row["true_distinct"]
+    # 1.04/sqrt(512) ~ 4.6% expected; allow 3 sigma
+    assert rel < 0.15, (row, rel)
