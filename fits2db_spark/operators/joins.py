@@ -988,3 +988,103 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash-prefix proximity join (round 6)
+# ---------------------------------------------------------------------------
+_GHJ_PREFIX_BITS = 10  # 2 geohash chars: 5 lon + 5 lat bits -> ~11x6 deg cells
+_GHJ_RADIUS_DEG = 3.0
+
+
+@register(
+    "join_geohash_prefix",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey AS id,
+             ((CAST(c_custkey AS DOUBLE) * 137.50776405) % 360.0) - 180.0 AS lon,
+             (((CAST(c_custkey AS DOUBLE) * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+               AS lat
+      FROM customer
+    ),
+    idx AS (
+      SELECT id, lon, lat,
+             LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767)
+               AS lon_idx,
+             LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767)
+               AS lat_idx
+      FROM base
+    ),
+    coded AS (
+      SELECT id, lon, lat,
+             ((((lat_idx >> 0) & 1) << 0) + (((lon_idx >> 0) & 1) << 1) + (((lat_idx >> 1) & 1) << 2) + (((lon_idx >> 1) & 1) << 3) + (((lat_idx >> 2) & 1) << 4) + (((lon_idx >> 2) & 1) << 5) + (((lat_idx >> 3) & 1) << 6) + (((lon_idx >> 3) & 1) << 7) + (((lat_idx >> 4) & 1) << 8) + (((lon_idx >> 4) & 1) << 9) + (((lat_idx >> 5) & 1) << 10) + (((lon_idx >> 5) & 1) << 11) + (((lat_idx >> 6) & 1) << 12) + (((lon_idx >> 6) & 1) << 13) + (((lat_idx >> 7) & 1) << 14) + (((lon_idx >> 7) & 1) << 15) + (((lat_idx >> 8) & 1) << 16) + (((lon_idx >> 8) & 1) << 17) + (((lat_idx >> 9) & 1) << 18) + (((lon_idx >> 9) & 1) << 19) + (((lat_idx >> 10) & 1) << 20) + (((lon_idx >> 10) & 1) << 21) + (((lat_idx >> 11) & 1) << 22) + (((lon_idx >> 11) & 1) << 23) + (((lat_idx >> 12) & 1) << 24) + (((lon_idx >> 12) & 1) << 25) + (((lat_idx >> 13) & 1) << 26) + (((lon_idx >> 13) & 1) << 27) + (((lat_idx >> 14) & 1) << 28) + (((lon_idx >> 14) & 1) << 29)) >> 20 AS prefix_cell
+      FROM idx
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.prefix_cell,
+           ROUND(sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                      + (a.lat - b.lat) * (a.lat - b.lat)), 6) AS dist_deg
+    FROM coded a JOIN coded b
+      ON a.prefix_cell = b.prefix_cell AND a.id < b.id
+    WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
+               + (a.lat - b.lat) * (a.lat - b.lat)) <= {_GHJ_RADIUS_DEG}
+    """,
+)
+def join_geohash_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity self-join via geohash-prefix bucketing: two points can
+    only pair if they share the top {_GHJ_PREFIX_BITS} interleaved bits
+    (= 2 geohash characters), turning the quadratic all-pairs distance
+    join into a per-cell equi-join + exact distance verify — the same
+    band-then-verify shape as the zone-algorithm `join_xmatch_zone` and
+    the LSH dedups, with the geohash cell as the band key.
+
+    Known recall caveat (documented, inherent to single-cell prefix
+    joins): near pairs straddling a cell boundary are missed; production
+    probes the 8 neighbor cells too (one extra explode, same plan). The
+    distance here is planar degrees on the pseudo-sky — the pruning
+    pattern, not great-circle geometry, is what this operator pins.
+    Scale: the equi-join shuffles on the cell key, hot cells bounded by
+    cell area; exact verify runs only inside cells."""
+    from .etl import _interleave_col
+
+    c = load(spark, sf_dir, "customer")
+    lon = ((F.col("c_custkey").cast("double") * 137.50776405) % 360.0) - 180.0
+    lat = (((F.col("c_custkey").cast("double") * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+    idx = c.select(
+        F.col("c_custkey").alias("id"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        F.least(
+            F.floor((lon + 180.0) / 360.0 * 32768.0).cast("long"), F.lit(32767)
+        ).alias("lon_idx"),
+        F.least(
+            F.floor((lat + 90.0) / 180.0 * 32768.0).cast("long"), F.lit(32767)
+        ).alias("lat_idx"),
+    )
+    coded = idx.select(
+        "id",
+        "lon",
+        "lat",
+        F.shiftright(
+            _interleave_col(F.col("lat_idx"), F.col("lon_idx"), 15),
+            30 - _GHJ_PREFIX_BITS,
+        ).alias("prefix_cell"),
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    dist = F.sqrt(
+        (F.col("a.lon") - F.col("b.lon")) * (F.col("a.lon") - F.col("b.lon"))
+        + (F.col("a.lat") - F.col("b.lat")) * (F.col("a.lat") - F.col("b.lat"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.prefix_cell") == F.col("b.prefix_cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(dist <= _GHJ_RADIUS_DEG)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.prefix_cell").alias("prefix_cell"),
+            F.round(dist, 6).alias("dist_deg"),
+        )
+    )
