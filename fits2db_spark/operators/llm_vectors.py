@@ -1003,3 +1003,178 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= topk)
         .select("query_id", "neighbor_id", F.round("ad", 6).alias("pq_dist2"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (round 6)
+# ---------------------------------------------------------------------------
+_MMR_LAMBDA = 0.7
+_MMR_K = 4      # greedy selections per query
+_MMR_TOPN = 10  # relevance shortlist per query
+_MMR_NQ = 3     # query vectors: vec_id < 3
+
+
+def _mmr_oracle() -> str:
+    lam, om = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    steps = []
+    for t in range(1, _MMR_K + 1):
+        if t == 1:
+            prev_all = None
+            ms = f"""
+    ms1 AS MATERIALIZED (
+      SELECT query_id, cand_id, 0.0e0 AS max_sim FROM cand
+    )"""
+        else:
+            prev_all = " UNION ALL ".join(
+                f"SELECT query_id, cand_id FROM sel{j}" for j in range(1, t)
+            )
+            ms = f"""
+    selall{t} AS MATERIALIZED ({prev_all}),
+    ms{t} AS MATERIALIZED (
+      SELECT c.query_id, c.cand_id, MAX(p.sim) AS max_sim
+      FROM cand c
+      LEFT JOIN selall{t} d
+        ON d.query_id = c.query_id AND d.cand_id = c.cand_id
+      JOIN selall{t} s ON s.query_id = c.query_id
+      JOIN pair p ON p.query_id = c.query_id
+                 AND p.c1 = c.cand_id AND p.c2 = s.cand_id
+      WHERE d.cand_id IS NULL
+      GROUP BY 1, 2
+    )"""
+        steps.append(
+            ms
+            + f""",
+    sel{t} AS MATERIALIZED (
+      SELECT query_id, cand_id, {t} AS rk, mmr_micro FROM (
+        SELECT c.query_id, c.cand_id,
+               CAST(FLOOR(({lam}e0 * c.rel - {om}e0 * m.max_sim) * 1000000)
+                    AS BIGINT) AS mmr_micro,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY FLOOR(({lam}e0 * c.rel - {om}e0 * m.max_sim) * 1000000)
+                            DESC,
+                          c.cand_id) AS rn
+        FROM cand c JOIN ms{t} m
+          ON m.query_id = c.query_id AND m.cand_id = c.cand_id
+      ) x WHERE rn = 1
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM sel{t}" for t in range(1, _MMR_K + 1))
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {_MMR_NQ}
+    ),
+    cand AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT q.query_id, c.vec_id AS cand_id, c.embedding AS c_emb,
+               ROUND({_d_cos('q.q_emb', 'c.embedding')}, 6) AS rel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_d_cos('q.q_emb', 'c.embedding')} DESC, c.vec_id) AS rn
+        FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.query_id
+      ) t WHERE rn <= {_MMR_TOPN}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.query_id, a.cand_id AS c1, b.cand_id AS c2,
+             {_d_cos('a.c_emb', 'b.c_emb')} AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+    ),{",".join(steps)}
+    SELECT query_id, cand_id, rk,
+           CAST(mmr_micro AS DOUBLE) / 1000000 AS mmr FROM ({union}) z
+    """
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick {_MMR_K} of each query's top-{_MMR_TOPN} cosine
+    candidates, each step maximizing lambda*relevance -
+    (1-lambda)*max-similarity-to-already-selected — the standard
+    diversity re-ranker between ANN retrieval and a RAG context window.
+
+    Greedy selection is inherently sequential, but each step is a
+    CONSTANT-SIZE relational operation over the per-query shortlist
+    ({_MMR_TOPN} rows/query): the {_MMR_K} steps unroll statically into
+    one Catalyst plan (anti-join to drop already-selected, max-sim
+    aggregate against the selected set, ROUND-6 argmax window with
+    cand_id tie-break), exactly like the unrolled Lloyd/peel rounds
+    elsewhere in this repo. At 100 TB the shortlists come from the ANN
+    family (IVF/PQ/binary) and MMR cost stays O(queries * k * topn) —
+    independent of corpus size. The oracle unrolls the same steps with
+    MATERIALIZED CTEs."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rel = _cos(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rel_raw").desc(), "cand_id")
+    cand = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("cand_id"), "embedding"))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", F.col("embedding").alias("c_emb"),
+            rel.alias("rel_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_TOPN)
+        .select("query_id", "cand_id", "c_emb", F.round("rel_raw", 6).alias("rel"))
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.cand_id") != F.col("b.cand_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.cand_id").alias("c1"),
+        F.col("b.cand_id").alias("c2"),
+        _cos(F.col("a.c_emb"), F.col("b.c_emb")).alias("sim"),
+    )
+    lam, om = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    selected = None
+    slim = cand.select("query_id", "cand_id", "rel")
+    for t in range(1, _MMR_K + 1):
+        if selected is None:
+            ms = slim.withColumn("max_sim", F.lit(0.0))
+        else:
+            sel_keys = selected.select("query_id", F.col("cand_id").alias("s_id"))
+            remaining = slim.join(
+                selected.select("query_id", "cand_id"), ["query_id", "cand_id"],
+                "left_anti",
+            )
+            ms = (
+                remaining.join(sel_keys, "query_id")
+                .join(
+                    pair,
+                    (pair.query_id == remaining.query_id)
+                    & (pair.c1 == remaining.cand_id)
+                    & (pair.c2 == F.col("s_id")),
+                )
+                .groupBy(remaining.query_id, remaining.cand_id, remaining.rel)
+                .agg(F.max("sim").alias("max_sim"))
+            )
+        # floor-to-micro integer score: ROUND diverges across engines at
+        # shortest-repr half boundaries (measured: 0.26004 vs 0.260039);
+        # FLOOR on identical doubles is exact in both
+        mmr_micro = F.floor(
+            (lam * F.col("rel") - om * F.col("max_sim")) * 1000000
+        ).cast("long")
+        ww = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_micro").desc(), "cand_id"
+        )
+        step = (
+            ms.withColumn("mmr_micro", mmr_micro)
+            .withColumn("rn", F.row_number().over(ww))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(t).alias("rk"),
+                (F.col("mmr_micro").cast("double") / 1000000).alias("mmr"),
+            )
+        )
+        selected = step if selected is None else selected.unionByName(step)
+    return selected

@@ -84,3 +84,46 @@ def test_binary_ann_recall_vs_bruteforce(spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5, recall
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """MMR picks must (a) come from the relevance shortlist, (b) start with
+    the top-relevance item, and (c) be no LESS diverse than taking the
+    plain top-4 by relevance (lower mean pairwise cosine)."""
+    import itertools
+
+    import numpy as np
+
+    from fits2db_spark.operators.llm_vectors import sim_mmr_rerank
+    from fits2db_spark.tables import load
+
+    rows = sim_mmr_rerank(spark, SF_SMOKE).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype="f8")
+        for r in load(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qid in {r["query_id"] for r in rows}:
+        sel = sorted(
+            [r for r in rows if r["query_id"] == qid], key=lambda r: r["rk"]
+        )
+        assert len(sel) == 4
+        q = emb[qid]
+        rel = sorted(
+            ((cos(q, v), k) for k, v in emb.items() if k != qid), reverse=True
+        )
+        top10 = {k for _, k in rel[:10]}
+        assert {r["cand_id"] for r in sel} <= top10
+        assert sel[0]["cand_id"] == rel[0][1]
+
+        def mean_pair_sim(ids):
+            return float(
+                np.mean([cos(emb[a], emb[b]) for a, b in itertools.combinations(ids, 2)])
+            )
+
+        mmr_div = mean_pair_sim([r["cand_id"] for r in sel])
+        plain_div = mean_pair_sim([k for _, k in rel[:4]])
+        assert mmr_div <= plain_div + 1e-9, (qid, mmr_div, plain_div)
