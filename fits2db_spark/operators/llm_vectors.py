@@ -1178,3 +1178,118 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = step if selected is None else selected.unionByName(step)
     return selected
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration leading eigenvector (round 6)
+# ---------------------------------------------------------------------------
+_PI_ROUNDS = 8
+
+
+def _power_iter_oracle() -> str:
+    rounds = []
+    for t in range(1, _PI_ROUNDS + 1):
+        rounds.append(f"""
+    w{t} AS MATERIALIZED (
+      SELECT c.i, SUM(c.c * v.val) AS w
+      FROM cov c JOIN v{t - 1} v ON v.j = c.j GROUP BY c.i
+    ),
+    n{t} AS MATERIALIZED (SELECT sqrt(SUM(w * w)) AS nrm FROM w{t}),
+    v{t} AS MATERIALIZED (
+      SELECT i AS j, w / nrm AS val FROM w{t} CROSS JOIN n{t}
+    )""")
+    return f"""
+    WITH comps AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    mu AS MATERIALIZED (SELECT i, AVG(x) AS m FROM comps GROUP BY i),
+    cov AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             AVG(a.x * b.x) - ma.m * mb.m AS c
+      FROM comps a
+      JOIN comps b ON a.vec_id = b.vec_id
+      JOIN mu ma ON ma.i = a.i
+      JOIN mu mb ON mb.i = b.i
+      GROUP BY a.i, b.i, ma.m, mb.m
+    ),
+    v0 AS (SELECT unnest(generate_series(1, {_DIM})) AS j, 1.0e0 AS val),
+    {",".join(rounds)}
+    SELECT v.j AS component, ROUND(v.val, 6) AS loading,
+           ROUND(n.nrm, 6) AS eigenvalue
+    FROM v{_PI_ROUNDS} v CROSS JOIN n{_PI_ROUNDS} n
+    """
+
+
+@register("vec_power_iteration", oracle=_power_iter_oracle())
+def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading covariance eigenvector via {_PI_ROUNDS} statically-unrolled
+    power-iteration rounds — the deterministic, fully-relational sibling
+    of the rows-only `vec_pca_evr` (whose LAPACK eigendecomposition no
+    SQL engine reproduces): v_t+1 = normalize(C v_t) from an all-ones
+    start, eigenvalue = the final pre-normalization norm (||C v|| for
+    unit v). Every step is matrix algebra as relations — the covariance
+    is a (i, j, value) table built with one self-join-on-vec_id
+    aggregate, each round one join + groupBy over {_DIM}x{_DIM} rows —
+    so the oracle runs the IDENTICAL arithmetic and the result is
+    hash-checked, unlike any eig() call.
+
+    Scale: C is a {_DIM}x{_DIM} aggregate of the data (one pass,
+    partial-agg'd; at 100 TB this is the standard Gram-matrix reduce),
+    and the iteration itself touches only the {_DIM}x{_DIM} table —
+    driver-independent, persisted once per (session, sf)."""
+    e = load(spark, sf_dir, "embeddings")
+    key = ("powiter", getattr(spark.sparkContext, "applicationId", ""), sf_dir)
+    cov = _PQ_FIT_CACHE.get(key)
+    if cov is None:
+        comps = e.select(
+            "vec_id", F.posexplode("embedding").alias("p", "x")
+        ).select("vec_id", (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+        mu = comps.groupBy("i").agg(F.avg("x").alias("m"))
+        a, b = comps.alias("a"), comps.alias("b")
+        cov = (
+            a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+            .agg(F.avg(F.col("a.x") * F.col("b.x")).alias("exx"))
+            .join(F.broadcast(mu.withColumnRenamed("i", "i").withColumnRenamed("m", "ma")), "i")
+            .join(
+                F.broadcast(
+                    mu.withColumnRenamed("i", "j").withColumnRenamed("m", "mb")
+                ),
+                "j",
+            )
+            .select("i", "j", (F.col("exx") - F.col("ma") * F.col("mb")).alias("c"))
+            .persist()
+        )
+        _PQ_FIT_CACHE[key] = cov
+    # Each round's 64-row vector is collected and re-broadcast as literals
+    # (the sanctioned bounded-driver-state pattern shared with vec_kmeans:
+    # O(dim) doubles/round). Leaving the rounds lazy doubles the plan per
+    # round (~512 chained shuffle aggregates for 8 rounds — measured 160s+
+    # at sf0.01); materializing keeps it at 8 small jobs. The matvec SUM
+    # itself stays distributed, so the arithmetic matches the oracle's.
+    import math
+
+    v_rows = [(j, 1.0) for j in range(1, _DIM + 1)]
+    nrm_val = None
+    for _ in range(_PI_ROUNDS):
+        v = spark.createDataFrame(v_rows, "j bigint, val double")
+        w_rows = sorted(
+            (r["i"], r["w"])
+            for r in cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("val")).alias("w"))
+            .collect()
+        )
+        nrm_val = math.sqrt(math.fsum(w * w for _, w in w_rows))
+        v_rows = [(i, w / nrm_val) for i, w in w_rows]
+    out = spark.createDataFrame(
+        [(j, val, nrm_val) for j, val in v_rows],
+        "component bigint, loading double, eigenvalue double",
+    )
+    return out.select(
+        F.col("component").cast("int").alias("component"),
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )

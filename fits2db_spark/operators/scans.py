@@ -588,3 +588,67 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: load(spark, sf_dir, "nation").write.mode("overwrite").orc(p),
     )
     return spark.read.schema(SCHEMAS["nation"]).orc(out)
+
+
+# Fixed-width layout for the customer interchange file (round 6): archival
+# pipelines (and FITS ASCII tables) exchange column-aligned text; positions
+# are 1-based [start, length] as a COBOL-style copybook would declare them.
+_FW_COLS = (
+    ("c_custkey", 1, 10),
+    ("c_name", 11, 22),
+    ("c_nationkey", 33, 4),
+    ("c_acctbal", 37, 12),
+    ("c_mktsegment", 49, 10),
+)
+
+
+@register(
+    "scan_fixed_width",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text ingest — the column-aligned interchange format of
+    mainframe extracts and FITS ASCII tables (sources/fits.py reads the
+    latter from real FITS bytes; this is the bare-text cousin): stage the
+    customer table as one aligned line per row, read it back with
+    ``spark.read.text`` + per-column ``substring``/``trim``/``cast``.
+    Everything after the text scan is a narrow codegen'd projection —
+    at 100 TB this beats a per-row Python parser by the usual UDF
+    margins, and the substring map doubles as the copybook documentation.
+    Round-trips exactly (acctbal printed at 2dp, the table's own
+    precision)."""
+    def write(out_dir: str) -> None:
+        line = F.concat(
+            F.rpad(F.col("c_custkey").cast("string"), 10, " "),
+            F.rpad(F.col("c_name"), 22, " "),
+            F.rpad(F.col("c_nationkey").cast("string"), 4, " "),
+            F.rpad(F.format_number(F.col("c_acctbal"), 2), 12, " "),
+            F.rpad(F.col("c_mktsegment"), 10, " "),
+        )
+        load(spark, sf_dir, "customer").select(line.alias("value")).write.mode(
+            "overwrite"
+        ).text(out_dir)
+
+    out = _scratch_dir(spark, sf_dir, "customer_fixedwidth", write)
+    raw = spark.read.text(out)
+    cols = []
+    for name, start, width in _FW_COLS:
+        c = F.trim(F.substring("value", start, width))
+        if name in ("c_custkey", "c_nationkey"):
+            c = c.cast("long" if name == "c_custkey" else "int")
+        elif name == "c_acctbal":
+            c = F.regexp_replace(c, ",", "").cast("double")
+        cols.append(c.alias(name))
+    out_df = raw.select(*cols)
+    # fixture schema: custkey/nationkey widths per tables.SCHEMAS
+    return out_df.select(
+        F.col("c_custkey").cast(SCHEMAS["customer"]["c_custkey"].dataType),
+        "c_name",
+        F.col("c_nationkey").cast(SCHEMAS["customer"]["c_nationkey"].dataType),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
