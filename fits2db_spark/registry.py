@@ -119,12 +119,45 @@ _PRIORITY_QUERIES = (
     "scan_csv_corrupt",
     "fn_mask",
     "graph_node_similarity",
-    # (b) code changed in round 6 — need fresh driver rows
+    # (b) code changed or newly registered in round 6 — need fresh driver
+    # rows (queued behind the (a) spill for the round-7 window)
     "orders_rfm",
     "cms_heavy_hitters",
     "spatial_nest",
     "spatial_cols",
     "join_star_q5",
+    "spatial_geohash",
+    "text_bm25",
+    "join_bloom_filter",
+    "sim_ann_binary",
+    "graph_kcore",
+    "text_importance_dsir",
+    "agg_hll_deterministic",
+    "agg_theilsen",
+    "events_sax",
+    "dedup_incremental_minhash",
+    "join_geohash_prefix",
+    "sim_mmr_rerank",
+    "scan_fixed_width",
+    "vec_power_iteration",
+    "sql_tpch_q2",
+    "sql_tpch_q4",
+    "sql_tpch_q5",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q10",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q13",
+    "sql_tpch_q14",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q19",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
+    "sql_tpch_q22",
     # (c) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
