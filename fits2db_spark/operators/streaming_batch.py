@@ -514,3 +514,41 @@ def stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import deprioritize  # noqa: E402
 
 deprioritize("stream_windowed_topk")
+
+
+@register(
+    "stream_live_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type,
+           ROUND(e.value, 4) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_live_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-static enrichment join — the lookup-table pattern every
+    streaming pipeline runs (enrich each event with its user's dimension
+    row): the staged event stream joins the STATIC customer table on
+    user_id, row-level, append mode (no aggregation state at all). Spark
+    re-plans the static side per micro-batch, broadcasting the dimension —
+    at scale the static side refresh cadence is the micro-batch boundary,
+    which is exactly how slowly-changing lookup tables are consumed by
+    streams. The oracle is the plain batch join, because stream-static
+    inner joins are exactly-once row-equivalent to their batch form."""
+    ev_dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    from ..streaming.live import events_stream
+
+    key = _live_key(spark, sf_dir, "enrich")
+    if key in _LIVE_DONE:
+        return spark.table(_LIVE_DONE[key])
+    staging = _staged_events_dir(spark, sf_dir)
+    stream = events_stream(spark, staging, max_files_per_trigger=1)
+    enriched = stream.join(F.broadcast(ev_dim), "user_id").select(
+        "event_id",
+        "user_id",
+        "c_mktsegment",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    return _drain_live(spark, key, "live_enrich", enriched, "append")

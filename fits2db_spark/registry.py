@@ -140,6 +140,7 @@ _PRIORITY_QUERIES = (
     "sim_mmr_rerank",
     "scan_fixed_width",
     "vec_power_iteration",
+    "stream_live_enrich",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
