@@ -357,3 +357,123 @@ def sim_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two ANN rankings (round 6)
+# ---------------------------------------------------------------------------
+_RRF_K = 60       # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_DEPTH = 20   # per-list depth fused
+_RRF_TOPK = 10
+_RRF_NQ = 3
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, embedding, ({_BQ_CODE_SQL}) AS code FROM embeddings
+    ),
+    q AS (SELECT * FROM codes WHERE vec_id < {_RRF_NQ}),
+    pairs AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_d_cos('q.embedding', 'c.embedding')} AS cos,
+             bit_count(xor(q.code, c.code)) AS hamming
+      FROM q JOIN codes c ON q.vec_id <> c.vec_id
+    ),
+    rank_cos AS (
+      SELECT query_id, cand_id, rn AS r FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rn
+        FROM pairs) t WHERE rn <= {_RRF_DEPTH}
+    ),
+    rank_ham AS (
+      SELECT query_id, cand_id, rn AS r FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, cand_id) AS rn
+        FROM pairs) t WHERE rn <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT query_id, cand_id,
+             CAST(FLOOR(SUM(1.0e0 / ({_RRF_K} + r)) * 1000000000) AS BIGINT)
+               AS rrf_nano,
+             CAST(COUNT(*) AS INT) AS n_lists
+      FROM (SELECT * FROM rank_cos UNION ALL SELECT * FROM rank_ham) u
+      GROUP BY query_id, cand_id
+    )
+    SELECT query_id, cand_id,
+           CAST(rrf_nano AS DOUBLE) / 1000000000 AS rrf_score,
+           n_lists, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_nano DESC, cand_id) AS rk
+      FROM fused) z
+    WHERE rk <= {_RRF_TOPK}
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    retrieval lists per query — exact cosine and binary-code Hamming —
+    score(d) = sum over lists 1/({_RRF_K} + rank). RRF is the standard
+    hybrid-search combiner (it needs only RANKS, so heterogeneous scorers
+    fuse without calibration) used between lexical and vector legs in
+    production search stacks; here the two legs are the repo's own exact
+    and 1-bit ANN rankings, so the whole operator stays hash-checkable.
+
+    Plan: one bounded pair frame feeds BOTH rankings (each a per-query
+    WindowGroupLimit at depth {_RRF_DEPTH}), a union + groupBy fuses, and
+    scores rank as floor-nano integers (ROUND diverges across engines at
+    shortest-repr half boundaries — same lesson as sim_mmr_rerank). At
+    100 TB each leg is its own ANN query and fusion touches only
+    O(queries x depth) rows."""
+    e = load(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id", "embedding", _bq_code_col(F.col("embedding")).alias("code")
+    )
+    q = codes.filter(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("code").alias("q_code"),
+    )
+    pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        _cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        F.bit_count(F.col("q_code").bitwiseXOR(F.col("code"))).alias("hamming"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    wh = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    rank_cos = (
+        pairs.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("query_id", "cand_id", "r")
+    )
+    rank_ham = (
+        pairs.withColumn("r", F.row_number().over(wh))
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("query_id", "cand_id", "r")
+    )
+    fused = (
+        rank_cos.unionByName(rank_ham)
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.floor(F.sum(1.0 / (_RRF_K + F.col("r"))) * 1e9)
+            .cast("long")
+            .alias("rrf_nano"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("rrf_nano").desc(), "cand_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("rrf_nano").cast("double") / 1e9).alias("rrf_score"),
+            "n_lists",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -1570,3 +1570,100 @@ def events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).alias("paa_z"),
         sym.alias("symbol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap CI (round 6)
+# ---------------------------------------------------------------------------
+_BOOT_B = 200    # resamples
+_BOOT_TRIALS = 4  # Binomial(4, 1/4) multiplicity ~ Poisson(1)
+
+
+def _boot_mult_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN CAST(concat('0x', substr(md5("
+        f"CAST(b.b AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR) || '#{k}'"
+        f"), 1, 15)) AS BIGINT) % {_BOOT_TRIALS} = 0 THEN 1 ELSE 0 END)"
+        for k in range(_BOOT_TRIALS)
+    )
+    return f"({terms})"
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH b AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+    weighted AS (
+      SELECT b.b, {_boot_mult_sql()} AS m, o_totalprice
+      FROM orders CROSS JOIN b
+    ),
+    means AS (
+      SELECT b, SUM(m * o_totalprice) / SUM(m) AS mean_b
+      FROM weighted GROUP BY b HAVING SUM(m) > 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n,
+           ROUND((SELECT AVG(o_totalprice) FROM orders), 4) AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           ROUND(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+           ROUND(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+    FROM means
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order price via the
+    POISSON bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams" — the Google formulation): instead of drawing
+    n indexed rows per resample (which needs a global row index and a
+    shuffle per resample), every row independently contributes a
+    Binomial({_BOOT_TRIALS}, 1/{_BOOT_TRIALS}) ~ Poisson(1) multiplicity
+    to each of {_BOOT_B} resamples. Multiplicities are md5-derived, so
+    the 'randomness' is a pure row function — deterministic,
+    engine-reproducible, reshuffle-proof (same convention as
+    split_train_test / sample_fraction).
+
+    Scale: the only data-sized operation is one explode x{_BOOT_B} +
+    partial-agg groupBy(b) — embarrassingly parallel, no row indexing,
+    no per-resample pass; that is exactly why Poisson bootstrap is THE
+    bootstrap at 100 TB. Resample means then fold to exact percentile
+    cutoffs on a {_BOOT_B}-row frame."""
+    from .llm_text import _h64 as _h  # cross-engine md5 hash
+
+    o = load(spark, sf_dir, "orders")
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    rows = o.select("o_orderkey", "o_totalprice", b)
+    mult = None
+    for k in range(_BOOT_TRIALS):
+        ind = (
+            _h(
+                F.concat_ws(
+                    "#",
+                    F.col("b").cast("string"),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(str(k)),
+                )
+            )
+            % _BOOT_TRIALS
+            == 0
+        ).cast("int")
+        mult = ind if mult is None else mult + ind
+    weighted = rows.select("b", mult.alias("m"), "o_totalprice")
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            (F.sum(F.col("m") * F.col("o_totalprice")) / F.sum("m")).alias("mean_b"),
+            F.sum("m").alias("sm"),
+        )
+        .filter(F.col("sm") > 0)
+    )
+    stats = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean"),
+    )
+    ci = means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.round(F.percentile("mean_b", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("mean_b", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+    return ci.crossJoin(F.broadcast(stats)).select(
+        "n", "mean", "n_resamples", "ci_lo", "ci_hi"
+    )

@@ -415,3 +415,131 @@ def agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_order"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Replication-sync primitives (round 6): content fingerprints + Merkle-style
+# bucket diff. Row hashes canonicalize floats to floored integer units first
+# (cent/bp) — double->string rendering is not identical across engines, but
+# FLOOR on identical doubles is.
+# ---------------------------------------------------------------------------
+_FP_MOD = 10**12  # per-row hash folded mod 1e12: 15k rows * 1e12 < int64 max
+
+
+def _orders_rowhash_sql(alias: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5("
+        f"CAST({alias}.o_orderkey AS VARCHAR) || '|' ||"
+        f"CAST({alias}.o_custkey AS VARCHAR) || '|' ||"
+        f"{alias}.o_orderstatus || '|' ||"
+        f"CAST(CAST(FLOOR({alias}.o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+        f" || '|' || CAST(CAST({alias}.o_orderdate AS DATE) AS VARCHAR)"
+        f"), 1, 15)) AS BIGINT) % {_FP_MOD}"
+    )
+
+
+def _orders_rowhash_col():
+    from ..operators.llm_text import _h64
+
+    return _h64(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            F.col("o_orderdate").cast("date").cast("string"),
+        )
+    ) % _FP_MOD
+
+
+@register(
+    "sync_merkle_buckets",
+    oracle=f"""
+    WITH primary_t AS (
+      SELECT *, {_orders_rowhash_sql('orders')} AS rh,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 256 AS bucket
+      FROM orders
+    ),
+    replica_t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    replica_h AS (
+      SELECT *, {_orders_rowhash_sql('replica_t')} AS rh,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 256 AS bucket
+      FROM replica_t
+    ),
+    pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  SUM(rh) % {_FP_MOD} AS fp
+           FROM primary_t GROUP BY bucket),
+    rb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  SUM(rh) % {_FP_MOD} AS fp
+           FROM replica_h GROUP BY bucket)
+    SELECT pb.bucket, pb.n_rows AS n_primary,
+           COALESCE(rb.n_rows, 0) AS n_replica,
+           CAST(pb.fp AS BIGINT) AS fp_primary,
+           CAST(COALESCE(rb.fp, -1) AS BIGINT) AS fp_replica
+    FROM pb LEFT JOIN rb USING (bucket)
+    WHERE rb.bucket IS NULL OR pb.n_rows <> rb.n_rows OR pb.fp <> rb.fp
+    """,
+)
+def sync_merkle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica reconciliation: hash-bucket every row by key
+    (256 buckets), fold each bucket's canonical row hashes into a
+    fingerprint on BOTH the primary and a drifted replica (simulated:
+    every 97th order's price bumped, every 101st order missing), and
+    report ONLY the divergent buckets — the content-addressed sync
+    primitive behind anti-entropy repair (Dynamo/Cassandra) and
+    cross-region table reconciliation.
+
+    Scale rationale: comparing two 100 TB tables by shipping rows is a
+    non-starter; shipping 256 (bucket, count, fingerprint) triples per
+    side is free, and divergent buckets localize the repair to
+    1/256th of the data per round (recursing into a diverging bucket
+    with sub-buckets is the same query re-keyed — the Merkle descent).
+    Everything is one partial-agg groupBy per side; the fold is modular
+    SUM so bucket fingerprints are order-independent and mergeable."""
+    o = load(spark, sf_dir, "orders")
+    from ..operators.llm_text import _h64
+
+    bucket = _h64(F.col("o_orderkey").cast("string")) % 256
+    primary = o.select("*", _orders_rowhash_col().alias("rh"), bucket.alias("bucket"))
+    replica = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select("*")
+    )
+    replica_h = replica.select(
+        "*", _orders_rowhash_col().alias("rh"), bucket.alias("bucket")
+    )
+    pb = primary.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_primary"),
+        (F.sum("rh") % _FP_MOD).cast("long").alias("fp_primary"),
+    )
+    rb = replica_h.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replica"),
+        (F.sum("rh") % _FP_MOD).cast("long").alias("fp_replica"),
+    )
+    joined = pb.join(rb, "bucket", "left")
+    return joined.filter(
+        F.col("n_replica").isNull()
+        | (F.col("n_primary") != F.col("n_replica"))
+        | (F.col("fp_primary") != F.col("fp_replica"))
+    ).select(
+        "bucket",
+        "n_primary",
+        F.coalesce(F.col("n_replica"), F.lit(0).cast("long")).alias("n_replica"),
+        "fp_primary",
+        F.coalesce(F.col("fp_replica"), F.lit(-1).cast("long")).alias("fp_replica"),
+    )

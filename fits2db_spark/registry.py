@@ -141,6 +141,9 @@ _PRIORITY_QUERIES = (
     "scan_fixed_width",
     "vec_power_iteration",
     "stream_live_enrich",
+    "sim_rrf_fusion",
+    "sync_merkle_buckets",
+    "agg_bootstrap_ci",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",

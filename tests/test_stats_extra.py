@@ -306,3 +306,15 @@ def test_hll_estimate_within_expected_error(spark):
     rel = abs(row["hll_estimate"] - row["true_distinct"]) / row["true_distinct"]
     # 1.04/sqrt(512) ~ 4.6% expected; allow 3 sigma
     assert rel < 0.15, (row, rel)
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    from fits2db_spark.operators.stats import agg_bootstrap_ci
+    from tests.conftest import SF_SMOKE
+
+    r = agg_bootstrap_ci(spark, SF_SMOKE).collect()[0]
+    assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+    # interval width should be a few standard errors, not degenerate/huge
+    half = (r["ci_hi"] - r["ci_lo"]) / 2
+    assert 0 < half < 0.2 * r["mean"]
+    assert r["n_resamples"] == 200

@@ -81,3 +81,27 @@ def test_attribution_matches_pandas(spark):
     for t in got.index:
         assert got.loc[t, "n_first_touch"] == int(first.get(t, 0))
         assert got.loc[t, "n_last_touch"] == int(last.get(t, 0))
+
+
+def test_merkle_buckets_flag_exactly_the_drifted_buckets(spark):
+    """Every bucket holding a drifted (97-divisible) or missing
+    (101-divisible) order key must be reported, and buckets with no such
+    key must NOT be (no false positives)."""
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.operators.llm_text import _h64
+    from fits2db_spark.operators.warehouse import sync_merkle_buckets
+    from fits2db_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    got = {r["bucket"] for r in sync_merkle_buckets(spark, SF_SMOKE).collect()}
+    o = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", (_h64(F.col("o_orderkey").cast("string")) % 256).alias("bucket")
+    )
+    want = {
+        r["bucket"]
+        for r in o.filter(
+            (F.col("o_orderkey") % 97 == 0) | (F.col("o_orderkey") % 101 == 0)
+        ).collect()
+    }
+    assert got == want
