@@ -1415,3 +1415,151 @@ def text_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("logratio") > 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram smoothing (round 6)
+# ---------------------------------------------------------------------------
+_KN_D = 0.75  # absolute discount
+
+
+@register(
+    "text_bigram_kn",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    flat AS (
+      -- index grid bounded at 4096 (fixture docs max ~100 tokens; the
+      -- WHERE i < len(t) filter makes any larger bound a no-op)
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, (SELECT unnest(generate_series(1, 4096)) AS i) g
+      WHERE i < len(t)
+    ),
+    bg AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cbg
+           FROM flat GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(SUM(cbg) AS DOUBLE) AS cw1,
+                   CAST(COUNT(*) AS DOUBLE) AS ntypes
+            FROM bg GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS ncont FROM bg GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbig FROM bg)
+    SELECT b.w1, b.w2, CAST(b.cbg AS BIGINT) AS c_bigram,
+           ROUND(
+             (GREATEST(b.cbg - {_KN_D}, 0) / l.cw1)
+             + ({_KN_D} * l.ntypes / l.cw1) * (c.ncont / t.nbig),
+             6) AS p_kn
+    FROM bg b
+    JOIN lft l ON l.w1 = b.w1
+    JOIN cont c ON c.w2 = b.w2
+    CROSS JOIN tot t
+    ORDER BY c_bigram DESC, b.w1, b.w2
+    LIMIT 50
+    """,
+)
+def text_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    the Chen-Goodman formulation with absolute discount D={_KN_D}):
+    p_kn(w2|w1) = max(c(w1,w2)-D, 0)/c(w1·)
+                 + D·|types after w1|/c(w1·) · |contexts of w2|/|bigrams|.
+    The continuation-count back-off is what makes KN the strongest
+    classical n-gram smoother (a word seen in many CONTEXTS backs off
+    high, a frequent-but-context-bound word does not) — the quality step
+    above `text_bigram_lm`'s add-one smoothing. Returns the top-50
+    bigrams by raw count with their smoothed probabilities.
+
+    Plan: three partial-agg groupBys over the SAME JVM-side bigram
+    materialization text_bigram_lm uses (index-transform, no exploded
+    self-join), joined back on w1/w2 — every statistic is a count table
+    orders below corpus volume; the |bigrams| normalizer broadcasts as a
+    1-row scalar. TakeOrdered bounds the output."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    flat = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("b.w1", "b.w2")
+    bg = flat.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("cbg"))
+    lft = bg.groupBy("w1").agg(
+        F.sum("cbg").alias("cw1"), F.count(F.lit(1)).cast("double").alias("ntypes")
+    )
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("ncont"))
+    tot = bg.agg(F.count(F.lit(1)).cast("double").alias("nbig"))
+    p_kn = (
+        F.greatest(F.col("cbg") - _KN_D, F.lit(0.0)) / F.col("cw1")
+        + (_KN_D * F.col("ntypes") / F.col("cw1")) * (F.col("ncont") / F.col("nbig"))
+    )
+    return (
+        bg.join(lft, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cbg").cast("long").alias("c_bigram"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (round 6)
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                      WHEN c_acctbal < 5000 THEN 'low'
+                                      ELSE 'high' END) AS BIGINT) AS l_diversity
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, group_size, l_diversity,
+           group_size < {_KANON_K} AS k_violation,
+           l_diversity < 2 AS l_violation
+    FROM qi
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    al. 2007) over the (nation, market-segment) quasi-identifier
+    projection: every QI group's size (re-identification risk when
+    < k={_KANON_K}) and the diversity of the sensitive attribute (binned
+    account balance; a group where everyone shares one sensitive value
+    leaks it even at size >= k). This is the privacy gate a
+    training-data release pipeline runs before publishing joins of
+    user-adjacent tables — alongside `text_pii_redact` for free text.
+
+    Plan: ONE partial-agg groupBy carrying both the size and the
+    distinct-sensitive-bin count; flags are narrow projections. At
+    100 TB generalization ladders (coarser QI bins until violations
+    vanish) re-run the same single-pass plan per ladder rung."""
+    c = load(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    qi = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(sens).cast("long").alias("l_diversity"),
+    )
+    return qi.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        "l_diversity",
+        (F.col("group_size") < _KANON_K).alias("k_violation"),
+        (F.col("l_diversity") < 2).alias("l_violation"),
+    )

@@ -144,6 +144,8 @@ _PRIORITY_QUERIES = (
     "sim_rrf_fusion",
     "sync_merkle_buckets",
     "agg_bootstrap_ci",
+    "text_bigram_kn",
+    "privacy_k_anonymity",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
