@@ -1328,3 +1328,114 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jac, 6).alias("jaccard"),
         side.alias("match_side"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule learning (round 6)
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 8
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+    pairs{t} AS MATERIALIZED (
+      SELECT s[i] AS p1, s[i + 1] AS p2, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT string_split(ws, ' ') AS s, freq FROM w{t - 1}),
+           (SELECT unnest(generate_series(1, 4096)) AS i) g
+      WHERE i < len(s)
+      GROUP BY 1, 2
+    ),
+    top{t} AS MATERIALIZED (
+      SELECT {t} AS round, p1, p2, cnt FROM pairs{t}
+      ORDER BY cnt DESC, p1, p2 LIMIT 1
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT replace(w.ws, tp.p1 || ' ' || tp.p2,
+                     '<' || regexp_extract(tp.p1, '<(.*)>', 1)
+                         || regexp_extract(tp.p2, '<(.*)>', 1) || '>') AS ws,
+             w.freq
+      FROM w{t - 1} w CROSS JOIN top{t} tp
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM top{t}" for t in range(1, _BPE_ROUNDS + 1))
+    return f"""
+    WITH words AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    w0 AS MATERIALIZED (
+      SELECT rtrim(regexp_replace(token, '(.)', '<\\1> ', 'g')) AS ws, freq
+      FROM words
+    ),{",".join(rounds)}
+    SELECT round, regexp_extract(p1, '<(.*)>', 1) AS left_sym,
+           regexp_extract(p2, '<(.*)>', 1) AS right_sym, cnt AS pair_count
+    FROM ({union}) z
+    """
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge-rule learning (Sennrich et al. 2016 — the
+    tokenizer-training algorithm behind GPT/Llama vocabularies) as pure
+    relational algebra: {_BPE_ROUNDS} greedy rounds, each (1) counting
+    adjacent symbol pairs over the word-frequency table and (2) merging
+    the most frequent pair corpus-wide. Returns the learned merge table
+    (round, left, right, pair count) — the artifact a tokenizer ships.
+
+    Representation is the trick that keeps BOTH the merge and the oracle
+    engine-exact: each word is a string of bracket-wrapped symbols
+    ('<h> <e> <l> <l> <o>'), so the pair merge is ONE literal
+    replace(p1 + ' ' + p2 -> merged) — string replace is left-to-right
+    non-overlapping in the JVM and DuckDB alike, which IS greedy BPE
+    semantics ('<a> <a> <a>' + (a,a) -> '<aa> <a>', verified), and the
+    brackets anchor symbol boundaries so a pair can never match inside a
+    longer symbol. Ties break (count desc, pair lex) identically.
+
+    Scale: the corpus collapses to the word-frequency table up front
+    (the standard BPE contraction — pair statistics are linear in
+    VOCABULARY, not corpus size); each round is one partial-agg pair
+    count + a narrow replace projection, with only the single winning
+    pair (1 row) collected per round — the same bounded driver state as
+    vec_kmeans' centroids. Fixture tokens are alphanumeric, so '<'/'>'
+    cannot collide with symbol text."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    w = words.select(
+        F.rtrim(F.regexp_replace("token", "(.)", "<$1> ")).alias("ws"), "freq"
+    )
+    merges = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            w.select(F.split("ws", " ").alias("s"), "freq")
+            # single-symbol words carry no pairs (and sequence(1, 0) would
+            # step BACKWARD in Spark, indexing out of bounds)
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i-1] AS p1, s[i] AS p2))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.p1", "p.p2")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "p1", "p2").limit(1).collect()[0]
+        p1, p2, cnt = top["p1"], top["p2"], top["cnt"]
+        merged = "<" + p1[1:-1] + p2[1:-1] + ">"
+        merges.append((t, p1[1:-1], p2[1:-1], cnt))
+        w = w.select(
+            F.replace(F.col("ws"), F.lit(f"{p1} {p2}"), F.lit(merged)).alias("ws"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, pair_count bigint"
+    )

@@ -146,6 +146,7 @@ _PRIORITY_QUERIES = (
     "agg_bootstrap_ci",
     "text_bigram_kn",
     "privacy_k_anonymity",
+    "bpe_train_merges",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",

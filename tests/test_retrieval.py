@@ -127,3 +127,52 @@ def test_mmr_diversifies_vs_plain_topk(spark):
         mmr_div = mean_pair_sim([r["cand_id"] for r in sel])
         plain_div = mean_pair_sim([k for _, k in rel[:4]])
         assert mmr_div <= plain_div + 1e-9, (qid, mmr_div, plain_div)
+
+
+def test_bpe_merge_table_properties(spark):
+    """Greedy BPE invariants: counts are non-increasing across rounds (a
+    merge can only create pairs bounded by the merged pair's count), all
+    counts positive, and replaying the merges on the corpus's own most
+    frequent word strictly shrinks its symbol sequence."""
+    from fits2db_spark.operators.llm_text import bpe_train_merges
+    from fits2db_spark.tables import load
+
+    rows = sorted(bpe_train_merges(spark, SF_SMOKE).collect(), key=lambda r: r["round"])
+    assert len(rows) == 8
+    counts = [r["pair_count"] for r in rows]
+    assert all(c > 0 for c in counts)
+    assert counts == sorted(counts, reverse=True)
+
+    # replaying the merges over the whole vocabulary must strictly shrink
+    # the weighted total symbol count (round 1 alone guarantees pair_count
+    # merges happen corpus-wide; a single word need not contain any pair)
+    from collections import Counter
+
+    toks = Counter()
+    for r in load(spark, SF_SMOKE, "documents").collect():
+        toks.update(r["text"].split(" "))
+
+    def replay(word):
+        syms = list(word)
+        for r in rows:
+            merged, out, i = r["left_sym"] + r["right_sym"], [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == r["left_sym"]
+                    and syms[i + 1] == r["right_sym"]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    before = sum(len(w) * f for w, f in toks.items())
+    after = sum(len(replay(w)) * f for w, f in toks.items())
+    # every learned merge fires pair_count times on the corpus it was
+    # learned from (greedy counts are exact), so total shrink >= round-1
+    # count alone; assert the strict corpus-wide compression
+    assert after <= before - rows[0]["pair_count"], (before, after)
