@@ -1184,3 +1184,53 @@ def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE anc(s_suppkey, node, depth, path) AS (
+      SELECT s_suppkey, s_suppkey, 0,
+             CAST(s_suppkey AS VARCHAR)
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, node // 2, depth + 1,
+             path || '/' || CAST(node // 2 AS VARCHAR)
+      FROM anc WHERE node > 1
+    )
+    SELECT s_suppkey, CAST(MAX(depth) AS INT) AS depth_to_root,
+           MAX(path) AS root_path
+    FROM anc GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through raw SQL — Spark 4's recursive CTE support,
+    the construct that turns hierarchy walks (org charts, BOM explosions,
+    folder trees) into declarative SQL. The fixture has no parent table,
+    so each supplier's ancestry is the implicit binary tree parent(k) =
+    k/2: every node has exactly ONE parent, so the recursion is strictly
+    depth-bounded at log2(max key) with zero path multiplicity — the
+    shape to copy at scale (the iterative-closure operators with real
+    fan-out, `dedup_components`/`graph_pagerank`, use the loop-with-
+    convergence-check formulation instead precisely because UNION ALL
+    recursion multiplies paths). The longest ancestor path is returned
+    per supplier with its depth; DuckDB runs the identical recursion."""
+    _view(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(s_suppkey, node, depth, path) AS (
+          SELECT s_suppkey, s_suppkey, 0,
+                 CAST(s_suppkey AS STRING)
+          FROM supplier
+          UNION ALL
+          SELECT s_suppkey, CAST(node / 2 AS BIGINT), depth + 1,
+                 path || '/' || CAST(CAST(node / 2 AS BIGINT) AS STRING)
+          FROM anc WHERE node > 1
+        )
+        SELECT s_suppkey, CAST(MAX(depth) AS INT) AS depth_to_root,
+               MAX(path) AS root_path
+        FROM anc GROUP BY s_suppkey
+        ORDER BY s_suppkey
+        """
+    )

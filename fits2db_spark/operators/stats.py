@@ -128,12 +128,17 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN med m USING (event_type)
       GROUP BY e.event_type
     )
+    -- robust_z is floored to 1e-4 units, not ROUNDed: DuckDB's ROUND
+    -- rounds 3.85224999...97 UP to 3.8523 (it evaluates the shortest
+    -- decimal) where Spark/IEEE give 3.8522 — FLOOR on identical doubles
+    -- is the operation both engines agree on (one such row at sf0.1)
     SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
-           ROUND(0.6745 * (e.value - m.med) / d.mad, 4) AS robust_z
+           FLOOR(0.6745e0 * (e.value - m.med) / d.mad * 10000) / 10000
+             AS robust_z
     FROM events e
     JOIN med m USING (event_type)
     JOIN mad d USING (event_type)
-    WHERE abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+    WHERE abs(0.6745e0 * (e.value - m.med) / d.mad) > 3.5
     """,
 )
 def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,7 +171,9 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.round("value", 2).alias("value"),
-            F.round(rz, 4).alias("robust_z"),
+            # floor-to-1e-4: see the oracle comment (DuckDB ROUND diverges
+            # at half boundaries; FLOOR is engine-exact)
+            (F.floor(rz * 10000) / 10000).alias("robust_z"),
         )
     )
 

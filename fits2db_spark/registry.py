@@ -147,6 +147,8 @@ _PRIORITY_QUERIES = (
     "text_bigram_kn",
     "privacy_k_anonymity",
     "bpe_train_merges",
+    "anomaly_mad",
+    "sql_recursive_hierarchy",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
