@@ -913,29 +913,30 @@ def cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey, p_name, p_retailprice, string_split(p_name, ' ')[2] AS blk
       FROM part
     ),
-    jp AS (
-      SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
-      FROM p a JOIN p b
-        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    names AS MATERIALIZED (SELECT DISTINCT p_name, blk FROM p),
+    jp AS MATERIALIZED (
+      SELECT a.p_name AS doc_a, b.p_name AS doc_b
+      FROM names a JOIN names b
+        ON a.blk = b.blk AND a.p_name < b.p_name
        AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS u, doc_b AS v FROM jp
       UNION ALL SELECT doc_b, doc_a FROM jp
     ),
-    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    nodes AS (SELECT p_name AS node FROM names),
     reach(node, r) AS (
       SELECT node, node FROM nodes
       UNION
       SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.node = e.v
     ),
-    labels AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+    labels AS MATERIALIZED (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
     SELECT comp AS entity_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            ROUND(MAX(p.p_retailprice), 2) AS golden_price,
            substr(MIN(lpad(CAST(length(p.p_name) AS VARCHAR), 3, '0')
                       || '|' || p.p_name), 5) AS golden_name
-    FROM labels JOIN p ON p.p_partkey = labels.node
+    FROM labels JOIN p ON p.p_name = labels.node
     GROUP BY comp HAVING COUNT(*) > 1
     """,
 )
@@ -962,24 +963,30 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.split("p_name", " ").getItem(1).alias("blk"),
     )
-    a, b = p.alias("a"), p.alias("b")
+    # r6 name contraction: matching runs on DISTINCT names, not rows.
+    # Exact duplicates trivially share their name node (the r5 row-level
+    # variant linked same-name parts only through a fuzzy bridge), and the
+    # pair join shrinks from O(rows-per-block^2) to O(names-per-block^2) —
+    # at sf0.1 that is 64 names instead of 2.4M row pairs, and at 100 TB
+    # the name-frequency table IS the ER working set (same contraction as
+    # bpe_train_merges' word table).
+    names = p.select("p_name", "blk").distinct()
+    a, b = names.alias("a"), names.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_name") < F.col("b.p_name")),
         )
         .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).between(1, 2))
-        .select(
-            F.col("a.p_partkey").alias("doc_a"), F.col("b.p_partkey").alias("doc_b")
-        )
+        .select(F.col("a.p_name").alias("doc_a"), F.col("b.p_name").alias("doc_b"))
     )
-    _, labels = _label_propagate(pairs, p.select(F.col("p_partkey").alias("doc_id")))
+    _, labels = _label_propagate(pairs, names.select(F.col("p_name").alias("doc_id")))
     name_key = F.concat(
         F.lpad(F.length("p_name").cast("string"), 3, "0"), F.lit("|"), F.col("p_name")
     )
     return (
-        labels.join(p, labels.doc_id == p.p_partkey)
+        labels.join(p, labels.doc_id == p.p_name)
         .groupBy(F.col("comp").alias("entity_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_members"),
