@@ -240,3 +240,53 @@ def test_checksum_stamp_verify_tamper_property(hdus, flip):
     except FitsFormatError:
         return
     assert any(r["checksum_ok"] is False for r in results)
+
+
+def test_floor_log2_tree_matches_bit_length():
+    """The HLL rank helper's integer binary-search tree must equal the
+    exact floor(log2(v)) (= bit_length - 1) for every width and for
+    random values across the full 51-bit tail range."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.operators.aggregates import _HLL_W, _floor_log2_sql
+
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(42)
+    vals = (
+        [1, 2, 3, 4, 7, 8, (1 << _HLL_W) - 1]
+        + [1 << k for k in range(_HLL_W)]
+        + [rng.randrange(1, 1 << _HLL_W) for _ in range(200)]
+    )
+    expr = _floor_log2_sql("v", _HLL_W)
+    got = con.execute(
+        f"SELECT v, {expr} FROM (SELECT unnest(?) AS v)", [vals]
+    ).fetchall()
+    for v, fl in got:
+        assert fl == v.bit_length() - 1, (v, fl)
+
+
+def test_interleave_helpers_agree_with_python():
+    """Spark/DuckDB bit-interleave helpers vs a reference implementation."""
+    import random
+
+    import duckdb
+
+    from fits2db_spark.operators.etl import _interleave_sql
+
+    def ref(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(7)
+    con = duckdb.connect()
+    pairs = [(rng.randrange(0, 1 << 15), rng.randrange(0, 1 << 15)) for _ in range(100)]
+    for x, y in pairs:
+        got = con.execute(f"SELECT {_interleave_sql(str(x), str(y), 15)}").fetchone()[0]
+        assert got == ref(x, y, 15), (x, y)

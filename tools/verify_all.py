@@ -12,8 +12,9 @@ Appends one JSON line per run to PROGRESS.jsonl so each verify is on the
 record. Run this before every end-of-round commit — a repo-wide breakage
 must never survive a round again (round-3 postmortem).
 
-Usage: python tools/verify_all.py [--fast]
+Usage: python tools/verify_all.py [--fast] [--deep]
   --fast  skip pytest and bench (oracle gate + driver sim only)
+  --deep  additionally run the full oracle gate at sf0.1 (10x tier)
 """
 
 from __future__ import annotations
@@ -66,14 +67,24 @@ def _record(stage: str, ok: bool, seconds: float) -> None:
 
 def main() -> int:
     fast = "--fast" in sys.argv
+    deep = "--deep" in sys.argv
     t0 = time.time()
     run("driver-sim", [sys.executable, "-c", DRIVER_SIM], cwd="/tmp")
     run("oracle-gate", [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01"])
     if not fast:
         run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
         run("bench", [sys.executable, "bench.py"])
+    if deep:
+        # 10x-scale oracle sweep: catches rounding-boundary and oracle-cost
+        # regressions the sf0.01 tier misses (r6 found anomaly_mad's ROUND
+        # divergence and er_golden_record's 867s oracle this way)
+        run(
+            "oracle-gate-sf0.1",
+            [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.1"],
+        )
     _record("all", True, time.time() - t0)
-    print(f"=== verify_all GREEN ({time.time() - t0:.1f}s{' fast' if fast else ''}) ===")
+    mode = " fast" if fast else (" deep" if deep else "")
+    print(f"=== verify_all GREEN ({time.time() - t0:.1f}s{mode}) ===")
     return 0
 
 
