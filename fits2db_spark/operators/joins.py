@@ -653,15 +653,18 @@ def _xmatch_nearest_oracle() -> str:
       FROM base
     ),
     cand AS (
+      -- rank key and display are FLOOR grids (1e-4 / 1e-2 arcsec): DuckDB
+      -- ROUND rounds shortest-decimal ..5 representations up against IEEE
+      -- (three sf0.1 rows diverged); FLOOR of identical doubles is exact
       SELECT b.b_id, a.a_id,
-             ROUND(degrees({sep}) * 3600, 4) AS sep_arcsec
+             FLOOR(degrees({sep}) * 36000000) AS sep_m4
       FROM a JOIN b ON degrees({sep}) <= {_XM_NEAREST_DEG}
     )
-    SELECT b_id, a_id, ROUND(sep_arcsec, 2) AS sep_arcsec
+    SELECT b_id, a_id, FLOOR(sep_m4 / 100) / 100 AS sep_arcsec
     FROM (
-      SELECT b_id, a_id, sep_arcsec,
+      SELECT b_id, a_id, sep_m4,
              ROW_NUMBER() OVER (PARTITION BY b_id
-                                ORDER BY sep_arcsec, a_id) AS rk
+                                ORDER BY sep_m4, a_id) AS rk
       FROM cand)
     WHERE rk = 1
     """
@@ -674,8 +677,9 @@ def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     astronomy join (xmatch_zone answers "all matches within radius";
     this answers "which master-catalog source IS this observation"). Same
     zone algorithm with 4-degree zones, then a per-B-object window keeps
-    rank 1 by (rounded separation, a_id) — rounded BEFORE ranking so
-    near-tie cuts are engine-stable, the sim_topk_matmul convention.
+    rank 1 by (floor-gridded separation, a_id) — gridded BEFORE ranking
+    so near-tie cuts are engine-stable (r6: FLOOR grid replaced ROUND,
+    whose DuckDB shortest-decimal behavior flipped three sf0.1 rows).
 
     Scale: candidates ∝ objects x 3-zone density, and Spark plans the
     rank-1 filter as WindowGroupLimit — per-B state in the sort is ONE
@@ -722,14 +726,15 @@ def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sep_deg = F.degrees(sep_rad)
-    w = Window.partitionBy("b_id").orderBy("sep_arcsec", "a_id")
+    w = Window.partitionBy("b_id").orderBy("sep_m4", "a_id")
     return (
         a.join(b, "zone")
         .filter(sep_deg <= _XM_NEAREST_DEG)
-        .select("b_id", "a_id", F.round(sep_deg * 3600, 4).alias("sep_arcsec"))
+        # floor-grid rank key/display: see the oracle comment
+        .select("b_id", "a_id", F.floor(sep_deg * 36000000).alias("sep_m4"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("b_id", "a_id", F.round("sep_arcsec", 2).alias("sep_arcsec"))
+        .select("b_id", "a_id", (F.floor(F.col("sep_m4") / 100) / 100).alias("sep_arcsec"))
     )
 
 

@@ -573,7 +573,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_upsert",
     oracle="""
     WITH src AS (
-      SELECT o_orderkey AS k, ROUND(o_totalprice * 1.1, 2) AS price
+      -- FLOOR-to-cents: a 2dp price x 1.1 lands on exact half-cents,
+      -- where DuckDB's ROUND (shortest-decimal) and Spark's (IEEE)
+      -- disagree row by row (surfaced at sf0.1 in the 'updated' sum);
+      -- floor of identical doubles is engine-exact
+      SELECT o_orderkey AS k, FLOOR(o_totalprice * 110) / 100 AS price
       FROM orders WHERE o_orderkey % 10 = 3
       UNION ALL
       SELECT o_orderkey + 100000000 AS k, ROUND(o_totalprice, 2) AS price
@@ -605,7 +609,11 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     upd = (
         o.filter(F.col("o_orderkey") % 10 == 3)
-        .select(F.col("o_orderkey").alias("k"), F.round(F.col("o_totalprice") * 1.1, 2).alias("price"))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            # floor-to-cents: see the oracle comment (half-cent ROUND ties)
+            (F.floor(F.col("o_totalprice") * 110) / 100).alias("price"),
+        )
     )
     ins = (
         o.filter(F.col("o_orderkey") % 97 == 0)

@@ -64,7 +64,6 @@ _loaded = False
 # (c) the remaining backlog keeps its stalest-first rotation.
 _PRIORITY_QUERIES = (
     # (a) loc-green, never driver-hash-checked — flagship composites first
-    "er_golden_record",
     "sim_ann_pq",
     "vec_pq_train",
     "sql_tpch_q1",
@@ -149,6 +148,9 @@ _PRIORITY_QUERIES = (
     "bpe_train_merges",
     "anomaly_mad",
     "sql_recursive_hierarchy",
+    "merge_upsert",
+    "join_xmatch_nearest",
+    "er_golden_record",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
