@@ -82,7 +82,6 @@ _PRIORITY_QUERIES = (
     "vec_truncate_mrl",
     "dedup_containment",
     "join_scd2_pointintime",
-    "join_xmatch_nearest",
     "join_asof_nearest",
     "join_dpp",
     "orders_survival_km",
