@@ -64,6 +64,9 @@ _loaded = False
 # (c) the remaining backlog keeps its stalest-first rotation.
 _PRIORITY_QUERIES = (
     # (a) loc-green, never driver-hash-checked — flagship composites first
+    # (er_golden_record's code changed in r6 — the window verifies the
+    # new name-contracted form)
+    "er_golden_record",
     "sim_ann_pq",
     "vec_pq_train",
     "sql_tpch_q1",
@@ -149,7 +152,6 @@ _PRIORITY_QUERIES = (
     "sql_recursive_hierarchy",
     "merge_upsert",
     "join_xmatch_nearest",
-    "er_golden_record",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
