@@ -10,7 +10,7 @@ true-duplicate density, not O(n^2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1438,4 +1438,135 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (round 6)
+# ---------------------------------------------------------------------------
+_RAKE_STOP = ("a", "the", "of", "and", "in", "to")
+_RAKE_TOPK = 25
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i) g
+      WHERE i <= len(t)
+    ),
+    content AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM toks WHERE tok NOT IN {_RAKE_STOP}
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM content GROUP BY doc_id, grp
+    ),
+    pw AS (
+      SELECT p.phrase, p.plen, unnest(string_split(p.phrase, ' ')) AS w
+      FROM phrases p
+    ),
+    wstats AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS freq,
+             CAST(SUM(plen) AS DOUBLE) AS degree
+      FROM pw GROUP BY w
+    ),
+    distinct_p AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM phrases GROUP BY phrase
+    ),
+    scored AS (
+      SELECT d.phrase, d.n_occurrences,
+             CAST(FLOOR(SUM(ws.degree / ws.freq) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM distinct_p d,
+           (SELECT phrase AS ph, unnest(string_split(phrase, ' ')) AS w
+            FROM distinct_p) x
+      JOIN wstats ws ON ws.w = x.w
+      WHERE x.ph = d.phrase
+      GROUP BY d.phrase, d.n_occurrences
+    )
+    SELECT phrase, n_occurrences,
+           CAST(score_micro AS DOUBLE) / 1000000 AS rake_score,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, phrase) AS rk
+      FROM scored) z
+    WHERE rk <= {_RAKE_TOPK}
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, Rapid Automatic
+    Keyword Extraction): candidate phrases are the maximal stopword-free
+    token runs (gaps-and-islands on position), each scored by the sum of
+    its words' degree/frequency ratios — words that appear in LONG
+    phrases (high degree) but rarely overall (low freq) mark the
+    distinctive multiword terms. Returns the top-{_RAKE_TOPK} phrases.
+
+    Plan: one posexplode + per-doc island window builds phrases; word
+    statistics are a partial-agg groupBy over phrase words; phrase
+    scores join the O(vocab) stats table back onto DISTINCT phrases.
+    Scores rank as floor-micro integers (the repo's cross-engine ROUND
+    convention). The global top-{_RAKE_TOPK} rank runs on the already-
+    aggregated distinct-phrase table.
+
+    Note the global ROW_NUMBER: its input is the distinct-phrase
+    aggregate (O(phrases) << corpus) and the rk filter plans as a
+    WindowGroupLimit — the same sanctioned shape as graph_node_similarity
+    (tests/test_plans.py allowlist)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    content = toks.filter(~F.col("tok").isin(*_RAKE_STOP)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    phrases = content.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    pw = phrases.select("phrase", "plen", F.explode(F.split("phrase", " ")).alias("w"))
+    wstats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.sum("plen").cast("double").alias("degree"),
+    )
+    distinct_p = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    scored = (
+        distinct_p.select(
+            "phrase", "n_occurrences", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(F.broadcast(wstats), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.floor(F.sum(F.col("degree") / F.col("freq")) * 1e6)
+            .cast("long")
+            .alias("score_micro")
+        )
+    )
+    w_rk = Window.orderBy(F.col("score_micro").desc(), "phrase")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= _RAKE_TOPK)
+        .select(
+            "phrase",
+            "n_occurrences",
+            (F.col("score_micro").cast("double") / 1e6).alias("rake_score"),
+            F.col("rk").cast("int").alias("rk"),
+        )
     )

@@ -1674,3 +1674,92 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ci.crossJoin(F.broadcast(stats)).select(
         "n", "mean", "n_resamples", "ci_lo", "ci_hi"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM firsts GROUP BY cohort
+    ),
+    rev AS (
+      -- integer-cents accumulation: double sums in engine-specific orders
+      -- differed in the last cent on 9 panel rows; exact BIGINT cents +
+      -- floor-cents display are order-independent
+      SELECT f.cohort,
+             CAST(date_diff('month', f.cohort,
+                            date_trunc('month', o.o_orderdate)) AS INT) AS age,
+             SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort, r.age, s.n_customers,
+           FLOOR(SUM(r.rev_cents) OVER (PARTITION BY r.cohort ORDER BY r.age
+                                        ROWS UNBOUNDED PRECEDING)
+                 / CAST(s.n_customers AS DOUBLE)) / 100 AS cum_ltv_per_customer
+    FROM rev r JOIN sized s USING (cohort)
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, each cohort's CUMULATIVE revenue per customer by account age
+    in months — the LTV panel behind payback-period and retention
+    economics (the value-weighted upgrade of `retention_cohorts`' count
+    matrix).
+
+    Plan: first-order month per customer (partial-agg), revenue folded
+    to the O(cohorts x ages) panel BEFORE any window runs, then the
+    cumulative sum is a window over that tiny panel partitioned by
+    cohort — never over raw orders. Month arithmetic is integer
+    (date_trunc + month diff), so ages are engine-exact."""
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+            )
+            .cast("int")
+            .alias("age"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer-cents + floor-cents display: see the oracle comment
+    return rev.join(F.broadcast(sized), "cohort").select(
+        "cohort",
+        "age",
+        "n_customers",
+        (
+            F.floor(
+                F.sum("rev_cents").over(w) / F.col("n_customers").cast("double")
+            )
+            / 100
+        ).alias("cum_ltv_per_customer"),
+    )

@@ -264,6 +264,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "orders_survival_km",
     # skyline rank over the O(groups) candidate frontier
     "skyline_pareto",
+    # top-25 rank over the distinct-phrase aggregate (r6; WindowGroupLimit)
+    "text_keyphrase_rake",
 }
 
 
