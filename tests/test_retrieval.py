@@ -176,3 +176,32 @@ def test_bpe_merge_table_properties(spark):
     # learned from (greedy counts are exact), so total shrink >= round-1
     # count alone; assert the strict corpus-wide compression
     assert after <= before - rows[0]["pair_count"], (before, after)
+
+
+def test_rrf_contains_cosine_top1_and_valid_scores(spark):
+    from fits2db_spark.operators.retrieval import sim_rrf_fusion
+
+    rows = sim_rrf_fusion(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        # both-list members carry two reciprocal terms; scores bounded by
+        # 2/(60+1) and positive
+        assert all(0 < r["rrf_score"] <= 2 / 61 + 1e-9 for r in rs)
+        assert all(r["n_lists"] in (1, 2) for r in rs)
+        # the fused top result must appear in both rankings (cos top-1 is
+        # rank 1 in one list; it can only be displaced by a both-list doc)
+        assert rs[0]["n_lists"] == 2
+
+
+def test_rake_phrases_are_stopword_free(spark):
+    from fits2db_spark.operators.llm_text import _RAKE_STOP, text_keyphrase_rake
+
+    rows = text_keyphrase_rake(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    for r in rows:
+        toks = r["phrase"].split(" ")
+        assert all(t not in _RAKE_STOP for t in toks), r
+        assert r["rake_score"] > 0 and r["n_occurrences"] >= 1

@@ -318,3 +318,32 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     half = (r["ci_hi"] - r["ci_lo"]) / 2
     assert 0 < half < 0.2 * r["mean"]
     assert r["n_resamples"] == 200
+
+
+def test_cohort_ltv_is_cumulative_monotone(spark):
+    from fits2db_spark.operators.stats import orders_cohort_ltv
+    from tests.conftest import SF_SMOKE
+
+    rows = orders_cohort_ltv(spark, SF_SMOKE).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cohort"], []).append((r["age"], r["cum_ltv_per_customer"]))
+    assert by_c
+    for pairs in by_c.values():
+        pairs.sort()
+        vals = [v for _, v in pairs]
+        assert vals == sorted(vals), pairs  # cumulative -> non-decreasing
+        assert vals[0] > 0
+
+
+def test_kneser_ney_probabilities_are_proper(spark):
+    """p_kn in (0, 1]; and for any w1 whose bigrams all made the top-50,
+    the discounted mass cannot exceed 1."""
+    from fits2db_spark.operators.pipeline import text_bigram_kn
+    from tests.conftest import SF_SMOKE
+
+    rows = text_bigram_kn(spark, SF_SMOKE).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0 < r["p_kn"] <= 1, r
+        assert r["c_bigram"] >= 1
