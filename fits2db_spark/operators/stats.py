@@ -1584,25 +1584,35 @@ def events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BOOT_B = 200    # resamples
 _BOOT_TRIALS = 4  # Binomial(4, 1/4) multiplicity ~ Poisson(1)
+_BOOT_P = 2147483647  # 2^31 - 1, the minhash Mersenne modulus
 
 
 def _boot_mult_sql() -> str:
-    terms = " + ".join(
-        f"(CASE WHEN CAST(concat('0x', substr(md5("
-        f"CAST(b.b AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR) || '#{k}'"
-        f"), 1, 15)) AS BIGINT) % {_BOOT_TRIALS} = 0 THEN 1 ELSE 0 END)"
+    # affine-permutation multiplicity: ONE md5 per row (h31), then each
+    # (resample b, trial k) draws g = (a*h31 + c) % P with a, c affine in
+    # j = 4b+k — the minhash _MH_AB trick; 4 trials at p~1/4 each
+    ind = " + ".join(
+        f"(CASE WHEN ((1000003 + 4591 * (4 * b.b + {k})) * h31"
+        f" + (998244353 % {_BOOT_P}) + 7 * (4 * b.b + {k})) % {_BOOT_P} % 4 = 0"
+        f" THEN 1 ELSE 0 END)"
         for k in range(_BOOT_TRIALS)
     )
-    return f"({terms})"
+    return f"({ind})"
 
 
 @register(
     "agg_bootstrap_ci",
     oracle=f"""
     WITH b AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+    hashed AS (
+      SELECT o_totalprice,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_BOOT_P} AS h31
+      FROM orders
+    ),
     weighted AS (
       SELECT b.b, {_boot_mult_sql()} AS m, o_totalprice
-      FROM orders CROSS JOIN b
+      FROM hashed CROSS JOIN b
     ),
     means AS (
       SELECT b, SUM(m * o_totalprice) / SUM(m) AS mean_b
@@ -1623,10 +1633,12 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     n indexed rows per resample (which needs a global row index and a
     shuffle per resample), every row independently contributes a
     Binomial({_BOOT_TRIALS}, 1/{_BOOT_TRIALS}) ~ Poisson(1) multiplicity
-    to each of {_BOOT_B} resamples. Multiplicities are md5-derived, so
-    the 'randomness' is a pure row function — deterministic,
-    engine-reproducible, reshuffle-proof (same convention as
-    split_train_test / sample_fraction).
+    to each of {_BOOT_B} resamples. Multiplicities derive from ONE
+    md5 row hash through per-(resample, trial) affine permutations
+    (the minhash a*h+c mod 2^31-1 family), so the 'randomness' is a pure
+    row function — deterministic, engine-reproducible, reshuffle-proof —
+    and the hash cost is one md5 per ROW, not per (row x resample x
+    trial).
 
     Scale: the only data-sized operation is one explode x{_BOOT_B} +
     partial-agg groupBy(b) — embarrassingly parallel, no row indexing,
@@ -1636,22 +1648,22 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_text import _h64 as _h  # cross-engine md5 hash
 
     o = load(spark, sf_dir, "orders")
+    # ONE md5 per row; per-(resample, trial) draws are affine permutations
+    # of that hash (see _boot_mult_sql) — the r6 rewrite cut 120M md5
+    # evaluations per engine at sf0.1 to 150k (149.6s -> seconds)
+    hashed = o.select(
+        "o_totalprice",
+        (_h(F.col("o_orderkey").cast("string")) % _BOOT_P).alias("h31"),
+    )
     b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
-    rows = o.select("o_orderkey", "o_totalprice", b)
+    rows = hashed.select("o_totalprice", "h31", b)
     mult = None
     for k in range(_BOOT_TRIALS):
-        ind = (
-            _h(
-                F.concat_ws(
-                    "#",
-                    F.col("b").cast("string"),
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(str(k)),
-                )
-            )
-            % _BOOT_TRIALS
-            == 0
-        ).cast("int")
+        j = 4 * F.col("b") + k
+        g = (
+            (1000003 + 4591 * j) * F.col("h31") + (998244353 % _BOOT_P) + 7 * j
+        ) % _BOOT_P
+        ind = (g % 4 == 0).cast("int")
         mult = ind if mult is None else mult + ind
     weighted = rows.select("b", mult.alias("m"), "o_totalprice")
     means = (
