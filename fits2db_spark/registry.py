@@ -152,6 +152,9 @@ _PRIORITY_QUERIES = (
     "sql_recursive_hierarchy",
     "merge_upsert",
     "join_xmatch_nearest",
+    "orders_cohort_ltv",
+    "text_keyphrase_rake",
+    "join_fuzzy_blocked",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
