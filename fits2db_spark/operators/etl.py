@@ -585,3 +585,80 @@ def spatial_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return coded.select("c_custkey", "lon", "lat", "cell", gh.alias("geohash6"))
+
+
+# polygon for the point-in-polygon demo: an irregular hexagon over the
+# pseudo-sky (lon, lat) plane — vertices chosen off any fixture point
+_PIP_POLY = (
+    (-120.0, -40.0), (-30.0, -70.0), (60.0, -35.0),
+    (110.0, 30.0), (20.0, 65.0), (-90.0, 45.0),
+)
+
+
+def _pip_crossing_sql(lon: str, lat: str) -> str:
+    """DuckDB ray-casting parity: count edges crossing the +lon ray."""
+    terms = []
+    n = len(_PIP_POLY)
+    for i in range(n):
+        x1, y1 = _PIP_POLY[i]
+        x2, y2 = _PIP_POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat}) <> ({y2} > {lat}))"
+            f" AND ({lon} < {x1} + ({x2} - {x1}) * ({lat} - {y1}) / ({y2} - {y1}))"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def _pip_crossing_col(lon, lat):
+    """Spark Column twin of :func:`_pip_crossing_sql` (same edge order and
+    arithmetic, so the parity is computed over identical doubles)."""
+    total = F.lit(0)
+    n = len(_PIP_POLY)
+    for i in range(n):
+        x1, y1 = _PIP_POLY[i]
+        x2, y2 = _PIP_POLY[(i + 1) % n]
+        crosses = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
+            lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)
+        )
+        total = total + crosses.cast("int")
+    return total % 2 == 1
+
+
+@register(
+    "spatial_point_in_polygon",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey,
+             ((CAST(c_custkey AS DOUBLE) * 137.50776405) % 360.0) - 180.0 AS lon,
+             (((CAST(c_custkey AS DOUBLE) * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+               AS lat
+      FROM customer
+    )
+    SELECT c_custkey, ROUND(lon, 8) AS lon, ROUND(lat, 8) AS lat,
+           {_pip_crossing_sql('lon', 'lat')} AS inside
+    FROM base
+    """,
+)
+def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment via ray casting (the even-odd rule:
+    count polygon edges crossed by the +longitude ray; odd parity =
+    inside) against a fixed hexagonal region — the GIS filter primitive
+    behind geofencing and region-tagging, complementing the geohash
+    bucket ops. The edge tests unroll to a branch-free CASE sum inside
+    whole-stage codegen; both engines evaluate the identical edge
+    arithmetic on identical doubles, so the parity is engine-exact
+    (fixture points are irrational multiples — never ON an edge). At
+    100 TB this is a narrow map, and the standard composition is
+    geohash-prefilter (cells intersecting the polygon's bbox) + this
+    exact test — the same band-then-verify shape as `join_geohash_prefix`."""
+    c = load(spark, sf_dir, "customer")
+    lon = ((F.col("c_custkey").cast("double") * 137.50776405) % 360.0) - 180.0
+    lat = (((F.col("c_custkey").cast("double") * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+    base = c.select("c_custkey", lon.alias("lon"), lat.alias("lat"))
+    return base.select(
+        "c_custkey",
+        F.round("lon", 8).alias("lon"),
+        F.round("lat", 8).alias("lat"),
+        _pip_crossing_col(F.col("lon"), F.col("lat")).alias("inside"),
+    )

@@ -155,6 +155,7 @@ _PRIORITY_QUERIES = (
     "orders_cohort_ltv",
     "text_keyphrase_rake",
     "join_fuzzy_blocked",
+    "spatial_point_in_polygon",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",

@@ -35,3 +35,26 @@ def test_nest_matches_spatial_cols_udf(spark):
         r["c_custkey"]: r["nest4096"] for r in spatial_cols(spark, SF_SMOKE).collect()
     }
     assert catalyst == udf
+
+
+def test_point_in_polygon_matches_matplotlib_free_reference(spark):
+    """Ray-casting parity vs an independent pure-python winding check."""
+    from fits2db_spark.operators.etl import _PIP_POLY, spatial_point_in_polygon
+
+    rows = spatial_point_in_polygon(spark, SF_SMOKE).collect()
+    assert rows
+
+    def inside_ref(x, y):
+        n, c = len(_PIP_POLY), False
+        for i in range(n):
+            x1, y1 = _PIP_POLY[i]
+            x2, y2 = _PIP_POLY[(i + 1) % n]
+            if (y1 > y) != (y2 > y) and x < x1 + (x2 - x1) * (y - y1) / (y2 - y1):
+                c = not c
+        return c
+
+    mism = [r for r in rows if r["inside"] != inside_ref(r["lon"], r["lat"])]
+    assert not mism, mism[:3]
+    # the hexagon covers a nontrivial fraction of the plane
+    frac = sum(r["inside"] for r in rows) / len(rows)
+    assert 0.05 < frac < 0.8, frac
