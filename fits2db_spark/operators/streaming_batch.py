@@ -552,3 +552,56 @@ def stream_live_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
     )
     return _drain_live(spark, key, "live_enrich", enriched, "append")
+
+
+@register(
+    "stream_live_sliding",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    ), w AS (
+      SELECT event_type, value,
+             (sec // 900) * 900 - k.k * 900 AS start_sec
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+      WHERE sec < (sec // 900) * 900 - k.k * 900 + 3600
+    )
+    SELECT make_timestamp(start_sec * 1000000) AS window_start,
+           make_timestamp((start_sec + 3600) * 1000000) AS window_end,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE sliding windows (1h every 15min — each event in 4 overlapping
+    windows) over the staged micro-batch stream, drained complete-mode
+    through the shared availableNow contract and oracled against the
+    SAME relational window expansion as the batch `stream_sliding`.
+    Closes the live family: tumbling, sliding, session, dedup,
+    stream-stream interval join, stateful counters, stream-static
+    enrichment — every batch-window shape now has a driver-visible
+    Structured Streaming twin."""
+    from ..streaming.live import events_stream
+
+    key = _live_key(spark, sf_dir, "sliding")
+    if key in _LIVE_DONE:
+        return spark.table(_LIVE_DONE[key])
+    staging = _staged_events_dir(spark, sf_dir)
+    stream = events_stream(spark, staging, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "100 days")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain_live(spark, key, "live_sliding", agg, "complete")

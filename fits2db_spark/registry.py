@@ -156,6 +156,7 @@ _PRIORITY_QUERIES = (
     "text_keyphrase_rake",
     "join_fuzzy_blocked",
     "spatial_point_in_polygon",
+    "stream_live_sliding",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
