@@ -1234,3 +1234,42 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+@register(
+    "sql_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+             AS open_total,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+             AS finished_total,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+             AS pending_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard PIVOT clause through spark.sql — the relational
+    spelling of the DataFrame `agg_pivot`: order totals cross-tabulated
+    by status per priority. Catalyst rewrites PIVOT into the same
+    conditional-aggregate Expand plan the DataFrame API produces (the
+    oracle states that rewrite explicitly — one pass, map-side partial
+    aggregation, no per-status scans)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(open_total, 2) AS open_total,
+               ROUND(finished_total, 2) AS finished_total,
+               ROUND(pending_total, 2) AS pending_total
+        FROM (
+          SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+          )
+          PIVOT (SUM(o_totalprice)
+                 FOR o_orderstatus IN ('O' AS open_total, 'F' AS finished_total,
+                                       'P' AS pending_total))
+        )
+        """
+    )

@@ -23,6 +23,8 @@ DuckDB's arg_min cannot take a struct key.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1774,4 +1776,82 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 100
         ).alias("cum_ltv_per_customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical periodogram (round 6)
+# ---------------------------------------------------------------------------
+_PGRAM_PERIODS = tuple(range(2, 15))  # trial periods in days
+
+
+@register(
+    "events_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ctr AS (
+      SELECT d.event_type, d.d, d.y - s.mu AS yc
+      FROM daily d JOIN (SELECT event_type, AVG(y) AS mu
+                         FROM daily GROUP BY event_type) s
+      USING (event_type)
+    ),
+    grid AS (SELECT unnest(ARRAY{list(_PGRAM_PERIODS)}) AS period),
+    comp AS (
+      SELECT c.event_type, g.period,
+             SUM(c.yc * cos(2 * pi() * c.d / g.period)) AS cr,
+             SUM(c.yc * sin(2 * pi() * c.d / g.period)) AS si,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM ctr c CROSS JOIN grid g
+      GROUP BY 1, 2
+    )
+    SELECT event_type, period,
+           FLOOR((cr * cr + si * si) / n * 1000) / 1000 AS power
+    FROM comp
+    """,
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (Schuster) periodogram of each event type's mean-centered
+    daily-count series at trial periods {_PGRAM_PERIODS[0]}-{_PGRAM_PERIODS[-1]}
+    days: power(p) = [(Σ y·cos(2πd/p))² + (Σ y·sin(2πd/p))²] / n — the
+    Fourier-side complement of `lightcurve_pdm`'s phase-dispersion search
+    and `events_seasonality`'s fixed weekly profile (a weekly rhythm
+    shows as a peak at p=7). Power floors to 1e-3 units per the
+    cross-engine convention; trig arguments are exact rationals 2πd/p of
+    integer day indexes, evaluated by each engine's own libm on
+    identical doubles.
+
+    Scale: the series is the O(types x days) pre-aggregated frame;
+    each (type, period) component is one partial-agg fold over it —
+    trial periods multiply that tiny frame, never raw events."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    mu = daily.groupBy("event_type").agg(F.avg("y").alias("mu"))
+    ctr = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type", "d", (F.col("y") - F.col("mu")).alias("yc")
+    )
+    grid = F.explode(F.array(*[F.lit(p) for p in _PGRAM_PERIODS])).alias("period")
+    comp = (
+        ctr.select("event_type", "d", "yc", grid)
+        .groupBy("event_type", "period")
+        .agg(
+            F.sum(
+                F.col("yc") * F.cos(2 * math.pi * F.col("d") / F.col("period"))
+            ).alias("cr"),
+            F.sum(
+                F.col("yc") * F.sin(2 * math.pi * F.col("d") / F.col("period"))
+            ).alias("si"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    power = (F.col("cr") * F.col("cr") + F.col("si") * F.col("si")) / F.col("n")
+    return comp.select(
+        "event_type", "period", (F.floor(power * 1000) / 1000).alias("power")
     )

@@ -157,6 +157,8 @@ _PRIORITY_QUERIES = (
     "join_fuzzy_blocked",
     "spatial_point_in_polygon",
     "stream_live_sliding",
+    "sql_pivot",
+    "events_periodogram",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
