@@ -1571,3 +1571,59 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("group_size") < _KANON_K).alias("k_violation"),
         (F.col("l_diversity") < 2).alias("l_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick feature vectors (round 6)
+# ---------------------------------------------------------------------------
+_FH_DIM = 256  # feature buckets
+
+
+@register(
+    "ml_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DSIR_BUCKET_SQL.replace('4096', str(_FH_DIM))} AS bucket
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id < 200)
+    ),
+    cells AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS INT) AS cnt
+      FROM toks GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS nnz,
+           list_transform(list_sort(list({{'b': bucket, 'c': cnt}})),
+                          s -> s.b) AS indices,
+           list_transform(list_sort(list({{'b': bucket, 'c': cnt}})),
+                          s -> s.c) AS values
+    FROM cells GROUP BY doc_id
+    """,
+)
+def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): each document becomes a
+    sparse {_FH_DIM}-dimensional count vector whose indices are md5
+    token-hash buckets — the feature encoder that needs NO vocabulary
+    pass or dictionary broadcast, which is what makes it the default
+    featurizer for streaming / out-of-core learners (and Spark MLlib's
+    own HashingTF shape, here with the cross-engine md5 so the exact
+    vectors hash-verify). Output is the standard sparse form: sorted
+    index array + aligned count array.
+
+    Plan: explode + (doc, bucket) partial-agg groupBy, then one
+    collect_list per doc sorted inside the row (sort_array over structs
+    — no per-doc window). At 100 TB this is embarrassingly parallel and
+    dictionary-free by construction."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).select("doc_id", (_h64(F.col("token")) % _FH_DIM).alias("bucket"))
+    cells = toks.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("int").alias("cnt")
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("bucket", "cnt")))
+    return cells.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("nnz"),
+        F.transform(pairs, lambda s: s["bucket"]).alias("indices"),
+        F.transform(pairs, lambda s: s["cnt"]).alias("values"),
+    )

@@ -1273,3 +1273,35 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "sql_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size_v' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_partkey < 500
+    UNION ALL
+    SELECT p_partkey, 'price_v' AS metric, ROUND(p_retailprice, 2) AS val
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard UNPIVOT clause through spark.sql — wide-to-long
+    melting as a relational statement (the declarative twin of the
+    DataFrame `unpivot_melt`): two part measures stacked into
+    (metric, value) rows. Catalyst plans UNPIVOT as an Expand — one scan
+    emitting k rows per input row, which is also what the UNION-ALL
+    oracle states; at scale that beats k self-scans exactly as the
+    PIVOT side avoids per-status scans."""
+    _view(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, metric,
+               CASE WHEN metric = 'price_v' THEN ROUND(val, 2) ELSE val END AS val
+        FROM (
+          SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v,
+                 p_retailprice AS price_v
+          FROM part WHERE p_partkey < 500
+        ) UNPIVOT (val FOR metric IN (size_v, price_v))
+        """
+    )

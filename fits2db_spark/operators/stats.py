@@ -1855,3 +1855,67 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         "event_type", "period", (F.floor(power * 1000) / 1000).alias("power")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (round 6)
+# ---------------------------------------------------------------------------
+_SN_LAG = 7  # seasonal period in days
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.event_type, a.d, a.y, b.y AS yhat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d = a.d - {_SN_LAG}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR(AVG(ABS(y - yhat)) * 10000) / 10000 AS mae,
+           FLOOR(SUM(ABS(y - yhat)) / SUM(ABS(y)) * 1000000) / 1000000 AS wape
+    FROM paired GROUP BY event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event count
+    with the value {_SN_LAG} days earlier and score MAE / WAPE per type —
+    the baseline every forecasting system must beat (and the honest
+    yardstick M-competitions score against). Complements
+    `events_seasonality` (the weekly profile this naive model exploits)
+    and `events_periodogram` (which detects whether period {_SN_LAG}
+    carries power at all).
+
+    Plan: the lag pairing is a self-equi-join of the O(types x days)
+    daily frame on (type, d-{_SN_LAG}) — at scale a window lag over the
+    same frame works too; the join form keeps both engines' row sets
+    trivially identical. Errors floor to fixed grids per the
+    cross-engine convention."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") == F.col("a.d") - _SN_LAG),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.y").alias("y"),
+        F.col("b.y").alias("yhat"),
+    )
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.floor(F.avg(err) * 10000) / 10000).alias("mae"),
+        (F.floor(F.sum(err) / F.sum(F.abs("y")) * 1000000) / 1000000).alias("wape"),
+    )

@@ -158,7 +158,10 @@ _PRIORITY_QUERIES = (
     "spatial_point_in_polygon",
     "stream_live_sliding",
     "sql_pivot",
+    "sql_unpivot",
     "events_periodogram",
+    "events_forecast_backtest",
+    "ml_feature_hash",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
