@@ -643,3 +643,79 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("masked_custom"),
         F.mask("c_mktsegment").alias("masked_segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geodesic scalar group (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_geo",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             ((CAST(c_custkey AS DOUBLE) * 137.50776405) % 360.0) - 180.0 AS lon,
+             (((CAST(c_custkey AS DOUBLE) * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+               AS lat
+      FROM customer WHERE c_custkey < 500
+    )
+    SELECT c_custkey,
+           FLOOR(6371.0 * 2 * asin(sqrt(
+             sin(radians(lat - 10.0) / 2) * sin(radians(lat - 10.0) / 2)
+             + cos(radians(10.0)) * cos(radians(lat))
+               * sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2)
+           )) * 1000) / 1000 AS dist_km,
+           FLOOR(((degrees(atan2(
+             sin(radians(lon - 20.0)) * cos(radians(lat)),
+             cos(radians(10.0)) * sin(radians(lat))
+             - sin(radians(10.0)) * cos(radians(lat)) * cos(radians(lon - 20.0))
+           )) + 360.0) % 360.0) * 1000) / 1000 AS bearing_deg
+    FROM pts
+    """,
+)
+def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic scalar group (§2.H family): great-circle distance
+    (haversine, mean Earth radius 6371 km) and initial bearing from a
+    fixed reference point (lat 10, lon 20) to every pseudo-sky customer
+    point — the per-row geo math under fleet/logistics analytics, all
+    whole-stage-codegen trigonometry. Outputs floor to milli-units per
+    the cross-engine convention (both engines evaluate the identical
+    formula on identical doubles; the grid absorbs libm ulps)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    lon = ((F.col("c_custkey").cast("double") * 137.50776405) % 360.0) - 180.0
+    lat = (((F.col("c_custkey").cast("double") * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+    pts = c.select("c_custkey", lon.alias("lon"), lat.alias("lat"))
+    lat0, lon0 = 10.0, 20.0
+    dlat = F.radians(F.col("lat") - lat0) / 2
+    dlon = F.radians(F.col("lon") - lon0) / 2
+    dist = (
+        6371.0
+        * 2
+        * F.asin(
+            F.sqrt(
+                F.sin(dlat) * F.sin(dlat)
+                + F.cos(F.radians(F.lit(lat0)))
+                * F.cos(F.radians("lat"))
+                * F.sin(dlon)
+                * F.sin(dlon)
+            )
+        )
+    )
+    brg = (
+        F.degrees(
+            F.atan2(
+                F.sin(F.radians(F.col("lon") - lon0)) * F.cos(F.radians("lat")),
+                F.cos(F.radians(F.lit(lat0))) * F.sin(F.radians("lat"))
+                - F.sin(F.radians(F.lit(lat0)))
+                * F.cos(F.radians("lat"))
+                * F.cos(F.radians(F.col("lon") - lon0)),
+            )
+        )
+        + 360.0
+    ) % 360.0
+    return pts.select(
+        "c_custkey",
+        (F.floor(dist * 1000) / 1000).alias("dist_km"),
+        (F.floor(brg * 1000) / 1000).alias("bearing_deg"),
+    )

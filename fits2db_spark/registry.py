@@ -162,6 +162,7 @@ _PRIORITY_QUERIES = (
     "events_periodogram",
     "events_forecast_backtest",
     "ml_feature_hash",
+    "fn_geo",
     "sql_tpch_q2",
     "sql_tpch_q4",
     "sql_tpch_q5",
