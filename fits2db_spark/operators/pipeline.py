@@ -1593,10 +1593,10 @@ _FH_DIM = 256  # feature buckets
     )
     SELECT doc_id,
            CAST(COUNT(*) AS INT) AS nnz,
-           list_transform(list_sort(list({{'b': bucket, 'c': cnt}})),
-                          s -> s.b) AS indices,
-           list_transform(list_sort(list({{'b': bucket, 'c': cnt}})),
-                          s -> s.c) AS values
+           array_to_string(list_transform(list_sort(list({{'b': bucket, 'c': cnt}})),
+                                          s -> s.b), ',') AS indices_csv,
+           array_to_string(list_transform(list_sort(list({{'b': bucket, 'c': cnt}})),
+                                          s -> s.c), ',') AS values_csv
     FROM cells GROUP BY doc_id
     """,
 )
@@ -1607,8 +1607,9 @@ def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass or dictionary broadcast, which is what makes it the default
     featurizer for streaming / out-of-core learners (and Spark MLlib's
     own HashingTF shape, here with the cross-engine md5 so the exact
-    vectors hash-verify). Output is the standard sparse form: sorted
-    index array + aligned count array.
+    vectors hash-verify). Output is the standard sparse form —
+    sorted indices + aligned counts — serialized as CSV strings because
+    the driver's canonicalizer cannot hash array cells.
 
     Plan: explode + (doc, bucket) partial-agg groupBy, then one
     collect_list per doc sorted inside the row (sort_array over structs
@@ -1622,8 +1623,15 @@ def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("cnt")
     )
     pairs = F.sort_array(F.collect_list(F.struct("bucket", "cnt")))
+    # CSV-serialized sparse form: the driver's canonicalizer cannot hash
+    # array cells (test_contract.py::test_all_outputs_scalar), so the
+    # sorted index/value arrays emit as comma-joined strings
     return cells.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("nnz"),
-        F.transform(pairs, lambda s: s["bucket"]).alias("indices"),
-        F.transform(pairs, lambda s: s["cnt"]).alias("values"),
+        F.array_join(
+            F.transform(pairs, lambda s: s["bucket"].cast("string")), ","
+        ).alias("indices_csv"),
+        F.array_join(
+            F.transform(pairs, lambda s: s["cnt"].cast("string")), ","
+        ).alias("values_csv"),
     )
