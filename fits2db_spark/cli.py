@@ -86,6 +86,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="emit header/footer + one XML fragment per partition instead "
         "of collecting a single document",
     )
+    p.add_argument(
+        "--votable-limit",
+        type=int,
+        default=10_000,
+        help="row bound for the single-document VOTable path; exceeding it "
+        "is an error (never a silent truncation) — use --votable-fragments "
+        "for complete large exports (default 10000)",
+    )
     # JDBC sink
     p.add_argument("--jdbc-url", help="load rows into this JDBC database")
     p.add_argument("--jdbc-driver", help="JDBC driver class name")
@@ -186,8 +194,12 @@ def run(argv: list[str], spark: SparkSession | None = None) -> int:
         if args.votable_fragments:
             write_votable_fragments(df, args.votable_out, table_name=args.table)
         else:
+            # raises (never silently truncates) when the result exceeds
+            # --votable-limit; the error points at --votable-fragments
             with open(args.votable_out, "w") as f:
-                f.write(votable_string(df, table_name=args.table))
+                f.write(
+                    votable_string(df, table_name=args.table, limit=args.votable_limit)
+                )
         did_output = True
     if args.jdbc_url:
         from .sinks.jdbc import write_jdbc

@@ -17,17 +17,23 @@ from ..tables import load
     oracle="""
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
     """,
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery -> Catalyst plans a one-row broadcast."""
+    """Uncorrelated scalar subquery -> Catalyst plans a one-row broadcast.
+
+    The threshold is 1.5x the mean (r7: was 2x, which NO fixture row ever
+    exceeded at either tier, so the oracle hash compared empty multisets and
+    could not catch a logic error — de-vacuated per the r6 verdict; 1.5x
+    keeps ~9% of orders at sf0.01 and sf0.1 alike because the totalprice
+    distribution is scale-invariant)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("f2s_orders_sq")
     return spark.sql(
         """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
         FROM f2s_orders_sq
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM f2s_orders_sq)
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM f2s_orders_sq)
         """
     )
 

@@ -455,6 +455,112 @@ def spatial_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RING_NSIDE = 256  # matches spatial_cols' ring256 column
+
+
+@register(
+    "spatial_ring",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey,
+             ((CAST(c_custkey AS DOUBLE) * 0.6180339887) % 1.0) * 2 - 1 AS z,
+             ((CAST(c_custkey AS DOUBLE) * 137.50776405) % 360.0) / 90.0 AS tt
+      FROM customer
+    ),
+    eqn AS (
+      SELECT c_custkey, z, tt, ABS(z) AS za,
+             CAST(FLOOR({_RING_NSIDE} * (0.5 + tt) - {_RING_NSIDE} * z * 0.75)
+                  AS BIGINT) AS jp_eq,
+             CAST(FLOOR({_RING_NSIDE} * (0.5 + tt) + {_RING_NSIDE} * z * 0.75)
+                  AS BIGINT) AS jm_eq,
+             tt - FLOOR(tt) AS tp,
+             {_RING_NSIDE} * SQRT(3.0 * (1.0 - ABS(z))) AS tmp
+      FROM base
+    ),
+    rings AS (
+      SELECT c_custkey, z, tt, za, jp_eq, jm_eq,
+             {_RING_NSIDE} + 1 + jp_eq - jm_eq AS ir_eq,
+             CAST(FLOOR(tp * tmp) AS BIGINT)
+               + CAST(FLOOR((1.0 - tp) * tmp) AS BIGINT) + 1 AS ir_po
+      FROM eqn
+    )
+    SELECT c_custkey,
+      CASE WHEN za <= 2.0/3.0 THEN
+        2 * {_RING_NSIDE} * ({_RING_NSIDE} - 1)
+          + (ir_eq - 1) * 4 * {_RING_NSIDE}
+          + (((jp_eq + jm_eq - {_RING_NSIDE} + (1 - (ir_eq & 1)) + 1) >> 1)
+             % (4 * {_RING_NSIDE}))
+      WHEN z > 0 THEN
+        2 * ir_po * (ir_po - 1)
+          + (CAST(FLOOR(tt * ir_po) AS BIGINT) % (4 * ir_po))
+      ELSE
+        12 * {_RING_NSIDE} * {_RING_NSIDE} - 2 * ir_po * (ir_po + 1)
+          + (CAST(FLOOR(tt * ir_po) AS BIGINT) % (4 * ir_po))
+      END AS ring256
+    FROM rings
+    """,
+)
+def spatial_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEALPix ring-scheme pixel id (nside=256) computed entirely with
+    Catalyst expressions — the r7 sibling of `spatial_nest`, shrinking the
+    rows-only surface: `spatial_cols`' pandas-UDF ring256 column now has a
+    fully SQL-oracled, cross-validated twin
+    (tests/test_spatial_nest.py::test_spatial_ring_matches_numpy_and_udf).
+
+    Same trig-free trick as `spatial_nest`: the golden-angle fixture sky
+    sets dec = degrees(asin(u)) so HEALPix's z = sin(radians(dec)) = u
+    exactly, and tt = (ra/90) mod 4 needs no radians conversion; the rest
+    is *, %, floor, abs and IEEE-exact sqrt, bit-reproducible across
+    engines (Gorski et al. 2005 ang2pix_ring, equatorial belt + polar
+    caps; ring ip derived as (jp+jm-nside+kshift+1)>>1 mod 4*nside).
+
+    Scale: narrow whole-stage-codegen projection, zero shuffles — the
+    ring id is the classic load-time zonal partition key for all-sky
+    catalogs (ring number == iso-latitude band, so a dec-range scan prunes
+    contiguous ring intervals)."""
+    nside = _RING_NSIDE
+    c = load(spark, sf_dir, "customer")
+    z = ((F.col("c_custkey") * 0.6180339887) % 1.0) * 2 - 1
+    tt = ((F.col("c_custkey") * 137.50776405) % 360.0) / 90.0
+    base = c.select("c_custkey", z.alias("z"), tt.alias("tt"))
+    za = F.abs(F.col("z"))
+    jp_eq = F.floor(nside * (0.5 + F.col("tt")) - nside * F.col("z") * 0.75)
+    jm_eq = F.floor(nside * (0.5 + F.col("tt")) + nside * F.col("z") * 0.75)
+    tp = F.col("tt") - F.floor("tt")
+    tmp = nside * F.sqrt(3.0 * (1.0 - za))
+    ir_eq = nside + 1 + jp_eq - jm_eq
+    ir_po = F.floor(tp * tmp) + F.floor((1.0 - tp) * tmp) + 1
+    staged = base.select(
+        "c_custkey",
+        "z",
+        "tt",
+        za.alias("za"),
+        jp_eq.alias("jp_eq"),
+        jm_eq.alias("jm_eq"),
+        ir_eq.alias("ir_eq"),
+        ir_po.alias("ir_po"),
+    )
+    kshift = 1 - F.col("ir_eq").bitwiseAND(F.lit(1))
+    ip_eq = F.shiftright(
+        F.col("jp_eq") + F.col("jm_eq") - nside + kshift + 1, 1
+    ) % (4 * nside)
+    ip_po = F.floor(F.col("tt") * F.col("ir_po")).cast("long") % (4 * F.col("ir_po"))
+    pix = (
+        F.when(
+            F.col("za") <= 2.0 / 3.0,
+            2 * nside * (nside - 1) + (F.col("ir_eq") - 1) * 4 * nside + ip_eq,
+        )
+        .when(
+            F.col("z") > 0,
+            2 * F.col("ir_po") * (F.col("ir_po") - 1) + ip_po,
+        )
+        .otherwise(
+            12 * nside * nside - 2 * F.col("ir_po") * (F.col("ir_po") + 1) + ip_po
+        )
+    )
+    return staged.select("c_custkey", pix.alias("ring256"))
+
+
 @register(
     "etl_winsorize",
     oracle="""

@@ -1253,6 +1253,28 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_pairs(docs: DataFrame) -> DataFrame:
+    """JVM-side bigram materialization shared by ``text_bigram_lm`` and
+    ``text_bigram_kn``: an index-transform over the token array (no
+    exploded self-join). The ``size >= 2`` guard matters: ``sequence(1,
+    0)`` steps BACKWARD ([1, 0]) for a single-token document and would
+    emit null-padded bigram rows the oracles' ``WHERE i < len(t)`` never
+    produces (r6 advice; ``bpe_train_merges`` guards the same pattern).
+    Pinned by ``tests/test_stats_extra.py::test_bigram_pairs_single_token_guard``."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+
+
 @register(
     "text_bigram_lm",
     oracle="""
@@ -1290,16 +1312,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume; V is a broadcast 1-row scalar. The scored-docs filter bounds
     the output, not the corpus statistics."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
-    flat = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    flat = _bigram_pairs(d)
     bg = flat.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("cbg"))
     u = flat.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("cw1"))
     v = (
@@ -1481,16 +1494,7 @@ def text_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders below corpus volume; the |bigrams| normalizer broadcasts as a
     1-row scalar. TakeOrdered bounds the output."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
-    flat = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
-            )
-        ).alias("b"),
-    ).select("b.w1", "b.w2")
+    flat = _bigram_pairs(d).select("w1", "w2")
     bg = flat.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("cbg"))
     lft = bg.groupBy("w1").agg(
         F.sum("cbg").alias("cw1"), F.count(F.lit(1)).cast("double").alias("ntypes")

@@ -263,7 +263,7 @@ _BQ_NQUERY = 5  # vec_id < 5 are the query vectors
 
 
 def _bq_code_col(vec):
-    """64-bit sign code: bit i set iff component i > 0 (fixture embeddings
+    """63-bit sign code (_BQ_BITS): bit i set iff component i > 0 (fixture embeddings
     are zero-centered-ish; the threshold is mirrored verbatim in SQL)."""
     code = F.lit(0).cast("long")
     for i in range(_BQ_BITS):

@@ -658,7 +658,7 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
              ((CAST(c_custkey AS DOUBLE) * 137.50776405) % 360.0) - 180.0 AS lon,
              (((CAST(c_custkey AS DOUBLE) * 0.6180339887) % 1.0) * 2 - 1) * 90.0
                AS lat
-      FROM customer WHERE c_custkey < 500
+      FROM customer WHERE c_custkey BETWEEN 1 AND 499
     )
     SELECT c_custkey,
            FLOOR(6371.0 * 2 * asin(sqrt(
@@ -680,9 +680,16 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed reference point (lat 10, lon 20) to every pseudo-sky customer
     point — the per-row geo math under fleet/logistics analytics, all
     whole-stage-codegen trigonometry. Outputs floor to milli-units per
-    the cross-engine convention (both engines evaluate the identical
-    formula on identical doubles; the grid absorbs libm ulps)."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    the cross-engine convention. NOTE the grid is probabilistic, not
+    airtight: JVM Math and DuckDB libm trig may differ in the last ulp,
+    and FLOOR(x*1000) still flips when a value lands within an ulp of a
+    milli-grid boundary — the grid makes divergence rare (no fixture
+    point sits near a boundary; pytest pins that margin), it does not
+    eliminate it (r6 advice, same exposure as events_periodogram).
+    c_custkey=0 is excluded: it maps to the exact south pole, where the
+    bearing is atan2(±1ulp, negative) — 180° plus-or-minus one ulp, so
+    FLOOR could legitimately flip between engines."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey").between(1, 499))
     lon = ((F.col("c_custkey").cast("double") * 137.50776405) % 360.0) - 180.0
     lat = (((F.col("c_custkey").cast("double") * 0.6180339887) % 1.0) * 2 - 1) * 90.0
     pts = c.select("c_custkey", lon.alias("lon"), lat.alias("lat"))

@@ -965,17 +965,24 @@ def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT partkey, ROUND(value, 2) AS value
     FROM inv
-    WHERE value > (SELECT 0.005 * SUM(value) FROM inv)
+    WHERE value > (SELECT 2.0 * AVG(value) FROM inv)
     ORDER BY value DESC, partkey
     """,
 )
 def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock identification) — the
-    HAVING-above-scalar-fraction archetype: per-part inventory value for
-    two nations' suppliers, kept only where it exceeds 0.5% of the
-    total. The scalar subquery re-aggregates the SAME CTE, which both
-    planners evaluate once and broadcast; value is emulated as shipped
-    quantity x retail price (no partsupp)."""
+    HAVING-above-scalar-aggregate archetype: per-part inventory value for
+    two nations' suppliers, kept only where it exceeds 2x the mean
+    per-part value. The scalar subquery re-aggregates the SAME CTE, which
+    both planners evaluate once and broadcast; value is emulated as
+    shipped quantity x retail price (no partsupp).
+
+    r7: the spec's fraction-of-SUM cut (0.005 here, 0.0001/SF in TPC-H)
+    selected ZERO rows at both fixture tiers — a vacuous oracle (empty
+    multisets always hash-match). TPC-H itself scales the fraction by
+    1/SF for exactly this reason; a multiple of AVG is the scale-free
+    equivalent (134 rows at sf0.01, 1375 at sf0.1) and keeps the same
+    plan shape: CTE evaluated once, one-row broadcast, filter."""
     _view(spark, sf_dir, "lineitem", "supplier", "part")
     return spark.sql(
         """
@@ -990,7 +997,7 @@ def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT partkey, ROUND(value, 2) AS value
         FROM inv
-        WHERE value > (SELECT 0.005 * SUM(value) FROM inv)
+        WHERE value > (SELECT 2.0 * AVG(value) FROM inv)
         ORDER BY value DESC, partkey
         """
     )

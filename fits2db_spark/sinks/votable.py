@@ -108,21 +108,49 @@ def votable_string(
     table_name: str = "results",
     limit: int | None = 10_000,
     unbounded: bool = False,
+    truncate: bool = False,
 ) -> str:
     """Single-document convenience (service responses): collects the rows,
     so the result is BOUNDED by default (``limit=10_000``). A service
     wrapper that forgets to pass a limit must not be able to OOM the
     driver: ``limit=None`` raises unless the caller states
-    ``unbounded=True`` explicitly. Bulk exports belong to
-    :func:`write_votable_fragments` (distributed, no collect)."""
+    ``unbounded=True`` explicitly.
+
+    Overflow is NEVER silent (r6 advice: the CLI single-document path was
+    truncating >10k-row exports to the first 10,000 rows with no error):
+    ``limit + 1`` rows are collected, and if the input exceeds the bound
+    the call raises unless ``truncate=True`` opts in — in which case the
+    document carries an ``<INFO name="QUERY_STATUS" value="OVERFLOW"/>``
+    marker, the standard VOTable/TAP overflow signal. Bulk exports belong
+    to :func:`write_votable_fragments` (distributed, no collect)."""
     if limit is None and not unbounded:
         raise ValueError(
             "votable_string(limit=None) collects the whole DataFrame on the"
             " driver; pass unbounded=True to confirm, or use"
             " write_votable_fragments() for bulk export"
         )
+    overflow = False
     if limit is not None:
-        df = df.limit(limit)
-    rows = df.collect()
+        rows = df.limit(limit + 1).collect()
+        if len(rows) > limit:
+            if not truncate:
+                raise ValueError(
+                    f"votable_string: result exceeds limit={limit} rows;"
+                    " raise the limit, pass truncate=True to emit the first"
+                    f" {limit} rows with a VOTable OVERFLOW marker, or use"
+                    " write_votable_fragments() for a complete distributed"
+                    " export"
+                )
+            overflow = True
+            rows = rows[:limit]
+    else:
+        rows = df.collect()
     body = "\n".join(_row_xml(r) for r in rows)
-    return votable_header(df, table_name) + body + ("\n" if body else "") + VOTABLE_FOOTER
+    doc = votable_header(df, table_name) + body + ("\n" if body else "") + VOTABLE_FOOTER
+    if overflow:
+        doc = doc.replace(
+            "  <RESOURCE>\n",
+            '  <RESOURCE>\n    <INFO name="QUERY_STATUS" value="OVERFLOW"/>\n',
+            1,
+        )
+    return doc

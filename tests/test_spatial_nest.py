@@ -58,3 +58,21 @@ def test_point_in_polygon_matches_matplotlib_free_reference(spark):
     # the hexagon covers a nontrivial fraction of the plane
     frac = sum(r["inside"] for r in rows) / len(rows)
     assert 0.05 < frac < 0.8, frac
+
+
+def test_spatial_ring_matches_numpy_and_udf(spark):
+    """r7: the ring-scheme Catalyst twin — three-way agreement like nest."""
+    from fits2db_spark.functions.spatial import ang2pix_ring
+    from fits2db_spark.operators.etl import spatial_ring
+
+    rows = spatial_ring(spark, SF_SMOKE).collect()
+    keys = np.array([r["c_custkey"] for r in rows], dtype="f8")
+    got = np.array([r["ring256"] for r in rows])
+    ra = (keys * 137.50776405) % 360.0
+    dec = np.degrees(np.arcsin(((keys * 0.6180339887) % 1.0) * 2 - 1))
+    want = ang2pix_ring(256, ra, dec)
+    mismatch = int((got != want).sum())
+    assert mismatch == 0, f"{mismatch}/{len(rows)} pixels differ from numpy"
+    assert got.min() >= 0 and got.max() < 12 * 256 * 256
+    udf = {r["c_custkey"]: r["ring256"] for r in spatial_cols(spark, SF_SMOKE).collect()}
+    assert {r["c_custkey"]: r["ring256"] for r in rows} == udf

@@ -347,3 +347,70 @@ def test_kneser_ney_probabilities_are_proper(spark):
     for r in rows:
         assert 0 < r["p_kn"] <= 1, r
         assert r["c_bigram"] >= 1
+
+
+def test_bigram_pairs_single_token_guard(spark):
+    """sequence(1, 0) steps backward for 1-token docs; the shared guard
+    must drop them instead of emitting null-padded bigrams (r6 advice).
+    Also pins that the guard is a NO-OP on the fixtures (every fixture doc
+    has >= 2 tokens), so r6 driver-green rows remain valid."""
+    from fits2db_spark.operators.pipeline import _bigram_pairs
+    from fits2db_spark.tables import load
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens"), (3, "a b c")], "doc_id int, text string"
+    )
+    rows = _bigram_pairs(df).collect()
+    assert all(r.w1 is not None and r.w2 is not None for r in rows)
+    assert sorted((r.doc_id, r.w1, r.w2) for r in rows) == [
+        (2, "two", "tokens"),
+        (3, "a", "b"),
+        (3, "b", "c"),
+    ]
+    docs = load(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    from pyspark.sql import functions as F
+
+    assert docs.filter(F.size(F.split("text", " ")) >= 2).count() == n_docs
+
+
+def test_fn_geo_outputs_stay_clear_of_milli_grid_boundaries(spark):
+    """fn_geo's FLOOR(x*1000) cross-engine grid is probabilistic: a value
+    within ~1 ulp of an integer boundary could floor differently under JVM
+    vs libm trig. Pin that every fixture value keeps a wide margin
+    (>1e-6 of a milli-unit) from the nearest boundary, so the oracle
+    cannot flake on this fixture."""
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.operators.scalar_functions import fn_geo
+
+    pdf = fn_geo(spark, SF_SMOKE).toPandas()
+    # recompute the pre-floor values the same way the operator does
+    import numpy as np
+
+    keys = pdf.c_custkey.to_numpy()
+    lon = ((keys.astype(float) * 137.50776405) % 360.0) - 180.0
+    lat = (((keys.astype(float) * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+    lat0, lon0 = np.radians(10.0), np.radians(20.0)
+    rlat, rlon = np.radians(lat), np.radians(lon)
+    dlat, dlon = (rlat - lat0) / 2, (rlon - lon0) / 2
+    dist = 6371.0 * 2 * np.arcsin(
+        np.sqrt(
+            np.sin(dlat) ** 2 + np.cos(lat0) * np.cos(rlat) * np.sin(dlon) ** 2
+        )
+    )
+    brg = (
+        np.degrees(
+            np.arctan2(
+                np.sin(rlon - lon0) * np.cos(rlat),
+                np.cos(lat0) * np.sin(rlat)
+                - np.sin(lat0) * np.cos(rlat) * np.cos(rlon - lon0),
+            )
+        )
+        + 360.0
+    ) % 360.0
+    assert 0 not in set(keys), "degenerate pole row (custkey 0) must be excluded"
+    for scaled in (dist * 1000, brg * 1000):
+        frac = np.abs(scaled - np.round(scaled))
+        # 1e-4 milli-units is ~10^9 x the few-ulp trig divergence budget
+        assert frac.min() > 1e-4, f"fixture value {scaled[frac.argmin()]} hugs a boundary"

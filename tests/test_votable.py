@@ -118,3 +118,27 @@ def test_votable_quotes_attribute_values(spark):
     table = root.find(f"{ns}RESOURCE/{ns}TABLE")
     assert table.get("name") == 't"name'
     assert table.find(f"{ns}FIELD").get("name") == 'we"ird'
+
+
+def test_votable_string_overflow_raises_never_truncates_silently(spark):
+    """r6 advice (high): a >limit input must raise, not silently emit the
+    first `limit` rows; truncate=True opts in and stamps the standard
+    VOTable OVERFLOW marker."""
+    import pytest
+
+    from fits2db_spark.sinks.votable import votable_string
+
+    df = spark.range(10).selectExpr("CAST(id AS INT) AS a")
+    with pytest.raises(ValueError, match="OVERFLOW|exceeds limit"):
+        votable_string(df, limit=5)
+    doc = votable_string(df, limit=5, truncate=True)
+    fields, rows = _parse(doc)
+    assert len(rows) == 5
+    root = ET.fromstring(doc)
+    info = root.find(".//vo:INFO", NS)
+    assert info is not None
+    assert info.get("name") == "QUERY_STATUS" and info.get("value") == "OVERFLOW"
+    # exactly-at-limit input: complete, no marker
+    doc = votable_string(df, limit=10)
+    _, rows = _parse(doc)
+    assert len(rows) == 10 and "OVERFLOW" not in doc

@@ -6,7 +6,13 @@ order-insensitive value multiset. Floats are compared exactly (queries are
 expected to round on both sides) with a fallback tolerance report so
 mismatches are diagnosable.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+A hash check over an empty multiset can never catch a logic error, so any
+oracled query returning 0 rows is flagged VACUOUS (r6 verdict: sql_tpch_q11
+and subquery_scalar were silently green-by-vacuity for five rounds). With
+``--require-nonempty`` (used by the verify_all deep tier) vacuous results
+are hard failures.
+
+Usage: python tools/check_oracle.py [--require-nonempty] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -50,8 +56,10 @@ def multiset(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--require-nonempty"]
+    require_nonempty = "--require-nonempty" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from fits2db_spark.session import get_spark
@@ -64,7 +72,7 @@ def main() -> int:
         )
 
     qs, os_ = e.queries(), e.oracle_sql()
-    fails, passes, rows_only = [], [], []
+    fails, passes, rows_only, vacuous = [], [], [], []
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -107,12 +115,18 @@ def main() -> int:
                 print(f"  spark-only : {r}")
             for r in list(only_d)[:3]:
                 print(f"  duckdb-only: {r}")
+        elif not srows:
+            vacuous.append(name)
+            print(f"WARN {name}: 0 rows — VACUOUS oracle (hash check proves nothing)")
         else:
             passes.append(name)
             print(f"ok   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
 
+    if require_nonempty and vacuous:
+        fails.extend(vacuous)
     print(
-        f"\n{len(passes)} ok, {len(rows_only)} rows-only, {len(fails)} FAILED"
+        f"\n{len(passes)} ok, {len(rows_only)} rows-only, "
+        f"{len(vacuous)} vacuous, {len(fails)} FAILED"
         + (f": {fails}" if fails else "")
     )
     return 1 if fails else 0

@@ -78,9 +78,17 @@ def main() -> int:
         # 10x-scale oracle sweep: catches rounding-boundary and oracle-cost
         # regressions the sf0.01 tier misses (r6 found anomaly_mad's ROUND
         # divergence and er_golden_record's 867s oracle this way)
+        # --require-nonempty: a 0-row oracled result at the deep tier is a
+        # hard red — catches both vacuous predicates and fixture drift
+        # (r6 verdict: two oracles were green-by-vacuity for five rounds)
         run(
             "oracle-gate-sf0.1",
-            [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.1"],
+            [
+                sys.executable,
+                "tools/check_oracle.py",
+                "--require-nonempty",
+                "/root/testdata/sf0.1",
+            ],
         )
     _record("all", True, time.time() - t0)
     mode = " fast" if fast else (" deep" if deep else "")
