@@ -37,6 +37,13 @@ HEADLINE = [
     "sim_topk_bruteforce",  # vector knn
     "stream_session",       # session windows
     "join_asof",            # union+window as-of
+    # round 7: four heavyweight composites so the bench tracks the widened
+    # surface, not just the frozen r1 set (r6 verdict #7) — each has a
+    # DuckDB pairing via its oracle in tools/bench_duckdb.py
+    "er_golden_record",     # blocked fuzzy ER + components + survivorship
+    "text_bm25",            # inverted-index BM25 top-k
+    "dedup_semantic_clusters",  # embedding-cosine pair graph + components
+    "sql_tpch_q9",          # raw-SQL 5-way star profit rollup
 ]
 
 

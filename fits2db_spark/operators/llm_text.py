@@ -807,34 +807,123 @@ def _cc_oracle_sql() -> str:
     """
 
 
-def _label_propagate(pairs: DataFrame, nodes: DataFrame, max_rounds: int = 20):
-    """Min-label propagation over an undirected pair graph.
+# Edge-count bound for the driver union-find fast path: ~the same order as
+# Spark's own broadcast-join threshold (a few million two-string rows are
+# tens of MB). Blocked ER / near-dup pair graphs are orders of magnitude
+# smaller than the corpus (24 edges at sf0.1 here; the blocking caps bound
+# them at any scale), so the common case never needs a distributed fixpoint.
+_LP_DRIVER_EDGE_CAP = 2_000_000
+
+
+def _label_propagate(
+    pairs: DataFrame, nodes: DataFrame, max_rounds: int = 20, unroll: int = 5
+):
+    """Min-label connected components over an undirected pair graph.
 
     ``pairs``: (doc_a, doc_b) edges; ``nodes``: one ``doc_id`` per vertex.
     Returns ``(updated, labels)`` where ``labels`` is (doc_id, comp) at the
     fixpoint and ``updated`` additionally carries the final ``new_comp``
     column (the memo shape).
 
-    Lineage is CUT each round (eager localCheckpoint; reliable checkpoint()
-    on a real cluster): the per-round join references the previous labels,
-    so uncut plans nest geometrically — the same analysis-cost pathology
-    fixed in dedup_components_bigstar. Superseded checkpoint blocks are
-    reclaimed by the ContextCleaner once their Python references drop.
+    r7 hybrid replan (the 73x er_golden_record bench gap was ALL per-round
+    driver latency on a 24-edge graph, not data volume): the edge list is
+    checkpointed and counted once; when it is broadcast-scale
+    (<= _LP_DRIVER_EDGE_CAP rows) the components are solved with a driver
+    union-find (path-halving, O(E a(E)) — microseconds for anything that
+    fits the cap) and the (endpoint -> min-member) map is BROADCAST-joined
+    back onto the nodes, so the per-node work stays distributed and the
+    driver holds only the edge endpoints — the exact bounded-build-side
+    contract of a broadcast hash join. Above the cap, the verified
+    iterative min-label loop below runs, with rounds statically unrolled
+    in LAZY blocks of ``unroll`` (one action per block + one verification
+    round whose changed-count must be 0). Either path returns ONLY a
+    verified-or-exact fixpoint.
 
-    Raises RuntimeError if no fixpoint is reached within ``max_rounds``:
-    silently-wrong clusters are worse than a loud failure (mirrors
-    dedup_components_bigstar) — min-label propagation needs rounds ~= graph
-    diameter, so an unconverged exit means the labels are NOT components.
-    Callers must never memoize a non-fixpoint (this function raises before
+    Iterative-path lineage is CUT at block boundaries (eager
+    localCheckpoint; reliable checkpoint() on a real cluster): the
+    per-round join references the previous labels, so uncut plans nest
+    geometrically — ``unroll`` bounds that nesting. Superseded checkpoint
+    blocks are reclaimed by the ContextCleaner once their Python
+    references drop.
+
+    Raises RuntimeError if the iterative path reaches no fixpoint within
+    ``max_rounds`` total propagation rounds: silently-wrong clusters are
+    worse than a loud failure (mirrors dedup_components_bigstar). Callers
+    must never memoize a non-fixpoint (this function raises before
     returning one).
     """
+    # One bounded probe action decides the path: collect at most cap+1 pair
+    # rows straight off the lazy pair plan (undirected union-find needs no
+    # symmetrization). cap+1 makes overflow detectable without a count.
+    probe = pairs.limit(_LP_DRIVER_EDGE_CAP + 1).collect()
+    if len(probe) <= _LP_DRIVER_EDGE_CAP:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in probe:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # larger root points at smaller -> every root is its
+                # component's MINIMUM member (min() on str == SQL MIN,
+                # lexicographic), matching the oracle's MIN(r) labels
+                parent[max(ra, rb)] = min(ra, rb)
+        # every non-root endpoint has a parent entry; roots fall through to
+        # the coalesce(doc_id) below
+        mapping = [(x, find(x)) for x in parent]
+        spark = nodes.sparkSession
+        id_type = nodes.schema["doc_id"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        map_df = spark.createDataFrame(
+            mapping,
+            StructType(
+                [StructField("doc_id", id_type), StructField("edge_comp", id_type)]
+            ),
+        )
+        labels = nodes.join(F.broadcast(map_df), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("edge_comp"), F.col("doc_id")).alias("comp"),
+        )
+        updated = labels.select(
+            "doc_id", F.col("comp").alias("new_comp"), F.col("comp")
+        )
+        return updated, labels
+
+    # big-graph path: verified iterative min-label propagation
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
+
+    def one_round(lbl: DataFrame) -> DataFrame:
+        neighbor_min = (
+            edges.join(lbl, edges.doc_b == lbl.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        return lbl.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+
     labels = nodes.select("doc_id", F.col("doc_id").alias("comp"))
-    converged = False
-    updated = None
-    for _ in range(max_rounds):
+    rounds_done = 0
+    while rounds_done < max_rounds:
+        for _ in range(min(unroll, max(0, max_rounds - rounds_done - 1))):
+            labels = one_round(labels)
+            rounds_done += 1
+        labels = labels.localCheckpoint(eager=True)
+        # verification round: one more propagation; 0 changes == fixpoint
+        # (spelled without a labels-to-derived self-join, which would trip
+        # the AMBIGUOUS_SELF_JOIN analyzer)
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -844,24 +933,23 @@ def _label_propagate(pairs: DataFrame, nodes: DataFrame, max_rounds: int = 20):
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
-                    "new_comp"
-                ),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
+                ).alias("new_comp"),
                 "comp",
             )
-        ).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
+        )
+        rounds_done += 1
         changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
         labels = updated.select("doc_id", F.col("new_comp").alias("comp"))
         if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"dedup_components: no fixpoint after {max_rounds} label-"
-            "propagation rounds — use dedup_components_bigstar (O(log n) "
-            "rounds) for high-diameter graphs, or raise max_rounds"
-        )
-    return updated, labels
+            return updated, labels
+    raise RuntimeError(
+        f"dedup_components: no fixpoint after {max_rounds} label-"
+        "propagation rounds — use dedup_components_bigstar (O(log n) "
+        "rounds) for high-diameter graphs, or raise max_rounds"
+    )
 
 
 @register("dedup_components", oracle=_cc_oracle_sql())

@@ -147,14 +147,17 @@ def test_dedup_components_consistent_with_pairs(spark):
     assert sum(r.cluster_size for r in comps) == len(in_graph)
 
 
-def test_label_propagation_raises_on_high_diameter_graph(spark):
+def test_label_propagation_raises_on_high_diameter_graph(spark, monkeypatch):
     """A path graph of diameter > max_rounds must raise, not silently return
     (and never memoize) unconverged labels — the guard mirrored from
-    dedup_components_bigstar."""
+    dedup_components_bigstar. Cap forced to 0 so the ITERATIVE path (the
+    one the guard protects) runs, not the r7 union-find fast path."""
     import pytest
 
+    from fits2db_spark.operators import llm_text
     from fits2db_spark.operators.llm_text import _label_propagate
 
+    monkeypatch.setattr(llm_text, "_LP_DRIVER_EDGE_CAP", 0)
     n = 12
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a BIGINT, doc_b BIGINT"
@@ -165,6 +168,35 @@ def test_label_propagation_raises_on_high_diameter_graph(spark):
     # and with enough rounds the same graph converges to a single component
     _, labels = _label_propagate(chain, nodes, max_rounds=n)
     assert {r.comp for r in labels.collect()} == {0}
+
+
+def test_label_propagation_fast_and_iterative_paths_agree(spark, monkeypatch):
+    """The r7 driver union-find fast path and the distributed min-label
+    loop must produce identical component labels — including isolated
+    nodes, multi-branch merges, and string ids (ER uses lexicographic
+    MIN)."""
+    from fits2db_spark.operators import llm_text
+    from fits2db_spark.operators.llm_text import _label_propagate
+
+    pairs = spark.createDataFrame(
+        [("d", "b"), ("b", "z"), ("q", "m"), ("m", "a"), ("x", "y")],
+        "doc_a STRING, doc_b STRING",
+    )
+    nodes = spark.createDataFrame(
+        [(c,) for c in "abdmqxyz"] + [("lonely",)], "doc_id STRING"
+    )
+    _, fast = _label_propagate(pairs, nodes)
+    got_fast = {r.doc_id: r.comp for r in fast.collect()}
+    monkeypatch.setattr(llm_text, "_LP_DRIVER_EDGE_CAP", 0)
+    _, it = _label_propagate(pairs, nodes)
+    got_it = {r.doc_id: r.comp for r in it.collect()}
+    assert got_fast == got_it
+    assert got_fast == {
+        "a": "a", "m": "a", "q": "a",
+        "b": "b", "d": "b", "z": "b",
+        "x": "x", "y": "x",
+        "lonely": "lonely",
+    }
 
 
 def test_dedup_components_bigstar_matches_label_propagation(spark):
