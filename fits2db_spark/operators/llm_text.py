@@ -1103,6 +1103,94 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", red.alias("redacted"))
 
 
+_SSW_W = 20  # tokens per exact-substring window (Lee et al. 2022 use 50
+# BPE tokens; 20 whitespace tokens is the same order on the fixture docs)
+
+
+@register(
+    "dedup_substring_windows",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ok AS (SELECT doc_id, t, len(t) - {_SSW_W} + 1 AS nw
+           FROM toks WHERE len(t) >= {_SSW_W}),
+    wins AS (
+      -- index grid bounded at 4096 (fixture docs max ~100 tokens; the
+      -- WHERE i <= nw filter makes any larger bound a no-op)
+      SELECT doc_id, md5(array_to_string(t[i:i+{_SSW_W}-1], ' ')) AS h
+      FROM ok, (SELECT unnest(generate_series(1, 4096)) AS i) g
+      WHERE i <= nw),
+    dupw AS (SELECT h FROM wins GROUP BY h
+             HAVING COUNT(DISTINCT doc_id) > 1),
+    per AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+            FROM wins w JOIN dupw USING (h) GROUP BY 1)
+    SELECT o.doc_id, CAST(o.nw AS BIGINT) AS n_windows,
+           COALESCE(p.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+           ROUND(CAST(COALESCE(p.n_dup_windows, 0) AS DOUBLE) / o.nw, 6)
+             AS dup_frac
+    FROM ok o LEFT JOIN per p USING (doc_id)
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-window duplication audit — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    ExactSubstr metric re-expressed relationally: every ``_SSW_W``-token
+    sliding window is hashed; a window whose hash occurs in MORE THAN ONE
+    document is a cross-corpus duplicated span, and each document reports
+    how many of its window positions are duplicated elsewhere
+    (``dup_frac`` is the curation filter threshold — docs that are mostly
+    boilerplate shared with other docs get dropped or trimmed).
+
+    Plan: explode windows (JVM index-transform over the token array, like
+    text_bigram_lm's bigrams), one partial-agg groupBy for the
+    document-frequency table, one hash-partitioned equi-join back, one
+    per-doc count. Unlike pair-based dedup there is NO self-join anywhere
+    — work is strictly LINEAR in total window count even when one
+    boilerplate window occurs in a million documents (each occurrence
+    contributes one row, never k^2 pairs), which is exactly why suffix /
+    substring dedup is the scalable complement to MinHash at 100 TB.
+    The suffix-array construction of the paper collapses to hashing
+    because fixed-length windows are enough for the span METRIC; span
+    RECOVERY (start offsets) would add one more explode of matched
+    positions, still linear."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _SSW_W
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_SSW_W} + 1),"
+                f" i -> md5(concat_ws(' ', slice(t, i, {_SSW_W}))))"
+            )
+        ).alias("h"),
+    )
+    dupw = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("h")
+    )
+    per = (
+        wins.join(dupw, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_windows"))
+    )
+    base = toks.select(
+        "doc_id", (F.size("t") - _SSW_W + 1).cast("long").alias("n_windows")
+    )
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias(
+            "n_dup_windows"
+        ),
+        F.round(
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)) / F.col("n_windows"), 6
+        ).alias("dup_frac"),
+    )
+
+
 @register(
     "dedup_keep_longest",
     oracle="""

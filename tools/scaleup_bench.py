@@ -1,0 +1,178 @@
+"""Synthetic ~sf1 scale-up tier + measurement (r6 verdict #4).
+
+The 100 TB story so far is plan-shape-verified only; this tool produces the
+first MEASURED evidence above sf0.1:
+
+1. **Generate** a ~10x tier by replicating sf0.1 with FK-consistent key
+   remapping (replica i offsets every key column by i*stride; region/nation
+   dims copy unchanged). Documents get a per-replica leading token (`r<i> `)
+   so each replica is a genuine NEAR-duplicate of its original — the
+   duplicate-cluster size grows 10x, exactly the stress the LSH/shingle
+   caps exist for; n_chars is recomputed. Embeddings replicate unchanged
+   (10x identical vectors stress IVF/LSH bucket occupancy). Output goes to
+   /tmp (the driver-owned /root/testdata is read-only).
+
+2. **Bench** the 15 headline queries on the new tier, Spark and DuckDB,
+   via the existing bench.py / tools/bench_duckdb.py (env-pointed).
+
+3. **Candidate growth**: count LSH band-bucket candidate pairs and
+   shingle-inverted-index candidate pairs at sf0.01 / sf0.1 / sf1 using
+   the package's own capped builders — the claim under test is ~linear
+   growth in document count (the caps bound per-bucket blowup).
+
+Usage: python tools/scaleup_bench.py [--factor 10] [--skip-gen]
+Prints one JSON document; paste the summary row into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/scaleup/sf1"
+
+# key column -> replica stride (well above each column's max at sf0.1)
+_STRIDES = {
+    "c_custkey": 1_000_000,
+    "s_suppkey": 1_000_000,
+    "p_partkey": 1_000_000,
+    "o_orderkey": 10_000_000,
+    "o_custkey": 1_000_000,
+    "l_orderkey": 10_000_000,
+    "l_partkey": 1_000_000,
+    "l_suppkey": 1_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+
+def generate(factor: int) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t in (
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        cols = [
+            d[0]
+            for d in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = []
+        for c in cols:
+            if c in _STRIDES:
+                sel.append(f"{c} + i * {_STRIDES[c]} AS {c}")
+            elif t == "documents" and c == "text":
+                sel.append("concat('r', CAST(i AS VARCHAR), ' ', text) AS text")
+            elif t == "documents" and c == "n_chars":
+                sel.append(
+                    "CAST(LENGTH(concat('r', CAST(i AS VARCHAR), ' ', text))"
+                    " AS BIGINT) AS n_chars"
+                )
+            else:
+                sel.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)}"
+            f" FROM read_parquet('{SRC}/{t}.parquet')"
+            f" CROSS JOIN (SELECT unnest(range({factor})) AS i))"
+            f" TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def run_benches() -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=OUT)
+    out = {}
+    for label, cmd in (
+        ("spark", [sys.executable, "bench.py"]),
+        ("duckdb", [sys.executable, "tools/bench_duckdb.py", OUT]),
+    ):
+        t0 = time.time()
+        proc = subprocess.run(
+            cmd, cwd=REPO, env=env, capture_output=True, text=True
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        out[label] = json.loads(line)
+        out[label]["wall_sec"] = round(time.time() - t0, 1)
+    return out
+
+
+def candidate_growth() -> list[dict]:
+    from fits2db_spark.operators.llm_text import (
+        _arrays_cached,
+        _bands_cached,
+        _jaccard_candidates,
+        _lsh_candidates,
+        _shingles_cached,
+    )
+    from fits2db_spark.session import get_spark
+    from fits2db_spark.tables import load
+
+    spark = get_spark("scaleup_candidates", shuffle_partitions=8)
+    rows = []
+    for tier in ("/root/testdata/sf0.01", "/root/testdata/sf0.1", OUT):
+        d = load(spark, tier, "documents")
+        n_docs = d.count()
+        lsh = _lsh_candidates(
+            _bands_cached(spark, _arrays_cached(spark, d, tier), tier)
+        ).count()
+        jac = _jaccard_candidates(_shingles_cached(spark, d, tier)).count()
+        rows.append(
+            {
+                "tier": tier,
+                "docs": n_docs,
+                "lsh_candidate_pairs": lsh,
+                "shingle_candidate_pairs": jac,
+                "lsh_pairs_per_doc": round(lsh / n_docs, 2),
+                "shingle_pairs_per_doc": round(jac / n_docs, 2),
+            }
+        )
+    return rows
+
+
+def main() -> None:
+    factor = 10
+    if "--factor" in sys.argv:
+        factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    if "--skip-gen" not in sys.argv:
+        t0 = time.time()
+        generate(factor)
+        print(f"generated {OUT} (factor {factor}) in {time.time()-t0:.1f}s", file=sys.stderr)
+    report = {"tier": OUT, "factor": factor}
+    report["bench"] = run_benches()
+    s, d = report["bench"]["spark"], report["bench"]["duckdb"]
+    shared = [q for q in s["queries"] if q in d["queries"]]
+    report["shared_total_spark"] = round(sum(s["queries"][q] for q in shared), 3)
+    report["shared_total_duckdb"] = round(sum(d["queries"][q] for q in shared), 3)
+    report["ratio"] = round(
+        report["shared_total_spark"] / report["shared_total_duckdb"], 3
+    )
+    report["candidates"] = candidate_growth()
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
