@@ -590,6 +590,59 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(SCHEMAS["nation"]).orc(out)
 
 
+@register(
+    "scan_xml",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round trip via Spark 4's BUILT-IN xml source (the spark-xml
+    package folded into core): write the supplier table as one
+    ``<supplier>`` element per row, read it back with a DECLARED schema
+    and ``rowTag`` — the B2B/feed interchange format every warehouse
+    ingest layer still meets. The declared-schema read matters at scale
+    exactly as for CSV/JSON: schema inference would scan the data twice
+    and row-level parse errors surface as nulls to quarantine, not
+    crashes. Doubles round-trip exactly (shortest-repr print + parse is
+    value-preserving); acctbal is 2dp on both sides per the fixture's own
+    precision."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    sup = SCHEMAS["supplier"]
+
+    def write(p: str) -> None:
+        load(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        ).write.mode("overwrite").format("xml").option("rowTag", "supplier").option(
+            "rootTag", "suppliers"
+        ).save(p)
+
+    out = _scratch_dir(spark, sf_dir, "supplier_xml", write)
+    schema = StructType(
+        [
+            StructField("s_suppkey", sup["s_suppkey"].dataType),
+            StructField("s_name", sup["s_name"].dataType),
+            StructField("s_nationkey", sup["s_nationkey"].dataType),
+            StructField("s_acctbal", DoubleType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(out)
+    )
+
+
 # Fixed-width layout for the customer interchange file (round 6): archival
 # pipelines (and FITS ASCII tables) exchange column-aligned text; positions
 # are 1-based [start, length] as a COBOL-style copybook would declare them.

@@ -132,6 +132,8 @@ _PRIORITY_QUERIES = (
     "spatial_cols",
     "text_bigram_lm",
     "spatial_ring",
+    "dedup_substring_windows",
+    "scan_xml",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
