@@ -813,6 +813,11 @@ def _cc_oracle_sql() -> str:
 # smaller than the corpus (24 edges at sf0.1 here; the blocking caps bound
 # them at any scale), so the common case never needs a distributed fixpoint.
 _LP_DRIVER_EDGE_CAP = 2_000_000
+# Below this many (endpoint -> component) entries the label map ships as an
+# inline create_map literal (pure Catalyst, no join); above it, a broadcast
+# join on a createDataFrame frame (literal plans have per-entry analyzer
+# cost, so huge maps belong in a broadcast relation).
+_LP_MAP_LITERAL_CAP = 10_000
 
 
 def _label_propagate(
@@ -877,20 +882,42 @@ def _label_propagate(
         # every non-root endpoint has a parent entry; roots fall through to
         # the coalesce(doc_id) below
         mapping = [(x, find(x)) for x in parent]
-        spark = nodes.sparkSession
         id_type = nodes.schema["doc_id"].dataType
-        from pyspark.sql.types import StructField, StructType
+        if len(mapping) <= _LP_MAP_LITERAL_CAP:
+            # inline literal MAP lookup: createDataFrame costs ~0.4s of
+            # driver->JVM round trip even for tiny frames (measured r7);
+            # a create_map literal stays in Catalyst and the whole label
+            # step becomes a narrow projection, no join at all
+            if mapping:
+                m = F.create_map(
+                    *[
+                        F.lit(v).cast(id_type)
+                        for pair in mapping
+                        for v in pair
+                    ]
+                )
+                comp = F.coalesce(
+                    F.element_at(m, F.col("doc_id")), F.col("doc_id")
+                )
+            else:
+                comp = F.col("doc_id")
+            labels = nodes.select("doc_id", comp.alias("comp"))
+        else:
+            from pyspark.sql.types import StructField, StructType
 
-        map_df = spark.createDataFrame(
-            mapping,
-            StructType(
-                [StructField("doc_id", id_type), StructField("edge_comp", id_type)]
-            ),
-        )
-        labels = nodes.join(F.broadcast(map_df), "doc_id", "left").select(
-            "doc_id",
-            F.coalesce(F.col("edge_comp"), F.col("doc_id")).alias("comp"),
-        )
+            map_df = nodes.sparkSession.createDataFrame(
+                mapping,
+                StructType(
+                    [
+                        StructField("doc_id", id_type),
+                        StructField("edge_comp", id_type),
+                    ]
+                ),
+            )
+            labels = nodes.join(F.broadcast(map_df), "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("edge_comp"), F.col("doc_id")).alias("comp"),
+            )
         updated = labels.select(
             "doc_id", F.col("comp").alias("new_comp"), F.col("comp")
         )

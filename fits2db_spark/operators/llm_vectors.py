@@ -1274,12 +1274,24 @@ def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_rows = [(j, 1.0) for j in range(1, _DIM + 1)]
     nrm_val = None
     for _ in range(_PI_ROUNDS):
-        v = spark.createDataFrame(v_rows, "j bigint, val double")
+        # the round vector ships as an inline create_map literal, not a
+        # createDataFrame broadcast: the driver->JVM frame round trip costs
+        # ~0.4s per round even for 64 rows (measured r7); the literal map
+        # keeps each matvec a single narrow agg job
+        vmap = F.create_map(
+            *[
+                F.lit(x).cast("bigint") if k == 0 else F.lit(float(x))
+                for j, val in v_rows
+                for k, x in enumerate((j, val))
+            ]
+        )
         w_rows = sorted(
             (r["i"], r["w"])
-            for r in cov.join(F.broadcast(v), "j")
+            for r in cov.select(
+                "i", (F.col("c") * F.element_at(vmap, F.col("j"))).alias("cv")
+            )
             .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("val")).alias("w"))
+            .agg(F.sum("cv").alias("w"))
             .collect()
         )
         nrm_val = math.sqrt(math.fsum(w * w for _, w in w_rows))

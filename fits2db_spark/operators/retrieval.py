@@ -44,8 +44,15 @@ _BM25_QUERIES = (
 )
 
 
-def _bm25_query_rows():
-    return [(qid, t) for qid, terms in _BM25_QUERIES for t in terms]
+def _bm25_query_df(spark: SparkSession) -> DataFrame:
+    """The fixed query workload as an INLINE literal plan. Not
+    ``createDataFrame``: that is a driver->JVM Arrow round trip costing
+    ~0.4s per call even for 8 rows (measured r7) — a VALUES-style literal
+    parses in milliseconds and stays entirely in Catalyst."""
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return spark.sql(f"SELECT col1 AS query_id, col2 AS term FROM (VALUES {rows})")
 
 
 _BM25_QUERY_SQL = " UNION ALL ".join(
@@ -58,22 +65,25 @@ _BM25_QUERY_SQL = " UNION ALL ".join(
 @register(
     "text_bm25",
     oracle=f"""
-    WITH toks AS (
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+      FROM documents
+    ),
+    q AS ({_BM25_QUERY_SQL}),
+    qterms AS (SELECT DISTINCT term FROM q),
+    toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term,
              len(string_split(text, ' ')) AS dl
       FROM documents
     ),
     tf AS (
-      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl
-      FROM toks GROUP BY doc_id, term
-    ),
-    stats AS (
-      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
-             SUM(tf) / COUNT(DISTINCT doc_id) AS avgdl
-      FROM tf
+      SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf,
+             ANY_VALUE(t.dl) AS dl
+      FROM toks t JOIN qterms USING (term)
+      GROUP BY t.doc_id, t.term
     ),
     df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-    q AS ({_BM25_QUERY_SQL}),
     scored AS (
       SELECT q.query_id, tf.doc_id,
              SUM(
@@ -101,33 +111,39 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDF = ln(1 + (N - df + 0.5)/(df + 0.5)), the Lucene formulation that
     keeps IDF positive).
 
-    Plan: one explode + (doc, term) partial-agg groupBy builds the term
-    frequencies; corpus stats (N, avgdl) are a broadcast 1-row aggregate;
-    document frequencies join the TINY query-term list first, so only the
-    postings of queried terms flow into scoring — at 100 TB this is the
-    inverted-index contraction (|q| terms, not |V|) that makes per-query
-    cost proportional to posting-list length, and the final top-k is a
-    per-query WindowGroupLimit, never a global sort. Ranks compare on
-    ROUND(score, 6) with doc_id tie-break so boundary rows order
-    identically in both engines."""
+    Plan (r7 replan: the r6 version built the FULL-vocabulary (doc, term)
+    frequency table and, because each broadcast build is its own job,
+    computed it three times): corpus stats (N, avgdl = total tokens /
+    docs = avg document length) come straight off the documents scan as a
+    broadcast 1-row aggregate — no (doc, term) groupBy needed; postings
+    are contracted to the query terms BEFORE the tf groupBy (explode ->
+    broadcast semi-join -> partial agg), so the only shuffle carries the
+    posting lists of |q| terms, never |V|. At 100 TB that is the
+    inverted-index contraction that makes per-query cost proportional to
+    posting-list length; df for the IDF falls out of the same contracted
+    tf table, and the final top-k is a per-query WindowGroupLimit, never
+    a global sort. Ranks compare on ROUND(score, 6) with doc_id tie-break
+    so boundary rows order identically in both engines."""
     d = load(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split("text", " ")).cast("double")).alias("avgdl"),
+    )
+    q = _bm25_query_df(spark)
     toks = d.select(
         "doc_id",
         F.explode(F.split("text", " ")).alias("term"),
         F.size(F.split("text", " ")).alias("dl"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf"),
-        F.first("dl").alias("dl"),
+    tf = (
+        toks.join(F.broadcast(q.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
     )
-    stats = tf.agg(
-        F.countDistinct("doc_id").cast("double").alias("n_docs"),
-        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
-    )
-    q = spark.createDataFrame(_bm25_query_rows(), "query_id int, term string")
-    df_ = tf.join(F.broadcast(q.select("term").distinct()), "term").groupBy(
-        "term"
-    ).agg(F.count(F.lit(1)).cast("double").alias("df"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tfpart = (F.col("tf") * (_BM25_K1 + 1.0)) / (
         F.col("tf")
