@@ -1919,3 +1919,105 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.avg(err) * 10000) / 10000).alias("mae"),
         (F.floor(F.sum(err) / F.sum(F.abs("y")) * 1000000) / 1000000).alias("wape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing (round 7)
+# ---------------------------------------------------------------------------
+# level / trend smoothing factors a=0.5, g=0.3 — inlined as literals in both
+# engines' expressions (identical text => identical doubles); the substituted
+# one-step coefficients are g*a=0.15 and 1-g+g*(1-a)=0.85
+
+
+@register(
+    "events_holt_trend",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(CAST(v AS DOUBLE) ORDER BY d) AS vs
+      FROM daily GROUP BY 1
+    ),
+    -- DuckDB's list_reduce mutates a struct accumulator FIELD BY FIELD
+    -- (the 'b' expression observes the already-updated 'l'), so the fold
+    -- steps as a recursive CTE instead: each step's SELECT is atomic.
+    hw(event_type, i, l, b) AS (
+      SELECT event_type, CAST(1 AS BIGINT), vs[1], 0.0::DOUBLE FROM arr
+      UNION ALL
+      SELECT h.event_type, h.i + 1,
+             0.5::DOUBLE * a.vs[h.i + 1] + 0.5::DOUBLE * (h.l + h.b),
+             0.15::DOUBLE * a.vs[h.i + 1] - 0.15::DOUBLE * h.l
+               + 0.85::DOUBLE * h.b
+      FROM hw h JOIN arr a USING (event_type)
+      WHERE h.i < a.n_days
+    )
+    SELECT a.event_type, a.n_days,
+           ROUND(h.l, 6) AS level,
+           ROUND(h.b, 6) AS trend,
+           ROUND(h.l + 7 * h.b, 6) AS forecast_7d
+    FROM arr a JOIN hw h ON h.event_type = a.event_type AND h.i = a.n_days
+    """,
+)
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (ETS(A,A,N); Holt 1957)
+    over each event type's daily revenue series: level and trend updated
+    by the classic sequential recursion l_t = a*y_t + (1-a)(l+b),
+    b_t = g*(l_t - l) + (1-g)*b, initialized l_1 = y_1, b_1 = 0, plus the
+    7-day-ahead linear forecast. The trend-aware upgrade of
+    ``events_ewma`` and the model-based sibling of the seasonal-naive
+    ``events_forecast_backtest``.
+
+    A sequential recursion cannot be a window function, but it IS an
+    in-row array fold: each series collects to an ordered array (150
+    doubles per type) and ``aggregate`` folds a (level, trend) struct
+    through it — Catalyst-only. Both sides use the SUBSTITUTED trend
+    update b' = g*a*x - g*a*l + (1-g+g*(1-a))*b (= 0.15x - 0.15l + 0.85b
+    here), algebraically identical to the textbook two-step form but free
+    of intra-struct dependence — necessary because DuckDB's
+    ``list_reduce`` mutates struct accumulators field-by-field (its 'b'
+    expression would observe the already-updated 'l'; found r7, so the
+    oracle steps a recursive CTE whose per-row SELECT is atomic, with the
+    IDENTICAL expression text → bit-identical doubles before the final
+    ROUND). Daily sums round to 4dp first (the events_growth convention)
+    so both engines fold identical inputs.
+
+    Scale: the fold is per-group state of 2 doubles over an array whose
+    length is the series length (days), not event volume — the daily
+    partial-agg is the only stage that sees raw events. A 100 TB events
+    table with a 10-year span folds 3,650 doubles per key: trivially
+    in-row. Driver holds nothing."""
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round("v", 4).alias("v")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("transform(array_sort(collect_list(struct(d, v))), x -> x.v)").alias(
+            "vs"
+        ),
+    )
+    folded = arr.withColumn(
+        "st",
+        F.expr(
+            """
+            aggregate(
+              slice(vs, 2, size(vs) - 1),
+              named_struct('l', element_at(vs, 1), 'b', CAST(0.0 AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'l', 0.5D * x + 0.5D * (acc.l + acc.b),
+                'b', 0.15D * x - 0.15D * acc.l + 0.85D * acc.b))
+            """
+        ),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7d"),
+    )

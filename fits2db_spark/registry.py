@@ -134,6 +134,7 @@ _PRIORITY_QUERIES = (
     "spatial_ring",
     "dedup_substring_windows",
     "scan_xml",
+    "events_holt_trend",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",

@@ -414,3 +414,23 @@ def test_fn_geo_outputs_stay_clear_of_milli_grid_boundaries(spark):
         frac = np.abs(scaled - np.round(scaled))
         # 1e-4 milli-units is ~10^9 x the few-ulp trig divergence budget
         assert frac.min() > 1e-4, f"fixture value {scaled[frac.argmin()]} hugs a boundary"
+
+
+def test_holt_trend_matches_python_reference_fold(spark):
+    """events_holt_trend vs an independent python recursion (textbook
+    two-step form) — also pins that the substituted one-step update used
+    by both engines is algebraically the same recursion."""
+    got = _run(spark, "events_holt_trend").set_index("event_type")
+    daily = _daily().round(4)
+    for t, s in daily.groupby(level=0):
+        v = s.droplevel(0).sort_index().to_numpy()
+        l, b = float(v[0]), 0.0
+        for x in v[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.3 * (nl - l) + 0.7 * b
+            l = nl
+        row = got.loc[t]
+        assert abs(row.level - l) < 1e-4, (t, row.level, l)
+        assert abs(row.trend - b) < 1e-4, (t, row.trend, b)
+        assert abs(row.forecast_7d - (l + 7 * b)) < 1e-3
+        assert row.n_days == len(v)
