@@ -686,3 +686,112 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples long, sample_rate int, "
         "duration_s double, rms double, peak long, zcr double",
     )
+
+
+# ---------------------------------------------------------------------------
+# VAD-style audio segmentation (round 7)
+# ---------------------------------------------------------------------------
+_VAD_RATE = 8000
+_VAD_FRAME = 80          # 10ms frames at 8kHz — the standard VAD hop
+_VAD_THRESHOLD = 500.0   # frame-RMS gate; tones are >=1000, silence is 0
+
+
+@register(
+    "mm_audio_segments",
+    # The synthesized layout is deterministic: 5 silence frames, then k
+    # bursts (k = doc_id%4 + 2) of 80*(j + doc_id%3 + 1) samples each,
+    # separated by 5 silence frames — every boundary lands on a frame
+    # edge, so the segmentation the DECODER recovers has a closed form.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 4 + 2 AS k, doc_id % 3 + 1 AS m
+      FROM documents WHERE doc_id < 150
+    ),
+    bursts AS (
+      SELECT doc_id, k, {_VAD_FRAME} * (j + m) AS t_samples
+      FROM base, (SELECT unnest(generate_series(1, 8)) AS j) g
+      WHERE j <= k
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(k) AS INT) AS n_segments,
+           ROUND(CAST(SUM(t_samples) AS DOUBLE) / {_VAD_RATE}, 6) AS active_s,
+           ROUND(CAST(MAX(t_samples) AS DOUBLE) / {_VAD_RATE}, 6) AS longest_s
+    FROM bursts GROUP BY doc_id
+    """,
+)
+def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style audio segmentation — the speech-curation gate that runs
+    before transcription: decode the WAV, compute per-frame RMS energy
+    (10ms frames), threshold into voiced/silent, and collapse voiced runs
+    into segments (count, total active seconds, longest segment). The
+    payloads are REAL RIFF/WAVE bytes (silence/tone-burst layouts derived
+    deterministically from fixture columns) decoded by the same
+    chunk-walking parser as `mm_wav_features`; because every burst edge
+    lands on a frame boundary, the recovered segmentation has a
+    closed-form oracle.
+
+    Plan: two narrow mapInPandas stages (synthesize -> decode+segment),
+    binary column across the Arrow boundary, zero shuffles — scales with
+    scan bandwidth like every decode operator here. The segmentation
+    itself is vectorized numpy (frame RMS -> boolean runs via diff), the
+    exact shape a real VAD (webrtcvad/silero) slots into."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    src = d.select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = doc_id % 4 + 2
+                m = doc_id % 3 + 1
+                amp = (doc_id % 8 + 1) * 1000
+                gap = np.zeros(5 * _VAD_FRAME, "<i2")
+                one_period = np.concatenate(
+                    [np.full(4, amp, "<i2"), np.full(4, -amp, "<i2")]
+                )
+                parts = [gap]
+                for j in range(1, k + 1):
+                    t = _VAD_FRAME * (j + m)
+                    parts.append(np.tile(one_period, t // 8))
+                    parts.append(gap)
+                payloads.append(write_wav(np.concatenate(parts), sample_rate=_VAD_RATE))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = src.mapInPandas(synth, schema="doc_id long, payload binary")
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                x = samples.astype("f8").ravel()
+                n_frames = len(x) // _VAD_FRAME
+                frames = x[: n_frames * _VAD_FRAME].reshape(n_frames, _VAD_FRAME)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                active = rms > _VAD_THRESHOLD
+                # run-length encode voiced runs
+                edges = np.diff(np.concatenate([[0], active.view("i1"), [0]]))
+                starts = np.flatnonzero(edges == 1)
+                ends = np.flatnonzero(edges == -1)
+                seg_frames = ends - starts
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_segments": int(len(seg_frames)),
+                        "active_s": round(
+                            float(seg_frames.sum()) * _VAD_FRAME / rate, 6
+                        ),
+                        "longest_s": round(
+                            (float(seg_frames.max()) if len(seg_frames) else 0.0)
+                            * _VAD_FRAME
+                            / rate,
+                            6,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return wav.mapInPandas(
+        segment,
+        schema="doc_id long, n_segments int, active_s double, longest_s double",
+    )

@@ -135,6 +135,7 @@ _PRIORITY_QUERIES = (
     "dedup_substring_windows",
     "scan_xml",
     "events_holt_trend",
+    "mm_audio_segments",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
