@@ -726,3 +726,44 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(dist * 1000) / 1000).alias("dist_km"),
         (F.floor(brg * 1000) / 1000).alias("bearing_deg"),
     )
+
+
+@register(
+    "fn_astro",
+    oracle="""
+    SELECT p_partkey,
+           FLOOR((25.0 - 2.5 * log10(p_retailprice)) * 1000) / 1000 AS mag,
+           FLOOR((-2.5 * log10(p_retailprice
+                               / (p_retailprice + 10.0 * p_size))) * 1000)
+             / 1000 AS color,
+           FLOOR((5.0 * log10(p_partkey + 13.7) - 5.0) * 1000)
+             / 1000 AS dist_mod
+    FROM part WHERE p_partkey BETWEEN 1 AND 499
+    """,
+)
+def fn_astro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Astronomical scalar group (§2.H family) — the photometry
+    conversions a fits2db-class catalog pipeline applies at load time:
+    instrumental magnitude mag = ZP − 2.5·log10(flux) (Pogson, ZP=25),
+    color index between two pseudo-bands −2.5·log10(f1/f2), and distance
+    modulus 5·log10(d_pc) − 5, all whole-stage-codegen math over fixture
+    columns standing in for fluxes/distances. Outputs floor to
+    milli-magnitudes per the fn_geo convention; the same probabilistic
+    caveat applies (JVM vs libm log10 may differ in the last ulp at a
+    grid boundary — tests pin that no fixture value sits within 1e-4 of
+    one). DuckDB's bare log() is log10, so the oracle spells log10()
+    explicitly."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey").between(1, 499))
+    flux1 = F.col("p_retailprice")
+    flux2 = F.col("p_retailprice") + 10.0 * F.col("p_size")
+    # +13.7: keeps every synthetic distance off integer powers of 10
+    # (partkey 89 + 10 = 100 pc made dist_mod EXACTLY 5.000 — on the
+    # grid boundary; log10 of a power of 10 is exact in both engines
+    # today, but the margin contract must not depend on that)
+    d_pc = F.col("p_partkey") + 13.7
+    return p.select(
+        "p_partkey",
+        (F.floor((25.0 - 2.5 * F.log10(flux1)) * 1000) / 1000).alias("mag"),
+        (F.floor((-2.5 * F.log10(flux1 / flux2)) * 1000) / 1000).alias("color"),
+        (F.floor((5.0 * F.log10(d_pc) - 5.0) * 1000) / 1000).alias("dist_mod"),
+    )

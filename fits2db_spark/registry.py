@@ -136,6 +136,7 @@ _PRIORITY_QUERIES = (
     "scan_xml",
     "events_holt_trend",
     "mm_audio_segments",
+    "fn_astro",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",

@@ -434,3 +434,25 @@ def test_holt_trend_matches_python_reference_fold(spark):
         assert abs(row.trend - b) < 1e-4, (t, row.trend, b)
         assert abs(row.forecast_7d - (l + 7 * b)) < 1e-3
         assert row.n_days == len(v)
+
+
+def test_fn_astro_outputs_stay_clear_of_milli_grid_boundaries(spark):
+    """Same probabilistic-grid pin as fn_geo, for the log10-based
+    photometry columns."""
+    import numpy as np
+
+    from fits2db_spark.operators.scalar_functions import fn_astro
+
+    pdf = fn_astro(spark, SF_SMOKE).toPandas()
+    p = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    p = p[(p.p_partkey >= 1) & (p.p_partkey <= 499)]
+    mag = 25.0 - 2.5 * np.log10(p.p_retailprice.to_numpy())
+    color = -2.5 * np.log10(
+        p.p_retailprice.to_numpy()
+        / (p.p_retailprice.to_numpy() + 10.0 * p.p_size.to_numpy())
+    )
+    dm = 5.0 * np.log10(p.p_partkey.to_numpy() + 13.7) - 5.0
+    assert len(pdf) == len(p)
+    for scaled in (mag * 1000, color * 1000, dm * 1000):
+        frac = np.abs(scaled - np.round(scaled))
+        assert frac.min() > 1e-4, f"value {scaled[frac.argmin()]} hugs a boundary"
