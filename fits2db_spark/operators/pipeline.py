@@ -1639,3 +1639,80 @@ def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(pairs, lambda s: s["cnt"].cast("string")), ","
         ).alias("values_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (round 7)
+# ---------------------------------------------------------------------------
+_DP_EPS = 0.5  # privacy budget -> Laplace scale b = 1/eps = 2.0 for counts
+
+
+@register(
+    "privacy_dp_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment AS segment, n_nationkey % 5 AS region_bucket,
+             CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT *,
+             (CAST(concat('0x', substr(md5(segment || '#' ||
+                    CAST(region_bucket AS VARCHAR) || '#dp42'), 1, 15))
+                   AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS unif
+      FROM g
+    )
+    SELECT segment, CAST(region_bucket AS INT) AS region_bucket, true_n,
+           FLOOR((true_n
+                  - {1.0 / _DP_EPS} * sign(unif - 0.5)
+                    * ln(1.0 - 2.0 * abs(unif - 0.5))) * 1000) / 1000
+             AS released_n
+    FROM u
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (the Laplace mechanism, Dwork
+    et al. 2006): each (segment, region) cell's count is released as
+    n + Lap(1/eps), the standard way an aggregate table leaves a privacy
+    boundary — the RELEASE step after the `privacy_k_anonymity` audit.
+    Sensitivity of a count is 1, so scale b = 1/eps = {1.0 / _DP_EPS}.
+
+    The Laplace draw is DETERMINISTIC and cross-engine: a seeded
+    md5-uniform u in (0,1) (quantized to 1e-6 with a half-offset so
+    u is never exactly 0.5 and 1-2|u-0.5| is never 0 — ln stays finite)
+    feeds the inverse CDF −b·sign(u−½)·ln(1−2|u−½|). A production
+    deployment would swap the seeded uniform for a CSPRNG draw; every
+    other part of the release — sensitivity accounting, the inverse-CDF
+    transform, the post-processing floor — is the real mechanism.
+    Released values floor to the milli-grid (ln-ulp margin pinned by
+    pytest, the fn_geo contract).
+
+    Plan: one partial-agg groupBy + a narrow codegen projection; the
+    noise math never touches row volume. true_n stays in the output so
+    the oracle can pin the noise exactly — a real release would drop it."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    g = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("n_nationkey") % 5).alias("region_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    )
+    seed = F.concat_ws(
+        "#", F.col("segment"), F.col("region_bucket").cast("string"), F.lit("dp42")
+    )
+    unif = (
+        F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("long") % 1_000_000
+        + 0.5
+    ) / 1_000_000.0
+    b = 1.0 / _DP_EPS
+    lap = -b * F.signum(unif - 0.5) * F.log(1.0 - 2.0 * F.abs(unif - 0.5))
+    return g.select(
+        "segment",
+        F.col("region_bucket").cast("int").alias("region_bucket"),
+        "true_n",
+        (F.floor((F.col("true_n") + lap) * 1000) / 1000).alias("released_n"),
+    )

@@ -137,6 +137,7 @@ _PRIORITY_QUERIES = (
     "events_holt_trend",
     "mm_audio_segments",
     "fn_astro",
+    "privacy_dp_counts",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",

@@ -456,3 +456,30 @@ def test_fn_astro_outputs_stay_clear_of_milli_grid_boundaries(spark):
     for scaled in (mag * 1000, color * 1000, dm * 1000):
         frac = np.abs(scaled - np.round(scaled))
         assert frac.min() > 1e-4, f"value {scaled[frac.argmin()]} hugs a boundary"
+
+
+def test_dp_counts_noise_is_laplace_shaped_and_off_grid(spark):
+    import numpy as np
+
+    from fits2db_spark.operators.pipeline import privacy_dp_counts
+
+    pdf = privacy_dp_counts(spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 25
+    noise = pdf.released_n - pdf.true_n
+    # Laplace(b=2): |noise| median ~ b*ln2 ~ 1.4, well bounded
+    assert noise.abs().max() < 30
+    assert noise.abs().median() < 6
+    # not all zero (the mechanism actually perturbs)
+    assert (noise.abs() > 0.01).sum() >= 20
+    # recompute pre-floor values; pin the grid margin (ln-ulp contract)
+    import hashlib
+
+    margins = []
+    for r in pdf.itertuples():
+        h = hashlib.md5(f"{r.segment}#{r.region_bucket}#dp42".encode()).hexdigest()
+        u = (int(h[:15], 16) % 1_000_000 + 0.5) / 1_000_000.0
+        lap = -2.0 * np.sign(u - 0.5) * np.log(1.0 - 2.0 * abs(u - 0.5))
+        scaled = (r.true_n + lap) * 1000
+        margins.append(abs(scaled - round(scaled)))
+        assert abs(np.floor(scaled) / 1000 - r.released_n) < 1e-9
+    assert min(margins) > 1e-4
