@@ -795,3 +795,109 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         segment,
         schema="doc_id long, n_segments int, active_s double, longest_s double",
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch grid (round 7)
+# ---------------------------------------------------------------------------
+_PATCH = 4  # patch side in pixels; fixture dims are multiples of it
+
+
+@register(
+    "mm_patch_grid",
+    # Same deterministic P6 recipe as mm_decode_features, with dims forced
+    # to multiples of the patch size so the grid is exact; the oracle
+    # recomputes each patch's luminance mean from the payload string with the
+    # SAME accumulation order the decoder uses (sequential over the 16
+    # in-patch pixels, each lum = (r+g+b)/3).
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST((n_chars % 4 + 2) * {_PATCH} AS INT) AS w,
+             CAST((doc_id % 3 + 2) * {_PATCH} AS INT) AS h,
+             md5(text) AS mh
+      FROM documents WHERE doc_id < 100
+    ),
+    pay AS (
+      SELECT doc_id, w, h,
+             substr(repeat(mh, (3*w*h) // 32 + 1), 1, 3*w*h) AS body
+      FROM base
+    ),
+    grid AS (
+      SELECT doc_id, w, h, body, pr.pr, pc.pc
+      FROM pay,
+           (SELECT unnest(generate_series(0, 5)) AS pr) pr,
+           (SELECT unnest(generate_series(0, 7)) AS pc) pc
+      WHERE pr.pr < h // {_PATCH} AND pc.pc < w // {_PATCH}
+    )
+    SELECT doc_id, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+           round_even(list_avg(list_transform(generate_series(0, {_PATCH * _PATCH - 1}),
+             k -> (ascii(substr(body, 3*((pr*{_PATCH} + k // {_PATCH})*w
+                                          + pc*{_PATCH} + k % {_PATCH}) + 1, 1))
+                   + ascii(substr(body, 3*((pr*{_PATCH} + k // {_PATCH})*w
+                                           + pc*{_PATCH} + k % {_PATCH}) + 2, 1))
+                   + ascii(substr(body, 3*((pr*{_PATCH} + k // {_PATCH})*w
+                                           + pc*{_PATCH} + k % {_PATCH}) + 3, 1)))
+                  / 3.0)), 4) AS mean_lum
+    FROM grid
+    """,
+)
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchify: decode the image column and emit one row per
+    {_PATCH}x{_PATCH} patch with its grid position and mean luminance —
+    the tokenization step of every vision transformer pipeline (patch
+    embeddings start from exactly this (doc, patch_row, patch_col,
+    values) layout), and the granularity image-quality filters act at.
+
+    Payloads are REAL P6 bytes (the mm_decode_features recipe, dims
+    forced to patch multiples); the decoder is the same pure-numpy PNM
+    parser. One narrow mapInPandas stage that EXPANDS rows (one in, many
+    out) — still no shuffle; at 100 TB the patch table is written
+    partition-aligned with its source, so downstream patch-level ops
+    stay co-located. Patch means accumulate in the oracle's exact
+    sequential order, so the doubles agree bit-for-bit before
+    round-even."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = (F.col("n_chars") % 4 + 2) * _PATCH
+    h = (F.col("doc_id") % 3 + 2) * _PATCH
+    wc, hc = w.cast("int"), h.cast("int")
+    need = (F.lit(3) * wc * hc).cast("int")
+    body = F.substring(
+        F.repeat(F.md5("text"), (need / 32 + 1).cast("int")), F.lit(1), need
+    )
+    header = F.concat(
+        F.lit("P6\n"), wc.cast("string"), F.lit(" "), hc.cast("string"), F.lit("\n255\n")
+    )
+    src = d.select(
+        "doc_id", F.encode(F.concat(header, body), "utf-8").alias("payload")
+    )
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = _PATCH
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_pnm(bytes(payload))
+                hh, ww = img.shape[0], img.shape[1]
+                px = img.astype("f8")
+                for pr in range(hh // P):
+                    for pc in range(ww // P):
+                        s = 0.0
+                        for k in range(P * P):
+                            y = pr * P + k // P
+                            x = pc * P + k % P
+                            s += (px[y, x, 0] + px[y, x, 1] + px[y, x, 2]) / 3.0
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "patch_row": pr,
+                                "patch_col": pc,
+                                "mean_lum": round(s / (P * P), 4),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        patchify,
+        schema="doc_id long, patch_row int, patch_col int, mean_lum double",
+    )

@@ -138,6 +138,7 @@ _PRIORITY_QUERIES = (
     "mm_audio_segments",
     "fn_astro",
     "privacy_dp_counts",
+    "mm_patch_grid",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
