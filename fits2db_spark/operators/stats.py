@@ -2021,3 +2021,117 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.b"), 6).alias("trend"),
         F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet scale-energy decomposition (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_haar_wavelet",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type, list(CAST(v AS DOUBLE) ORDER BY d) AS vs
+      FROM daily GROUP BY 1
+    ),
+    l1 AS (
+      SELECT event_type,
+        list_transform(generate_series(1, len(vs) // 2),
+          i -> (vs[2*i - 1] + vs[2*i]) / 2.0) AS a1,
+        list_transform(generate_series(1, len(vs) // 2),
+          i -> (vs[2*i - 1] - vs[2*i]) / 2.0) AS d1
+      FROM arr
+    ),
+    l2 AS (
+      SELECT event_type, a1, d1,
+        list_transform(generate_series(1, len(a1) // 2),
+          i -> (a1[2*i - 1] + a1[2*i]) / 2.0) AS a2,
+        list_transform(generate_series(1, len(a1) // 2),
+          i -> (a1[2*i - 1] - a1[2*i]) / 2.0) AS d2
+      FROM l1
+    ),
+    l3 AS (
+      SELECT event_type, d1, d2,
+        list_transform(generate_series(1, len(a2) // 2),
+          i -> (a2[2*i - 1] - a2[2*i]) / 2.0) AS d3
+      FROM l2
+    ),
+    lv AS (
+      SELECT event_type, 1 AS level, d1 AS dd FROM l3
+      UNION ALL SELECT event_type, 2, d2 FROM l3
+      UNION ALL SELECT event_type, 3, d3 FROM l3
+    )
+    SELECT event_type, CAST(level AS INT) AS level,
+           CAST(len(dd) AS BIGINT) AS n_coeffs,
+           ROUND(list_reduce(list_prepend(0.0::DOUBLE, dd),
+                             (acc, x) -> acc + abs(x)) / len(dd), 6) AS energy
+    FROM lv
+    """,
+)
+def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet scale-energy decomposition of each event type's daily
+    series: three levels of pairwise average/difference, reporting the
+    mean |detail coefficient| per level — "which timescale (2/4/8-day)
+    carries the variance", the classic multi-resolution screen before
+    seasonality modeling (and the compression transform behind SAX-like
+    symbolic methods; complements `events_sax` and `events_periodogram`).
+
+    All three levels are in-row array lambdas over the per-type ordered
+    daily array — zero shuffles past the daily partial-agg, driver holds
+    nothing. The energy fold accumulates sequentially in both engines
+    (Spark ``aggregate``, DuckDB ``list_reduce`` with a SCALAR
+    accumulator — immune to the struct field-mutation hazard
+    events_holt_trend documents), and odd-length levels drop their
+    trailing element (len//2 pairs), so the doubles agree bit-for-bit
+    before ROUND."""
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round("v", 4).alias("v")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, v))), x -> x.v)").alias(
+            "vs"
+        )
+    )
+
+    def pair(src: str, op: str) -> str:
+        return (
+            f"transform(sequence(1, size({src}) div 2),"
+            f" i -> (element_at({src}, CAST(2*i - 1 AS INT))"
+            f" {op} element_at({src}, CAST(2*i AS INT))) / 2.0D)"
+        )
+
+    lv = (
+        arr.withColumn("a1", F.expr(pair("vs", "+")))
+        .withColumn("d1", F.expr(pair("vs", "-")))
+        .withColumn("a2", F.expr(pair("a1", "+")))
+        .withColumn("d2", F.expr(pair("a1", "-")))
+        .withColumn("d3", F.expr(pair("a2", "-")))
+        .select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("level"), F.col("d1").alias("dd")),
+                    F.struct(F.lit(2).alias("level"), F.col("d2").alias("dd")),
+                    F.struct(F.lit(3).alias("level"), F.col("d3").alias("dd")),
+                )
+            ).alias("s"),
+        )
+        .select("event_type", "s.level", "s.dd")
+    )
+    return lv.select(
+        "event_type",
+        F.col("level").cast("int").alias("level"),
+        F.size("dd").cast("long").alias("n_coeffs"),
+        F.round(
+            F.expr("aggregate(dd, CAST(0.0 AS DOUBLE), (acc, x) -> acc + abs(x))")
+            / F.size("dd"),
+            6,
+        ).alias("energy"),
+    )

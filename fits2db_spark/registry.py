@@ -139,6 +139,7 @@ _PRIORITY_QUERIES = (
     "fn_astro",
     "privacy_dp_counts",
     "mm_patch_grid",
+    "events_haar_wavelet",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
