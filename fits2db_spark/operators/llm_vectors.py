@@ -1305,3 +1305,96 @@ def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("loading", 6).alias("loading"),
         F.round("eigenvalue", 6).alias("eigenvalue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style late-interaction MaxSim (round 7)
+# ---------------------------------------------------------------------------
+_MS_SUBS, _MS_SUBDIM = 4, 16   # 64-dim vectors viewed as 4 sub-vectors of 16
+_MS_NQUERY, _MS_NCAND, _MS_TOPK = 3, 200, 5
+
+
+def _ms_dot(a: str, b: str, sa: int, sb: int, one_based: bool) -> str:
+    """Fully-unrolled 16-term sub-vector dot product — literal indices and
+    left-to-right addition, so both engines execute the identical float
+    expression tree (the cross-engine-exactness convention)."""
+    off = 1 if one_based else 0
+    terms = [
+        f"CAST({a}[{sa * _MS_SUBDIM + i + off}] AS DOUBLE)"
+        f" * CAST({b}[{sb * _MS_SUBDIM + i + off}] AS DOUBLE)"
+        for i in range(_MS_SUBDIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ms_score(qa: str, qb: str, one_based: bool) -> str:
+    """MaxSim: sum over query sub-vectors of the max cosine against any
+    candidate sub-vector (max is order-exact; the outer sum is a fixed
+    left-to-right 4-term chain)."""
+    fn_max = "greatest" if not one_based else "greatest"
+    parts = []
+    for sa in range(_MS_SUBS):
+        coss = [
+            f"({_ms_dot(qa, qb, sa, sb, one_based)}"
+            f" / (sqrt({_ms_dot(qa, qa, sa, sa, one_based)})"
+            f" * sqrt({_ms_dot(qb, qb, sb, sb, one_based)})))"
+            for sb in range(_MS_SUBS)
+        ]
+        parts.append(f"{fn_max}({', '.join(coss)})")
+    return "(" + " + ".join(parts) + ")"
+
+
+@register(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {_MS_NQUERY}),
+    c AS (SELECT vec_id, embedding AS ce FROM embeddings
+          WHERE vec_id >= {_MS_NQUERY} AND vec_id < {_MS_NQUERY + _MS_NCAND}),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND({_ms_score("qe", "ce", True)}, 6) AS maxsim
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id, maxsim, CAST(rk AS INT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY maxsim DESC, vec_id) AS rk
+          FROM scored) t
+    WHERE rk <= {_MS_TOPK}
+    """,
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020):
+    instead of one dot product per (query, doc), every query sub-vector
+    scores against every candidate sub-vector and takes its best match —
+    score = sum over query parts of max cosine. Here the fixture's 64-dim
+    embeddings are viewed as {_MS_SUBS} sub-vectors of {_MS_SUBDIM} dims
+    (the multi-vector layout; a real ColBERT stores per-token vectors in
+    an array column of exactly this shape), top-{_MS_TOPK} per query.
+
+    Plan: tiny query side broadcast against the candidate set, all
+    {_MS_SUBS}x{_MS_SUBS} sub-cosines statically unrolled as literal
+    Catalyst expressions (identical float expression tree in the DuckDB
+    oracle — max is order-exact, sums are fixed 4/16-term chains), rank
+    via per-query WindowGroupLimit. At 100 TB the candidate set comes
+    from a first-stage ANN shortlist (sim_ann_* here), and MaxSim
+    re-ranks the shortlist — this operator IS that re-rank stage, and
+    stays a narrow projection + small window over shortlist-sized data."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MS_NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.filter(
+        (F.col("vec_id") >= _MS_NQUERY) & (F.col("vec_id") < _MS_NQUERY + _MS_NCAND)
+    ).select("vec_id", F.col("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("maxsim", F.round(F.expr(_ms_score("qe", "ce", False)), 6))
+        .select("query_id", "vec_id", "maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MS_TOPK)
+        .select("query_id", "vec_id", "maxsim", F.col("rk").cast("int").alias("rk"))
+    )

@@ -140,6 +140,7 @@ _PRIORITY_QUERIES = (
     "privacy_dp_counts",
     "mm_patch_grid",
     "events_haar_wavelet",
+    "sim_maxsim_late_interaction",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
