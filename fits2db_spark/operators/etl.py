@@ -768,3 +768,109 @@ def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lat", 8).alias("lat"),
         _pip_crossing_col(F.col("lon"), F.col("lat")).alias("inside"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-polygon geofence assignment (round 7)
+# ---------------------------------------------------------------------------
+# Three disjoint regions (no horizontal edges, so every edge's crossing
+# division is well-defined); vertices are exact binary doubles or simple
+# decimals shared verbatim by both engines.
+_REGIONS = (
+    (1, ((-120.0, -10.0), (-80.0, 40.0), (-40.0, -20.0))),
+    (2, ((0.0, -30.0), (30.0, 10.0), (60.0, -10.0), (30.0, -50.0))),
+    (3, ((80.0, 20.0), (110.0, 60.0), (140.0, 30.0), (130.0, -5.0), (95.0, -10.0))),
+)
+
+
+def _poly_crossing_sql(poly, lon: str, lat: str) -> str:
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat}) <> ({y2} > {lat}))"
+            f" AND ({lon} < {x1} + ({x2} - {x1}) * ({lat} - {y1}) / ({y2} - {y1}))"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def _poly_crossing_col(poly, lon, lat):
+    total = F.lit(0)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        crosses = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
+            lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)
+        )
+        total = total + crosses.cast("int")
+    return total % 2 == 1
+
+
+def _bbox(poly):
+    xs, ys = [p[0] for p in poly], [p[1] for p in poly]
+    return min(xs), max(xs), min(ys), max(ys)
+
+
+def _region_case_sql(lon: str, lat: str) -> str:
+    whens = []
+    for rid, poly in _REGIONS:
+        x0, x1, y0, y1 = _bbox(poly)
+        whens.append(
+            f"WHEN {lon} BETWEEN {x0} AND {x1} AND {lat} BETWEEN {y0} AND {y1}"
+            f" AND {_poly_crossing_sql(poly, lon, lat)} THEN {rid}"
+        )
+    return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+
+@register(
+    "spatial_region_assign",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ((CAST(c_custkey AS DOUBLE) * 137.50776405) % 360.0) - 180.0 AS lon,
+             (((CAST(c_custkey AS DOUBLE) * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+               AS lat
+      FROM customer
+    )
+    SELECT c_custkey, CAST({_region_case_sql("lon", "lat")} AS INT) AS region_id
+    FROM pts
+    """,
+)
+def spatial_region_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-polygon geofence assignment — the spatial-JOIN workhorse of
+    fleet/geo analytics: every point is assigned the region containing it
+    (0 if none) from a catalog of polygons, with each polygon's BOUNDING
+    BOX checked before the exact ray-cast — exactly the prune a spatial
+    index (R-tree / geohash cells, `join_geohash_prefix` here) performs,
+    expressed as a short-circuit so the expensive edge tests run only on
+    bbox survivors.
+
+    Cross-engine exactness is unconditional (unlike the trig operators):
+    the containment test is only +,-,*,/ and comparisons over identically
+    derived doubles, all IEEE-deterministic, so both engines agree even
+    for points arbitrarily close to an edge. Scale: a narrow codegen
+    projection at any polygon-catalog size that fits a broadcast; beyond
+    that the geohash-cell join takes over (cell -> candidate polygons,
+    then this exact test)."""
+    c = load(spark, sf_dir, "customer")
+    lon = ((F.col("c_custkey").cast("double") * 137.50776405) % 360.0) - 180.0
+    lat = (((F.col("c_custkey").cast("double") * 0.6180339887) % 1.0) * 2 - 1) * 90.0
+    pts = c.select("c_custkey", lon.alias("lon"), lat.alias("lat"))
+    assigned = F.lit(None).cast("int")
+    # build the CASE back-to-front so region 1 wins ties (disjoint anyway)
+    for rid, poly in reversed(_REGIONS):
+        x0, x1, y0, y1 = _bbox(poly)
+        in_bbox = (
+            F.col("lon").between(x0, x1) & F.col("lat").between(y0, y1)
+        )
+        assigned = F.when(
+            in_bbox & _poly_crossing_col(poly, F.col("lon"), F.col("lat")),
+            F.lit(rid),
+        ).otherwise(assigned)
+    return pts.select(
+        "c_custkey", F.coalesce(assigned, F.lit(0)).cast("int").alias("region_id")
+    )

@@ -141,6 +141,7 @@ _PRIORITY_QUERIES = (
     "mm_patch_grid",
     "events_haar_wavelet",
     "sim_maxsim_late_interaction",
+    "spatial_region_assign",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
