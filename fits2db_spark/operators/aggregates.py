@@ -527,3 +527,169 @@ def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.select(F.round(corrected).cast("long").alias("hll_estimate"))
         .crossJoin(F.broadcast(truth))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch set intersection (round 7)
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SCALE = 1152921504606846976  # 2^60: md5 60-bit hash space
+
+
+@register(
+    "agg_kmv_intersection",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, h
+      FROM (SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+            FROM uh) t
+      WHERE rk <= {_KMV_K}
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM uh) a
+      JOIN (SELECT DISTINCT event_type FROM uh) b ON a.event_type < b.event_type
+    ),
+    un AS (
+      SELECT type_a, type_b, h
+      FROM (SELECT p.type_a, p.type_b, s.h,
+                   ROW_NUMBER() OVER (PARTITION BY p.type_a, p.type_b
+                                      ORDER BY s.h) AS rk
+            FROM pairs p
+            JOIN (SELECT DISTINCT event_type, h FROM sk) s
+              ON s.event_type IN (p.type_a, p.type_b)
+            -- the same hash may appear in both sketches; the union sketch
+            -- is over DISTINCT hash values
+            GROUP BY p.type_a, p.type_b, s.h) t
+      WHERE rk <= {_KMV_K}
+    ),
+    stats AS (
+      SELECT u.type_a, u.type_b,
+             CAST(MAX(u.h) AS DOUBLE) AS hk,
+             CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS m
+      FROM un u
+      LEFT JOIN sk sa ON sa.event_type = u.type_a AND sa.h = u.h
+      LEFT JOIN sk sb ON sb.event_type = u.type_b AND sb.h = u.h
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT p.type_a, p.type_b, CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM pairs p
+      JOIN (SELECT DISTINCT event_type, user_id FROM uh) ua
+        ON ua.event_type = p.type_a
+      JOIN (SELECT DISTINCT event_type, user_id FROM uh) ub
+        ON ub.event_type = p.type_b AND ub.user_id = ua.user_id
+      GROUP BY 1, 2
+    )
+    SELECT s.type_a, s.type_b, e.exact_inter,
+           ROUND(s.m / {_KMV_K}, 4) AS est_jaccard,
+           ROUND((s.m / {_KMV_K})
+                 * (({_KMV_K} - 1) * {_KMV_SCALE}.0 / s.hk), 2) AS est_inter
+    FROM stats s JOIN exact e
+      ON e.type_a = s.type_a AND e.type_b = s.type_b
+    """,
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch intersection — the Theta-sketch
+    audience-overlap estimate (Beyer et al. 2007; the mechanism behind
+    DataSketches' set operations): each event type keeps its {_KMV_K}
+    smallest md5 user hashes; the union sketch is the k smallest of the
+    merged sets, the Jaccard estimate is the fraction of union-sketch
+    hashes present in BOTH input sketches, and intersection cardinality
+    is J x (k-1)·2^60/h_k (the KMV union estimator). The exact
+    intersection rides along so the driver hash pins estimator AND error.
+
+    Unlike `agg_hll_deterministic` (cardinality only), KMV sketches
+    compose under set operations — the reason ad-tech overlap systems
+    use them. Deterministic end to end: md5 hashing, integer rank
+    windows, exact integer h_k.
+
+    Scale: the only stage that sees event volume is the first DISTINCT
+    (partial-agg); everything after operates on k x |types| rows. The
+    per-type sketch is a WindowGroupLimit (top-k by hash per type), i.e.
+    each partition forwards at most k rows. The exact-intersection join
+    is the one quadratic-ish piece and exists purely as the oracle's
+    error pin — a production sketch pipeline drops it."""
+    ev = load(spark, sf_dir, "events")
+    uh = ev.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        uh.select("event_type", "h")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    types = uh.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    merged = (
+        pairs.join(
+            F.broadcast(sk).alias("s"),
+            (F.col("s.event_type") == F.col("type_a"))
+            | (F.col("s.event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .select("type_a", "type_b", "h")
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    un = (
+        merged.withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("type_a", "type_b", "h")
+    )
+    sa = sk.select(F.col("event_type").alias("type_a"), F.col("h").alias("ha"))
+    sb = sk.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb"))
+    stats = (
+        un.join(F.broadcast(sa), (sa.type_a == un.type_a) & (sa.ha == un.h), "left")
+        .join(F.broadcast(sb), (sb.type_b == un.type_b) & (sb.hb == un.h), "left")
+        .groupBy(un.type_a, un.type_b)
+        .agg(
+            F.max("h").cast("double").alias("hk"),
+            F.sum(
+                (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("int")
+            )
+            .cast("double")
+            .alias("m"),
+        )
+    )
+    ua = uh.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = uh.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    est_union = (_KMV_K - 1) * float(_KMV_SCALE) / F.col("hk")
+    return stats.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_inter",
+        F.round(F.col("m") / _KMV_K, 4).alias("est_jaccard"),
+        F.round((F.col("m") / _KMV_K) * est_union, 2).alias("est_inter"),
+    )

@@ -142,6 +142,7 @@ _PRIORITY_QUERIES = (
     "events_haar_wavelet",
     "sim_maxsim_late_interaction",
     "spatial_region_assign",
+    "agg_kmv_intersection",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
