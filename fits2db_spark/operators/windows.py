@@ -409,3 +409,70 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.round((lo + hi) / 2.0, 6).alias("med7"),
     )
+
+
+@register(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id,
+             MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS d
+      FROM events GROUP BY 1, 2
+    ),
+    daily_new AS (
+      SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT DISTINCT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    )
+    SELECT dy.event_type, dy.d,
+           COALESCE(dn.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(dn.new_users, 0)) OVER (
+             PARTITION BY dy.event_type ORDER BY dy.d) AS BIGINT)
+             AS cumulative_reach
+    FROM days dy LEFT JOIN daily_new dn
+      ON dn.event_type = dy.event_type AND dn.d = dy.d
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count — the cumulative-reach curve (distinct users
+    ever seen, per event type, by day). COUNT(DISTINCT) OVER a running
+    frame is unsupported in every engine for good reason (per-row set
+    state); the scalable identity is first-occurrence reduction: each
+    (type, user) contributes on its FIRST day only, so the curve is a
+    plain running SUM of daily first-timer counts.
+
+    Plan: one (type, user) min-day partial agg — the only stage that sees
+    event volume — then a daily count and a running-sum window over
+    series-length rows. The window partition is the TYPE (5 rows x days),
+    never users; at 100 TB this is the difference between a terabyte of
+    window state and a few kilobytes."""
+    ev = load(spark, sf_dir, "events")
+    d_col = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    firsts = (
+        ev.select("event_type", "user_id", d_col.alias("d"))
+        .groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    daily_new = firsts.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    days = ev.select("event_type", d_col.alias("d")).distinct()
+    w = Window.partitionBy("event_type").orderBy("d")
+    return (
+        days.join(daily_new, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_reach",
+            F.sum("new_users").over(w).cast("long"),
+        )
+    )

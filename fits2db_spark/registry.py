@@ -143,6 +143,7 @@ _PRIORITY_QUERIES = (
     "sim_maxsim_late_interaction",
     "spatial_region_assign",
     "agg_kmv_intersection",
+    "win_cumulative_distinct",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
