@@ -2135,3 +2135,69 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("energy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local-peak detection (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+      FROM daily GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d.event_type, d.d, d.v,
+             LAG(d.v)  OVER (PARTITION BY d.event_type ORDER BY d.d) AS pv,
+             LEAD(d.v) OVER (PARTITION BY d.event_type ORDER BY d.d) AS nv,
+             s.mu, s.sd
+      FROM daily d JOIN st s ON s.event_type = d.event_type
+    )
+    SELECT event_type, d, v,
+           ROUND((v - mu) / sd, 6) AS z
+    FROM lagged
+    WHERE pv IS NOT NULL AND nv IS NOT NULL
+      AND v > pv AND v > nv
+      AND (v - mu) / sd > 1.0
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on each event type's daily series: a day is a
+    peak when it exceeds BOTH neighbors (strict local maximum, boundary
+    days excluded) and its z-score clears a prominence threshold (+1σ) —
+    the alerting primitive behind spike detection dashboards, and the
+    seed step of peak/valley segmentation.
+
+    Plan: the shared daily partial-agg, a broadcast per-type (μ, σ)
+    aggregate, and ONE window supplying both lag and lead (same sort
+    serves both frames). Per-type window state is three rows; nothing
+    scales with event volume past the first agg."""
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round("v", 4).alias("v")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = (
+        daily.join(F.broadcast(st), "event_type")
+        .withColumn("pv", F.lag("v").over(w))
+        .withColumn("nv", F.lead("v").over(w))
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    return lagged.filter(
+        F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+        & (F.col("v") > F.col("pv"))
+        & (F.col("v") > F.col("nv"))
+        & (z > 1.0)
+    ).select("event_type", "d", "v", F.round(z, 6).alias("z"))

@@ -144,6 +144,7 @@ _PRIORITY_QUERIES = (
     "spatial_region_assign",
     "agg_kmv_intersection",
     "win_cumulative_distinct",
+    "events_peak_detection",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
