@@ -287,3 +287,56 @@ def test_audio_peak_full_scale_negative_sample():
 
     f = audio_features(8000, np.array([-32768, 100, -5], dtype="<i2"))
     assert f["peak"] == 32768
+
+
+def test_audio_segments_match_burst_construction(spark):
+    """The VAD must recover exactly the planted burst layout: k segments
+    (k = doc_id%4+2), active seconds = sum of burst lengths, longest =
+    the last (largest) burst."""
+    from tests.conftest import SF_SMOKE
+
+    from fits2db_spark.operators.multimodal import (
+        _VAD_FRAME,
+        _VAD_RATE,
+        mm_audio_segments,
+    )
+
+    rows = mm_audio_segments(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        k = r.doc_id % 4 + 2
+        m = r.doc_id % 3 + 1
+        bursts = [_VAD_FRAME * (j + m) for j in range(1, k + 1)]
+        assert r.n_segments == k
+        assert abs(r.active_s - sum(bursts) / _VAD_RATE) < 1e-9
+        assert abs(r.longest_s - max(bursts) / _VAD_RATE) < 1e-9
+
+
+def test_patch_grid_covers_image_exactly(spark):
+    """Patch rows tile each image exactly ((w/4)*(h/4) patches), and the
+    patch-mean average reproduces the whole-image luminance mean."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+
+    from fits2db_spark.operators.multimodal import mm_patch_grid
+
+    pdf = mm_patch_grid(spark, SF_SMOKE).toPandas()
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    d = d[d.doc_id < 100]
+    for row in d.itertuples():
+        w = (row.n_chars % 4 + 2) * 4
+        h = (row.doc_id % 3 + 2) * 4
+        sub = pdf[pdf.doc_id == row.doc_id]
+        assert len(sub) == (w // 4) * (h // 4), row.doc_id
+        assert sub.patch_row.max() == h // 4 - 1
+        assert sub.patch_col.max() == w // 4 - 1
+        # mean of patch means == image mean (equal-sized patches)
+        import hashlib
+
+        body = (hashlib.md5(row.text.encode()).hexdigest() * (3 * w * h // 32 + 1))[
+            : 3 * w * h
+        ]
+        lums = np.frombuffer(body.encode(), "u1").astype("f8").reshape(-1, 3).mean(axis=1)
+        assert abs(sub.mean_lum.mean() - lums.mean()) < 1e-3

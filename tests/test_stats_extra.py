@@ -483,3 +483,18 @@ def test_dp_counts_noise_is_laplace_shaped_and_off_grid(spark):
         margins.append(abs(scaled - round(scaled)))
         assert abs(np.floor(scaled) / 1000 - r.released_n) < 1e-9
     assert min(margins) > 1e-4
+
+
+def test_kmv_estimates_are_accurate(spark):
+    """KMV with k=64 has relative standard error ~1/sqrt(k-2) ~ 13%;
+    pin that every pair's intersection estimate lands within 4 RSE of
+    exact, and Jaccard is in [0, 1]."""
+    from fits2db_spark.operators.aggregates import agg_kmv_intersection
+
+    pdf = agg_kmv_intersection(spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 10
+    assert pdf.est_jaccard.between(0, 1).all()
+    for r in pdf.itertuples():
+        if r.exact_inter >= 50:
+            rel = abs(r.est_inter - r.exact_inter) / r.exact_inter
+            assert rel < 0.55, (r.type_a, r.type_b, r.est_inter, r.exact_inter)
