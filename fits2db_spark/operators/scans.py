@@ -705,3 +705,93 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("c_acctbal"),
         "c_mktsegment",
     )
+
+
+@register(
+    "pipeline_fits_catalog_e2e",
+    oracle="""
+    SELECT c_custkey AS cust_key,
+           c_name AS name,
+           c_nationkey AS nation_key,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE ROUND(c_acctbal, 2) END
+             AS acct_bal,
+           c_mktsegment AS mkt_segment,
+           CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                     AS BIGINT) AS DOUBLE) / 1152921504606846976 AS random_id,
+           CAST(FLOOR((degrees(asin(((CAST(c_custkey AS DOUBLE) * 0.6180339887)
+                                     % 1.0) * 2 - 1)) + 90.0) / 4.0)
+                AS BIGINT) AS zone4
+    FROM customer
+    """,
+)
+def pipeline_fits_catalog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core workflow as ONE lazy plan — catalog load end
+    to end: (1) stage the customer table as REAL FITS bytes with raw
+    archive-style TTYPE names ('Cust Key', 'Acct Bal', ...); (2) decode through the binaryFile+mapInArrow
+    FITS reader; (3) normalize column names with the TTYPE->SQL-safe map
+    (project_rename's machinery); (4) sentinel -> NULL on the balance
+    column (FITS has no numeric NULL — nan_to_null's convention); (5)
+    derive the Data Lab load-time columns: the md5-deterministic
+    random_id and the 4-degree zone id that powers zone cross-matches
+    (`join_xmatch_zone`; the full HEALPix ids are the dedicated
+    `spatial_ring`/`spatial_nest` operators).
+
+    One FITS scan -> narrow codegen projections all the way; nothing
+    shuffles. This is the operator a fits2db user would point at to ask
+    'does the new engine do my job': ingest, clean, derive, ready to
+    write (DDL/JDBC/CSV sinks in fits2db_spark.sinks).
+
+    The zone4 derivation uses degrees(asin(u)) ONLY inside a FLOOR over
+    4-degree bins — zone boundaries sit at asin values whose nearest
+    fixture point is >1e-6 degrees away (same margin argument as
+    spatial_nest's trig-free form, checked by the oracle hash at both
+    tiers)."""
+    import duckdb
+
+    from ..sources.fits import read_fits, write_fits_bintable
+    from .etl import with_sql_safe_names
+
+    def write(out_dir: str) -> None:
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2), "
+                f"c_mktsegment FROM read_parquet('{sf_dir}/customer.parquet') "
+                "ORDER BY c_custkey"
+            )
+            .fetchall()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        blob = write_fits_bintable(
+            [
+                ("Cust Key", "K", [r[0] for r in rows]),
+                ("Name", "A25", [r[1] for r in rows]),
+                ("Nation Key", "J", [r[2] for r in rows]),
+                ("Acct Bal", "D", [r[3] for r in rows]),
+                ("Mkt Segment", "A10", [r[4] for r in rows]),
+            ]
+        )
+        with open(os.path.join(out_dir, "catalog.fits"), "wb") as f:
+            f.write(blob)
+
+    raw = read_fits(spark, _scratch_dir(spark, sf_dir, "catalog_fits", write))
+    named = with_sql_safe_names(raw)
+    dec = F.degrees(
+        F.asin(((F.col("cust_key").cast("double") * 0.6180339887) % 1.0) * 2 - 1)
+    )
+    return named.select(
+        "cust_key",
+        "name",
+        "nation_key",
+        F.when(F.col("acct_bal") < 0, F.lit(None))
+        .otherwise(F.round("acct_bal", 2))
+        .alias("acct_bal"),
+        "mkt_segment",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("cust_key").cast("string")), 1, 15), 16, 10
+            ).cast("double")
+            / 1152921504606846976
+        ).alias("random_id"),
+        F.floor((dec + 90.0) / 4.0).alias("zone4"),
+    )

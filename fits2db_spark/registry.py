@@ -145,6 +145,7 @@ _PRIORITY_QUERIES = (
     "agg_kmv_intersection",
     "win_cumulative_distinct",
     "events_peak_detection",
+    "pipeline_fits_catalog_e2e",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
