@@ -901,3 +901,106 @@ def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         patchify,
         schema="doc_id long, patch_row int, patch_col int, mean_lum double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (round 7)
+# ---------------------------------------------------------------------------
+_SC_BLOCK = 5  # frames per planted scene block
+
+
+@register(
+    "mm_scene_cuts",
+    # Payload = F concatenated 2x2 P6 frames whose luminance is constant
+    # within _SC_BLOCK-frame blocks (the byte is the md5 hex char of the
+    # block), so a cut exists exactly where adjacent md5 chars differ —
+    # closed-form for the oracle, REAL multi-frame container walk for the
+    # decoder.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 17 + 8 AS f, md5(text) AS mh
+      FROM documents WHERE doc_id < 200
+    ),
+    cutc AS (
+      SELECT b.doc_id,
+             CAST(SUM(CASE WHEN substr(b.mh, bk, 1) <> substr(b.mh, bk + 1, 1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cuts
+      FROM base b, (SELECT unnest(generate_series(1, 8)) AS bk) g
+      WHERE bk <= (b.f + {_SC_BLOCK} - 1) // {_SC_BLOCK} - 1
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(b.f AS INT) AS n_frames,
+           CAST(c.cuts + 1 AS INT) AS n_scenes,
+           ROUND(b.f / (c.cuts + 1.0), 4) AS avg_scene_len
+    FROM base b JOIN cutc c USING (doc_id)
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection — the shot-boundary pass every video
+    curation pipeline runs before sampling training frames: walk the
+    frame container, compute per-frame mean luminance, and cut where
+    consecutive frames jump more than a threshold; report scene count and
+    average scene length. The payload is a REAL multi-frame stream (F
+    concatenated P6 images, F = doc_id%17+8) that the decoder walks
+    header by header — the same shape as walking a real container's
+    frame table, with the codec swapped for the in-repo PNM decoder.
+
+    Plan: payload synthesis is a pure Catalyst string expression; decode
+    + diff is one narrow mapInPandas; zero shuffles. Per-item state is
+    one float (previous frame's luminance) regardless of frame count."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fcnt = (F.col("doc_id") % 17 + 8).cast("int")
+    payload = F.encode(
+        F.expr(
+            f"concat_ws('', transform(sequence(0, CAST(doc_id % 17 + 8 AS INT) - 1),"
+            f" j -> concat('P6\\n2 2\\n255\\n',"
+            f" repeat(substr(md5(text), CAST(j DIV {_SC_BLOCK} AS INT) + 1, 1), 12))))"
+        ),
+        "utf-8",
+    )
+    src = d.select("doc_id", fcnt.alias("n_frames"), payload.alias("payload"))
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re2
+
+        head = _re2.compile(rb"P6\n(\d+) (\d+)\n255\n")
+        for pdf in batches:
+            rows = []
+            for doc_id, n_frames, payload in zip(
+                pdf["doc_id"], pdf["n_frames"], pdf["payload"]
+            ):
+                buf, pos = bytes(payload), 0
+                prev, n_cuts, seen = None, 0, 0
+                while pos < len(buf):
+                    m = head.match(buf, pos)
+                    if not m:
+                        raise ImageFormatError(
+                            f"frame header expected at byte {pos}"
+                        )
+                    w, h = int(m.group(1)), int(m.group(2))
+                    body_start = m.end()
+                    img = decode_pnm(buf[pos : body_start + 3 * w * h])
+                    lum = float(
+                        img.reshape(-1, img.shape[2])[:, :3].astype("f8").mean()
+                    )
+                    if prev is not None and abs(lum - prev) > 0.5:
+                        n_cuts += 1
+                    prev = lum
+                    seen += 1
+                    pos = body_start + 3 * w * h
+                assert seen == n_frames
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": int(n_frames),
+                        "n_scenes": n_cuts + 1,
+                        "avg_scene_len": round(n_frames / (n_cuts + 1.0), 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        cuts,
+        schema="doc_id long, n_frames int, n_scenes int, avg_scene_len double",
+    )

@@ -146,6 +146,7 @@ _PRIORITY_QUERIES = (
     "win_cumulative_distinct",
     "events_peak_detection",
     "pipeline_fits_catalog_e2e",
+    "mm_scene_cuts",
     # (d) stalest-green rotation backlog
     "join_sortmerge",
     "agg_groupby",
