@@ -28,6 +28,13 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _positive_int(raw: str) -> int:
+    v = int(raw)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {raw}")
+    return v
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="fits2db_spark",
@@ -88,7 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--votable-limit",
-        type=int,
+        type=_positive_int,
         default=10_000,
         help="row bound for the single-document VOTable path; exceeding it "
         "is an error (never a silent truncation) — use --votable-fragments "

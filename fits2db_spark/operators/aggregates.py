@@ -574,6 +574,7 @@ _KMV_SCALE = 1152921504606846976  # 2^60: md5 60-bit hash space
     stats AS (
       SELECT u.type_a, u.type_b,
              CAST(MAX(u.h) AS DOUBLE) AS hk,
+             CAST(COUNT(*) AS DOUBLE) AS n_un,
              CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
                            THEN 1 ELSE 0 END) AS DOUBLE) AS m
       FROM un u
@@ -591,9 +592,12 @@ _KMV_SCALE = 1152921504606846976  # 2^60: md5 60-bit hash space
       GROUP BY 1, 2
     )
     SELECT s.type_a, s.type_b, e.exact_inter,
-           ROUND(s.m / {_KMV_K}, 4) AS est_jaccard,
-           ROUND((s.m / {_KMV_K})
-                 * (({_KMV_K} - 1) * {_KMV_SCALE}.0 / s.hk), 2) AS est_inter
+           ROUND(CASE WHEN s.n_un < {_KMV_K} THEN s.m / s.n_un
+                      ELSE s.m / {_KMV_K} END, 4) AS est_jaccard,
+           ROUND(CASE WHEN s.n_un < {_KMV_K} THEN s.m
+                      ELSE (s.m / {_KMV_K})
+                           * (({_KMV_K} - 1) * {_KMV_SCALE}.0 / s.hk)
+                 END, 2) AS est_inter
     FROM stats s JOIN exact e
       ON e.type_a = s.type_a AND e.type_b = s.type_b
     """,
@@ -607,6 +611,10 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes present in BOTH input sketches, and intersection cardinality
     is J x (k-1)·2^60/h_k (the KMV union estimator). The exact
     intersection rides along so the driver hash pins estimator AND error.
+    When the union sketch is NOT full (fewer than k distinct hashes), the
+    sketch is exhaustive and the (k-1)/h_k extrapolation is invalid
+    (biased low) — both engines then return m exactly and m/|union| for
+    Jaccard (r8 ADVICE fix).
 
     Unlike `agg_hll_deterministic` (cardinality only), KMV sketches
     compose under set operations — the reason ad-tech overlap systems
@@ -670,6 +678,7 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(un.type_a, un.type_b)
         .agg(
             F.max("h").cast("double").alias("hk"),
+            F.count(F.lit(1)).cast("double").alias("n_un"),
             F.sum(
                 (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("int")
             )
@@ -686,10 +695,21 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
     )
     est_union = (_KMV_K - 1) * float(_KMV_SCALE) / F.col("hk")
+    small = F.col("n_un") < _KMV_K  # union sketch NOT full -> it is exhaustive,
+    # so the (k-1)/h_k extrapolation is invalid (biased low); the sketch holds
+    # EVERY distinct hash of the union and m is the exact common-hash count.
     return stats.join(exact, ["type_a", "type_b"]).select(
         "type_a",
         "type_b",
         "exact_inter",
-        F.round(F.col("m") / _KMV_K, 4).alias("est_jaccard"),
-        F.round((F.col("m") / _KMV_K) * est_union, 2).alias("est_inter"),
+        F.round(
+            F.when(small, F.col("m") / F.col("n_un")).otherwise(
+                F.col("m") / _KMV_K
+            ),
+            4,
+        ).alias("est_jaccard"),
+        F.round(
+            F.when(small, F.col("m")).otherwise((F.col("m") / _KMV_K) * est_union),
+            2,
+        ).alias("est_inter"),
     )

@@ -488,8 +488,8 @@ _RING_NSIDE = 256  # matches spatial_cols' ring256 column
       CASE WHEN za <= 2.0/3.0 THEN
         2 * {_RING_NSIDE} * ({_RING_NSIDE} - 1)
           + (ir_eq - 1) * 4 * {_RING_NSIDE}
-          + (((jp_eq + jm_eq - {_RING_NSIDE} + (1 - (ir_eq & 1)) + 1) >> 1)
-             % (4 * {_RING_NSIDE}))
+          + (((((jp_eq + jm_eq - {_RING_NSIDE} + (1 - (ir_eq & 1)) + 1) >> 1)
+               % (4 * {_RING_NSIDE})) + 4 * {_RING_NSIDE}) % (4 * {_RING_NSIDE}))
       WHEN z > 0 THEN
         2 * ir_po * (ir_po - 1)
           + (CAST(FLOOR(tt * ir_po) AS BIGINT) % (4 * ir_po))
@@ -541,9 +541,14 @@ def spatial_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ir_po.alias("ir_po"),
     )
     kshift = 1 - F.col("ir_eq").bitwiseAND(F.lit(1))
-    ip_eq = F.shiftright(
-        F.col("jp_eq") + F.col("jm_eq") - nside + kshift + 1, 1
-    ) % (4 * nside)
+    # HEALPix's ip modulus is non-negative by definition, but both Spark's
+    # and DuckDB's % are sign-preserving and (jp+jm-nside+kshift+1)>>1 can be
+    # -1 when both floors lose a unit — use pmod / double-% so a boundary
+    # point lands at 4*nside-1 instead of below the belt offset (r8 ADVICE).
+    ip_eq = F.pmod(
+        F.shiftright(F.col("jp_eq") + F.col("jm_eq") - nside + kshift + 1, 1),
+        F.lit(4 * nside),
+    )
     ip_po = F.floor(F.col("tt") * F.col("ir_po")).cast("long") % (4 * F.col("ir_po"))
     pix = (
         F.when(

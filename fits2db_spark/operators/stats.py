@@ -2040,6 +2040,7 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr AS (
       SELECT event_type, list(CAST(v AS DOUBLE) ORDER BY d) AS vs
       FROM daily GROUP BY 1
+      HAVING COUNT(*) >= 8
     ),
     l1 AS (
       SELECT event_type,
@@ -2090,7 +2091,15 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator — immune to the struct field-mutation hazard
     events_holt_trend documents), and odd-length levels drop their
     trailing element (len//2 pairs), so the doubles agree bit-for-bit
-    before ROUND."""
+    before ROUND.
+
+    Series shorter than 8 points are excluded in BOTH engines (Spark
+    filter + oracle HAVING): a 3-level decomposition needs >= 8 samples
+    for level 3 to exist, and below 2 samples Spark's ``sequence(1, 0)``
+    steps BACKWARD to [1, 0] (element_at then wraps negatively) while
+    DuckDB's ``generate_series(1, 0)`` is empty — a silent cross-engine
+    divergence.  The pair() builder additionally hard-guards the
+    sub-2-element case so the helper stays safe under reuse."""
     daily = daily_value_series(spark, sf_dir, agg="sum").select(
         "event_type", "d", F.round("v", 4).alias("v")
     )
@@ -2098,13 +2107,15 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(array_sort(collect_list(struct(d, v))), x -> x.v)").alias(
             "vs"
         )
-    )
+    ).filter(F.size("vs") >= 8)
 
     def pair(src: str, op: str) -> str:
         return (
+            f"CASE WHEN size({src}) >= 2 THEN "
             f"transform(sequence(1, size({src}) div 2),"
             f" i -> (element_at({src}, CAST(2*i - 1 AS INT))"
             f" {op} element_at({src}, CAST(2*i AS INT))) / 2.0D)"
+            f" ELSE CAST(array() AS array<double>) END"
         )
 
     lv = (

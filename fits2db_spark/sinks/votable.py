@@ -129,6 +129,11 @@ def votable_string(
             " driver; pass unbounded=True to confirm, or use"
             " write_votable_fragments() for bulk export"
         )
+    if limit is not None and limit < 1:
+        # limit=0 would collect limit+1=1 row and then report a misleading
+        # "exceeds limit=0" overflow for ANY non-empty input; negative values
+        # would surface as an opaque AnalysisException from df.limit().
+        raise ValueError(f"votable_string: limit must be >= 1, got {limit}")
     overflow = False
     if limit is not None:
         rows = df.limit(limit + 1).collect()

@@ -194,3 +194,41 @@ def test_cli_votable_out(fits_file, tmp_path, spark):
     ns = {"vo": "http://www.ivoa.net/xml/VOTable/v1.3"}
     assert root.find(".//vo:TABLE", ns).get("name") == "stars"
     assert len(root.findall(".//vo:TR", ns)) == 3
+
+
+def test_cli_rejects_nonpositive_votable_limit(capsys):
+    """r8 ADVICE: --votable-limit must be >= 1 (argparse-level rejection)."""
+    import pytest
+
+    from fits2db_spark.cli import build_parser
+
+    p = build_parser()
+    for bad in ("0", "-3"):
+        with pytest.raises(SystemExit):
+            p.parse_args(["x.fits", "--table", "t", "--votable-limit", bad])
+    assert "must be >= 1" in capsys.readouterr().err
+
+
+def test_scaleup_bench_surfaces_subprocess_failures(monkeypatch):
+    """r8 ADVICE: run_benches must raise with the subprocess stderr instead
+    of dying on an IndexError when a bench crashes or prints no JSON."""
+    import subprocess
+    import types
+
+    import pytest
+
+    import tools.scaleup_bench as sb
+
+    def fake_run_rc1(cmd, **kw):
+        return types.SimpleNamespace(returncode=1, stdout="", stderr="boom-trace")
+
+    monkeypatch.setattr(subprocess, "run", fake_run_rc1)
+    with pytest.raises(RuntimeError, match="boom-trace"):
+        sb.run_benches()
+
+    def fake_run_nojson(cmd, **kw):
+        return types.SimpleNamespace(returncode=0, stdout="no json here\n", stderr="")
+
+    monkeypatch.setattr(subprocess, "run", fake_run_nojson)
+    with pytest.raises(RuntimeError, match="no JSON line"):
+        sb.run_benches()

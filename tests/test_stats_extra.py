@@ -498,3 +498,96 @@ def test_kmv_estimates_are_accurate(spark):
         if r.exact_inter >= 50:
             rel = abs(r.est_inter - r.exact_inter) / r.exact_inter
             assert rel < 0.55, (r.type_a, r.type_b, r.est_inter, r.exact_inter)
+
+
+# ---------------------------------------------------------------------------
+# r8 ADVICE regression tests
+# ---------------------------------------------------------------------------
+
+
+def _tmp_events(tmp_path, rows):
+    """Write a minimal events.parquet (full fixture schema) into tmp_path."""
+    n = len(rows)
+    pd.DataFrame(
+        {
+            "event_id": range(1, n + 1),
+            "ts": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_haar_short_series_are_excluded_not_diverged(spark, tmp_path):
+    """r8 ADVICE: below 2 elements Spark's sequence(1,0) steps BACKWARD while
+    DuckDB's generate_series(1,0) is empty; series under 8 points must be
+    filtered in BOTH engines, never decomposed."""
+    long_ts = pd.date_range("2024-01-01", periods=16, freq="D")
+    short_ts = pd.date_range("2024-01-01", periods=3, freq="D")
+    rows = [(t, 1, "long", float(i + 1)) for i, t in enumerate(long_ts)]
+    rows += [(t, 1, "shrt", 1.0) for t in short_ts]
+    sf_dir = _tmp_events(tmp_path, rows)
+    from fits2db_spark.operators.stats import events_haar_wavelet
+
+    pdf = events_haar_wavelet(spark, sf_dir).toPandas()
+    assert set(pdf.event_type) == {"long"}, "3-point series must be excluded"
+    assert sorted(pdf.level.tolist()) == [1, 2, 3]
+    assert (pdf.n_coeffs == [8, 4, 2]).all() or set(pdf.n_coeffs) == {8, 4, 2}
+    assert pdf.energy.notna().all()
+
+
+def test_haar_pair_guard_and_the_hazard_it_closes(spark):
+    """The guarded pair() returns [] for a 1-element array; the NAKED
+    sequence(1, size div 2) really does step backward to [1, 0] — the
+    cross-engine divergence the guard exists for."""
+    row = spark.sql(
+        """
+        SELECT
+          CASE WHEN size(a) >= 2 THEN
+            transform(sequence(1, size(a) div 2),
+              i -> (element_at(a, CAST(2*i - 1 AS INT))
+                    + element_at(a, CAST(2*i AS INT))) / 2.0D)
+          ELSE CAST(array() AS array<double>) END AS guarded,
+          sequence(1, size(a) div 2) AS naked
+        FROM (SELECT array(7.0D) AS a)
+        """
+    ).first()
+    assert list(row.guarded) == []
+    assert list(row.naked) == [1, 0]  # Spark's backward step, pinned
+
+    import duckdb
+
+    assert duckdb.sql("SELECT generate_series(1, 0)").fetchone()[0] == []
+
+
+def test_kmv_small_union_returns_exact_not_extrapolated(spark, tmp_path):
+    """r8 ADVICE: a union sketch with fewer than k=64 distinct hashes is
+    EXHAUSTIVE — est_inter must equal the exact intersection and
+    est_jaccard the exact m/|union|, not the (k-1)/h_k extrapolation
+    (which is biased low on tiny sets)."""
+    ts = pd.Timestamp("2024-01-01")
+    rows = [(ts, u, "A", 1.0) for u in range(1, 21)]
+    rows += [(ts, u, "B", 1.0) for u in range(11, 31)]
+    sf_dir = _tmp_events(tmp_path, rows)
+    from fits2db_spark.operators.aggregates import agg_kmv_intersection
+
+    pdf = agg_kmv_intersection(spark, sf_dir).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert r.exact_inter == 10
+    assert r.est_inter == 10.0  # exact, 20+20-10=30 distinct hashes < 64
+    assert abs(r.est_jaccard - 10.0 / 30.0) < 5e-5
+
+
+def test_ring_ip_modulus_is_nonnegative_in_both_engines(spark):
+    """r8 ADVICE: (jp+jm-nside+kshift+1)>>1 can be -1 at a floor boundary;
+    both engines' % are sign-preserving, so the operator uses pmod (Spark)
+    and ((x % m) + m) % m (oracle). Pin both rewrites at the corner."""
+    assert spark.sql("SELECT pmod(shiftright(-1, 1), 1024) AS ip").first().ip == 1023
+
+    import duckdb
+
+    assert duckdb.sql("SELECT (((-1 >> 1) % 1024) + 1024) % 1024").fetchone()[0] == 1023

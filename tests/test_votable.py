@@ -142,3 +142,17 @@ def test_votable_string_overflow_raises_never_truncates_silently(spark):
     doc = votable_string(df, limit=10)
     _, rows = _parse(doc)
     assert len(rows) == 10 and "OVERFLOW" not in doc
+
+
+def test_votable_string_rejects_nonpositive_limit(spark):
+    """r8 ADVICE: limit=0 used to collect 1 row and raise a misleading
+    'exceeds limit=0'; negatives surfaced as AnalysisException from
+    df.limit(). Both now fail fast with a clear ValueError."""
+    import pytest
+
+    from fits2db_spark.sinks.votable import votable_string
+
+    df = spark.range(3)
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="limit must be >= 1"):
+            votable_string(df, limit=bad)

@@ -114,8 +114,19 @@ def run_benches() -> dict:
         proc = subprocess.run(
             cmd, cwd=REPO, env=env, capture_output=True, text=True
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[label] = json.loads(line)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"{label} bench exited rc={proc.returncode}; "
+                f"stderr tail:\n{proc.stderr[-2000:]}"
+            )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"{label} bench printed no JSON line; "
+                f"stdout tail:\n{proc.stdout[-1000:]}\n"
+                f"stderr tail:\n{proc.stderr[-1000:]}"
+            )
+        out[label] = json.loads(lines[-1])
         out[label]["wall_sec"] = round(time.time() - t0, 1)
     return out
 
