@@ -2212,3 +2212,381 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v") > F.col("nv"))
         & (z > 1.0)
     ).select("event_type", "d", "v", F.round(z, 6).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection by binary segmentation (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, d, v,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY d) AS sk,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS k,
+             SUM(v) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    cand AS (
+      SELECT event_type, d, k, n, sk, s,
+             CAST(FLOOR((sk * sk / k + (s - sk) * (s - sk) / (n - k)
+                         - s * s / n) * 1e2) AS BIGINT) AS gain_centi
+      FROM pre WHERE k < n
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY gain_centi DESC, k) AS rk
+      FROM cand
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(d AS INT) AS cp_day,
+           FLOOR(sk / k * 1e4) / 1e4 AS mean_before,
+           FLOOR((s - sk) / (n - k) * 1e4) / 1e4 AS mean_after,
+           gain_centi
+    FROM best WHERE rk = 1
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection by binary segmentation over each event
+    type's daily-revenue series: the split k maximizing the SSE reduction
+    R(k) = S_k^2/k + (S_n-S_k)^2/(n-k) - S_n^2/n (the between-segment term
+    of the total sum of squares — identical to minimizing the two-segment
+    SSE, the base step of the classic binary-segmentation / PELT family).
+    Reports the last day of the left segment and the two segment means.
+
+    Plan: the only event-volume stage is the daily partial-agg; the gain
+    scan is two window passes over the O(types x days) series (running
+    prefix sum + full-partition sum), then a per-type argmax via
+    WindowGroupLimit. The prefix sums accumulate left-to-right in BOTH
+    engines, so the doubles agree bit-for-bit; the argmax gates on a
+    FLOOR-to-centi integer gain and the means FLOOR to 4dp — ROUND here
+    diverged at sf0.01 (measured: 3031.9388 vs 3031.9387 — an exact
+    .93875 shortest-repr half that Spark's BigDecimal HALF_UP and
+    DuckDB's binary-value round resolve oppositely; the mmr_micro /
+    cone_search FLOOR convention). Ties break on the earlier split.
+
+    Scale: days are bounded by the calendar, so all post-daily stages are
+    O(types x days) regardless of input volume — the 100 TB cost is the
+    one map-side-combined aggregate over the event scan."""
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round("v", 4).alias("v")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_all = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.sum("v").over(w_ord).alias("sk"),
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("v").over(w_all).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    sk, s, k, n = F.col("sk"), F.col("s"), F.col("k"), F.col("n")
+    cand = pre.filter(k < n).withColumn(
+        "gain_centi",
+        F.floor(
+            (sk * sk / k + (s - sk) * (s - sk) / (n - k) - s * s / n) * 1e2
+        ).cast("long"),
+    )
+    best = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("gain_centi"), "k")
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.col("d").cast("int").alias("cp_day"),
+        (F.floor(sk / k * 1e4) / 1e4).alias("mean_before"),
+        (F.floor((s - sk) / (n - k) * 1e4) / 1e4).alias("mean_after"),
+        "gain_centi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent by rescaled-range (R/S) analysis (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hurst",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    pos AS (
+      SELECT event_type, d, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1 AS i
+      FROM daily
+    ),
+    blocks AS (
+      SELECT p.event_type, w.w, p.i // w.w AS blk, p.d, p.v
+      FROM pos p CROSS JOIN (VALUES (8), (16), (32)) AS w(w)
+    ),
+    dev AS (
+      SELECT event_type, w, blk, v,
+             SUM(v) OVER (PARTITION BY event_type, w, blk ORDER BY d)
+               - (ROW_NUMBER() OVER (PARTITION BY event_type, w, blk
+                                     ORDER BY d))
+                 * (AVG(v) OVER (PARTITION BY event_type, w, blk)) AS cumdev
+      FROM blocks
+    ),
+    rs AS (
+      SELECT event_type, w, blk,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             MAX(cumdev) - MIN(cumdev) AS r,
+             stddev_pop(v) AS sd
+      FROM dev GROUP BY 1, 2, 3
+    ),
+    scale AS (
+      SELECT event_type, w, ROUND(AVG(r / sd), 6) AS rs_avg
+      FROM rs WHERE cnt = w AND sd > 0
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN w = 8 THEN rs_avg END) AS rs8,
+             MAX(CASE WHEN w = 16 THEN rs_avg END) AS rs16,
+             MAX(CASE WHEN w = 32 THEN rs_avg END) AS rs32
+      FROM scale GROUP BY 1
+    )
+    SELECT event_type, rs8, rs16, rs32,
+           ROUND(ln(rs32 / rs8) / (2 * ln(2)), 4) AS hurst
+    FROM wide
+    """,
+)
+def events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969) over each type's daily series: at window
+    sizes 8/16/32 split the series into complete blocks, per block compute
+    R/S = (max-min of the cumulative mean-deviation) / population stddev,
+    average over blocks, and fit the log2-log2 slope — H ~ 0.5 is a random
+    walk, H > 0.5 persistent trending, H < 0.5 mean-reverting. The classic
+    long-range-dependence screen before choosing a forecasting model
+    (complements `events_acf` / `events_periodogram` / `events_hurst`'s
+    sibling `events_haar_wavelet`).
+
+    The slope uses the symmetric closed form over the three scales,
+    (log2 rs32 - log2 rs8) / 2, computed from the ROUND(·, 6) per-scale
+    averages in BOTH engines so the cross-engine hash cannot be broken by
+    last-ulp libm differences in ln().
+
+    Plan: everything past the daily partial-agg operates on O(types x
+    days x 3) rows — two window passes (running block sum + block mean)
+    and two tiny aggregates. Incomplete trailing blocks are excluded
+    (cnt = w) in both engines."""
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round("v", 4).alias("v")
+    )
+    pos = daily.select(
+        "event_type",
+        "d",
+        "v",
+        (F.row_number().over(Window.partitionBy("event_type").orderBy("d")) - 1).alias(
+            "i"
+        ),
+    )
+    ws = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("w")
+    )
+    blocks = pos.crossJoin(F.broadcast(ws)).select(
+        "event_type", "w", (F.col("i") / F.col("w")).cast("long").alias("blk"), "d", "v"
+    )
+    w_blk_ord = Window.partitionBy("event_type", "w", "blk").orderBy("d")
+    w_blk = Window.partitionBy("event_type", "w", "blk")
+    dev = blocks.select(
+        "event_type",
+        "w",
+        "blk",
+        "v",
+        (
+            F.sum("v").over(w_blk_ord)
+            - F.row_number().over(w_blk_ord) * F.avg("v").over(w_blk)
+        ).alias("cumdev"),
+    )
+    rs = dev.groupBy("event_type", "w", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        (F.max("cumdev") - F.min("cumdev")).alias("r"),
+        F.stddev_pop("v").alias("sd"),
+    )
+    scale = (
+        rs.filter((F.col("cnt") == F.col("w")) & (F.col("sd") > 0))
+        .groupBy("event_type", "w")
+        .agg(F.round(F.avg(F.col("r") / F.col("sd")), 6).alias("rs_avg"))
+    )
+    wide = scale.groupBy("event_type").agg(
+        F.max(F.when(F.col("w") == 8, F.col("rs_avg"))).alias("rs8"),
+        F.max(F.when(F.col("w") == 16, F.col("rs_avg"))).alias("rs16"),
+        F.max(F.when(F.col("w") == 32, F.col("rs_avg"))).alias("rs32"),
+    )
+    return wide.select(
+        "event_type",
+        "rs8",
+        "rs16",
+        "rs32",
+        F.round(
+            F.log(F.col("rs32") / F.col("rs8")) / (2 * math.log(2.0)), 4
+        ).alias("hurst"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box white-noise test (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ljungbox",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    n_tab AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1
+    ),
+    rho AS (
+      SELECT s1.event_type, lags.lag,
+             ROUND(corr(s1.v, s2.v), 6) AS acf
+      FROM daily s1
+      CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) AS lags(lag)
+      JOIN daily s2 ON s2.event_type = s1.event_type AND s2.d = s1.d + lags.lag
+      GROUP BY s1.event_type, lags.lag
+    )
+    SELECT r.event_type, n.n AS n_days,
+           ROUND(n.n * (n.n + 2) * SUM(acf * acf / (n.n - r.lag)), 4) AS q_stat,
+           CAST(7 AS INT) AS df,
+           CAST(CASE WHEN n.n * (n.n + 2) * SUM(acf * acf / (n.n - r.lag))
+                          > 14.0671 THEN 1 ELSE 0 END AS INT) AS reject_iid
+    FROM rho r JOIN n_tab n USING (event_type)
+    GROUP BY r.event_type, n.n
+    """,
+)
+def events_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test at lags 1..7 per event type:
+    Q = n(n+2) * sum_l rho_l^2 / (n-l), compared against the chi-square
+    0.95 critical value at df=7 (14.0671) — "does this series have ANY
+    autocorrelation structure worth modeling", the standard pre-test
+    before fitting ARMA-family models (and the residual-whiteness check
+    after). Builds on the same aligned-pair ACF as `events_acf`; the
+    autocorrelations enter Q after ROUND(·, 6) in both engines so the
+    cross-engine hash pins the decision, not just the statistic.
+
+    Plan: daily partial-agg (the only event-volume stage), tiny
+    O(types x days x 7) self-join for the lag alignment, then two
+    O(types) aggregates. Days are calendar-bounded, so the test costs
+    the same at 100 TB as at 100 MB past the first scan."""
+    daily = daily_value_series(spark, sf_dir, agg="sum")
+    n_tab = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    s1 = daily.alias("s1").crossJoin(F.broadcast(lags))
+    s2 = daily.alias("s2")
+    rho = (
+        s1.join(
+            s2,
+            (F.col("s2.event_type") == F.col("s1.event_type"))
+            & (F.col("s2.d") == F.col("s1.d") + F.col("lag")),
+        )
+        .groupBy(F.col("s1.event_type").alias("event_type"), "lag")
+        .agg(F.round(F.corr("s1.v", "s2.v"), 6).alias("acf"))
+    )
+    n = F.col("n")
+    q_raw = n * (n + 2) * F.sum(
+        F.col("acf") * F.col("acf") / (n - F.col("lag"))
+    )
+    return (
+        rho.join(F.broadcast(n_tab), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.round(q_raw, 4).alias("q_stat"),
+            F.lit(7).cast("int").alias("df"),
+            F.when(q_raw > 14.0671, 1).otherwise(0).cast("int").alias("reject_iid"),
+        )
+        .select(
+            "event_type",
+            n.alias("n_days"),
+            "q_stat",
+            "df",
+            "reject_iid",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structure function of the daily series (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lightcurve_structure_function",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s1.event_type,
+           CAST(FLOOR(ln(s2.d - s1.d) / ln(2.0)) AS INT) AS lag_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG((s2.v - s1.v) * (s2.v - s1.v)), 4) AS sf
+    FROM daily s1
+    JOIN daily s2 ON s2.event_type = s1.event_type AND s2.d > s1.d
+    GROUP BY 1, 2
+    """,
+)
+def lightcurve_structure_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order structure function of each type's daily series:
+    SF(tau) = <(v(t+tau) - v(t))^2> binned by log2 time lag — the AGN /
+    variable-star variability-timescale diagnostic (Simonetti et al. 1985;
+    quasar variability surveys fit SF power laws instead of periodograms
+    when sampling is irregular). Rising SF = correlated variability up to
+    a turnover timescale; flat SF = measurement-noise floor.
+
+    The all-pairs self-join is over the PRE-AGGREGATED daily series —
+    O(days^2) pairs per type with days bounded by the calendar (~150 in
+    the fixtures), so the pair stage is O(types x days^2) regardless of
+    event volume; the only stage that sees input scale is the daily
+    partial-agg. log2 via ln()/ln(2) keeps the bin edges identical in
+    both engines (integer day differences, exactly representable)."""
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round("v", 4).alias("v")
+    )
+    s1, s2 = daily.alias("s1"), daily.alias("s2")
+    dv = F.col("s2.v") - F.col("s1.v")
+    return (
+        s1.join(
+            s2,
+            (F.col("s2.event_type") == F.col("s1.event_type"))
+            & (F.col("s2.d") > F.col("s1.d")),
+        )
+        .groupBy(
+            F.col("s1.event_type").alias("event_type"),
+            F.floor(F.log(F.col("s2.d") - F.col("s1.d")) / math.log(2.0))
+            .cast("int")
+            .alias("lag_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg(dv * dv), 4).alias("sf"),
+        )
+    )

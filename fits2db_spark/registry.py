@@ -52,71 +52,24 @@ _OPERATOR_MODULES = (
 _loaded = False
 
 # The external driver verifies queries in dict-iteration order and may stop
-# after a fixed budget (~50 keys per round). Round-7 window, computed from
-# CORRECTNESS_r01∪…∪r06 (r06 covered the first 50 of the r6 queue, 50/50
-# green):
-# (a) keys whose ORACLE changed in round 7 (the two vacuous 0-row oracles
-#     were de-vacuated, text_bigram_kn gained a 1-token guard) — their old
-#     driver rows no longer attest the current check, so they lead;
-# (b) the 49 remaining oracled-but-never-driver-checked keys (retrieval/
-#     graph/stats/privacy families + TPC-H q2..q22) — positions 4-50;
-#     7 low-risk keys spill to round 8;
-# (c) keys whose code changed in r6/r7 without a post-change driver row;
-# (d) the stalest-green rotation backlog (r01 rows first).
+# after a fixed budget (~50 keys per round). Round-8 window, computed from
+# CORRECTNESS_r01∪…∪r07 (r07 covered the first 50 of the r7 queue, 50/50
+# green; 23 oracled keys have never appeared in any driver window, every
+# rows-only key has):
+# (a) keys whose CODE or ORACLE changed in round 8 (the three ADVICE fixes:
+#     haar short-series guard, KMV exhaustive-union exactness, ring pmod) —
+#     any pre-change driver row no longer attests the current check;
+# (b) the 20 remaining never-driver-checked keys (r7 spill + late-r7 adds);
+# (c) new round-8 operators (never checked by construction, appended as
+#     they land);
+# (d) the stalest-green rotation backlog (r01 rows first — 44 keys whose
+#     last driver row is round 1; the overflow continues next round).
 _PRIORITY_QUERIES = (
-    # (a) oracle changed in round 7
-    "subquery_scalar",
-    "sql_tpch_q11",
-    "text_bigram_kn",
-    # (b) never driver-checked — heavyweight composites first
-    "text_bm25",
-    "join_bloom_filter",
-    "sim_ann_binary",
-    "sim_rrf_fusion",
-    "sim_mmr_rerank",
-    "dedup_incremental_minhash",
-    "bpe_train_merges",
-    "text_keyphrase_rake",
-    "text_importance_dsir",
-    "vec_power_iteration",
-    "graph_kcore",
-    "graph_node_similarity",
-    "cms_heavy_hitters",
-    "privacy_k_anonymity",
-    "agg_hll_deterministic",
-    "agg_theilsen",
-    "agg_bootstrap_ci",
-    "events_sax",
-    "events_periodogram",
-    "events_forecast_backtest",
-    "orders_cohort_ltv",
-    "join_xmatch_nearest",
-    "join_geohash_prefix",
-    "spatial_nest",
-    "spatial_geohash",
-    "spatial_point_in_polygon",
-    "stream_live_enrich",
-    "sync_merkle_buckets",
-    "sql_recursive_hierarchy",
-    "ml_feature_hash",
-    "sql_tpch_q2",
-    "sql_tpch_q4",
-    "sql_tpch_q5",
-    "sql_tpch_q7",
-    "sql_tpch_q8",
-    "sql_tpch_q9",
-    "sql_tpch_q10",
-    "sql_tpch_q12",
-    "sql_tpch_q13",
-    "sql_tpch_q14",
-    "sql_tpch_q15",
-    "sql_tpch_q16",
-    "sql_tpch_q17",
-    "sql_tpch_q19",
-    "sql_tpch_q20",
-    "sql_tpch_q21",
-    "sql_tpch_q22",
-    # (b) spill to round 8 (positions 51-57)
+    # (a) code/oracle changed in round 8
+    "events_haar_wavelet",
+    "agg_kmv_intersection",
+    "spatial_ring",
+    # (b) never driver-checked (r7 spill first, then late-r7 registrations)
     "sql_pivot",
     "sql_unpivot",
     "fn_mask",
@@ -124,14 +77,6 @@ _PRIORITY_QUERIES = (
     "scan_fixed_width",
     "scan_csv_corrupt",
     "stream_live_sliding",
-    # (c) code changed in r6/r7 without a post-change driver row
-    # (text_bigram_lm's r7 guard is provably a no-op on the fixtures —
-    # pytest-pinned — but re-verify anyway)
-    "orders_rfm",
-    "join_star_q5",
-    "spatial_cols",
-    "text_bigram_lm",
-    "spatial_ring",
     "dedup_substring_windows",
     "scan_xml",
     "events_holt_trend",
@@ -139,28 +84,32 @@ _PRIORITY_QUERIES = (
     "fn_astro",
     "privacy_dp_counts",
     "mm_patch_grid",
-    "events_haar_wavelet",
     "sim_maxsim_late_interaction",
     "spatial_region_assign",
-    "agg_kmv_intersection",
     "win_cumulative_distinct",
     "events_peak_detection",
     "pipeline_fits_catalog_e2e",
     "mm_scene_cuts",
-    # (d) stalest-green rotation backlog
-    "join_sortmerge",
-    "agg_groupby",
-    "win_topk_per_group",
-    "topk_global",
-    "join_asof",
+    # (c) new round-8 operators land here as they are registered
+    "events_changepoint",
+    "events_hurst",
+    "events_ljungbox",
+    "lightcurve_structure_function",
+    # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
-    # loader / scan surface (r01-stale)
     "scan_parquet",
     "scan_csv",
     "scan_json",
     "multi_file_union",
-    # joins family (r01-stale)
+    "project_rename",
+    "cast_types",
+    "filter_pred",
+    "nan_to_null",
+    "null_default",
+    "add_rowid",
+    "array_expand",
     "join_inner_hash",
+    "join_sortmerge",
     "join_left",
     "join_right",
     "join_full",
@@ -169,15 +118,19 @@ _PRIORITY_QUERIES = (
     "join_cross",
     "join_theta_range",
     "join_self_pairs",
-    # windows family (r01-stale)
+    "join_star_q5",
+    "join_asof",
+    "sort_multi",
+    "topk_global",
     "win_row_number",
     "win_rank",
     "win_lag_lead",
     "win_running_sum",
     "win_moving_avg",
     "win_first_last",
-    # aggregates family (r01-stale)
+    "win_topk_per_group",
     "agg_global",
+    "agg_groupby",
     "agg_having",
     "agg_count_distinct",
     "agg_stats",
