@@ -463,3 +463,304 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exemplar_partkey",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (round 8)
+# ---------------------------------------------------------------------------
+_TE_SMOOTH = 20  # pseudo-count pulled toward the global mean
+
+
+@register(
+    "ml_target_encode",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_mktsegment, n.n_name, o.o_totalprice
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (SELECT AVG(o_totalprice) AS gmean FROM base),
+    stacked AS (
+      SELECT 'mktsegment' AS feature, c_mktsegment AS category, o_totalprice
+      FROM base
+      UNION ALL
+      SELECT 'nation', n_name, o_totalprice FROM base
+    )
+    SELECT s.feature, s.category,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(s.o_totalprice), 4) AS raw_mean,
+           ROUND((COUNT(*) * AVG(s.o_totalprice) + {_TE_SMOOTH} * g.gmean)
+                 / (COUNT(*) + {_TE_SMOOTH}), 4) AS smoothed_mean
+    FROM stacked s CROSS JOIN g
+    GROUP BY s.feature, s.category, g.gmean
+    """,
+)
+def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding of two categorical features
+    (market segment, customer nation) against a continuous target
+    (order total): enc = (n * cat_mean + m * global_mean) / (n + m) with
+    pseudo-count m=20 — the standard high-cardinality categorical encoder
+    (Micci-Barreca 2001) used instead of one-hot when a feature has
+    thousands of levels; the shrinkage prevents rare levels from
+    memorizing their few targets (label leakage).
+
+    Plan: one fact scan with two broadcast dimension joins, stacked into
+    (feature, category) via UNION ALL so BOTH encodings come out of one
+    shuffle; the global mean is an O(1) broadcast. At 100 TB this is a
+    single map-side-combining aggregate per feature — the encoder table
+    (O(levels) rows) then broadcasts back onto training rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    base = o.join(
+        F.broadcast(c), c.c_custkey == o.o_custkey
+    ).join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+    stacked = base.select(
+        F.lit("mktsegment").alias("feature"),
+        F.col("c_mktsegment").alias("category"),
+        "o_totalprice",
+    ).unionAll(
+        base.select(
+            F.lit("nation").alias("feature"),
+            F.col("n_name").alias("category"),
+            "o_totalprice",
+        )
+    )
+    g = o.agg(F.avg("o_totalprice").alias("gmean"))
+    cnt, mean_, gmean = F.count(F.lit(1)), F.avg("o_totalprice"), F.col("gmean")
+    return (
+        stacked.crossJoin(F.broadcast(g))
+        .groupBy("feature", "category", "gmean")
+        .agg(
+            cnt.cast("long").alias("n"),
+            F.round(mean_, 4).alias("raw_mean"),
+            F.round(
+                (cnt * mean_ + _TE_SMOOTH * gmean) / (cnt + _TE_SMOOTH), 4
+            ).alias("smoothed_mean"),
+        )
+        .drop("gmean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value binning (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_woe_iv",
+    oracle="""
+    WITH lab AS (
+      SELECT o_totalprice, o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    binned AS (
+      SELECT y, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM lab
+    ),
+    tot AS (
+      SELECT CAST(SUM(y) AS DOUBLE) AS pos_t,
+             CAST(SUM(1 - y) AS DOUBLE) AS neg_t
+      FROM binned
+    ),
+    per AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg
+      FROM binned GROUP BY bin
+    )
+    SELECT CAST(p.bin AS INT) AS bin, p.n, p.n_pos, p.n_neg,
+           ROUND(ln((p.n_pos / t.pos_t) / (p.n_neg / t.neg_t)), 6) AS woe,
+           ROUND((p.n_pos / t.pos_t - p.n_neg / t.neg_t)
+                 * ln((p.n_pos / t.pos_t) / (p.n_neg / t.neg_t)), 6)
+             AS iv_contrib
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value analysis: bin order value
+    into deciles (NTILE over a deterministic total order) against the
+    is-urgent label; WOE_b = ln((pos_b/pos)/(neg_b/neg)) and
+    IV_b = (pos_b/pos - neg_b/neg) * WOE_b — the credit-scoring-standard
+    monotonic-predictiveness screen (total IV < 0.02 = useless feature,
+    > 0.3 = strong) run before committing a feature to a scorecard or
+    GBM. Shares its decile machinery with `agg_decile_stats`.
+
+    Cross-engine: NTILE's bucket-boundary convention (earlier buckets take
+    the remainder) is identical in Spark and DuckDB given the same total
+    order — (o_totalprice, o_orderkey) breaks ties exactly; WOE enters the
+    hash after ROUND(·, 6) of a ratio of exact integer counts, so only
+    ln's last ulp is exposed (the text_zipf precedent).
+
+    Scale note: a single global NTILE is one total sort — the honest cost
+    of exact deciles. At 100 TB swap the NTILE for approx_percentile bin
+    EDGES computed in one pass (the `etl_winsorize` pattern); the WOE/IV
+    algebra downstream is unchanged — it only ever sees O(bins) rows."""
+    o = load(spark, sf_dir, "orders")
+    lab = o.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    binned = lab.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    tot = binned.agg(
+        F.sum("y").cast("double").alias("pos_t"),
+        F.sum(1 - F.col("y")).cast("double").alias("neg_t"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    ps = F.col("n_pos") / F.col("pos_t")
+    ns = F.col("n_neg") / F.col("neg_t")
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(ps / ns), 6).alias("woe"),
+        F.round((ps - ns) * F.log(ps / ns), 6).alias("iv_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validated regression (round 8)
+# ---------------------------------------------------------------------------
+_KFOLDS = 5
+
+
+@register(
+    "ml_kfold_linreg",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x, l_extendedprice AS y,
+             CAST(concat('0x', substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                               AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_KFOLDS} AS fold
+      FROM lineitem
+    ),
+    per AS (
+      SELECT fold, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+      FROM rows_ GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+             SUM(x) AS sx_a, SUM(y) AS sy_a, SUM(x*x) AS sxx_a, SUM(x*y) AS sxy_a
+      FROM rows_
+    ),
+    coef AS (
+      SELECT p.fold,
+             CAST(t.n_all - p.n AS BIGINT) AS n_train,
+             CAST(p.n AS BIGINT) AS n_test,
+             ((t.n_all - p.n) * (t.sxy_a - p.sxy)
+              - (t.sx_a - p.sx) * (t.sy_a - p.sy))
+             / ((t.n_all - p.n) * (t.sxx_a - p.sxx)
+                - (t.sx_a - p.sx) * (t.sx_a - p.sx)) AS slope,
+             ((t.sy_a - p.sy)
+              - ((t.n_all - p.n) * (t.sxy_a - p.sxy)
+                 - (t.sx_a - p.sx) * (t.sy_a - p.sy))
+                / ((t.n_all - p.n) * (t.sxx_a - p.sxx)
+                   - (t.sx_a - p.sx) * (t.sx_a - p.sx)) * (t.sx_a - p.sx))
+             / (t.n_all - p.n) AS icept
+      FROM per p CROSS JOIN tot t
+    )
+    SELECT c.fold AS fold, c.n_train, c.n_test,
+           ROUND(c.slope, 6) AS slope,
+           ROUND(c.icept, 4) AS intercept,
+           ROUND(SQRT(AVG((r.y - (c.icept + c.slope * r.x))
+                          * (r.y - (c.icept + c.slope * r.x)))), 4) AS rmse
+    FROM rows_ r JOIN coef c ON c.fold = r.fold
+    GROUP BY c.fold, c.n_train, c.n_test, c.slope, c.icept
+    """,
+)
+def ml_kfold_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated simple regression (price ~ quantity) with a
+    deterministic md5 fold assignment: each fold's coefficients are the
+    closed-form OLS over the OTHER four folds (train sums = global sums
+    minus fold sums — no per-fold rescans), evaluated as held-out RMSE.
+    The leave-one-fold-out sum algebra is how distributed CV actually
+    runs at scale: one pass builds per-fold sufficient statistics, a
+    second pass scores — 2 scans total for ALL folds, not 2 per fold.
+
+    Cross-engine: the fold hash is the md5-prefix integer used across the
+    repo (`agg_kmv_intersection`, `split_train_test`); sums accumulate in
+    engine-specific order so coefficients can differ in the last ulp —
+    the hash compares ROUND(slope, 6) / ROUND(rmse, 4), the `agg_linreg`
+    exposure class.
+
+    Scale: per-fold stats are one partial-agg shuffle of O(folds) rows;
+    scoring broadcasts the O(folds) coefficient table back onto the fact
+    scan. Nothing driver-side, nothing quadratic."""
+    li = load(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
+                            "string"
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _KFOLDS
+        ).alias("fold"),
+    )
+    per = rows_.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = rows_.agg(
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_a"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_a"),
+    )
+    nt = F.col("n_all") - F.col("n")
+    sx_t = F.col("sx_a") - F.col("sx")
+    sy_t = F.col("sy_a") - F.col("sy")
+    sxx_t = F.col("sxx_a") - F.col("sxx")
+    sxy_t = F.col("sxy_a") - F.col("sxy")
+    slope = (nt * sxy_t - sx_t * sy_t) / (nt * sxx_t - sx_t * sx_t)
+    icept = (sy_t - slope * sx_t) / nt
+    coef = per.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        nt.cast("long").alias("n_train"),
+        F.col("n").cast("long").alias("n_test"),
+        slope.alias("slope"),
+        icept.alias("icept"),
+    )
+    resid = F.col("y") - (F.col("icept") + F.col("slope") * F.col("x"))
+    return (
+        rows_.join(F.broadcast(coef), "fold")
+        .groupBy("fold", "n_train", "n_test", "slope", "icept")
+        .agg(F.round(F.sqrt(F.avg(resid * resid)), 4).alias("rmse"))
+        .select(
+            "fold",
+            "n_train",
+            "n_test",
+            F.round("slope", 6).alias("slope"),
+            F.round("icept", 4).alias("intercept"),
+            "rmse",
+        )
+    )

@@ -95,6 +95,9 @@ _PRIORITY_QUERIES = (
     "events_hurst",
     "events_ljungbox",
     "lightcurve_structure_function",
+    "ml_target_encode",
+    "ml_woe_iv",
+    "ml_kfold_linreg",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
