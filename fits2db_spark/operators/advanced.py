@@ -1240,3 +1240,66 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling, Efraimidis-Spirakis A-ES (round 8)
+# ---------------------------------------------------------------------------
+_WS_K = 100
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 15)) AS BIGINT) % 1000000 + 0.5)
+                / 1000000.0) / o_totalprice AS es_key
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY es_key DESC, o_orderkey) AS rk
+      FROM keyed
+    )
+    SELECT CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+    FROM ranked WHERE rk <= {_WS_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by the Efraimidis-Spirakis
+    A-ES scheme (2006): each row draws a deterministic uniform u from its
+    md5-hashed key and scores u^(1/w); the top-k scores ARE a weighted
+    sample without replacement. Ranking by ln(u)/w (monotone in u^(1/w),
+    numerically safer) — the distributed-systems standard for "sample 100
+    orders proportional to spend" because it needs no global weight total
+    and composes under union: the top-k of per-partition top-k's is the
+    global top-k, exactly Spark's TakeOrdered physical plan.
+
+    Determinism: u = (md5-prefix % 1e6 + 0.5) / 1e6 is the repo's seeded
+    inverse-CDF convention (`privacy_dp_counts`); u and w are bitwise
+    identical across engines, exposing only ln's last ulp to the rank
+    comparison — tests/test_properties.py pins a separation margin at the
+    selection boundary.
+
+    Scale: no shuffle until the O(k) TakeOrdered merge; the scan stays
+    whole-stage codegen (md5 + ln are JVM intrinsics)."""
+    o = load(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    keyed = o.select(
+        "o_orderkey", "o_totalprice", (F.log(u) / F.col("o_totalprice")).alias("es_key")
+    )
+    return (
+        keyed.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("es_key"), "o_orderkey")),
+        )
+        .filter(F.col("rk") <= _WS_K)
+        .select(F.col("rk").cast("int").alias("rk"), "o_orderkey", "o_totalprice")
+    )

@@ -1773,3 +1773,101 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-level co-occurrence PMI (round 8)
+# ---------------------------------------------------------------------------
+_PMI_MIN_DF = 25  # term must appear in >= this many docs to enter the pair join
+_PMI_MIN_PAIRS = 10  # pair must co-occur in >= this many docs to be scored
+_PMI_TOPK = 50
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tok),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tok GROUP BY 1
+      HAVING COUNT(*) >= {_PMI_MIN_DF}
+    ),
+    elig AS (SELECT t.doc_id, t.term, d.df FROM tok t JOIN df d USING (term)),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             MIN(a.df) AS df_a, MIN(b.df) AS df_b,
+             CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM elig a JOIN elig b ON b.doc_id = a.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_PMI_MIN_PAIRS}
+    )
+    SELECT term_a, term_b, n_co,
+           ROUND(ln(n_co * nd / (df_a * df_b)), 6) AS pmi
+    FROM pairs CROSS JOIN n_docs
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level pointwise mutual information of term pairs:
+    PMI(a,b) = ln(P(a,b) / (P(a)P(b))) with probabilities over documents —
+    the classic word-association statistic (Church & Hanks 1990) behind
+    collocation mining, PPMI embedding matrices, and topic-coherence
+    scores (UMass/UCI coherence are PMI sums). Top-{_PMI_TOPK} pairs above
+    a co-occurrence support floor.
+
+    Scale: the pair blow-up is quadratic PER DOCUMENT in eligible distinct
+    terms, so eligibility is the guard — a document-frequency floor
+    (df >= {_PMI_MIN_DF}) prunes the tail vocabulary BEFORE the self-join
+    (at web scale you'd add a per-doc distinct-token cap, the
+    `graph_node_similarity` degree-cap pattern). The distinct (doc, term)
+    projection partial-aggregates map-side; the self-join shuffles on
+    doc_id only; everything after is O(vocab^2) bounded rows. PMI enters
+    the hash after ROUND(·, 6) of a ratio of exact integers — only ln's
+    last ulp is exposed (the text_zipf class)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    nd = tok.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
+    df = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= _PMI_MIN_DF)
+    )
+    elig = tok.join(F.broadcast(df), "term")
+    a = elig.select(
+        F.col("doc_id"), F.col("term").alias("term_a"), F.col("df").alias("dfa")
+    )
+    b = elig.select(
+        F.col("doc_id"), F.col("term").alias("term_b"), F.col("df").alias("dfb")
+    )
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.min("dfa").alias("df_a"),
+            F.min("dfb").alias("df_b"),
+            F.count(F.lit(1)).cast("long").alias("n_co"),
+        )
+        .filter(F.col("n_co") >= _PMI_MIN_PAIRS)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            "n_co",
+            F.round(
+                F.log(F.col("n_co") * F.col("nd") / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(_PMI_TOPK)
+    )

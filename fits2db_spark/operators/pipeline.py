@@ -1716,3 +1716,199 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         (F.floor((F.col("true_n") + lap) * 1000) / 1000).alias("released_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift report (round 8)
+# ---------------------------------------------------------------------------
+_PSI_SPLIT = "1998-01-01"  # reference period A < split <= comparison period B
+
+
+@register(
+    "dq_psi",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_totalprice,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_SPLIT}'
+                  THEN 'A' ELSE 'B' END AS period
+      FROM orders
+    ),
+    edges AS (
+      SELECT quantile_cont(o_totalprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+      FROM lab WHERE period = 'A'
+    ),
+    binned AS (
+      SELECT period,
+             1 + len(list_filter(e, x -> o_totalprice > x)) AS bin
+      FROM lab CROSS JOIN edges
+    ),
+    per AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN period = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN period = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb
+      FROM per
+    )
+    SELECT CAST(bin AS INT) AS bin, n_a, n_b,
+           ROUND(n_a / ta, 6) AS share_a,
+           ROUND(n_b / tb, 6) AS share_b,
+           ROUND((n_a / ta - n_b / tb) * ln((n_a / ta) / (n_b / tb)), 6)
+             AS psi_contrib
+    FROM per CROSS JOIN tot
+    """,
+)
+def dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the pre-{_PSI_SPLIT} reference
+    period and everything after: bin edges are the REFERENCE period's
+    exact deciles (the defining PSI convention — drift is measured against
+    where the training data lived), each period's share per bin, and the
+    per-bin PSI contribution (p_A - p_B) * ln(p_A / p_B). Total PSI < 0.1
+    = stable, > 0.25 = retrain — the standard model-monitoring drift gate,
+    complementing `agg_ks_test` (which compares the same two slices
+    nonparametrically) and `dq_profile`.
+
+    Plan: one exact-percentile aggregate over the reference slice produces
+    a 9-edge array that BROADCASTS onto the full scan; binning is a narrow
+    size(filter(edges, ...)) projection (no per-row join), then one
+    O(bins) aggregate. At 100 TB swap the exact decile edges for
+    approx_percentile — the `etl_winsorize` trade, shares move only by
+    sketch error. Shares are ratios of exact integers; only ln's last ulp
+    is exposed before ROUND(·, 6)."""
+    o = load(spark, sf_dir, "orders")
+    lab = o.select(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_PSI_SPLIT).cast("date"), "A"
+        )
+        .otherwise("B")
+        .alias("period"),
+    )
+    edges = lab.filter(F.col("period") == "A").agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("e")
+    )
+    binned = lab.crossJoin(F.broadcast(edges)).select(
+        "period",
+        (
+            1 + F.size(F.expr("filter(e, x -> o_totalprice > x)"))
+        ).alias("bin"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("period") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = per.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+    )
+    pa = F.col("n_a") / F.col("ta")
+    pb = F.col("n_b") / F.col("tb")
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("share_a"),
+        F.round(pb, 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_generalization_ladder",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_nationkey, n.n_regionkey, c.c_mktsegment
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    rungs AS (
+      SELECT 0 AS rung, CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+               AS qi FROM base
+      UNION ALL
+      SELECT 1, CAST(n_regionkey AS VARCHAR) || '|' || c_mktsegment FROM base
+      UNION ALL
+      SELECT 2, c_mktsegment FROM base
+    ),
+    groups_ AS (
+      SELECT rung, qi, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM rungs GROUP BY 1, 2
+    )
+    SELECT CAST(rung AS INT) AS rung,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS min_group
+    FROM groups_ GROUP BY rung
+    """,
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalization ladder `privacy_k_anonymity`'s docstring
+    promises: re-audit k-anonymity at successively coarser
+    quasi-identifier projections — rung 0 (nation, segment), rung 1
+    (region, segment), rung 2 (segment only) — reporting per rung the
+    group count, groups under k={_KANON_K}, and rows at re-identification
+    risk. The release process picks the FIRST rung with zero violations:
+    the minimal generalization that satisfies the privacy bar (Sweeney's
+    full-domain generalization, evaluated bottom-up).
+
+    Plan: the three rungs stack via UNION ALL before ONE partial-agg
+    groupBy, so the whole ladder costs one shuffle of O(sum of rung
+    group counts) rows — not one job per rung. The region lookup is a
+    broadcast of the 5-row nation->region dim."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    base = c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey).select(
+        "c_nationkey", "n_regionkey", "c_mktsegment"
+    )
+    rungs = (
+        base.select(
+            F.lit(0).alias("rung"),
+            F.concat_ws("|", F.col("c_nationkey").cast("string"), "c_mktsegment")
+            .alias("qi"),
+        )
+        .unionAll(
+            base.select(
+                F.lit(1),
+                F.concat_ws(
+                    "|", F.col("n_regionkey").cast("string"), "c_mktsegment"
+                ),
+            )
+        )
+        .unionAll(base.select(F.lit(2), F.col("c_mktsegment")))
+    )
+    groups_ = rungs.groupBy("rung", "qi").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return groups_.groupBy("rung").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("sz") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("sz").cast("long").alias("min_group"),
+    ).select(
+        F.col("rung").cast("int").alias("rung"),
+        "n_groups",
+        "n_violating_groups",
+        "n_rows_at_risk",
+        "min_group",
+    )

@@ -543,3 +543,80 @@ def sync_merkle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp_primary",
         F.coalesce(F.col("fp_replica"), F.lit(-1).cast("long")).alias("fp_replica"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction plan (round 8)
+# ---------------------------------------------------------------------------
+_COMPACT_ROW_BYTES = 120  # estimated serialized row width for orders
+_COMPACT_TARGET = 256 * 1024  # target output size per compacted file
+
+
+@register(
+    "warehouse_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS file_month,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) * {_COMPACT_ROW_BYTES} AS BIGINT) AS est_bytes
+      FROM orders GROUP BY 1
+    ),
+    planned AS (
+      SELECT file_month, n_rows, est_bytes,
+             CAST((SUM(est_bytes) OVER (ORDER BY file_month) - est_bytes)
+                  // {_COMPACT_TARGET} AS BIGINT) AS out_group
+      FROM files
+    )
+    SELECT out_group,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(file_month) AS DATE) AS first_month,
+           CAST(MAX(file_month) AS DATE) AS last_month
+    FROM planned GROUP BY 1
+    """,
+)
+def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the maintenance job behind Delta
+    OPTIMIZE / Iceberg rewrite_data_files: treat each month's rows as one
+    input file (per-file stats = rows x estimated width), then assign
+    date-contiguous files to output groups by prefix-sum bucketing —
+    out_group = floor(bytes_before_this_file / target) — so every output
+    file lands near the {_COMPACT_TARGET}-byte target and the table keeps
+    its date clustering (range queries still prune). Reports per output
+    group the file count, rows, bytes, and month span.
+
+    The prefix-sum formulation is what makes this a one-pass distributed
+    plan: greedy first-fit bin packing is sequential, but bucketing the
+    RUNNING total reproduces its contiguous-case assignment exactly with
+    a single window over the O(files) stats table — the manifest, not the
+    data, which is how a 100 TB table's compaction planner must run (the
+    data move itself is then one repartitionByRange write per group).
+
+    Cross-engine: bytes are exact integers (rows x width); the prefix sum
+    and integer floor-divide are exact in both engines."""
+    o = load(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("file_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) * _COMPACT_ROW_BYTES).cast("long").alias("est_bytes"),
+    )
+    w = Window.orderBy("file_month")
+    planned = files.withColumn(
+        "out_group",
+        (
+            (F.sum("est_bytes").over(w) - F.col("est_bytes"))
+            / _COMPACT_TARGET
+        )
+        .cast("long"),
+    )
+    return planned.groupBy("out_group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("est_bytes").cast("long").alias("total_bytes"),
+        F.min("file_month").alias("first_month"),
+        F.max("file_month").alias("last_month"),
+    )

@@ -98,6 +98,11 @@ _PRIORITY_QUERIES = (
     "ml_target_encode",
     "ml_woe_iv",
     "ml_kfold_linreg",
+    "text_cooccurrence_pmi",
+    "sample_weighted",
+    "dq_psi",
+    "privacy_generalization_ladder",
+    "warehouse_compaction_plan",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

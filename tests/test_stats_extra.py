@@ -591,3 +591,34 @@ def test_ring_ip_modulus_is_nonnegative_in_both_engines(spark):
     import duckdb
 
     assert duckdb.sql("SELECT (((-1 >> 1) % 1024) + 1024) % 1024").fetchone()[0] == 1023
+
+
+def test_sample_weighted_boundary_margin_and_bias(spark):
+    """r8: the A-ES rank compares ln(u)/w doubles across engines — pin that
+    the gap between the k-th and (k+1)-th keys is far above ln's last-ulp
+    exposure, and that selection is genuinely weight-biased."""
+    from fits2db_spark.operators.advanced import _WS_K
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[["o_orderkey", "o_totalprice"]]
+    import hashlib
+
+    def es_key(k, w):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        u = (h % 1_000_000 + 0.5) / 1_000_000.0
+        return np.log(u) / w
+
+    ev["key"] = [es_key(k, w) for k, w in zip(ev.o_orderkey, ev.o_totalprice)]
+    ev = ev.sort_values(["key", "o_orderkey"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    gap = ev.key[_WS_K - 1] - ev.key[_WS_K]
+    assert gap > 1e-12, f"selection-boundary margin too thin: {gap}"
+
+    from fits2db_spark.operators.advanced import sample_weighted
+    from tests.conftest import SF_SMOKE as smoke
+
+    got = sample_weighted(spark, smoke).toPandas()
+    assert len(got) == _WS_K
+    assert set(got.o_orderkey) == set(ev.o_orderkey[:_WS_K])
+    # weight bias: the sample's mean order value must exceed the population's
+    assert got.o_totalprice.mean() > ev.o_totalprice.mean() * 1.1
