@@ -552,13 +552,18 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_woe_iv",
     oracle="""
     WITH lab AS (
-      SELECT o_totalprice, o_orderkey,
+      SELECT o_totalprice,
              CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
       FROM orders
     ),
-    binned AS (
-      SELECT y, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+    edges AS (
+      SELECT quantile_cont(o_totalprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
       FROM lab
+    ),
+    binned AS (
+      SELECT y, 1 + len(list_filter(e, x -> o_totalprice > x)) AS bin
+      FROM lab CROSS JOIN edges
     ),
     tot AS (
       SELECT CAST(SUM(y) AS DOUBLE) AS pos_t,
@@ -582,34 +587,35 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence / information-value analysis: bin order value
-    into deciles (NTILE over a deterministic total order) against the
-    is-urgent label; WOE_b = ln((pos_b/pos)/(neg_b/neg)) and
+    into deciles against the is-urgent label;
+    WOE_b = ln((pos_b/pos)/(neg_b/neg)) and
     IV_b = (pos_b/pos - neg_b/neg) * WOE_b — the credit-scoring-standard
     monotonic-predictiveness screen (total IV < 0.02 = useless feature,
     > 0.3 = strong) run before committing a feature to a scorecard or
     GBM. Shares its decile machinery with `agg_decile_stats`.
 
-    Cross-engine: NTILE's bucket-boundary convention (earlier buckets take
-    the remainder) is identical in Spark and DuckDB given the same total
-    order — (o_totalprice, o_orderkey) breaks ties exactly; WOE enters the
-    hash after ROUND(·, 6) of a ratio of exact integer counts, so only
-    ln's last ulp is exposed (the text_zipf precedent).
-
-    Scale note: a single global NTILE is one total sort — the honest cost
-    of exact deciles. At 100 TB swap the NTILE for approx_percentile bin
-    EDGES computed in one pass (the `etl_winsorize` pattern); the WOE/IV
-    algebra downstream is unchanged — it only ever sees O(bins) rows."""
+    Decile EDGES come from one exact-percentile aggregate that broadcasts
+    back as a 1-row frame — the `orders_rfm` r6 rewrite that removed its
+    global NTILE sort: binning is a narrow size(filter(edges, ...))
+    projection, so no row-level data ever converges on one partition. At
+    100 TB swap the exact percentile for approx_percentile (the
+    `etl_winsorize` trade); the WOE/IV algebra downstream only ever sees
+    O(bins) rows. WOE enters the hash after ROUND(·, 6) of a ratio of
+    exact integer counts, so only ln's last ulp is exposed (the
+    text_zipf precedent)."""
     o = load(spark, sf_dir, "orders")
     lab = o.select(
         "o_totalprice",
-        "o_orderkey",
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
     )
-    binned = lab.select(
+    edges = lab.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("e")
+    )
+    binned = lab.crossJoin(F.broadcast(edges)).select(
         "y",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
+        (1 + F.size(F.expr("filter(e, x -> o_totalprice > x)"))).alias("bin"),
     )
     tot = binned.agg(
         F.sum("y").cast("double").alias("pos_t"),

@@ -1871,3 +1871,163 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "term_a", "term_b")
         .limit(_PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall / reduction audit (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_SH_DF_CAP}),
+    shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)),
+    tc AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    tcommon AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM tc c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    truth AS (
+      SELECT c.doc_a, c.doc_b
+      FROM tcommon c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+              >= {_JACCARD_T}
+    ),
+    {_minhash_sig_sql()},
+    bands AS (
+      {{band_union}}
+    ),
+    hotb AS (SELECT band, bkey FROM bands
+             GROUP BY band, bkey HAVING COUNT(*) > {_LSH_BUCKET_CAP}),
+    bands_c AS (SELECT bands.* FROM bands ANTI JOIN hotb USING (band, bkey)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_c a JOIN bands_c b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    ccommon AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM ccommon c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+              >= {_JACCARD_T}
+    ),
+    m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM truth t JOIN cand c
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM verified) AS n_verified
+    )
+    SELECT n_docs, n_truth, n_cand, n_hit, n_verified,
+           ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
+           ROUND(CAST(n_verified AS DOUBLE) / n_cand, 6) AS verify_precision,
+           ROUND(1.0 - CAST(n_cand AS DOUBLE)
+                       / (n_docs * (n_docs - 1) / 2.0), 6) AS reduction_ratio
+    FROM m
+    """.replace(
+        "{band_union}",
+        " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band,"
+            f" md5(concat_ws(',', {', '.join(cols)})) AS bkey FROM sig"
+            for b, cols in enumerate(_band_exprs())
+        ),
+    ),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH metrology: recall, verify-stage precision, and reduction ratio
+    of the banded-minhash candidate generator against the EXACT-Jaccard
+    ground truth (threshold {_JACCARD_T}) — the b/r S-curve audit every
+    production LSH deployment runs before trusting its near-dup pass
+    (Leskovec/Rajaraman/Ullman ch.3 tuning methodology, and the number
+    the `dedup_near_minhash` docstring promises its unit tests pin: this
+    registers the measurement itself so the driver hash-checks it).
+
+    recall = truth pairs surfaced by banding; verify_precision = fraction
+    of candidates that survive exact verification (wasted-verify cost);
+    reduction_ratio = candidate volume vs the quadratic all-pairs space.
+
+    Plan/scale: truth reuses the df-capped shingle inverted index
+    (`dedup_ngram_jaccard`), candidates the bucket-capped band join
+    (`dedup_near_minhash`) — both linear in document count under their
+    caps; the metric joins operate on O(pairs) rows. One row out."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles_cached(spark, d, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    def exact_pairs(cand: DataFrame) -> DataFrame:
+        sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            cand.join(sha, "doc_a")
+            .join(shb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+        jac = F.col("n_common").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("n_common")
+        )
+        return (
+            common.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(jac >= _JACCARD_T)
+            .select("doc_a", "doc_b")
+        )
+
+    truth = exact_pairs(_jaccard_candidates(sh))
+    arrs = _arrays_cached(spark, d, sf_dir)
+    cand = _lsh_candidates(_bands_cached(spark, arrs, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+    verified = exact_pairs(cand)
+    n_docs = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    n_verified = verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    m = (
+        n_docs.crossJoin(n_truth)
+        .crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .crossJoin(n_verified)
+    )
+    nd = F.col("n_docs").cast("double")
+    return m.select(
+        "n_docs",
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        "n_verified",
+        F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6).alias("recall"),
+        F.round(
+            F.col("n_verified").cast("double") / F.col("n_cand"), 6
+        ).alias("verify_precision"),
+        F.round(
+            1.0 - F.col("n_cand").cast("double") / (nd * (nd - 1) / 2.0), 6
+        ).alias("reduction_ratio"),
+    )

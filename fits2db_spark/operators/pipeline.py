@@ -1912,3 +1912,95 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_rows_at_risk",
         "min_group",
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered CDC change-log replay (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "warehouse_cdc_replay",
+    oracle="""
+    WITH log_ AS (
+      SELECT o_orderkey AS k, 0 AS seq, 'I' AS op,
+             ROUND(o_totalprice, 2) AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 1, 'U', FLOOR(o_totalprice * 95) / 100
+      FROM orders WHERE o_orderkey % 11 = 4
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', FLOOR(o_totalprice * 105) / 100
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL
+      FROM orders WHERE o_orderkey % 13 = 2
+    ),
+    latest AS (
+      SELECT k, max_by(op, seq) AS last_op, max_by(price, seq) AS price
+      FROM log_ GROUP BY k
+    )
+    SELECT last_op,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(SUM(CASE WHEN last_op <> 'D' THEN price ELSE 0 END), 2)
+             AS sum_price
+    FROM latest GROUP BY last_op
+    """,
+)
+def warehouse_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC change-log replay — the Debezium/Delta-CDF compaction
+    step `merge_upsert` doesn't cover: a multi-operation log
+    (insert@0, two update generations, delete@3 — synthesized
+    deterministically from the fixture so the oracle reproduces it)
+    collapses to latest-operation-per-key in ONE aggregate, and deletes
+    drop out of the final state. This latest-wins reduction is what turns
+    a raw change stream into a MERGE-able batch: without it a key with
+    multiple log entries hits MERGE's multiple-matches error.
+
+    Plan: max_by(·, seq) pairs reduce map-side (partial agg carries one
+    (seq, value) per key per partition) — the log never sorts globally and
+    never shuffles more than one row per (key, partition). At 100 TB the
+    same plan consumes a day's change files and feeds `merge_upsert`
+    against the bucketed target. Update prices FLOOR to cents (the
+    merge_upsert half-cent convention)."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    log_ = (
+        o.select(
+            k.alias("k"),
+            F.lit(0).alias("seq"),
+            F.lit("I").alias("op"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .unionAll(
+            o.filter(k % 11 == 4).select(
+                k,
+                F.lit(1),
+                F.lit("U"),
+                F.floor(F.col("o_totalprice") * 95) / 100,
+            )
+        )
+        .unionAll(
+            o.filter(k % 7 == 1).select(
+                k,
+                F.lit(2),
+                F.lit("U"),
+                F.floor(F.col("o_totalprice") * 105) / 100,
+            )
+        )
+        .unionAll(
+            o.filter(k % 13 == 2).select(
+                k, F.lit(3), F.lit("D"), F.lit(None).cast("double")
+            )
+        )
+    )
+    latest = log_.groupBy("k").agg(
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("price", "seq").alias("price"),
+    )
+    return latest.groupBy("last_op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(
+            F.sum(F.when(F.col("last_op") != "D", F.col("price")).otherwise(0)), 2
+        ).alias("sum_price"),
+    )

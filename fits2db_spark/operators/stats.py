@@ -2590,3 +2590,98 @@ def lightcurve_structure_function(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg(dv * dv), 4).alias("sf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filter (local-level model) (round 8)
+# ---------------------------------------------------------------------------
+_KF_Q = 25.0  # process-noise variance
+_KF_R = 400.0  # observation-noise variance
+
+
+@register(
+    "events_kalman_level",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(CAST(v AS DOUBLE) ORDER BY d) AS vs
+      FROM daily GROUP BY 1
+    ),
+    -- recursive CTE instead of list_reduce: the same struct-accumulator
+    -- field-mutation hazard events_holt_trend documents; each step's
+    -- SELECT is atomic and uses ONLY the prior (l, p)
+    kf(event_type, i, l, p) AS (
+      SELECT event_type, CAST(1 AS BIGINT), vs[1], {_KF_R}::DOUBLE FROM arr
+      UNION ALL
+      SELECT k.event_type, k.i + 1,
+             k.l + ((k.p + {_KF_Q}) / (k.p + {_KF_Q} + {_KF_R}))
+                   * (a.vs[k.i + 1] - k.l),
+             {_KF_R} * (k.p + {_KF_Q}) / (k.p + {_KF_Q} + {_KF_R})
+      FROM kf k JOIN arr a USING (event_type)
+      WHERE k.i < a.n_days
+    )
+    SELECT a.event_type, a.n_days,
+           ROUND(k.l, 6) AS level,
+           ROUND(k.p, 6) AS variance,
+           ROUND((k.p + {_KF_Q}) / (k.p + {_KF_Q} + {_KF_R}), 6) AS gain
+    FROM arr a JOIN kf k ON k.event_type = a.event_type AND k.i = a.n_days
+    """,
+)
+def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter over each type's daily series — the local-level
+    state-space model (Kalman 1960; Durbin & Koopman's simplest structural
+    model): per step the state variance inflates by process noise
+    q={_KF_Q}, the gain k = (p+q)/(p+q+r) blends the new observation
+    against the prediction, and the posterior variance contracts to
+    (1-k)(p+q). Unlike `events_ewma`'s FIXED decay, the Kalman gain
+    ADAPTS: it starts high (uncertain state) and converges to the
+    steady-state Riccati fixed point — reported as `gain` so the driver
+    hash pins the convergence, not just the smoothed level.
+
+    Both engines step the recursion with the same expression text, each
+    update reading only the PRIOR (l, p) — the substituted no-intra-step-
+    dependence form `events_holt_trend` introduced (and the same
+    recursive-CTE oracle, for DuckDB's list_reduce field-mutation
+    hazard). Spark folds a 2-double struct through the collected ordered
+    array: per-group state is O(1), series length is calendar-bounded,
+    and the only event-volume stage is the daily partial-agg."""
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round("v", 4).alias("v")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("transform(array_sort(collect_list(struct(d, v))), x -> x.v)").alias(
+            "vs"
+        ),
+    )
+    folded = arr.withColumn(
+        "st",
+        F.expr(
+            f"""
+            aggregate(
+              slice(vs, 2, size(vs) - 1),
+              named_struct('l', element_at(vs, 1), 'p', CAST({_KF_R} AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'l', acc.l + ((acc.p + {_KF_Q}D) / (acc.p + {_KF_Q}D + {_KF_R}D))
+                             * (x - acc.l),
+                'p', {_KF_R}D * (acc.p + {_KF_Q}D)
+                     / (acc.p + {_KF_Q}D + {_KF_R}D)))
+            """
+        ),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.p"), 6).alias("variance"),
+        F.round(
+            (F.col("st.p") + _KF_Q) / (F.col("st.p") + _KF_Q + _KF_R), 6
+        ).alias("gain"),
+    )

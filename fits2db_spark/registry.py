@@ -103,6 +103,9 @@ _PRIORITY_QUERIES = (
     "dq_psi",
     "privacy_generalization_ladder",
     "warehouse_compaction_plan",
+    "dedup_lsh_recall",
+    "events_kalman_level",
+    "warehouse_cdc_replay",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

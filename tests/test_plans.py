@@ -266,6 +266,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "skyline_pareto",
     # top-25 rank over the distinct-phrase aggregate (r6; WindowGroupLimit)
     "text_keyphrase_rake",
+    # A-ES top-100: TakeOrderedAndProject pushed below the window (r8) —
+    # the window ranks only the k merged survivors
+    "sample_weighted",
+    # prefix-sum bucketing over the O(months) manifest-stats aggregate (r8)
+    "warehouse_compaction_plan",
 }
 
 
