@@ -605,3 +605,92 @@ def stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_live(spark, key, "live_sliding", agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Watermark-sizing audit (round 8)
+# ---------------------------------------------------------------------------
+_WM_DELAY_S = 1800  # candidate watermark: 30 minutes
+_WM_WINDOW_S = 3600  # 1-hour tumbling event-time windows
+
+
+@register(
+    "stream_watermark_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(ts AS TIMESTAMP)
+               + to_seconds(CAST(concat('0x', substr(md5(CAST(event_id AS
+                 VARCHAR)), 1, 15)) AS BIGINT) % 7200) AS arrival
+      FROM events
+    ),
+    lat AS (
+      -- FLOOR(x / w), not x // w: DuckDB's // on DOUBLE (epoch returns a
+      -- fractional-seconds DOUBLE) does not floor. Spark's side truncates
+      -- sub-second parts via unix_timestamp, so both floor the WHOLE
+      -- seconds; lateness then compares in whole seconds on both sides.
+      SELECT event_type,
+             FLOOR(epoch(arrival))
+               - (FLOOR(FLOOR(epoch(ts)) / {_WM_WINDOW_S}) * {_WM_WINDOW_S}
+                  + {_WM_WINDOW_S}) AS lateness_s
+      FROM arr
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN lateness_s <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_on_time,
+           CAST(SUM(CASE WHEN lateness_s > 0
+                          AND lateness_s <= {_WM_DELAY_S} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_ok,
+           CAST(SUM(CASE WHEN lateness_s > {_WM_DELAY_S} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(MAX(lateness_s) AS BIGINT) AS max_lateness_s
+    FROM lat GROUP BY event_type
+    """,
+)
+def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit — the measurement you run BEFORE choosing
+    `withWatermark`'s delay: simulate per-event arrival times (event time
+    + a deterministic 0-2h network delay drawn from the md5 inverse-CDF
+    convention), bucket each event into its 1-hour event-time window, and
+    classify against a candidate {_WM_DELAY_S}s watermark — on-time
+    (arrived before window close), late-but-within-watermark (arrives
+    while the window state is still open: correct result, delayed
+    emission), dropped (arrives after state eviction: silent data loss).
+    The dropped count IS the business case for a longer watermark; the
+    late tail's maximum bounds the state-retention cost of zero loss.
+
+    This is the standard approximation (lateness measured against window
+    close + delay rather than the global max-event-time watermark clock,
+    which depends on cross-partition arrival interleaving — a property no
+    deterministic batch audit should depend on); it upper-bounds drops,
+    so the sizing it suggests is conservative. The LIVE semantics
+    (actual eviction by the watermark clock) are exercised by the
+    `stream_live_*` family in fits2db_spark/streaming/.
+
+    Scale: one narrow projection (hash, epoch arithmetic) + one
+    partial-agg groupBy on event_type — linear, no window functions, no
+    shuffle beyond O(types)."""
+    ev = load(spark, sf_dir, "events")
+    delay_s = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 7200
+    )
+    win_end = (
+        F.floor(F.unix_timestamp("ts") / _WM_WINDOW_S) * _WM_WINDOW_S + _WM_WINDOW_S
+    )
+    lat = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") + delay_s - win_end).alias("lateness_s"),
+    )
+    ls = F.col("lateness_s")
+    return lat.groupBy("event_type").agg(
+        F.sum(F.when(ls <= 0, 1).otherwise(0)).cast("long").alias("n_on_time"),
+        F.sum(F.when((ls > 0) & (ls <= _WM_DELAY_S), 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_ok"),
+        F.sum(F.when(ls > _WM_DELAY_S, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.max(ls).cast("long").alias("max_lateness_s"),
+    )

@@ -106,6 +106,7 @@ _PRIORITY_QUERIES = (
     "dedup_lsh_recall",
     "events_kalman_level",
     "warehouse_cdc_replay",
+    "stream_watermark_audit",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
