@@ -382,7 +382,13 @@ from ..registry import deprioritize  # noqa: E402
 deprioritize("sim_range_search")
 
 
-def _ivf_oracle(k: int = 8, iters: int = 3, nprobe: int = 3, d: int = _DIM) -> str:
+def _ivf_oracle(
+    k: int = 8,
+    iters: int = 3,
+    nprobe: int = 3,
+    d: int = _DIM,
+    balance: bool = False,
+) -> str:
     # Same unrolled-Lloyd trick as the vec_kmeans oracle (deterministic
     # init, fixed rounds), then the probe phase in plain SQL: top-nprobe
     # cells per query (ties to the lower cell, mirroring the tie-safe
@@ -416,6 +422,23 @@ def _ivf_oracle(k: int = 8, iters: int = 3, nprobe: int = 3, d: int = _DIM) -> s
         FROM a{n}, generate_series(1, {d}) gs(i)
         GROUP BY cell, gs.i) GROUP BY cell)""")
     cf = f"c{iters}"
+    if balance:
+        return f"""
+    WITH {','.join(ctes)},
+    corpus AS (
+      SELECT vec_id AS neighbor_id, embedding AS ce, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist2('e.embedding', 'c.centroid')},
+                                           c.cell) AS rk
+        FROM emb e CROSS JOIN {cf} c) WHERE rk = 1)
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share,
+           ROUND(CAST(COUNT(*) AS DOUBLE) * {k} / SUM(COUNT(*)) OVER (), 6)
+             AS load_factor
+    FROM corpus GROUP BY cell
+    """
     return f"""
     WITH {','.join(ctes)},
     corpus AS (
@@ -1397,4 +1420,89 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MS_TOPK)
         .select("query_id", "vec_id", "maxsim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF list-balance audit (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register("sim_ivf_balance", oracle=_ivf_oracle(balance=True))
+def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health metrology — the occupancy audit a vector-search
+    deployment runs after training `sim_ann_ivf`'s coarse quantizer: per
+    inverted list the vector count, corpus share, and load factor
+    (n * k / total; 1.0 = perfectly balanced). A hot cell (load >> 1)
+    means probe latency skew and a recall cliff on its queries — the
+    fix is re-training with more centroids or splitting the hot cell,
+    and THIS measurement is what triggers it (the IVF sibling of
+    `dedup_lsh_recall`'s banding audit).
+
+    Same deterministic 3-round Lloyd training and stable-label assignment
+    as `sim_ann_ivf` (docstring there); only the final reduction differs —
+    one partial-agg groupBy on the cell id, so the audit costs one
+    O(cells) shuffle past the assignment scan that the index build
+    already pays."""
+    k, iters = 8, 3
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        (i + 1, [float(x) for x in r.embedding])
+        for i, r in enumerate(
+            e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        )
+    ]
+
+    def dist2_to(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def cent_array():
+        return F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
+
+    def nearest(n):
+        labels = F.array(*[F.lit(lb) for lb, _ in cents])
+        return F.transform(
+            _nearest_cells(F.transform(cent_array(), dist2_to), n),
+            lambda p: F.element_at(labels, p),
+        )
+
+    for _ in range(iters):
+        assigned = e.select(
+            "vec_id", "embedding", F.element_at(nearest(1), 1).alias("cell")
+        )
+        cents = [
+            (int(r.cell), [float(x) for x in r.centroid])
+            for r in (
+                assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+                .select("cell", F.col("ps.m").alias("centroid"))
+                .orderBy("cell")
+                .collect()
+            )
+        ]
+    corpus = e.select(F.element_at(nearest(1), 1).alias("cell"))
+    per = corpus.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = per.agg(F.sum("n_vectors").cast("double").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_vectors",
+        F.round(F.col("n_vectors").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("n_vectors").cast("double") * k / F.col("total"), 6
+        ).alias("load_factor"),
     )

@@ -2685,3 +2685,141 @@ def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("st.p") + _KF_Q) / (F.col("st.p") + _KF_Q + _KF_R), 6
         ).alias("gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Little's law WIP audit (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_littles_law",
+    oracle="""
+    WITH life AS (
+      SELECT o.o_orderkey,
+             datediff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE))
+               AS a_d,
+             datediff('day', DATE '1995-01-01', CAST(MAX(l.l_shipdate) AS DATE))
+               AS c_d,
+             date_trunc('month', CAST(o.o_orderdate AS DATE)) AS a_month
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 4
+    ),
+    months AS (
+      SELECT DISTINCT a_month AS m,
+             datediff('day', DATE '1995-01-01', a_month) AS ms_d,
+             datediff('day', DATE '1995-01-01',
+                      CAST(a_month + INTERVAL 1 MONTH AS DATE)) AS me_d
+      FROM life
+    ),
+    arr AS (
+      SELECT a_month AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+             CAST(SUM(c_d - a_d) AS BIGINT) AS sum_w
+      FROM life GROUP BY 1
+    ),
+    wip AS (
+      SELECT mo.m,
+             CAST(SUM(GREATEST(0, LEAST(l.c_d, mo.me_d)
+                                  - GREATEST(l.a_d, mo.ms_d))) AS BIGINT)
+               AS wip_days
+      FROM months mo JOIN life l
+        ON l.a_d < mo.me_d AND l.c_d > mo.ms_d
+      GROUP BY 1
+    )
+    SELECT CAST(a.m AS DATE) AS month,
+           a.n_arrivals,
+           FLOOR(CAST(a.n_arrivals AS DOUBLE) / (mo.me_d - mo.ms_d) * 1e4)
+             / 1e4 AS lambda_per_day,
+           FLOOR(CAST(a.sum_w AS DOUBLE) / a.n_arrivals * 1e4) / 1e4
+             AS avg_cycle_days,
+           FLOOR(CAST(w.wip_days AS DOUBLE) / (mo.me_d - mo.ms_d) * 1e4) / 1e4
+             AS avg_wip,
+           FLOOR(CAST(w.wip_days AS DOUBLE) / (mo.me_d - mo.ms_d)
+                 / ((CAST(a.n_arrivals AS DOUBLE) / (mo.me_d - mo.ms_d))
+                    * (CAST(a.sum_w AS DOUBLE) / a.n_arrivals)) * 1e4) / 1e4
+             AS littles_ratio
+    FROM arr a
+    JOIN months mo ON mo.m = a.m
+    JOIN wip w ON w.m = a.m
+    """,
+)
+def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit over the order-fulfillment queue: per arrival
+    month, the arrival rate lambda (orders/day), mean cycle time W
+    (order date -> last line shipment, days), time-average work-in-process
+    L (order-days in flight during the month / days in month), and the
+    L/(lambda*W) ratio — ~1 under stationarity (Little 1961), drifting at
+    the data edges and under load shifts. The queueing-theory sanity check
+    ops teams run on fulfillment pipelines, and a cross-check tying three
+    INDEPENDENTLY computed aggregates together (the hash pins all three
+    and their consistency).
+
+    Plan: order lifetimes come from one join+max partial-agg; WIP uses the
+    interval-overlap trick — a theta join against the O(months) calendar
+    table (broadcast) with closed-form overlap arithmetic, NEVER a per-day
+    explode. All quantities are exact integer day sums; the published
+    rates FLOOR to 4dp (integer ratios land exactly on .xxxx5 shortest-
+    repr halves where Spark's and DuckDB's ROUND disagree — the
+    events_changepoint class)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    epoch = F.lit("1995-01-01").cast("date")
+    life = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("a_d"),
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("a_month"),
+        )
+        .agg(
+            F.datediff(F.max(F.col("l_shipdate").cast("date")), epoch).alias("c_d")
+        )
+    )
+    months = life.select(
+        F.col("a_month").alias("m"),
+        F.datediff("a_month", epoch).alias("ms_d"),
+        F.datediff(F.add_months("a_month", 1), epoch).alias("me_d"),
+    ).distinct()
+    arr = life.groupBy(F.col("a_month").alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.sum(F.col("c_d") - F.col("a_d")).cast("long").alias("sum_w"),
+    )
+    wip = (
+        F.broadcast(months)
+        .join(life, (life.a_d < F.col("me_d")) & (life.c_d > F.col("ms_d")))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.least(F.col("c_d"), F.col("me_d"))
+                    - F.greatest(F.col("a_d"), F.col("ms_d")),
+                )
+            )
+            .cast("long")
+            .alias("wip_days")
+        )
+    )
+    dim = F.col("me_d") - F.col("ms_d")
+    lam = F.col("n_arrivals").cast("double") / dim
+    wbar = F.col("sum_w").cast("double") / F.col("n_arrivals")
+    lbar = F.col("wip_days").cast("double") / dim
+
+    def f4(c):
+        return F.floor(c * 1e4) / 1e4
+
+    return (
+        arr.join(F.broadcast(months), "m")
+        .join(wip, "m")
+        .select(
+            F.col("m").alias("month"),
+            "n_arrivals",
+            f4(lam).alias("lambda_per_day"),
+            f4(wbar).alias("avg_cycle_days"),
+            f4(lbar).alias("avg_wip"),
+            f4(lbar / (lam * wbar)).alias("littles_ratio"),
+        )
+    )

@@ -107,6 +107,8 @@ _PRIORITY_QUERIES = (
     "events_kalman_level",
     "warehouse_cdc_replay",
     "stream_watermark_audit",
+    "sim_ivf_balance",
+    "orders_littles_law",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
