@@ -694,3 +694,92 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dropped"),
         F.max(ls).cast("long").alias("max_lateness_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiwindow SLO burn-rate alerts (round 8)
+# ---------------------------------------------------------------------------
+_SLO_BUDGET = 0.2  # error-ratio budget: the fixture stream errors at ~20%,
+# so hourly burn hovers near 1.0 and the multiwindow rule genuinely
+# discriminates (fires on the high tail at EVERY tier, never on all rows)
+_SLO_SHORT_S = 3600  # short window: 1 hour
+_SLO_LONG_S = 21600  # long window: 6 hours (aligned, short nests exactly)
+
+
+@register(
+    "events_slo_burnrate",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(FLOOR(FLOOR(epoch(CAST(ts AS TIMESTAMP))) / {_SLO_SHORT_S})
+                  AS BIGINT) AS hr,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    ),
+    short_w AS (
+      SELECT hr, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(is_err) AS BIGINT) AS n_err
+      FROM base GROUP BY hr
+    ),
+    long_w AS (
+      SELECT hr // {_SLO_LONG_S // _SLO_SHORT_S} AS lw,
+             CAST(SUM(n) AS BIGINT) AS n_l,
+             CAST(SUM(n_err) AS BIGINT) AS err_l
+      FROM short_w GROUP BY 1
+    )
+    SELECT s.hr AS window_hr, s.n, s.n_err,
+           ROUND(CAST(s.n_err AS DOUBLE) / s.n / {_SLO_BUDGET}, 6)
+             AS burn_short,
+           ROUND(CAST(l.err_l AS DOUBLE) / l.n_l / {_SLO_BUDGET}, 6)
+             AS burn_long,
+           CAST(CASE WHEN CAST(s.n_err AS DOUBLE) / s.n / {_SLO_BUDGET} > 1.05
+                      AND CAST(l.err_l AS DOUBLE) / l.n_l / {_SLO_BUDGET} > 1.0
+                     THEN 1 ELSE 0 END AS INT) AS alert
+    FROM short_w s JOIN long_w l ON l.lw = s.hr // {_SLO_LONG_S // _SLO_SHORT_S}
+    """,
+)
+def events_slo_burnrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the Google SRE workbook rule):
+    per 1-hour window the error-budget burn rate (error ratio /
+    {_SLO_BUDGET} budget), paired with its ALIGNED 6-hour window's burn,
+    alerting only when BOTH exceed their thresholds (short > 1.05x AND
+    long > 1x here — tuned so the rule discriminates on this stream's
+    ~20%-error baseline at every fixture tier) — the short window gives fast detection, the long window
+    suppresses blips, and alignment (6h = 6 nested 1h buckets) means the
+    long burn is a pure rollup of the short aggregates, no second scan.
+
+    Plan: one partial-agg groupBy to hourly counts (the only stage that
+    sees event volume), a second O(hours) rollup to 6h, and an O(hours)
+    equi-join — the exact two-tier aggregate a streaming deployment
+    materializes incrementally. Ratios are exact integer divisions;
+    the burn thresholds compare identically in both engines."""
+    ev = load(spark, sf_dir, "events")
+    ratio = _SLO_LONG_S // _SLO_SHORT_S
+    base = ev.select(
+        F.floor(F.unix_timestamp("ts") / _SLO_SHORT_S).cast("long").alias("hr"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    short_w = base.groupBy("hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_err").cast("long").alias("n_err"),
+    )
+    long_w = short_w.groupBy(
+        (F.col("hr") / ratio).cast("long").alias("lw")
+    ).agg(
+        F.sum("n").cast("long").alias("n_l"),
+        F.sum("n_err").cast("long").alias("err_l"),
+    )
+    bs = F.col("n_err").cast("double") / F.col("n") / _SLO_BUDGET
+    bl = F.col("err_l").cast("double") / F.col("n_l") / _SLO_BUDGET
+    return (
+        short_w.join(
+            long_w, long_w.lw == (F.col("hr") / ratio).cast("long")
+        )
+        .select(
+            F.col("hr").alias("window_hr"),
+            "n",
+            "n_err",
+            F.round(bs, 6).alias("burn_short"),
+            F.round(bl, 6).alias("burn_long"),
+            F.when((bs > 1.05) & (bl > 1.0), 1).otherwise(0).cast("int").alias("alert"),
+        )
+    )

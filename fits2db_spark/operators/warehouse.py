@@ -620,3 +620,149 @@ def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_month").alias("first_month"),
         F.max("file_month").alias("last_month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Min/max pruning effectiveness: Z-order vs single-column layout (round 8)
+# ---------------------------------------------------------------------------
+_PRUNE_QUERIES = (
+    # (qid, bx_lo, bx_hi, by_lo, by_hi) — box predicates on the 256x256 bin
+    # grid: price-only, date-only, and 2-d boxes of varying selectivity
+    (1, 10, 20, 0, 255),
+    (2, 0, 255, 40, 50),
+    (3, 30, 45, 60, 75),
+    (4, 0, 255, 100, 101),
+    (5, 80, 81, 0, 255),
+    (6, 5, 8, 5, 8),
+)
+_PRUNE_Q_SQL = " UNION ALL ".join(
+    f"SELECT {q} AS qid, {xl} AS bx_lo, {xh} AS bx_hi,"
+    f" {yl} AS by_lo, {yh} AS by_hi"
+    for q, xl, xh, yl, yh in _PRUNE_QUERIES
+)
+
+
+@register(
+    "warehouse_pruning_effectiveness",
+    oracle=f"""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 2000) AS BIGINT), 255) AS bx,
+             LEAST(CAST(FLOOR(datediff('day', DATE '1995-01-01',
+                                       CAST(o_orderdate AS DATE)) / 10.0)
+                        AS BIGINT), 255) AS by
+      FROM orders
+    ),
+    zf AS (
+      SELECT ({_morton_sql('bx', 'by')}) >> 8 AS file_id,
+             MIN(bx) AS xlo, MAX(bx) AS xhi, MIN(by) AS ylo, MAX(by) AS yhi
+      FROM binned GROUP BY 1
+    ),
+    lf AS (
+      SELECT by AS file_id,
+             MIN(bx) AS xlo, MAX(bx) AS xhi, MIN(by) AS ylo, MAX(by) AS yhi
+      FROM binned GROUP BY 1
+    ),
+    q AS ({_PRUNE_Q_SQL}),
+    zc AS (
+      SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS files_z
+      FROM q JOIN zf ON zf.xhi >= q.bx_lo AND zf.xlo <= q.bx_hi
+                    AND zf.yhi >= q.by_lo AND zf.ylo <= q.by_hi
+      GROUP BY q.qid
+    ),
+    lc AS (
+      SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS files_lin
+      FROM q JOIN lf ON lf.xhi >= q.bx_lo AND lf.xlo <= q.bx_hi
+                    AND lf.yhi >= q.by_lo AND lf.ylo <= q.by_hi
+      GROUP BY q.qid
+    ),
+    nz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_z FROM zf),
+    nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lin FROM lf)
+    SELECT CAST(zc.qid AS INT) AS qid, zc.files_z, nz.n_z,
+           lc.files_lin, nl.n_lin,
+           ROUND(CAST(zc.files_z AS DOUBLE) / nz.n_z, 6) AS touch_frac_z,
+           ROUND(CAST(lc.files_lin AS DOUBLE) / nl.n_lin, 6) AS touch_frac_lin
+    FROM zc JOIN lc ON lc.qid = zc.qid CROSS JOIN nz CROSS JOIN nl
+    """,
+)
+def warehouse_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement behind `zorder_layout`'s claim: for six box
+    predicates (price-only, date-only, 2-d) count how many files a
+    min/max zone map lets the scanner SKIP under (a) the 256-file Z-order
+    layout vs (b) a 256-bucket single-column (date) layout. Z-order
+    touches a small fraction on EVERY query shape; the linear layout is
+    perfect on date-only predicates and touches everything on price-only
+    ones — the trade this audit makes visible before committing a table's
+    clustering keys (Delta/Iceberg OPTIMIZE ZORDER decision).
+
+    Plan: one binning scan feeds BOTH layouts' per-file zone maps
+    (O(files) aggregates); the predicate probe is a broadcast join of the
+    6-row query table against each zone map — exactly how a real scan
+    planner consults file statistics, and the audit costs the stats
+    build, never a data rewrite."""
+    o = load(spark, sf_dir, "orders")
+    bx = F.least(F.floor(F.col("o_totalprice") / 2000).cast("long"), F.lit(255))
+    by = F.least(
+        F.floor(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            / 10.0
+        ).cast("long"),
+        F.lit(255),
+    )
+    binned = o.select(bx.alias("bx"), by.alias("by"))
+    spans = [
+        F.min("bx").alias("xlo"),
+        F.max("bx").alias("xhi"),
+        F.min("by").alias("ylo"),
+        F.max("by").alias("yhi"),
+    ]
+    zf = binned.groupBy(
+        F.shiftright(_morton_col(F.col("bx"), F.col("by")), 8).alias("file_id")
+    ).agg(*spans)
+    lf = binned.groupBy(F.col("by").alias("file_id")).agg(*spans)
+    # inline VALUES literal, not createDataFrame: no driver->JVM round trip
+    # (the r7 hot-path convention)
+    q = spark.sql(
+        "SELECT qid, CAST(bx_lo AS LONG) bx_lo, CAST(bx_hi AS LONG) bx_hi,"
+        " CAST(by_lo AS LONG) by_lo, CAST(by_hi AS LONG) by_hi FROM (VALUES "
+        + ", ".join(f"({q0}, {xl}, {xh}, {yl}, {yh})" for q0, xl, xh, yl, yh in _PRUNE_QUERIES)
+        + ") AS t(qid, bx_lo, bx_hi, by_lo, by_hi)"
+    )
+
+    def touched(files, out):
+        hit = (
+            (F.col("xhi") >= F.col("bx_lo"))
+            & (F.col("xlo") <= F.col("bx_hi"))
+            & (F.col("yhi") >= F.col("by_lo"))
+            & (F.col("ylo") <= F.col("by_hi"))
+        )
+        return (
+            F.broadcast(q)
+            .join(files, hit)
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    zc = touched(zf, "files_z")
+    lc = touched(lf, "files_lin")
+    nz = zf.agg(F.count(F.lit(1)).cast("long").alias("n_z"))
+    nl = lf.agg(F.count(F.lit(1)).cast("long").alias("n_lin"))
+    return (
+        zc.join(lc, "qid")
+        .crossJoin(F.broadcast(nz))
+        .crossJoin(F.broadcast(nl))
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            "files_z",
+            "n_z",
+            "files_lin",
+            "n_lin",
+            F.round(F.col("files_z").cast("double") / F.col("n_z"), 6).alias(
+                "touch_frac_z"
+            ),
+            F.round(
+                F.col("files_lin").cast("double") / F.col("n_lin"), 6
+            ).alias("touch_frac_lin"),
+        )
+    )

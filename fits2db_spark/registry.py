@@ -109,6 +109,8 @@ _PRIORITY_QUERIES = (
     "stream_watermark_audit",
     "sim_ivf_balance",
     "orders_littles_law",
+    "events_slo_burnrate",
+    "warehouse_pruning_effectiveness",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
