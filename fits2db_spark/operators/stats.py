@@ -2336,7 +2336,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     blocks AS (
       SELECT p.event_type, w.w, p.i // w.w AS blk, p.d, p.v
-      FROM pos p CROSS JOIN (VALUES (8), (16), (32)) AS w(w)
+      FROM pos p CROSS JOIN (VALUES (4), (8), (16)) AS w(w)
     ),
     dev AS (
       SELECT event_type, w, blk, v,
@@ -2360,20 +2360,20 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wide AS (
       SELECT event_type,
+             MAX(CASE WHEN w = 4 THEN rs_avg END) AS rs4,
              MAX(CASE WHEN w = 8 THEN rs_avg END) AS rs8,
-             MAX(CASE WHEN w = 16 THEN rs_avg END) AS rs16,
-             MAX(CASE WHEN w = 32 THEN rs_avg END) AS rs32
+             MAX(CASE WHEN w = 16 THEN rs_avg END) AS rs16
       FROM scale GROUP BY 1
     )
-    SELECT event_type, rs8, rs16, rs32,
-           ROUND(ln(rs32 / rs8) / (2 * ln(2)), 4) AS hurst
+    SELECT event_type, rs4, rs8, rs16,
+           ROUND(ln(rs16 / rs4) / (2 * ln(2)), 4) AS hurst
     FROM wide
     """,
 )
 def events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
     Mandelbrot & Wallis 1969) over each type's daily series: at window
-    sizes 8/16/32 split the series into complete blocks, per block compute
+    sizes 4/8/16 split the series into complete blocks, per block compute
     R/S = (max-min of the cumulative mean-deviation) / population stddev,
     average over blocks, and fit the log2-log2 slope — H ~ 0.5 is a random
     walk, H > 0.5 persistent trending, H < 0.5 mean-reverting. The classic
@@ -2381,8 +2381,11 @@ def events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complements `events_acf` / `events_periodogram` / `events_hurst`'s
     sibling `events_haar_wavelet`).
 
-    The slope uses the symmetric closed form over the three scales,
-    (log2 rs32 - log2 rs8) / 2, computed from the ROUND(·, 6) per-scale
+    Scales are 4/8/16 because the fixture stream spans 30 calendar days
+    (measured per type, all tiers) — a 32-day block would never complete
+    and its rs column would be vacuously NULL. The slope uses the
+    symmetric closed form over the three scales,
+    (log2 rs16 - log2 rs4) / 2, computed from the ROUND(·, 6) per-scale
     averages in BOTH engines so the cross-engine hash cannot be broken by
     last-ulp libm differences in ln().
 
@@ -2402,7 +2405,7 @@ def events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     ws = spark.range(1).select(
-        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("w")
+        F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("w")
     )
     blocks = pos.crossJoin(F.broadcast(ws)).select(
         "event_type", "w", (F.col("i") / F.col("w")).cast("long").alias("blk"), "d", "v"
@@ -2430,17 +2433,17 @@ def events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg(F.col("r") / F.col("sd")), 6).alias("rs_avg"))
     )
     wide = scale.groupBy("event_type").agg(
+        F.max(F.when(F.col("w") == 4, F.col("rs_avg"))).alias("rs4"),
         F.max(F.when(F.col("w") == 8, F.col("rs_avg"))).alias("rs8"),
         F.max(F.when(F.col("w") == 16, F.col("rs_avg"))).alias("rs16"),
-        F.max(F.when(F.col("w") == 32, F.col("rs_avg"))).alias("rs32"),
     )
     return wide.select(
         "event_type",
+        "rs4",
         "rs8",
         "rs16",
-        "rs32",
         F.round(
-            F.log(F.col("rs32") / F.col("rs8")) / (2 * math.log(2.0)), 4
+            F.log(F.col("rs16") / F.col("rs4")) / (2 * math.log(2.0)), 4
         ).alias("hurst"),
     )
 
@@ -2696,14 +2699,14 @@ def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_littles_law",
     oracle="""
     WITH life AS (
-      SELECT o.o_orderkey,
-             datediff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE))
+      SELECT o_orderkey,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
                AS a_d,
-             datediff('day', DATE '1995-01-01', CAST(MAX(l.l_shipdate) AS DATE))
-               AS c_d,
-             date_trunc('month', CAST(o.o_orderdate AS DATE)) AS a_month
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      GROUP BY 1, 2, 4
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 15)) AS BIGINT) % 60 + 1 AS c_d,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS a_month
+      FROM orders
     ),
     months AS (
       SELECT DISTINCT a_month AS m,
@@ -2755,28 +2758,38 @@ def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     INDEPENDENTLY computed aggregates together (the hash pins all three
     and their consistency).
 
-    Plan: order lifetimes come from one join+max partial-agg; WIP uses the
-    interval-overlap trick — a theta join against the O(months) calendar
-    table (broadcast) with closed-form overlap arithmetic, NEVER a per-day
-    explode. All quantities are exact integer day sums; the published
-    rates FLOOR to 4dp (integer ratios land exactly on .xxxx5 shortest-
-    repr halves where Spark's and DuckDB's ROUND disagree — the
-    events_changepoint class)."""
+    Service times are the repo's deterministic md5 draw (1-60 days per
+    order) rather than l_shipdate: the fixture's synthetic shipdates are
+    UNCORRELATED with order dates (measured: shipdate - orderdate spans
+    -2383..+2478 days, 1 percent below -2058), so raw "cycle times" are
+    negative for a third of orders and the conservation law the operator
+    exists to check would be vacuously broken by the data generator, not
+    the math. With well-defined lifetimes the interior-month ratio pins
+    ~1 (tests/test_stats_extra.py).
+
+    Plan: lifetimes are a narrow projection; WIP uses the interval-overlap
+    trick — a theta join against the O(months) calendar table (broadcast)
+    with closed-form overlap arithmetic, NEVER a per-day explode. All
+    quantities are exact integer day sums; the published rates FLOOR to
+    4dp (integer ratios land exactly on .xxxx5 shortest-repr halves where
+    Spark's and DuckDB's ROUND disagree — the events_changepoint class)."""
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
     epoch = F.lit("1995-01-01").cast("date")
-    life = (
-        o.join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            "o_orderkey",
-            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("a_d"),
-            F.date_trunc("month", F.col("o_orderdate").cast("date"))
-            .cast("date")
-            .alias("a_month"),
-        )
-        .agg(
-            F.datediff(F.max(F.col("l_shipdate").cast("date")), epoch).alias("c_d")
-        )
+    a_d = F.datediff(F.col("o_orderdate").cast("date"), epoch)
+    dur = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 60
+        + 1
+    )
+    life = o.select(
+        "o_orderkey",
+        a_d.alias("a_d"),
+        (a_d + dur).alias("c_d"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("a_month"),
     )
     months = life.select(
         F.col("a_month").alias("m"),

@@ -664,15 +664,17 @@ _PRUNE_Q_SQL = " UNION ALL ".join(
     ),
     q AS ({_PRUNE_Q_SQL}),
     zc AS (
-      SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS files_z
-      FROM q JOIN zf ON zf.xhi >= q.bx_lo AND zf.xlo <= q.bx_hi
-                    AND zf.yhi >= q.by_lo AND zf.ylo <= q.by_hi
+      -- LEFT join: a predicate matching ZERO files must report 0, not
+      -- vanish from the audit (bites at sf0.001 where sparse bins empty)
+      SELECT q.qid, CAST(COUNT(zf.xlo) AS BIGINT) AS files_z
+      FROM q LEFT JOIN zf ON zf.xhi >= q.bx_lo AND zf.xlo <= q.bx_hi
+                         AND zf.yhi >= q.by_lo AND zf.ylo <= q.by_hi
       GROUP BY q.qid
     ),
     lc AS (
-      SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS files_lin
-      FROM q JOIN lf ON lf.xhi >= q.bx_lo AND lf.xlo <= q.bx_hi
-                    AND lf.yhi >= q.by_lo AND lf.ylo <= q.by_hi
+      SELECT q.qid, CAST(COUNT(lf.xlo) AS BIGINT) AS files_lin
+      FROM q LEFT JOIN lf ON lf.xhi >= q.bx_lo AND lf.xlo <= q.bx_hi
+                         AND lf.yhi >= q.by_lo AND lf.ylo <= q.by_hi
       GROUP BY q.qid
     ),
     nz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_z FROM zf),
@@ -737,11 +739,13 @@ def warehouse_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFra
             & (F.col("yhi") >= F.col("by_lo"))
             & (F.col("ylo") <= F.col("by_hi"))
         )
+        # LEFT join: a predicate matching zero files reports 0, never
+        # drops out of the audit
         return (
             F.broadcast(q)
-            .join(files, hit)
+            .join(files, hit, "left")
             .groupBy("qid")
-            .agg(F.count(F.lit(1)).cast("long").alias(out))
+            .agg(F.count(files.xlo).cast("long").alias(out))
         )
 
     zc = touched(zf, "files_z")

@@ -622,3 +622,154 @@ def test_sample_weighted_boundary_margin_and_bias(spark):
     assert set(got.o_orderkey) == set(ev.o_orderkey[:_WS_K])
     # weight bias: the sample's mean order value must exceed the population's
     assert got.o_totalprice.mean() > ev.o_totalprice.mean() * 1.1
+
+
+# ---------------------------------------------------------------------------
+# r8 semantic checks: independent numpy re-derivations of the new operators
+# ---------------------------------------------------------------------------
+
+
+def test_changepoint_matches_numpy_binary_segmentation(spark):
+    got = _run(spark, "events_changepoint")
+    daily = _daily().round(4)
+    for t, s in daily.groupby(level=0):
+        v = s.droplevel(0).sort_index()
+        x = v.to_numpy()
+        n = len(x)
+        best_k, best_gain = None, -np.inf
+        for k in range(1, n):
+            sse = (
+                ((x[:k] - x[:k].mean()) ** 2).sum()
+                + ((x[k:] - x[k:].mean()) ** 2).sum()
+            )
+            gain = ((x - x.mean()) ** 2).sum() - sse
+            if gain > best_gain + 1e-9:
+                best_gain, best_k = gain, k
+        row = got[got.event_type == t].iloc[0]
+        assert row.cp_day == v.index[best_k - 1], (t, row.cp_day)
+        assert abs(row.mean_before - x[:best_k].mean()) < 1e-3
+        assert abs(row.mean_after - x[best_k:].mean()) < 1e-3
+        assert abs(row.gain_centi / 100.0 - best_gain) < 0.5
+
+
+def test_hurst_matches_numpy_rs(spark):
+    got = _run(spark, "events_hurst").set_index("event_type")
+    daily = _daily().round(4)
+    for t, s in daily.groupby(level=0):
+        x = s.droplevel(0).sort_index().to_numpy()
+        for w, col in ((4, "rs4"), (8, "rs8"), (16, "rs16")):
+            rss = []
+            for b in range(len(x) // w):
+                blk = x[b * w : (b + 1) * w]
+                dev = np.cumsum(blk - blk.mean())
+                sd = blk.std(ddof=0)
+                if sd > 0:
+                    rss.append((dev.max() - dev.min()) / sd)
+            assert abs(got.loc[t, col] - np.mean(rss)) < 1e-4, (t, w)
+        h = np.log(got.loc[t, "rs16"] / got.loc[t, "rs4"]) / (2 * np.log(2))
+        assert abs(got.loc[t, "hurst"] - h) < 1e-3
+        assert 0.0 < got.loc[t, "hurst"] < 1.0
+
+
+def test_kalman_matches_numpy_filter(spark):
+    from fits2db_spark.operators.stats import _KF_Q, _KF_R
+
+    got = _run(spark, "events_kalman_level").set_index("event_type")
+    daily = _daily().round(4)
+    for t, s in daily.groupby(level=0):
+        x = s.droplevel(0).sort_index().to_numpy()
+        l, p = x[0], _KF_R
+        for v in x[1:]:
+            k = (p + _KF_Q) / (p + _KF_Q + _KF_R)
+            l = l + k * (v - l)
+            p = _KF_R * (p + _KF_Q) / (p + _KF_Q + _KF_R)
+        assert abs(got.loc[t, "level"] - l) < 1e-4
+        assert abs(got.loc[t, "variance"] - p) < 1e-4
+        # steady-state Riccati fixed point: p^2 + p*q - r*q = 0
+        disc = np.sqrt(_KF_Q**2 + 4 * _KF_Q * _KF_R)
+        p_star = (-_KF_Q + disc) / 2
+        k_star = (p_star + _KF_Q) / (p_star + _KF_Q + _KF_R)
+        assert abs(got.loc[t, "gain"] - k_star) < 0.01
+
+
+def test_ljungbox_matches_statsmodels_free_formula(spark):
+    got = _run(spark, "events_ljungbox").set_index("event_type")
+    daily = _daily()
+    for t, s in daily.groupby(level=0):
+        v = s.droplevel(0).sort_index()
+        n = len(v)
+        q = 0.0
+        for lag in range(1, 8):
+            a = v.to_numpy()[:-lag]
+            b = v.to_numpy()[lag:]
+            # aligned-pair Pearson (the operator's rho), rounded like the op
+            rho = round(float(np.corrcoef(a, b)[0, 1]), 6)
+            q += rho * rho / (n - lag)
+        q *= n * (n + 2)
+        assert abs(got.loc[t, "q_stat"] - q) < 1e-2
+        assert got.loc[t, "reject_iid"] == int(q > 14.0671)
+
+
+def test_kfold_linreg_matches_numpy_lstsq(spark):
+    import hashlib
+
+    got = _run(spark, "ml_kfold_linreg").set_index("fold")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    key = li.l_orderkey * 10 + li.l_linenumber
+    fold = key.map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 5
+    )
+    x, y = li.l_quantity.astype(float), li.l_extendedprice.astype(float)
+    for f in range(5):
+        tr = fold != f
+        A = np.vstack([x[tr], np.ones(tr.sum())]).T
+        slope, icept = np.linalg.lstsq(A, y[tr], rcond=None)[0]
+        assert abs(got.loc[f, "slope"] - slope) < 1e-4
+        assert abs(got.loc[f, "intercept"] - icept) < 1e-2
+        pred = icept + slope * x[~tr]
+        rmse = np.sqrt(((y[~tr] - pred) ** 2).mean())
+        assert abs(got.loc[f, "rmse"] - rmse) < 0.01
+        assert got.loc[f, "n_test"] == (~tr).sum()
+
+
+def test_littles_law_holds_mid_range(spark):
+    """In the interior months (away from the data edges) the L/(lambda*W)
+    ratio must hover near 1 — the conservation identity the operator
+    exists to check."""
+    got = _run(spark, "orders_littles_law").sort_values("month")
+    # drop the warm-up/drain edges: W is up to 60 days, so the first and
+    # last ~2 months see partial WIP
+    interior = got.iloc[3:-3]
+    assert len(interior) >= 12
+    assert 0.9 < interior.littles_ratio.median() < 1.1
+    # monthly arrivals are small at sf0.001 (~19), so individual months are
+    # noisy — pin the bulk of the distribution, not every month
+    frac_in_band = ((interior.littles_ratio > 0.5) & (interior.littles_ratio < 2.0)).mean()
+    assert frac_in_band > 0.8, frac_in_band
+
+
+def test_pruning_zorder_beats_linear_on_price_queries(spark):
+    got = _run(spark, "warehouse_pruning_effectiveness").set_index("qid")
+    # price-only predicates (qid 1, 5): z-order must beat the date layout
+    # (absolute spans are tier-dependent: at sf0.001 a date file holds ~6
+    # rows, so even its price span is narrow by sampling)
+    for q in (1, 5):
+        assert got.loc[q, "touch_frac_z"] < got.loc[q, "touch_frac_lin"]
+        assert got.loc[q, "touch_frac_z"] < 0.5
+    # date-only predicates (qid 2, 4): linear wins outright, z still prunes
+    for q in (2, 4):
+        assert got.loc[q, "touch_frac_lin"] < 0.15
+        assert got.loc[q, "touch_frac_z"] < 0.6
+    # the 2-d box (qid 3, 6): z-order prunes hard
+    for q in (3, 6):
+        assert got.loc[q, "touch_frac_z"] < 0.3
+
+
+def test_lsh_recall_audit_is_consistent(spark):
+    got = _run(spark, "dedup_lsh_recall").iloc[0]
+    assert got.n_hit <= min(got.n_truth, got.n_cand)
+    assert got.n_verified <= got.n_cand
+    assert 0 < got.recall <= 1
+    assert got.reduction_ratio > 0.9  # banding must beat all-pairs by >10x
+    # at 16 hashes / 4 bands and J >= 0.5 truth, recall should be high
+    assert got.recall > 0.7
