@@ -1303,3 +1303,71 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _WS_K)
         .select(F.col("rk").cast("int").alias("rk"), "o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           ROUND(AVG(du.deg), 4) AS avg_edge_degree,
+           ROUND(corr(du.deg, dv.deg), 6) AS assortativity
+    FROM und e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the directed edge
+    list (each undirected edge counted both ways — the standard estimator).
+    Positive = hubs buy with hubs (social-network shape), negative = hubs
+    connect to leaves (technological/dependency shape) — the one-number
+    topology screen run before choosing partition/caching strategies for
+    graph workloads (assortative graphs shard cleanly by community;
+    disassortative hubs need the `join_skew_salted` treatment).
+
+    Plan: the edge list is a per-order self-join (co-blocked pairs only —
+    the `join_self_pairs` shape); degrees are one partial-agg groupBy;
+    the correlation joins the O(nodes) degree table back onto edges
+    twice. At 100 TB the degree table broadcasts (nodes << edges) and the
+    edge scan stays embarrassingly parallel."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        und.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.round(F.avg("deg_u"), 4).alias("avg_edge_degree"),
+            F.round(F.corr("deg_u", "deg_v"), 6).alias("assortativity"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_nodes", "n_edges", "avg_edge_degree", "assortativity")
+    )

@@ -476,3 +476,66 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_users").over(w).cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding distinct count (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_sliding_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             user_id
+      FROM events
+    ),
+    maxd AS (SELECT MAX(d) AS md FROM ud),
+    contrib AS (
+      SELECT DISTINCT ud.event_type, ud.user_id, ud.d + o.o AS w
+      FROM ud CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) AS o(o)
+    )
+    SELECT c.event_type, CAST(c.w AS INT) AS day_idx,
+           CAST(COUNT(*) AS BIGINT) AS users_7d
+    FROM contrib c CROSS JOIN maxd
+    WHERE c.w <= maxd.md
+    GROUP BY 1, 2
+    """,
+)
+def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per (type, day) — the DAU/WAU-style
+    rolling-reach metric. COUNT(DISTINCT) over a sliding window frame has
+    no native form (distinct state can't merge incrementally in a frame),
+    so the scalable rewrite is contribution expansion: each (user, active
+    day) contributes to the 7 windows ending on days d..d+6, then one
+    DISTINCT + count per window — a fixed x7 row expansion of the
+    ALREADY-DEDUPLICATED (type, user, day) activity table, never a
+    per-window re-scan and never per-user window state. The sliding
+    sibling of `win_cumulative_distinct` (whose first-occurrence trick
+    only works for unbounded frames).
+
+    Windows past the last observed day are dropped (their trailing range
+    is truncated); both engines apply the same cut. All integer math."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+        "user_id",
+    ).distinct()
+    maxd = ud.agg(F.max("d").alias("md"))
+    offs = spark.range(7).select(F.col("id").cast("int").alias("o"))
+    contrib = (
+        ud.crossJoin(F.broadcast(offs))
+        .select("event_type", "user_id", (F.col("d") + F.col("o")).alias("w"))
+        .distinct()
+    )
+    return (
+        contrib.crossJoin(F.broadcast(maxd))
+        .filter(F.col("w") <= F.col("md"))
+        .groupBy("event_type", F.col("w").cast("int").alias("day_idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("users_7d"))
+    )

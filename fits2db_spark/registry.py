@@ -111,6 +111,8 @@ _PRIORITY_QUERIES = (
     "orders_littles_law",
     "events_slo_burnrate",
     "warehouse_pruning_effectiveness",
+    "win_sliding_distinct",
+    "graph_assortativity",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
