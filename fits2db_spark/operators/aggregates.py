@@ -713,3 +713,82 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("est_inter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median / weighted percentiles (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS x, l_quantity AS wt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, x, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY x, wt ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    ),
+    hits AS (
+      SELECT l_returnflag, q.q,
+             MIN(x) AS wq
+      FROM c CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS q(q)
+      WHERE cw >= q.q * tw
+      GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN q = 0.25 THEN wq END) AS wp25,
+           MAX(CASE WHEN q = 0.5 THEN wq END) AS wmedian,
+           MAX(CASE WHEN q = 0.75 THEN wq END) AS wp75
+    FROM hits GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (p25/p50/p75 of price weighted by quantity) —
+    'the price level below which half the UNITS ship', which no unweighted
+    percentile answers when order sizes vary (the inventory/GMV analog of
+    income-weighted medians in economics). Neither engine has a native
+    weighted quantile, so both run the defining computation: cumulative
+    weight along the value order, first value whose cumulative weight
+    reaches q x total (the lower weighted-quantile convention, exact —
+    no interpolation, so the hash pins actual data values).
+
+    Plan: one window per group ordered by (value, weight) — the honest
+    per-group sort; group count bounds parallelism exactly like
+    `agg_percentile`'s exact path, and the same escape applies at
+    unbounded scale (bucket values first, cumulative-sum the O(buckets)
+    histogram — the `agg_ks_test` ECDF shape). Ties in x are ordered by
+    weight so both engines accumulate identically."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("x", "wt")
+    wall = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("wt"),
+    ).select(
+        "l_returnflag",
+        "x",
+        "wt",
+        F.sum("wt").over(w).alias("cw"),
+        F.sum("wt").over(wall).alias("tw"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q")
+    )
+    hits = (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col("cw") >= F.col("q") * F.col("tw"))
+        .groupBy("l_returnflag", "q")
+        .agg(F.min("x").alias("wq"))
+    )
+    return hits.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("q") == 0.25, F.col("wq"))).alias("wp25"),
+        F.max(F.when(F.col("q") == 0.5, F.col("wq"))).alias("wmedian"),
+        F.max(F.when(F.col("q") == 0.75, F.col("wq"))).alias("wp75"),
+    )

@@ -113,6 +113,7 @@ _PRIORITY_QUERIES = (
     "warehouse_pruning_effectiveness",
     "win_sliding_distinct",
     "graph_assortativity",
+    "agg_weighted_median",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
