@@ -770,3 +770,105 @@ def ml_kfold_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rmse",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout (round 8)
+# ---------------------------------------------------------------------------
+_CUPED_SPLIT = "1998-01-01"  # covariate period A < split <= experiment period B
+
+
+@register(
+    "ml_cuped_experiment",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS treat,
+             SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_CUPED_SPLIT}'
+                      THEN o_totalprice ELSE 0 END) AS x_pre,
+             SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{_CUPED_SPLIT}'
+                      THEN o_totalprice ELSE 0 END) AS y_exp
+      FROM orders GROUP BY 1, 2
+    ),
+    theta AS (
+      SELECT covar_samp(y_exp, x_pre) / var_samp(x_pre) AS th,
+             AVG(x_pre) AS x_bar
+      FROM per
+    ),
+    adj AS (
+      SELECT p.treat, p.y_exp,
+             p.y_exp - t.th * (p.x_pre - t.x_bar) AS y_cuped
+      FROM per p CROSS JOIN theta t
+    )
+    SELECT CAST(treat AS INT) AS treat,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(y_exp), 4) AS mean_raw,
+           ROUND(AVG(y_cuped), 4) AS mean_cuped,
+           ROUND(var_samp(y_exp), 2) AS var_raw,
+           ROUND(var_samp(y_cuped), 2) AS var_cuped,
+           ROUND(1.0 - var_samp(y_cuped) / var_samp(y_exp), 6)
+             AS variance_reduction
+    FROM adj GROUP BY treat
+    """,
+)
+def ml_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the industry-standard
+    A/B-test readout): assign customers to arms by a deterministic md5
+    split, take each customer's pre-period spend as the covariate, and
+    report per arm the raw and CUPED-adjusted means
+    (y - theta*(x - x_bar), theta = cov(y,x)/var(x)) with the achieved
+    variance reduction — the number that decides how much shorter the
+    experiment can run. Adjusted arm-mean DIFFERENCES are unbiased because
+    the same theta and x_bar apply to both arms.
+
+    Plan: one scan builds per-customer (pre, experiment) sums via
+    conditional aggregation; theta is an O(1) broadcast; adjustment is a
+    narrow projection feeding one O(arms) aggregate. Two passes over the
+    per-customer table (theta, then adjusted moments) — the table is
+    O(customers), already reduced. Same two-period date split as `dq_psi`;
+    variance ratios are engine-identical up to accumulation order, rounded
+    like `agg_stats`."""
+    o = load(spark, sf_dir, "orders")
+    is_pre = F.col("o_orderdate").cast("date") < F.lit(_CUPED_SPLIT).cast("date")
+    per = o.groupBy(
+        "o_custkey",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % 2
+        ).alias("treat"),
+    ).agg(
+        F.sum(F.when(is_pre, F.col("o_totalprice")).otherwise(0)).alias("x_pre"),
+        F.sum(F.when(~is_pre, F.col("o_totalprice")).otherwise(0)).alias("y_exp"),
+    )
+    theta = per.agg(
+        (F.covar_samp("y_exp", "x_pre") / F.var_samp("x_pre")).alias("th"),
+        F.avg("x_pre").alias("x_bar"),
+    )
+    adj = per.crossJoin(F.broadcast(theta)).select(
+        "treat",
+        "y_exp",
+        (F.col("y_exp") - F.col("th") * (F.col("x_pre") - F.col("x_bar"))).alias(
+            "y_cuped"
+        ),
+    )
+    return adj.groupBy("treat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("y_exp"), 4).alias("mean_raw"),
+        F.round(F.avg("y_cuped"), 4).alias("mean_cuped"),
+        F.round(F.var_samp("y_exp"), 2).alias("var_raw"),
+        F.round(F.var_samp("y_cuped"), 2).alias("var_cuped"),
+        F.round(1.0 - F.var_samp("y_cuped") / F.var_samp("y_exp"), 6).alias(
+            "variance_reduction"
+        ),
+    ).select(
+        F.col("treat").cast("int").alias("treat"),
+        "n_users",
+        "mean_raw",
+        "mean_cuped",
+        "var_raw",
+        "var_cuped",
+        "variance_reduction",
+    )

@@ -1968,10 +1968,17 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     of candidates that survive exact verification (wasted-verify cost);
     reduction_ratio = candidate volume vs the quadratic all-pairs space.
 
-    Plan/scale: truth reuses the df-capped shingle inverted index
-    (`dedup_ngram_jaccard`), candidates the bucket-capped band join
-    (`dedup_near_minhash`) — both linear in document count under their
-    caps; the metric joins operate on O(pairs) rows. One row out."""
+    Plan/scale: candidates are the bucket-capped band join
+    (`dedup_near_minhash`) — the production path, linear in docs under its
+    cap. The TRUTH stage is deliberately exact (df-capped shingle inverted
+    index + full verify, the `dedup_ngram_jaccard` machinery) and is the
+    expensive half BY DESIGN: its verify join scales with sum-of-df^2,
+    which at the 10x near-dup synthetic tier (every doc cloned ~10x)
+    reaches ~27M shingle-sharing pairs x shingle fanout. That is the
+    inherent cost of ground truth, not of LSH — at real scale this audit
+    runs over a SAMPLED corpus slice (truth on a 1-5% stratified sample
+    bounds recall with tight CIs), while the candidate side stays full.
+    One row out."""
     d = load(spark, sf_dir, "documents")
     sh = _shingles_cached(spark, d, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

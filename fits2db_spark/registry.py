@@ -114,6 +114,7 @@ _PRIORITY_QUERIES = (
     "win_sliding_distinct",
     "graph_assortativity",
     "agg_weighted_median",
+    "ml_cuped_experiment",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
