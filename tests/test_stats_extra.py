@@ -815,10 +815,13 @@ def test_cuped_matches_numpy_and_reduces_variance(spark):
         assert abs(got.loc[t_, "mean_raw"] - sub.y.mean()) < 1e-2
         assert abs(got.loc[t_, "mean_cuped"] - sub.yc.mean()) < 1e-2
         assert abs(got.loc[t_, "var_cuped"] - sub.yc.var()) < 1.0
-        # pre-period spend only weakly predicts experiment spend on this
-        # synthetic fixture (orders are independent draws) — ~3% reduction;
-        # pin that the adjustment helps at all and never hurts
-        assert got.loc[t_, "variance_reduction"] > 0.005
+    # CUPED's guarantee is POOLED, not per-arm: theta is the OLS minimizer
+    # of var(y - theta*x) over ALL users, so the pooled in-sample variance
+    # cannot increase (a small arm CAN see a negative reduction — arm 1
+    # does here, -2.8%, because the pooled theta is not its own optimum)
+    assert per.yc.var() <= per.y.var() + 1e-9
+    pooled_red = 1 - per.yc.var() / per.y.var()
+    assert pooled_red > 0.001, pooled_red
 
 
 def test_psi_shares_and_nonneg_contributions(spark):
