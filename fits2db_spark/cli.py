@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--truncate", action="store_true", help="emit TRUNCATE TABLE")
     p.add_argument("--ddl-only", action="store_true", help="emit DDL and exit")
     p.add_argument("--sql-out", default="-", help="DDL destination file ('-' = stdout)")
+    # Parquet sink (the lakehouse landing zone)
+    p.add_argument("--parquet-out", help="write rows as parquet to this directory")
+    p.add_argument(
+        "--partition-by",
+        help="comma-separated columns for parquet directory partitioning "
+        "(hive layout: col=value/ subdirs enable partition pruning)",
+    )
     # CSV sink
     p.add_argument("--csv-out", help="write rows as CSV to this directory")
     p.add_argument("--single-file", action="store_true", help="coalesce CSV to one part")
@@ -183,6 +190,15 @@ def run(argv: list[str], spark: SparkSession | None = None) -> int:
         return 0
 
     did_output = False
+    if args.parquet_out:
+        out_df = df.repartition(args.num_partitions) if args.num_partitions else df
+        writer = out_df.write.mode("overwrite")
+        if args.partition_by:
+            writer = writer.partitionBy(
+                *[c.strip() for c in args.partition_by.split(",") if c.strip()]
+            )
+        writer.parquet(args.parquet_out)
+        did_output = True
     if args.csv_out:
         from .sinks.csv_sink import write_csv
 

@@ -232,3 +232,21 @@ def test_scaleup_bench_surfaces_subprocess_failures(monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run_nojson)
     with pytest.raises(RuntimeError, match="no JSON line"):
         sb.run_benches()
+
+
+def test_cli_parquet_out_with_partitioning(fits_file, tmp_path, spark):
+    """r8: the lakehouse landing sink — parquet output with hive-layout
+    directory partitioning, read back losslessly with pruning-capable
+    col=value subdirs."""
+    out = str(tmp_path / "pq")
+    rc = run(
+        [fits_file, "--table", "t", "--parquet-out", out, "--partition-by", "name"]
+    )
+    assert rc == 0
+    import os
+
+    subdirs = {d for d in os.listdir(out) if d.startswith("name=")}
+    assert subdirs == {"name=aa", "name=bb", "name=cc"}
+    back = spark.read.parquet(out)
+    rows = {(r["id"], r["flux"], r["name"]) for r in back.collect()}
+    assert rows == {(1, 0.5, "aa"), (2, 1.5, "bb"), (3, 2.5, "cc")}
