@@ -795,3 +795,53 @@ def pipeline_fits_catalog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("random_id"),
         F.floor((dec + 90.0) / 4.0).alias("zone4"),
     )
+
+
+@register(
+    "scan_csv_gzip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV round trip — the archive-drop format half of
+    all external feeds still arrive in. Spark reads `.csv.gz` transparently
+    (codec from the extension), but gzip is NOT SPLITTABLE: each file
+    decompresses as ONE task regardless of size, so a single 50 GB .gz
+    feed serializes onto one core. The operational fix is upstream —
+    many medium files (this writer's one-file-per-partition layout is
+    exactly that), or a splittable codec (bzip2, or zstd with seekable
+    framing) — and THIS operator is the regression pin that the
+    transparent-codec path stays lossless (doubles survive shortest-repr
+    print + parse; 2dp acctbal per the fixture's precision).
+
+    The oracle reads the fixture directly: the round trip must be exact,
+    so comparing against the source IS the check."""
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+    def write(p: str) -> None:
+        load(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "c_mktsegment",
+        ).write.mode("overwrite").option("header", True).option(
+            "compression", "gzip"
+        ).csv(p)
+
+    out = _scratch_dir(spark, sf_dir, "customer_csv_gz", write)
+    cust = SCHEMAS["customer"]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(
+                c, DoubleType() if c == "c_acctbal" else cust[c].dataType
+            )
+            for c in cols
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(out)

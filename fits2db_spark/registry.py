@@ -115,6 +115,7 @@ _PRIORITY_QUERIES = (
     "graph_assortativity",
     "agg_weighted_median",
     "ml_cuped_experiment",
+    "scan_csv_gzip",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
