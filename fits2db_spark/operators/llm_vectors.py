@@ -1506,3 +1506,79 @@ def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_vectors").cast("double") * k / F.col("total"), 6
         ).alias("load_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph hubness audit (round 8)
+# ---------------------------------------------------------------------------
+_HUB_K = 3
+_HUB_MAX_Q = 500  # query-side cap: full corpus at small tiers, sample above
+
+
+@register(
+    "vec_hubness",
+    oracle=f"""
+    WITH knn AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_d_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                          c.vec_id) AS rk
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < {_HUB_MAX_Q} AND c.vec_id != q.vec_id) t
+      WHERE rk <= {_HUB_K}
+    ),
+    indeg AS (
+      SELECT e.vec_id,
+             (SELECT COUNT(*) FROM knn WHERE knn.neighbor_id = e.vec_id)
+               AS d
+      FROM embeddings e WHERE e.vec_id < {_HUB_MAX_Q}
+    )
+    SELECT CAST(d AS INT) AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM indeg GROUP BY d
+    """,
+)
+def vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the k={_HUB_K} nearest-neighbor graph — the
+    high-dimensional pathology metric (Radovanovic et al. 2010): in a
+    well-behaved space the in-degree distribution concentrates near k; a
+    heavy right tail means a few "hub" vectors appear in everyone's
+    neighbor lists, silently dominating retrieval results and poisoning
+    kNN classifiers. The standard fixes (centering the embeddings,
+    cosine -> inner-product re-normalization, mutual-kNN filtering) are
+    all gated on THIS measurement. Vectors never chosen by anyone
+    (in-degree 0, the "anti-hubs") are reported by the same histogram.
+
+    Plan: broadcast query side x streaming corpus probe with a per-query
+    WindowGroupLimit (the `sim_topk_bruteforce` shape), then in-degree via
+    a right-side count against the vector list (zero-degree vectors kept
+    by a left anti pattern). Ranking compares ROUNDED cosine with
+    neighbor_id tiebreak (the sim_ann_ivf engine-stability convention).
+    The query side caps at {_HUB_MAX_Q} (full corpus at the small tiers, a
+    fixed sample above — hubness is a distributional property, stable
+    under sampling)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _HUB_MAX_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sim6 = F.round(_cos(F.col("qe"), F.col("ce")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), "neighbor_id")
+    knn = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim6.alias("sim6"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HUB_K)
+    )
+    deg = knn.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("d"))
+    base = e.filter(F.col("vec_id") < _HUB_MAX_Q).select("vec_id")
+    indeg = base.join(
+        deg, deg.neighbor_id == base.vec_id, "left"
+    ).select(F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+    return indeg.groupBy(F.col("d").cast("int").alias("in_degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )

@@ -2836,3 +2836,66 @@ def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             f4(lbar / (lam * wbar)).alias("littles_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-log price elasticity (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_price_elasticity",
+    oracle="""
+    WITH per_part AS (
+      SELECT l.l_partkey,
+             string_split(p.p_name, ' ')[2] AS category,
+             SUM(l.l_quantity) AS qty,
+             AVG(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(regr_slope(ln(qty), ln(unit_price)), 6) AS elasticity,
+           ROUND(regr_r2(ln(qty), ln(unit_price)), 6) AS fit_r2,
+           ROUND(AVG(unit_price), 4) AS avg_unit_price
+    FROM per_part GROUP BY category
+    """,
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per product category (the part
+    name's noun): within a category, OLS of ln(total quantity sold) on
+    ln(average unit price) across parts — the cross-sectional elasticity
+    estimate pricing teams compute before a price move (slope ~ -1 means
+    revenue-neutral; the fixture's synthetic independence shows up as
+    slope ~ 0 with near-zero r2, and THAT is the null-result reading the
+    operator's fit_r2 column exists to force: an elasticity without its
+    r2 is a number, not an estimate).
+
+    Plan: one lineitem scan with a broadcast part join partial-aggregates
+    to O(parts) rows; the regression is `regr_slope`/`regr_r2` over the
+    per-part frame grouped by O(categories) keys — the `agg_linreg`
+    posture. ln of exact integer-derived ratios; ROUND(·, 6) gates the
+    hash (text_zipf exposure class)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    per_part = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(
+            "l_partkey",
+            F.split(F.col("p_name"), " ").getItem(1).alias("category"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            ),
+        )
+    )
+    lq, lp = F.log("qty"), F.log("unit_price")
+    return per_part.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.regr_slope(lq, lp), 6).alias("elasticity"),
+        F.round(F.regr_r2(lq, lp), 6).alias("fit_r2"),
+        F.round(F.avg("unit_price"), 4).alias("avg_unit_price"),
+    )

@@ -116,6 +116,8 @@ _PRIORITY_QUERIES = (
     "agg_weighted_median",
     "ml_cuped_experiment",
     "scan_csv_gzip",
+    "vec_hubness",
+    "orders_price_elasticity",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
