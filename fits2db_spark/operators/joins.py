@@ -658,6 +658,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _XM_NEAREST_DEG = 4.0  # nearest-neighbor search radius (degrees)
+_XM_NEAREST_TIGHT_DEG = 0.125  # phase-1 radius: catches the dense near-match bulk
 
 
 def _xmatch_nearest_oracle() -> str:
@@ -700,47 +701,41 @@ def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-neighbor sky match: for every object in catalog B, the
     single closest catalog-A object within 4 degrees — the other flagship
     astronomy join (xmatch_zone answers "all matches within radius";
-    this answers "which master-catalog source IS this observation"). Same
-    zone algorithm with 4-degree zones, then a per-B-object window keeps
-    rank 1 by (floor-gridded separation, a_id) — gridded BEFORE ranking
-    so near-tie cuts are engine-stable (r6: FLOOR grid replaced ROUND,
-    whose DuckDB shortest-decimal behavior flipped three sf0.1 rows).
+    this answers "which master-catalog source IS this observation").
+    Zone algorithm + a per-B-object window keeping rank 1 by
+    (floor-gridded separation, a_id) — gridded BEFORE ranking so near-tie
+    cuts are engine-stable (r6: FLOOR grid replaced ROUND, whose DuckDB
+    shortest-decimal behavior flipped three sf0.1 rows).
 
-    Scale: candidates ∝ objects x 3-zone density, and Spark plans the
-    rank-1 filter as WindowGroupLimit — per-B state in the sort is ONE
-    row, so the wide search radius costs candidate volume, never window
-    memory. The displaced every-5th objects (2 deg off) exercise the
-    non-trivial path: their nearest is genuinely contested among ~100
-    candidates."""
+    TWO-PHASE adaptive radius (r8; the standard catalog-xmatch trick):
+    phase 1 searches a tight 0.125-degree radius — on real (and this
+    fixture's) sky, almost every object's nearest counterpart is close,
+    so tight zones keep candidates ~linear; only B objects with NO
+    phase-1 match rescan at the full 4 degrees (here the displaced
+    every-5th objects). Correctness is radius-nesting: a pair with
+    sep <= r has |ddec| <= r, so the r-zone join sees every pair at
+    sep <= r — if phase 1 finds any, its rank-1 IS the global nearest
+    (equal-separation ties share the same grid cell, hence the same
+    phase). Measured at sf0.1: warm 7.9s -> ~1s (candidate pairs ~21M ->
+    ~3.5M).
+
+    Scale: candidates ∝ objects x 3-zone density at the PHASE radius,
+    and Spark plans each rank-1 filter as WindowGroupLimit — per-B state
+    in the sort is ONE row, so the wide fallback costs candidate volume
+    for the unmatched residue only."""
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
     ra = (F.col("id") * 137.50776405) % 360.0
     dec = F.degrees(F.asin(((F.col("id") * 0.6180339887) % 1.0) * 2 - 1))
     base = c.select("id", ra.alias("ra"), dec.alias("dec"))
-    zone = lambda d: F.floor((d + 90.0) / _XM_NEAREST_DEG)  # noqa: E731
-    a = base.select(
-        F.col("id").alias("a_id"),
-        F.col("ra").alias("a_ra"),
-        F.col("dec").alias("a_dec"),
-        zone(F.col("dec")).alias("zone"),
-    )
     b_dec = (
         F.col("dec")
         + ((F.col("id") % 17) - 8) * 0.0001
         + F.when(F.col("id") % 5 == 0, 2.0).otherwise(0.0)
     )
-    b = base.select(
+    b0 = base.select(
         F.col("id").alias("b_id"),
         (F.col("ra") + ((F.col("id") % 21) - 10) * 0.0001).alias("b_ra"),
         b_dec.alias("b_dec"),
-    ).select(
-        "b_id",
-        "b_ra",
-        "b_dec",
-        F.explode(
-            F.array(
-                zone(F.col("b_dec")) - 1, zone(F.col("b_dec")), zone(F.col("b_dec")) + 1
-            )
-        ).alias("zone"),
     )
     sep_rad = 2 * F.asin(
         F.sqrt(
@@ -752,14 +747,42 @@ def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sep_deg = F.degrees(sep_rad)
     w = Window.partitionBy("b_id").orderBy("sep_m4", "a_id")
-    return (
-        a.join(b, "zone")
-        .filter(sep_deg <= _XM_NEAREST_DEG)
-        # floor-grid rank key/display: see the oracle comment
-        .select("b_id", "a_id", F.floor(sep_deg * 36000000).alias("sep_m4"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("b_id", "a_id", (F.floor(F.col("sep_m4") / 100) / 100).alias("sep_arcsec"))
+
+    def nearest_within(b_side, radius_deg):
+        zone = lambda d: F.floor((d + 90.0) / radius_deg)  # noqa: E731
+        a = base.select(
+            F.col("id").alias("a_id"),
+            F.col("ra").alias("a_ra"),
+            F.col("dec").alias("a_dec"),
+            zone(F.col("dec")).alias("zone"),
+        )
+        b = b_side.select(
+            "b_id",
+            "b_ra",
+            "b_dec",
+            F.explode(
+                F.array(
+                    zone(F.col("b_dec")) - 1,
+                    zone(F.col("b_dec")),
+                    zone(F.col("b_dec")) + 1,
+                )
+            ).alias("zone"),
+        )
+        return (
+            a.join(b, "zone")
+            .filter(sep_deg <= radius_deg)
+            # floor-grid rank key/display: see the oracle comment
+            .select("b_id", "a_id", F.floor(sep_deg * 36000000).alias("sep_m4"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("b_id", "a_id", "sep_m4")
+        )
+
+    p1 = nearest_within(b0, _XM_NEAREST_TIGHT_DEG)
+    missed = b0.join(p1.select("b_id"), "b_id", "left_anti")
+    p2 = nearest_within(missed, _XM_NEAREST_DEG)
+    return p1.unionByName(p2).select(
+        "b_id", "a_id", (F.floor(F.col("sep_m4") / 100) / 100).alias("sep_arcsec")
     )
 
 
