@@ -404,7 +404,13 @@ _CC_FINAL_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def clear_caches() -> None:
     """Unpersist every cache this module holds (shingle sets, component
     labels) — the session-hygiene hook for long-lived interactive sessions."""
-    for cache in (_SH_CACHE, _ARR_CACHE, _BANDS_CACHE, _CC_FINAL_CACHE):
+    for cache in (
+        _SH_CACHE,
+        _ARR_CACHE,
+        _BANDS_CACHE,
+        _CC_FINAL_CACHE,
+        _JACC_CAND_CACHE,
+    ):
         for df in cache.values():
             try:
                 df.unpersist()
@@ -446,6 +452,10 @@ def _arrays_cached(spark: SparkSession, d: DataFrame, sf_dir: str) -> DataFrame:
 # counts + both self-join sides). Cached so the 16-permutation signature
 # arithmetic runs once, not once per reader.
 _BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# exact-Jaccard candidate pairs per (session, sf_dir): three exact-dedup
+# operators (ngram_jaccard, containment, lsh_recall's truth) share the
+# inverted-index self-join + DISTINCT — by far their dominant stage (r8)
+_JACC_CAND_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _bands(arrs: DataFrame) -> DataFrame:
@@ -514,6 +524,18 @@ def _jaccard_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_candidates_cached(
+    spark: SparkSession, sh: DataFrame, sf_dir: str
+) -> DataFrame:
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        return _jaccard_candidates(sh)
+    if key not in _JACC_CAND_CACHE:
+        _JACC_CAND_CACHE[key] = _jaccard_candidates(sh).persist()
+    return _JACC_CAND_CACHE[key]
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -550,24 +572,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     below any useful threshold anyway. The oracle mirrors the cap."""
     d = load(spark, sf_dir, "documents")
     sh = _shingles_cached(spark, d, sf_dir)
-    cand = _jaccard_candidates(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    cand = _jaccard_candidates_cached(spark, sh, sf_dir)
+    # verify on the cached per-doc shingle ARRAYS (the dedup_near_minhash
+    # r4 rewrite, applied here in r8: the exploded cand x shingle join-back
+    # multiplied candidates by ~95 shingles/doc before matching — 10.6s ->
+    # ~1s warm at sf0.1; array_intersect computes the overlap in-row)
+    arrs = _arrays_cached(spark, d, sf_dir)
+    pairs = cand.join(
+        arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= _JACCARD_T)
-        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+        pairs.filter(jac >= _JACCARD_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
     )
 
 
@@ -641,6 +670,18 @@ def _lsh_candidates(bands: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _jaccard_candidates_cached(
+    spark: SparkSession, sh: DataFrame, sf_dir: str
+) -> DataFrame:
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        return _jaccard_candidates(sh)
+    if key not in _JACC_CAND_CACHE:
+        _JACC_CAND_CACHE[key] = _jaccard_candidates(sh).persist()
+    return _JACC_CAND_CACHE[key]
 
 
 @register(
@@ -1413,22 +1454,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment is exact."""
     d = load(spark, sf_dir, "documents")
     sh = _shingles_cached(spark, d, sf_dir)
-    cand = _jaccard_candidates(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    cand = _jaccard_candidates_cached(spark, sh, sf_dir)
+    # in-row array_intersect verify (see dedup_ngram_jaccard's r8 note)
+    arrs = _arrays_cached(spark, d, sf_dir)
+    pairs = cand.join(
+        arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
-    cont = F.col("n_common").cast("double") / F.least(F.col("na"), F.col("nb"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = n_common.cast("double") / F.least(F.size("sh_a"), F.size("sh_b"))
     return (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .filter(cont >= _CONTAIN_T)
-        .select("doc_a", "doc_b", "n_common", F.round(cont, 6).alias("containment"))
+        pairs.filter(cont >= _CONTAIN_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            F.round(cont, 6).alias("containment"),
+        )
     )
 
 
@@ -1515,6 +1560,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _jaccard_candidates_cached(
+    spark: SparkSession, sh: DataFrame, sf_dir: str
+) -> DataFrame:
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        return _jaccard_candidates(sh)
+    if key not in _JACC_CAND_CACHE:
+        _JACC_CAND_CACHE[key] = _jaccard_candidates(sh).persist()
+    return _JACC_CAND_CACHE[key]
     pairs = cand.join(
         arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",
@@ -1981,36 +2038,33 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row out."""
     d = load(spark, sf_dir, "documents")
     sh = _shingles_cached(spark, d, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    arrs = _arrays_cached(spark, d, sf_dir)
 
     def exact_pairs(cand: DataFrame) -> DataFrame:
-        sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        common = (
-            cand.join(sha, "doc_a")
-            .join(shb, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        # in-row array_intersect verify (see dedup_ngram_jaccard's r8 note)
+        pairs = cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        ).join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
         )
-        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-        jac = F.col("n_common").cast("double") / (
-            F.col("na") + F.col("nb") - F.col("n_common")
+        n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = n_common.cast("double") / (
+            F.size("sh_a") + F.size("sh_b") - n_common
         )
-        return (
-            common.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .filter(jac >= _JACCARD_T)
-            .select("doc_a", "doc_b")
-        )
+        return pairs.filter(jac >= _JACCARD_T).select("doc_a", "doc_b")
 
-    truth = exact_pairs(_jaccard_candidates(sh))
-    arrs = _arrays_cached(spark, d, sf_dir)
+    truth = exact_pairs(_jaccard_candidates_cached(spark, sh, sf_dir))
     cand = _lsh_candidates(_bands_cached(spark, arrs, sf_dir)).select(
         "doc_a", "doc_b"
     )
     verified = exact_pairs(cand)
-    n_docs = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_docs = arrs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
     n_hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
