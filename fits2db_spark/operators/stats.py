@@ -2899,3 +2899,114 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(lq, lp), 6).alias("fit_r2"),
         F.round(F.avg("unit_price"), 4).alias("avg_unit_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution + entropy rate (round 8)
+# ---------------------------------------------------------------------------
+_MKV_ROUNDS = 20  # fixed power-iteration rounds (5-state chain converges ~1e-12)
+
+
+def _markov_stationary_oracle() -> str:
+    it = """
+    pi{b} AS MATERIALIZED (
+      SELECT p.next_type AS state, SUM(pi.pi * p.p) AS pi
+      FROM p JOIN pi{a} pi ON pi.state = p.prev_type
+      GROUP BY p.next_type
+    )"""
+    rounds = ",".join(it.format(a=i, b=i + 1) for i in range(_MKV_ROUNDS))
+    return f"""
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS MATERIALIZED (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY prev_type),
+    -- MATERIALIZED: without it DuckDB re-inlines the upstream (incl. the
+    -- event-scan window) into every unrolled round reference — measured
+    -- 226s -> 0.1s at sf0.01
+    p AS MATERIALIZED (SELECT c.prev_type, c.next_type, c.n / t.tot AS p
+          FROM c JOIN t USING (prev_type)),
+    pi0 AS (
+      SELECT prev_type AS state,
+             1.0 / (SELECT COUNT(*) FROM t) AS pi
+      FROM t
+    ),
+    {rounds},
+    h AS (
+      SELECT prev_type AS state, -SUM(p * ln(p)) AS row_entropy
+      FROM p GROUP BY prev_type
+    ),
+    fin AS MATERIALIZED (
+      SELECT pi{_MKV_ROUNDS}.state, pi{_MKV_ROUNDS}.pi, h.row_entropy
+      FROM pi{_MKV_ROUNDS} JOIN h USING (state)
+    )
+    SELECT state, ROUND(pi, 6) AS pi,
+           ROUND(row_entropy, 6) AS row_entropy,
+           ROUND((SELECT SUM(pi * row_entropy) FROM fin), 6) AS entropy_rate
+    FROM fin
+    """
+
+
+@register("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution and entropy rate of the `events_markov`
+    transition chain: pi = pi*P by {_MKV_ROUNDS} fixed power-iteration
+    rounds from uniform (the graph_pagerank determinism contract — the
+    5-state chain converges to ~1e-12 well inside the bound, so the fixed
+    count is the fixpoint, not a truncation), plus the chain's entropy
+    rate H = sum_i pi_i * (-sum_j p_ij ln p_ij) — how unpredictable the
+    NEXT action is in steady state (0 = deterministic funnel; ln(5) =
+    uniform chaos), the single-number sequence-complexity screen next to
+    `events_markov`'s full matrix.
+
+    The transition matrix is O(|types|^2) BY CONSTRUCTION (here 5x5), so
+    the iteration runs driver-side on the collected matrix — the
+    vec_kmeans/sim_ann_ivf bounded-collect contract — and the per-user
+    lag window is the only stage that sees event volume. Products sum in
+    sorted-state order; both engines' last-ulp noise is absorbed by
+    ROUND(·, 6) after 20 contraction rounds."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    p = c.join(t, "prev_type").select(
+        "prev_type", "next_type", (F.col("n") / F.col("tot")).alias("p")
+    )
+    rows = p.collect()  # O(|types|^2) rows by construction
+    states = sorted({r.prev_type for r in rows} | {r.next_type for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    mat = [[0.0] * len(states) for _ in states]
+    for r in rows:
+        mat[idx[r.prev_type]][idx[r.next_type]] = r.p
+    pi = [1.0 / len(states)] * len(states)
+    for _ in range(_MKV_ROUNDS):
+        pi = [
+            sum(pi[i] * mat[i][j] for i in range(len(states)))
+            for j in range(len(states))
+        ]
+    h = [
+        -sum(pij * math.log(pij) for pij in row if pij > 0.0) for row in mat
+    ]
+    rate = sum(pi[i] * h[i] for i in range(len(states)))
+    lit = ", ".join(
+        f"('{s}', {pi[idx[s]]!r}D, {h[idx[s]]!r}D)" for s in states
+    )
+    return spark.sql(
+        f"SELECT state, ROUND(pi, 6) AS pi, ROUND(row_entropy, 6) AS row_entropy,"
+        f" ROUND({rate!r}D, 6) AS entropy_rate"
+        f" FROM (VALUES {lit}) AS t(state, pi, row_entropy)"
+    )
