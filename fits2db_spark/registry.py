@@ -118,6 +118,7 @@ _PRIORITY_QUERIES = (
     "scan_csv_gzip",
     "vec_hubness",
     "orders_price_elasticity",
+    "events_markov_stationary",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
