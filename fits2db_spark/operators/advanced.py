@@ -955,14 +955,17 @@ _TRI_EDGE_CACHE: dict = register_aux_cache({})
     "graph_triangles",
     oracle="""
     WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS DOUBLE) AS c
       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
       GROUP BY 1, 2
     ),
     thr AS (SELECT quantile_cont(c, 0.99) AS thr FROM sh),
-    e AS (SELECT u, v FROM sh CROSS JOIN thr WHERE c >= thr),
-    tri AS (
+    -- MATERIALIZED: e is referenced 5x (triangle join + degree union);
+    -- DuckDB otherwise re-inlines the co-supply pair aggregate into each
+    -- reference (measured 26.3s -> a few s at sf0.1)
+    e AS MATERIALIZED (SELECT u, v FROM sh CROSS JOIN thr WHERE c >= thr),
+    tri AS MATERIALIZED (
       SELECT e1.u AS x, e1.v AS y, e2.v AS z
       FROM e e1
       JOIN e e2 ON e1.v = e2.u

@@ -808,22 +808,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row-count + schema + value-hash check instead of a rows-only pass.
 def _cc_oracle_sql() -> str:
     return f"""
-    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    -- MATERIALIZED: sh is referenced 5x (hot/shc/sizes/common x2) and the
+    -- md5-shingle explode would otherwise re-inline into each (r8: 43s ->
+    -- ~6s at sf0.1); same for the capped index and the candidate pairs
+    WITH RECURSIVE sh AS MATERIALIZED ({_SHINGLES_SQL}),
     hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_SH_DF_CAP}),
-    shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)),
-    cand AS (
+    shc AS MATERIALIZED (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)),
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    common AS (
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c
       JOIN sh a ON a.doc_id = c.doc_a
       JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
       GROUP BY c.doc_a, c.doc_b
     ),
-    jp AS (
+    jp AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b
       FROM common c
       JOIN sizes sa ON sa.doc_id = c.doc_a
