@@ -2095,3 +2095,102 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("n_cand").cast("double") / (nd * (nd - 1) / 2.0), 6
         ).alias("reduction_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit (round 8)
+# ---------------------------------------------------------------------------
+_HEAPS_BUCKET = 50  # docs per growth checkpoint
+
+
+@register(
+    "text_heaps_law",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT term, MIN(doc_id) AS d0 FROM tok GROUP BY term
+    ),
+    buckets AS (
+      SELECT doc_id // {_HEAPS_BUCKET} AS bucket, SUM(n_tok) AS toks
+      FROM per_doc GROUP BY 1
+    ),
+    news AS (
+      SELECT d0 // {_HEAPS_BUCKET} AS bucket, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM first_seen GROUP BY 1
+    ),
+    curve AS MATERIALIZED (
+      SELECT b.bucket,
+             CAST(SUM(b.toks) OVER (ORDER BY b.bucket) AS BIGINT) AS cum_tokens,
+             CAST(SUM(COALESCE(n.nv, 0)) OVER (ORDER BY b.bucket) AS BIGINT)
+               AS cum_vocab
+      FROM buckets b LEFT JOIN news n USING (bucket)
+    ),
+    fit AS (
+      SELECT ROUND(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                              ln(CAST(cum_tokens AS DOUBLE))), 6) AS beta,
+             ROUND(regr_r2(ln(CAST(cum_vocab AS DOUBLE)),
+                           ln(CAST(cum_tokens AS DOUBLE))), 6) AS fit_r2
+      FROM curve
+    )
+    SELECT CAST(c.bucket AS INT) AS bucket, c.cum_tokens, c.cum_vocab,
+           f.beta, f.fit_r2
+    FROM curve c CROSS JOIN fit f
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct vocabulary V(n)
+    against cumulative tokens n at {_HEAPS_BUCKET}-document checkpoints,
+    with the log-log OLS exponent beta (natural corpora: V ~ K n^beta,
+    beta ~ 0.4-0.6; a saturating curve — beta near 0, like this bounded
+    synthetic vocabulary — means new data adds no new words, the
+    diminishing-returns signal data-collection pipelines watch; the
+    corpus-GROWTH complement to `text_zipf`'s static rank law).
+
+    The curve needs no per-token ordering: a term's first occurrence is
+    MIN(doc_id) (one partial-agg over the token explode — the
+    `win_cumulative_distinct` first-occurrence trick), bucketed and
+    running-summed over O(buckets) rows. The token explode is the only
+    stage that sees corpus volume; the regression runs over the tiny
+    checkpoint curve. Integer counts everywhere; only ln's last ulp is
+    exposed before ROUND (text_zipf class)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    first_seen = tok.groupBy("term").agg(F.min("doc_id").alias("d0"))
+    buckets = per_doc.groupBy(
+        (F.col("doc_id") / _HEAPS_BUCKET).cast("long").alias("bucket")
+    ).agg(F.sum("n_tok").alias("toks"))
+    news = first_seen.groupBy(
+        (F.col("d0") / _HEAPS_BUCKET).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    w = Window.orderBy("bucket")
+    curve = (
+        buckets.join(news, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+    lv = F.log(F.col("cum_vocab").cast("double"))
+    ln_ = F.log(F.col("cum_tokens").cast("double"))
+    fit = curve.agg(
+        F.round(F.regr_slope(lv, ln_), 6).alias("beta"),
+        F.round(F.regr_r2(lv, ln_), 6).alias("fit_r2"),
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "cum_tokens",
+        "cum_vocab",
+        "beta",
+        "fit_r2",
+    )

@@ -119,6 +119,7 @@ _PRIORITY_QUERIES = (
     "vec_hubness",
     "orders_price_elasticity",
     "events_markov_stationary",
+    "text_heaps_law",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -271,6 +271,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "sample_weighted",
     # prefix-sum bucketing over the O(months) manifest-stats aggregate (r8)
     "warehouse_compaction_plan",
+    # vocabulary-growth running sums over the O(doc-buckets) checkpoint
+    # curve, post-aggregation (r8)
+    "text_heaps_law",
 }
 
 
