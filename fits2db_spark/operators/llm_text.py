@@ -458,6 +458,18 @@ _BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _JACC_CAND_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _jaccard_candidates_cached(
+    spark: SparkSession, sh: DataFrame, sf_dir: str
+) -> DataFrame:
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        return _jaccard_candidates(sh)
+    if key not in _JACC_CAND_CACHE:
+        _JACC_CAND_CACHE[key] = _jaccard_candidates(sh).persist()
+    return _JACC_CAND_CACHE[key]
+
+
 def _bands(arrs: DataFrame) -> DataFrame:
     sig = _minhash_sig(arrs)
     frames = [
@@ -1563,18 +1575,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-
-
-def _jaccard_candidates_cached(
-    spark: SparkSession, sh: DataFrame, sf_dir: str
-) -> DataFrame:
-    try:
-        key = (spark.sparkContext.applicationId, sf_dir)
-    except Exception:
-        return _jaccard_candidates(sh)
-    if key not in _JACC_CAND_CACHE:
-        _JACC_CAND_CACHE[key] = _jaccard_candidates(sh).persist()
-    return _JACC_CAND_CACHE[key]
     pairs = cand.join(
         arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",
