@@ -879,3 +879,202 @@ def spatial_region_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         "c_custkey", F.coalesce(assigned, F.lit(0)).cast("int").alias("region_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTM level-9 trixel id in pure Catalyst (round 8)
+# ---------------------------------------------------------------------------
+_HTM_LEVEL = 9
+_HTM_EPS = "-1e-12"
+
+# public HTM start triangles: (root id, corner vertex indexes) over the six
+# axis unit vectors [N pole, +x, +y, -x, -y, S pole] — mirrors
+# functions/spatial.py:_HTM_ROOTS exactly
+_HTM_AXIS = (
+    ("0.0e0", "0.0e0", "1.0e0"),
+    ("1.0e0", "0.0e0", "0.0e0"),
+    ("0.0e0", "1.0e0", "0.0e0"),
+    ("-1.0e0", "0.0e0", "0.0e0"),
+    ("0.0e0", "-1.0e0", "0.0e0"),
+    ("0.0e0", "0.0e0", "-1.0e0"),
+)
+_HTM_ROOT_DEFS = (
+    (8, (1, 5, 2)),
+    (9, (2, 5, 3)),
+    (10, (3, 5, 4)),
+    (11, (4, 5, 1)),
+    (12, (1, 0, 4)),
+    (13, (4, 0, 3)),
+    (14, (3, 0, 2)),
+    (15, (2, 0, 1)),
+)
+
+
+def _htm_cross(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (
+        f"({ay}*{bz} - {az}*{by})",
+        f"({az}*{bx} - {ax}*{bz})",
+        f"({ax}*{by} - {ay}*{bx})",
+    )
+
+
+def _htm_edge(a, b):
+    cx, cy, cz = _htm_cross(a, b)
+    return f"({cx}*px + {cy}*py + {cz}*pz >= {_HTM_EPS})"
+
+
+def _htm_inside(a, b, c):
+    return f"({_htm_edge(a, b)} AND {_htm_edge(b, c)} AND {_htm_edge(c, a)})"
+
+
+def _v(name):
+    return (f"{name}x", f"{name}y", f"{name}z")
+
+
+def _htm_level_selects() -> list[list[str]]:
+    """Per level, the four chained projections (midpoint norms; midpoints;
+    containment + child; id/vertex update), each as a list of 'expr AS col'
+    strings applied over the previous projection's columns. The SAME text
+    drives Spark (selectExpr) and the DuckDB oracle (nested sub-selects),
+    so both engines execute identical IEEE arithmetic."""
+    stages = []
+    norms = [
+        f"sqrt((v1x+v2x)*(v1x+v2x) + (v1y+v2y)*(v1y+v2y) + (v1z+v2z)*(v1z+v2z)) AS n0",
+        f"sqrt((v0x+v2x)*(v0x+v2x) + (v0y+v2y)*(v0y+v2y) + (v0z+v2z)*(v0z+v2z)) AS n1",
+        f"sqrt((v0x+v1x)*(v0x+v1x) + (v0y+v1y)*(v0y+v1y) + (v0z+v1z)*(v0z+v1z)) AS n2",
+    ]
+    mids = [
+        "(v1x+v2x)/n0 AS w0x", "(v1y+v2y)/n0 AS w0y", "(v1z+v2z)/n0 AS w0z",
+        "(v0x+v2x)/n1 AS w1x", "(v0y+v2y)/n1 AS w1y", "(v0z+v2z)/n1 AS w1z",
+        "(v0x+v1x)/n2 AS w2x", "(v0y+v1y)/n2 AS w2y", "(v0z+v1z)/n2 AS w2z",
+    ]
+    tests = [
+        f"{_htm_inside(_v('v0'), _v('w2'), _v('w1'))} AS ins0",
+        f"{_htm_inside(_v('v1'), _v('w0'), _v('w2'))} AS ins1",
+        f"{_htm_inside(_v('v2'), _v('w1'), _v('w0'))} AS ins2",
+    ]
+    child = ["CASE WHEN ins0 THEN 0 WHEN ins1 THEN 1 WHEN ins2 THEN 2 ELSE 3 END AS child"]
+    upd = ["id*4 + child AS id"]
+    # child k: (v0,w2,w1) / (v1,w0,w2) / (v2,w1,w0) / default (w0,w1,w2)
+    sel = {
+        "v0": ("v0", "v1", "v2", "w0"),
+        "v1": ("w2", "w0", "w1", "w1"),
+        "v2": ("w1", "w2", "w0", "w2"),
+    }
+    for out, (c0, c1, c2, cd) in sel.items():
+        for ax in "xyz":
+            upd.append(
+                f"CASE child WHEN 0 THEN {c0}{ax} WHEN 1 THEN {c1}{ax}"
+                f" WHEN 2 THEN {c2}{ax} ELSE {cd}{ax} END AS {out}{ax}"
+            )
+    stages.append(norms)
+    stages.append(mids)
+    stages.append(tests + child)
+    stages.append(upd)
+    return stages
+
+
+def _htm_root_selects() -> list[list[str]]:
+    roots = []
+    for rid, (a, b, c) in _HTM_ROOT_DEFS:
+        roots.append(
+            (rid, _htm_inside(_HTM_AXIS[a], _HTM_AXIS[b], _HTM_AXIS[c]))
+        )
+    flags = [f"{ins} AS r{rid}" for rid, ins in roots]
+    whens = " ".join(f"WHEN r{rid} THEN {rid}" for rid, _ in roots)
+    pick = [f"CAST(CASE {whens} ELSE 8 END AS BIGINT) AS id"]
+    # vertex literals per root (fallback: root 8's corners — the numpy
+    # straggler convention)
+    for slot in range(3):
+        for axi, ax in enumerate("xyz"):
+            whens_v = " ".join(
+                f"WHEN r{rid} THEN {_HTM_AXIS[corners[slot]][axi]}"
+                for rid, corners in _HTM_ROOT_DEFS
+            )
+            fallback = _HTM_AXIS[_HTM_ROOT_DEFS[0][1][slot]][axi]
+            pick.append(f"CASE {whens_v} ELSE {fallback} END AS v{slot}{ax}")
+    return [flags, pick]
+
+
+_HTM_BASE_SQL = """
+      SELECT c_custkey,
+             sqrt(1.0e0 - pz*pz) * cos(radians(rad)) AS px,
+             sqrt(1.0e0 - pz*pz) * sin(radians(rad)) AS py,
+             pz
+      FROM (
+        SELECT c_custkey,
+               ((CAST(c_custkey AS DOUBLE) * 0.6180339887e0) % 1.0e0) * 2 - 1
+                 AS pz,
+               (CAST(c_custkey AS DOUBLE) * 137.50776405e0) % 360.0e0 AS rad
+        FROM customer)
+"""
+
+
+def _htm_oracle() -> str:
+    ctes = [f"base AS MATERIALIZED ({_HTM_BASE_SQL})"]
+    prev = "base"
+    for i, sel in enumerate(_htm_root_selects()):
+        ctes.append(f"r{i} AS MATERIALIZED (SELECT *, {', '.join(sel)} FROM {prev})")
+        prev = f"r{i}"
+    for lv in range(_HTM_LEVEL):
+        for j, sel in enumerate(_htm_level_selects()):
+            name = f"l{lv}_{j}"
+            ctes.append(
+                f"{name} AS MATERIALIZED (SELECT *, {', '.join(sel)} FROM {prev})"
+                if j < 3
+                else f"{name} AS MATERIALIZED (SELECT c_custkey, px, py, pz,"
+                f" {', '.join(sel)} FROM {prev})"
+            )
+            prev = name
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT c_custkey, id AS htm9 FROM {prev}"
+    )
+
+
+@register("spatial_htm", oracle=_htm_oracle())
+def spatial_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTM (Hierarchical Triangular Mesh, Kunszt/Szalay/Thakar) level-9
+    trixel id computed entirely with Catalyst expressions — the LAST of
+    `spatial_cols`' three index columns to get a fully SQL-oracled twin
+    (nest4096 r6, ring256 r7, htm9 now; the rows-only surface shrinks
+    again). Root selection over the 8 octahedral start triangles, then 9
+    midpoint-subdivision levels; every containment test is a
+    cross-product edge-plane sign test with the eps=-1e-12 tolerance the
+    numpy reference uses (functions/spatial.py:radec_to_htm, the same
+    first-match root order and center-default child order).
+
+    One generator emits every arithmetic expression ONCE as SQL text:
+    Spark executes it via selectExpr, DuckDB via chained MATERIALIZED
+    CTEs — identical IEEE arithmetic by construction, so the only
+    cross-engine exposure is sin/cos's last ulp on points within ~1e-15
+    of an edge plane (generic golden-angle positions; the three-way
+    numpy/UDF/SQL agreement test pins the whole id, like nest and ring).
+
+    Scale: a narrow 38-projection whole-stage-codegen chain, zero
+    shuffles, zero UDFs — the per-level state is 13 doubles/row. HTM ids
+    are the classic spatial-join key of the SDSS SkyServer lineage; at
+    load time this expression IS the partition-column generator."""
+    c = load(spark, sf_dir, "customer")
+    base = c.selectExpr(
+        "c_custkey",
+        "((CAST(c_custkey AS DOUBLE) * 0.6180339887e0) % 1.0e0) * 2 - 1 AS pz",
+        "(CAST(c_custkey AS DOUBLE) * 137.50776405e0) % 360.0e0 AS rad",
+    ).selectExpr(
+        "c_custkey",
+        "sqrt(1.0e0 - pz*pz) * cos(radians(rad)) AS px",
+        "sqrt(1.0e0 - pz*pz) * sin(radians(rad)) AS py",
+        "pz",
+    )
+    df = base
+    for sel in _htm_root_selects():
+        df = df.selectExpr("*", *sel)
+    for _ in range(_HTM_LEVEL):
+        stages = _htm_level_selects()
+        for j, sel in enumerate(stages):
+            if j < 3:
+                df = df.selectExpr("*", *sel)
+            else:
+                df = df.selectExpr("c_custkey", "px", "py", "pz", *sel)
+    return df.select("c_custkey", F.col("id").alias("htm9"))

@@ -120,6 +120,7 @@ _PRIORITY_QUERIES = (
     "orders_price_elasticity",
     "events_markov_stationary",
     "text_heaps_law",
+    "spatial_htm",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -76,3 +76,24 @@ def test_spatial_ring_matches_numpy_and_udf(spark):
     assert got.min() >= 0 and got.max() < 12 * 256 * 256
     udf = {r["c_custkey"]: r["ring256"] for r in spatial_cols(spark, SF_SMOKE).collect()}
     assert {r["c_custkey"]: r["ring256"] for r in rows} == udf
+
+
+def test_spatial_htm_matches_numpy_and_udf(spark):
+    """r8: the LAST spatial_cols index column gets its Catalyst twin —
+    three-way numpy/UDF/SQL-expression agreement like nest and ring."""
+    from fits2db_spark.functions.spatial import radec_to_htm
+    from fits2db_spark.operators.etl import spatial_htm
+
+    rows = spatial_htm(spark, SF_SMOKE).collect()
+    keys = np.array([r["c_custkey"] for r in rows], dtype="f8")
+    got = np.array([r["htm9"] for r in rows])
+    ra = (keys * 137.50776405) % 360.0
+    dec = np.degrees(np.arcsin(((keys * 0.6180339887) % 1.0) * 2 - 1))
+    want = radec_to_htm(9, ra, dec)
+    assert int((got != want).sum()) == 0
+    # level-9 id range: [8*4^9, 16*4^9)
+    assert got.min() >= 8 * 4**9 and got.max() < 16 * 4**9
+    udf = {
+        r["c_custkey"]: r["htm9"] for r in spatial_cols(spark, SF_SMOKE).collect()
+    }
+    assert {r["c_custkey"]: r["htm9"] for r in rows} == udf
