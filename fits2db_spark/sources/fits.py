@@ -1025,7 +1025,15 @@ def verify_checksums(blob: bytes) -> list[dict]:
     requires the whole-HDU 1's-complement sum to be 0xFFFFFFFF (the
     convention's self-cancelling property — no decode step needed). A
     missing keyword reports None for its check, so callers distinguish
-    'unprotected' from 'corrupt'."""
+    'unprotected' from 'corrupt' — with one deliberate asymmetry (r8,
+    found by the hypothesis tamper sweep): an HDU carrying DATASUM but
+    NOT CHECKSUM reports ``checksum_ok=False``, never None. The stamper
+    always writes both, so a header where exactly the CHECKSUM keyword
+    has vanished is tamper evidence, and treating it as merely
+    'unprotected' would let a single byte flip on the keyword itself
+    defeat verification silently. (The mirror flip on DATASUM's keyword
+    needs no special case: CHECKSUM's whole-HDU sum covers those bytes
+    and fails on its own.)"""
     results = []
     off = 0
     idx = 0
@@ -1040,11 +1048,16 @@ def verify_checksums(blob: bytes) -> list[dict]:
         entry["datasum_ok"] = (
             int(cards["DATASUM"]) == _sum32(data) if "DATASUM" in cards else None
         )
-        entry["checksum_ok"] = (
-            _sum32(blob[off : data_off + padded]) == 0xFFFFFFFF
-            if "CHECKSUM" in cards
-            else None
-        )
+        if "CHECKSUM" in cards:
+            entry["checksum_ok"] = (
+                _sum32(blob[off : data_off + padded]) == 0xFFFFFFFF
+            )
+        elif "DATASUM" in cards:
+            # stamped files carry BOTH; a lone DATASUM means the CHECKSUM
+            # card was destroyed — tamper evidence, not 'unprotected'
+            entry["checksum_ok"] = False
+        else:
+            entry["checksum_ok"] = None
         results.append(entry)
         off = data_off + padded
         idx += 1
