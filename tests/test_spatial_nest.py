@@ -97,3 +97,45 @@ def test_spatial_htm_matches_numpy_and_udf(spark):
         r["c_custkey"]: r["htm9"] for r in spatial_cols(spark, SF_SMOKE).collect()
     }
     assert {r["c_custkey"]: r["htm9"] for r in rows} == udf
+
+
+def test_spatial_twins_dense_key_sweep(spark, tmp_path):
+    """r8 hardening: the three Catalyst index twins agree with numpy over a
+    DENSE key range (1..20000 — 133x the smoke fixture's 150 customers),
+    hunting floor/mod/edge-plane boundary flips the fixture can't reach."""
+    import pandas as pd
+
+    from fits2db_spark.functions.spatial import (
+        ang2pix_nest,
+        ang2pix_ring,
+        radec_to_htm,
+    )
+    from fits2db_spark.operators.etl import spatial_htm, spatial_nest, spatial_ring
+
+    n = 20000
+    pd.DataFrame(
+        {
+            "c_custkey": range(1, n + 1),
+            "c_name": "x",
+            "c_nationkey": pd.array([0] * n, dtype="int32"),
+            "c_acctbal": 0.0,
+            "c_mktsegment": "y",
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    keys = np.arange(1, n + 1, dtype="f8")
+    ra = (keys * 137.50776405) % 360.0
+    dec = np.degrees(np.arcsin(((keys * 0.6180339887) % 1.0) * 2 - 1))
+    sf = str(tmp_path)
+    for op, col, ref, nside in (
+        (spatial_ring, "ring256", ang2pix_ring, 256),
+        (spatial_htm, "htm9", None, None),
+    ):
+        rows = {r["c_custkey"]: r[col] for r in op(spark, sf).collect()}
+        got = np.array([rows[int(k)] for k in keys])
+        want = ref(nside, ra, dec) if ref else radec_to_htm(9, ra, dec)
+        mism = int((got != want).sum())
+        assert mism == 0, f"{col}: {mism}/{n} mismatches"
+    nest = {r["c_custkey"]: r["nest4096"] for r in spatial_nest(spark, sf).collect()}
+    got = np.array([nest[int(k)] for k in keys])
+    want = ang2pix_nest(4096, ra, dec)
+    assert int((got != want).sum()) == 0
