@@ -2194,3 +2194,71 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "beta",
         "fit_r2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness / Fano factor (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_term_burstiness",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+    per AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             SUM(c) AS total,
+             SUM(c * c) AS sumsq
+      FROM per GROUP BY term
+    )
+    SELECT s.term, s.df, CAST(s.total AS BIGINT) AS n_occurrences,
+           ROUND(s.total / nd.n, 6) AS mean_per_doc,
+           ROUND((s.sumsq / nd.n - (s.total / nd.n) * (s.total / nd.n))
+                 / (s.total / nd.n), 6) AS fano
+    FROM st s CROSS JOIN nd
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the Fano factor (variance-to-mean ratio of
+    per-document counts, absent docs counting zero — Church & Gale 1995):
+    content words BURST (a doc that mentions one tends to repeat it,
+    Fano >> 1) while function words spread Poisson-like (Fano ~ 1). The
+    third static lens on the corpus next to `text_zipf` (rank-frequency)
+    and `text_heaps_law` (growth), and the statistic behind burstiness-
+    aware TF weighting and stopword induction without a stopword list.
+
+    The zero-count docs never materialize: var over ALL N docs comes from
+    the occurrence sums alone (E[c^2] - E[c]^2 with E over N), so the
+    plan is one (term, doc) partial-agg plus an O(vocab) reduction —
+    linear in tokens, and exact integer sums until the final two ratios
+    (ROUND 6)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    nd = tok.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    per = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    st = per.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    mean_ = F.col("total") / F.col("n")
+    return st.crossJoin(F.broadcast(nd)).select(
+        "term",
+        "df",
+        F.col("total").cast("long").alias("n_occurrences"),
+        F.round(mean_, 6).alias("mean_per_doc"),
+        F.round((F.col("sumsq") / F.col("n") - mean_ * mean_) / mean_, 6).alias(
+            "fano"
+        ),
+    )

@@ -126,6 +126,7 @@ _PRIORITY_QUERIES = (
     "events_markov_stationary",
     "text_heaps_law",
     "spatial_htm",
+    "text_term_burstiness",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
