@@ -128,6 +128,7 @@ _PRIORITY_QUERIES = (
     "text_heaps_law",
     "spatial_htm",
     "text_term_burstiness",
+    "join_xmatch_knn",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
