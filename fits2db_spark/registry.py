@@ -61,10 +61,10 @@ _loaded = False
 #     any pre-change driver row no longer attests the current check;
 # (b) the 20 remaining never-driver-checked keys (r7 spill + late-r7 adds);
 # (c) new round-8 operators (never checked by construction, appended as
-#     they land) — 31 keys, so (a)+(b)+(c) = 54 and the LAST ~4 (the
+#     they land) — 33 keys, so (a)+(b)+(c) = 56 and the LAST ~6 (the
 #     late-round events_markov_stationary / text_heaps_law / spatial_htm /
-#     text_term_burstiness) spill past a 50-key budget to round 9, like
-#     the r7 spill before them
+#     text_term_burstiness / join_xmatch_knn) spill past a 50-key budget
+#     to round 9, like the r7 spill before them
 #     (each is locally 3-tier hash-green, and every r8 key except
 #     dedup_lsh_recall is additionally hash-green at the synthetic ~sf1
 #     tier);
