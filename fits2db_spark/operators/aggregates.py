@@ -792,3 +792,84 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("q") == 0.5, F.col("wq"))).alias("wmedian"),
         F.max(F.when(F.col("q") == 0.75, F.col("wq"))).alias("wp75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Median-of-means robust estimator (round 8)
+# ---------------------------------------------------------------------------
+_MOM_K = 16  # buckets (heavy-tail robustness ~ exp(-k/8) failure bound)
+
+
+@register(
+    "agg_median_of_means",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(concat('0x', substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                               AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_MOM_K} AS bucket,
+             l_extendedprice AS x
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, bucket, AVG(x) AS mu,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(quantile_cont(mu, 0.5), 4) AS median_of_means,
+           ROUND(SUM(mu * n) / SUM(n), 4) AS plain_mean
+    FROM m GROUP BY l_returnflag
+    """,
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means — the sub-Gaussian robust mean estimator
+    (Nemirovsky-Yudin / Alon-Matias-Szegedy; the modern heavy-tail
+    default in robust statistics): hash rows into k={_MOM_K} buckets, take
+    each bucket's mean, report the MEDIAN of the bucket means next to the
+    plain mean. A single adversarial outlier corrupts only its bucket,
+    moving the estimate by at most one order statistic — while the plain
+    mean moves unboundedly. The per-group robust sibling of
+    `agg_bootstrap_ci` (which resamples) and `anomaly_mad` (which
+    screens).
+
+    Plan: the md5 bucket draw is the repo's deterministic hash-split
+    convention (`ml_kfold_linreg`'s row key); one partial-agg groupBy to
+    O(groups x k) bucket means, then an O(k)-row exact median per group —
+    the heavy-tail estimator costs ONE extra tiny aggregate over the
+    plain mean. Medians interpolate (quantile_cont) in both engines; the
+    bucket means' accumulation-order ulps are absorbed by ROUND(·, 4)."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
+                            "string"
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _MOM_K
+        ).alias("bucket"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    m = b.groupBy("l_returnflag", "bucket").agg(
+        F.avg("x").alias("mu"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(F.percentile("mu", F.lit(0.5)), 4).alias("median_of_means"),
+        F.round(F.sum(F.col("mu") * F.col("n")) / F.sum("n"), 4).alias(
+            "plain_mean"
+        ),
+    )

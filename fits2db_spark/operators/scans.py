@@ -845,3 +845,67 @@ def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@register(
+    "scan_json_corrupt",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record-tolerant JSON-lines ingest — `scan_csv_corrupt`'s
+    sibling for the other interchange format: the nation table staged as
+    JSONL with 3 corrupt lines appended (truncated object, bare text,
+    type-mangled field), read in PERMISSIVE mode with an explicit schema
+    + `_corrupt_record`. Bad records quarantine instead of failing the
+    load, the checksum proves corruption never bleeds into parsed rows —
+    the same dead-letter posture, and the same at-scale rationale: one
+    mangled line in a 100 TB feed must cost one quarantined row, not the
+    job."""
+
+    def write(out_dir: str) -> None:
+        import glob as _glob
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="json_corrupt_")
+        load(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").json(tmp)
+        (part,) = _glob.glob(os.path.join(tmp, "*.json"))
+        os.makedirs(out_dir, exist_ok=True)
+        dst = os.path.join(out_dir, "nation.json")
+        shutil.copy(part, dst)
+        with open(dst, "a", encoding="utf-8") as f:
+            f.write('{"n_nationkey": 99, "n_name": "TRUNC"\n')
+            f.write("this is not json at all\n")
+            f.write('{"n_nationkey": "notanint", "n_name": 7, "n_regionkey": []}\n')
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    path = _scratch_dir(spark, sf_dir, "nation_json_corrupt", write)
+    from pyspark.sql.types import StringType, StructType
+
+    schema = StructType(list(SCHEMAS["nation"].fields)).add(
+        "_corrupt_record", StringType()
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull())
+    bad = raw.filter(F.col("_corrupt_record").isNotNull())
+    return (
+        good.agg(
+            F.count(F.lit(1)).cast("long").alias("n_good"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .crossJoin(
+            F.broadcast(bad.agg(F.count(F.lit(1)).cast("long").alias("n_corrupt")))
+        )
+        .select("n_good", "n_corrupt", "key_sum")
+    )

@@ -129,6 +129,8 @@ _PRIORITY_QUERIES = (
     "spatial_htm",
     "text_term_burstiness",
     "join_xmatch_knn",
+    "scan_json_corrupt",
+    "agg_median_of_means",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
