@@ -61,10 +61,11 @@ _loaded = False
 #     any pre-change driver row no longer attests the current check;
 # (b) the 20 remaining never-driver-checked keys (r7 spill + late-r7 adds);
 # (c) new round-8 operators (never checked by construction, appended as
-#     they land) — 33 keys, so (a)+(b)+(c) = 56 and the LAST ~6 (the
+#     they land) — 35 keys, so (a)+(b)+(c) = 58 and the LAST ~8 (the
 #     late-round events_markov_stationary / text_heaps_law / spatial_htm /
-#     text_term_burstiness / join_xmatch_knn) spill past a 50-key budget
-#     to round 9, like the r7 spill before them
+#     text_term_burstiness / join_xmatch_knn / scan_json_corrupt /
+#     agg_median_of_means) spill past a 50-key budget to round 9, like
+#     the r7 spill before them
 #     (each is locally 3-tier hash-green, and every r8 key except
 #     dedup_lsh_recall is additionally hash-green at the synthetic ~sf1
 #     tier);
