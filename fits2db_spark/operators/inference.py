@@ -872,3 +872,295 @@ def ml_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_cuped",
         "variance_reduction",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact binned ROC AUC (round 8, continuation)
+# ---------------------------------------------------------------------------
+_AUC_BIN = 500  # price-bucket width: caps score cardinality at ~1200 buckets
+# Ground-truth label: price + deterministic md5 noise in [0, 3e5) crosses 4e5.
+# The fixture's o_totalprice is uniform on ~[1e3, 5e5] and INDEPENDENT of every
+# other column (measured: AUC vs lineitem count = 0.499), so a real
+# signal-plus-noise label must be constructed: P(pos | price) ramps linearly
+# from 0 below 1e5 to 1 above 4e5, class balance ~50%, measured AUC ~ 0.94.
+_AUC_NOISE_MOD = 300_000
+_AUC_THRESHOLD = 400_000
+
+
+@register(
+    "ml_auc_roc",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice / {_AUC_BIN}) AS BIGINT) AS bucket,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    hist AS (
+      SELECT o_orderpriority, bucket,
+             CAST(SUM(label) AS DOUBLE) AS pos,
+             CAST(COUNT(*) - SUM(label) AS DOUBLE) AS neg
+      FROM per GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderpriority, bucket, pos, neg,
+             SUM(neg) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - neg AS neg_below
+      FROM hist
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           ROUND((SUM(pos * neg_below) + 0.5 * SUM(pos * neg))
+                 / (SUM(pos) * SUM(neg)), 6) AS auc
+    FROM cum GROUP BY o_orderpriority
+    """,
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a histogram-quantized score — the Mann-Whitney
+    rank-sum identity (AUC = P(score_pos > score_neg) + ½P(tie))
+    computed per order-priority slice, scoring order value against a
+    signal-plus-noise ground truth (price + deterministic md5 noise
+    crossing a threshold — see `_AUC_NOISE_MOD`; the fixture's columns
+    are mutually independent, so the label must be constructed to give
+    the estimator real signal: measured AUC ~ 0.94, balance ~50%). The
+    score is quantized into {_AUC_BIN}-unit price buckets FIRST — the
+    streaming-AUC trick every production ML monitor uses (a histogram
+    sketch makes AUC mergeable and one-pass) and the same
+    reduce-before-window discipline as the rest of this module: the
+    pair-counting identity sum(pos_b * neg_below_b) + ½·sum(pos_b *
+    neg_b) needs one cumulative sum over O(buckets) rows per slice,
+    never a sort of the raw table.
+
+    Scale: one O(rows) projection (no join — label and score are both
+    row-local), one O(slices x buckets) histogram aggregate, one window
+    over <= ~1.2k rows per slice. The AUC over the quantized score is
+    EXACT for that score (ties handled by the ½ term), deterministic,
+    and engine-identical: bucket ids are integer FLOOR of a 2-decimal
+    price, the md5 noise draw is the repo's hash-split convention, and
+    pair counts are exact integer-valued doubles."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / _AUC_BIN).cast("long").alias("bucket"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    hist = per.groupBy("o_orderpriority", "bucket").agg(
+        F.sum("label").cast("double").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("double").alias("neg"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "o_orderpriority",
+        "pos",
+        "neg",
+        (F.sum("neg").over(w) - F.col("neg")).alias("neg_below"),
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("pos") * F.col("neg_below"))
+                + 0.5 * F.sum(F.col("pos") * F.col("neg"))
+            )
+            / (F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability bins (round 8, continuation)
+# ---------------------------------------------------------------------------
+_CAL_MID = 200000.0  # logistic midpoint on o_totalprice
+_CAL_SCALE = 80000.0  # logistic scale
+_CAL_BINW = 60000  # integer price-bin width -> 10 fixed bins (no libm in keys)
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH per AS (
+      SELECT LEAST(9, CAST(FLOOR(o_totalprice / {_CAL_BINW}) AS BIGINT)) AS bin,
+             1.0 / (1.0 + EXP(-(o_totalprice - {_CAL_MID}) / {_CAL_SCALE}))
+               AS score,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS label
+      FROM orders
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(score) * 10000) / 10000 AS mean_score,
+           FLOOR(AVG(label) * 10000) / 10000 AS frac_pos,
+           FLOOR(ABS(AVG(score) - AVG(label)) * 10000) / 10000 AS calib_gap,
+           FLOOR(AVG((score - label) * (score - label)) * 10000) / 10000
+             AS brier
+    FROM per GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: a fixed logistic score
+    sigma((price - {_CAL_MID:.0f}) / {_CAL_SCALE:.0f}) predicting the
+    same signal-plus-noise label as `ml_auc_roc` (whose TRUE positive
+    rate ramps linearly in price — so the logistic "model" is genuinely
+    miscalibrated at the ends and the diagram shows real structure),
+    grouped into 10 fixed-width price bins; each bin reports mean
+    predicted probability vs empirical positive rate (their gap is the
+    bin's ECE summand) and the Brier contribution — the standard
+    post-deployment calibration monitor (Guo et al. 2017's reliability
+    diagram, computed exactly). Bin keys are integer FLOOR of the
+    2-decimal price, NOT of the logistic output, so libm never decides
+    bin membership; the logistic itself follows the module's trig
+    convention (each engine's own libm on identical doubles) and every
+    per-bin average FLOORs at 1e-4.
+
+    Scale: one O(rows) scan into a 10-row mergeable aggregate — no
+    join, no window, the cheapest possible monitoring query."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    score = 1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - _CAL_MID) / _CAL_SCALE))
+    per = o.select(
+        F.least(
+            F.lit(9), F.floor(F.col("o_totalprice") / _CAL_BINW).cast("long")
+        ).alias("bin"),
+        score.alias("score"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return per.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        f4(F.avg("score")).alias("mean_score"),
+        f4(F.avg("label")).alias("frac_pos"),
+        f4(F.abs(F.avg("score") - F.avg("label"))).alias("calib_gap"),
+        f4(F.avg((F.col("score") - F.col("label")) * (F.col("score") - F.col("label")))).alias(
+            "brier"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k ranking evaluation (round 8, continuation)
+# ---------------------------------------------------------------------------
+_NDCG_K = 10
+_NDCG_REL_DIV = 3  # graded relevance = least(4, order_count / this)
+
+
+@register(
+    "ml_ndcg",
+    oracle=f"""
+    WITH rel AS (
+      SELECT c.c_mktsegment, c.c_custkey, c.c_acctbal,
+             LEAST(4, CAST(COALESCE(o.cnt, 0) // {_NDCG_REL_DIV} AS BIGINT))
+               AS rel
+      FROM customer c
+      LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt
+                 FROM orders GROUP BY o_custkey) o
+        ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, rel,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC)
+               AS rank_sys,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY rel DESC, c_custkey ASC) AS rank_ideal
+      FROM rel
+    )
+    SELECT c_mktsegment,
+           FLOOR(SUM(CASE WHEN rank_sys <= {_NDCG_K}
+                          THEN (POW(2.0, rel) - 1) / LOG2(rank_sys + 1.0)
+                          ELSE 0 END) * 10000) / 10000 AS dcg,
+           FLOOR(SUM(CASE WHEN rank_ideal <= {_NDCG_K}
+                          THEN (POW(2.0, rel) - 1) / LOG2(rank_ideal + 1.0)
+                          ELSE 0 END) * 10000) / 10000 AS idcg,
+           FLOOR(SUM(CASE WHEN rank_sys <= {_NDCG_K}
+                          THEN (POW(2.0, rel) - 1) / LOG2(rank_sys + 1.0)
+                          ELSE 0 END)
+                 / SUM(CASE WHEN rank_ideal <= {_NDCG_K}
+                            THEN (POW(2.0, rel) - 1) / LOG2(rank_ideal + 1.0)
+                            ELSE 0 END) * 10000) / 10000 AS ndcg
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{_NDCG_K} ranking evaluation (Järvelin & Kekäläinen 2002):
+    each market segment is a "query", its customers are the candidate
+    list, the system ranks by account balance, and graded relevance is
+    the customer's order count bucketed to 0..4 — rank quality of a
+    business-rule ranker against observed engagement, the exact shape
+    of offline search/recsys eval. DCG uses the standard exponential
+    gain (2^rel - 1)/log2(rank + 1); the ideal ordering re-ranks the
+    SAME candidates by relevance, so NDCG in [0, 1] is comparable
+    across segments. Complements `sim_ann_recall_eval` (set overlap)
+    with a position-weighted, graded metric.
+
+    Scale: relevance is a partial-agg groupBy + broadcastable left
+    join; both rankings are windows PARTITIONED by query key — at 100
+    TB the candidate list per query is naturally bounded (retrieval
+    depth), so no global sort ever forms. Ties break on the unique
+    custkey in BOTH orderings, making every rank — and the metric —
+    deterministic; gains are exact powers of two over integer rel,
+    FLOOR 1e-4 absorbing only the log2 libm ulps."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    rel = c.join(cnt, c.c_custkey == cnt.o_custkey, "left").select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.least(
+            F.lit(4),
+            (F.coalesce(F.col("cnt"), F.lit(0)) / _NDCG_REL_DIV).cast("long"),
+        ).alias("rel"),
+    )
+    w_sys = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_ideal = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("rel").desc(), F.col("c_custkey").asc()
+    )
+    ranked = rel.select(
+        "c_mktsegment",
+        "rel",
+        F.row_number().over(w_sys).alias("rank_sys"),
+        F.row_number().over(w_ideal).alias("rank_ideal"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    dcg_term = F.when(
+        F.col("rank_sys") <= _NDCG_K, gain / F.log2(F.col("rank_sys") + 1.0)
+    ).otherwise(0.0)
+    idcg_term = F.when(
+        F.col("rank_ideal") <= _NDCG_K, gain / F.log2(F.col("rank_ideal") + 1.0)
+    ).otherwise(0.0)
+    f4 = lambda col: F.floor(col * 10000) / 10000  # noqa: E731
+    return ranked.groupBy("c_mktsegment").agg(
+        f4(F.sum(dcg_term)).alias("dcg"),
+        f4(F.sum(idcg_term)).alias("idcg"),
+        f4(F.sum(dcg_term) / F.sum(idcg_term)).alias("ndcg"),
+    )

@@ -132,6 +132,9 @@ _PRIORITY_QUERIES = (
     "join_xmatch_knn",
     "scan_json_corrupt",
     "agg_median_of_means",
+    "ml_auc_roc",
+    "ml_calibration_bins",
+    "ml_ndcg",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
