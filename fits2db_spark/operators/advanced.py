@@ -1374,3 +1374,138 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_edges))
         .select("n_nodes", "n_edges", "avg_edge_degree", "assortativity")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (round 8, continuation)
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 3  # statically unrolled in BOTH engines (vec_kmeans convention)
+_LPA_TOPK = 20
+# The fixture part-supplier graph is NEAR-COMPLETE bipartite (every supplier
+# carries most parts), on which any propagation scheme collapses to one
+# community (measured: 1 giant + 4 singletons). A deterministic md5 edge
+# sample (10%) sparsifies it to avg degree ~4 where community structure is
+# non-trivial (measured: 10 communities at sf0.001, 96 at sf0.01). On a real
+# entity graph the sample stage is dropped. The a*100000+b edge key is
+# collision-free while supplier keys < 100k (fixture max: 1k at sf1).
+_LPA_EDGE_PCT = 10
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round as SQL text: every node adopts the most
+    frequent label among its neighbors plus itself (the self-vote damps
+    the bipartite 2-coloring oscillation), ties to the SMALLEST label."""
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM (
+          SELECT v.node, v.label, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (
+            SELECT e.dst AS node, l.label
+            FROM f2s_lpa_edges e JOIN {prev} l ON l.node = e.src
+            UNION ALL
+            SELECT node, label FROM {prev}
+          ) v GROUP BY 1, 2
+        ) t
+      ) r WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT l_partkey + 1000000 AS a, l_suppkey AS b FROM lineitem
+    ),
+    kept AS (
+      SELECT a, b FROM sp
+      WHERE CAST(concat('0x', substr(md5(CAST(a * 100000 + b AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 100 < {_LPA_EDGE_PCT}
+    ),
+    f2s_lpa_edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM kept
+      UNION ALL
+      SELECT b AS src, a AS dst FROM kept
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM f2s_lpa_edges),
+    {','.join(_lpa_round_sql(f'l{i}', f'l{i + 1}') for i in range(_LPA_ROUNDS))}
+    SELECT community, size, rk FROM (
+      SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, label ASC) AS rk
+      FROM l{_LPA_ROUNDS} GROUP BY label
+    ) t WHERE rk <= {_LPA_TOPK}
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007) over
+    the part-supplier bipartite graph (`graph_pagerank`'s node ids:
+    suppliers as-is, parts offset by 10^6; deterministically md5-sampled
+    to {_LPA_EDGE_PCT}% of edges — see `_LPA_EDGE_PCT`: the fixture
+    graph is near-complete, on which every propagation collapses to one
+    blob): seed every node with its own id, then for {_LPA_ROUNDS} synchronous rounds each node adopts the
+    most frequent label among its neighbors PLUS itself — the self-vote
+    damps the 2-coloring oscillation synchronous LPA exhibits on
+    bipartite graphs — with ties broken to the smallest label, making
+    every round a pure function of the previous one. Returns the top
+    {_LPA_TOPK} communities by size. Near-linear-time community
+    detection: the standard first look at mined entity graphs, the
+    modularity-free sibling of `dedup_components`' connected components
+    (which this generalizes from reachability to density).
+
+    Plan: each round is one edge->label equi-join + one (node, label)
+    partial-agg count + one per-node WindowGroupLimit top-1 — the
+    identical per-round exchange budget to `graph_pagerank`, label
+    state never leaves the executors, and the fixed unroll keeps BOTH
+    engines on the same statically-planned dataflow (vec_kmeans /
+    graph_kcore convention: after convergence extra rounds are no-ops).
+    Votes carry exact integer counts; no floats anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    sp = li.select(
+        (F.col("l_partkey") + 1_000_000).alias("a"), F.col("l_suppkey").alias("b")
+    ).distinct()
+    kept = sp.filter(
+        F.conv(
+            F.substring(
+                F.md5((F.col("a") * 100_000 + F.col("b")).cast("string")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < _LPA_EDGE_PCT
+    )
+    edges = kept.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        kept.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    prev = None
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(labels.select("node", "label"))
+        )
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .persist()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+    wk = Window.orderBy(F.col("size").desc(), F.col("community").asc())
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _LPA_TOPK)
+    )

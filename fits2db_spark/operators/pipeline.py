@@ -2004,3 +2004,89 @@ def warehouse_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("last_op") != "D", F.col("price")).otherwise(0)), 2
         ).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy and recursive (c,l)-diversity (round 8, continuation)
+# ---------------------------------------------------------------------------
+_ELDIV_L = 2.0  # entropy l-diversity threshold: H >= ln(l)
+_ELDIV_C = 2.0  # recursive (c,l): top sensitive count < c * sum(rest)
+
+
+@register(
+    "privacy_entropy_ldiv",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS sens,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             FLOOR(EXP(-SUM(cnt / gt * ln(cnt / gt))) * 10000) / 10000
+               AS entropy_l,
+             FLOOR(MAX(cnt) / gt * 10000) / 10000 AS max_share,
+             MAX(cnt) < {_ELDIV_C} * (gt - MAX(cnt)) AS recursive_ok
+      FROM (SELECT *, SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                        AS gt
+            FROM cells)
+      GROUP BY c_nationkey, c_mktsegment, gt
+    )
+    SELECT c_nationkey, c_mktsegment, n, entropy_l, max_share,
+           entropy_l >= {_ELDIV_L} AS entropy_ok, recursive_ok
+    FROM g
+    """,
+)
+def privacy_entropy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity and recursive (c,l)-diversity (Machanavajjhala
+    et al. 2007 §3-4) — the two STRONGER diversity tests
+    `privacy_k_anonymity`'s distinct-count check cannot express: a QI
+    group can hold l distinct sensitive values yet be 99% one value
+    (distinct-l passes, an attacker still wins). Per (nation, segment)
+    QI group over the binned-balance sensitive attribute:
+    effective diversity exp(H) (passes when >= l={_ELDIV_L:.0f}, i.e.
+    H >= ln l), the top value's share, and the recursive test
+    r1 < c * (n - r1) with c={_ELDIV_C:.0f}.
+
+    Plan: one partial-agg groupBy to the O(QI x sensitive) contingency
+    cells — the ONLY stage that sees data volume — then a window/group
+    pass over those tiny cells; identical shape to `agg_chisq`'s
+    marginals. Shares are ratios of exact integer counts, so the only
+    float work is ln/exp on identical doubles, FLOORed at 1e-4;
+    boolean flags compare post-floor values, engine-identical."""
+    c = load(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    cells = c.groupBy("c_nationkey", "c_mktsegment", sens.alias("sens")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    withtot = cells.select(
+        "c_nationkey", "c_mktsegment", "cnt", F.sum("cnt").over(w).alias("gt")
+    )
+    share = F.col("cnt") / F.col("gt")
+    f4 = lambda col: F.floor(col * 10000) / 10000  # noqa: E731
+    g = withtot.groupBy("c_nationkey", "c_mktsegment", "gt").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        f4(F.exp(-F.sum(share * F.log(share)))).alias("entropy_l"),
+        f4(F.max("cnt") / F.first("gt")).alias("max_share"),
+        (F.max("cnt") < _ELDIV_C * (F.first("gt") - F.max("cnt"))).alias(
+            "recursive_ok"
+        ),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        "entropy_l",
+        "max_share",
+        (F.col("entropy_l") >= _ELDIV_L).alias("entropy_ok"),
+        "recursive_ok",
+    )

@@ -3010,3 +3010,109 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" ROUND({rate!r}D, 6) AS entropy_rate"
         f" FROM (VALUES {lit}) AS t(state, pi, row_entropy)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral entropy of the daily series (round 8, continuation)
+# ---------------------------------------------------------------------------
+# Reuses the `events_periodogram` trial-period grid: spectral entropy is the
+# Shannon entropy of the NORMALIZED periodogram, a single scale-free number
+# per series ("how concentrated is the rhythm?") where the periodogram is the
+# full curve. tsfeatures/catch22 both ship it as a headline feature.
+
+
+@register(
+    "events_spectral_entropy",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ctr AS (
+      SELECT d.event_type, d.d, d.y - s.mu AS yc
+      FROM daily d JOIN (SELECT event_type, AVG(y) AS mu
+                         FROM daily GROUP BY event_type) s
+      USING (event_type)
+    ),
+    grid AS (SELECT unnest(ARRAY{list(_PGRAM_PERIODS)}) AS period),
+    comp AS (
+      SELECT c.event_type, g.period,
+             SUM(c.yc * cos(2 * pi() * c.d / g.period)) AS cr,
+             SUM(c.yc * sin(2 * pi() * c.d / g.period)) AS si
+      FROM ctr c CROSS JOIN grid g
+      GROUP BY 1, 2
+    ),
+    pw AS (
+      SELECT event_type, period, cr * cr + si * si AS p
+      FROM comp
+    ),
+    tot AS (SELECT event_type, SUM(p) AS tp FROM pw GROUP BY event_type)
+    SELECT pw.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_periods,
+           FLOOR(-SUM(CASE WHEN pw.p > 0
+                           THEN pw.p / t.tp * ln(pw.p / t.tp) ELSE 0 END)
+                 / ln(CAST(COUNT(*) AS DOUBLE)) * 10000) / 10000
+             AS spectral_entropy,
+           FLOOR(MAX(pw.p / t.tp) * 10000) / 10000 AS peak_share
+    FROM pw JOIN tot t USING (event_type)
+    GROUP BY pw.event_type
+    """,
+)
+def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy per event type: Shannon entropy of the
+    periodogram shares p_i / sum(p) over the `events_periodogram` trial
+    grid, divided by ln(n_periods) so 1.0 = white noise (flat spectrum)
+    and 0.0 = a pure tone — the tsfeatures/catch22 "forecastability"
+    feature, with the dominant period's power share (`peak_share`)
+    alongside as the complementary concentration readout. A weekly
+    rhythm drives entropy down and peak_share up at period 7.
+
+    Plan: identical exchange profile to `events_periodogram` (one
+    partial agg over raw events to O(types x days), trial periods
+    multiply that tiny frame) plus one O(types x periods) reduction —
+    the entropy adds NO new data-volume stage. Cross-engine: trig on
+    exact rational arguments per the module convention; shares are
+    ratios of same-engine sums, entropy FLOORs at 1e-4."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    mu = daily.groupBy("event_type").agg(F.avg("y").alias("mu"))
+    ctr = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type", "d", (F.col("y") - F.col("mu")).alias("yc")
+    )
+    grid = F.explode(F.array(*[F.lit(p) for p in _PGRAM_PERIODS])).alias("period")
+    pw = (
+        ctr.select("event_type", "d", "yc", grid)
+        .groupBy("event_type", "period")
+        .agg(
+            F.sum(F.col("yc") * F.cos(2 * math.pi * F.col("d") / F.col("period"))).alias(
+                "cr"
+            ),
+            F.sum(F.col("yc") * F.sin(2 * math.pi * F.col("d") / F.col("period"))).alias(
+                "si"
+            ),
+        )
+        .select(
+            "event_type",
+            (F.col("cr") * F.col("cr") + F.col("si") * F.col("si")).alias("p"),
+        )
+    )
+    tot = pw.groupBy("event_type").agg(F.sum("p").alias("tp"))
+    share = F.col("p") / F.col("tp")
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return (
+        pw.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_periods"),
+            f4(
+                -F.sum(F.when(F.col("p") > 0, share * F.log(share)).otherwise(0.0))
+                / F.log(F.count(F.lit(1)).cast("double"))
+            ).alias("spectral_entropy"),
+            f4(F.max(share)).alias("peak_share"),
+        )
+    )

@@ -135,6 +135,9 @@ _PRIORITY_QUERIES = (
     "ml_auc_roc",
     "ml_calibration_bins",
     "ml_ndcg",
+    "events_spectral_entropy",
+    "privacy_entropy_ldiv",
+    "graph_label_propagation",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -274,6 +274,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # vocabulary-growth running sums over the O(doc-buckets) checkpoint
     # curve, post-aggregation (r8)
     "text_heaps_law",
+    # top-20 community rank over the O(communities) label aggregate;
+    # rk <= 20 filter becomes a WindowGroupLimit (r8)
+    "graph_label_propagation",
 }
 
 
