@@ -1509,3 +1509,117 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= _LPA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS distance histogram (round 8, continuation)
+# ---------------------------------------------------------------------------
+_BFS_ROUNDS = 4  # statically unrolled hop bound (both engines)
+_BFS_SEEDS = 3  # the k smallest supplier node ids in the sampled graph
+
+
+def _bfs_round_sql(prev: str, out: str) -> str:
+    """One min-plus relaxation round as SQL text: dist(v) becomes the min
+    of its current value and (neighbor's dist + 1) — Bellman-Ford with
+    unit weights, which after r rounds holds exact BFS distances <= r."""
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM f2s_bfs_edges e JOIN {prev} d ON d.node = e.src
+        UNION ALL
+        SELECT node, dist FROM {prev}
+      ) v GROUP BY node
+    )"""
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT l_partkey + 1000000 AS a, l_suppkey AS b FROM lineitem
+    ),
+    kept AS (
+      SELECT a, b FROM sp
+      WHERE CAST(concat('0x', substr(md5(CAST(a * 100000 + b AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 100 < {_LPA_EDGE_PCT}
+    ),
+    f2s_bfs_edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM kept
+      UNION ALL
+      SELECT b AS src, a AS dst FROM kept
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM f2s_bfs_edges),
+    d0 AS (
+      SELECT node, 0 AS dist FROM nodes
+      WHERE node < 1000000 ORDER BY node LIMIT {_BFS_SEEDS}
+    ),
+    {','.join(_bfs_round_sql(f'd{i}', f'd{i + 1}') for i in range(_BFS_ROUNDS))}
+    SELECT CAST(COALESCE(d.dist, -1) AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM nodes n LEFT JOIN d{_BFS_ROUNDS} d USING (node)
+    GROUP BY 1
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the sampled part-supplier graph
+    (`graph_label_propagation`'s md5-sparsified edges): seed the
+    {_BFS_SEEDS} smallest supplier node ids with distance 0, run
+    {_BFS_ROUNDS} statically-unrolled min-plus relaxation rounds
+    (Bellman-Ford with unit weights — after r rounds every distance
+    <= r is exact), and report the hop-distance histogram with -1 for
+    nodes unreachable within the bound. The reachability/latency probe
+    every entity-graph pipeline runs (how many hops from trusted seeds?
+    — the propagation radius behind trust-rank and influence caps), and
+    the distance-layer complement of `dedup_components` (reachability
+    only) and `graph_label_propagation` (density).
+
+    Plan: seeds come from a TakeOrdered (sort+limit over the supplier
+    node set — no global window); each round is one edge->frontier
+    equi-join + one MIN partial agg, the pagerank per-round exchange
+    budget, and distance state (O(reached nodes), monotonically
+    refined) never leaves the executors. Pure integer math — no float
+    anywhere, hash-exact by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    sp = li.select(
+        (F.col("l_partkey") + 1_000_000).alias("a"), F.col("l_suppkey").alias("b")
+    ).distinct()
+    kept = sp.filter(
+        F.conv(
+            F.substring(
+                F.md5((F.col("a") * 100_000 + F.col("b")).cast("string")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < _LPA_EDGE_PCT
+    )
+    edges = kept.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        kept.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dist = (
+        nodes.filter(F.col("node") < 1_000_000)
+        .orderBy("node")
+        .limit(_BFS_SEEDS)
+        .select("node", F.lit(0).alias("dist"))
+    )
+    prev = None
+    for _ in range(_BFS_ROUNDS):
+        dist = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist.select("node", "dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
+    return (
+        nodes.join(dist, "node", "left")
+        .groupBy(F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )

@@ -873,3 +873,126 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plain_mean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decimal log-bucket quantile sketch (round 8, continuation)
+# ---------------------------------------------------------------------------
+_LSK_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "agg_logsketch_quantiles",
+    oracle=f"""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c,
+             l_extendedprice AS x
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    b AS (
+      SELECT l_returnflag,
+             LENGTH(CAST(c AS VARCHAR)) AS d,
+             CAST(substr(CAST(c AS VARCHAR), 1, 2) AS BIGINT) AS lead2,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cents GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT l_returnflag, d, lead2, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY d, lead2
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cm,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS tot,
+             (lead2 + 0.5) * POW(10.0, d - 2) / 100.0 AS est
+      FROM b
+    ),
+    sk AS (
+      SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS n,
+             {', '.join(f"MIN(CASE WHEN cm >= {q} * tot THEN est END) AS q{int(q * 100)}_est" for q in _LSK_QS)}
+      FROM cum GROUP BY l_returnflag
+    ),
+    ex AS (
+      SELECT l_returnflag,
+             {', '.join(f"quantile_cont(x, {q}) AS q{int(q * 100)}_exact" for q in _LSK_QS)}
+      FROM cents GROUP BY l_returnflag
+    )
+    SELECT sk.l_returnflag, sk.n,
+           {', '.join(f"sk.q{int(q * 100)}_est, ROUND(ex.q{int(q * 100)}_exact, 4) AS q{int(q * 100)}_exact, ROUND(ABS(sk.q{int(q * 100)}_est - ex.q{int(q * 100)}_exact) / ex.q{int(q * 100)}_exact, 4) AS q{int(q * 100)}_relerr" for q in _LSK_QS)}
+    FROM sk JOIN ex USING (l_returnflag)
+    """,
+)
+def agg_logsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-bucketed quantile sketch with a bounded-relative-error
+    guarantee — the DDSketch idea (Masson et al., VLDB 2019: quantiles
+    from logarithmic buckets, mergeable, fixed memory) in an
+    integer-exact decimal form: prices collapse to cents, each value
+    lands in the bucket keyed by (digit count, two leading digits), and
+    a quantile estimate is the midpoint of the first bucket whose
+    cumulative count crosses q*n. Two leading digits bound the relative
+    error at 1/(2*10) = 5% (tighter for larger leads); the measured
+    per-quantile error is reported NEXT TO the exact quantile, so the
+    operator certifies its own guarantee. Unlike `agg_approx_percentile`
+    (Spark-native GK sketch, rows-only), this sketch is deterministic
+    and engine-identical, hence fully hash-oracled.
+
+    Why it matters at 100 TB: the bucket map is the ONLY state —
+    O(decades x 90) integer cells per group, mergeable across any
+    partitioning (the same reason DDSketch replaced t-digest in
+    high-cardinality metrics pipelines); the exact quantile it is
+    audited against costs a full sort at scale, the sketch one
+    partial-agg pass. Bucket keys are pure integer/string math (ROUND
+    to cents is exact for 2-decimal fixture prices), so libm never
+    decides membership — the module's binning convention."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    s = F.col("c").cast("string")
+    b = cents.groupBy(
+        "l_returnflag",
+        F.length(s).alias("d"),
+        F.substring(s, 1, 2).cast("long").alias("lead2"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("d", "lead2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = b.select(
+        "l_returnflag",
+        F.sum("cnt").over(wcum).alias("cm"),
+        F.sum("cnt").over(wall).alias("tot"),
+        (
+            (F.col("lead2") + 0.5) * F.pow(F.lit(10.0), F.col("d") - 2) / 100.0
+        ).alias("est"),
+    )
+    sk = cum.groupBy("l_returnflag").agg(
+        F.max("tot").cast("long").alias("n"),
+        *[
+            F.min(
+                F.when(F.col("cm") >= F.lit(q) * F.col("tot"), F.col("est"))
+            ).alias(f"q{int(q * 100)}_est")
+            for q in _LSK_QS
+        ],
+    )
+    ex = cents.groupBy("l_returnflag").agg(
+        *[
+            F.percentile("x", F.lit(q)).alias(f"q{int(q * 100)}_exact_raw")
+            for q in _LSK_QS
+        ]
+    )
+    out = sk.join(ex, "l_returnflag")
+    cols = [F.col("l_returnflag"), F.col("n")]
+    for q in _LSK_QS:
+        e_, x_ = f"q{int(q * 100)}_est", f"q{int(q * 100)}_exact"
+        cols += [
+            F.col(e_),
+            F.round(F.col(x_ + "_raw"), 4).alias(x_),
+            F.round(
+                F.abs(F.col(e_) - F.col(x_ + "_raw")) / F.col(x_ + "_raw"), 4
+            ).alias(f"q{int(q * 100)}_relerr"),
+        ]
+    return out.select(*cols)

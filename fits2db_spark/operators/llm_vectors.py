@@ -1582,3 +1582,110 @@ def vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indeg.groupBy(F.col("d").cast("int").alias("in_degree")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distortion audit (round 8, cont.)
+# ---------------------------------------------------------------------------
+_JL_OUT = 16  # target dimensionality
+
+
+def _jl_signs() -> list[list[float]]:
+    """The deterministic ±1 projection matrix (Achlioptas 2003: Rademacher
+    entries satisfy the JL lemma with the same guarantees as Gaussians),
+    seeded by md5 of the (row, column) index — ONE Python generator feeds
+    both engines' texts (the `spatial_htm` convention), so the matrix never
+    drifts between the Spark plan and the oracle."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] < "8"
+            else -1.0
+            for i in range(_DIM)
+        ]
+        for j in range(_JL_OUT)
+    ]
+
+
+def _jl_proj_duck(j: int, signs: list[list[float]]) -> str:
+    lits = "[" + ",".join(f"{s:.1f}" for s in signs[j]) + "]"
+    return (
+        f"list_sum(list_transform(generate_series(1, {_DIM}),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i]))"
+    )
+
+
+@register(
+    "vec_random_projection",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id,
+             sqrt({_d_dot('embedding', 'embedding')}) AS norm_in,
+             sqrt({' + '.join(f'(y{j} * y{j})' for j in range(_JL_OUT))})
+               / sqrt({_JL_OUT}.0) AS norm_out
+      FROM (
+        SELECT vec_id, embedding,
+               {','.join(f'{_jl_proj_duck(j, _jl_signs())} AS y{j}' for j in range(_JL_OUT))}
+        FROM embeddings
+      )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {_JL_OUT} AS out_dim,
+           ROUND(AVG(norm_out / norm_in), 6) AS avg_ratio,
+           ROUND(MIN(norm_out / norm_in), 6) AS min_ratio,
+           ROUND(MAX(norm_out / norm_in), 6) AS max_ratio,
+           ROUND(stddev_samp(norm_out / norm_in), 6) AS stddev_ratio
+    FROM proj WHERE norm_in > 0
+    """,
+)
+def vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection {_DIM} -> {_JL_OUT} dims
+    with a deterministic Rademacher (±1) matrix (Achlioptas 2003), plus
+    the distortion audit JL promises: the ratio of projected to original
+    L2 norm (scaled by 1/sqrt(k)) concentrates around 1. Returns the
+    corpus-wide ratio stats — the preflight check before swapping full
+    embeddings for cheap sketches in ANN candidate generation (the
+    projection that `sim_ann_binary`'s sign-bit sketch is the 1-bit
+    extreme of, and `vec_truncate_mrl` the learned-basis alternative to).
+
+    Plan: the whole projection is ONE narrow Catalyst projection per
+    vector ({_JL_OUT} zip_with/aggregate folds over the embedding array
+    against literal sign arrays — no explode, no shuffle, no Python),
+    followed by a single global aggregate. At 100 TB the map stage
+    scales embarrassingly; the sign matrix is a compile-time literal in
+    the plan, the exact equivalent of broadcasting the projection
+    matrix. Cross-engine: both engines fold i = 1..{_DIM} in index
+    order on identical doubles (sqrt is IEEE-exact), ratios ROUND at
+    1e-6."""
+    e = load(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    ys = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for j in range(_JL_OUT)
+    ]
+    sum_sq = ys[0] * ys[0]
+    for y in ys[1:]:
+        sum_sq = sum_sq + y * y
+    proj = e.select(
+        _norm(F.col("embedding")).alias("norm_in"),
+        (F.sqrt(sum_sq) / float(_JL_OUT) ** 0.5).alias("norm_out"),
+    ).filter(F.col("norm_in") > 0)
+    ratio = F.col("norm_out") / F.col("norm_in")
+    return proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.lit(_JL_OUT).cast("int").alias("out_dim"),
+        F.round(F.avg(ratio), 6).alias("avg_ratio"),
+        F.round(F.min(ratio), 6).alias("min_ratio"),
+        F.round(F.max(ratio), 6).alias("max_ratio"),
+        F.round(F.stddev_samp(ratio), 6).alias("stddev_ratio"),
+    )

@@ -138,6 +138,9 @@ _PRIORITY_QUERIES = (
     "events_spectral_entropy",
     "privacy_entropy_ldiv",
     "graph_label_propagation",
+    "vec_random_projection",
+    "agg_logsketch_quantiles",
+    "graph_bfs_distance",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -170,3 +170,91 @@ def test_label_propagation_labels_are_node_ids_and_partition_the_graph(spark):
     assert got["size"].sum() <= len(sampled_nodes)
     # non-trivial structure: more than one community (measured: 10)
     assert len(got) >= 5
+
+
+def test_jl_projection_matches_numpy_and_concentrates(spark):
+    got = _run(spark, "vec_random_projection").iloc[0]
+    import hashlib
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    S = np.array(
+        [
+            [
+                1.0 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] < "8" else -1.0
+                for i in range(V.shape[1])
+            ]
+            for j in range(16)
+        ]
+    )
+    Y = V @ S.T
+    norm_in = np.linalg.norm(V, axis=1)
+    norm_out = np.linalg.norm(Y, axis=1) / 4.0
+    r = (norm_out / norm_in)[norm_in > 0]
+    assert got.n_vectors == (norm_in > 0).sum()
+    assert abs(got.avg_ratio - round(r.mean(), 6)) < 1e-4
+    assert abs(got.min_ratio - round(r.min(), 6)) < 1e-4
+    assert abs(got.max_ratio - round(r.max(), 6)) < 1e-4
+    # the JL concentration promise the audit exists to certify
+    assert 0.75 < got.avg_ratio < 1.25
+    assert got.stddev_ratio < 0.3
+
+
+def test_logsketch_quantiles_honor_the_relative_error_bound(spark):
+    got = _run(spark, "agg_logsketch_quantiles")
+    # the sketch's own contract: two leading digits bound rel error at 5%
+    for q in (50, 90, 99):
+        assert (got[f"q{q}_relerr"] <= 0.05 + 1e-9).all()
+    # numpy re-derivation of the bucket walk for q50
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li = li[li.l_extendedprice > 0]
+    c = np.round(li.l_extendedprice * 100).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "flag": li.l_returnflag.to_numpy(),
+            "d": c.astype(str).str.len().to_numpy(),
+            "lead2": c.astype(str).str[:2].astype(int).to_numpy(),
+        }
+    )
+    for flag, g in df.groupby("flag"):
+        b = g.groupby(["d", "lead2"]).size().sort_index()
+        cum = b.cumsum()
+        tot = b.sum()
+        (d, lead2) = cum.index[(cum >= 0.5 * tot).argmax()]
+        est = (lead2 + 0.5) * 10.0 ** (d - 2) / 100.0
+        row = got[got.l_returnflag == flag].iloc[0]
+        assert row.n == tot
+        assert abs(row.q50_est - est) < 1e-9
+
+
+def test_bfs_distances_match_pure_python_bfs(spark):
+    got = _run(spark, "graph_bfs_distance").set_index("dist").n_nodes
+    import hashlib
+    from collections import deque
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    sp = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    adj: dict = {}
+    nodes = set()
+    for a, b in zip(sp.l_partkey + 1_000_000, sp.l_suppkey):
+        if int(hashlib.md5(str(a * 100_000 + b).encode()).hexdigest()[:15], 16) % 100 < 10:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+            nodes |= {a, b}
+    seeds = sorted(n for n in nodes if n < 1_000_000)[:3]
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    ref = pd.Series(list(dist.values())).value_counts().to_dict()
+    ref[-1] = len(nodes) - len(dist)
+    for d, n in ref.items():
+        if n:
+            assert got.get(d, 0) == n, (d, n, got.to_dict())
+    assert got.sum() == len(nodes)
