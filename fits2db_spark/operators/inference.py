@@ -1164,3 +1164,373 @@ def ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         f4(F.sum(idcg_term)).alias("idcg"),
         f4(F.sum(dcg_term) / F.sum(idcg_term)).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift deciles (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_lift_deciles",
+    oracle=f"""
+    WITH per AS (
+      SELECT LEAST(9, CAST(FLOOR(o_totalprice / {_CAL_BINW}) AS BIGINT)) AS bin,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS label
+      FROM orders
+    ),
+    b AS (
+      SELECT bin, CAST(COUNT(*) AS DOUBLE) AS n, SUM(label) AS pos
+      FROM per GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n, pos,
+             SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_n,
+             SUM(pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_pos,
+             SUM(n) OVER () AS tot_n, SUM(pos) OVER () AS tot_pos
+      FROM b
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS pos,
+           FLOOR(cum_pos / tot_pos * 10000) / 10000 AS capture_rate,
+           FLOOR((cum_pos / cum_n) / (tot_pos / tot_n) * 10000) / 10000
+             AS cum_lift
+    FROM cum
+    """,
+)
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table — the campaign-targeting readout
+    every scored-population deployment starts with: walk the score bins
+    from highest to lowest and report what fraction of all positives is
+    captured so far (`capture_rate`, the gains curve) and how many
+    times better than random the cumulative slice converts
+    (`cum_lift`). Shares the fixed price bins (monotone in the logistic
+    score, so bin-descending IS score-descending) and the
+    signal-plus-noise label of `ml_auc_roc` / `ml_calibration_bins`,
+    completing the offline-eval triptych: AUC (ranking), calibration
+    (probabilities), lift (business value of the top slices).
+
+    Plan: one O(rows) scan into a 10-row histogram, then cumulative
+    windows over those 10 pre-aggregated rows (the KS-test shape —
+    global window input is O(bins), sanctioned). Counts are exact
+    integer-valued doubles; ratios FLOOR at 1e-4."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(
+        F.least(
+            F.lit(9), F.floor(F.col("o_totalprice") / _CAL_BINW).cast("long")
+        ).alias("bin"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    b = per.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.sum("label").alias("pos")
+    )
+    wd = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    cum = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wd).alias("cum_n"),
+        F.sum("pos").over(wd).alias("cum_pos"),
+        F.sum("n").over(wa).alias("tot_n"),
+        F.sum("pos").over(wa).alias("tot_pos"),
+    )
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return cum.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        f4(F.col("cum_pos") / F.col("tot_pos")).alias("capture_rate"),
+        f4(
+            (F.col("cum_pos") / F.col("cum_n"))
+            / (F.col("tot_pos") / F.col("tot_n"))
+        ).alias("cum_lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity-weighted ATE under confounded treatment (round 8, cont.)
+# ---------------------------------------------------------------------------
+# Treatment assignment is CONFOUNDED by construction: P(treat | bin) =
+# (20 + 6*bin)/100 rises with the price bin, and the outcome label also
+# rises with price (the ml_auc_roc ramp), so the naive treated-minus-control
+# difference is biased upward. The true causal effect is exactly 0 (treatment
+# never enters the outcome draw); IPW with the known propensity must recover
+# ~0 while the naive estimate shows the confounding bias.
+
+
+@register(
+    "ml_ipw_ate",
+    oracle=f"""
+    WITH per AS (
+      SELECT bin,
+             CASE WHEN tdraw < 20 + 6 * bin THEN 1.0 ELSE 0.0 END AS treat,
+             (20 + 6 * bin) / 100.0 AS p,
+             label
+      FROM (
+        SELECT LEAST(9, CAST(FLOOR(o_totalprice / {_CAL_BINW}) AS BIGINT)) AS bin,
+               CAST(concat('0x', substr(md5(concat('t', CAST(o_orderkey
+                                                             AS VARCHAR))),
+                                        1, 15)) AS BIGINT) % 100 AS tdraw,
+               CASE WHEN o_totalprice
+                         + CAST(concat('0x', substr(md5(CAST(o_orderkey
+                                                             AS VARCHAR)),
+                                                    1, 15)) AS BIGINT)
+                           % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                    THEN 1.0 ELSE 0.0 END AS label
+        FROM orders
+      )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(treat) AS BIGINT) AS n_treat,
+           FLOOR((SUM(treat * label) / SUM(treat)
+                  - SUM((1 - treat) * label) / SUM(1 - treat)) * 10000) / 10000
+             AS naive_diff,
+           FLOOR((SUM(treat * label / p) - SUM((1 - treat) * label / (1 - p)))
+                 / COUNT(*) * 10000) / 10000 AS ipw_ate,
+           FLOOR((SUM(treat * label / p) / SUM(treat / p)
+                  - SUM((1 - treat) * label / (1 - p))
+                    / SUM((1 - treat) / (1 - p))) * 10000) / 10000
+             AS hajek_ate
+    FROM per
+    """,
+)
+def ml_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Horvitz-
+    Thompson 1952 / Rosenbaum-Rubin 1983) under a deliberately
+    CONFOUNDED deterministic assignment: treatment probability rises
+    with the price bin and so does the outcome, so the naive
+    treated-vs-control difference is biased upward by construction
+    while the true effect is exactly zero. Reports the naive
+    difference, the Horvitz-Thompson IPW estimate, and the
+    self-normalized Hajek estimate — the observational-causal-inference
+    counterpart to `ml_cuped_experiment`'s randomized readout (CUPED
+    reduces variance under a clean split; IPW removes bias when the
+    split was never clean).
+
+    Plan: one O(rows) scan — bin, the two independent md5 draws, and
+    all three estimators are conditional sums in a single mergeable
+    aggregate; no join, no window. Propensities are exact rationals
+    from integer bins, both md5 draws are the repo's hash-split
+    convention, FLOOR 1e-4 absorbs accumulation-order ulps."""
+    o = load(spark, sf_dir, "orders")
+    bin_ = F.least(F.lit(9), F.floor(F.col("o_totalprice") / _CAL_BINW).cast("long"))
+    tdraw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t"), F.col("o_orderkey").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(bin_.alias("bin"), tdraw.alias("tdraw"), noise.alias("noise"),
+                   "o_totalprice").select(
+        F.when(F.col("tdraw") < 20 + 6 * F.col("bin"), 1.0).otherwise(0.0).alias(
+            "treat"
+        ),
+        ((20 + 6 * F.col("bin")) / 100.0).alias("p"),
+        F.when(F.col("o_totalprice") + F.col("noise") > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    t, lbl, p = F.col("treat"), F.col("label"), F.col("p")
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("treat").cast("long").alias("n_treat"),
+        f4(
+            F.sum(t * lbl) / F.sum(t) - F.sum((1 - t) * lbl) / F.sum(1 - t)
+        ).alias("naive_diff"),
+        f4(
+            (F.sum(t * lbl / p) - F.sum((1 - t) * lbl / (1 - p)))
+            / F.count(F.lit(1))
+        ).alias("ipw_ate"),
+        f4(
+            F.sum(t * lbl / p) / F.sum(t / p)
+            - F.sum((1 - t) * lbl / (1 - p)) / F.sum((1 - t) / (1 - p))
+        ).alias("hajek_ate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over day-of-week effects (round 8, continuation)
+# ---------------------------------------------------------------------------
+_BH_ALPHA = 0.1
+# Zelen & Severo (A&S 26.2.17) normal survival function — ONE text emitted to
+# both engines (Spark via F.expr), Horner form so the float op order is
+# identical; max abs error 7.5e-8, far below any p-value decision here.
+_NORM_SF = (
+    "(exp(-({z}) * ({z}) / 2) / 2.5066282746310002)"
+    " * (((((1.330274429 * {t} - 1.821255978) * {t} + 1.781477937) * {t}"
+    " - 0.356563782) * {t} + 0.31938153) * {t})"
+).format
+_T_OF_Z = "(1.0 / (1.0 + 0.2316419 * ({z})))".format
+
+
+def _two_sided_p(zcol: str) -> str:
+    az = f"abs({zcol})"
+    t = _T_OF_Z(z=az)
+    return f"LEAST(1.0, 2.0 * {_NORM_SF(z=az, t=t)})"
+
+
+@register(
+    "agg_fdr_bh",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    cell AS (
+      SELECT event_type, d % 7 AS dow,
+             CAST(COUNT(*) AS DOUBLE) AS n1,
+             SUM(y) AS s1, SUM(y * y) AS q1
+      FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nt,
+             SUM(y) AS st, SUM(y * y) AS qt
+      FROM daily GROUP BY 1
+    ),
+    z AS (
+      SELECT c.event_type, c.dow, c.n1,
+             (c.s1 / c.n1 - (t.st - c.s1) / (t.nt - c.n1)) AS diff,
+             (c.s1 / c.n1 - (t.st - c.s1) / (t.nt - c.n1))
+             / sqrt(
+                 ((c.q1 - c.s1 * c.s1 / c.n1) / (c.n1 - 1)) / c.n1
+                 + (((t.qt - c.q1) - (t.st - c.s1) * (t.st - c.s1)
+                     / (t.nt - c.n1)) / ((t.nt - c.n1) - 1)) / (t.nt - c.n1)
+               ) AS zstat
+      FROM cell c JOIN tot t USING (event_type)
+    ),
+    p AS (
+      SELECT event_type, dow, CAST(n1 AS BIGINT) AS n_days, diff, zstat,
+             {_two_sided_p('zstat')} AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pval ASC, event_type, dow) AS rk,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS m
+      FROM p
+    ),
+    cut AS (
+      SELECT *, MAX(CASE WHEN pval <= rk * {_BH_ALPHA} / m THEN rk ELSE 0 END)
+                  OVER () AS kmax
+      FROM ranked
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, n_days,
+           FLOOR(diff * 10000) / 10000 AS mean_diff,
+           FLOOR(zstat * 1000) / 1000 AS z,
+           FLOOR(pval * 1000000) / 1000000 AS p,
+           CAST(rk AS BIGINT) AS p_rank,
+           CAST(rk <= kmax AS BOOLEAN) AS reject_fdr10
+    FROM cut
+    """,
+)
+def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (1995) over a real multiple-testing
+    family: for each (event type, day-of-week) cell, a Welch z-test of
+    that weekday's daily event count against the type's OTHER days
+    (computed by sum algebra — the rest-group moments are derived from
+    totals, never a second scan), then the BH step-up across all 35
+    hypotheses at alpha={_BH_ALPHA}: reject every p below the largest
+    p_(k) <= k*alpha/m. Measured across tiers the procedure exercises
+    BOTH outcomes: at sf0.001 two small-n cells genuinely reject
+    (near-zero within-cell variance), while at sf0.01/sf0.1 the family
+    is null (min p ~ 0.003-0.019) and BH correctly rejects NOTHING even
+    though naive per-test alpha=0.1 would reject several — the
+    false-discovery inflation BH exists to cap, demonstrated rather
+    than narrated. Two-sided p-values use the Zelen &
+    Severo normal-tail polynomial, emitted as ONE text into both
+    engines (Horner form, identical float op order; `spatial_htm`
+    convention).
+
+    Plan: one partial agg to O(types x days), one to O(types x 7)
+    cells, a broadcast join of the per-type totals, then the BH rank
+    runs over 35 pre-aggregated rows (sanctioned global window). At
+    100 TB the test family grows with slices, not rows — the window
+    input stays O(hypotheses)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    cell = daily.groupBy("event_type", (F.col("d") % 7).alias("dow")).agg(
+        F.count(F.lit(1)).cast("double").alias("n1"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("q1"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nt"),
+        F.sum("y").alias("st"),
+        F.sum(F.col("y") * F.col("y")).alias("qt"),
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    nt, st, qt = F.col("nt"), F.col("st"), F.col("qt")
+    mean1, mean2 = s1 / n1, (st - s1) / (nt - n1)
+    var1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    var2 = ((qt - q1) - (st - s1) * (st - s1) / (nt - n1)) / ((nt - n1) - 1)
+    z = cell.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n1",
+        (mean1 - mean2).alias("diff"),
+        ((mean1 - mean2) / F.sqrt(var1 / n1 + var2 / (nt - n1))).alias("zstat"),
+    )
+    p = z.select(
+        "event_type",
+        "dow",
+        F.col("n1").cast("long").alias("n_days"),
+        "diff",
+        "zstat",
+        F.expr(_two_sided_p("zstat")).alias("pval"),
+    )
+    wrk = Window.orderBy(F.col("pval").asc(), F.col("event_type"), F.col("dow"))
+    wall = Window.partitionBy()
+    ranked = p.select(
+        "*",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("double").alias("m"),
+    )
+    cut = ranked.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("pval") <= F.col("rk") * _BH_ALPHA / F.col("m"), F.col("rk")
+            ).otherwise(0)
+        )
+        .over(wall)
+        .alias("kmax"),
+    )
+    return cut.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        "n_days",
+        (F.floor(F.col("diff") * 10000) / 10000).alias("mean_diff"),
+        (F.floor(F.col("zstat") * 1000) / 1000).alias("z"),
+        (F.floor(F.col("pval") * 1000000) / 1000000).alias("p"),
+        F.col("rk").cast("long").alias("p_rank"),
+        (F.col("rk") <= F.col("kmax")).alias("reject_fdr10"),
+    )

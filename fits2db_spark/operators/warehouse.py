@@ -770,3 +770,104 @@ def warehouse_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("touch_frac_lin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-size skew audit across candidate layouts (round 8, continuation)
+# ---------------------------------------------------------------------------
+def _skew_layout_sql(label: str, keyexpr: str) -> str:
+    return f"""
+    SELECT '{label}' AS layout,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_rows,
+           FLOOR(AVG(cnt) * 10000) / 10000 AS avg_rows,
+           FLOOR(MAX(cnt) / AVG(cnt) * 10000) / 10000 AS skew_factor,
+           FLOOR(stddev_samp(cnt) / AVG(cnt) * 10000) / 10000 AS cv
+    FROM (SELECT {keyexpr} AS pk, CAST(COUNT(*) AS DOUBLE) AS cnt
+          FROM lineitem GROUP BY 1) t
+    """
+
+
+_SKEW_LAYOUTS = (
+    # calendar month of shipdate: the default time-partitioned layout
+    ("ship_month", "CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP))"
+                   " // 86400000000 // 30 AS BIGINT)"),
+    # month x returnflag: the over-partitioned layout (3x the directories)
+    ("month_flag", "concat(CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP))"
+                   " // 86400000000 // 30 AS BIGINT), '_', l_returnflag)"),
+    # md5 hash buckets: the uniform baseline every layout is judged against
+    ("hash_128", "CAST(concat('0x', substr(md5(CAST(l_orderkey * 10"
+                 " + l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 128"),
+)
+
+
+@register(
+    "warehouse_partition_skew",
+    oracle=" UNION ALL ".join(
+        _skew_layout_sql(lb, ke) for lb, ke in _SKEW_LAYOUTS
+    ),
+)
+def warehouse_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-size skew audit over three candidate write layouts for
+    the fact table — time-partitioned (ship month), over-partitioned
+    (month x returnflag), and md5 hash buckets — reporting per layout
+    the partition count, the largest partition, and the two numbers a
+    table-layout decision actually turns on: skew factor (max/avg — the
+    straggler multiplier: one task finishes this many times after the
+    average) and the coefficient of variation. The planning complement
+    of `warehouse_compaction_plan` (which fixes small files after a bad
+    layout) and `zorder_layout` / `warehouse_pruning_effectiveness`
+    (which judge layouts by pruning, not balance).
+
+    Plan: three partial-agg groupBy counts over the fact table (each
+    the mergeable map-side shape), each reduced to ONE summary row
+    before the union — the audit's exchange cost is three cheap
+    aggregates regardless of table size. Month keys are integer
+    epoch-day division (both engines' // on non-negative ints agree);
+    the hash layout reuses the repo's md5 row-key convention; ratios
+    of exact counts FLOOR at 1e-4."""
+    li = load(spark, sf_dir, "lineitem")
+    month = F.floor(
+        F.floor(F.unix_timestamp(F.col("l_shipdate").cast("timestamp")) / 86400) / 30
+    ).cast("long")
+    hashk = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 128
+    )
+    layouts = (
+        ("ship_month", month),
+        ("month_flag", F.concat(month.cast("string"), F.lit("_"), F.col("l_returnflag"))),
+        ("hash_128", hashk),
+    )
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    outs = []
+    for label, key in layouts:
+        cnts = li.groupBy(key.alias("pk")).agg(
+            F.count(F.lit(1)).cast("double").alias("cnt")
+        )
+        outs.append(
+            cnts.agg(
+                F.lit(label).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_partitions"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.max("cnt").cast("long").alias("max_rows"),
+                f4(F.avg("cnt")).alias("avg_rows"),
+                f4(F.max("cnt") / F.avg("cnt")).alias("skew_factor"),
+                f4(F.stddev_samp("cnt") / F.avg("cnt")).alias("cv"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -141,6 +141,10 @@ _PRIORITY_QUERIES = (
     "vec_random_projection",
     "agg_logsketch_quantiles",
     "graph_bfs_distance",
+    "ml_lift_deciles",
+    "ml_ipw_ate",
+    "agg_fdr_bh",
+    "warehouse_partition_skew",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -258,3 +258,111 @@ def test_bfs_distances_match_pure_python_bfs(spark):
         if n:
             assert got.get(d, 0) == n, (d, n, got.to_dict())
     assert got.sum() == len(nodes)
+
+
+def test_lift_deciles_monotone_capture_and_real_top_lift(spark):
+    got = _run(spark, "ml_lift_deciles").sort_values("bin", ascending=False)
+    o = _orders_labeled()
+    o["bin"] = np.minimum(9, np.floor(o.o_totalprice / 60000).astype(int))
+    b = o.groupby("bin").agg(n=("label", "size"), pos=("label", "sum"))
+    b = b.sort_index(ascending=False)
+    cum_pos = b.pos.cumsum()
+    cum_n = b.n.cumsum()
+    overall = b.pos.sum() / b.n.sum()
+    cap = np.floor(cum_pos / b.pos.sum() * 10000) / 10000
+    lift = np.floor((cum_pos / cum_n) / overall * 10000) / 10000
+    assert (got.n.to_numpy() == b.n.to_numpy()).all()
+    assert np.allclose(got.capture_rate.to_numpy(), cap.to_numpy(), atol=2e-4)
+    assert np.allclose(got.cum_lift.to_numpy(), lift.to_numpy(), atol=2e-4)
+    # gains curve is nondecreasing and the top slice beats random by >1.5x
+    assert (np.diff(got.capture_rate.to_numpy()) >= -1e-9).all()
+    assert got.cum_lift.iloc[0] > 1.5
+
+
+def test_ipw_removes_the_constructed_confounding_bias(spark):
+    got = _run(spark, "ml_ipw_ate").iloc[0]
+    import hashlib
+
+    o = _orders_labeled()
+    o["bin"] = np.minimum(9, np.floor(o.o_totalprice / 60000).astype(int))
+    tdraw = np.array(
+        [
+            int(hashlib.md5(f"t{k}".encode()).hexdigest()[:15], 16) % 100
+            for k in o.o_orderkey
+        ]
+    )
+    t = (tdraw < 20 + 6 * o.bin.to_numpy()).astype(float)
+    p = (20 + 6 * o.bin.to_numpy()) / 100.0
+    y = o.label.to_numpy().astype(float)
+    naive = y[t == 1].mean() - y[t == 0].mean()
+    ipw = (t * y / p - (1 - t) * y / (1 - p)).mean()
+    hajek = (t * y / p).sum() / (t / p).sum() - ((1 - t) * y / (1 - p)).sum() / (
+        (1 - t) / (1 - p)
+    ).sum()
+    assert got.n == len(o) and got.n_treat == int(t.sum())
+    assert abs(got.naive_diff - np.floor(naive * 10000) / 10000) < 2e-4
+    assert abs(got.ipw_ate - np.floor(ipw * 10000) / 10000) < 2e-4
+    assert abs(got.hajek_ate - np.floor(hajek * 10000) / 10000) < 2e-4
+    # the demonstration: naive is visibly biased, IPW/Hajek recover ~0
+    assert got.naive_diff > 0.1
+    assert abs(got.ipw_ate) < 0.06 and abs(got.hajek_ate) < 0.06
+
+
+def _norm_sf_ref(z):
+    az = np.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    pdf = np.exp(-az * az / 2) / 2.5066282746310002
+    poly = ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t - 0.356563782) * t
+            + 0.31938153) * t
+    return np.minimum(1.0, 2.0 * pdf * poly)
+
+
+def test_fdr_bh_matches_numpy_step_up(spark):
+    got = _run(spark, "agg_fdr_bh")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = ev.ts.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    daily = ev.groupby(["event_type", "d"]).size().astype(float).rename("y").reset_index()
+    daily["dow"] = daily.d % 7
+    rows = []
+    for (typ, dow), g in daily.groupby(["event_type", "dow"]):
+        rest = daily[(daily.event_type == typ) & (daily.dow != dow)]
+        n1, n2 = len(g), len(rest)
+        v1, v2 = g.y.var(ddof=1), rest.y.var(ddof=1)
+        z = (g.y.mean() - rest.y.mean()) / np.sqrt(v1 / n1 + v2 / n2)
+        rows.append((typ, dow, z, _norm_sf_ref(z)))
+    ref = pd.DataFrame(rows, columns=["event_type", "dow", "z", "p"])
+    ref = ref.sort_values(["p", "event_type", "dow"]).reset_index(drop=True)
+    ref["rk"] = np.arange(1, len(ref) + 1)
+    m = len(ref)
+    passing = ref.rk[ref.p <= ref.rk * 0.1 / m]
+    kmax = passing.max() if len(passing) else 0
+    ref["reject"] = ref.rk <= kmax
+    merged = got.merge(ref, on=["event_type", "dow"])
+    assert len(merged) == m
+    assert (merged.p_rank == merged.rk).all()
+    assert (merged.reject_fdr10 == merged.reject).all()
+    assert np.allclose(merged.p_x, np.floor(merged.p_y * 1e6) / 1e6, atol=2e-6)
+    # at the smoke tier the fixture genuinely rejects some hypotheses,
+    # so the step-up branch is exercised (measured: 2)
+    assert merged.reject_fdr10.sum() >= 1
+
+
+def test_partition_skew_layout_ordering(spark):
+    got = _run(spark, "warehouse_partition_skew").set_index("layout")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    month = (
+        li.l_shipdate.astype("datetime64[us]").astype("int64") // 86_400_000_000 // 30
+    )
+    ref = month.value_counts()
+    row = got.loc["ship_month"]
+    assert row.n_partitions == len(ref)
+    assert row.max_rows == ref.max()
+    assert row.n_rows == len(li)
+    assert abs(row.skew_factor - np.floor(ref.max() / ref.mean() * 10000) / 10000) < 2e-4
+    # every layout's straggler factor is >= 1; the md5 hash layout's CV is
+    # within Poisson noise of uniform (cv ~ 1/sqrt(rows per bucket)) — at
+    # the 6k-row smoke tier that noise floor is ~0.15, so assert the bound
+    # rather than strict minimality (which only emerges at larger tiers)
+    assert (got.skew_factor >= 1.0 - 1e-9).all()
+    expected_cv = 1.0 / np.sqrt(len(li) / 128)
+    assert got.loc["hash_128"].cv < 2.5 * expected_cv

@@ -277,6 +277,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # top-20 community rank over the O(communities) label aggregate;
     # rk <= 20 filter becomes a WindowGroupLimit (r8)
     "graph_label_propagation",
+    # cumulative gains over the 10-row score-bin histogram (r8)
+    "ml_lift_deciles",
+    # BH step-up rank over the O(hypotheses)=35 pre-aggregated tests (r8)
+    "agg_fdr_bh",
 }
 
 
