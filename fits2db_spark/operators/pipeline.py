@@ -2090,3 +2090,76 @@ def privacy_entropy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("entropy_l") >= _ELDIV_L).alias("entropy_ok"),
         "recursive_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing weights (round 8, continuation)
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.5  # temperature exponent (sqrt — IEEE-exact in both engines)
+_MIX_BUDGET_X = 2.0  # token budget as a multiple of the corpus size
+
+
+@register(
+    "domain_mix_temperature",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT SUM(n_tokens) AS tot, SUM(sqrt(n_tokens)) AS totw FROM c
+    )
+    SELECT c.source, c.n_docs,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           FLOOR(c.n_tokens / t.tot * 1000000) / 1000000 AS nat_share,
+           FLOOR(sqrt(c.n_tokens) / t.totw * 1000000) / 1000000 AS temp_share,
+           FLOOR(sqrt(c.n_tokens) / t.totw * t.tot * {_MIX_BUDGET_X}
+                 / c.n_tokens * 10000) / 10000 AS epochs
+    FROM c CROSS JOIN t
+    """,
+)
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing weights — the multilingual/
+    multi-domain sampling scheme of mT5 / the Pile / Llama data recipes:
+    sampling probability p_i ∝ n_i^alpha with alpha={_MIX_ALPHA}
+    up-weights small domains relative to their natural share (alpha=1)
+    without the uniform extreme (alpha=0). Per source: the natural and
+    temperature shares, and the EPOCH COUNT each source would sustain
+    under a {_MIX_BUDGET_X:.0f}x-corpus token budget — the number that
+    exposes over-sampling risk (epochs >> 1 on a small domain means
+    memorization pressure; the readout data teams actually argue over).
+    `domain_mix_sample` materializes a balanced SAMPLE; this operator
+    computes the WEIGHTS a temperature-mixing loader would consume.
+
+    Plan: one partial-agg scan to O(sources) rows, one 1-row total
+    broadcast — nothing else. alpha=0.5 makes the power a sqrt
+    (IEEE-exact, engine-identical); shares FLOOR at 1e-6, epochs at
+    1e-4."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("double")
+        .alias("n_tokens"),
+    )
+    t = c.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.sum(F.sqrt(F.col("n_tokens"))).alias("totw"),
+    )
+    f6 = lambda col: F.floor(col * 1000000) / 1000000  # noqa: E731
+    f4 = lambda col: F.floor(col * 10000) / 10000  # noqa: E731
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        f6(F.col("n_tokens") / F.col("tot")).alias("nat_share"),
+        f6(F.sqrt(F.col("n_tokens")) / F.col("totw")).alias("temp_share"),
+        f4(
+            F.sqrt(F.col("n_tokens"))
+            / F.col("totw")
+            * F.col("tot")
+            * _MIX_BUDGET_X
+            / F.col("n_tokens")
+        ).alias("epochs"),
+    )

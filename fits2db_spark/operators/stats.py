@@ -3116,3 +3116,250 @@ def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             f4(F.max(share)).alias("peak_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stetson variability indices (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "lightcurve_stetson",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(v) AS mu, stddev_samp(v) AS sd
+      FROM daily GROUP BY event_type
+    ),
+    delta AS (
+      SELECT d.event_type, d.d,
+             sqrt(m.n / (m.n - 1)) * (d.v - m.mu) / m.sd AS dl,
+             m.n AS n
+      FROM daily d JOIN mom m USING (event_type)
+    ),
+    pairs AS (
+      SELECT a.event_type, a.dl * b.dl AS pk
+      FROM delta a JOIN delta b
+        ON a.event_type = b.event_type AND b.d = a.d + 1
+    ),
+    j AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             FLOOR(AVG(CASE WHEN pk >= 0 THEN sqrt(pk)
+                            ELSE -sqrt(-pk) END) * 10000) / 10000 AS stetson_j
+      FROM pairs GROUP BY event_type
+    ),
+    k AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+             FLOOR(AVG(ABS(dl)) / sqrt(AVG(dl * dl)) * 10000) / 10000
+               AS stetson_k
+      FROM delta GROUP BY event_type
+    )
+    SELECT j.event_type, k.n_days, j.n_pairs, j.stetson_j, k.stetson_k
+    FROM j JOIN k USING (event_type)
+    """,
+)
+def lightcurve_stetson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stetson variability indices (Welch & Stetson 1993, Stetson 1996 —
+    the standard variable-star detection statistics): J correlates
+    consecutive-night residual pairs (sgn(P)*sqrt|P| over P = delta_i *
+    delta_(i+1); true variability gives positively correlated adjacent
+    residuals, J > 0, while pure noise averages to ~0), and K =
+    mean|delta| / sqrt(mean delta²) measures the residual SHAPE (0.798
+    for a Gaussian, lower for spiky curves, higher for sinusoids).
+    Completes the variability toolkit: `lightcurve_pdm` finds the
+    period, `lightcurve_structure_function` the timescale, Stetson J/K
+    answer the upstream question — is this source variable at all?
+
+    Plan: the shared O(types x days) daily frame; per-type moments by
+    one tiny aggregate, the residual self-pairing an equi-join on
+    (type, d+1) exactly like `events_forecast_backtest`'s lag pairing;
+    at scale a window lag replaces it partition-locally. sqrt is
+    IEEE-exact; FLOOR 1e-4 absorbs accumulation order."""
+    daily = daily_value_series(spark, sf_dir, agg="sum")
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("v").alias("mu"),
+        F.stddev_samp("v").alias("sd"),
+    )
+    delta = daily.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "d",
+        (
+            F.sqrt(F.col("n") / (F.col("n") - 1))
+            * (F.col("v") - F.col("mu"))
+            / F.col("sd")
+        ).alias("dl"),
+        "n",
+    )
+    a, b = delta.alias("a"), delta.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") == F.col("a.d") + 1),
+    ).select(F.col("a.event_type").alias("event_type"), (F.col("a.dl") * F.col("b.dl")).alias("pk"))
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    j = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        f4(
+            F.avg(
+                F.when(F.col("pk") >= 0, F.sqrt(F.col("pk"))).otherwise(
+                    -F.sqrt(-F.col("pk"))
+                )
+            )
+        ).alias("stetson_j"),
+    )
+    k = delta.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        f4(F.avg(F.abs(F.col("dl"))) / F.sqrt(F.avg(F.col("dl") * F.col("dl")))).alias(
+            "stetson_k"
+        ),
+    )
+    return j.join(k, "event_type").select(
+        "event_type", "n_days", "n_pairs", "stetson_j", "stetson_k"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Granger-causality F-test between event-type series (round 8, continuation)
+# ---------------------------------------------------------------------------
+_GRANGER_PAIRS = (("view", "purchase"), ("purchase", "view"), ("click", "signup"))
+
+
+def _granger_one_sql(x: str, y: str) -> str:
+    """F-test of 'does x_(t-1) help predict y_t beyond y_(t-1)?' — both
+    OLS fits in closed form from centered second moments, one tiny
+    aggregate per pair."""
+    return f"""
+    SELECT '{x}->{y}' AS pair, n,
+           FLOOR(rss_r * 10000) / 10000 AS rss_restricted,
+           FLOOR(rss_u * 10000) / 10000 AS rss_unrestricted,
+           FLOOR((rss_r - rss_u) / (rss_u / (n - 3)) * 10000) / 10000
+             AS f_stat
+    FROM (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             (SUM(w * w) - SUM(w) * SUM(w) / COUNT(*))
+             - (SUM(u * w) - SUM(u) * SUM(w) / COUNT(*))
+               * (SUM(u * w) - SUM(u) * SUM(w) / COUNT(*))
+               / (SUM(u * u) - SUM(u) * SUM(u) / COUNT(*)) AS rss_r,
+             (SUM(w * w) - SUM(w) * SUM(w) / COUNT(*))
+             - ((SUM(u * w) - SUM(u) * SUM(w) / COUNT(*))
+                  * (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*))
+                - (SUM(v * w) - SUM(v) * SUM(w) / COUNT(*))
+                  * (SUM(u * v) - SUM(u) * SUM(v) / COUNT(*)))
+               / ((SUM(u * u) - SUM(u) * SUM(u) / COUNT(*))
+                    * (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*))
+                  - (SUM(u * v) - SUM(u) * SUM(v) / COUNT(*))
+                    * (SUM(u * v) - SUM(u) * SUM(v) / COUNT(*)))
+               * (SUM(u * w) - SUM(u) * SUM(w) / COUNT(*))
+             - ((SUM(v * w) - SUM(v) * SUM(w) / COUNT(*))
+                  * (SUM(u * u) - SUM(u) * SUM(u) / COUNT(*))
+                - (SUM(u * w) - SUM(u) * SUM(w) / COUNT(*))
+                  * (SUM(u * v) - SUM(u) * SUM(v) / COUNT(*)))
+               / ((SUM(u * u) - SUM(u) * SUM(u) / COUNT(*))
+                    * (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*))
+                  - (SUM(u * v) - SUM(u) * SUM(v) / COUNT(*))
+                    * (SUM(u * v) - SUM(u) * SUM(v) / COUNT(*)))
+               * (SUM(v * w) - SUM(v) * SUM(w) / COUNT(*)) AS rss_u
+      FROM (
+        SELECT yt.cnt AS w, yl.cnt AS u, xl.cnt AS v
+        FROM f2s_granger_daily yt
+        JOIN f2s_granger_daily yl
+          ON yl.event_type = yt.event_type AND yl.d = yt.d - 1
+        JOIN f2s_granger_daily xl
+          ON xl.event_type = '{x}' AND xl.d = yt.d - 1
+        WHERE yt.event_type = '{y}'
+      ) z
+    ) s
+    """
+
+
+@register(
+    "events_granger",
+    oracle="WITH f2s_granger_daily AS MATERIALIZED (\n"
+    "  SELECT event_type,\n"
+    "         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,\n"
+    "         CAST(COUNT(*) AS DOUBLE) AS cnt\n"
+    "  FROM events GROUP BY 1, 2)\n"
+    + " UNION ALL ".join(_granger_one_sql(x, y) for x, y in _GRANGER_PAIRS),
+)
+def events_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality F-test (Granger 1969) between daily event-count
+    series: does yesterday's x-count improve today's y-count prediction
+    beyond y's own lag? Both the restricted (y_t ~ y_(t-1)) and
+    unrestricted (y_t ~ y_(t-1) + x_(t-1)) OLS fits are CLOSED-FORM from
+    centered second moments — no iteration, no matrix solver — and
+    F = (RSS_r - RSS_u) / (RSS_u / (n-3)) is reported per directed pair
+    (view->purchase, purchase->view, click->signup), the lead-lag probe
+    run on funnel metrics before anyone claims causation. The fixture's
+    independent streams make this a TRUE NULL family: F stays small in
+    both directions, and the asymmetry between the two view/purchase
+    directions is pure noise — which is exactly what the operator
+    certifies (compare `agg_fdr_bh`, the null family with a decision
+    rule on top).
+
+    Plan: ONE O(types x days) partial agg (shared via a materialized
+    CTE / cached frame), then each pair is two lag equi-joins on the
+    tiny frame into a single-row moment aggregate. All engine work on
+    identical doubles; FLOOR 1e-4."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt")).persist()
+    outs = []
+    for x, y in _GRANGER_PAIRS:
+        yt, yl, xl = daily.alias("yt"), daily.alias("yl"), daily.alias("xl")
+        z = (
+            yt.filter(F.col("yt.event_type") == y)
+            .join(
+                yl,
+                (F.col("yl.event_type") == F.col("yt.event_type"))
+                & (F.col("yl.d") == F.col("yt.d") - 1),
+            )
+            .join(
+                xl,
+                (F.col("xl.event_type") == x)
+                & (F.col("xl.d") == F.col("yt.d") - 1),
+            )
+            .select(
+                F.col("yt.cnt").alias("w"),
+                F.col("yl.cnt").alias("u"),
+                F.col("xl.cnt").alias("v"),
+            )
+        )
+        n = F.count(F.lit(1)).cast("double")
+        s = lambda c: F.sum(F.col(c))  # noqa: E731
+        sp = lambda a, b: F.sum(F.col(a) * F.col(b))  # noqa: E731
+        cuu = sp("u", "u") - s("u") * s("u") / n
+        cvv = sp("v", "v") - s("v") * s("v") / n
+        cuv = sp("u", "v") - s("u") * s("v") / n
+        cuw = sp("u", "w") - s("u") * s("w") / n
+        cvw = sp("v", "w") - s("v") * s("w") / n
+        cww = sp("w", "w") - s("w") * s("w") / n
+        det = cuu * cvv - cuv * cuv
+        rss_r = cww - cuw * cuw / cuu
+        rss_u = (
+            cww
+            - (cuw * cvv - cvw * cuv) / det * cuw
+            - (cvw * cuu - cuw * cuv) / det * cvw
+        )
+        f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+        outs.append(
+            z.agg(
+                F.lit(f"{x}->{y}").alias("pair"),
+                n.alias("n"),
+                f4(rss_r).alias("rss_restricted"),
+                f4(rss_u).alias("rss_unrestricted"),
+                f4((rss_r - rss_u) / (rss_u / (n - 3))).alias("f_stat"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

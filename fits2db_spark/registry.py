@@ -145,6 +145,9 @@ _PRIORITY_QUERIES = (
     "ml_ipw_ate",
     "agg_fdr_bh",
     "warehouse_partition_skew",
+    "lightcurve_stetson",
+    "events_granger",
+    "domain_mix_temperature",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -366,3 +366,77 @@ def test_partition_skew_layout_ordering(spark):
     assert (got.skew_factor >= 1.0 - 1e-9).all()
     expected_cv = 1.0 / np.sqrt(len(li) / 128)
     assert got.loc["hash_128"].cv < 2.5 * expected_cv
+
+
+def test_stetson_indices_match_numpy(spark):
+    got = _run(spark, "lightcurve_stetson").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = ev.groupby(["event_type", "d"]).value.sum()
+    for t, s in daily.groupby(level=0):
+        y = s.droplevel(0).sort_index()
+        n = len(y)
+        dl = np.sqrt(n / (n - 1)) * (y - y.mean()) / y.std(ddof=1)
+        nxt = dl.reindex(dl.index + 1)
+        pk = (dl.to_numpy() * nxt.to_numpy())
+        pk = pk[~np.isnan(pk)]
+        j = np.mean(np.sign(pk) * np.sqrt(np.abs(pk)))
+        k = np.mean(np.abs(dl)) / np.sqrt(np.mean(dl**2))
+        row = got.loc[t]
+        assert row.n_days == n and row.n_pairs == len(pk)
+        assert abs(row.stetson_j - np.floor(j * 10000) / 10000) < 2e-4
+        assert abs(row.stetson_k - np.floor(k * 10000) / 10000) < 2e-4
+        # K ~ 0.798 for Gaussian residuals; the fixture series are near-iid
+        assert 0.6 < row.stetson_k < 0.95
+
+
+def test_granger_f_matches_numpy_two_var_ols(spark):
+    got = _run(spark, "events_granger").set_index("pair")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = ev.groupby(["event_type", "d"]).size().astype(float)
+    for x, ycol in (("view", "purchase"), ("purchase", "view"), ("click", "signup")):
+        ys = daily.loc[ycol]
+        xs = daily.loc[x]
+        rows = []
+        for d in ys.index:
+            if (d - 1) in ys.index and (d - 1) in xs.index:
+                rows.append((ys[d], ys[d - 1], xs[d - 1]))
+        w, u, v = (np.array(c) for c in zip(*rows))
+        n = len(w)
+        # restricted: w ~ u; unrestricted: w ~ u + v (centered OLS)
+        X1 = np.column_stack([np.ones(n), u])
+        X2 = np.column_stack([np.ones(n), u, v])
+        b1, *_ = np.linalg.lstsq(X1, w, rcond=None)
+        b2, *_ = np.linalg.lstsq(X2, w, rcond=None)
+        rss_r = ((w - X1 @ b1) ** 2).sum()
+        rss_u = ((w - X2 @ b2) ** 2).sum()
+        f = (rss_r - rss_u) / (rss_u / (n - 3))
+        row = got.loc[f"{x}->{ycol}"]
+        assert row.n == n
+        assert abs(row.rss_restricted - np.floor(rss_r * 10000) / 10000) < 2e-3
+        assert abs(row.rss_unrestricted - np.floor(rss_u * 10000) / 10000) < 2e-3
+        assert abs(row.f_stat - np.floor(f * 10000) / 10000) < 2e-3
+        assert row.f_stat >= -1e-9  # RSS never increases with a regressor
+
+
+def test_temperature_mixing_weights_and_epochs(spark):
+    got = _run(spark, "domain_mix_temperature")
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    d["tok"] = d.text.str.split(" ").str.len()
+    c = d.groupby("source").agg(n_docs=("tok", "size"), n_tokens=("tok", "sum"))
+    tot, totw = c.n_tokens.sum(), np.sqrt(c.n_tokens).sum()
+    m = got.set_index("source").join(c, rsuffix="_ref")
+    assert (m.n_docs == m.n_docs_ref).all()
+    assert (m.n_tokens == m.n_tokens_ref).all()
+    nat = np.floor(m.n_tokens_ref / tot * 1e6) / 1e6
+    tmp = np.floor(np.sqrt(m.n_tokens_ref) / totw * 1e6) / 1e6
+    assert np.allclose(m.nat_share, nat, atol=2e-6)
+    assert np.allclose(m.temp_share, tmp, atol=2e-6)
+    # temperature mixing flattens: small domains gain share, large lose
+    small, big = m.n_tokens_ref.idxmin(), m.n_tokens_ref.idxmax()
+    assert m.loc[small].temp_share > m.loc[small].nat_share
+    assert m.loc[big].temp_share < m.loc[big].nat_share
+    # epoch accounting: sum over sources of epochs*n_tokens ~= budget
+    budget = 2.0 * tot
+    assert abs((m.epochs * m.n_tokens_ref).sum() - budget) / budget < 0.01
