@@ -996,3 +996,70 @@ def agg_logsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"q{int(q * 100)}_relerr"),
         ]
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Trimmed and winsorized means (round 8, continuation)
+# ---------------------------------------------------------------------------
+_TRIM_LO, _TRIM_HI = 0.1, 0.9  # 10% two-sided trim
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_linestatus,
+             quantile_cont(l_extendedprice, {_TRIM_LO}) AS lo,
+             quantile_cont(l_extendedprice, {_TRIM_HI}) AS hi
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l.l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l.l_extendedprice BETWEEN q.lo AND q.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(AVG(l.l_extendedprice), 4) AS plain_mean,
+           ROUND(AVG(CASE WHEN l.l_extendedprice BETWEEN q.lo AND q.hi
+                          THEN l.l_extendedprice END), 4) AS trimmed_mean,
+           ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, q.lo), q.hi)), 4)
+             AS winsorized_mean
+    FROM lineitem l JOIN q USING (l_linestatus)
+    GROUP BY l.l_linestatus
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized means per group next to the plain mean
+    — the classical robust location estimators (Tukey; trimming DROPS
+    the tails, winsorizing CLAMPS them to the p10/p90 fences), closing
+    the robust-location family: `agg_median_of_means` (hash buckets,
+    adversary-bounded), `anomaly_mad` (median-based screening),
+    `etl_winsorize` (the column TRANSFORM this op reports the moments
+    of). On the fixture's uniform prices all three agree closely; on
+    heavy-tailed production data they fan out — the spread IS the
+    diagnostic.
+
+    Plan: one exact-percentile aggregate to O(groups) fences (at 100 TB
+    the fences come from `agg_logsketch_quantiles`' mergeable sketch
+    instead — same downstream plan), broadcast back over the scan, one
+    conditional aggregate. BETWEEN is inclusive in both engines;
+    percentile/quantile_cont interpolate identically (the
+    `agg_percentile` pairing); ROUND 1e-4."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_linestatus").agg(
+        F.percentile("l_extendedprice", F.lit(_TRIM_LO)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(_TRIM_HI)).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    inb = x.between(F.col("lo"), F.col("hi"))
+    return (
+        li.join(F.broadcast(q), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(inb, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.round(F.avg(x), 4).alias("plain_mean"),
+            F.round(F.avg(F.when(inb, x)), 4).alias("trimmed_mean"),
+            F.round(
+                F.avg(F.least(F.greatest(x, F.col("lo")), F.col("hi"))), 4
+            ).alias("winsorized_mean"),
+        )
+    )

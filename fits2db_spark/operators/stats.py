@@ -3363,3 +3363,187 @@ def events_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Customer value-tier migration matrix (round 8, continuation)
+# ---------------------------------------------------------------------------
+_SEG_SPLIT = "1997-07-01"  # period A < split <= period B
+# fixed spend-tier edges (deterministic — quantile tiers would couple the
+# segmentation to the other period's distribution; orders_rfm owns that)
+_SEG_EDGES = (200_000.0, 600_000.0)
+
+
+def _seg_tier_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IS NULL THEN 'none'"
+        f" WHEN {col} < {_SEG_EDGES[0]} THEN 'low'"
+        f" WHEN {col} < {_SEG_EDGES[1]} THEN 'mid'"
+        f" ELSE 'high' END"
+    )
+
+
+@register(
+    "orders_segment_migration",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_SEG_SPLIT}'
+                      THEN o_totalprice END) AS spend_a,
+             SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{_SEG_SPLIT}'
+                      THEN o_totalprice END) AS spend_b
+      FROM orders GROUP BY o_custkey
+    ),
+    tiers AS (
+      SELECT {_seg_tier_sql('spend_a')} AS tier_a,
+             {_seg_tier_sql('spend_b')} AS tier_b
+      FROM per
+    ),
+    m AS (
+      SELECT tier_a, tier_b, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM tiers GROUP BY 1, 2
+    )
+    SELECT tier_a, tier_b, n_customers,
+           FLOOR(CAST(n_customers AS DOUBLE)
+                 / SUM(n_customers) OVER (PARTITION BY tier_a)
+                 * 10000) / 10000 AS row_share
+    FROM m
+    """,
+)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix — the CRM lifecycle readout
+    (upgraded / downgraded / churned / newly-acquired flows between two
+    periods): each customer's spend in period A (before {_SEG_SPLIT})
+    and period B lands in a fixed tier (none/low/mid/high; 'none' means
+    no orders that period, so the none->x row IS acquisition and
+    x->none churn), and the matrix reports counts plus row-conditional
+    shares P(tier_b | tier_a). The transition complement of
+    `retention_cohorts` (presence only) and `orders_rfm` (one-period
+    segmentation); `events_markov` is the same shape over event
+    streams.
+
+    Plan: one conditional-aggregation scan to O(customers) rows (the
+    CUPED two-period split), a narrow tier projection with FIXED edges
+    (deterministic; quantile tiers would make each period's labels
+    depend on a global sort — orders_rfm owns that variant), one
+    O(16)-cell count, and the row shares a window over those cells.
+    Integer counts; shares FLOOR 1e-4."""
+    o = load(spark, sf_dir, "orders")
+    is_a = F.col("o_orderdate").cast("date") < F.lit(_SEG_SPLIT).cast("date")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(is_a, F.col("o_totalprice"))).alias("spend_a"),
+        F.sum(F.when(~is_a, F.col("o_totalprice"))).alias("spend_b"),
+    )
+
+    def tier(col):
+        return (
+            F.when(F.col(col).isNull(), "none")
+            .when(F.col(col) < _SEG_EDGES[0], "low")
+            .when(F.col(col) < _SEG_EDGES[1], "mid")
+            .otherwise("high")
+        )
+
+    m = per.select(tier("spend_a").alias("tier_a"), tier("spend_b").alias("tier_b")).groupBy(
+        "tier_a", "tier_b"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    w = Window.partitionBy("tier_a")
+    return m.select(
+        "tier_a",
+        "tier_b",
+        "n_customers",
+        (
+            F.floor(
+                F.col("n_customers").cast("double")
+                / F.sum("n_customers").over(w)
+                * 10000
+            )
+            / 10000
+        ).alias("row_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indexes (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_price_index",
+    oracle=f"""
+    WITH li AS (
+      SELECT l.l_partkey AS pk,
+             CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '{_SEG_SPLIT}'
+                  THEN 0 ELSE 1 END AS period,
+             l.l_extendedprice / l.l_quantity AS price,
+             l.l_quantity AS qty
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per AS (
+      SELECT pk, period, SUM(price * qty) / SUM(qty) AS p, SUM(qty) AS q
+      FROM li GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.pk, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+      FROM per a JOIN per b ON a.pk = b.pk AND a.period = 0 AND b.period = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           FLOOR(SUM(p1 * q0) / SUM(p0 * q0) * 1000000) / 1000000
+             AS laspeyres,
+           FLOOR(SUM(p1 * q1) / SUM(p0 * q1) * 1000000) / 1000000 AS paasche,
+           FLOOR(sqrt((SUM(p1 * q0) / SUM(p0 * q0))
+                      * (SUM(p1 * q1) / SUM(p0 * q1))) * 1000000) / 1000000
+             AS fisher
+    FROM paired
+    """,
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indexes between the two
+    `_SEG_SPLIT` periods over the parts traded in BOTH — the bilateral
+    index-number formulas every CPI/PPI pipeline computes (Fisher =
+    the geometric mean, Diewert's "ideal" index): per part, the
+    quantity-weighted average unit price and total quantity per period,
+    then Σp1·q0/Σp0·q0 (base-period basket), Σp1·q1/Σp0·q1
+    (current basket), and their geometric mean. On the fixture the
+    unit-price process is stationary, so all three indexes sit near
+    1.0 — the null a real price shock would move.
+
+    Plan: one orders join (broadcastable dimension is the date split,
+    carried through the fact scan), one partial agg to O(parts x 2),
+    a self-equi-join matching the periods, and a single 1-row moment
+    aggregate. Unit prices are exact ratios of fixture doubles; index
+    ratios FLOOR at 1e-6; sqrt IEEE-exact."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_SEG_SPLIT).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    per = j.groupBy("pk", "period").agg(
+        (F.sum(F.col("price") * F.col("qty")) / F.sum("qty")).alias("p"),
+        F.sum("qty").alias("q"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    both = a.join(
+        b,
+        (F.col("a.pk") == F.col("b.pk"))
+        & (F.col("a.period") == 0)
+        & (F.col("b.period") == 1),
+    ).select(
+        F.col("a.p").alias("p0"),
+        F.col("a.q").alias("q0"),
+        F.col("b.p").alias("p1"),
+        F.col("b.q").alias("q1"),
+    )
+    f6 = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        f6(lasp).alias("laspeyres"),
+        f6(paas).alias("paasche"),
+        f6(F.sqrt(lasp * paas)).alias("fisher"),
+    )

@@ -148,6 +148,9 @@ _PRIORITY_QUERIES = (
     "lightcurve_stetson",
     "events_granger",
     "domain_mix_temperature",
+    "orders_segment_migration",
+    "orders_price_index",
+    "agg_trimmed_mean",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

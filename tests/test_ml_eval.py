@@ -440,3 +440,68 @@ def test_temperature_mixing_weights_and_epochs(spark):
     # epoch accounting: sum over sources of epochs*n_tokens ~= budget
     budget = 2.0 * tot
     assert abs((m.epochs * m.n_tokens_ref).sum() - budget) / budget < 0.01
+
+
+def test_segment_migration_matrix_is_consistent(spark):
+    got = _run(spark, "orders_segment_migration")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    split = pd.Timestamp("1997-07-01")
+    per = o.assign(a=o.o_orderdate < split).groupby(["o_custkey", "a"]).o_totalprice.sum()
+
+    def tier(v):
+        if pd.isna(v):
+            return "none"
+        return "low" if v < 200_000 else ("mid" if v < 600_000 else "high")
+
+    custs = o.o_custkey.unique()
+    ref: dict = {}
+    for ck in custs:
+        ta = tier(per.get((ck, True), np.nan))
+        tb = tier(per.get((ck, False), np.nan))
+        ref[(ta, tb)] = ref.get((ta, tb), 0) + 1
+    for _, r in got.iterrows():
+        assert ref.get((r.tier_a, r.tier_b), 0) == r.n_customers
+    assert got.n_customers.sum() == len(custs)
+    # row shares are conditional probabilities: sum to ~1 within tier_a
+    for _, g in got.groupby("tier_a"):
+        assert abs(g.row_share.sum() - 1.0) < 0.01
+
+
+def test_price_index_matches_numpy_and_sits_near_null(spark):
+    got = _run(spark, "orders_price_index").iloc[0]
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[["o_orderkey", "o_orderdate"]]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["period"] = (j.o_orderdate >= pd.Timestamp("1997-07-01")).astype(int)
+    j["price"] = j.l_extendedprice / j.l_quantity
+    per = j.groupby(["l_partkey", "period"]).apply(
+        lambda g: pd.Series(
+            {"p": (g.price * g.l_quantity).sum() / g.l_quantity.sum(), "q": g.l_quantity.sum()}
+        ),
+        include_groups=False,
+    )
+    a = per.xs(0, level="period").join(per.xs(1, level="period"), lsuffix="0", rsuffix="1", how="inner")
+    lasp = (a.p1 * a.q0).sum() / (a.p0 * a.q0).sum()
+    paas = (a.p1 * a.q1).sum() / (a.p0 * a.q1).sum()
+    assert got.n_parts == len(a)
+    assert abs(got.laspeyres - np.floor(lasp * 1e6) / 1e6) < 2e-6
+    assert abs(got.paasche - np.floor(paas * 1e6) / 1e6) < 2e-6
+    assert abs(got.fisher - np.floor(np.sqrt(lasp * paas) * 1e6) / 1e6) < 2e-6
+    # stationary fixture prices: the index family sits near 1
+    assert 0.9 < got.fisher < 1.1
+
+
+def test_trimmed_and_winsorized_means_match_numpy(spark):
+    got = _run(spark, "agg_trimmed_mean").set_index("l_linestatus")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    for st, g in li.groupby("l_linestatus"):
+        x = g.l_extendedprice.to_numpy()
+        lo, hi = np.quantile(x, 0.1), np.quantile(x, 0.9)
+        row = got.loc[st]
+        keep = (x >= lo) & (x <= hi)
+        assert row.n == len(x) and row.n_kept == keep.sum()
+        assert abs(row.plain_mean - round(x.mean(), 4)) < 2e-4
+        assert abs(row.trimmed_mean - round(x[keep].mean(), 4)) < 2e-4
+        assert abs(row.winsorized_mean - round(np.clip(x, lo, hi).mean(), 4)) < 2e-4
+        # estimator ordering sanity: all three are interior to the data range
+        assert x.min() <= row.trimmed_mean <= x.max()
