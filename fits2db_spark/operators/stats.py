@@ -3547,3 +3547,90 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         f6(paas).alias("paasche"),
         f6(F.sqrt(lasp * paas)).alias("fisher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flux-conserving rebinning of the daily series (round 8, continuation)
+# ---------------------------------------------------------------------------
+_REBIN_W = 2.5  # new bin width in days (exact in binary: 5/2)
+
+
+@register(
+    "ts_rebin_flux",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    frag AS (
+      SELECT event_type, k,
+             LEAST(d + 1, CAST({_REBIN_W} AS DOUBLE) * (k + 1))
+               - GREATEST(CAST(d AS DOUBLE), CAST({_REBIN_W} AS DOUBLE) * k) AS ov,
+             v
+      FROM (SELECT event_type, d, v,
+                   unnest(generate_series((2 * d) // 5, (2 * (d + 1)) // 5))
+                     AS k
+            FROM daily) t
+      WHERE LEAST(d + 1, CAST({_REBIN_W} AS DOUBLE) * (k + 1))
+            - GREATEST(CAST(d AS DOUBLE), CAST({_REBIN_W} AS DOUBLE) * k) > 0
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS bin_id,
+           CAST({_REBIN_W} AS DOUBLE) * k AS bin_start,
+           ROUND(SUM(ov * v), 4) AS flux,
+           ROUND(SUM(ov), 4) AS coverage_days
+    FROM frag GROUP BY event_type, k
+    """,
+)
+def ts_rebin_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux-conserving rebinning of the daily series onto a
+    {_REBIN_W}-day grid — the resampling rule spectroscopy and
+    light-curve pipelines must use when bin edges don't align (each
+    source bin's flux is split across the destination bins it overlaps,
+    IN PROPORTION to the overlap, so the total is conserved exactly —
+    unlike naive averaging, which loses flux at every fractional edge).
+    Each day [d, d+1) overlaps at most two destination bins; the
+    per-bin `coverage_days` column (2.5 for interior bins, less at the
+    series edges) is the denominator a rate readout would divide by.
+    The irregular-edge complement of `gapfill_timeseries` (which
+    fills) and `ts_interpolate` (which resamples points, not flux).
+
+    Plan: the O(types x days) daily frame explodes to at most 2
+    fragments per day (a bounded generator, not a join), then one
+    partial agg onto the destination grid. Bin ids are pure integer
+    math ((2d) // 5 — no float ever decides membership); overlap
+    fractions are exact binary rationals (multiples of 0.5), so the
+    only inexactness is the value sums, ROUNDed at 1e-4. Conservation
+    (sum of flux = sum of daily values) is pinned in tests."""
+    daily = daily_value_series(spark, sf_dir, agg="sum")
+    lo = F.expr("(2 * d) div 5")
+    hi = F.expr("(2 * (d + 1)) div 5")
+    frag = (
+        daily.select(
+            "event_type",
+            "d",
+            "v",
+            F.explode(F.sequence(lo, hi)).alias("k"),
+        )
+        .select(
+            "event_type",
+            "k",
+            "v",
+            (
+                F.least(F.col("d") + 1, _REBIN_W * (F.col("k") + 1))
+                - F.greatest(F.col("d").cast("double"), _REBIN_W * F.col("k"))
+            ).alias("ov"),
+        )
+        .filter(F.col("ov") > 0)
+    )
+    return frag.groupBy("event_type", "k").agg(
+        F.round(F.sum(F.col("ov") * F.col("v")), 4).alias("flux"),
+        F.round(F.sum("ov"), 4).alias("coverage_days"),
+    ).select(
+        "event_type",
+        F.col("k").cast("long").alias("bin_id"),
+        (F.lit(_REBIN_W) * F.col("k")).alias("bin_start"),
+        "flux",
+        "coverage_days",
+    )

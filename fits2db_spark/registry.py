@@ -151,6 +151,8 @@ _PRIORITY_QUERIES = (
     "orders_segment_migration",
     "orders_price_index",
     "agg_trimmed_mean",
+    "vec_cluster_purity",
+    "ts_rebin_flux",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -505,3 +505,59 @@ def test_trimmed_and_winsorized_means_match_numpy(spark):
         assert abs(row.winsorized_mean - round(np.clip(x, lo, hi).mean(), 4)) < 2e-4
         # estimator ordering sanity: all three are interior to the data range
         assert x.min() <= row.trimmed_mean <= x.max()
+
+
+def test_cluster_validity_metrics_match_sklearn_style_numpy(spark):
+    got = _run(spark, "vec_cluster_purity").iloc[0]
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    seeds = emb[emb.vec_id.between(1, 10)].sort_values("vec_id")
+    S = np.stack(seeds.embedding.to_numpy()).astype(np.float64)
+    d2 = ((V[:, None, :] - S[None, :, :]) ** 2).sum(axis=2)
+    assign = seeds.vec_id.to_numpy()[np.argmin(d2, axis=1)]  # ties: argmin = first
+    cont = pd.crosstab(assign, emb.label.to_numpy()).to_numpy().astype(float)
+    N = cont.sum()
+    purity = cont.max(axis=1).sum() / N
+    pc, pl = cont.sum(axis=1) / N, cont.sum(axis=0) / N
+    pij = cont / N
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mi = np.nansum(pij * np.log(pij / np.outer(pc, pl)))
+    hc = -(pc[pc > 0] * np.log(pc[pc > 0])).sum()
+    hl = -(pl[pl > 0] * np.log(pl[pl > 0])).sum()
+    nmi = 2 * mi / (hc + hl)
+    comb2 = lambda x: x * (x - 1) / 2  # noqa: E731
+    sij = comb2(cont).sum()
+    si, sj = comb2(cont.sum(axis=1)).sum(), comb2(cont.sum(axis=0)).sum()
+    exp = si * sj / comb2(N)
+    ari = (sij - exp) / ((si + sj) / 2 - exp)
+    assert got.n_vectors == int(N)
+    assert abs(got.purity - np.floor(purity * 10000) / 10000) < 2e-4
+    assert abs(got.nmi - np.floor(nmi * 10000) / 10000) < 2e-4
+    assert abs(got.ari - np.floor(ari * 10000) / 10000) < 2e-4
+    # fixture labels are independent of geometry: ARI ~ 0 while purity > 1/k
+    assert abs(got.ari) < 0.1 and got.purity > 0.1
+
+
+def test_rebin_conserves_flux_and_matches_numpy(spark):
+    got = _run(spark, "ts_rebin_flux")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = ev.groupby(["event_type", "d"]).value.sum()
+    for t, s in daily.groupby(level=0):
+        y = s.droplevel(0)
+        ref: dict = {}
+        for d, v in y.items():
+            for k in range((2 * d) // 5, (2 * (d + 1)) // 5 + 1):
+                ov = min(d + 1, 2.5 * (k + 1)) - max(d, 2.5 * k)
+                if ov > 0:
+                    ref[k] = ref.get(k, 0.0) + ov * v
+        sub = got[got.event_type == t].set_index("bin_id")
+        assert set(sub.index) == set(ref)
+        for k, fx in ref.items():
+            assert abs(sub.loc[k].flux - round(fx, 4)) < 2e-4
+            assert sub.loc[k].bin_start == 2.5 * k
+        # flux conservation: total in = total out (the operator's contract)
+        assert abs(sub.flux.sum() - y.sum()) < 1e-2
+        # interior bins cover exactly 2.5 days
+        interior = sub.iloc[1:-1] if len(sub) > 2 else sub
+        assert np.allclose(interior.coverage_days, 2.5, atol=1e-9)
