@@ -1867,3 +1867,179 @@ def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sij") - exp_) / ((F.col("si") + F.col("sj")) / 2 - exp_)
         ).alias("ari"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall-vs-nprobe sweep (round 8, continuation)
+# ---------------------------------------------------------------------------
+_NPROBE_GRID = (1, 2, 4)
+_NPROBE_TOPK = 10
+_NPROBE_QLO, _NPROBE_QHI = 11, 15  # query vec_ids (disjoint from the seeds)
+
+
+@register(
+    "sim_ann_nprobe_sweep",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS semb FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_CPUR_K}
+    ),
+    celldist AS (
+      SELECT e.vec_id, e.label, e.embedding, s.seed_id,
+             list_sum(list_transform(generate_series(1, {_DIM}),
+               i -> (CAST(e.embedding[i] AS DOUBLE)
+                     - CAST(s.semb[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE)
+                       - CAST(s.semb[i] AS DOUBLE)))) AS d2
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, seed_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, seed_id ASC) AS rn
+      FROM celldist
+    ),
+    assign AS (SELECT vec_id, embedding, seed_id AS cell FROM ranked
+               WHERE rn = 1),
+    queries AS (
+      SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+      WHERE vec_id BETWEEN {_NPROBE_QLO} AND {_NPROBE_QHI}
+    ),
+    qcells AS (
+      SELECT r.vec_id AS qid, r.seed_id AS cell, r.rn AS cell_rank
+      FROM ranked r JOIN queries q ON q.qid = r.vec_id
+    ),
+    sims AS (
+      SELECT q.qid, a.vec_id AS nid, a.cell,
+             {_d_dot('q.qemb', 'a.embedding')}
+               / (sqrt({_d_dot('q.qemb', 'q.qemb')})
+                  * sqrt({_d_dot('a.embedding', 'a.embedding')})) AS cos
+      FROM queries q CROSS JOIN assign a
+      WHERE a.vec_id <> q.qid
+    ),
+    truth AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid ASC) AS rk
+        FROM sims) t WHERE rk <= {_NPROBE_TOPK}
+    ),
+    sweep AS (
+      {' UNION ALL '.join(f'''
+      SELECT {np} AS nprobe, s.qid, s.nid,
+             ROW_NUMBER() OVER (PARTITION BY s.qid
+               ORDER BY s.cos DESC, s.nid ASC) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY s.qid) AS DOUBLE) AS n_cand
+      FROM sims s JOIN qcells c
+        ON c.qid = s.qid AND c.cell = s.cell AND c.cell_rank <= {np}
+      ''' for np in _NPROBE_GRID)}
+    )
+    SELECT nprobe,
+           CAST(COUNT(DISTINCT w.qid) AS BIGINT) AS n_queries,
+           FLOOR(AVG(n_cand) / (SELECT COUNT(*) - 1 FROM embeddings)
+                 * 10000) / 10000 AS cand_frac,
+           FLOOR(SUM(CASE WHEN t.nid IS NOT NULL THEN 1.0 ELSE 0 END)
+                 / (COUNT(DISTINCT w.qid) * {_NPROBE_TOPK}) * 10000) / 10000
+             AS recall_at_{_NPROBE_TOPK}
+    FROM (SELECT * FROM sweep WHERE rk <= {_NPROBE_TOPK}) w
+    LEFT JOIN truth t ON t.qid = w.qid AND t.nid = w.nid
+    GROUP BY nprobe
+    """,
+)
+def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@{_NPROBE_TOPK} and scanned-corpus
+    fraction as nprobe sweeps {_NPROBE_GRID} — THE readout an ANN
+    deployment tunes against (FAISS's nprobe knob: probe more cells,
+    scan more corpus, recover more of the exact top-k). Uses the
+    seed-nearest coarse quantizer (`vec_cluster_purity`'s assignment =
+    Lloyd round zero; `sim_ann_ivf` owns the iterated variant) over
+    {_CPUR_K} cells, five held-out queries, exact-cosine rerank inside
+    the probed cells, and brute-force truth computed IN THE SAME QUERY
+    so the recall denominator can never drift from what is evaluated
+    (the `sim_ann_recall_eval` composition principle). Recall rises
+    monotonically with nprobe by construction — pinned in tests.
+
+    Plan: assignment and truth are each one broadcast-seed cross join
+    with a per-vector WindowGroupLimit; each sweep leg reuses the SAME
+    sims frame filtered by the query's top-nprobe cells (no
+    recomputation; at 100 TB sims is never materialized — candidates
+    are generated per cell-partition by the bucketed corpus layout the
+    assignment column defines). Cosines on identical doubles, ties on
+    the unique neighbor id, ratios FLOOR 1e-4."""
+    e = load(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id").between(1, _CPUR_K)).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("semb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("seed_id").asc()
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "seed_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wcell))
+    ).persist()
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", F.col("seed_id").alias("cell")
+    )
+    queries = e.filter(F.col("vec_id").between(_NPROBE_QLO, _NPROBE_QHI)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    qcells = ranked.join(
+        queries.select("qid"), ranked.vec_id == F.col("qid")
+    ).select("qid", F.col("seed_id").alias("cell"), F.col("rn").alias("cell_rank"))
+    cos = _dot(F.col("qemb"), F.col("embedding")) / (
+        _norm(F.col("qemb")) * _norm(F.col("embedding"))
+    )
+    sims = (
+        queries.crossJoin(assign)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), "cell", cos.alias("cos"))
+    ).persist()
+    wrk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    truth = (
+        sims.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= _NPROBE_TOPK)
+        .select("qid", F.col("nid").alias("tnid"))
+    )
+    n_corpus = e.count() - 1  # bounded scalar: the recall denominator base
+    legs = []
+    for np_ in _NPROBE_GRID:
+        cand = sims.join(
+            qcells.filter(F.col("cell_rank") <= np_),
+            ["qid", "cell"],
+        )
+        wq = Window.partitionBy("qid")
+        leg = (
+            cand.withColumn("rk", F.row_number().over(wrk))
+            .withColumn("n_cand", F.count(F.lit(1)).over(wq).cast("double"))
+            .filter(F.col("rk") <= _NPROBE_TOPK)
+            .select(F.lit(np_).alias("nprobe"), "qid", "nid", "n_cand")
+        )
+        legs.append(leg)
+    sweep = legs[0]
+    for leg in legs[1:]:
+        sweep = sweep.unionByName(leg)
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return (
+        sweep.join(
+            truth, (sweep.qid == truth.qid) & (sweep.nid == truth.tnid), "left"
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.countDistinct(sweep.qid).cast("long").alias("n_queries"),
+            f4(F.avg("n_cand") / n_corpus).alias("cand_frac"),
+            f4(
+                F.sum(F.when(F.col("tnid").isNotNull(), 1.0).otherwise(0.0))
+                / (F.countDistinct(sweep.qid) * _NPROBE_TOPK)
+            ).alias(f"recall_at_{_NPROBE_TOPK}"),
+        )
+    )

@@ -153,6 +153,7 @@ _PRIORITY_QUERIES = (
     "agg_trimmed_mean",
     "vec_cluster_purity",
     "ts_rebin_flux",
+    "sim_ann_nprobe_sweep",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -561,3 +561,41 @@ def test_rebin_conserves_flux_and_matches_numpy(spark):
         # interior bins cover exactly 2.5 days
         interior = sub.iloc[1:-1] if len(sub) > 2 else sub
         assert np.allclose(interior.coverage_days, 2.5, atol=1e-9)
+
+
+def test_nprobe_sweep_recall_is_monotone_and_bounded(spark):
+    got = _run(spark, "sim_ann_nprobe_sweep").sort_values("nprobe")
+    assert list(got.nprobe) == [1, 2, 4]
+    assert (got.n_queries == 5).all()
+    # recall and scanned fraction both rise monotonically with nprobe
+    assert (np.diff(got.recall_at_10.to_numpy()) >= -1e-9).all()
+    assert (np.diff(got.cand_frac.to_numpy()) > 0).all()
+    assert ((got.recall_at_10 >= 0) & (got.recall_at_10 <= 1)).all()
+    # probing p of 10 roughly-balanced cells scans ~p/10 of the corpus
+    assert np.allclose(got.cand_frac, got.nprobe / 10, atol=0.1)
+    # numpy re-derivation of the nprobe=1 leg end-to-end
+    import hashlib  # noqa: F401  (parity with sibling tests)
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    seeds_mask = (ids >= 1) & (ids <= 10)
+    S, sid = V[seeds_mask], ids[seeds_mask]
+    order = np.argsort(sid)
+    S, sid = S[order], sid[order]
+    d2 = ((V[:, None, :] - S[None, :, :]) ** 2).sum(axis=2)
+    cell = sid[np.argmin(d2, axis=1)]
+    recalls = []
+    for q in range(11, 16):
+        qi = np.where(ids == q)[0][0]
+        cosall = (V @ V[qi]) / (np.linalg.norm(V, axis=1) * np.linalg.norm(V[qi]))
+        mask = ids != q
+        order_t = sorted(zip(-cosall[mask], ids[mask]))[:10]
+        truth = {int(i) for _, i in order_t}
+        qcell = sid[np.argsort(d2[qi])[0]]
+        cmask = mask & (cell == qcell)
+        order_c = sorted(zip(-cosall[cmask], ids[cmask]))[:10]
+        got_ids = {int(i) for _, i in order_c}
+        recalls.append(len(truth & got_ids) / 10)
+    ref = np.floor(np.mean(recalls) * 10000) / 10000
+    assert abs(got[got.nprobe == 1].recall_at_10.iloc[0] - ref) < 2e-4
