@@ -3634,3 +3634,193 @@ def ts_rebin_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flux",
         "coverage_days",
     )
+
+
+# ---------------------------------------------------------------------------
+# Box Least Squares period search (round 8, continuation)
+# ---------------------------------------------------------------------------
+_BLS_PERIODS = tuple(range(3, 11))  # trial periods in integer days
+
+
+@register(
+    "lightcurve_bls",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    ctr AS (
+      SELECT d.event_type, d.d, d.v - m.mu AS yc
+      FROM daily d JOIN (SELECT event_type, AVG(v) AS mu,
+                                CAST(COUNT(*) AS DOUBLE) AS n
+                         FROM daily GROUP BY event_type) m
+      USING (event_type)
+    ),
+    syy AS (
+      SELECT event_type, SUM(yc * yc) AS s2 FROM ctr GROUP BY event_type
+    ),
+    folded AS (
+      SELECT c.event_type, g.p, c.d % g.p AS phase,
+             CAST(COUNT(*) AS DOUBLE) AS nb, SUM(c.yc) AS sb
+      FROM ctr c CROSS JOIN
+           (SELECT unnest(ARRAY{list(_BLS_PERIODS)}) AS p) g
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT event_type, p, SUM(nb) AS n FROM folded GROUP BY 1, 2
+    ),
+    power AS (
+      SELECT f.event_type, f.p, f.phase,
+             f.sb * f.sb / (f.nb * (1 - f.nb / t.n)) / y.s2 AS pw
+      FROM folded f JOIN tot t USING (event_type, p)
+      JOIN syy y USING (event_type)
+      WHERE f.nb < t.n
+    )
+    SELECT event_type, CAST(p AS BIGINT) AS period,
+           CAST(phase AS BIGINT) AS best_phase,
+           FLOOR(pw * 10000) / 10000 AS bls_power
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, p
+                                   ORDER BY pw DESC, phase ASC) AS rk
+      FROM power) t
+    WHERE rk = 1
+    """,
+)
+def lightcurve_bls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box Least Squares period search (Kovács, Zucker & Mazeh 2002 —
+    THE exoplanet-transit detection algorithm): fold the mean-centered
+    daily series at each trial period {_BLS_PERIODS[0]}-{_BLS_PERIODS[-1]},
+    and for every 1-day phase box score s² / (n_b (1 - n_b/n) · Σyc²) —
+    the box's squared flux deficit normalized by its data share AND the
+    series' total variance, so the power is the dimensionless signal
+    residue in [0, 1] (scale-free across tiers; the raw unnormalized
+    power grows with the square of the flux and made the cross-engine
+    1e-3 floor demand 13 significant digits of accumulation agreement);
+    a periodic dip (a transit) maximizes it at the true period and
+    phase. Returns each (type, period)'s best box so the period spectrum
+    is inspectable, exactly like `lightcurve_pdm` returns its dispersion
+    spectrum (PDM finds smooth periodicity, BLS box-shaped dips; the
+    periodogram sinusoids — the three standard period-search lenses,
+    now all present).
+
+    Plan: the O(types x days) centered frame multiplied by the trial
+    grid (never raw events), one partial agg to O(types x periods x
+    phases <= 10) cells, one per-(type, period) WindowGroupLimit top-1.
+    Integer phase keys (d % p, non-negative); the normalized power
+    FLOORs at 1e-4."""
+    daily = daily_value_series(spark, sf_dir, agg="sum")
+    m = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    ctr = daily.join(F.broadcast(m), "event_type").select(
+        "event_type", "d", (F.col("v") - F.col("mu")).alias("yc")
+    )
+    syy = ctr.groupBy("event_type").agg(
+        F.sum(F.col("yc") * F.col("yc")).alias("s2")
+    )
+    grid = F.explode(F.array(*[F.lit(p) for p in _BLS_PERIODS])).alias("p")
+    folded = (
+        ctr.select("event_type", "d", "yc", grid)
+        .groupBy("event_type", "p", (F.col("d") % F.col("p")).alias("phase"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nb"),
+            F.sum("yc").alias("sb"),
+        )
+    )
+    tot = folded.groupBy("event_type", "p").agg(F.sum("nb").alias("n"))
+    power = (
+        folded.join(tot, ["event_type", "p"])
+        .join(F.broadcast(syy), "event_type")
+        .filter(F.col("nb") < F.col("n"))
+        .select(
+            "event_type",
+            "p",
+            "phase",
+            (
+                F.col("sb") * F.col("sb")
+                / (F.col("nb") * (1 - F.col("nb") / F.col("n")))
+                / F.col("s2")
+            ).alias("pw"),
+        )
+    )
+    w = Window.partitionBy("event_type", "p").orderBy(
+        F.col("pw").desc(), F.col("phase").asc()
+    )
+    return (
+        power.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("p").cast("long").alias("period"),
+            F.col("phase").cast("long").alias("best_phase"),
+            (F.floor(F.col("pw") * 10000) / 10000).alias("bls_power"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Circular statistics over hour-of-day (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "events_circular_stats",
+    oracle="""
+    WITH ang AS (
+      SELECT event_type,
+             2 * pi() * CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 24
+               AS theta
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(cos(theta)) AS c, SUM(sin(theta)) AS sn
+      FROM ang GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           FLOOR(sqrt(c * c + sn * sn) / n * 100000) / 100000 AS resultant_r,
+           FLOOR(((atan2(sn, c) + 2 * pi())
+                  - 2 * pi() * FLOOR((atan2(sn, c) + 2 * pi()) / (2 * pi())))
+                 * 24 / (2 * pi()) * 1000) / 1000 AS mean_hour,
+           FLOOR(n * (c * c + sn * sn) / (n * n) * 1000) / 1000 AS rayleigh_z
+    FROM s
+    """,
+)
+def events_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of event hour-of-day (Fisher, *Statistical
+    Analysis of Circular Data*): the resultant length R (0 = uniform
+    around the clock, 1 = all events at one instant), the circular mean
+    hour (atan2 of the summed unit vectors — the ONLY correct average
+    of a periodic quantity; the arithmetic mean of 23h and 1h is the
+    absurd 12h, the circular mean is midnight), and the Rayleigh
+    uniformity statistic z = nR² (z > ~3 rejects uniformity at 5%).
+    The time-of-day complement of `events_seasonality` (day-of-week
+    profile) and `agg_fdr_bh` (weekday tests); on the fixture's
+    clock-uniform stream R sits near 0 — the calibrated null.
+
+    Plan: one scan into an O(types) aggregate of (n, sum cos, sum sin)
+    — the sufficient statistics, mergeable across any partitioning.
+    Hour extraction is integer in both engines; trig per the module's
+    libm convention; the mean-hour modulus is spelled x - 2pi*FLOOR(
+    x/2pi) in BOTH texts (atan2 can return negatives; pmod convention
+    from spatial_ring). R FLOORs at 1e-5 (it sits near 0 where 1e-4
+    would quantize away the signal), z and hours at 1e-3."""
+    e = load(spark, sf_dir, "events")
+    theta = 2 * math.pi * F.hour(F.col("ts").cast("timestamp")).cast("double") / 24
+    s = e.select("event_type", theta.alias("theta")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.cos("theta")).alias("c"),
+        F.sum(F.sin("theta")).alias("sn"),
+    )
+    r2 = F.col("c") * F.col("c") + F.col("sn") * F.col("sn")
+    raw = F.atan2(F.col("sn"), F.col("c")) + 2 * math.pi
+    wrapped = raw - 2 * math.pi * F.floor(raw / (2 * math.pi))
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(F.sqrt(r2) / F.col("n") * 100000) / 100000).alias("resultant_r"),
+        (F.floor(wrapped * 24 / (2 * math.pi) * 1000) / 1000).alias("mean_hour"),
+        (F.floor(F.col("n") * r2 / (F.col("n") * F.col("n")) * 1000) / 1000).alias(
+            "rayleigh_z"
+        ),
+    )

@@ -154,6 +154,8 @@ _PRIORITY_QUERIES = (
     "vec_cluster_purity",
     "ts_rebin_flux",
     "sim_ann_nprobe_sweep",
+    "lightcurve_bls",
+    "events_circular_stats",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

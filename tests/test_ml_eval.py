@@ -599,3 +599,51 @@ def test_nprobe_sweep_recall_is_monotone_and_bounded(spark):
         recalls.append(len(truth & got_ids) / 10)
     ref = np.floor(np.mean(recalls) * 10000) / 10000
     assert abs(got[got.nprobe == 1].recall_at_10.iloc[0] - ref) < 2e-4
+
+
+def test_bls_matches_numpy_fold_and_is_bounded(spark):
+    got = _run(spark, "lightcurve_bls")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = ev.groupby(["event_type", "d"]).value.sum()
+    for t, s in daily.groupby(level=0):
+        y = s.droplevel(0)
+        yc = (y - y.mean()).to_numpy()
+        d = y.index.to_numpy()
+        s2 = (yc**2).sum()
+        n = len(yc)
+        for p in range(3, 11):
+            best = None
+            for b in range(p):
+                m = (d % p) == b
+                nb = m.sum()
+                if nb == 0 or nb == n:
+                    continue
+                pw = yc[m].sum() ** 2 / (nb * (1 - nb / n)) / s2
+                if best is None or pw > best[0] + 1e-15:
+                    best = (pw, b)
+            row = got[(got.event_type == t) & (got.period == p)].iloc[0]
+            assert row.best_phase == best[1]
+            assert abs(row.bls_power - np.floor(best[0] * 10000) / 10000) < 2e-4
+            assert 0.0 <= row.bls_power <= 1.0  # normalized signal residue
+
+
+def test_circular_stats_match_numpy_and_sit_near_uniform(spark):
+    got = _run(spark, "events_circular_stats").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["theta"] = 2 * np.pi * ev.ts.dt.hour / 24
+    for t, g in ev.groupby("event_type"):
+        c, sn = np.cos(g.theta).sum(), np.sin(g.theta).sum()
+        n = len(g)
+        r = np.sqrt(c * c + sn * sn) / n
+        raw = np.arctan2(sn, c) + 2 * np.pi
+        mean_hour = (raw - 2 * np.pi * np.floor(raw / (2 * np.pi))) * 24 / (2 * np.pi)
+        z = n * r * r
+        row = got.loc[t]
+        assert row.n == n
+        assert abs(row.resultant_r - np.floor(r * 1e5) / 1e5) < 2e-5
+        assert abs(row.mean_hour - np.floor(mean_hour * 1000) / 1000) < 2e-3
+        assert abs(row.rayleigh_z - np.floor(z * 1000) / 1000) < 2e-3
+        assert 0 <= row.mean_hour < 24
+        # the fixture stream is clock-uniform: R near 0 is the calibrated null
+        assert row.resultant_r < 0.2
