@@ -1534,3 +1534,101 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("p_rank"),
         (F.col("rk") <= F.col("kmax")).alias("reject_fdr10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paired t-test on per-customer period deltas (round 8, continuation)
+# ---------------------------------------------------------------------------
+_PAIRED_SPLIT = "1997-07-01"
+
+
+@register(
+    "agg_paired_ttest",
+    oracle=f"""
+    WITH per AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             SUM(CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '{_PAIRED_SPLIT}'
+                      THEN CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS a,
+             SUM(CASE WHEN CAST(o.o_orderdate AS DATE) >= DATE '{_PAIRED_SPLIT}'
+                      THEN CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS b,
+             CAST(MAX(CASE WHEN CAST(o.o_orderdate AS DATE)
+                                < DATE '{_PAIRED_SPLIT}' THEN 1 ELSE 0 END)
+                  * MAX(CASE WHEN CAST(o.o_orderdate AS DATE)
+                                  >= DATE '{_PAIRED_SPLIT}' THEN 1 ELSE 0 END)
+                  AS BOOLEAN) AS paired
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(CAST(SUM(b - a) AS DOUBLE) * 100.0 / COUNT(*)) / 10000
+             AS mean_delta,
+           FLOOR(AVG(CAST(b - a AS DOUBLE))
+                 / (stddev_samp(CAST(b - a AS DOUBLE)) / sqrt(COUNT(*)))
+                 * 10000) / 10000 AS t_stat
+    FROM per WHERE paired
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test of per-customer spend before vs after
+    {_PAIRED_SPLIT}, by market segment — the within-subject design that
+    removes between-customer variance entirely (each customer is their
+    own control), which is why it detects far smaller shifts than
+    `agg_welch_ttest`'s unpaired comparison at the same n. Only
+    customers active in BOTH periods pair (the MAX-flag product); the
+    statistic is mean(delta) / (sd(delta)/sqrt(n)). Completes the
+    testing family: Welch (unpaired), paired (within-subject), KS
+    (distributional), chi-square (categorical), BH (the multiplicity
+    layer over any of them).
+
+    Plan: one conditional-aggregation pass over the orders-customer
+    join to O(customers) rows (the CUPED/segment-migration split
+    shape), one O(segments) moment aggregate. Period spends accumulate
+    as EXACT BIGINT cents (the 2-decimal fixture prices integerize
+    losslessly), so mean_delta is one correctly-rounded division of
+    identical integers in both engines — the double-sum version flaked
+    at an exact 1e-4 FLOOR grid point (measured: MACHINERY at sf0.01
+    lands on the grid because its cent total divides by n_pairs);
+    the t statistic is scale-invariant to the cent units. FLOOR 1e-4."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    is_a = F.col("o_orderdate").cast("date") < F.lit(_PAIRED_SPLIT).cast("date")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.when(is_a, cents).otherwise(0)).alias("a"),
+            F.sum(F.when(~is_a, cents).otherwise(0)).alias("b"),
+            (
+                F.max(F.when(is_a, 1).otherwise(0))
+                * F.max(F.when(~is_a, 1).otherwise(0))
+            )
+            .cast("boolean")
+            .alias("paired"),
+        )
+    )
+    d = F.col("b") - F.col("a")
+    dd = d.cast("double")
+    return (
+        per.filter(F.col("paired"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (
+                F.floor(F.sum(d).cast("double") * 100.0 / F.count(F.lit(1)))
+                / 10000
+            ).alias("mean_delta"),
+            (
+                F.floor(
+                    F.avg(dd)
+                    / (F.stddev_samp(dd) / F.sqrt(F.count(F.lit(1))))
+                    * 10000
+                )
+                / 10000
+            ).alias("t_stat"),
+        )
+    )

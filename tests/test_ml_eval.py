@@ -647,3 +647,32 @@ def test_circular_stats_match_numpy_and_sit_near_uniform(spark):
         assert 0 <= row.mean_hour < 24
         # the fixture stream is clock-uniform: R near 0 is the calibrated null
         assert row.resultant_r < 0.2
+
+
+def test_paired_ttest_matches_numpy_within_subject_design(spark):
+    got = _run(spark, "agg_paired_ttest").set_index("c_mktsegment")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_custkey", "c_mktsegment"]]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.round(j.o_totalprice * 100).astype(np.int64)
+    j["pre"] = j.o_orderdate < pd.Timestamp("1997-07-01")
+    per = j.groupby(["c_mktsegment", "o_custkey"]).apply(
+        lambda g: pd.Series(
+            {
+                "a": g.cents[g.pre].sum(),
+                "b": g.cents[~g.pre].sum(),
+                "paired": g.pre.any() and (~g.pre).any(),
+            }
+        ),
+        include_groups=False,
+    )
+    per = per[per.paired]
+    for seg, g in per.groupby(level=0):
+        d = (g.b - g.a).to_numpy().astype(np.float64)
+        n = len(d)
+        t = d.mean() / (d.std(ddof=1) / np.sqrt(n))
+        row = got.loc[seg]
+        assert row.n_pairs == n
+        # mean_delta is exact integer-cent arithmetic back in currency units
+        assert abs(row.mean_delta - np.floor(d.sum() * 100.0 / n) / 10000) < 1e-9
+        assert abs(row.t_stat - np.floor(t * 10000) / 10000) < 2e-4
