@@ -1280,3 +1280,88 @@ def join_xmatch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("int").alias("rk"),
         F.floor(F.col("sep_m4") / 10000).cast("long").alias("sep_arcsec_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate invoice detection (round 8, continuation)
+# ---------------------------------------------------------------------------
+_DUPINV_TOL = 2500.0  # max |price difference| for a suspicious pair
+_DUPINV_BAND = 2500  # blocking band width = tolerance (adjacent-band probe)
+_DUPINV_DAYS = 90  # max day gap
+
+
+@register(
+    "orders_dup_invoices",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(o_orderdate AS DATE) AS od,
+             CAST(FLOOR(o_totalprice / {_DUPINV_BAND}) AS BIGINT) AS band
+      FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+           ROUND(ABS(a.o_totalprice - b.o_totalprice), 2) AS price_diff,
+           CAST(ABS(datediff('day', a.od, b.od)) AS BIGINT) AS day_gap
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND b.band BETWEEN a.band - 1 AND a.band + 1
+     AND a.o_orderkey < b.o_orderkey
+    WHERE ABS(a.o_totalprice - b.o_totalprice) <= {_DUPINV_TOL}
+      AND ABS(datediff('day', a.od, b.od)) <= {_DUPINV_DAYS}
+    """,
+)
+def orders_dup_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate invoice detection — the double-billing /
+    double-submission screen every payables or claims pipeline runs:
+    pairs of orders from the SAME customer whose totals agree within
+    {_DUPINV_TOL:.0f} and whose dates fall within {_DUPINV_DAYS} days.
+    Fixture reality check: EXACT price collisions are zero (uniform
+    2-decimal doubles), so the realistic tolerance-based rule is the
+    operator — it yields 6 / 68 flagged pairs at sf0.001 / sf0.01,
+    non-vacuous at every tier.
+
+    Plan: the self-join blocks on (custkey, price band) with the
+    ADJACENT-band probe (band width = tolerance, so a qualifying pair
+    can never straddle more than one edge — `join_range_binned`'s
+    guarantee), then the exact tolerance and date predicates filter
+    inside the block; pair explosion is bounded by orders-per-customer
+    x 3 bands, never all-pairs. At 100 TB the join co-partitions on
+    custkey. The okey_a < okey_b canonical order makes each pair
+    appear once; all comparisons are exact (integer bands, 2-decimal
+    prices, integer day gaps)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.floor(F.col("o_totalprice") / _DUPINV_BAND).cast("long").alias("band"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.band") >= F.col("a.band") - 1)
+            & (F.col("b.band") <= F.col("a.band") + 1)
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(
+            (F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice")) <= _DUPINV_TOL)
+            & (
+                F.abs(F.datediff(F.col("a.od"), F.col("b.od")))
+                <= _DUPINV_DAYS
+            )
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("okey_a"),
+            F.col("b.o_orderkey").alias("okey_b"),
+            F.round(
+                F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice")), 2
+            ).alias("price_diff"),
+            F.abs(F.datediff(F.col("a.od"), F.col("b.od")))
+            .cast("long")
+            .alias("day_gap"),
+        )
+    )

@@ -3824,3 +3824,184 @@ def events_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rayleigh_z"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the cumulative daily series (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "events_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, d,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM daily
+    ),
+    dd AS (
+      SELECT event_type, d, c,
+             MAX(c) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(peak - c), 4) AS max_drawdown,
+           ROUND(MAX(CASE WHEN peak > 0 THEN (peak - c) / peak ELSE 0 END), 6)
+             AS max_drawdown_frac,
+           CAST(MIN(CASE WHEN peak - c = dmax THEN d END) AS BIGINT)
+             AS trough_day
+    FROM (SELECT *, MAX(peak - c) OVER (PARTITION BY event_type) AS dmax
+          FROM dd) t
+    GROUP BY event_type
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each type's cumulative value curve — the
+    risk statistic every portfolio/SLA dashboard leads with (largest
+    peak-to-trough fall of the running total, absolute and as a
+    fraction of the peak) plus the trough day (earliest, if tied).
+    The running-maximum construction is the textbook two-window form:
+    cumulative sum, then its prefix maximum, then max(peak - cum).
+    Complements `events_cusum` (which alarms on the way down) with the
+    retrospective worst-case magnitude.
+
+    Plan: three windows, ALL partitioned by type over the O(types x
+    days) pre-aggregated frame — never raw events. The trough day uses
+    a MIN-over-matching-rows instead of a rank (one fewer sort). Sums
+    are the shared daily doubles; drawdowns ROUND 1e-4, fractions
+    1e-6."""
+    daily = daily_value_series(spark, sf_dir, agg="sum")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select("event_type", "d", F.sum("v").over(wcum).alias("c"))
+    dd = cum.select(
+        "event_type", "d", "c", F.max("c").over(wcum).alias("peak")
+    )
+    wall = Window.partitionBy("event_type")
+    t = dd.select(
+        "event_type",
+        "d",
+        "c",
+        "peak",
+        F.max(F.col("peak") - F.col("c")).over(wall).alias("dmax"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max(F.col("peak") - F.col("c")), 4).alias("max_drawdown"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("peak") > 0, (F.col("peak") - F.col("c")) / F.col("peak")
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("max_drawdown_frac"),
+        F.min(F.when(F.col("peak") - F.col("c") == F.col("dmax"), F.col("d")))
+        .cast("long")
+        .alias("trough_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "events_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    s AS (
+      SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY event_type
+    ),
+    n AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n FROM daily
+          GROUP BY event_type)
+    SELECT s.event_type, CAST(n.n AS BIGINT) AS n_days, s.s_stat,
+           FLOOR(CAST(s.s_stat AS DOUBLE) / s.n_pairs * 10000) / 10000
+             AS kendall_tau,
+           FLOOR((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                       WHEN s.s_stat < 0 THEN s.s_stat + 1
+                       ELSE 0 END)
+                 / sqrt(n.n * (n.n - 1) * (2 * n.n + 5) / 18)
+                 * 10000) / 10000 AS z_stat
+    FROM s JOIN n USING (event_type)
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test — the standard non-parametric
+    monotone-trend detector (hydrology/climate's default): S = sum of
+    sign(v_j - v_i) over all i < j day pairs, Kendall's tau = S /
+    n_pairs, and the continuity-corrected normal statistic z =
+    (S -/+ 1) / sqrt(n(n-1)(2n+5)/18). `agg_theilsen` estimates the
+    trend SLOPE robustly; Mann-Kendall supplies the SIGNIFICANCE the
+    slope alone can't — the standard pairing in every trend-analysis
+    package. Exact integer S (no distributional assumption touches the
+    data side).
+
+    Plan: the O(types x days) frame self-joins on (type, d_j > d_i) —
+    ~n²/2 = 435 pairs per type on 30-day series, O(days²) generally;
+    at long horizons the O(n log n) merge-sort inversion count replaces
+    it (documented trade, same statistic). One integer partial agg;
+    only tau and z touch doubles, FLOOR 1e-4."""
+    daily = daily_value_series(spark, sf_dir, agg="sum")
+    a, b = daily.alias("a"), daily.alias("b")
+    sg = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") > F.col("a.d")),
+        )
+        .select(F.col("a.event_type").alias("event_type"), sg.alias("sg"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("sg").cast("long").alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    corr = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    var = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18
+    return s.join(n, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        "s_stat",
+        (
+            F.floor(F.col("s_stat").cast("double") / F.col("n_pairs") * 10000)
+            / 10000
+        ).alias("kendall_tau"),
+        (F.floor(corr / F.sqrt(var) * 10000) / 10000).alias("z_stat"),
+    )

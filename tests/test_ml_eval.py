@@ -676,3 +676,61 @@ def test_paired_ttest_matches_numpy_within_subject_design(spark):
         # mean_delta is exact integer-cent arithmetic back in currency units
         assert abs(row.mean_delta - np.floor(d.sum() * 100.0 / n) / 10000) < 1e-9
         assert abs(row.t_stat - np.floor(t * 10000) / 10000) < 2e-4
+
+
+def test_max_drawdown_matches_numpy(spark):
+    got = _run(spark, "events_max_drawdown").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = ev.groupby(["event_type", "d"]).value.sum()
+    for t, s in daily.groupby(level=0):
+        y = s.droplevel(0).sort_index()
+        c = y.cumsum().to_numpy()
+        peak = np.maximum.accumulate(c)
+        dd = peak - c
+        row = got.loc[t]
+        assert row.n_days == len(c)
+        assert abs(row.max_drawdown - round(dd.max(), 4)) < 2e-4
+        frac = np.where(peak > 0, dd / peak, 0.0).max()
+        assert abs(row.max_drawdown_frac - round(frac, 6)) < 2e-6
+        assert row.trough_day == y.index.to_numpy()[np.argmax(dd)]
+        assert row.max_drawdown >= 0
+
+
+def test_mann_kendall_matches_numpy_pair_counting(spark):
+    got = _run(spark, "events_mann_kendall").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = ev.groupby(["event_type", "d"]).value.sum()
+    for t, s in daily.groupby(level=0):
+        y = s.droplevel(0).sort_index().to_numpy()
+        n = len(y)
+        S = int(np.sign(y[None, :] - y[:, None])[np.triu_indices(n, 1)].sum())
+        npairs = n * (n - 1) // 2
+        corr = S - 1 if S > 0 else (S + 1 if S < 0 else 0)
+        z = corr / np.sqrt(n * (n - 1) * (2 * n + 5) / 18)
+        row = got.loc[t]
+        assert row.s_stat == S and row.n_days == n
+        assert abs(row.kendall_tau - np.floor(S / npairs * 10000) / 10000) < 2e-4
+        assert abs(row.z_stat - np.floor(z * 10000) / 10000) < 2e-4
+        assert -1 <= row.kendall_tau <= 1
+
+
+def test_dup_invoices_match_brute_force_pairs(spark):
+    got = _run(spark, "orders_dup_invoices")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    ref = set()
+    for _, g in o.groupby("o_custkey"):
+        arr = g[["o_orderkey", "o_totalprice", "o_orderdate"]].to_numpy()
+        for i in range(len(arr)):
+            for j in range(i + 1, len(arr)):
+                ka, pa, da = arr[i]
+                kb, pb, db = arr[j]
+                if ka > kb:
+                    ka, pa, da, kb, pb, db = kb, pb, db, ka, pa, da
+                if abs(pa - pb) <= 2500.0 and abs((da - db).days) <= 90:
+                    ref.add((int(ka), int(kb)))
+    assert set(zip(got.okey_a, got.okey_b)) == ref
+    assert (got.price_diff <= 2500.0).all()
+    assert (got.day_gap <= 90).all()
+    assert len(got) >= 1  # non-vacuous at the smoke tier (measured: 6)
