@@ -1632,3 +1632,110 @@ def agg_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one jackknife SE for a ratio metric (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_jackknife_ratio_se",
+    oracle="""
+    WITH per AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS a,
+             CAST(COUNT(*) AS BIGINT) AS b
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT c_mktsegment, SUM(a) AS sa, SUM(b) AS sb,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM per GROUP BY c_mktsegment
+    ),
+    loo AS (
+      SELECT p.c_mktsegment, t.n, t.sa, t.sb,
+             CAST(t.sa - p.a AS DOUBLE) / CAST(t.sb - p.b AS DOUBLE) / 100.0
+             - CAST(t.sa AS DOUBLE) / t.sb / 100.0 AS lc
+      FROM per p JOIN tot t USING (c_mktsegment)
+    )
+    SELECT c_mktsegment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           FLOOR(CAST(MAX(sa) AS DOUBLE) / MAX(sb) / 100.0 * 10000) / 10000
+             AS revenue_per_order,
+           FLOOR(sqrt((MAX(n) - 1) / MAX(n)
+                      * (SUM(lc * lc) - COUNT(*) * AVG(lc) * AVG(lc)))
+                 * 10000) / 10000 AS jackknife_se
+    FROM loo GROUP BY c_mktsegment
+    """,
+)
+def agg_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one jackknife standard error of a RATIO metric (revenue
+    per order, by segment) — the estimator A/B-test platforms use for
+    ratio metrics because the naive per-row variance is simply wrong
+    when both numerator and denominator are random (Deng et al. 2017;
+    the delta method's resampling-free sibling). The n leave-one-out
+    replicates come from SUM ALGEBRA — (SA - a_i)/(SB - b_i) off the
+    broadcast totals, the `ml_kfold_linreg` trick — so "resampling"
+    costs one scan, not n. Numerators accumulate as exact BIGINT cents
+    (the `agg_paired_ttest` lesson, applied preemptively).
+
+    Plan: one partial agg to O(customers), one O(segments) totals
+    broadcast, one variance aggregate over the replicates. FLOOR
+    1e-4."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(cents).alias("a"),
+            F.count(F.lit(1)).cast("long").alias("b"),
+        )
+    )
+    tot = per.groupBy("c_mktsegment").agg(
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    loo = per.join(F.broadcast(tot), "c_mktsegment").select(
+        "c_mktsegment",
+        "n",
+        "sa",
+        "sb",
+        # centered replicate: l_i minus the (deterministic, per-segment)
+        # full-sample ratio. The raw one-pass identity sum(l^2) - n*mean^2
+        # subtracts two ~1e15 numbers to extract a ~1e9 variance at the
+        # sf1 tier and the lost digits differ by accumulation order
+        # (measured: SE 270.506 vs 270.5088 cross-engine) — centering
+        # makes every summand O(deviation), killing the cancellation.
+        (
+            (F.col("sa") - F.col("a")).cast("double")
+            / (F.col("sb") - F.col("b")).cast("double")
+            / 100.0
+            - F.col("sa").cast("double") / F.col("sb") / 100.0
+        ).alias("lc"),
+    )
+    return loo.groupBy("c_mktsegment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        (
+            F.floor(
+                F.max("sa").cast("double") / F.max("sb") / 100.0 * 10000
+            )
+            / 10000
+        ).alias("revenue_per_order"),
+        (
+            F.floor(
+                F.sqrt(
+                    (F.max("n") - 1)
+                    / F.max("n")
+                    * (
+                        F.sum(F.col("lc") * F.col("lc"))
+                        - F.count(F.lit(1)) * F.avg("lc") * F.avg("lc")
+                    )
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("jackknife_se"),
+    )

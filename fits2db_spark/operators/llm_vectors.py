@@ -2043,3 +2043,155 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{_NPROBE_TOPK}"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Energy-distance two-sample test between embedding groups (round 8, cont.)
+# ---------------------------------------------------------------------------
+_ED_LABEL_A, _ED_LABEL_B = 0, 1
+_ED_CAP = 500  # deterministic per-group sample cap (vec_id order)
+
+
+@register(
+    "vec_energy_distance",
+    oracle=f"""
+    WITH ga AS (
+      SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings WHERE label = {_ED_LABEL_A}) t WHERE rn <= {_ED_CAP}
+    ),
+    gb AS (
+      SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings WHERE label = {_ED_LABEL_B}) t WHERE rn <= {_ED_CAP}
+    ),
+    xy AS (
+      SELECT AVG(sqrt(list_sum(list_transform(generate_series(1, {_DIM}),
+               i -> (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE))
+                    * (CAST(a.embedding[i] AS DOUBLE)
+                       - CAST(b.embedding[i] AS DOUBLE)))))) AS exy,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM ga a CROSS JOIN gb b
+    ),
+    xx AS (
+      SELECT SUM(sqrt(list_sum(list_transform(generate_series(1, {_DIM}),
+               i -> (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE))
+                    * (CAST(a.embedding[i] AS DOUBLE)
+                       - CAST(b.embedding[i] AS DOUBLE))))))
+               / (COUNT(*)) AS exx
+      FROM ga a JOIN ga b ON a.vec_id < b.vec_id
+    ),
+    yy AS (
+      SELECT SUM(sqrt(list_sum(list_transform(generate_series(1, {_DIM}),
+               i -> (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE))
+                    * (CAST(a.embedding[i] AS DOUBLE)
+                       - CAST(b.embedding[i] AS DOUBLE))))))
+               / (COUNT(*)) AS eyy
+      FROM gb a JOIN gb b ON a.vec_id < b.vec_id
+    )
+    SELECT xy.n_xy,
+           FLOOR(xy.exy * 10000) / 10000 AS mean_cross_dist,
+           FLOOR(xx.exx * 10000) / 10000 AS mean_within_a,
+           FLOOR(yy.eyy * 10000) / 10000 AS mean_within_b,
+           FLOOR((2 * xy.exy - xx.exx - yy.eyy) * 100000) / 100000
+             AS energy_distance
+    FROM xy CROSS JOIN xx CROSS JOIN yy
+    """,
+)
+def vec_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between two embedding groups (Székely & Rizzo
+    2004): E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| over pairwise Euclidean
+    distances — the multivariate two-sample statistic (zero iff the
+    distributions are equal) that needs no binning, no density
+    estimate, and no projection, which is why it is the standard
+    embedding-drift test where the scalar KS (`agg_ks_test`) cannot
+    see correlated-dimension shifts. Within-group means use unordered
+    pairs (vec_id < vec_id — the U-statistic denominator n(n-1)/2).
+    The fixture's label groups are draws from the SAME distribution,
+    so E sits near 0 at every tier: the calibrated null, with the
+    three mean distances reported so a real shift is attributable
+    (cross-distance up vs within-spread up).
+
+    Plan: two within-group self-joins and one cross join, each bounded
+    by the {_ED_CAP}-vector deterministic per-group cap (first
+    {_ED_CAP} by vec_id — at 100 TB the energy test runs on a sample BY
+    CONSTRUCTION: the statistic is an expectation, subsampling is
+    unbiased, and the cap turns the U-statistic's quadratic cost into
+    a constant ~{_ED_CAP}²/2 pairs per term — measured 39s -> bounded
+    at the ~sf1 tier). Distances fold i = 1..{_DIM}
+    in index order (sqrt IEEE-exact); means FLOOR at 1e-4, the
+    statistic at 1e-5 (it sits near 0)."""
+    e = load(spark, sf_dir, "embeddings")
+    wcap = Window.partitionBy("label").orderBy("vec_id")
+
+    def grp(lbl, idname, ename):
+        return (
+            e.filter(F.col("label") == lbl)
+            .withColumn("rn", F.row_number().over(wcap))
+            .filter(F.col("rn") <= _ED_CAP)
+            .select(F.col("vec_id").alias(idname), F.col("embedding").alias(ename))
+        )
+
+    ga = grp(_ED_LABEL_A, "ida", "ea")
+    gb = grp(_ED_LABEL_B, "idb", "eb")
+
+    def dist(x, y):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    x,
+                    y,
+                    lambda p, q: (p.cast("double") - q.cast("double"))
+                    * (p.cast("double") - q.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    xy = ga.crossJoin(gb).agg(
+        F.avg(dist(F.col("ea"), F.col("eb"))).alias("exy"),
+        F.count(F.lit(1)).cast("long").alias("n_xy"),
+    )
+    ga2 = ga.select(F.col("ida").alias("ida2"), F.col("ea").alias("ea2"))
+    xx = (
+        ga.crossJoin(ga2)
+        .filter(F.col("ida") < F.col("ida2"))
+        .agg(
+            (F.sum(dist(F.col("ea"), F.col("ea2"))) / F.count(F.lit(1))).alias(
+                "exx"
+            )
+        )
+    )
+    gb2 = gb.select(F.col("idb").alias("idb2"), F.col("eb").alias("eb2"))
+    yy = (
+        gb.crossJoin(gb2)
+        .filter(F.col("idb") < F.col("idb2"))
+        .agg(
+            (F.sum(dist(F.col("eb"), F.col("eb2"))) / F.count(F.lit(1))).alias(
+                "eyy"
+            )
+        )
+    )
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return (
+        xy.crossJoin(xx)
+        .crossJoin(yy)
+        .select(
+            "n_xy",
+            f4(F.col("exy")).alias("mean_cross_dist"),
+            f4(F.col("exx")).alias("mean_within_a"),
+            f4(F.col("eyy")).alias("mean_within_b"),
+            (
+                F.floor(
+                    (2 * F.col("exy") - F.col("exx") - F.col("eyy")) * 100000
+                )
+                / 100000
+            ).alias("energy_distance"),
+        )
+    )

@@ -734,3 +734,51 @@ def test_dup_invoices_match_brute_force_pairs(spark):
     assert (got.price_diff <= 2500.0).all()
     assert (got.day_gap <= 90).all()
     assert len(got) >= 1  # non-vacuous at the smoke tier (measured: 6)
+
+
+def test_energy_distance_matches_numpy_and_sits_near_null(spark):
+    got = _run(spark, "vec_energy_distance").iloc[0]
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+    def grp(lbl):
+        g = emb[emb.label == lbl].sort_values("vec_id").head(500)
+        return np.stack(g.embedding.to_numpy()).astype(np.float64)
+
+    X, Y = grp(0), grp(1)
+
+    def pdist(A, B):
+        return np.sqrt(((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2))
+
+    exy = pdist(X, Y).mean()
+    dxx = pdist(X, X)
+    exx = dxx[np.triu_indices(len(X), 1)].mean()
+    dyy = pdist(Y, Y)
+    eyy = dyy[np.triu_indices(len(Y), 1)].mean()
+    ed = 2 * exy - exx - eyy
+    assert got.n_xy == len(X) * len(Y)
+    assert abs(got.mean_cross_dist - np.floor(exy * 10000) / 10000) < 2e-4
+    assert abs(got.mean_within_a - np.floor(exx * 10000) / 10000) < 2e-4
+    assert abs(got.mean_within_b - np.floor(eyy * 10000) / 10000) < 2e-4
+    assert abs(got.energy_distance - np.floor(ed * 100000) / 100000) < 2e-5
+    # same-distribution labels: E near 0 relative to the distance scale
+    assert abs(got.energy_distance) < 0.05 * got.mean_cross_dist
+
+
+def test_jackknife_ratio_se_matches_numpy_loo(spark):
+    got = _run(spark, "agg_jackknife_ratio_se").set_index("c_mktsegment")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_custkey", "c_mktsegment"]]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.round(j.o_totalprice * 100).astype(np.int64)
+    per = j.groupby(["c_mktsegment", "o_custkey"]).agg(
+        a=("cents", "sum"), b=("cents", "size")
+    )
+    for seg, g in per.groupby(level=0):
+        sa, sb, n = g.a.sum(), g.b.sum(), len(g)
+        loo = (sa - g.a.to_numpy()) / (sb - g.b.to_numpy()) / 100.0
+        se = np.sqrt((n - 1) / n * ((loo - loo.mean()) ** 2).sum())
+        row = got.loc[seg]
+        assert row.n_customers == n
+        assert abs(row.revenue_per_order - np.floor(sa / sb / 100 * 10000) / 10000) < 2e-4
+        assert abs(row.jackknife_se - np.floor(se * 10000) / 10000) < 2e-3
+        assert row.jackknife_se > 0

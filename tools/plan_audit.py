@@ -22,8 +22,16 @@ if REPO not in sys.path:
 # queries allowed to use row-at-a-time Python (documented slow path)
 PYTHON_OK = {"udf_python_scalar", "udf_table_udtf"}  # documented Python surfaces
 # queries where a cartesian/bnl join is the intended physical shape
-# (bounded: one side is a broadcast of constant-size data)
-CARTESIAN_OK = {"join_cross", "sim_topk_bruteforce", "join_theta_range"}
+# (bounded: one side is a broadcast of constant-size data, or the operator
+# is a pairwise U-statistic over label-group samples by definition)
+CARTESIAN_OK = {
+    "join_cross",
+    "sim_topk_bruteforce",
+    "join_theta_range",
+    # energy distance IS an expectation over all pairs of two ~n/10 label
+    # groups (subsampling is unbiased at scale — see the docstring)
+    "vec_energy_distance",
+}
 
 
 def main() -> int:
