@@ -1739,3 +1739,94 @@ def agg_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("jackknife_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two deterministic classifiers (round 8, continuation)
+# ---------------------------------------------------------------------------
+_KAPPA_RULE_CUT = 300_000.0  # rule classifier: price above this
+
+
+@register(
+    "agg_cohens_kappa",
+    oracle=f"""
+    WITH per AS (
+      SELECT CASE WHEN o_totalprice > {_KAPPA_RULE_CUT} THEN 1 ELSE 0 END
+               AS rule_pred,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey
+                                                           AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    cells AS (
+      SELECT rule_pred, label, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM per GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT SUM(n) AS nn,
+             SUM(CASE WHEN rule_pred = label THEN n ELSE 0 END) AS agree,
+             SUM(CASE WHEN rule_pred = 1 THEN n ELSE 0 END) AS r1,
+             SUM(CASE WHEN label = 1 THEN n ELSE 0 END) AS l1
+      FROM cells
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           FLOOR(agree / nn * 10000) / 10000 AS observed_agreement,
+           FLOOR((r1 * l1 + (nn - r1) * (nn - l1)) / (nn * nn) * 10000)
+             / 10000 AS chance_agreement,
+           FLOOR((agree / nn - (r1 * l1 + (nn - r1) * (nn - l1)) / (nn * nn))
+                 / (1 - (r1 * l1 + (nn - r1) * (nn - l1)) / (nn * nn))
+                 * 10000) / 10000 AS kappa
+    FROM m
+    """,
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (1960) between two binary classifiers of the same
+    rows — a fixed price-threshold rule and the signal-plus-noise label
+    — the chance-corrected agreement statistic every labeling pipeline
+    reports before trusting raters or weak-supervision sources (raw
+    agreement flatters whenever marginals are skewed; kappa subtracts
+    the agreement two INDEPENDENT raters with these marginals would hit
+    anyway). The noisy ramp label agrees with the hard threshold far
+    above chance but far below 1 — both failure modes of reading raw
+    agreement are visible in one row.
+
+    Plan: one O(rows) projection into a 4-cell contingency aggregate —
+    counts exact, kappa a ratio of exact integer products, FLOOR 1e-4.
+    Mergeable at any scale."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(
+        F.when(F.col("o_totalprice") > _KAPPA_RULE_CUT, 1).otherwise(0).alias(
+            "rule_pred"
+        ),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum(
+            F.when(F.col("rule_pred") == F.col("label"), 1.0).otherwise(0.0)
+        ).alias("agree"),
+        F.sum(F.col("rule_pred").cast("double")).alias("r1"),
+        F.sum(F.col("label").cast("double")).alias("l1"),
+    )
+    po = F.col("agree") / F.col("nn")
+    pe = (
+        F.col("r1") * F.col("l1")
+        + (F.col("nn") - F.col("r1")) * (F.col("nn") - F.col("l1"))
+    ) / (F.col("nn") * F.col("nn"))
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return m.select(
+        F.col("nn").cast("long").alias("n"),
+        f4(po).alias("observed_agreement"),
+        f4(pe).alias("chance_agreement"),
+        f4((po - pe) / (1 - pe)).alias("kappa"),
+    )

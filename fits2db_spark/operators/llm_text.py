@@ -2262,3 +2262,146 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fano"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source vocabularies (round 8, cont.)
+# ---------------------------------------------------------------------------
+_JSD_SMOOTH = 0.5  # additive (Laplace) smoothing per vocab word
+
+
+@register(
+    "text_js_divergence",
+    oracle=f"""
+    WITH pair AS (
+      SELECT s1.source AS src_a, s2.source AS src_b
+      FROM (SELECT DISTINCT source FROM documents) s1
+      JOIN (SELECT DISTINCT source FROM documents) s2
+        ON s1.source < s2.source
+    ),
+    tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (
+      SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT w FROM counts),
+    vn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+    dense AS (
+      SELECT p.src_a, p.src_b, v.w,
+             (COALESCE(ca.c, 0) + {_JSD_SMOOTH})
+               / (ta.t + {_JSD_SMOOTH} * vn.v) AS pa,
+             (COALESCE(cb.c, 0) + {_JSD_SMOOTH})
+               / (tb.t + {_JSD_SMOOTH} * vn.v) AS pb
+      FROM pair p CROSS JOIN vocab v CROSS JOIN vn
+      LEFT JOIN counts ca ON ca.source = p.src_a AND ca.w = v.w
+      LEFT JOIN counts cb ON cb.source = p.src_b AND cb.w = v.w
+      JOIN (SELECT source, SUM(c) AS t FROM counts GROUP BY source) ta
+        ON ta.source = p.src_a
+      JOIN (SELECT source, SUM(c) AS t FROM counts GROUP BY source) tb
+        ON tb.source = p.src_b
+    )
+    SELECT src_a, src_b,
+           FLOOR((SUM(pa * ln(2 * pa / (pa + pb)))
+                  + SUM(pb * ln(2 * pb / (pa + pb)))) / 2 / ln(2)
+                 * 1000000) / 1000000 AS jsd_bits
+    FROM dense
+    WHERE src_a IN ('src0', 'src1', 'src2')
+      AND src_b IN ('src0', 'src1', 'src2')
+    GROUP BY src_a, src_b
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (in bits) between source unigram
+    distributions — the symmetric, bounded [0,1] corpus-drift measure
+    data-mixing work standardizes on (KL explodes on unseen words; JSD
+    with Laplace smoothing never does), here over the three first
+    sources' pairs. Near 0 = same language; the fixture sources draw
+    from one vocabulary, so the measured JSD ~ 0.001 bits IS the
+    calibrated same-distribution floor a drifted source would stand
+    out against. Complements `dq_psi` (binned scalar drift) and
+    `text_importance_dsir` (which RANKS docs by such ratios).
+
+    Plan: one tokenize partial-agg to O(sources x vocab) counts; the
+    dense pair x vocab frame is a broadcast cross join of the tiny
+    vocabulary (the TF-IDF corpus-scalar shape), one reduction per
+    pair. At 100 TB the vocab is capped upstream (`text_vocab_topk`)
+    and everything stays O(pairs x vocab). Smoothed probabilities are
+    exact rationals of integer counts; only ln touches libm; FLOOR
+    1e-6."""
+    d = load(spark, sf_dir, "documents")
+    srcs = ("src0", "src1", "src2")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    counts = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    vocab = counts.select("w").distinct()
+    vn = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    pair = (
+        counts.select("source")
+        .distinct()
+        .filter(F.col("source").isin(*srcs))
+        .alias("s1")
+        .join(
+            counts.select("source").distinct().filter(F.col("source").isin(*srcs)).alias("s2"),
+            F.col("s1.source") < F.col("s2.source"),
+        )
+        .select(
+            F.col("s1.source").alias("src_a"), F.col("s2.source").alias("src_b")
+        )
+    )
+    ca = counts.select(
+        F.col("source").alias("ka"), F.col("w").alias("wa"), F.col("c").alias("cca")
+    )
+    cb = counts.select(
+        F.col("source").alias("kb"), F.col("w").alias("wb"), F.col("c").alias("ccb")
+    )
+    ta = totals.select(F.col("source").alias("sta"), F.col("t").alias("tta"))
+    tb = totals.select(F.col("source").alias("stb"), F.col("t").alias("ttb"))
+    dense = (
+        pair.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(vn))
+        .join(
+            F.broadcast(ca),
+            (F.col("src_a") == F.col("ka")) & (F.col("w") == F.col("wa")),
+            "left",
+        )
+        .join(
+            F.broadcast(cb),
+            (F.col("src_b") == F.col("kb")) & (F.col("w") == F.col("wb")),
+            "left",
+        )
+        .join(F.broadcast(ta), F.col("src_a") == F.col("sta"))
+        .join(F.broadcast(tb), F.col("src_b") == F.col("stb"))
+        .select(
+            "src_a",
+            "src_b",
+            (
+                (F.coalesce(F.col("cca"), F.lit(0.0)) + _JSD_SMOOTH)
+                / (F.col("tta") + _JSD_SMOOTH * F.col("v"))
+            ).alias("pa"),
+            (
+                (F.coalesce(F.col("ccb"), F.lit(0.0)) + _JSD_SMOOTH)
+                / (F.col("ttb") + _JSD_SMOOTH * F.col("v"))
+            ).alias("pb"),
+        )
+    )
+    mid = F.col("pa") + F.col("pb")
+    return dense.groupBy("src_a", "src_b").agg(
+        (
+            F.floor(
+                (
+                    F.sum(F.col("pa") * F.log(2 * F.col("pa") / mid))
+                    + F.sum(F.col("pb") * F.log(2 * F.col("pb") / mid))
+                )
+                / 2
+                / 0.6931471805599453
+                * 1000000
+            )
+            / 1000000
+        ).alias("jsd_bits")
+    )

@@ -4005,3 +4005,99 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kendall_tau"),
         (F.floor(corr / F.sqrt(var) * 10000) / 10000).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands + breakout flags (round 8, continuation)
+# ---------------------------------------------------------------------------
+_BOLL_W = 7  # trailing window (days)
+_BOLL_K = 2.0  # band half-width in rolling standard deviations
+
+
+@register(
+    "events_bollinger",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS vc
+      FROM events GROUP BY 1, 2
+    ),
+    roll AS (
+      SELECT event_type, d, CAST(vc AS DOUBLE) / 100.0 AS v,
+             AVG(CAST(vc AS DOUBLE)) OVER w / 100.0 AS ma,
+             stddev_samp(CAST(vc AS DOUBLE)) OVER w / 100.0 AS sd,
+             COUNT(*) OVER w AS wn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {_BOLL_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(d AS BIGINT) AS d,
+           FLOOR(v * 100) / 100 AS v,
+           FLOOR(ma * 10000) / 10000 AS ma,
+           FLOOR((ma + {_BOLL_K} * sd) * 10000) / 10000 AS upper_band,
+           FLOOR((ma - {_BOLL_K} * sd) * 10000) / 10000 AS lower_band,
+           CAST(CASE WHEN v > ma + {_BOLL_K} * sd THEN 1
+                     WHEN v < ma - {_BOLL_K} * sd THEN -1
+                     ELSE 0 END AS BIGINT) AS breakout
+    FROM roll WHERE wn = {_BOLL_W}
+    """,
+)
+def events_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (trailing {_BOLL_W}-day mean ± {_BOLL_K:.0f}
+    rolling standard deviations) with breakout flags (+1 above, -1
+    below) per event type — the volatility-adaptive control chart
+    monitoring dashboards standardize on: a fixed threshold fires
+    constantly in volatile regimes and never in quiet ones, the
+    band scales itself. Only full windows emit (the first
+    {_BOLL_W - 1} days are warm-up), so every band is a {_BOLL_W}-point
+    statistic. The trailing sibling of `win_moving_avg` (mean only)
+    and `anomaly_zscore` (global variance); `events_cusum` accumulates
+    where bands reset daily.
+
+    Plan: one type-partitioned window pass over the O(types x days)
+    frame — two window aggregates sharing one sort. Daily values
+    accumulate as EXACT BIGINT cents (the `agg_paired_ttest` lesson:
+    the double daily sums sit exactly on the cent grid, so a 1e-4
+    FLOOR of them flips with accumulation order — measured at the
+    ~sf1 tier), making v and the 7-point window inputs identical
+    doubles in both engines. The breakout flag compares unfloored
+    values in BOTH engines (the agg_ks_test reject-flag convention);
+    bands floor at 1e-4 (off-grid after the sqrt), v at its exact
+    1e-2 grain."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_BOLL_W - 1), Window.currentRow)
+    )
+    roll = daily.select(
+        "event_type",
+        "d",
+        (F.col("vc").cast("double") / 100.0).alias("v"),
+        (F.avg(F.col("vc").cast("double")).over(w) / 100.0).alias("ma"),
+        (F.stddev_samp(F.col("vc").cast("double")).over(w) / 100.0).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == _BOLL_W)
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    up = F.col("ma") + _BOLL_K * F.col("sd")
+    lo = F.col("ma") - _BOLL_K * F.col("sd")
+    return roll.select(
+        "event_type",
+        F.col("d").cast("long").alias("d"),
+        (F.floor(F.col("v") * 100) / 100).alias("v"),
+        f4(F.col("ma")).alias("ma"),
+        f4(up).alias("upper_band"),
+        f4(lo).alias("lower_band"),
+        F.when(F.col("v") > up, 1)
+        .when(F.col("v") < lo, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("breakout"),
+    )

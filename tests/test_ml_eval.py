@@ -782,3 +782,71 @@ def test_jackknife_ratio_se_matches_numpy_loo(spark):
         assert abs(row.revenue_per_order - np.floor(sa / sb / 100 * 10000) / 10000) < 2e-4
         assert abs(row.jackknife_se - np.floor(se * 10000) / 10000) < 2e-3
         assert row.jackknife_se > 0
+
+
+def test_cohens_kappa_matches_numpy(spark):
+    got = _run(spark, "agg_cohens_kappa").iloc[0]
+    o = _orders_labeled()
+    rule = (o.o_totalprice > 300_000).astype(int).to_numpy()
+    lab = o.label.to_numpy()
+    n = len(o)
+    po = (rule == lab).mean()
+    p1r, p1l = rule.mean(), lab.mean()
+    pe = p1r * p1l + (1 - p1r) * (1 - p1l)
+    kappa = (po - pe) / (1 - pe)
+    assert got.n == n
+    assert abs(got.observed_agreement - np.floor(po * 10000) / 10000) < 2e-4
+    assert abs(got.chance_agreement - np.floor(pe * 10000) / 10000) < 2e-4
+    assert abs(got.kappa - np.floor(kappa * 10000) / 10000) < 2e-4
+    # far above chance, far below perfect: both raw-agreement failure
+    # modes visible
+    assert 0.3 < got.kappa < 0.95
+
+
+def test_js_divergence_matches_numpy_and_is_small_for_same_distribution(spark):
+    got = _run(spark, "text_js_divergence")
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    counts = {}
+    for src in ("src0", "src1", "src2"):
+        words = " ".join(d[d.source == src].text).split(" ")
+        counts[src] = pd.Series(words).value_counts()
+    vocab = sorted(set().union(*[set(c.index) for c in
+                                 (pd.Series(" ".join(d.text).split(" ")).value_counts(),)]))
+    v = len(vocab)
+    for _, row in got.iterrows():
+        ca = counts[row.src_a].reindex(vocab).fillna(0).to_numpy()
+        cb = counts[row.src_b].reindex(vocab).fillna(0).to_numpy()
+        pa = (ca + 0.5) / (ca.sum() + 0.5 * v)
+        pb = (cb + 0.5) / (cb.sum() + 0.5 * v)
+        m = (pa + pb) / 2
+        jsd = ((pa * np.log(pa / m)).sum() + (pb * np.log(pb / m)).sum()) / 2 / np.log(2)
+        assert abs(row.jsd_bits - np.floor(jsd * 1e6) / 1e6) < 2e-6
+        # same underlying vocabulary: the calibrated same-distribution floor
+        assert 0 <= row.jsd_bits < 0.05
+
+
+def test_bollinger_bands_match_pandas_rolling(spark):
+    got = _run(spark, "events_bollinger")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    ev["cents"] = np.round(ev.value * 100).astype(np.int64)
+    daily = ev.groupby(["event_type", "d"]).cents.sum()
+    for t, s in daily.groupby(level=0):
+        y = s.droplevel(0).sort_index()
+        ma = y.rolling(7).mean() / 100.0
+        sd = y.rolling(7).std(ddof=1) / 100.0
+        v = y / 100.0
+        sub = got[got.event_type == t].set_index("d").sort_index()
+        full = ma.dropna().index
+        assert set(sub.index) == set(full)
+        for d_ in full:
+            assert abs(sub.loc[d_].ma - np.floor(ma[d_] * 10000) / 10000) < 2e-4
+            assert abs(
+                sub.loc[d_].upper_band
+                - np.floor((ma[d_] + 2 * sd[d_]) * 10000) / 10000
+            ) < 2e-4
+            ref_flag = (
+                1 if v[d_] > ma[d_] + 2 * sd[d_]
+                else (-1 if v[d_] < ma[d_] - 2 * sd[d_] else 0)
+            )
+            assert sub.loc[d_].breakout == ref_flag
