@@ -2405,3 +2405,111 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("jsd_bits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance (round 8, continuation)
+# ---------------------------------------------------------------------------
+_DELTA_TOPW = 20  # most-frequent-word basis (the classic Delta setting)
+_DELTA_SRCS = ("src0", "src1", "src2")
+
+
+@register(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (
+      SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2
+    ),
+    topw AS (
+      SELECT w FROM (SELECT w, SUM(c) AS tc FROM counts GROUP BY w)
+      ORDER BY tc DESC, w ASC LIMIT {_DELTA_TOPW}
+    ),
+    totals AS (SELECT source, SUM(c) AS t FROM counts GROUP BY source),
+    freq AS (
+      SELECT s.source, v.w, COALESCE(c.c, 0) / s.t AS f
+      FROM totals s CROSS JOIN topw v
+      LEFT JOIN counts c ON c.source = s.source AND c.w = v.w
+    ),
+    zs AS (
+      SELECT source, w,
+             (f - AVG(f) OVER (PARTITION BY w))
+             / stddev_samp(f) OVER (PARTITION BY w) AS z
+      FROM freq
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           FLOOR(AVG(ABS(a.z - b.z)) * 10000) / 10000 AS burrows_delta
+    FROM zs a JOIN zs b ON a.w = b.w AND a.source < b.source
+    WHERE a.source IN {_DELTA_SRCS} AND b.source IN {_DELTA_SRCS}
+    GROUP BY 1, 2
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (2002) — THE stylometric authorship-attribution
+    distance: z-score each of the {_DELTA_TOPW} most frequent words'
+    relative frequencies ACROSS the source population (function words
+    carry style, content words carry topic — that is why the basis is
+    the top of the frequency list), then Delta(a, b) = mean |z_a - z_b|
+    over the basis. Reported for the first three sources' pairs;
+    low Delta = same "author" (generator), which is exactly the
+    fixture's truth — all sources share one generator, so Delta sits
+    well below 1 (the z-scores' own scale): the calibrated
+    same-style floor. Complements `text_js_divergence` (distributional,
+    topic-sensitive) with the style-sensitive normalization.
+
+    Plan: one tokenize partial agg, TakeOrdered top-{_DELTA_TOPW} basis
+    (sort+limit, no global window), dense source x basis frame via a
+    broadcast cross join, per-word z via a word-PARTITIONED window over
+    O(sources) rows, pairwise reduction. Frequencies are exact count
+    ratios; FLOOR 1e-4."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    counts = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    topw = (
+        counts.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("w").asc())
+        .limit(_DELTA_TOPW)
+        .select("w")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    ckey = counts.select(
+        F.col("source").alias("ks"), F.col("w").alias("kw"), "c"
+    )
+    freq = (
+        totals.crossJoin(F.broadcast(topw))
+        .join(
+            F.broadcast(ckey),
+            (F.col("source") == F.col("ks")) & (F.col("w") == F.col("kw")),
+            "left",
+        )
+        .select(
+            "source", "w", (F.coalesce(F.col("c"), F.lit(0.0)) / F.col("t")).alias("f")
+        )
+    )
+    wz = Window.partitionBy("w")
+    zs = freq.select(
+        "source",
+        "w",
+        (
+            (F.col("f") - F.avg("f").over(wz)) / F.stddev_samp("f").over(wz)
+        ).alias("z"),
+    )
+    a = zs.select(F.col("source").alias("src_a"), F.col("w").alias("wa"), F.col("z").alias("za"))
+    b = zs.select(F.col("source").alias("src_b"), F.col("w").alias("wb"), F.col("z").alias("zb"))
+    return (
+        a.join(b, (F.col("wa") == F.col("wb")) & (F.col("src_a") < F.col("src_b")))
+        .filter(F.col("src_a").isin(*_DELTA_SRCS) & F.col("src_b").isin(*_DELTA_SRCS))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            (F.floor(F.avg(F.abs(F.col("za") - F.col("zb"))) * 10000) / 10000).alias(
+                "burrows_delta"
+            ),
+        )
+    )

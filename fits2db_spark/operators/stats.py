@@ -4101,3 +4101,98 @@ def events_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("breakout"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extreme-value (Gumbel) fit on block maxima (round 8, continuation)
+# ---------------------------------------------------------------------------
+_EVT_BLOCK = 7  # block length in days (weekly maxima)
+_EVT_RETURN_T = 52  # return period in blocks (~1 year of weeks)
+_EULER_GAMMA = 0.5772156649015329
+# Every constant is ONE Python double shared verbatim by both engines'
+# texts, with matching parenthesization: each engine evaluating its own
+# sqrt(6)/pi differed in the last ulp and flipped a FLOOR grid cell
+# (measured: gumbel_mu 559.2439 vs 559.244 at sf0.001).
+_SQRT6_OVER_PI = 0.779696801233676
+_EVT_LOGLOG = -3.9415503865226063  # ln(-ln(1 - 1/RETURN_T))
+
+
+@register(
+    "events_extreme_value",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS vc
+      FROM events GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT event_type, d // {_EVT_BLOCK} AS blk,
+             CAST(MAX(vc) AS DOUBLE) AS mxc
+      FROM daily GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             AVG(mxc) / 100.0 AS m, stddev_samp(mxc) / 100.0 AS s
+      FROM blocks GROUP BY event_type
+    )
+    SELECT event_type, n_blocks,
+           FLOOR(m * 10000) / 10000 AS mean_block_max,
+           FLOOR((s * {_SQRT6_OVER_PI!r}) * 10000) / 10000 AS gumbel_beta,
+           FLOOR((m - {_EULER_GAMMA!r} * (s * {_SQRT6_OVER_PI!r}))
+                 * 10000) / 10000 AS gumbel_mu,
+           FLOOR((m - {_EULER_GAMMA!r} * (s * {_SQRT6_OVER_PI!r})
+                  - (s * {_SQRT6_OVER_PI!r}) * {_EVT_LOGLOG!r})
+                 * 10000) / 10000 AS return_level_{_EVT_RETURN_T}
+    FROM fit
+    """,
+)
+def events_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis via a method-of-moments Gumbel fit to
+    weekly block maxima (Gumbel 1958; the Fisher-Tippett type-I limit
+    for light-tailed maxima): beta = s*sqrt(6)/pi, mu = mean - gamma*
+    beta, and the {_EVT_RETURN_T}-block RETURN LEVEL mu - beta*
+    ln(-ln(1 - 1/T)) — "the weekly peak you should expect once a
+    year", the number capacity planning and flood-style risk actually
+    budget against, which no quantile of the OBSERVED data can give
+    (it extrapolates beyond the sample maximum by design).
+    `events_slo_burnrate` alarms on current load; this sizes for the
+    load not seen yet.
+
+    Plan: exact cent daily sums (the Bollinger/paired-ttest grid
+    lesson), one O(types x blocks) MAX partial agg, one O(types)
+    moment fit — method of moments keeps the fit closed-form (ML would
+    iterate). Block keys are integer d // {_EVT_BLOCK}; only
+    sqrt/ln/pi touch libm, FLOOR 1e-4."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"))
+    blocks = daily.groupBy(
+        "event_type", F.expr(f"d div {_EVT_BLOCK}").alias("blk")
+    ).agg(F.max("vc").cast("double").alias("mxc"))
+    # cent maxima stay INTEGER-valued through the average: integer-valued
+    # double summation is exact in any order, so AVG/100 is one
+    # correctly-rounded division in both engines (the pre-divided form
+    # put the mean back on the 1e-4 grid with order-dependent ulps)
+    fit = blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (F.avg("mxc") / 100.0).alias("m"),
+        (F.stddev_samp("mxc") / 100.0).alias("s"),
+    )
+    beta = F.col("s") * _SQRT6_OVER_PI
+    mu = F.col("m") - _EULER_GAMMA * beta
+    rl = mu - beta * _EVT_LOGLOG
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return fit.select(
+        "event_type",
+        "n_blocks",
+        f4(F.col("m")).alias("mean_block_max"),
+        f4(beta).alias("gumbel_beta"),
+        f4(mu).alias("gumbel_mu"),
+        f4(rl).alias(f"return_level_{_EVT_RETURN_T}"),
+    )

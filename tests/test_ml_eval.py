@@ -850,3 +850,52 @@ def test_bollinger_bands_match_pandas_rolling(spark):
                 else (-1 if v[d_] < ma[d_] - 2 * sd[d_] else 0)
             )
             assert sub.loc[d_].breakout == ref_flag
+
+
+def test_extreme_value_gumbel_fit_matches_numpy(spark):
+    got = _run(spark, "events_extreme_value").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    ev["cents"] = np.round(ev.value * 100).astype(np.int64)
+    daily = ev.groupby(["event_type", "d"]).cents.sum().reset_index()
+    daily["blk"] = daily.d // 7
+    for t, g in daily.groupby("event_type"):
+        mx = g.groupby("blk").cents.max().to_numpy().astype(np.float64)
+        m, sd = mx.mean() / 100, mx.std(ddof=1) / 100
+        beta = sd * np.sqrt(6.0) / np.pi
+        mu = m - 0.5772156649015329 * beta
+        rl = mu - beta * np.log(-np.log(1 - 1 / 52))
+        row = got.loc[t]
+        assert row.n_blocks == len(mx)
+        assert abs(row.mean_block_max - np.floor(m * 10000) / 10000) < 2e-4
+        assert abs(row.gumbel_beta - np.floor(beta * 10000) / 10000) < 2e-4
+        assert abs(row.gumbel_mu - np.floor(mu * 10000) / 10000) < 2e-4
+        assert abs(row.return_level_52 - np.floor(rl * 10000) / 10000) < 2e-4
+        # the return level extrapolates BEYOND the sample maximum
+        assert row.return_level_52 > mx.max() / 100
+
+
+def test_burrows_delta_matches_numpy_stylometry(spark):
+    got = _run(spark, "text_burrows_delta")
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    tok = d.assign(w=d.text.str.split(" ")).explode("w")
+    counts = tok.groupby(["source", "w"]).size().astype(float)
+    overall = counts.groupby(level=1).sum().sort_values(ascending=False)
+    top = sorted(overall.index[:20], key=lambda w: (-overall[w], w))
+    top = pd.Series(overall[top]).sort_values(ascending=False).index.tolist()
+    totals = counts.groupby(level=0).sum()
+    sources = totals.index.tolist()
+    F_ = pd.DataFrame(
+        {
+            w: [counts.get((s, w), 0.0) / totals[s] for s in sources]
+            for w in top
+        },
+        index=sources,
+    )
+    Z = (F_ - F_.mean()) / F_.std(ddof=1)
+    for _, row in got.iterrows():
+        delta = (Z.loc[row.src_a] - Z.loc[row.src_b]).abs().mean()
+        assert row.n_words == 20
+        assert abs(row.burrows_delta - np.floor(delta * 10000) / 10000) < 2e-4
+        # one generator wrote every source: same-style floor
+        assert row.burrows_delta < 2.0
