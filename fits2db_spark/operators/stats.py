@@ -4196,3 +4196,183 @@ def events_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         f4(mu).alias("gumbel_mu"),
         f4(rl).alias(f"return_level_{_EVT_RETURN_T}"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "events_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS vc
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(CAST(vc AS DOUBLE), 0.5) AS md
+      FROM daily GROUP BY event_type
+    ),
+    signs AS (
+      SELECT d.event_type, d.d,
+             CASE WHEN CAST(d.vc AS DOUBLE) > m.md THEN 1 ELSE 0 END AS s
+      FROM daily d JOIN med m USING (event_type)
+      WHERE CAST(d.vc AS DOUBLE) <> m.md
+    ),
+    runs AS (
+      SELECT event_type, s,
+             CASE WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY d)
+                       IS DISTINCT FROM s THEN 1 ELSE 0 END AS brk
+      FROM signs
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(brk) AS DOUBLE) AS r,
+             CAST(SUM(s) AS DOUBLE) AS n1,
+             CAST(COUNT(*) - SUM(s) AS DOUBLE) AS n2
+      FROM runs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           FLOOR((2 * n1 * n2 / (n1 + n2) + 1) * 10000) / 10000
+             AS expected_runs,
+           FLOOR((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))
+                 * 10000) / 10000 AS z_stat
+    FROM agg
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on each type's daily series — the
+    classical randomness check: code each day above/below the series
+    median, count the RUNS of identical signs, and compare against the
+    exact null moments E[R] = 2·n1·n2/(n1+n2) + 1 and its variance
+    (too FEW runs = positive serial dependence or regime clustering,
+    too MANY = oscillation). Median-equal days drop (the standard
+    convention). The distribution-free complement of `events_ljungbox`
+    (which assumes squared-autocorrelation structure) and `events_acf`
+    (which estimates it): the runs test sees ANY serial dependence.
+
+    Plan: one exact-percentile per type over the O(types x days) frame
+    (broadcast back), run boundaries via a type-partitioned LAG (first
+    row counts as a break via IS DISTINCT FROM NULL — so SUM(brk) IS
+    the run count), one integer aggregate. Exact-cent daily sums per
+    the module convention; runs/counts are pure integers; only the
+    closed-form moments touch doubles, FLOOR 1e-4."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile(F.col("vc").cast("double"), F.lit(0.5)).alias("md")
+    )
+    signs = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("vc").cast("double") != F.col("md"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("vc").cast("double") > F.col("md"), 1)
+            .otherwise(0)
+            .alias("s"),
+        )
+    )
+    wlag = Window.partitionBy("event_type").orderBy("d")
+    runs = signs.select(
+        "event_type",
+        "s",
+        F.when(
+            ~F.lag("s").over(wlag).eqNullSafe(F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("brk").cast("double").alias("r"),
+        F.sum("s").cast("double").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("double").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 2 * n1 * n2 / (n1 + n2) + 1
+    vr = (
+        2
+        * n1
+        * n2
+        * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return agg.select(
+        "event_type",
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        f4(er).alias("expected_runs"),
+        f4((r - er) / F.sqrt(vr)).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue waterfall decomposition (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_revenue_waterfall",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100.0 AS gross,
+           ROUND(SUM(l_extendedprice * l_discount), 2) AS discount_amt,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_of_disc,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * l_tax), 2)
+             AS tax_amt,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS charged,
+           FLOOR(SUM(l_extendedprice * l_discount)
+                 / SUM(l_extendedprice) * 1000000) / 1000000
+             AS effective_discount_rate
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall — the finance bridge every revenue dashboard
+    opens with: gross extended price, minus the discount step, the
+    net-of-discount subtotal, plus the tax step, to the charged amount
+    (the exact TPC-H Q1 money algebra, here presented as the named
+    waterfall steps with the effective discount rate) per return flag.
+    Each step is independently meaningful and the steps RECONCILE
+    (gross - discount = net, net + tax = charged) — pinned in tests,
+    which is the point of a waterfall over a flat sum.
+
+    Plan: one scan, one mergeable aggregate; gross uses exact BIGINT
+    cents (the paired-ttest convention — it sits on the cent grid),
+    the mixed-rate products ROUND at 1e-2 where the grid argument no
+    longer applies (discount/tax are 2-decimal rates, the products are
+    4-6 decimal exact and off the display grid)."""
+    li = load(spark, sf_dir, "lineitem")
+    px = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        (
+            F.sum(F.round(px * 100, 0).cast("long")).cast("double") / 100.0
+        ).alias("gross"),
+        F.round(F.sum(px * F.col("l_discount")), 2).alias("discount_amt"),
+        F.round(F.sum(px * (1 - F.col("l_discount"))), 2).alias("net_of_disc"),
+        F.round(F.sum(px * (1 - F.col("l_discount")) * F.col("l_tax")), 2).alias(
+            "tax_amt"
+        ),
+        F.round(
+            F.sum(px * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("charged"),
+        (
+            F.floor(F.sum(px * F.col("l_discount")) / F.sum(px) * 1000000)
+            / 1000000
+        ).alias("effective_discount_rate"),
+    )

@@ -899,3 +899,41 @@ def test_burrows_delta_matches_numpy_stylometry(spark):
         assert abs(row.burrows_delta - np.floor(delta * 10000) / 10000) < 2e-4
         # one generator wrote every source: same-style floor
         assert row.burrows_delta < 2.0
+
+
+def test_runs_test_matches_pure_python_run_counting(spark):
+    got = _run(spark, "events_runs_test").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    ev["cents"] = np.round(ev.value * 100).astype(np.int64)
+    daily = ev.groupby(["event_type", "d"]).cents.sum()
+    for t, s in daily.groupby(level=0):
+        y = s.droplevel(0).sort_index().astype(float)
+        md = np.quantile(y, 0.5)
+        signs = [1 if v > md else 0 for v in y if v != md]
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        n1, n2 = sum(signs), len(signs) - sum(signs)
+        er = 2 * n1 * n2 / (n1 + n2) + 1
+        vr = (
+            2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        z = (runs - er) / np.sqrt(vr)
+        row = got.loc[t]
+        assert (row.n_above, row.n_below, row.n_runs) == (n1, n2, runs)
+        assert abs(row.expected_runs - np.floor(er * 10000) / 10000) < 2e-4
+        assert abs(row.z_stat - np.floor(z * 10000) / 10000) < 2e-4
+
+
+def test_revenue_waterfall_steps_reconcile(spark):
+    got = _run(spark, "orders_revenue_waterfall")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    for _, row in got.iterrows():
+        g = li[li.l_returnflag == row.l_returnflag]
+        assert row.n_lines == len(g)
+        assert abs(row.gross - np.round(g.l_extendedprice * 100).sum() / 100) < 1e-6
+        assert abs(row.discount_amt - round((g.l_extendedprice * g.l_discount).sum(), 2)) < 2e-2
+        # the waterfall reconciles: gross - discount = net, net + tax = charged
+        assert abs(row.gross - row.discount_amt - row.net_of_disc) < 0.05
+        assert abs(row.net_of_disc + row.tax_amt - row.charged) < 0.05
+        assert 0 < row.effective_discount_rate < 0.2
