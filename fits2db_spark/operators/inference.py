@@ -1830,3 +1830,112 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         f4(pe).alias("chance_agreement"),
         f4((po - pe) / (1 - pe)).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test on paired period deltas (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH per AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             SUM(CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '{_PAIRED_SPLIT}'
+                      THEN CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS a,
+             SUM(CASE WHEN CAST(o.o_orderdate AS DATE) >= DATE '{_PAIRED_SPLIT}'
+                      THEN CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS b,
+             CAST(MAX(CASE WHEN CAST(o.o_orderdate AS DATE)
+                                < DATE '{_PAIRED_SPLIT}' THEN 1 ELSE 0 END)
+                  * MAX(CASE WHEN CAST(o.o_orderdate AS DATE)
+                                  >= DATE '{_PAIRED_SPLIT}' THEN 1 ELSE 0 END)
+                  AS BOOLEAN) AS paired
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT c_mktsegment, b - a AS d, ABS(b - a) AS ad
+      FROM per WHERE paired AND b - a <> 0
+    ),
+    ranked AS (
+      SELECT c_mktsegment, d,
+             RANK() OVER (PARTITION BY c_mktsegment ORDER BY ad)
+               + (CAST(COUNT(*) OVER (PARTITION BY c_mktsegment, ad)
+                       AS DOUBLE) - 1) / 2 AS arank
+      FROM deltas
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+           FLOOR(SUM(CASE WHEN d > 0 THEN arank ELSE 0 END) * 100) / 100
+             AS w_plus,
+           FLOOR((SUM(CASE WHEN d > 0 THEN arank ELSE 0 END)
+                  - CAST(COUNT(*) AS DOUBLE) * (COUNT(*) + 1) / 4)
+                 / sqrt(CAST(COUNT(*) AS DOUBLE) * (COUNT(*) + 1)
+                        * (2 * COUNT(*) + 1) / 24)
+                 * 10000) / 10000 AS z_stat
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (1945) on the same per-customer
+    pre/post spend deltas as `agg_paired_ttest` — the nonparametric
+    within-subject test: rank |delta| with AVERAGE ranks for ties
+    (rank_min + (ties-1)/2), sum the ranks of positive deltas (W+),
+    and compare against the exact null moments n(n+1)/4 and
+    n(n+1)(2n+1)/24. Where the paired t trusts the delta MAGNITUDES,
+    Wilcoxon trusts only their ordering — the robustness trade every
+    experimentation platform offers side by side. Zero deltas drop
+    (the standard convention); deltas are exact integer cents, so
+    "zero" is exact, not an epsilon.
+
+    Plan: the paired-ttest split to O(customers), average ranks via
+    one segment-PARTITIONED rank window plus a (segment, |d|)
+    tie-count window (no second sort — same ordering key), one moment
+    aggregate. Ranks are exact half-integers; only the z denominator
+    touches libm; FLOOR 1e-4 (W+ at 1e-2 — half-integer grid)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    is_a = F.col("o_orderdate").cast("date") < F.lit(_PAIRED_SPLIT).cast("date")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.when(is_a, cents).otherwise(0)).alias("a"),
+            F.sum(F.when(~is_a, cents).otherwise(0)).alias("b"),
+            (
+                F.max(F.when(is_a, 1).otherwise(0))
+                * F.max(F.when(~is_a, 1).otherwise(0))
+            )
+            .cast("boolean")
+            .alias("paired"),
+        )
+    )
+    deltas = (
+        per.filter(F.col("paired") & (F.col("b") != F.col("a")))
+        .select(
+            "c_mktsegment",
+            (F.col("b") - F.col("a")).alias("d"),
+            F.abs(F.col("b") - F.col("a")).alias("ad"),
+        )
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy("ad")
+    wt = Window.partitionBy("c_mktsegment", "ad")
+    ranked = deltas.select(
+        "c_mktsegment",
+        "d",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1) / 2
+        ).alias("arank"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    wplus = F.sum(F.when(F.col("d") > 0, F.col("arank")).otherwise(0.0))
+    ez = n * (n + 1) / 4
+    vz = n * (n + 1) * (2 * n + 1) / 24
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+        (F.floor(wplus * 100) / 100).alias("w_plus"),
+        (F.floor((wplus - ez) / F.sqrt(vz) * 10000) / 10000).alias("z_stat"),
+    )

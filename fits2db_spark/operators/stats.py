@@ -4376,3 +4376,88 @@ def orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("effective_discount_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann pseudo-median (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_hodges_lehmann",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS vc
+      FROM events GROUP BY 1, 2
+    ),
+    walsh AS (
+      SELECT a.event_type,
+             CAST(a.vc + b.vc AS DOUBLE) / 200.0 AS w
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d <= b.d
+    )
+    SELECT w.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_walsh,
+           FLOOR(quantile_cont(w.w, 0.5) * 10000) / 10000 AS hodges_lehmann,
+           FLOOR(m.md * 10000) / 10000 AS plain_median,
+           FLOOR(m.mn * 10000) / 10000 AS plain_mean
+    FROM walsh w JOIN (
+      SELECT event_type,
+             quantile_cont(CAST(vc AS DOUBLE) / 100.0, 0.5) AS md,
+             AVG(CAST(vc AS DOUBLE)) / 100.0 AS mn
+      FROM daily GROUP BY event_type) m USING (event_type)
+    GROUP BY w.event_type, m.md, m.mn
+    """,
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median (1963): the median of all Walsh
+    averages (x_i + x_j)/2 over i <= j — the location estimator behind
+    the Wilcoxon test, more efficient than the median under
+    near-normality (ARE 0.955 vs 0.64) while keeping a 29% breakdown
+    point, shown next to the plain median and mean so the three-way
+    spread diagnoses skew. Completes the robust-location family on its
+    pairwise axis: `agg_theilsen` is the same Walsh construction for
+    SLOPES, `events_mann_kendall` its test.
+
+    Plan: the O(types x days) exact-cent frame self-joins on
+    (type, d_i <= d_j) — ~n²/2 Walsh pairs per type on the tiny
+    pre-aggregated series (like Mann-Kendall; the O(n log n) selection
+    algorithm replaces it at long horizons), one exact median over
+    them. Walsh averages are exact half-cents (integer sums / 200);
+    medians interpolate identically; FLOOR 1e-4."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"))
+    a, b = daily.alias("a"), daily.alias("b")
+    walsh = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") <= F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("a.vc") + F.col("b.vc")).cast("double") / 200.0).alias("w"),
+    )
+    m = daily.groupBy("event_type").agg(
+        F.percentile(F.col("vc").cast("double") / 100.0, F.lit(0.5)).alias("md"),
+        (F.avg(F.col("vc").cast("double")) / 100.0).alias("mn"),
+    )
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return (
+        walsh.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "md", "mn")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_walsh"),
+            f4(F.percentile("w", F.lit(0.5))).alias("hodges_lehmann"),
+        )
+        .select(
+            "event_type",
+            "n_walsh",
+            "hodges_lehmann",
+            f4(F.col("md")).alias("plain_median"),
+            f4(F.col("mn")).alias("plain_mean"),
+        )
+    )

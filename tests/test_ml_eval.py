@@ -937,3 +937,65 @@ def test_revenue_waterfall_steps_reconcile(spark):
         assert abs(row.gross - row.discount_amt - row.net_of_disc) < 0.05
         assert abs(row.net_of_disc + row.tax_amt - row.charged) < 0.05
         assert 0 < row.effective_discount_rate < 0.2
+
+
+def test_hodges_lehmann_matches_numpy_walsh_median(spark):
+    got = _run(spark, "agg_hodges_lehmann").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    ev["cents"] = np.round(ev.value * 100).astype(np.int64)
+    daily = ev.groupby(["event_type", "d"]).cents.sum()
+    for t, s in daily.groupby(level=0):
+        y = s.droplevel(0).to_numpy()
+        walsh = (y[:, None] + y[None, :])[np.triu_indices(len(y))] / 200.0
+        hl = np.quantile(walsh, 0.5)
+        row = got.loc[t]
+        assert row.n_walsh == len(y) * (len(y) + 1) // 2
+        assert abs(row.hodges_lehmann - np.floor(hl * 10000) / 10000) < 2e-4
+        assert abs(row.plain_median - np.floor(np.quantile(y / 100, 0.5) * 10000) / 10000) < 2e-4
+        # HL lies between (or at) the classic location estimators' hull
+        lo = min(row.plain_median, row.plain_mean) - 50
+        hi = max(row.plain_median, row.plain_mean) + 50
+        assert lo <= row.hodges_lehmann <= hi
+
+
+def test_wilcoxon_matches_scipy_style_numpy(spark):
+    got = _run(spark, "agg_wilcoxon_signed_rank").set_index("c_mktsegment")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_custkey", "c_mktsegment"]]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.round(j.o_totalprice * 100).astype(np.int64)
+    j["pre"] = j.o_orderdate < pd.Timestamp("1997-07-01")
+    for seg, g in j.groupby("c_mktsegment"):
+        per = g.groupby("o_custkey").apply(
+            lambda x: pd.Series(
+                {
+                    "a": x.cents[x.pre].sum(),
+                    "b": x.cents[~x.pre].sum(),
+                    "paired": x.pre.any() and (~x.pre).any(),
+                }
+            ),
+            include_groups=False,
+        )
+        d = (per.b - per.a)[per.paired.astype(bool)]
+        d = d[d != 0].to_numpy().astype(float)
+        ad = np.abs(d)
+        order = np.argsort(ad, kind="stable")
+        ranks = np.empty(len(ad))
+        sorted_ad = ad[order]
+        i = 0
+        while i < len(sorted_ad):
+            jx = i
+            while jx + 1 < len(sorted_ad) and sorted_ad[jx + 1] == sorted_ad[i]:
+                jx += 1
+            ranks[order[i : jx + 1]] = (i + jx) / 2 + 1
+            i = jx + 1
+        n = len(d)
+        wp = ranks[d > 0].sum()
+        ez = n * (n + 1) / 4
+        vz = n * (n + 1) * (2 * n + 1) / 24
+        z = (wp - ez) / np.sqrt(vz)
+        row = got.loc[seg]
+        assert row.n_nonzero == n
+        assert abs(row.w_plus - np.floor(wp * 100) / 100) < 2e-2
+        assert abs(row.z_stat - np.floor(z * 10000) / 10000) < 2e-4
