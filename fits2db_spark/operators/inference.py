@@ -1939,3 +1939,201 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(wplus * 100) / 100).alias("w_plus"),
         (F.floor((wplus - ez) / F.sqrt(vz) * 10000) / 10000).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U via the histogram identity (round 8, continuation)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_mann_whitney",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(FLOOR(o_totalprice / {_AUC_BIN}) AS BIGINT) AS bucket,
+             CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS grp
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ),
+    hist AS (
+      SELECT bucket,
+             CAST(SUM(grp) AS DOUBLE) AS n1b,
+             CAST(COUNT(*) - SUM(grp) AS DOUBLE) AS n2b
+      FROM per GROUP BY bucket
+    ),
+    cum AS (
+      SELECT n1b, n2b,
+             SUM(n2b) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n2b AS below
+      FROM hist
+    )
+    SELECT CAST(SUM(n1b) AS BIGINT) AS n_open,
+           CAST(SUM(n2b) AS BIGINT) AS n_filled,
+           FLOOR((SUM(n1b * below) + 0.5 * SUM(n1b * n2b)) * 10) / 10 AS u_stat,
+           FLOOR((SUM(n1b * below) + 0.5 * SUM(n1b * n2b)
+                  - SUM(n1b) * SUM(n2b) / 2)
+                 / sqrt(SUM(n1b) * SUM(n2b)
+                        * (SUM(n1b) + SUM(n2b) + 1) / 12)
+                 * 10000) / 10000 AS z_stat
+    FROM cum
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (1947) of open ('O') vs filled ('F') order
+    prices via the same histogram pair-counting identity as
+    `ml_auc_roc` (U = sum over buckets of n1_b * n2_below + ½ n1_b n2_b
+    — U/(n1·n2) IS the AUC), with the large-sample z against the null
+    moments n1·n2/2 and n1·n2(n+1)/12. Completes the two-sample
+    toolkit's nonparametric corner: Welch (parametric unpaired), paired
+    t / Wilcoxon (within-subject), KS (distributional shape),
+    Mann-Whitney (unpaired, order-only). The fixture's price is
+    independent of status, so z sits near 0 — a TRUE null where the
+    constructed-label `ml_auc_roc` shows signal; the variance omits
+    the tie correction (documented: buckets tie by construction, the
+    correction is O(sum t³/n³) ~ 1e-3 here and identical both engines
+    either way).
+
+    Plan: identical exchange to `ml_auc_roc`/`agg_ks_test`: one
+    O(rows) projection, one bucket histogram, one cumulative window
+    over O(buckets) rows (sanctioned KS shape). U is an exact
+    half-integer (FLOOR 1e-1); z FLOORs at 1e-4."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    per = o.select(
+        F.floor(F.col("o_totalprice") / _AUC_BIN).cast("long").alias("bucket"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("grp"),
+    )
+    hist = per.groupBy("bucket").agg(
+        F.sum("grp").cast("double").alias("n1b"),
+        (F.count(F.lit(1)) - F.sum("grp")).cast("double").alias("n2b"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n1b", "n2b", (F.sum("n2b").over(w) - F.col("n2b")).alias("below")
+    )
+    u = F.sum(F.col("n1b") * F.col("below")) + 0.5 * F.sum(
+        F.col("n1b") * F.col("n2b")
+    )
+    n1, n2 = F.sum("n1b"), F.sum("n2b")
+    return cum.agg(
+        n1.cast("long").alias("n_open"),
+        n2.cast("long").alias("n_filled"),
+        (F.floor(u * 10) / 10).alias("u_stat"),
+        (
+            F.floor(
+                (u - n1 * n2 / 2) / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12) * 10000
+            )
+            / 10000
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential A/B monitor (round 8, continuation)
+# ---------------------------------------------------------------------------
+_SPRT_P0, _SPRT_P1 = 0.48, 0.52  # null / alternative conversion rates
+_SPRT_ALPHA, _SPRT_BETA = 0.05, 0.2  # error targets -> Wald boundaries
+
+
+@register(
+    "ml_sprt_monitor",
+    oracle=f"""
+    WITH per AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               // 30 AS t,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey
+                                                           AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS conv
+      FROM orders
+    ),
+    daily AS (
+      SELECT t, SUM(conv) AS s, CAST(COUNT(*) AS DOUBLE) - SUM(conv) AS f
+      FROM per GROUP BY t
+    ),
+    walk AS (
+      SELECT t,
+             SUM(s) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cs,
+             SUM(f) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cf
+      FROM daily
+    )
+    SELECT CAST(t AS BIGINT) AS period,
+           CAST(cs AS BIGINT) AS conversions,
+           CAST(cf AS BIGINT) AS failures,
+           FLOOR((cs * ln({_SPRT_P1} / {_SPRT_P0})
+                  + cf * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})))
+                 * 10000) / 10000 AS llr,
+           CASE WHEN cs * ln({_SPRT_P1} / {_SPRT_P0})
+                     + cf * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0}))
+                     >= ln((1 - {_SPRT_BETA}) / {_SPRT_ALPHA})
+                THEN 'accept_h1'
+                WHEN cs * ln({_SPRT_P1} / {_SPRT_P0})
+                     + cf * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0}))
+                     <= ln({_SPRT_BETA} / (1 - {_SPRT_ALPHA}))
+                THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM walk
+    """,
+)
+def ml_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (1945) as an
+    always-valid A/B monitor: the cumulative log-likelihood ratio of
+    the running conversion record under H1 (p={_SPRT_P1}) vs H0
+    (p={_SPRT_P0}), checked each 30-day period against the Wald
+    boundaries ln((1-beta)/alpha) and ln(beta/(1-alpha)) — the
+    peeking-safe decision rule fixed-horizon tests forbid and modern
+    experimentation platforms rebuilt as mSPRT. The constructed label
+    converts at ~0.50 — BETWEEN the hypotheses — so the monitor
+    genuinely walks: the LLR drifts slowly and the early periods read
+    'continue' while the accumulated evidence eventually crosses (at
+    sf0.01 the walk ends in a decision), both regimes exercised.
+
+    Plan: one scan to O(periods) conversion counts, one cumulative
+    window over those ~80 rows (sanctioned KS shape), decisions as
+    CASE on the unfloored walk (identical doubles: integer counts
+    times ONE ln constant evaluated per engine — the boundary
+    constants are exact text in both). LLR FLOORs at 1e-4."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') div 30"
+        ).alias("t"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("conv"),
+    )
+    daily = per.groupBy("t").agg(
+        F.sum("conv").alias("s"),
+        (F.count(F.lit(1)) - F.sum("conv")).cast("double").alias("f"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = daily.select(
+        "t",
+        F.sum("s").over(w).alias("cs"),
+        F.sum("f").over(w).alias("cf"),
+    )
+    import math as _m
+
+    la = _m.log(_SPRT_P1 / _SPRT_P0)
+    lb = _m.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    up = _m.log((1 - _SPRT_BETA) / _SPRT_ALPHA)
+    lo = _m.log(_SPRT_BETA / (1 - _SPRT_ALPHA))
+    llr = F.col("cs") * la + F.col("cf") * lb
+    return walk.select(
+        F.col("t").cast("long").alias("period"),
+        F.col("cs").cast("long").alias("conversions"),
+        F.col("cf").cast("long").alias("failures"),
+        (F.floor(llr * 10000) / 10000).alias("llr"),
+        F.when(llr >= up, "accept_h1")
+        .when(llr <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

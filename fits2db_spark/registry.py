@@ -61,16 +61,16 @@ _loaded = False
 #     any pre-change driver row no longer attests the current check;
 # (b) the 20 remaining never-driver-checked keys (r7 spill + late-r7 adds);
 # (c) new round-8 operators (never checked by construction, appended as
-#     they land) — 74 keys after the continuation session's 39 additions
+#     they land) — 76 keys after the continuation session's 41 additions
 #     (ml-eval, FDR/IPW, LPA/BFS, JL projection, logsketch, Stetson/BLS/
 #     circular, price index / migration / trimmed mean, nprobe sweep,
 #     spectral entropy, l-diversity, mixing weights, rebin, partition
 #     skew, paired t-test, drawdown/Mann-Kendall/dup-invoices), so
-#     (a)+(b)+(c) = 97 and everything past position 50 spills
+#     (a)+(b)+(c) = 99 and everything past position 50 spills
 #     to rounds 9-10, like the r7 spill before it (each key is locally
 #     3-tier hash-green, and every r8 key except dedup_lsh_recall is
 #     additionally hash-green at the synthetic ~sf1 tier — including all
-#     39 continuation keys);
+#     41 continuation keys);
 # (d) the stalest-green rotation backlog (r01 rows first — 44 keys whose
 #     last driver row is round 1; the overflow continues next round).
 _PRIORITY_QUERIES = (
@@ -173,6 +173,8 @@ _PRIORITY_QUERIES = (
     "orders_revenue_waterfall",
     "agg_hodges_lehmann",
     "agg_wilcoxon_signed_rank",
+    "agg_mann_whitney",
+    "ml_sprt_monitor",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

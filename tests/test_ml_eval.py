@@ -999,3 +999,41 @@ def test_wilcoxon_matches_scipy_style_numpy(spark):
         assert row.n_nonzero == n
         assert abs(row.w_plus - np.floor(wp * 100) / 100) < 2e-2
         assert abs(row.z_stat - np.floor(z * 10000) / 10000) < 2e-4
+
+
+def test_mann_whitney_matches_brute_force_on_quantized_prices(spark):
+    got = _run(spark, "agg_mann_whitney").iloc[0]
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    o = o[o.o_orderstatus.isin(["O", "F"])]
+    b = np.floor(o.o_totalprice / 500).astype(int)
+    x = b[o.o_orderstatus == "O"].to_numpy()
+    y = b[o.o_orderstatus == "F"].to_numpy()
+    wins = (x[:, None] > y[None, :]).sum()
+    ties = (x[:, None] == y[None, :]).sum()
+    u = wins + 0.5 * ties
+    n1, n2 = len(x), len(y)
+    z = (u - n1 * n2 / 2) / np.sqrt(n1 * n2 * (n1 + n2 + 1) / 12)
+    assert (got.n_open, got.n_filled) == (n1, n2)
+    assert abs(got.u_stat - np.floor(u * 10) / 10) < 0.2
+    assert abs(got.z_stat - np.floor(z * 10000) / 10000) < 2e-4
+    # price independent of status: a true null
+    assert abs(got.z_stat) < 3.0
+
+
+def test_sprt_walk_matches_numpy_and_visits_multiple_states(spark):
+    got = _run(spark, "ml_sprt_monitor").sort_values("period")
+    o = _orders_labeled()
+    o["t"] = (o.o_orderdate - pd.Timestamp("1995-01-01")).dt.days // 30
+    g = o.groupby("t").label.agg(["sum", "count"]).sort_index()
+    cs = g["sum"].cumsum().to_numpy()
+    cf = (g["count"] - g["sum"]).cumsum().to_numpy()
+    la, lb = np.log(0.52 / 0.48), np.log(0.48 / 0.52)
+    llr = cs * la + cf * lb
+    up = np.log((1 - 0.2) / 0.05)
+    lo = np.log(0.2 / (1 - 0.05))
+    assert (got.conversions.to_numpy() == cs).all()
+    assert np.allclose(got.llr, np.floor(llr * 10000) / 10000, atol=2e-4)
+    ref = np.where(llr >= up, "accept_h1", np.where(llr <= lo, "accept_h0", "continue"))
+    assert (got.decision.to_numpy() == ref).all()
+    # the between-hypotheses truth makes the walk genuinely wander
+    assert len(set(got.decision)) >= 2
