@@ -281,6 +281,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "ml_lift_deciles",
     # BH step-up rank over the O(hypotheses)=35 pre-aggregated tests (r8)
     "agg_fdr_bh",
+    # U-statistic cumulative window over the O(price-buckets) histogram —
+    # the agg_ks_test shape (r8)
+    "agg_mann_whitney",
+    # SPRT likelihood walk over the O(periods)~80 pre-aggregated counts (r8)
+    "ml_sprt_monitor",
 }
 
 
