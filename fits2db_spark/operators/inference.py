@@ -2137,3 +2137,511 @@ def ml_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Confusion matrix / operating-point metrics (round 9)
+# ---------------------------------------------------------------------------
+_CM_THRESHOLDS = (0.25, 0.5, 0.75)
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH per AS (
+      SELECT 1.0 / (1.0 + EXP(-(o_totalprice - {_CAL_MID}) / {_CAL_SCALE}))
+               AS score,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    cells AS (
+      SELECT t.th,
+             CAST(SUM(CASE WHEN score >= t.th AND label = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN score >= t.th AND label = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN score < t.th AND label = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN score < t.th AND label = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM per CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(th)
+      GROUP BY t.th
+    )
+    SELECT CAST(th AS DOUBLE) AS threshold, tp, fp, fn, tn,
+           ROUND(tp * 1.0 / (tp + fp), 6) AS precision_,
+           ROUND(tp * 1.0 / (tp + fn), 6) AS recall_,
+           ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+           ROUND((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy
+    FROM cells
+    """,
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix and operating-point metrics (precision / recall /
+    F1 / accuracy) at three score thresholds — the table every model
+    card publishes next to the AUC, and the per-threshold view
+    `ml_auc_roc` integrates away. Scores the same fixed logistic model
+    as `ml_calibration_bins` against the same signal-plus-noise label
+    as `ml_auc_roc` (see `_AUC_NOISE_MOD`), so the three ml-eval
+    operators describe one coherent model: its ranking power (AUC), its
+    calibration (reliability bins), and its decision quality at chosen
+    cutoffs (here).
+
+    All four cells are exact integer counts; the derived ratios divide
+    identical integers in both engines (F1 uses the 2TP/(2TP+FP+FN)
+    form — no intermediate precision/recall rounding), rounded at 1e-6
+    for display. The threshold comparison applies each engine's libm
+    EXP to identical doubles (the module's trig convention); thresholds
+    sit far from any score's 1-ulp neighbourhood at every tier.
+
+    Scale: one O(rows) scan fanned out 3x by a literal threshold array
+    into a 3-row mergeable aggregate — no join, no window, no shuffle
+    beyond the final partial-agg merge; the monitoring query shape that
+    runs per-deploy at any volume."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    score = 1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - _CAL_MID) / _CAL_SCALE))
+    per = o.select(
+        score.alias("score"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("label"),
+        F.explode(F.array(*[F.lit(t) for t in _CM_THRESHOLDS])).alias("th"),
+    )
+    pred = F.col("score") >= F.col("th")
+    pos = F.col("label") == 1
+    cells = per.groupBy("th").agg(
+        F.sum((pred & pos).cast("int")).cast("long").alias("tp"),
+        F.sum((pred & ~pos).cast("int")).cast("long").alias("fp"),
+        F.sum((~pred & pos).cast("int")).cast("long").alias("fn"),
+        F.sum((~pred & ~pos).cast("int")).cast("long").alias("tn"),
+    )
+    return cells.select(
+        F.col("th").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias("precision_"),
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6).alias("recall_"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn"))
+            * 1.0
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: exhaustive best-split search (round 9)
+# ---------------------------------------------------------------------------
+_STUMP_BINW = 25_000  # candidate thresholds every 25k of o_totalprice
+
+
+@register(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(FLOOR(o_totalprice / {_STUMP_BINW}) AS BIGINT) AS bucket,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS label
+      FROM orders
+    ),
+    hist AS (
+      SELECT bucket, SUM(label) AS pos,
+             CAST(COUNT(*) AS DOUBLE) - SUM(label) AS neg
+      FROM per GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, pos, neg,
+             SUM(pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cpos,
+             SUM(neg) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cneg,
+             SUM(pos) OVER () AS tpos,
+             SUM(neg) OVER () AS tneg
+      FROM hist
+    ),
+    cand AS (
+      SELECT (bucket + 1) * {_STUMP_BINW} AS threshold,
+             cpos, cneg, tpos - cpos AS rpos, tneg - cneg AS rneg,
+             tpos, tneg
+      FROM cum WHERE cpos + cneg < tpos + tneg
+    ),
+    scored AS (
+      SELECT threshold,
+             CAST(cpos + cneg AS BIGINT) AS n_left,
+             CAST(rpos + rneg AS BIGINT) AS n_right,
+             CAST(cpos AS BIGINT) AS pos_left,
+             CAST(rpos AS BIGINT) AS pos_right,
+             (cpos + cneg) / (tpos + tneg)
+               * (1.0 - (cpos / (cpos + cneg)) * (cpos / (cpos + cneg))
+                      - (cneg / (cpos + cneg)) * (cneg / (cpos + cneg)))
+             + (rpos + rneg) / (tpos + tneg)
+               * (1.0 - (rpos / (rpos + rneg)) * (rpos / (rpos + rneg))
+                      - (rneg / (rpos + rneg)) * (rneg / (rpos + rneg)))
+               AS wg,
+             1.0 - (tpos / (tpos + tneg)) * (tpos / (tpos + tneg))
+                 - (tneg / (tpos + tneg)) * (tneg / (tpos + tneg)) AS pg
+      FROM cand
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           n_left, n_right, pos_left, pos_right,
+           ROUND(wg, 6) AS gini_split,
+           ROUND(pg - wg, 6) AS gain,
+           CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY wg, threshold) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_best
+    FROM scored
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive best-split search for a depth-1 decision tree: every
+    {_STUMP_BINW}-unit price boundary is scored as a candidate split of
+    the `ml_auc_roc` signal-plus-noise label by weighted Gini impurity,
+    reporting each candidate's class counts, split impurity, information
+    gain, and an `is_best` argmin flag — the inner loop of every
+    gradient-boosted-tree library (XGBoost/LightGBM grow trees from
+    exactly this histogram-of-candidate-splits primitive; the histogram
+    trick IS their scale story too).
+
+    Everything after the first aggregate is rational arithmetic on
+    exact integer-valued doubles — counts, their ratios, and Gini terms
+    divide identical integers in both engines, so the argmin is
+    bit-deterministic (ties broken by ascending threshold). ROUND at
+    1e-6 is display-only.
+
+    Scale: one O(rows) scan into a ~20-bucket histogram (mergeable,
+    map-side combined), then cumulative + total windows over those
+    O(buckets) rows — a sanctioned small global window (the `agg_ks_test`
+    shape, see docs/SCALE.md); the raw table is never sorted. At 100 TB
+    the histogram stays 20 rows; XGBoost's own distributed mode
+    aggregates the same sketch."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(
+        F.floor(F.col("o_totalprice") / _STUMP_BINW).cast("long").alias("bucket"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    hist = per.groupBy("bucket").agg(
+        F.sum("label").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("double").alias("neg"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("pos").over(wc).alias("cpos"),
+        F.sum("neg").over(wc).alias("cneg"),
+        F.sum("pos").over(wt).alias("tpos"),
+        F.sum("neg").over(wt).alias("tneg"),
+    )
+    cand = cum.filter(
+        F.col("cpos") + F.col("cneg") < F.col("tpos") + F.col("tneg")
+    ).select(
+        ((F.col("bucket") + 1) * _STUMP_BINW).alias("threshold"),
+        "cpos",
+        "cneg",
+        (F.col("tpos") - F.col("cpos")).alias("rpos"),
+        (F.col("tneg") - F.col("cneg")).alias("rneg"),
+        "tpos",
+        "tneg",
+    )
+
+    def gini(p, n):
+        tot = p + n
+        return 1.0 - (p / tot) * (p / tot) - (n / tot) * (n / tot)
+
+    nl = F.col("cpos") + F.col("cneg")
+    nr = F.col("rpos") + F.col("rneg")
+    n = F.col("tpos") + F.col("tneg")
+    wg = (nl / n) * gini(F.col("cpos"), F.col("cneg")) + (nr / n) * gini(
+        F.col("rpos"), F.col("rneg")
+    )
+    pg = gini(F.col("tpos"), F.col("tneg"))
+    scored = cand.select(
+        F.col("threshold").cast("long").alias("threshold"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        F.col("cpos").cast("long").alias("pos_left"),
+        F.col("rpos").cast("long").alias("pos_right"),
+        wg.alias("wg"),
+        pg.alias("pg"),
+    )
+    wr = Window.orderBy("wg", "threshold")
+    return scored.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        "pos_left",
+        "pos_right",
+        F.round("wg", 6).alias("gini_split"),
+        F.round(F.col("pg") - F.col("wg"), 6).alias("gain"),
+        F.when(F.row_number().over(wr) == 1, 1).otherwise(0).alias("is_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes: train / holdout-classify / confusion (round 9)
+# ---------------------------------------------------------------------------
+_NB_LANGS = ("de", "en", "es", "fr", "zh")
+_NB_SPLIT_MOD = 5  # md5(doc_id) % 5 == 0 -> 20% holdout
+
+_NB_ORACLE = (
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {mod} = 0 AS is_test,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tr_tok AS (
+      SELECT lang, unnest(toks) AS tok FROM d WHERE NOT is_test
+    ),
+    cnt AS (SELECT lang, tok, COUNT(*) AS c FROM tr_tok GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_tok
+            FROM tr_tok GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tr_tok),
+    ll AS (
+      SELECT c.lang, c.tok,
+             ROUND(LN((c.c + 1.0) / (t.n_tok + v.v)), 6) AS ll
+      FROM cnt c JOIN tot t USING (lang) CROSS JOIN vocab v
+    ),
+    llp AS (
+      SELECT tok, {ll_pivot}
+      FROM ll GROUP BY tok
+    ),
+    un AS (
+      SELECT {un_pivot}
+      FROM tot t CROSS JOIN vocab v
+    ),
+    nd AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM d
+           WHERE NOT is_test GROUP BY 1),
+    pri AS (
+      SELECT {pr_pivot}
+      FROM nd CROSS JOIN (SELECT SUM(n) AS ntot FROM nd) s
+    ),
+    tf AS (
+      SELECT doc_id, lang AS true_lang, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM d WHERE is_test)
+      GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT tf.doc_id, tf.true_lang, tf.tok, tf.tf, {coalesce_cols}
+      FROM tf LEFT JOIN llp USING (tok) CROSS JOIN un
+    ),
+    arrs AS (
+      SELECT doc_id, true_lang,
+             list(struct_pack(tok := tok, tf := tf, {pack_cols})
+                  ORDER BY tok) AS lst
+      FROM wide GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_id, true_lang, {score_cols}
+      FROM arrs CROSS JOIN pri
+    )
+    SELECT true_lang, {pred_case} AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """
+)
+
+
+def _nb_pred_case() -> str:
+    # first class (ascending) whose score >= every later class's score —
+    # mirrored exactly by the Spark when-chain below
+    cases = []
+    for i, k in enumerate(_NB_LANGS[:-1]):
+        conds = " AND ".join(
+            f"sc_{k} >= sc_{o}" for o in _NB_LANGS[i + 1 :]
+        )
+        cases.append(f"WHEN {conds} THEN '{k}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{_NB_LANGS[-1]}' END"
+
+
+@register(
+    "ml_naive_bayes",
+    oracle=_NB_ORACLE.format(
+        mod=_NB_SPLIT_MOD,
+        ll_pivot=", ".join(
+            f"MAX(CASE WHEN lang = '{k}' THEN ll END) AS ll_{k}" for k in _NB_LANGS
+        ),
+        un_pivot=", ".join(
+            f"MAX(CASE WHEN t.lang = '{k}' THEN ROUND(LN(1.0 / (t.n_tok + v.v)), 6)"
+            f" END) AS un_{k}"
+            for k in _NB_LANGS
+        ),
+        pr_pivot=", ".join(
+            f"MAX(CASE WHEN lang = '{k}' THEN ROUND(LN(n / ntot), 6) END) AS pr_{k}"
+            for k in _NB_LANGS
+        ),
+        coalesce_cols=", ".join(
+            f"COALESCE(llp.ll_{k}, un.un_{k}) AS e_{k}" for k in _NB_LANGS
+        ),
+        pack_cols=", ".join(f"e_{k} := e_{k}" for k in _NB_LANGS),
+        score_cols=", ".join(
+            f"pri.pr_{k} + list_reduce(list_prepend(0.0,"
+            f" list_transform(lst, s -> s.tf * s.e_{k})), (a, b) -> a + b) AS sc_{k}"
+            for k in _NB_LANGS
+        ),
+        pred_case=_nb_pred_case(),
+    ),
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes text classifier, trained and evaluated
+    entirely in relational algebra: Laplace-smoothed per-class token
+    log-likelihoods from an 80% md5-deterministic training split, then
+    holdout classification of the 20% test docs and the resulting
+    confusion matrix (true lang x predicted lang x count). The fixture's
+    `lang` label is INDEPENDENT of its shared word-salad vocabulary, so
+    this is a true-null classifier (the `events_granger` convention):
+    the trained model mostly predicts the majority prior (`en`), and the
+    confusion matrix shows exactly that — the machinery (smoothing,
+    priors, argmax, holdout hygiene) is what the oracle pins.
+
+    Determinism: log-likelihoods and priors are quantized (ROUND 1e-6)
+    at train time, and each document's class score is a SEQUENTIAL fold
+    over its token structs in ascending token order (Spark `aggregate`,
+    DuckDB `list_reduce` with a scalar accumulator — the
+    events_haar_wavelet discipline), so scores are bit-identical across
+    engines and the argmax (ties broken by ascending class name, the
+    `text_langid` when-chain) can never flip.
+
+    Scale: training is two token-level partial aggregates (the
+    text_tfidf shape); the model is an O(V x C) table that joins the
+    holdout's (doc, token) pairs on token — broadcast here, sort-merge
+    at real vocabulary sizes; the per-doc fold is an in-row array
+    lambda. Nothing ever sorts or collects the corpus."""
+    d = load(spark, sf_dir, "documents")
+    is_test = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _NB_SPLIT_MOD
+        == 0
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        is_test.alias("is_test"),
+        F.explode(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias(
+            "tok"
+        ),
+    )
+    tr = toks.filter(~F.col("is_test"))
+    cnt = tr.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tr.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n_tok"))
+    vocab = tr.agg(F.countDistinct("tok").cast("double").alias("v"))
+    ll = (
+        cnt.join(tot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("n_tok") + F.col("v"))), 6
+            ).alias("ll"),
+        )
+    )
+    llp = ll.groupBy("tok").agg(
+        *[
+            F.max(F.when(F.col("lang") == k, F.col("ll"))).alias(f"ll_{k}")
+            for k in _NB_LANGS
+        ]
+    )
+    un = tot.crossJoin(F.broadcast(vocab)).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("lang") == k,
+                    F.round(F.log(1.0 / (F.col("n_tok") + F.col("v"))), 6),
+                )
+            ).alias(f"un_{k}")
+            for k in _NB_LANGS
+        ]
+    )
+    nd = (
+        d.filter(~is_test)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    pri = nd.crossJoin(F.broadcast(nd.agg(F.sum("n").alias("ntot")))).agg(
+        *[
+            F.max(
+                F.when(F.col("lang") == k, F.round(F.log(F.col("n") / F.col("ntot")), 6))
+            ).alias(f"pr_{k}")
+            for k in _NB_LANGS
+        ]
+    )
+    tf = (
+        toks.filter("is_test")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    wide = (
+        tf.join(llp, "tok", "left")
+        .crossJoin(F.broadcast(un))
+        .select(
+            "doc_id",
+            "true_lang",
+            "tok",
+            "tf",
+            *[
+                F.coalesce(F.col(f"ll_{k}"), F.col(f"un_{k}")).alias(f"e_{k}")
+                for k in _NB_LANGS
+            ],
+        )
+    )
+    arrs = wide.groupBy("doc_id", "true_lang").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("tok", "tf", *[f"e_{k}" for k in _NB_LANGS])
+            )
+        ).alias("lst")
+    )
+    def class_fold(k: str):
+        # a factory so the fold lambda keeps exactly 2 parameters (PySpark
+        # derives the higher-order function's arity from the signature)
+        return lambda a, s: a + s["tf"] * s[f"e_{k}"]
+
+    scored = arrs.crossJoin(F.broadcast(pri)).select(
+        "doc_id",
+        "true_lang",
+        *[
+            (F.col(f"pr_{k}") + F.aggregate(F.col("lst"), F.lit(0.0), class_fold(k)))
+            .alias(f"sc_{k}")
+            for k in _NB_LANGS
+        ],
+    )
+    pred = F.lit(_NB_LANGS[-1])
+    for i in range(len(_NB_LANGS) - 2, -1, -1):
+        k = _NB_LANGS[i]
+        cond = None
+        for o in _NB_LANGS[i + 1 :]:
+            c = F.col(f"sc_{k}") >= F.col(f"sc_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(k)).otherwise(pred)
+    return scored.groupBy("true_lang", pred.alias("pred_lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

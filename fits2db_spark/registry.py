@@ -175,6 +175,9 @@ _PRIORITY_QUERIES = (
     "agg_wilcoxon_signed_rank",
     "agg_mann_whitney",
     "ml_sprt_monitor",
+    "ml_confusion_matrix",
+    "ml_decision_stump",
+    "ml_naive_bayes",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -1037,3 +1037,102 @@ def test_sprt_walk_matches_numpy_and_visits_multiple_states(spark):
     assert (got.decision.to_numpy() == ref).all()
     # the between-hypotheses truth makes the walk genuinely wander
     assert len(set(got.decision)) >= 2
+
+
+def test_confusion_matrix_matches_numpy_at_each_threshold(spark):
+    got = _run(spark, "ml_confusion_matrix").set_index("threshold").sort_index()
+    o = _orders_labeled()
+    o["score"] = 1.0 / (1.0 + np.exp(-(o.o_totalprice - 200000.0) / 80000.0))
+    for th in (0.25, 0.5, 0.75):
+        pred = (o.score >= th).to_numpy()
+        lab = o.label.to_numpy().astype(bool)
+        tp = int((pred & lab).sum())
+        fp = int((pred & ~lab).sum())
+        fn = int((~pred & lab).sum())
+        tn = int((~pred & ~lab).sum())
+        row = got.loc[th]
+        assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+        assert abs(row.precision_ - tp / (tp + fp)) < 2e-6
+        assert abs(row.recall_ - tp / (tp + fn)) < 2e-6
+        assert abs(row.f1 - 2 * tp / (2 * tp + fp + fn)) < 2e-6
+    # raising the threshold must trade recall for precision on this model
+    assert got.loc[0.75].precision_ > got.loc[0.25].precision_
+    assert got.loc[0.75].recall_ < got.loc[0.25].recall_
+
+
+def test_decision_stump_finds_the_brute_force_best_split(spark):
+    got = _run(spark, "ml_decision_stump").sort_values("threshold")
+    o = _orders_labeled()
+    o["bucket"] = np.floor(o.o_totalprice / 25000).astype(int)
+
+    def gini(p, n):
+        t = p + n
+        return 1 - (p / t) ** 2 - (n / t) ** 2
+
+    P, N = int(o.label.sum()), int((1 - o.label).sum())
+    best, rows = None, {}
+    for b in sorted(o.bucket.unique())[:-1]:
+        left = o[o.bucket <= b]
+        lp, ln_ = int(left.label.sum()), len(left) - int(left.label.sum())
+        rp, rn = P - lp, N - ln_
+        wg = (lp + ln_) / (P + N) * gini(lp, ln_) + (rp + rn) / (P + N) * gini(rp, rn)
+        rows[(b + 1) * 25000] = (lp + ln_, rp + rn, lp, rp, wg)
+        if best is None or wg < best[1]:
+            best = ((b + 1) * 25000, wg)
+    assert len(got) == len(rows)
+    for _, r in got.iterrows():
+        nl, nr, lp, rp, wg = rows[r.threshold]
+        assert (r.n_left, r.n_right, r.pos_left, r.pos_right) == (nl, nr, lp, rp)
+        assert abs(r.gini_split - wg) < 2e-6
+    assert int(got[got.is_best == 1].threshold.iloc[0]) == best[0]
+    # the label ramps in price, so the best split must sit inside the ramp
+    assert 100_000 < best[0] < 500_000
+
+
+def test_naive_bayes_confusion_matches_pandas_reimplementation(spark):
+    got = _run(spark, "ml_naive_bayes")
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    d["is_test"] = _md5_noise(d.doc_id.to_numpy(), 5) == 0
+    d["toks"] = d.text.str.split(" ").map(lambda t: [x for x in t if x])
+    tr = d[~d.is_test].explode("toks")
+    cnt = tr.groupby(["lang", "toks"]).size()
+    tot = tr.groupby("lang").size().astype(float)
+    V = float(tr.toks.nunique())
+    langs = ["de", "en", "es", "fr", "zh"]
+    pri = np.log(d[~d.is_test].groupby("lang").size() / (~d.is_test).sum()).round(6)
+    preds = {}
+    for _, doc in d[d.is_test].iterrows():
+        tf = pd.Series(doc.toks).value_counts().sort_index()
+        scores = {}
+        for c in langs:
+            ll = np.array(
+                [
+                    round(
+                        np.log(
+                            (cnt.get((c, t), 0) + 1.0) / (tot[c] + V)
+                        ),
+                        6,
+                    )
+                    for t in tf.index
+                ]
+            )
+            s = pri[c]
+            for w, l in zip(tf.to_numpy(), ll):  # sequential fold, token order
+                s += w * l
+            scores[c] = s
+        # first class (ascending) whose score >= all later classes
+        pred = langs[-1]
+        for i, c in enumerate(langs[:-1]):
+            if all(scores[c] >= scores[o] for o in langs[i + 1 :]):
+                pred = c
+                break
+        preds[doc.doc_id] = (doc.lang, pred)
+    ref = pd.DataFrame(
+        [(t, p) for t, p in preds.values()], columns=["true_lang", "pred_lang"]
+    ).value_counts()
+    assert int(got.n_docs.sum()) == int(d.is_test.sum())
+    for _, r in got.iterrows():
+        assert ref.get((r.true_lang, r.pred_lang), 0) == r.n_docs
+    # true-null fixture: the majority prior must dominate the predictions
+    en_share = got[got.pred_lang == "en"].n_docs.sum() / got.n_docs.sum()
+    assert en_share > 0.5

@@ -286,6 +286,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "agg_mann_whitney",
     # SPRT likelihood walk over the O(periods)~80 pre-aggregated counts (r8)
     "ml_sprt_monitor",
+    # best-split search over the ~20-bucket price histogram — cumulative +
+    # argmin-rank windows over O(buckets) pre-aggregated rows (r9)
+    "ml_decision_stump",
 }
 
 
