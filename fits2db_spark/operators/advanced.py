@@ -1623,3 +1623,297 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (round 9)
+# ---------------------------------------------------------------------------
+_HITS_ROUNDS = 3
+
+
+def _hits_oracle() -> str:
+    # Unrolled mutual-recursion rounds (the graph_pagerank convention):
+    # authorities from hubs, hubs from the fresh authorities, each rescaled
+    # to mean 1 so ROUND(6) keeps real precision at any graph size.
+    # Fold-order ulp noise is absorbed by ROUND(6); ties order by node id.
+    it = """
+    a{b} AS MATERIALIZED (
+      SELECT e.p, SUM(h.score) * (SELECT CAST(COUNT(*) AS DOUBLE) FROM parts)
+               / (SELECT SUM(h2.score * d.n_p) FROM h{a} h2
+                  JOIN sdeg d ON d.s = h2.s) AS score
+      FROM edges e JOIN h{a} h ON h.s = e.s
+      GROUP BY e.p
+    ),
+    h{b} AS MATERIALIZED (
+      SELECT e.s, SUM(a.score) * (SELECT CAST(COUNT(*) AS DOUBLE) FROM sups)
+               / (SELECT SUM(a2.score * d.n_s) FROM a{b} a2
+                  JOIN pdeg d ON d.p = a2.p) AS score
+      FROM edges e JOIN a{b} a ON a.p = e.p
+      GROUP BY e.s
+    )"""
+    rounds = ",".join(it.format(a=i, b=i + 1) for i in range(_HITS_ROUNDS))
+    return f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    sups AS (SELECT DISTINCT s FROM edges),
+    parts AS (SELECT DISTINCT p FROM edges),
+    sdeg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS n_p FROM edges GROUP BY s),
+    pdeg AS (SELECT p, CAST(COUNT(*) AS DOUBLE) AS n_s FROM edges GROUP BY p),
+    h0 AS (SELECT s, 1.0 AS score FROM sups),
+    {rounds}
+    SELECT * FROM (
+      SELECT 'hub' AS node_type, s AS node_id, ROUND(score, 6) AS score
+      FROM h{_HITS_ROUNDS} ORDER BY ROUND(score, 6) DESC, s LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'authority' AS node_type, p AS node_id, ROUND(score, 6) AS score
+      FROM a{_HITS_ROUNDS} ORDER BY ROUND(score, 6) DESC, p LIMIT 10
+    )
+    """
+
+
+@register("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg's HITS (1999) over the supplier->part bipartite graph:
+    {_HITS_ROUNDS} unrolled mutual-reinforcement rounds — a part's
+    authority is the sum of its suppliers' hub scores, a supplier's hub
+    score the sum of its parts' authorities — returning the top-10 hubs
+    and top-10 authorities. The directed-graph complement to
+    `graph_pagerank` (PageRank ranks by random-walk mass; HITS separates
+    "good directories" from "good endpoints", the distinction that matters
+    on bipartite entity graphs mined from fact tables).
+
+    Each round rescales both score vectors to mean 1 (an L1 normalization
+    that needs no sqrt) so the magnitudes stay O(1) at any graph size and
+    ROUND(6) keeps real precision. Normalizers are 1-row aggregates
+    broadcast back onto the scores — never a driver collect. Fold-order
+    ulp noise absorbs into ROUND(6), ties order by node id (the
+    `graph_pagerank` determinism convention).
+
+    Scale: per round, one join of scores onto the edge list + one
+    partial-aggregating groupBy per side — the canonical distributed
+    power-iteration shuffle profile; executor state is two O(nodes) score
+    tables, driver state zero. Edge list persists for the {_HITS_ROUNDS}
+    rounds and unpersists before return."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("n_p"))
+    pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("n_s"))
+    n_sup = edges.select("s").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_sup")
+    )
+    n_par = edges.select("p").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_par")
+    )
+    h = edges.select("s").distinct().select("s", F.lit(1.0).alias("score"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        raw_a = (
+            edges.join(h, "s")
+            .groupBy("p")
+            .agg(F.sum("score").alias("raw"))
+        )
+        # mean-1 rescale: sum over edges of h = sum_s h_s * outdeg(s)
+        anorm = (
+            h.join(sdeg, "s")
+            .agg(F.sum(F.col("score") * F.col("n_p")).alias("tot"))
+            .crossJoin(F.broadcast(n_par))
+        )
+        a = raw_a.crossJoin(F.broadcast(anorm)).select(
+            "p", (F.col("raw") * F.col("n_par") / F.col("tot")).alias("score")
+        )
+        raw_h = (
+            edges.join(a, "p")
+            .groupBy("s")
+            .agg(F.sum("score").alias("raw"))
+        )
+        hnorm = (
+            a.join(pdeg, "p")
+            .agg(F.sum(F.col("score") * F.col("n_s")).alias("tot"))
+            .crossJoin(F.broadcast(n_sup))
+        )
+        h = raw_h.crossJoin(F.broadcast(hnorm)).select(
+            "s", (F.col("raw") * F.col("n_sup") / F.col("tot")).alias("score")
+        )
+    hubs = (
+        h.select(
+            F.lit("hub").alias("node_type"),
+            F.col("s").alias("node_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "node_id")
+        .limit(10)
+    )
+    auths = (
+        a.select(
+            F.lit("authority").alias("node_type"),
+            F.col("p").alias("node_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "node_id")
+        .limit(10)
+    )
+    result = hubs.unionByName(auths).localCheckpoint(eager=True)
+    edges.unpersist()
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficient / transitivity (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    sh AS MATERIALIZED (
+      SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    thr AS (SELECT quantile_cont(c, 0.99) AS thr FROM sh),
+    e AS MATERIALIZED (SELECT u, v FROM sh CROSS JOIN thr WHERE c >= thr),
+    tri AS MATERIALIZED (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+    ),
+    nt AS (
+      SELECT node, CAST(COUNT(*) AS DOUBLE) AS n_tri
+      FROM (SELECT x AS node FROM tri UNION ALL
+            SELECT y FROM tri UNION ALL
+            SELECT z FROM tri)
+      GROUP BY 1
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS DOUBLE) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1
+    ),
+    pern AS (
+      SELECT d.node, d.degree, COALESCE(nt.n_tri, 0) AS n_tri,
+             CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(nt.n_tri, 0) / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END AS cc
+      FROM deg d LEFT JOIN nt USING (node)
+    ),
+    gstats AS (
+      SELECT COALESCE(SUM(n_tri) / NULLIF(SUM(degree * (degree - 1) / 2), 0),
+                      0.0) AS transitivity
+      FROM pern
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(n_tri AS BIGINT) AS n_triangles,
+           ROUND(cc, 6) AS local_cc,
+           ROUND(g.transitivity, 6) AS transitivity
+    FROM pern CROSS JOIN gstats g
+    ORDER BY ROUND(cc, 6) DESC, degree DESC, node
+    LIMIT 20
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2*triangles / deg*(deg-1),
+    "how interconnected is each node's neighbourhood" — plus the graph's
+    global transitivity (3*triangles / wedges, carried as a constant
+    column so the scalar is hash-pinned too), over the same
+    p99-thresholded supplier co-supply graph as `graph_triangles`
+    (Watts-Strogatz 1998's small-world statistic; the feature upstream of
+    community detection and fraud-ring screens).
+
+    Every quantity is rational arithmetic on exact integer counts (a node
+    on the u<v edge list participates in a triangle exactly once per
+    enumeration), so both engines compute identical doubles; ROUND(6) is
+    display-only and the top-20 cut breaks ties by (degree, node).
+
+    Scale: shares the `graph_triangles` plan (and its memoized persisted
+    edge list) — two shuffle joins bounded by the p99 hub cap; the wedge
+    denominator needs only the degree table. The global ratio is a 1-row
+    aggregate broadcast onto 20 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    sh = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    thr = sh.agg(F.percentile("c", F.lit(0.99)).alias("thr"))
+    try:
+        memo_key = (spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        memo_key = ("", sf_dir)
+    e = _TRI_EDGE_CACHE.get(memo_key)
+    if e is None:
+        e = (
+            sh.crossJoin(F.broadcast(thr))
+            .filter(F.col("c") >= F.col("thr"))
+            .select("u", "v")
+            .persist()
+        )
+        _TRI_EDGE_CACHE[memo_key] = e
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")))
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+    )
+    nt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_tri"))
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("degree"))
+    )
+    pern = (
+        deg.join(nt, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0.0)).alias("n_tri"),
+        )
+        .withColumn(
+            "cc",
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("n_tri") / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    glob = pern.agg(
+        F.coalesce(
+            F.sum("n_tri")
+            / F.nullif(
+                F.sum(F.col("degree") * (F.col("degree") - 1) / 2), F.lit(0.0)
+            ),
+            F.lit(0.0),
+        ).alias("transitivity")
+    )
+    cc = F.round(F.col("cc"), 6)
+    return (
+        pern.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_tri").cast("long").alias("n_triangles"),
+            cc.alias("local_cc"),
+            F.round("transitivity", 6).alias("transitivity"),
+        )
+        .orderBy(F.col("local_cc").desc(), F.col("degree").desc(), "node")
+        .limit(20)
+    )

@@ -178,6 +178,8 @@ _PRIORITY_QUERIES = (
     "ml_confusion_matrix",
     "ml_decision_stump",
     "ml_naive_bayes",
+    "graph_hits",
+    "graph_clustering_coeff",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

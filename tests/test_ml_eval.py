@@ -1136,3 +1136,79 @@ def test_naive_bayes_confusion_matches_pandas_reimplementation(spark):
     # true-null fixture: the majority prior must dominate the predictions
     en_share = got[got.pred_lang == "en"].n_docs.sum() / got.n_docs.sum()
     assert en_share > 0.5
+
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    got = all_queries()["graph_hits"](spark, SF_MID).toPandas()
+    li = pd.read_parquet(f"{SF_MID}/lineitem.parquet")
+    edges = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    sups = np.sort(edges.l_suppkey.unique())
+    pars = np.sort(edges.l_partkey.unique())
+    si = {s: i for i, s in enumerate(sups)}
+    pi = {p: i for i, p in enumerate(pars)}
+    E = np.zeros((len(sups), len(pars)))
+    for s, p in edges.itertuples(index=False):
+        E[si[s], pi[p]] = 1.0
+    h = np.ones(len(sups))
+    for _ in range(3):
+        # sum over edges of h == sum of the raw authority vector, so the
+        # mean-1 rescale divides by the vector sum
+        a = E.T @ h
+        a = a * len(pars) / a.sum()
+        h = E @ a
+        h = h * len(sups) / h.sum()
+    ref_h = pd.Series(h, index=sups).sort_values(ascending=False)
+    ref_a = pd.Series(a, index=pars).sort_values(ascending=False)
+    gh = got[got.node_type == "hub"].set_index("node_id").score
+    ga = got[got.node_type == "authority"].set_index("node_id").score
+    assert len(gh) == 10 and len(ga) == 10
+    for nid, sc in gh.items():
+        assert abs(sc - ref_h[nid]) < 1e-4
+    for nid, sc in ga.items():
+        assert abs(sc - ref_a[nid]) < 1e-4
+    # top hub/authority by score must agree with the dense reference
+    assert abs(gh.max() - ref_h.iloc[0]) < 1e-4
+    assert abs(ga.max() - ref_a.iloc[0]) < 1e-4
+
+
+def test_clustering_coeff_matches_brute_force(spark):
+    got = all_queries()["graph_clustering_coeff"](spark, SF_MID).toPandas()
+    li = pd.read_parquet(f"{SF_MID}/lineitem.parquet")
+    ps = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    from collections import defaultdict
+
+    by_part = defaultdict(set)
+    for p, s in ps.itertuples(index=False):
+        by_part[p].add(s)
+    pair_count = defaultdict(int)
+    for members in by_part.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pair_count[(ms[i], ms[j])] += 1
+    thr = float(np.quantile(np.array(list(pair_count.values()), dtype=float), 0.99))
+    adj = defaultdict(set)
+    for (u, v), c in pair_count.items():
+        if c >= thr:
+            adj[u].add(v)
+            adj[v].add(u)
+    ref = {}
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        tri = sum(
+            1
+            for u in nbrs
+            for v in nbrs
+            if u < v and v in adj[u]
+        )
+        ref[node] = (d, tri, 2 * tri / (d * (d - 1)) if d >= 2 else 0.0)
+    for _, r in got.iterrows():
+        d, tri, cc = ref[r.node]
+        assert (r.degree, r.n_triangles) == (d, tri)
+        assert abs(r.local_cc - cc) < 2e-6
+    tot_tri = sum(t for _, t, _ in ref.values()) / 3
+    wedges = sum(d * (d - 1) / 2 for d, _, _ in ref.values())
+    assert abs(got.transitivity.iloc[0] - 3 * tot_tri / wedges) < 2e-6
