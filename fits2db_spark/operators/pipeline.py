@@ -2163,3 +2163,103 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens")
         ).alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (round 9) — completes the k-anonymity / l-diversity trio
+# ---------------------------------------------------------------------------
+_TCLOSE_T = 0.2  # the conventional disclosure threshold from Li et al. 2007
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH tiers AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 0
+                  WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS tier
+      FROM customer
+    ),
+    per AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1
+      FROM tiers GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS gn,
+             CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS g0,
+             CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS g1
+      FROM tiers
+    ),
+    emd AS (
+      SELECT c_nationkey, c_mktsegment, n,
+             (ABS(n0 / n - g0 / gn)
+              + ABS((n0 + n1) / n - (g0 + g1) / gn)) / 2.0 AS t
+      FROM per CROSS JOIN g
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n AS BIGINT) AS group_size,
+           ROUND(t, 6) AS t_closeness,
+           t > {_TCLOSE_T} AS t_violation
+    FROM emd
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian 2007): for each
+    quasi-identifier class — the same (nation, market segment) QI and
+    acctbal-tier sensitive attribute as `privacy_k_anonymity` and
+    `privacy_entropy_ldiv`, completing the disclosure-risk trio — the
+    Earth Mover's Distance between the class's sensitive-value
+    distribution and the global one, with the conventional t>{_TCLOSE_T}
+    violation flag. l-diversity only counts distinct sensitive values; a
+    class can be 3-diverse yet 95% 'neg' while the table is 5% 'neg' —
+    exactly the skew EMD measures. For the ORDERED 3-tier attribute the
+    EMD has the closed prefix-sum form (|cum1| + |cum2|) / (m-1), so no
+    LP solve is needed.
+
+    All quantities are ratios of exact integer counts computed
+    identically in both engines — bit-deterministic, ROUND(6) is
+    display-only. Scale: one partial-aggregating groupBy over the QI
+    classes plus a 1-row global aggregate broadcast onto them; the
+    privacy audit runs at any volume for the cost of one group-by scan."""
+    c = load(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 5000, 1)
+        .otherwise(2)
+    )
+    t = c.select("c_nationkey", "c_mktsegment", tier.alias("tier"))
+    per = t.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("tier") == 0).cast("int")).cast("double").alias("n0"),
+        F.sum((F.col("tier") == 1).cast("int")).cast("double").alias("n1"),
+    )
+    g = t.agg(
+        F.count(F.lit(1)).cast("double").alias("gn"),
+        F.sum((F.col("tier") == 0).cast("int")).cast("double").alias("g0"),
+        F.sum((F.col("tier") == 1).cast("int")).cast("double").alias("g1"),
+    )
+    emd = per.crossJoin(F.broadcast(g)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        (
+            (
+                F.abs(F.col("n0") / F.col("n") - F.col("g0") / F.col("gn"))
+                + F.abs(
+                    (F.col("n0") + F.col("n1")) / F.col("n")
+                    - (F.col("g0") + F.col("g1")) / F.col("gn")
+                )
+            )
+            / 2.0
+        ).alias("t"),
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("long").alias("group_size"),
+        F.round("t", 6).alias("t_closeness"),
+        (F.col("t") > _TCLOSE_T).alias("t_violation"),
+    )

@@ -871,3 +871,65 @@ def warehouse_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE TABLE column statistics (round 9)
+# ---------------------------------------------------------------------------
+_STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _column_stats_oracle() -> str:
+    per = " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+           ROUND(MIN({c}), 4) AS min_val,
+           ROUND(MAX({c}), 4) AS max_val,
+           ROUND(AVG({c}), 4) AS avg_val,
+           ROUND(quantile_cont({c}, 0.25), 4) AS p25,
+           ROUND(quantile_cont({c}, 0.50), 4) AS p50,
+           ROUND(quantile_cont({c}, 0.75), 4) AS p75
+    FROM lineitem"""
+        for c in _STATS_COLS
+    )
+    return per
+
+
+@register("warehouse_column_stats", oracle=_column_stats_oracle())
+def warehouse_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as a query: per
+    numeric lineitem column, row count, null count, exact NDV, min / max,
+    mean, and the equi-height quartile boundaries — the optimizer-statistics
+    build every warehouse schedules after large loads (CBO join reordering
+    and selectivity estimates consume exactly these numbers; Spark stores
+    them in the catalog via ANALYZE, this operator makes the computation
+    itself inspectable and oracle-checkable).
+
+    One pass over the unpivoted (column, value) stream: `stack` fans each
+    row into 4 (name, value) pairs so ALL columns' statistics partial-agg
+    in a single shuffle by column name (4 keys) instead of 4 scans — the
+    multi-column ANALYZE trick. Exact percentiles sort-merge per key; at
+    100 TB swap `percentile` for `approx_percentile` and NDV for HLL (the
+    engine's `agg_approx_distinct` path) — the boundaries move by sketch
+    error only, the plan shape is identical. NDV / counts are exact
+    integers; mean and quartiles ROUND(4) (the agg_stats convention)."""
+    li = load(spark, sf_dir, "lineitem")
+    stack_expr = "stack({n}, {args}) as (col_name, val)".format(
+        n=len(_STATS_COLS),
+        args=", ".join(f"'{c}', {c}" for c in _STATS_COLS),
+    )
+    pairs = li.selectExpr(stack_expr)
+    return pairs.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_null"),
+        F.countDistinct("val").cast("long").alias("ndv"),
+        F.round(F.min("val"), 4).alias("min_val"),
+        F.round(F.max("val"), 4).alias("max_val"),
+        F.round(F.avg("val"), 4).alias("avg_val"),
+        F.round(F.percentile("val", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("val", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("val", F.lit(0.75)), 4).alias("p75"),
+    )

@@ -180,6 +180,8 @@ _PRIORITY_QUERIES = (
     "ml_naive_bayes",
     "graph_hits",
     "graph_clustering_coeff",
+    "privacy_t_closeness",
+    "warehouse_column_stats",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -1212,3 +1212,35 @@ def test_clustering_coeff_matches_brute_force(spark):
     tot_tri = sum(t for _, t, _ in ref.values()) / 3
     wedges = sum(d * (d - 1) / 2 for d, _, _ in ref.values())
     assert abs(got.transitivity.iloc[0] - 3 * tot_tri / wedges) < 2e-6
+
+
+def test_t_closeness_matches_pandas_emd(spark):
+    got = _run(spark, "privacy_t_closeness")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    c["tier"] = np.where(c.c_acctbal < 0, 0, np.where(c.c_acctbal < 5000, 1, 2))
+    gq = np.array([(c.tier == i).mean() for i in range(3)])
+    for _, r in got.iterrows():
+        g = c[(c.c_nationkey == r.c_nationkey) & (c.c_mktsegment == r.c_mktsegment)]
+        p = np.array([(g.tier == i).mean() for i in range(3)])
+        cum = np.cumsum(p - gq)
+        t = (abs(cum[0]) + abs(cum[1])) / 2
+        assert r.group_size == len(g)
+        assert abs(r.t_closeness - t) < 2e-6
+        assert bool(r.t_violation) == (t > 0.2)
+    # the fixture must exercise both flag branches
+    assert got.t_violation.any() and (~got.t_violation).any()
+
+
+def test_column_stats_match_numpy(spark):
+    got = _run(spark, "warehouse_column_stats").set_index("col_name")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        v = li[c].to_numpy(dtype=float)
+        r = got.loc[c]
+        assert r.n == len(v) and r.n_null == 0
+        assert r.ndv == len(np.unique(v))
+        assert abs(r.min_val - v.min()) < 1e-9
+        assert abs(r.max_val - v.max()) < 1e-9
+        assert abs(r.avg_val - round(v.mean(), 4)) < 2e-4
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            assert abs(r[col] - np.quantile(v, q, method="linear")) < 1e-4
