@@ -4461,3 +4461,252 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             f4(F.col("mn")).alias("plain_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation between event-type daily series (round 9)
+# ---------------------------------------------------------------------------
+_CCF_MAX_LAG = 5
+
+
+@register(
+    "events_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(CAST(SUM(value) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             corr(a.v, b.v) AS r, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b
+        ON b.event_type > a.event_type AND b.d = a.d + l.lag
+      GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n_overlap,
+           ROUND(r, 4) AS ccf,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY type_a, type_b
+                  ORDER BY ABS(ROUND(r, 4)) DESC, lag) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_peak
+    FROM pairs
+    """,
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation function: for every ordered pair of
+    event types, the Pearson correlation of their daily-value series at
+    every lag in [-{_CCF_MAX_LAG}, +{_CCF_MAX_LAG}], with the peak-|r|
+    lag flagged per pair — "does signup activity lead purchases by two
+    days?", the first question a growth analyst asks of a metric pair
+    (and the alignment step before any transfer-entropy / Granger
+    modeling; complements `events_granger`, which fixes lag 1).
+
+    The series reduce to O(types x 30) rows before the lag join fans
+    them by 11 literal lags, so the correlation inputs are tiny; `corr`
+    is a sample statistic in both engines (the module's corr_covar
+    convention) and ROUND(4) absorbs fold-order ulp noise. The peak
+    flag ranks the ROUNDED |r| with lag as tiebreak — deterministic.
+
+    Scale: one partial-aggregating scan of events (the shared
+    daily_value_series stage) dominates; everything downstream is
+    O(types^2 x lags) rows. The lag join keys on exact integer day
+    indexes."""
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round(F.col("v").cast("double"), 4).alias("v")
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") > F.col("a.event_type"))
+            & (F.col("b.d") == F.col("a.d") + F.col("lag")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            "lag",
+        )
+        .agg(
+            F.corr(F.col("a.v"), F.col("b.v")).alias("r"),
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        )
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.abs(F.round("r", 4)).desc(), "lag"
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("long").alias("lag"),
+        "n_overlap",
+        F.round("r", 4).alias("ccf"),
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("is_peak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping distance between event-type daily profiles (round 9)
+# ---------------------------------------------------------------------------
+_DTW_LEN = 28  # first 28 days of each z-scored daily series
+_DTW_INF = 1e18
+
+
+def _dtw_oracle() -> str:
+    # full DP table as two nested sequential list folds (outer over x rows,
+    # inner building each DP row left-to-right) — identical op sequence to
+    # the Spark aggregate() pair below, so the doubles match bit-for-bit.
+    # xi is boxed into a 1-element list so list_reduce's accumulator (a DP
+    # row) and its elements share one type.
+    n = _DTW_LEN
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(CAST(SUM(value) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list_transform(list(struct_pack(d := d, v := v) ORDER BY d),
+                            s -> s.v)[1:{n}] AS vs
+      FROM daily GROUP BY 1 HAVING COUNT(*) >= {n}
+    ),
+    zs AS (
+      SELECT event_type,
+             list_transform(vs, x ->
+               (x - list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / {n})
+               / sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(vs, y ->
+                      (y - list_reduce(list_prepend(0.0, vs),
+                                       (a, b) -> a + b) / {n})
+                      * (y - list_reduce(list_prepend(0.0, vs),
+                                         (a, b) -> a + b) / {n}))),
+                    (a, b) -> a + b) / {n})) AS z
+      FROM arr
+    ),
+    dtw AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             list_reduce(
+               list_prepend(
+                 list_prepend(0.0, list_transform(generate_series(1, {n}),
+                                                  j -> {_DTW_INF})),
+                 list_transform(a.z, xi -> [xi])
+               ),
+               (prev, xb) -> list_reduce(
+                 list_prepend([{_DTW_INF}],
+                   list_transform(generate_series(1, {n}),
+                                  j -> [CAST(j AS DOUBLE)])),
+                 (rowacc, jb) -> list_append(rowacc,
+                    abs(xb[1] - b.z[CAST(jb[1] AS INT)])
+                    + least(prev[CAST(jb[1] AS INT) + 1],
+                            prev[CAST(jb[1] AS INT)],
+                            rowacc[CAST(jb[1] AS INT)]))
+               )
+             )[{n} + 1] AS dist
+      FROM zs a JOIN zs b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, CAST({n} AS BIGINT) AS n,
+           ROUND(dist, 4) AS dtw_distance,
+           ROUND(dist / {n}, 6) AS dtw_per_step
+    FROM dtw
+    """
+
+
+@register("events_dtw_distance", oracle=_dtw_oracle())
+def events_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping distance between every pair of z-scored
+    {_DTW_LEN}-day event-type profiles — the elastic series distance that
+    matches shapes under local time shifts (Sakoe-Chiba 1978; the
+    clustering metric of choice for usage curves, where Euclidean
+    punishes a one-day phase offset). Neither engine has a DTW
+    primitive, so BOTH run the defining O(n x m) dynamic program as two
+    nested sequential array folds (outer fold carries the previous DP
+    row, inner fold builds each row left-to-right) — entirely in-row
+    lambda algebra on pre-aggregated arrays, the same discipline as
+    `events_haar_wavelet`, with an identical operation sequence in the
+    two engines so every double matches bit-for-bit before ROUND.
+
+    z-scoring (population mean/std via in-row folds over the same
+    sorted array) makes the distance scale-free, so it measures shape,
+    not volume.
+
+    Scale: the event scan partial-aggregates to O(types x 30) rows;
+    the DP is O(types^2 x {_DTW_LEN}^2) scalar ops on single rows —
+    embarrassingly parallel across pairs, no shuffle after the daily
+    aggregate. For long series at scale, band the inner sequence
+    (Sakoe-Chiba radius) — the fold structure is unchanged."""
+    n = _DTW_LEN
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round(F.col("v").cast("double"), 4).alias("v")
+    )
+    arr = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, v))), s -> s.v)"
+            ).alias("vs_full")
+        )
+        .filter(F.size("vs_full") >= n)
+        .select("event_type", F.slice("vs_full", 1, n).alias("vs"))
+    )
+    mean = F.aggregate("vs", F.lit(0.0), lambda a, x: a + x) / n
+    zs = arr.withColumn("mu", mean)
+    var = (
+        F.aggregate(
+            "vs",
+            F.lit(0.0),
+            lambda a, y: a + (y - F.col("mu")) * (y - F.col("mu")),
+        )
+        / n
+    )
+    zs = zs.withColumn("sd", F.sqrt(var)).select(
+        "event_type",
+        F.transform("vs", lambda x: (x - F.col("mu")) / F.col("sd")).alias("z"),
+    )
+    a, b = zs.alias("a"), zs.alias("b")
+    init_row = F.concat(
+        F.array(F.lit(0.0)),
+        F.transform(F.sequence(F.lit(1), F.lit(n)), lambda j: F.lit(_DTW_INF)),
+    )
+
+    def dp_row(prev, xi):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(n)),
+            F.array(F.lit(_DTW_INF)),
+            lambda rowacc, j: F.concat(
+                rowacc,
+                F.array(
+                    F.abs(xi - F.element_at(F.col("b.z"), j))
+                    + F.least(
+                        F.element_at(prev, j + 1),
+                        F.element_at(prev, j),
+                        F.element_at(rowacc, j),
+                    )
+                ),
+            ),
+        )
+
+    dist = F.element_at(
+        F.aggregate(F.col("a.z"), init_row, dp_row),
+        n + 1,
+    )
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.lit(n).cast("long").alias("n"),
+            F.round(dist, 4).alias("dtw_distance"),
+            F.round(dist / n, 6).alias("dtw_per_step"),
+        )
+    )

@@ -182,6 +182,8 @@ _PRIORITY_QUERIES = (
     "graph_clustering_coeff",
     "privacy_t_closeness",
     "warehouse_column_stats",
+    "events_cross_correlation",
+    "events_dtw_distance",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -966,3 +966,67 @@ def test_pmi_top_pair_matches_manual(spark):
     top = got.iloc[0]
     assert (top.term_a, top.term_b) == (best[1], best[2])
     assert abs(top.pmi - best[0]) < 1e-5
+
+
+def test_cross_correlation_matches_numpy_pearson(spark):
+    import numpy as np
+    import pandas as pd
+
+    got = all_queries()["events_cross_correlation"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = (
+        ev.groupby(["event_type", "d"]).value.sum().round(4).rename("v").reset_index()
+    )
+    for _, r in got.iterrows():
+        a = daily[daily.event_type == r.type_a].set_index("d").v
+        b = daily[daily.event_type == r.type_b].set_index("d").v
+        xs, ys = [], []
+        for d, x in a.items():
+            if d + r.lag in b.index:
+                xs.append(x)
+                ys.append(b[d + r.lag])
+        assert r.n_overlap == len(xs)
+        ref = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r.ccf - ref) < 2e-4
+    # exactly one peak per pair
+    peaks = got.groupby(["type_a", "type_b"]).is_peak.sum()
+    assert (peaks == 1).all()
+
+
+def test_dtw_matches_numpy_dp_and_is_shape_sensitive(spark):
+    import numpy as np
+    import pandas as pd
+
+    got = all_queries()["events_dtw_distance"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = (
+        ev.groupby(["event_type", "d"]).value.sum().round(4).rename("v").reset_index()
+    )
+    series = {}
+    for t, g in daily.groupby("event_type"):
+        v = g.sort_values("d").v.to_numpy()[:28]
+        z = (v - v.mean()) / np.sqrt(((v - v.mean()) ** 2).mean())
+        series[t] = z
+
+    def dtw(x, y):
+        n, m = len(x), len(y)
+        dp = np.full((n + 1, m + 1), 1e18)
+        dp[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                dp[i, j] = abs(x[i - 1] - y[j - 1]) + min(
+                    dp[i - 1, j], dp[i - 1, j - 1], dp[i, j - 1]
+                )
+        return dp[n, m]
+
+    assert len(got) == 10  # all 5-choose-2 ordered pairs
+    for _, r in got.iterrows():
+        ref = dtw(series[r.type_a], series[r.type_b])
+        assert abs(r.dtw_distance - ref) < 2e-4
+        assert abs(r.dtw_per_step - ref / 28) < 2e-6
+    # DTW of a series with itself is 0 and with others strictly > 0
+    t0 = list(series)[0]
+    assert dtw(series[t0], series[t0]) == 0.0
+    assert (got.dtw_distance > 0).all()
