@@ -2513,3 +2513,99 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability scoring (round 9)
+# ---------------------------------------------------------------------------
+_READ_SENT_LEN = 15  # fixture convention: the corpus has no sentence
+# punctuation (word-salad synthetic text), so a "sentence" is defined as a
+# 15-token span — ceil(words / 15) — making the sentence-length term real
+# while keeping the formula and syllable machinery exactly Flesch's.
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      list_filter(string_split(text, ' '), x -> x <> ''),
+                      w -> CAST(greatest(1,
+                             len(regexp_extract_all(w, '[aeiouy]+'))) AS BIGINT))),
+                  (a, b) -> a + b) AS BIGINT) AS n_syll
+      FROM documents
+    ),
+    docs AS (
+      SELECT lang, n_words, n_syll,
+             greatest(1, (n_words + {_READ_SENT_LEN} - 1) // {_READ_SENT_LEN})
+               AS n_sent
+      FROM per
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS words,
+           CAST(SUM(n_syll) AS BIGINT) AS syllables,
+           CAST(SUM(n_sent) AS BIGINT) AS sentences,
+           ROUND(206.835
+                 - 1.015 * (CAST(SUM(n_words) AS DOUBLE) / SUM(n_sent))
+                 - 84.6 * (CAST(SUM(n_syll) AS DOUBLE) / SUM(n_words)), 4)
+             AS flesch_ease,
+           ROUND(0.39 * (CAST(SUM(n_words) AS DOUBLE) / SUM(n_sent))
+                 + 11.8 * (CAST(SUM(n_syll) AS DOUBLE) / SUM(n_words))
+                 - 15.59, 4) AS fk_grade
+    FROM docs GROUP BY lang
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease and Flesch-Kincaid grade level per language
+    slice — the corpus-quality readability screen every training-data
+    pipeline runs next to `text_quality_score` (readability gates are a
+    standard C4/FineWeb-style filter dimension). Syllables use the
+    classic vowel-group heuristic (runs of [aeiouy], minimum 1 per word)
+    computed by an in-row regexp over the token array; the fixture
+    corpus has no sentence punctuation, so a sentence is DEFINED as a
+    {_READ_SENT_LEN}-token span (ceil(words/{_READ_SENT_LEN}) — the
+    constructed-fixture convention `ml_auc_roc` documents), keeping both
+    formula terms live.
+
+    Word / syllable / sentence counts are exact integers aggregated with
+    one mergeable groupBy; the two formulas divide identical integer
+    sums in both engines, ROUND(4) display-only.
+
+    Scale: one documents scan, all token work in-row lambdas (no
+    explode shuffle — the doc_winnowing discipline), output O(langs)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    n_words = F.size(words).cast("long")
+    n_syll = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0)))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    per = d.select("lang", n_words.alias("n_words"), n_syll.alias("n_syll"))
+    docs = per.withColumn(
+        "n_sent",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(n_words + {_READ_SENT_LEN} - 1) div {_READ_SENT_LEN}"),
+        ),
+    )
+    wps = F.sum("n_words").cast("double") / F.sum("n_sent")
+    spw = F.sum("n_syll").cast("double") / F.sum("n_words")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_syll").cast("long").alias("syllables"),
+        F.sum("n_sent").cast("long").alias("sentences"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    )

@@ -62,15 +62,16 @@ _BM25_QUERY_SQL = " UNION ALL ".join(
 )
 
 
-@register(
-    "text_bm25",
-    oracle=f"""
-    WITH stats AS (
+# The full BM25 CTE chain up to the per-query ranking, shared verbatim by
+# the text_bm25 oracle and the text_prf_expansion oracle so the two can
+# never drift (`ranked` ends with ROW_NUMBER over ROUND(score, 6)).
+_BM25_CORE_SQL = f"""
+    stats AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
       FROM documents
     ),
-    q AS ({_BM25_QUERY_SQL}),
+    q AS ({{query_sql}}),
     qterms AS (SELECT DISTINCT term FROM q),
     toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -97,12 +98,20 @@ _BM25_QUERY_SQL = " UNION ALL ".join(
       JOIN df ON df.term = q.term
       CROSS JOIN stats s
       GROUP BY q.query_id, tf.doc_id
-    )
-    SELECT query_id, doc_id, ROUND(score, 6) AS score, CAST(rk AS INT) AS rk
-    FROM (
+    ),
+    ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY ROUND(score, 6) DESC, doc_id) AS rk
-      FROM scored) t
+      FROM scored
+    )""".format(query_sql=_BM25_QUERY_SQL)
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT query_id, doc_id, ROUND(score, 6) AS score, CAST(rk AS INT) AS rk
+    FROM ranked
     WHERE rk <= {_BM25_TOPK}
     """,
 )
@@ -124,6 +133,17 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf table, and the final top-k is a per-query WindowGroupLimit, never
     a global sort. Ranks compare on ROUND(score, 6) with doc_id tie-break
     so boundary rows order identically in both engines."""
+    return (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", F.round("score", 6).alias("score"), "rk")
+    )
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared BM25 scoring plan: (query_id, doc_id, raw score, rk) —
+    consumed by `text_bm25` (round + cut) and `text_prf_expansion`
+    (relevance-model estimation over the cut)."""
     d = load(spark, sf_dir, "documents")
     stats = d.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -159,11 +179,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.round("score", 6).desc(), "doc_id"
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _BM25_TOPK)
-        .select("query_id", "doc_id", F.round("score", 6).alias("score"), "rk")
-    )
+    return scored.withColumn("rk", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
@@ -492,4 +508,106 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lists",
             F.col("rk").cast("int").alias("rk"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RM1 pseudo-relevance-feedback query expansion (round 9)
+# ---------------------------------------------------------------------------
+_PRF_FB_DOCS = _BM25_TOPK  # feedback depth: the BM25 top-k
+_PRF_TERMS = 8  # expansion terms returned per query
+
+
+@register(
+    "text_prf_expansion",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL},
+    topk AS (
+      SELECT query_id, doc_id, score FROM ranked WHERE rk <= {_PRF_FB_DOCS}
+    ),
+    wsum AS (SELECT query_id, SUM(score) AS s FROM topk GROUP BY 1),
+    dtoks AS (
+      SELECT t.query_id, t.doc_id, t.score,
+             unnest(string_split(d.text, ' ')) AS term,
+             CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dl
+      FROM topk t JOIN documents d USING (doc_id)
+    ),
+    wtf AS (
+      SELECT query_id, doc_id, term,
+             CAST(COUNT(*) AS DOUBLE) AS tf,
+             ANY_VALUE(dl) AS dl, ANY_VALUE(score) AS score
+      FROM dtoks GROUP BY 1, 2, 3
+    ),
+    rm1 AS (
+      SELECT w.query_id, w.term,
+             SUM(w.tf / w.dl * w.score / s.s) AS wgt
+      FROM wtf w JOIN wsum s USING (query_id)
+      WHERE NOT EXISTS (SELECT 1 FROM q
+                        WHERE q.query_id = w.query_id AND q.term = w.term)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, term, ROUND(wgt, 6) AS rm1_weight, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ROUND(wgt, 6) DESC, term) AS rk
+      FROM rm1) t
+    WHERE rk <= {_PRF_TERMS}
+    """,
+)
+def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM1 pseudo-relevance-feedback query expansion (Lavrenko & Croft
+    2001): run BM25, take each query's top-{_PRF_FB_DOCS} documents as
+    pseudo-relevant, estimate the relevance language model P(w|R) =
+    sum over feedback docs of P(w|d) * P(d|R) — with P(w|d) the doc's
+    maximum-likelihood term frequency tf/dl and P(d|R) the doc's
+    BM25-score share of the feedback set — and return the top-{_PRF_TERMS}
+    expansion terms per query, original query terms excluded (anti-join).
+    This is the classic second-pass retrieval loop (Lucene's "more like
+    this", the query-rewrite leg of hybrid RAG stacks), composed directly
+    over the REGISTERED `text_bm25` ranking so the two operators cannot
+    drift (both engines share the full BM25 CTE chain verbatim).
+
+    Determinism: the relevance-model sum accumulates float products in
+    engine-specific order — ROUND(6) absorbs the ulp noise and the
+    per-query cut ranks the ROUNDED weight with term tie-break.
+
+    Scale: the feedback set is O(queries x {_PRF_FB_DOCS}) doc ids —
+    broadcast back onto the documents table (a semi-join that prunes the
+    corpus scan to the feedback docs), so pass 2 touches only feedback
+    text regardless of corpus size; everything downstream is
+    O(queries x doc-vocab) rows."""
+    ranked = _bm25_ranked(spark, sf_dir)
+    topk = ranked.filter(F.col("rk") <= _PRF_FB_DOCS).select(
+        "query_id", "doc_id", "score"
+    )
+    wsum = topk.groupBy("query_id").agg(F.sum("score").alias("s"))
+    d = load(spark, sf_dir, "documents")
+    fb = topk.join(d, "doc_id").select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.explode(F.split("text", " ")).alias("term"),
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+    )
+    wtf = fb.groupBy("query_id", "doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+        F.first("score").alias("score"),
+    )
+    q = _bm25_query_df(spark)
+    rm1 = (
+        wtf.join(F.broadcast(wsum), "query_id")
+        .join(F.broadcast(q), ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(
+            F.sum(F.col("tf") / F.col("dl") * F.col("score") / F.col("s")).alias(
+                "wgt"
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("wgt", 6).desc(), "term")
+    return (
+        rm1.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PRF_TERMS)
+        .select("query_id", "term", F.round("wgt", 6).alias("rm1_weight"), "rk")
     )

@@ -184,6 +184,8 @@ _PRIORITY_QUERIES = (
     "warehouse_column_stats",
     "events_cross_correlation",
     "events_dtw_distance",
+    "text_prf_expansion",
+    "text_readability",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -205,3 +205,67 @@ def test_rake_phrases_are_stopword_free(spark):
         toks = r["phrase"].split(" ")
         assert all(t not in _RAKE_STOP for t in toks), r
         assert r["rake_score"] > 0 and r["n_occurrences"] >= 1
+
+
+def test_prf_expansion_matches_pandas_rm1(spark):
+    import numpy as np
+    import pandas as pd
+
+    from fits2db_spark.operators.retrieval import (
+        _BM25_QUERIES,
+        text_prf_expansion,
+    )
+
+    got = text_prf_expansion(spark, SF_SMOKE).toPandas()
+    top = text_bm25(spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet").set_index("doc_id")
+    qterms = {qid: set(ts) for qid, ts in _BM25_QUERIES}
+    for qid, g in got.groupby("query_id"):
+        fb = top[top.query_id == qid]
+        s = fb.score.sum()
+        weights = {}
+        for _, r in fb.iterrows():
+            toks = docs.loc[r.doc_id].text.split(" ")
+            dl = len(toks)
+            tf = pd.Series(toks).value_counts()
+            for w, c in tf.items():
+                if w in qterms[qid]:
+                    continue
+                weights[w] = weights.get(w, 0.0) + c / dl * r.score / s
+        ref = sorted(weights.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:8]
+        assert list(g.sort_values("rk").term) == [w for w, _ in ref]
+        for (_, wref), wgot in zip(ref, g.sort_values("rk").rm1_weight):
+            assert abs(wgot - wref) < 1e-4
+        # weights are a probability-model estimate: positive, bounded by 1
+        assert (g.rm1_weight > 0).all() and (g.rm1_weight < 1).all()
+
+
+def test_readability_matches_python_reference(spark):
+    import re
+
+    import pandas as pd
+
+    from fits2db_spark.operators.retrieval import text_bm25  # noqa: F401
+    from fits2db_spark.registry import all_queries
+
+    got = (
+        all_queries()["text_readability"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("lang")
+    )
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    agg = {}
+    for _, row in d.iterrows():
+        words = [w for w in row.text.split(" ") if w]
+        syll = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in words)
+        sent = max(1, (len(words) + 14) // 15)
+        a = agg.setdefault(row.lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(words)
+        a[2] += syll
+        a[3] += sent
+    for lang, (nd, w, y, s) in agg.items():
+        r = got.loc[lang]
+        assert (r.n_docs, r.words, r.syllables, r.sentences) == (nd, w, y, s)
+        assert abs(r.flesch_ease - (206.835 - 1.015 * w / s - 84.6 * y / w)) < 2e-4
+        assert abs(r.fk_grade - (0.39 * w / s + 11.8 * y / w - 15.59)) < 2e-4
