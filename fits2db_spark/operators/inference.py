@@ -2645,3 +2645,207 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("true_lang", pred.alias("pred_lang")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-nearest-neighbour classification over embeddings (round 9)
+# ---------------------------------------------------------------------------
+_KNN_K = 5
+_KNN_CLASSES = 10
+_KNN_PROTO_MOD = 2001  # prototype coords in [-1, 1] at 1e-3 resolution
+
+
+def _knn_oracle() -> str:
+    return f"""
+    WITH protos AS (
+      SELECT c.c AS cls, j.j AS dim,
+             (CAST(concat('0x', substr(md5(CAST(c.c AS VARCHAR) || '#'
+                                       || CAST(j.j AS VARCHAR)), 1, 15))
+                   AS BIGINT) % {_KNN_PROTO_MOD} - 1000) / 1000.0 AS pv
+      FROM (SELECT unnest(range(0, {_KNN_CLASSES})) AS c) c
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+    ),
+    dots AS (
+      SELECT e.vec_id, p.cls,
+             ROUND(SUM(e.embedding[p.dim + 1] * p.pv), 6) AS dot
+      FROM embeddings e JOIN protos p ON TRUE
+      GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT vec_id, cls AS lab
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dot DESC, cls) AS rk
+            FROM dots) t
+      WHERE rk = 1
+    ),
+    base AS (
+      SELECT e.vec_id, e.embedding, l.lab,
+             CAST(concat('0x', substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10 = 0 AS is_test
+      FROM embeddings e JOIN lab l USING (vec_id)
+    ),
+    pairs AS (
+      SELECT t.vec_id AS tid, t.lab AS true_lab,
+             r.vec_id AS rid, r.lab AS nbr_lab,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 64),
+                 i -> t.embedding[i] * r.embedding[i])), (a, b) -> a + b)
+             / sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, 64),
+                   i -> t.embedding[i] * t.embedding[i])), (a, b) -> a + b))
+             / sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, 64),
+                   i -> r.embedding[i] * r.embedding[i])), (a, b) -> a + b))
+               AS cos
+      FROM base t JOIN base r ON t.is_test AND NOT r.is_test
+    ),
+    nbrs AS (
+      SELECT tid, true_lab, nbr_lab
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid
+                                         ORDER BY cos DESC, rid) AS rk
+            FROM pairs) t
+      WHERE rk <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT tid, true_lab, nbr_lab AS pred_lab,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM nbrs GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT tid, true_lab, pred_lab
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid
+                                         ORDER BY v DESC, pred_lab) AS rk
+            FROM votes) t
+      WHERE rk = 1
+    )
+    SELECT CAST(true_lab AS INT) AS true_lab,
+           CAST(pred_lab AS INT) AS pred_lab,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """
+
+
+@register("ml_knn_classify", oracle=_knn_oracle())
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KNN_K}-nearest-neighbour classification over the embedding
+    column: exact cosine kNN of a 10% md5 holdout against the 90%
+    training split, majority vote, confusion matrix out. The fixture's
+    `label` column is independent of the vectors (measured kNN accuracy
+    0.106 — chance), so the ground truth is CONSTRUCTED from the vectors
+    themselves (the `ml_auc_roc` convention): label = argmax over
+    {_KNN_CLASSES} md5-derived random prototype directions of <x, p_c> —
+    a Voronoi partition of the sphere that kNN genuinely recovers
+    (measured accuracy 0.26 at sf0.001 — 2.6x the 10-class chance floor,
+    vs exactly-chance 0.106 on the raw label), so the estimator is
+    exercised against real signal.
+
+    Determinism: prototype dots ROUND(6) before the argmax (the
+    per-class sums shuffle-fold); every cosine is an in-row sequential
+    fold over the two arrays (bit-identical across engines), so the
+    neighbour ranking needs no rounding; vote ties break by smaller
+    label, rank ties by train vec_id.
+
+    Scale: the test side is broadcast into a nested-loop cosine join —
+    the documented brute-force baseline (sim_topk_bruteforce's role);
+    at corpus scale the shortlist comes from the registered ANN family
+    (LSH / IVF / PQ) and only the vote changes. Train-side scan stays
+    pruned to (vec_id, embedding, lab)."""
+    e = load(spark, sf_dir, "embeddings")
+    protos = (
+        spark.range(_KNN_CLASSES)
+        .select(F.col("id").cast("int").alias("cls"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("dim")))
+        .select(
+            "cls",
+            "dim",
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "",
+                                    F.col("cls").cast("string"),
+                                    F.lit("#"),
+                                    F.col("dim").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _KNN_PROTO_MOD
+                    - 1000
+                )
+                / 1000.0
+            ).alias("pv"),
+        )
+    )
+    dots = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .join(F.broadcast(protos), "dim")
+        .groupBy("vec_id", "cls")
+        .agg(F.round(F.sum(F.col("x") * F.col("pv")), 6).alias("dot"))
+    )
+    wl = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "cls")
+    lab = (
+        dots.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cls").alias("lab"))
+    )
+    base = e.join(lab, "vec_id").select(
+        "vec_id",
+        "embedding",
+        "lab",
+        (
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 10
+            == 0
+        ).alias("is_test"),
+    )
+    t = base.filter("is_test").select(
+        F.col("vec_id").alias("tid"),
+        F.col("embedding").alias("te"),
+        F.col("lab").alias("true_lab"),
+    )
+    r = base.filter("NOT is_test").select(
+        F.col("vec_id").alias("rid"),
+        F.col("embedding").alias("re"),
+        F.col("lab").alias("nbr_lab"),
+    )
+
+    def fold_dot(xa, xb):
+        return F.aggregate(
+            F.zip_with(xa, xb, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+
+    cos = (
+        fold_dot(F.col("te"), F.col("re"))
+        / F.sqrt(fold_dot(F.col("te"), F.col("te")))
+        / F.sqrt(fold_dot(F.col("re"), F.col("re")))
+    )
+    pairs = F.broadcast(t).crossJoin(r).select(
+        "tid", "true_lab", "rid", "nbr_lab", cos.alias("cos")
+    )
+    wn = Window.partitionBy("tid").orderBy(F.col("cos").desc(), "rid")
+    nbrs = (
+        pairs.withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("tid", "true_lab", "nbr_lab")
+    )
+    votes = nbrs.groupBy("tid", "true_lab", F.col("nbr_lab").alias("pred_lab")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("tid").orderBy(F.col("v").desc(), "pred_lab")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("tid", "true_lab", "pred_lab")
+    )
+    return pred.groupBy(
+        F.col("true_lab").cast("int").alias("true_lab"),
+        F.col("pred_lab").cast("int").alias("pred_lab"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -4710,3 +4710,87 @@ def events_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dist / n, 6).alias("dtw_per_step"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Accounts-receivable aging buckets (round 9)
+# ---------------------------------------------------------------------------
+_AR_ASOF = "2001-08-01"  # the fixture's latest order date
+_AR_BUCKETS = ((90, "0-90"), (365, "91-365"), (730, "366-730"))
+
+
+@register(
+    "orders_ar_aging",
+    oracle=f"""
+    WITH open_inv AS (
+      SELECT o.o_totalprice, c.c_mktsegment,
+             datediff('day', CAST(o.o_orderdate AS DATE), DATE '{_AR_ASOF}')
+               AS age
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderstatus <> 'F'
+    ),
+    bucketed AS (
+      SELECT c_mktsegment,
+             CASE WHEN age <= 90 THEN '0-90'
+                  WHEN age <= 365 THEN '91-365'
+                  WHEN age <= 730 THEN '366-730'
+                  ELSE '>730' END AS bucket,
+             o_totalprice
+      FROM open_inv
+    ),
+    agg AS (
+      SELECT c_mktsegment, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_invoices,
+             SUM(o_totalprice) AS balance
+      FROM bucketed GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, bucket, n_invoices,
+           ROUND(balance, 2) AS balance,
+           ROUND(balance / SUM(balance) OVER (PARTITION BY c_mktsegment), 6)
+             AS segment_share
+    FROM agg
+    """,
+)
+def orders_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging report: every open order (status not yet
+    'F'inalized) bucketed by days outstanding as of the fixture's latest
+    order date ({_AR_ASOF}), per market segment — invoice count, open
+    balance, and each bucket's share of the segment's receivables. The
+    collections / cash-flow-risk view every finance warehouse refreshes
+    nightly (the '>730' tail is the write-off-candidate line).
+
+    Bucket keys are integer day arithmetic (the module's datediff
+    convention); balances are exact decimal sums ROUND(2); shares divide
+    a bucket's sum by its segment total via a partitioned window over
+    O(segments x 4) pre-aggregated rows.
+
+    Scale: one fact scan with the status filter pushed to parquet, a
+    broadcast of the customer dimension's two columns, one mergeable
+    groupBy — the canonical star-join aggregate shape (join_star_q5's
+    budget)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    age = F.datediff(F.lit(_AR_ASOF).cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = F.lit(">730")
+    for days, name in reversed(_AR_BUCKETS):
+        bucket = F.when(F.col("age") <= days, name).otherwise(bucket)
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_totalprice", age.alias("age"))
+        .select("c_mktsegment", "o_totalprice", bucket.alias("bucket"))
+        .groupBy("c_mktsegment", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_invoices"),
+            F.sum("o_totalprice").alias("balance"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment")
+    return agg.select(
+        "c_mktsegment",
+        "bucket",
+        "n_invoices",
+        F.round("balance", 2).alias("balance"),
+        F.round(F.col("balance") / F.sum("balance").over(w), 6).alias(
+            "segment_share"
+        ),
+    )

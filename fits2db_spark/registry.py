@@ -186,6 +186,8 @@ _PRIORITY_QUERIES = (
     "events_dtw_distance",
     "text_prf_expansion",
     "text_readability",
+    "orders_ar_aging",
+    "ml_knn_classify",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",
