@@ -2849,3 +2849,178 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_lab").cast("int").alias("true_lab"),
         F.col("pred_lab").cast("int").alias("pred_lab"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Closed-form ridge regression with standardized importances (round 9)
+# ---------------------------------------------------------------------------
+_RIDGE_LAMBDA = 1.0  # on the standardized scale
+
+
+@register(
+    "ml_ridge_regression",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS DOUBLE) AS x1,
+             CAST(SUM(l_quantity) AS DOUBLE) AS x2,
+             CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(x1) AS m1, AVG(x2) AS m2, AVG(y) AS my,
+             SUM(x1 * x1) AS s11r, SUM(x2 * x2) AS s22r,
+             SUM(x1 * x2) AS s12r, SUM(x1 * y) AS s1yr,
+             SUM(x2 * y) AS s2yr, SUM(y * y) AS syyr
+      FROM per
+    ),
+    c AS (
+      SELECT n, m1, m2, my,
+             (s11r - n * m1 * m1) / n AS v11,
+             (s22r - n * m2 * m2) / n AS v22,
+             (s12r - n * m1 * m2) / n AS v12,
+             (s1yr - n * m1 * my) / n AS v1y,
+             (s2yr - n * m2 * my) / n AS v2y,
+             (syyr - n * my * my) / n AS vyy
+      FROM m
+    ),
+    z AS (
+      -- standardized design: correlations + scaled targets
+      SELECT n, m1, m2, my, v11, v22, vyy,
+             v12 / sqrt(v11 * v22) AS r12,
+             v1y / sqrt(v11) AS z1y,
+             v2y / sqrt(v22) AS z2y
+      FROM c
+    ),
+    beta AS (
+      SELECT n, m1, m2, my, v11, v22, vyy, r12, z1y, z2y,
+             ((1 + {_RIDGE_LAMBDA} / n) * z1y - r12 * z2y)
+               / ((1 + {_RIDGE_LAMBDA} / n) * (1 + {_RIDGE_LAMBDA} / n)
+                  - r12 * r12) AS b1s,
+             ((1 + {_RIDGE_LAMBDA} / n) * z2y - r12 * z1y)
+               / ((1 + {_RIDGE_LAMBDA} / n) * (1 + {_RIDGE_LAMBDA} / n)
+                  - r12 * r12) AS b2s
+      FROM z
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(b1s / sqrt(v11), 6) AS beta_lines,
+           ROUND(b2s / sqrt(v22), 6) AS beta_qty,
+           ROUND(my - b1s / sqrt(v11) * m1 - b2s / sqrt(v22) * m2, 4)
+             AS intercept,
+           ROUND((2 * (b1s * z1y + b2s * z2y)
+                  - (b1s * b1s + b2s * b2s + 2 * b1s * b2s * r12)) / vyy, 6)
+             AS r2,
+           ROUND(ABS(b1s) / (ABS(b1s) + ABS(b2s)), 6) AS importance_lines,
+           ROUND(ABS(b2s) / (ABS(b1s) + ABS(b2s)), 6) AS importance_qty
+    FROM beta
+    """,
+)
+def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression solved in CLOSED FORM from one pass
+    of sufficient statistics: per-order revenue regressed on line count
+    and total quantity (a REAL relationship in the fixture — revenue is
+    literally a sum over lines, while quantity's PARTIAL effect is ~0
+    because fixture prices are independent of quantity: the regression
+    separates the two, which is the point of multivariate fitting),
+    standardized, with the 2x2 normal equations (X'X/n + lambda/n I)
+    inverted symbolically. Reports
+    coefficients on the original scale, intercept, R^2, and the
+    standardized-|beta| importance shares — the "which feature drives
+    the prediction" summary (linear-SHAP's global aggregate). This is
+    how distributed ML libraries actually fit small-d linear models: a
+    mergeable moment aggregate, then O(d^3) driver-free algebra — here
+    the algebra stays IN the plan as a 1-row projection.
+
+    Both engines compute identical moment sums up to fold order;
+    every downstream quantity is a smooth ratio of those sums, so
+    ROUND(6/4) absorbs the ulp noise (the agg_linreg convention, which
+    this operator generalizes from one regressor to a regularized two).
+
+    Scale: one partial-aggregating groupBy(order) then a 1-row global
+    aggregate — two shuffles total, constant memory, any d just widens
+    the moment vector to d(d+3)/2 sums."""
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("x1"),
+        F.sum("l_quantity").cast("double").alias("x2"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double")
+        .alias("y"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11r"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22r"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12r"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1yr"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2yr"),
+        F.sum(F.col("y") * F.col("y")).alias("syyr"),
+    )
+    c = m.select(
+        "n",
+        "m1",
+        "m2",
+        "my",
+        ((F.col("s11r") - F.col("n") * F.col("m1") * F.col("m1")) / F.col("n")).alias("v11"),
+        ((F.col("s22r") - F.col("n") * F.col("m2") * F.col("m2")) / F.col("n")).alias("v22"),
+        ((F.col("s12r") - F.col("n") * F.col("m1") * F.col("m2")) / F.col("n")).alias("v12"),
+        ((F.col("s1yr") - F.col("n") * F.col("m1") * F.col("my")) / F.col("n")).alias("v1y"),
+        ((F.col("s2yr") - F.col("n") * F.col("m2") * F.col("my")) / F.col("n")).alias("v2y"),
+        ((F.col("syyr") - F.col("n") * F.col("my") * F.col("my")) / F.col("n")).alias("vyy"),
+    )
+    z = c.select(
+        "n",
+        "m1",
+        "m2",
+        "my",
+        "v11",
+        "v22",
+        "vyy",
+        (F.col("v12") / F.sqrt(F.col("v11") * F.col("v22"))).alias("r12"),
+        (F.col("v1y") / F.sqrt(F.col("v11"))).alias("z1y"),
+        (F.col("v2y") / F.sqrt(F.col("v22"))).alias("z2y"),
+    )
+    d = (1 + _RIDGE_LAMBDA / F.col("n")) * (1 + _RIDGE_LAMBDA / F.col("n")) - F.col(
+        "r12"
+    ) * F.col("r12")
+    beta = z.select(
+        "n",
+        "m1",
+        "m2",
+        "my",
+        "v11",
+        "v22",
+        "vyy",
+        "r12",
+        "z1y",
+        "z2y",
+        (((1 + _RIDGE_LAMBDA / F.col("n")) * F.col("z1y") - F.col("r12") * F.col("z2y")) / d).alias("b1s"),
+        (((1 + _RIDGE_LAMBDA / F.col("n")) * F.col("z2y") - F.col("r12") * F.col("z1y")) / d).alias("b2s"),
+    )
+    b1 = F.col("b1s") / F.sqrt(F.col("v11"))
+    b2 = F.col("b2s") / F.sqrt(F.col("v22"))
+    absum = F.abs(F.col("b1s")) + F.abs(F.col("b2s"))
+    return beta.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b1, 6).alias("beta_lines"),
+        F.round(b2, 6).alias("beta_qty"),
+        F.round(F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 4).alias("intercept"),
+        F.round(
+            (
+                2 * (F.col("b1s") * F.col("z1y") + F.col("b2s") * F.col("z2y"))
+                - (
+                    F.col("b1s") * F.col("b1s")
+                    + F.col("b2s") * F.col("b2s")
+                    + 2 * F.col("b1s") * F.col("b2s") * F.col("r12")
+                )
+            )
+            / F.col("vyy"),
+            6,
+        ).alias("r2"),
+        F.round(F.abs(F.col("b1s")) / absum, 6).alias("importance_lines"),
+        F.round(F.abs(F.col("b2s")) / absum, 6).alias("importance_qty"),
+    )

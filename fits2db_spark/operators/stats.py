@@ -4794,3 +4794,68 @@ def orders_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fraud velocity rule: events per user per trailing hour (round 9)
+# ---------------------------------------------------------------------------
+_VEL_WINDOW_S = 3600
+_VEL_FLAG_AT = 2
+
+
+@register(
+    "events_velocity_flags",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    v AS (
+      SELECT event_type,
+             CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY s
+                                 RANGE BETWEEN {_VEL_WINDOW_S} PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS velocity
+      FROM e
+    )
+    SELECT event_type, velocity,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           velocity >= {_VEL_FLAG_AT} AS flagged
+    FROM v GROUP BY 1, 2
+    """,
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule — the first screen every fraud/abuse system runs:
+    for each event, how many events the SAME user produced in the
+    trailing {_VEL_WINDOW_S}s (a per-user RANGE-frame window on epoch
+    seconds), histogrammed per event type with the >= {_VEL_FLAG_AT}
+    velocity flag. Rate-limit auditing, card-testing detection, and
+    scraper screens are all this exact query with different thresholds;
+    the full histogram (rather than only flagged rows) keeps the result
+    non-vacuous at every fixture tier and pins the whole distribution.
+
+    The frame keys on integer epoch seconds (both engines FLOOR the
+    epoch before counting, so sub-second parts can't skew the boundary)
+    and RANGE frames include all peers of the boundary second
+    identically in both engines — exact integer counts end to end.
+
+    Scale: ONE window partitioned by user_id (the natural shuffle key —
+    events tables are usually already bucketed by user), then a tiny
+    mergeable histogram aggregate. No global window, no join; the
+    trailing-window state per user is O(events in {_VEL_WINDOW_S}s)."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-_VEL_WINDOW_S, Window.currentRow)
+    )
+    v = e.select("event_type", F.count(F.lit(1)).over(w).alias("velocity"))
+    return v.groupBy("event_type", "velocity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.first(F.col("velocity") >= _VEL_FLAG_AT).alias("flagged"),
+    )

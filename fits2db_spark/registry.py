@@ -188,6 +188,8 @@ _PRIORITY_QUERIES = (
     "text_readability",
     "orders_ar_aging",
     "ml_knn_classify",
+    "ml_ridge_regression",
+    "events_velocity_flags",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -1313,3 +1313,59 @@ def test_knn_classify_recovers_constructed_voronoi_label(spark):
     # the fixture's RAW label scores exactly chance, 0.106)
     acc = got[got.true_lab == got.pred_lab].n.sum() / got.n.sum()
     assert acc > 0.2 and abs(acc - correct / total) < 1e-9
+
+
+def test_ridge_regression_matches_numpy_closed_form(spark):
+    got = _run(spark, "ml_ridge_regression").iloc[0]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    per = li.groupby("l_orderkey").agg(
+        x1=("l_quantity", "size"),
+        x2=("l_quantity", "sum"),
+    )
+    per["y"] = li.assign(rev=li.l_extendedprice * (1 - li.l_discount)).groupby(
+        "l_orderkey"
+    ).rev.sum()
+    X = per[["x1", "x2"]].to_numpy(dtype=float)
+    y = per.y.to_numpy(dtype=float)
+    n = len(y)
+    mu, sd = X.mean(0), X.std(0)
+    Z = (X - mu) / sd
+    zy = y - y.mean()
+    A = Z.T @ Z / n + np.eye(2) * (1.0 / n)
+    b = Z.T @ zy / n
+    bs = np.linalg.solve(A, b)
+    beta = bs / sd
+    pred = y.mean() + Z @ bs
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert got.n == n
+    assert abs(got.beta_lines - beta[0]) < 1e-4
+    assert abs(got.beta_qty - beta[1]) < 1e-4
+    assert abs(got.intercept - (y.mean() - beta @ mu)) < 1e-2
+    assert abs(got.r2 - r2) < 1e-4
+    assert abs(got.importance_lines + got.importance_qty - 1.0) < 2e-6
+    # revenue depends strongly on line count; quantity's PARTIAL effect is
+    # ~0 (fixture prices are independent of quantity), so the regression
+    # must attribute essentially everything to the line-count feature
+    assert got.r2 > 0.5 and got.beta_lines > 0
+    assert got.importance_lines > 0.9
+
+
+def test_velocity_flags_match_pandas_rolling_count(spark):
+    got = _run(spark, "events_velocity_flags")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    # parquet ts loads as datetime64[us] in pandas — go through total_seconds
+    ev["s"] = np.floor(
+        (ev.ts - pd.Timestamp("1970-01-01")).dt.total_seconds()
+    ).astype(int)
+    ref = {}
+    for (u,), g in ev.groupby(["user_id"]):
+        g = g.sort_values("s")
+        ss = g.s.to_numpy()
+        for i in range(len(g)):
+            vel = int(((ss >= ss[i] - 3600) & (ss <= ss[i])).sum())
+            key = (g.event_type.iloc[i], vel)
+            ref[key] = ref.get(key, 0) + 1
+    assert got.n_events.sum() == len(ev)
+    for _, r in got.iterrows():
+        assert ref.get((r.event_type, r.velocity), 0) == r.n_events
+        assert bool(r.flagged) == (r.velocity >= 2)
