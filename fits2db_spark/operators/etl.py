@@ -1078,3 +1078,101 @@ def spatial_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 df = df.selectExpr("c_custkey", "px", "py", "pz", *sel)
     return df.select("c_custkey", F.col("id").alias("htm9"))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive quadtree spatial index (round 9)
+# ---------------------------------------------------------------------------
+_QT_MAX_LEVEL = 4
+_QT_CAP = 1000  # split a cell while it holds more than this many points
+
+
+@register(
+    "spatial_quadtree_index",
+    oracle=f"""
+    WITH pts AS (
+      SELECT ((l_quantity - 1) / 50.0) * ((l_quantity - 1) / 50.0) AS x,
+             (l_extendedprice / 105000.0) * (l_extendedprice / 105000.0) AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT lv.lv AS level,
+             CAST(FLOOR(p.x * (1 << lv.lv)) AS BIGINT) AS ix,
+             CAST(FLOOR(p.y * (1 << lv.lv)) AS BIGINT) AS iy
+      FROM pts p
+      CROSS JOIN (SELECT unnest(range(0, {_QT_MAX_LEVEL} + 1)) AS lv) lv
+    ),
+    cnt AS (
+      SELECT level, ix, iy, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM cells GROUP BY 1, 2, 3
+    )
+    SELECT c.level, c.ix, c.iy, c.n_points
+    FROM cnt c
+    LEFT JOIN cnt p
+      ON p.level = c.level - 1 AND p.ix = c.ix // 2 AND p.iy = c.iy // 2
+    WHERE (c.n_points <= {_QT_CAP} OR c.level = {_QT_MAX_LEVEL})
+      AND (c.level = 0 OR p.n_points > {_QT_CAP})
+    """,
+)
+def spatial_quadtree_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree leaf decomposition of the (quantity, price)
+    plane: every cell splits while it holds more than {_QT_CAP} points,
+    down to level {_QT_MAX_LEVEL} — the classic adaptive spatial index
+    build (the load-time partitioner behind R-tree/quadtree layouts,
+    and the 2-D analog of the `zorder_layout` operator's linearization).
+    The raw fixture plane is uniform (price is independent of quantity —
+    measured), so the index is exercised on the SQUARED coordinates (the
+    constructed-fixture convention `ml_auc_roc` documents): squaring
+    concentrates mass toward the origin with density 1/(4*sqrt(x*y)), and
+    the leaf set genuinely MIXES levels — origin cells refine deeper than
+    the sparse far corner, which a fixed-depth grid (`spatial_geohash`)
+    cannot express.
+
+    Leaf rule, purely relational: a cell is a leaf iff its own count is
+    within cap (or it sits at max level) AND its parent overflowed —
+    computed from ONE per-level count table self-joined to its parent
+    level (integer cell ids: floor(coord * 2^level); everything is exact
+    integer arithmetic in both engines).
+
+    Scale: one fact scan fanned {_QT_MAX_LEVEL + 1}x by a literal level
+    array into a mergeable (level, ix, iy) count — O(4^maxlevel) rows out
+    of the shuffle regardless of input size; the parent join touches only
+    that tiny table. Deeper trees just extend the literal array."""
+    li = load(spark, sf_dir, "lineitem")
+    xr = (F.col("l_quantity") - 1) / 50.0
+    yr = F.col("l_extendedprice") / 105000.0
+    pts = li.select((xr * xr).alias("x"), (yr * yr).alias("y"))
+    lv = F.explode(
+        F.array(*[F.lit(i) for i in range(_QT_MAX_LEVEL + 1)])
+    ).alias("level")
+    cells = pts.select("x", "y", lv).select(
+        "level",
+        F.expr("floor(x * shiftleft(1, level))").alias("ix"),
+        F.expr("floor(y * shiftleft(1, level))").alias("iy"),
+    )
+    cnt = cells.groupBy("level", "ix", "iy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    c, p = cnt.alias("c"), cnt.alias("p")
+    return (
+        c.join(
+            p,
+            (F.col("p.level") == F.col("c.level") - 1)
+            & (F.col("p.ix") == F.expr("c.ix div 2"))
+            & (F.col("p.iy") == F.expr("c.iy div 2")),
+            "left",
+        )
+        .filter(
+            (
+                (F.col("c.n_points") <= _QT_CAP)
+                | (F.col("c.level") == _QT_MAX_LEVEL)
+            )
+            & ((F.col("c.level") == 0) | (F.col("p.n_points") > _QT_CAP))
+        )
+        .select(
+            F.col("c.level").alias("level"),
+            F.col("c.ix").alias("ix"),
+            F.col("c.iy").alias("iy"),
+            F.col("c.n_points").alias("n_points"),
+        )
+    )

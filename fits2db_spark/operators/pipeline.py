@@ -2263,3 +2263,113 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t", 6).alias("t_closeness"),
         (F.col("t") > _TCLOSE_T).alias("t_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness / load-completeness audit (round 9)
+# ---------------------------------------------------------------------------
+_FRESH_STALE_DAYS = 2
+_FRESH_PARTIAL = 0.5  # final day below half its trailing-7d mean -> partial
+
+
+@register(
+    "dq_freshness",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    asof_t AS (SELECT MAX(d) AS asof_d FROM daily),
+    last_seen AS (
+      SELECT event_type, MAX(d) AS last_d FROM daily GROUP BY 1
+    ),
+    trail7 AS (
+      SELECT dl.event_type,
+             AVG(CAST(dl.n AS DOUBLE)) AS t7_avg
+      FROM daily dl JOIN last_seen ls USING (event_type)
+      WHERE dl.d >= ls.last_d - 7 AND dl.d < ls.last_d
+      GROUP BY 1
+    ),
+    final_day AS (
+      SELECT dl.event_type, dl.n AS n_last
+      FROM daily dl JOIN last_seen ls
+        ON ls.event_type = dl.event_type AND dl.d = ls.last_d
+    )
+    SELECT ls.event_type,
+           CAST(ls.last_d AS BIGINT) AS last_day,
+           CAST(a.asof_d - ls.last_d AS BIGINT) AS days_stale,
+           f.n_last AS n_last_day,
+           ROUND(t.t7_avg, 4) AS trailing7_avg,
+           ROUND(f.n_last / t.t7_avg, 6) AS completeness_ratio,
+           a.asof_d - ls.last_d >= {_FRESH_STALE_DAYS} AS is_stale,
+           f.n_last / t.t7_avg < {_FRESH_PARTIAL} AS is_partial
+    FROM last_seen ls
+    JOIN trail7 t USING (event_type)
+    JOIN final_day f ON f.event_type = ls.event_type
+    CROSS JOIN asof_t a
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness and load-completeness audit: per event stream, the
+    last day with data, its staleness against the table-wide as-of day,
+    the final day's volume vs its own trailing-7-day mean, and the two
+    alert flags every pipeline pager fires on — `is_stale` (stream
+    stopped arriving) and `is_partial` (today's load arrived, but
+    suspiciously small — the truncated-backfill smell). Completes the dq
+    family (profile / expectations / PSI / Benford) with the operational
+    arrival dimension those content checks assume is healthy.
+
+    All day keys are the module's pinned integer datediff; volumes are
+    exact counts; the trailing mean divides exact integers (AVG over <=7
+    rows) — deterministic, ROUND display-only.
+
+    Scale: one partial-aggregating scan to O(types x days) rows;
+    everything else joins that tiny frame to itself plus a broadcast
+    1-row as-of aggregate. The audit costs one group-by of the day's
+    arrivals at any volume."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    asof = daily.agg(F.max("d").alias("asof_d"))
+    last_seen = daily.groupBy("event_type").agg(F.max("d").alias("last_d"))
+    trailing = (
+        daily.join(last_seen, "event_type")
+        .filter(
+            (F.col("d") >= F.col("last_d") - 7) & (F.col("d") < F.col("last_d"))
+        )
+        .groupBy("event_type")
+        .agg(F.avg(F.col("n").cast("double")).alias("t7_avg"))
+    )
+    final_day = (
+        daily.join(last_seen, "event_type")
+        .filter(F.col("d") == F.col("last_d"))
+        .select("event_type", F.col("n").alias("n_last"))
+    )
+    return (
+        last_seen.join(trailing, "event_type")
+        .join(final_day, "event_type")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "event_type",
+            F.col("last_d").cast("long").alias("last_day"),
+            (F.col("asof_d") - F.col("last_d")).cast("long").alias("days_stale"),
+            F.col("n_last").alias("n_last_day"),
+            F.round("t7_avg", 4).alias("trailing7_avg"),
+            F.round(F.col("n_last") / F.col("t7_avg"), 6).alias(
+                "completeness_ratio"
+            ),
+            (F.col("asof_d") - F.col("last_d") >= _FRESH_STALE_DAYS).alias(
+                "is_stale"
+            ),
+            (F.col("n_last") / F.col("t7_avg") < _FRESH_PARTIAL).alias("is_partial"),
+        )
+    )

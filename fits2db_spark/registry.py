@@ -190,6 +190,8 @@ _PRIORITY_QUERIES = (
     "ml_knn_classify",
     "ml_ridge_regression",
     "events_velocity_flags",
+    "spatial_quadtree_index",
+    "dq_freshness",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -1369,3 +1369,51 @@ def test_velocity_flags_match_pandas_rolling_count(spark):
     for _, r in got.iterrows():
         assert ref.get((r.event_type, r.velocity), 0) == r.n_events
         assert bool(r.flagged) == (r.velocity >= 2)
+
+
+def test_quadtree_leaves_partition_all_points_and_adapt(spark):
+    got = _run(spark, "spatial_quadtree_index")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    x = ((li.l_quantity.to_numpy() - 1) / 50.0) ** 2
+    y = (li.l_extendedprice.to_numpy() / 105000.0) ** 2
+    # brute-force the leaf rule
+    from collections import Counter
+
+    cnt = Counter()
+    for lv in range(5):
+        ix = np.floor(x * (1 << lv)).astype(int)
+        iy = np.floor(y * (1 << lv)).astype(int)
+        for a, b in zip(ix, iy):
+            cnt[(lv, a, b)] += 1
+    leaves = {
+        k: v
+        for k, v in cnt.items()
+        if (v <= 1000 or k[0] == 4)
+        and (k[0] == 0 or cnt[(k[0] - 1, k[1] // 2, k[2] // 2)] > 1000)
+    }
+    assert len(got) == len(leaves)
+    for _, r in got.iterrows():
+        assert leaves[(r.level, r.ix, r.iy)] == r.n_points
+    # leaves tile the plane exactly: every point in exactly one leaf
+    assert got.n_points.sum() == len(li)
+    # the squared-coordinate density must force a MIX of leaf depths
+    assert got.level.nunique() >= 2
+
+
+def test_freshness_flags_match_pandas(spark):
+    got = _run(spark, "dq_freshness").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = ev.groupby(["event_type", "d"]).size().rename("n").reset_index()
+    asof = daily.d.max()
+    for t, g in daily.groupby("event_type"):
+        last = g.d.max()
+        t7 = g[(g.d >= last - 7) & (g.d < last)].n.mean()
+        n_last = int(g[g.d == last].n.iloc[0])
+        r = got.loc[t]
+        assert r.last_day == last and r.days_stale == asof - last
+        assert r.n_last_day == n_last
+        assert abs(r.trailing7_avg - round(t7, 4)) < 1e-4
+        assert abs(r.completeness_ratio - n_last / t7) < 2e-6
+        assert bool(r.is_stale) == (asof - last >= 2)
+        assert bool(r.is_partial) == (n_last / t7 < 0.5)
