@@ -3024,3 +3024,228 @@ def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("b1s")) / absum, 6).alias("importance_lines"),
         F.round(F.abs(F.col("b2s")) / absum, 6).alias("importance_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Normal QQ diagnostic + Ryan-Joiner statistic (round 9)
+# ---------------------------------------------------------------------------
+def _norm_inv(p: float) -> float:
+    """Inverse standard-normal CDF by bisection on erf — used only at
+    MODULE IMPORT to bake the probability grid into literal constants
+    that both engines receive as identical text (the agg_fdr_bh
+    shared-constant convention, without needing the approximation
+    in-engine at all)."""
+    import math
+
+    lo, hi = -10.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < p:
+            lo = mid
+        else:
+            hi = mid
+    # + 0.0 normalizes IEEE negative zero (p = 0.5 bisects to -0.0, which
+    # Spark's literal keeps signed while DuckDB's doesn't — hash mismatch)
+    return round((lo + hi) / 2, 12) + 0.0
+
+
+_QQ_PS = tuple(round(0.05 * i, 2) for i in range(1, 20))
+_QQ_Z = tuple(_norm_inv(p) for p in _QQ_PS)
+# the two diagnosed series: per-order revenue (a sum of ~4 uniform lines ->
+# Irwin-Hall, NEAR-normal) and the raw line price (uniform -> decisively
+# non-normal), so the diagnostic shows both verdicts on real data
+_QQ_VARS_SQL = """
+      SELECT 'order_revenue' AS variable, v FROM (
+        SELECT SUM(l_extendedprice * (1 - l_discount)) AS v
+        FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'line_price' AS variable, l_extendedprice AS v FROM lineitem
+"""
+
+
+@register(
+    "agg_qq_normal",
+    oracle=f"""
+    WITH vals AS ({_QQ_VARS_SQL}),
+    m AS (
+      SELECT variable, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+      FROM vals GROUP BY 1
+    ),
+    grid AS (
+      SELECT * FROM (VALUES (0, 0.05, -1.644853626951), (1, 0.1, -1.281551565545), (2, 0.15, -1.036433389494), (3, 0.2, -0.841621233573), (4, 0.25, -0.674489750196), (5, 0.3, -0.524400512708), (6, 0.35, -0.385320466408), (7, 0.4, -0.253347103136), (8, 0.45, -0.125661346855), (9, 0.5, 0.0), (10, 0.55, 0.125661346855), (11, 0.6, 0.253347103136), (12, 0.65, 0.385320466408), (13, 0.7, 0.524400512708), (14, 0.75, 0.674489750196), (15, 0.8, 0.841621233573), (16, 0.85, 1.036433389494), (17, 0.9, 1.281551565545), (18, 0.95, 1.644853626951))
+        AS t(idx, p, z)
+    ),
+    qarr AS (
+      SELECT variable, quantile_cont(v, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS qa
+      FROM vals GROUP BY 1
+    ),
+    qs AS (
+      SELECT a.variable, g.p, g.z, a.qa[g.idx + 1] AS q_obs
+      FROM qarr a CROSS JOIN grid g
+    ),
+    qq AS (
+      SELECT qs.variable, CAST(qs.p AS DOUBLE) AS p,
+             CAST(qs.z AS DOUBLE) AS z_theoretical,
+             qs.q_obs, m.mu + m.sd * qs.z AS fitted
+      FROM qs JOIN m USING (variable)
+    ),
+    rj AS (
+      SELECT variable, corr(q_obs, z_theoretical) AS r FROM qq GROUP BY 1
+    )
+    SELECT qq.variable, qq.p, qq.z_theoretical,
+           ROUND(qq.q_obs, 4) AS q_observed,
+           ROUND(qq.fitted, 4) AS fitted,
+           ROUND(qq.q_obs - qq.fitted, 4) AS deviation,
+           ROUND(rj.r, 6) AS rj_stat
+    FROM qq JOIN rj USING (variable)
+    """,
+)
+def agg_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal quantile-quantile diagnostic with the Ryan-Joiner normality
+    statistic: 19 probability points (0.05..0.95), each pairing the
+    empirical quantile against the normal fit mu + sigma * z_p, plus the
+    correlation between observed quantiles and normal scores (Ryan-Joiner
+    1976 — the probability-plot correlation test; ~1 means normal). Run
+    on two series at once so BOTH verdicts appear on real data: per-order
+    revenue (a sum of ~4 uniform line amounts — Irwin-Hall, near-normal,
+    RJ ~0.99) and the raw line price (uniform — flat tails, visibly bent
+    QQ, lower RJ). The z_p grid is baked as literal constants computed
+    once by bisection on erf at module import, so neither engine ever
+    runs an inverse-CDF approximation (the agg_fdr_bh shared-text
+    convention, strengthened).
+
+    Exact percentiles and sample moments follow the module's established
+    cross-engine mappings; ROUND(4/6) absorbs fold-order ulp.
+
+    Scale: one scan into a per-order partial agg, one exact-percentile
+    aggregate over the union (swap approx_percentile at 100 TB), output
+    O(vars x 19). The RJ correlation runs over 19 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
+        .select(F.lit("order_revenue").alias("variable"), "v")
+    )
+    raw = li.select(F.lit("line_price").alias("variable"), F.col("l_extendedprice").alias("v"))
+    vals = rev.unionByName(raw)
+    m = vals.groupBy("variable").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    grid = spark.sql(
+        "SELECT col1 AS idx, col2 AS p, col3 AS z FROM (VALUES "
+        + ", ".join(
+            f"({i}, {p}D, {z}D)" for i, (p, z) in enumerate(zip(_QQ_PS, _QQ_Z))
+        )
+        + ")"
+    )
+    qarr = vals.groupBy("variable").agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in _QQ_PS])).alias("qarr")
+    )
+    qs = (
+        qarr.select("variable", F.posexplode("qarr").alias("idx", "q_obs"))
+        .join(F.broadcast(grid), "idx")
+        .select("variable", "p", "z", "q_obs")
+    )
+    qq = qs.join(F.broadcast(m), "variable").select(
+        "variable",
+        F.col("p").cast("double").alias("p"),
+        F.col("z").cast("double").alias("z_theoretical"),
+        "q_obs",
+        (F.col("mu") + F.col("sd") * F.col("z")).alias("fitted"),
+    )
+    rj = qq.groupBy("variable").agg(
+        F.corr("q_obs", "z_theoretical").alias("r")
+    )
+    return qq.join(F.broadcast(rj), "variable").select(
+        "variable",
+        "p",
+        "z_theoretical",
+        F.round("q_obs", 4).alias("q_observed"),
+        F.round("fitted", 4).alias("fitted"),
+        F.round(F.col("q_obs") - F.col("fitted"), 4).alias("deviation"),
+        F.round("r", 6).alias("rj_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power / minimum-detectable-effect calculator (round 9)
+# ---------------------------------------------------------------------------
+_PWR_Z_ALPHA = _norm_inv(0.975)  # two-sided alpha = 0.05
+_PWR_Z_BETA = _norm_inv(0.8)  # power = 0.8
+_PWR_TARGET_LIFT = 0.01  # sample size quoted for a 1% relative lift
+
+
+@register(
+    "ml_experiment_power",
+    oracle=f"""
+    WITH per AS (
+      SELECT c.c_mktsegment, o.o_totalprice
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(o_totalprice) AS mu,
+             VAR_SAMP(o_totalprice) AS v
+      FROM per GROUP BY 1
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n,
+           ROUND(mu, 4) AS mean_value,
+           ROUND(({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * sqrt(2 * v / (n / 2)), 4)
+             AS mde_abs,
+           ROUND(({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * sqrt(2 * v / (n / 2)) / mu, 6)
+             AS mde_rel,
+           CAST(CEIL(2 * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                       * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * v
+                     / (({_PWR_TARGET_LIFT} * mu) * ({_PWR_TARGET_LIFT} * mu)))
+                AS BIGINT) AS n_per_arm_for_1pct
+    FROM m
+    """,
+)
+def ml_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power calculator — the pre-registration table every A/B
+    platform renders before launch: per segment, the minimum detectable
+    effect on order value at alpha=0.05 (two-sided) / power=0.8 given the
+    CURRENT traffic split in half, and the per-arm sample size a
+    {_PWR_TARGET_LIFT:.0%} relative lift would require (the standard
+    two-sample normal-approximation formulas: MDE = (z_a + z_b) *
+    sqrt(2 s^2 / n_arm); n_arm = 2 (z_a+z_b)^2 s^2 / delta^2). Completes
+    the experimentation suite (Welch / CUPED / SPRT / paired-t measure
+    effects; this operator says what's MEASURABLE). z constants are baked
+    literals from the module's bisection inverse-normal — identical text
+    in both engines.
+
+    One mergeable moment aggregate over the star join; every output is a
+    smooth function of (n, mean, variance), ROUND display-only.
+
+    Scale: broadcast dim join + one groupBy — the join_star_q5 budget."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("o_totalprice").alias("mu"),
+            F.var_samp("o_totalprice").alias("v"),
+        )
+    )
+    zsum = _PWR_Z_ALPHA + _PWR_Z_BETA
+    mde = zsum * F.sqrt(2 * F.col("v") / (F.col("n") / 2))
+    return m.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.round("mu", 4).alias("mean_value"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(mde / F.col("mu"), 6).alias("mde_rel"),
+        F.ceil(
+            2
+            * zsum
+            * zsum
+            * F.col("v")
+            / ((_PWR_TARGET_LIFT * F.col("mu")) * (_PWR_TARGET_LIFT * F.col("mu")))
+        )
+        .cast("long")
+        .alias("n_per_arm_for_1pct"),
+    )

@@ -192,6 +192,8 @@ _PRIORITY_QUERIES = (
     "events_velocity_flags",
     "spatial_quadtree_index",
     "dq_freshness",
+    "agg_qq_normal",
+    "ml_experiment_power",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

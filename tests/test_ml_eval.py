@@ -1417,3 +1417,64 @@ def test_freshness_flags_match_pandas(spark):
         assert abs(r.completeness_ratio - n_last / t7) < 2e-6
         assert bool(r.is_stale) == (asof - last >= 2)
         assert bool(r.is_partial) == (n_last / t7 < 0.5)
+
+
+def test_qq_normal_matches_numpy_and_separates_the_two_series(spark):
+    import math
+
+    got = _run(spark, "agg_qq_normal")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    rev = (
+        li.assign(r=li.l_extendedprice * (1 - li.l_discount))
+        .groupby("l_orderkey")
+        .r.sum()
+        .to_numpy()
+    )
+    raw = li.l_extendedprice.to_numpy(dtype=float)
+    ps = [round(0.05 * i, 2) for i in range(1, 20)]
+
+    def inv(p):
+        lo, hi = -10.0, 10.0
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < p:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    zs = np.array([inv(p) for p in ps])
+    for name, v in (("order_revenue", rev), ("line_price", raw)):
+        g = got[got.variable == name].sort_values("p")
+        q = np.quantile(v, ps, method="linear")
+        fitted = v.mean() + v.std(ddof=1) * zs
+        assert np.allclose(g.q_observed, np.round(q, 4), atol=2e-4)
+        assert np.allclose(g.fitted, fitted, atol=2e-3)
+        rj = np.corrcoef(q, zs)[0, 1]
+        assert abs(g.rj_stat.iloc[0] - rj) < 1e-4
+    # a sum of uniforms is closer to normal than the raw uniform
+    rj_rev = got[got.variable == "order_revenue"].rj_stat.iloc[0]
+    rj_raw = got[got.variable == "line_price"].rj_stat.iloc[0]
+    assert rj_rev > rj_raw > 0.9
+
+
+def test_experiment_power_matches_closed_form(spark):
+    import math
+
+    got = _run(spark, "ml_experiment_power")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    m = o.merge(c[["c_custkey", "c_mktsegment"]], left_on="o_custkey", right_on="c_custkey")
+    za, zb = 1.95996398454, 0.841621233573
+    for _, r in got.iterrows():
+        g = m[m.c_mktsegment == r.c_mktsegment].o_totalprice
+        n, mu, v = len(g), g.mean(), g.var(ddof=1)
+        mde = (za + zb) * math.sqrt(2 * v / (n / 2))
+        assert r.n == n
+        assert abs(r.mde_abs - mde) < 0.01
+        assert abs(r.mde_rel - mde / mu) < 1e-5
+        assert r.n_per_arm_for_1pct == math.ceil(
+            2 * (za + zb) ** 2 * v / ((0.01 * mu) ** 2)
+        )
+        # a 1% lift needs far more traffic than the fixture has
+        assert r.n_per_arm_for_1pct > n
