@@ -1917,3 +1917,104 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("local_cc").desc(), F.col("degree").desc(), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel step timing (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_timing",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, s.t_signup, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s.t_signup
+      GROUP BY e.user_id, s.t_signup
+    ),
+    p AS (
+      SELECT e.user_id, c.t_click, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY e.user_id, c.t_click
+    ),
+    durs AS (
+      SELECT 'signup_to_click' AS step,
+             CAST(FLOOR(epoch(t_click)) - FLOOR(epoch(t_signup)) AS BIGINT)
+               AS dur_s
+      FROM c
+      UNION ALL
+      SELECT 'click_to_purchase' AS step,
+             CAST(FLOOR(epoch(t_purchase)) - FLOOR(epoch(t_click)) AS BIGINT)
+               AS dur_s
+      FROM p
+    )
+    SELECT step,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(dur_s, 0.25) / 3600.0, 4) AS p25_hours,
+           ROUND(quantile_cont(dur_s, 0.50) / 3600.0, 4) AS median_hours,
+           ROUND(quantile_cont(dur_s, 0.75) / 3600.0, 4) AS p75_hours,
+           ROUND(AVG(CAST(dur_s AS DOUBLE)) / 3600.0, 4) AS mean_hours
+    FROM durs GROUP BY step
+    """,
+)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between funnel stages: for the same ordered
+    signup -> click -> purchase funnel as `funnel_analysis`, the
+    distribution of WAITING TIMES at each transition (p25 / median / p75
+    / mean hours) — the "where do users stall" view that pure conversion
+    counts hide, and the input to follow-up-nudge timing decisions.
+
+    Durations are integer second differences of floored epochs (the
+    `events_velocity_flags` convention — sub-second parts can't skew a
+    boundary), so the exact percentiles interpolate identical integers
+    in both engines.
+
+    Scale: the funnel reduces events to O(users) first-times per stage
+    (partial-agg min per user), the timing adds only per-stage quantile
+    aggregates over those users. The per-stage frames reuse the
+    previous stage's output — one chain, no re-scan per stage."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def dur(df, a, b, name):
+        sec = (
+            F.floor(F.col(b).cast("double")) - F.floor(F.col(a).cast("double"))
+        ).cast("long")
+        return df.select(F.lit(name).alias("step"), sec.alias("dur_s"))
+
+    durs = dur(c, "t_signup", "t_click", "signup_to_click").unionByName(
+        dur(p, "t_click", "t_purchase", "click_to_purchase")
+    )
+    return durs.groupBy("step").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.percentile("dur_s", F.lit(0.25)) / 3600.0, 4).alias("p25_hours"),
+        F.round(F.percentile("dur_s", F.lit(0.50)) / 3600.0, 4).alias("median_hours"),
+        F.round(F.percentile("dur_s", F.lit(0.75)) / 3600.0, 4).alias("p75_hours"),
+        F.round(F.avg(F.col("dur_s").cast("double")) / 3600.0, 4).alias("mean_hours"),
+    )

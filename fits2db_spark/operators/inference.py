@@ -3249,3 +3249,160 @@ def ml_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_for_1pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (round 9)
+# ---------------------------------------------------------------------------
+_PZ_CRIT = 1.95996398454  # two-sided 5% critical value (module bisection)
+_PZ_BOOST_MOD = 10  # constructed lift: +1/10 conversion odds for arm 1
+
+
+@register(
+    "ml_proportion_ztest",
+    oracle=f"""
+    WITH users AS (
+      -- unit = active user-day (every user purchases eventually, so the
+      -- per-user rate is degenerate 1.0; the daily grain gives a real
+      -- ~0.4 conversion rate with both tails populated)
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+                                          CAST(datediff('day', DATE '2024-01-01',
+                                               CAST(ts AS DATE)) AS VARCHAR)
+                                          || '#boost'),
+                                      1, 15)) AS BIGINT) % {_PZ_BOOST_MOD} = 0
+               AS boosted
+      FROM events GROUP BY 1, 2, 3
+    ),
+    scen AS (
+      SELECT 'null_split' AS scenario, arm, CAST(conv AS INT) AS conv FROM users
+      UNION ALL
+      SELECT 'constructed_lift', arm,
+             CASE WHEN arm = 1 AND boosted THEN 1 ELSE conv END
+      FROM users
+    ),
+    agg AS (
+      SELECT scenario,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS DOUBLE) AS c0,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS DOUBLE) AS c1
+      FROM scen GROUP BY 1
+    ),
+    stats AS (
+      SELECT scenario, n0, n1, c0, c1,
+             c0 / n0 AS p0, c1 / n1 AS p1,
+             (c0 + c1) / (n0 + n1) AS pp,
+             sqrt(c0 / n0 * (1 - c0 / n0) / n0
+                  + c1 / n1 * (1 - c1 / n1) / n1) AS se_unpooled
+      FROM agg
+    )
+    SELECT scenario,
+           CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treat,
+           ROUND(p0, 6) AS rate_control,
+           ROUND(p1, 6) AS rate_treat,
+           ROUND(p1 - p0, 6) AS diff,
+           ROUND((p1 - p0) / sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1)), 4) AS z,
+           ROUND(p1 - p0 - {_PZ_CRIT} * se_unpooled, 6) AS ci_lo,
+           ROUND(p1 - p0 + {_PZ_CRIT} * se_unpooled, 6) AS ci_hi,
+           ABS((p1 - p0) / sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1)))
+             > {_PZ_CRIT} AS significant
+    FROM stats
+    """,
+)
+def ml_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the single most common A/B readout
+    (conversion-rate difference with pooled-variance z and an unpooled
+    Wald CI): users md5-split into two arms; the analysis unit is the
+    ACTIVE USER-DAY with conversion = purchased that day (~0.4 rate —
+    per-user lifetime conversion is degenerate 1.0 in the fixture, which
+    would zero the pooled variance). Two scenarios share one scan so BOTH decision branches
+    are real: the honest `null_split` (arms random — diff ~0, not
+    significant) and a `constructed_lift` where arm 1 gains a
+    deterministic +1/{_PZ_BOOST_MOD} conversion odds (the `ml_auc_roc`
+    constructed-signal convention — significant). Completes the
+    experimentation suite for binary metrics (Welch covers means, SPRT
+    the sequential monitor, power the pre-registration).
+
+    Counts are exact integers; every statistic divides identical
+    integers; the z critical value is the module's baked bisection
+    constant — identical text in both engines.
+
+    Scale: one partial-aggregating groupBy(user) then a 4-counter
+    mergeable aggregate per scenario — the cheapest possible experiment
+    readout at any volume."""
+    ev = load(spark, sf_dir, "events")
+    h = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")  # noqa: E731
+    d = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    users = (
+        ev.groupBy(
+            "user_id",
+            d.alias("d"),
+            (h(F.col("user_id").cast("string")) % 2).alias("arm"),
+        )
+        .agg(F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"))
+        .select(
+            "user_id",
+            "arm",
+            "conv",
+            (
+                h(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("#"),
+                        F.col("d").cast("string"),
+                        F.lit("#boost"),
+                    )
+                )
+                % _PZ_BOOST_MOD
+                == 0
+            ).alias("boosted"),
+        )
+    )
+    null_s = users.select(
+        F.lit("null_split").alias("scenario"), "arm", F.col("conv").cast("int").alias("conv")
+    )
+    lift_s = users.select(
+        F.lit("constructed_lift").alias("scenario"),
+        "arm",
+        F.when((F.col("arm") == 1) & F.col("boosted"), 1)
+        .otherwise(F.col("conv"))
+        .cast("int")
+        .alias("conv"),
+    )
+    agg = (
+        null_s.unionByName(lift_s)
+        .groupBy("scenario")
+        .agg(
+            F.sum((F.col("arm") == 0).cast("int")).cast("double").alias("n0"),
+            F.sum((F.col("arm") == 1).cast("int")).cast("double").alias("n1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            .cast("double")
+            .alias("c0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            .cast("double")
+            .alias("c1"),
+        )
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se_u = F.sqrt(p0 * (1 - p0) / F.col("n0") + p1 * (1 - p1) / F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    return agg.select(
+        "scenario",
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treat"),
+        F.round(p1 - p0, 6).alias("diff"),
+        F.round(z, 4).alias("z"),
+        F.round(p1 - p0 - _PZ_CRIT * se_u, 6).alias("ci_lo"),
+        F.round(p1 - p0 + _PZ_CRIT * se_u, 6).alias("ci_hi"),
+        (F.abs(z) > _PZ_CRIT).alias("significant"),
+    )

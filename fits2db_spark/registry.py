@@ -194,6 +194,8 @@ _PRIORITY_QUERIES = (
     "dq_freshness",
     "agg_qq_normal",
     "ml_experiment_power",
+    "events_funnel_timing",
+    "ml_proportion_ztest",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

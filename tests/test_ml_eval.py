@@ -1478,3 +1478,58 @@ def test_experiment_power_matches_closed_form(spark):
         )
         # a 1% lift needs far more traffic than the fixture has
         assert r.n_per_arm_for_1pct > n
+
+
+def test_funnel_timing_matches_pandas(spark):
+    got = _run(spark, "events_funnel_timing").set_index("step")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    s = ev[ev.event_type == "signup"].groupby("user_id").ts.min()
+    c_rows = ev[ev.event_type == "click"].merge(
+        s.rename("t_signup"), left_on="user_id", right_index=True
+    )
+    c = c_rows[c_rows.ts > c_rows.t_signup].groupby("user_id").agg(
+        t_click=("ts", "min"), t_signup=("t_signup", "first")
+    )
+    p_rows = ev[ev.event_type == "purchase"].merge(
+        c.t_click, left_on="user_id", right_index=True
+    )
+    p = p_rows[p_rows.ts > p_rows.t_click].groupby("user_id").agg(
+        t_purchase=("ts", "min"), t_click=("t_click", "first")
+    )
+
+    def secs(b, a):
+        eb = np.floor((b - pd.Timestamp("1970-01-01")).dt.total_seconds())
+        ea = np.floor((a - pd.Timestamp("1970-01-01")).dt.total_seconds())
+        return (eb - ea).to_numpy()
+
+    for step, d in (
+        ("signup_to_click", secs(c.t_click, c.t_signup)),
+        ("click_to_purchase", secs(p.t_purchase, p.t_click)),
+    ):
+        r = got.loc[step]
+        assert r.n_users == len(d)
+        assert abs(r.median_hours - np.quantile(d, 0.5) / 3600) < 1e-3
+        assert abs(r.p25_hours - np.quantile(d, 0.25) / 3600) < 1e-3
+        assert abs(r.p75_hours - np.quantile(d, 0.75) / 3600) < 1e-3
+        assert abs(r.mean_hours - d.mean() / 3600) < 1e-3
+        assert (d >= 0).all()
+
+
+def test_proportion_ztest_branches_and_formulas(spark):
+    import math
+
+    got = _run(spark, "ml_proportion_ztest").set_index("scenario")
+    # the random split must NOT be significant; the constructed lift MUST be
+    assert not bool(got.loc["null_split"].significant)
+    assert bool(got.loc["constructed_lift"].significant)
+    for _, r in got.iterrows():
+        n0, n1 = r.n_control, r.n_treat
+        p0, p1 = r.rate_control, r.rate_treat
+        c0, c1 = p0 * n0, p1 * n1
+        pp = (c0 + c1) / (n0 + n1)
+        z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+        assert abs(r.z - z) < 5e-3
+        se = math.sqrt(p0 * (1 - p0) / n0 + p1 * (1 - p1) / n1)
+        assert abs(r.ci_lo - (p1 - p0 - 1.95996398454 * se)) < 5e-5
+        assert abs(r.ci_hi - (p1 - p0 + 1.95996398454 * se)) < 5e-5
+        assert 0 < p0 < 1 and 0 < p1 < 1  # the daily grain keeps rates interior
