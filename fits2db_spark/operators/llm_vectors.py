@@ -2195,3 +2195,109 @@ def vec_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("energy_distance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier scores (diagonal Mahalanobis) — round 9
+# ---------------------------------------------------------------------------
+_OUT_TOPK = 20
+# chi-square 99th percentile for 64 dof via Wilson-Hilferty with the
+# module-baked z(0.99); identical literal text reaches both engines
+_OUT_Z99 = 2.326347874041
+_OUT_CHI2_99 = round(64 * (1 - 2 / (9 * 64) + _OUT_Z99 * (2 / (9 * 64)) ** 0.5) ** 3, 6)
+
+
+@register(
+    "vec_outlier_scores",
+    oracle=f"""
+    WITH dims AS (
+      SELECT g.j AS dim,
+             AVG(e.embedding[g.j + 1]) AS mu,
+             VAR_SAMP(e.embedding[g.j + 1]) AS v
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS j) g
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT list(mu ORDER BY dim) AS mus, list(v ORDER BY dim) AS vs
+      FROM dims
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 64),
+                 i -> (e.embedding[i] - s.mus[i]) * (e.embedding[i] - s.mus[i])
+                      / s.vs[i])), (a, b) -> a + b) AS score
+      FROM embeddings e CROSS JOIN stats s
+    )
+    SELECT vec_id, ROUND(score, 4) AS maha_sq,
+           score > {_OUT_CHI2_99} AS is_outlier,
+           (SELECT CAST(SUM(CASE WHEN score > {_OUT_CHI2_99} THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM scored) AS n_outliers_total
+    FROM scored
+    ORDER BY ROUND(score, 4) DESC, vec_id
+    LIMIT {_OUT_TOPK}
+    """,
+)
+def vec_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus outlier screen: squared Mahalanobis distance
+    under a diagonal covariance (sum over dims of (x_j - mu_j)^2 /
+    var_j), the standard cheap anomaly score for vector corpora before
+    indexing or training (full-covariance needs the O(d^2) inverse —
+    `vec_pca_evr`'s territory; diagonal is the production screen).
+    Returns the top-{_OUT_TOPK} outliers plus the corpus-wide count
+    above the chi-square(64) 99th-percentile threshold ({_OUT_CHI2_99}),
+    derived via Wilson-Hilferty from the module's baked z(0.99) — the
+    null calibration: if embeddings were exactly Gaussian, ~1% would
+    flag.
+
+    Per-dimension moments come from ONE posexplode + groupBy(dim) (64
+    keys, mergeable) collected into broadcast arrays; each vector's
+    score is an in-row sequential fold over identical array element
+    order — cross-engine ulp only enters through mu/var fold order,
+    absorbed by ROUND(4) and a rank on the rounded score with vec_id
+    tie-break.
+
+    Scale: the moment pass shuffles O(dims) rows regardless of corpus
+    size; scoring is a narrow map with the 2x64 stats broadcast. The
+    top-k is TakeOrdered, the outlier count a 1-row aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("mu"), F.var_samp("x").alias("v"))
+    )
+    stats = dims.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("mu_s"),
+        F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("v_s"),
+    ).select(
+        F.transform("mu_s", lambda s: s["mu"]).alias("mus"),
+        F.transform("v_s", lambda s: s["v"]).alias("vs"),
+    )
+    scored = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(64)),
+            F.lit(0.0),
+            lambda a, i: a
+            + (F.element_at("embedding", i) - F.element_at("mus", i))
+            * (F.element_at("embedding", i) - F.element_at("mus", i))
+            / F.element_at("vs", i),
+        ).alias("score"),
+    )
+    total = scored.agg(
+        F.sum((F.col("score") > _OUT_CHI2_99).cast("int"))
+        .cast("long")
+        .alias("n_outliers_total")
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "vec_id",
+            F.round("score", 4).alias("maha_sq"),
+            (F.col("score") > _OUT_CHI2_99).alias("is_outlier"),
+            "n_outliers_total",
+        )
+        .orderBy(F.col("maha_sq").desc(), "vec_id")
+        .limit(_OUT_TOPK)
+    )

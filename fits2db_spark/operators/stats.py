@@ -4859,3 +4859,129 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.first(F.col("velocity") >= _VEL_FLAG_AT).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected / churned (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (SELECT user_id, MIN(w) AS fw FROM act GROUP BY 1),
+    states AS (
+      SELECT a.user_id, a.w,
+             CASE WHEN a.w = f.fw THEN 'new'
+                  WHEN p.user_id IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS st
+      FROM act a
+      JOIN f USING (user_id)
+      LEFT JOIN act p ON p.user_id = a.user_id AND p.w = a.w - 1
+    ),
+    per AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN st = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(SUM(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resurrected
+      FROM states GROUP BY w
+    ),
+    churn AS (
+      SELECT a.w + 1 AS w, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM act a
+      LEFT JOIN act nx ON nx.user_id = a.user_id AND nx.w = a.w + 1
+      WHERE nx.user_id IS NULL AND a.w + 1 <= (SELECT MAX(w) FROM act)
+      GROUP BY a.w + 1
+    )
+    SELECT per.w AS week,
+           per.n_new, per.n_retained, per.n_resurrected,
+           COALESCE(churn.n_churned, 0) AS n_churned,
+           CASE WHEN COALESCE(churn.n_churned, 0) = 0 THEN NULL
+                ELSE ROUND((per.n_new + per.n_resurrected) * 1.0
+                           / churn.n_churned, 4) END AS quick_ratio
+    FROM per LEFT JOIN churn USING (w)
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the Social Capital framework): weekly
+    purchase-active users decomposed into NEW (first active week),
+    RETAINED (active last week too), RESURRECTED (returned after a gap),
+    and CHURNED (active last week, silent this week), plus the quick
+    ratio (new + resurrected) / churned — the decomposition every growth
+    team reports because flat DAU can hide a leaky bucket. Activity is
+    purchase-scoped (all-event activity is degenerate in the fixture —
+    every user fires events every week; purchases arrive ~2.7/user/week,
+    so all four states are genuinely populated at every tier).
+
+    Pure integer set algebra on the distinct (user, week) frame: first
+    weeks via MIN, transitions via self-joins keyed one week apart —
+    exact counts, deterministic; the quick ratio divides exact integers
+    (NULL when nothing churned, week 0).
+
+    Scale: one distinct over (user, week) — the only stage that sees
+    event volume, map-side combined — then joins on a frame bounded by
+    users x weeks. The same shape incremental: append a week, re-join
+    two slices."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    act = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7"
+        ).alias("w"),
+    ).distinct()
+    f = act.groupBy("user_id").agg(F.min("w").alias("fw"))
+    prev = act.select("user_id", (F.col("w") + 1).alias("w"), F.lit(1).alias("was"))
+    states = (
+        act.join(f, "user_id")
+        .join(prev, ["user_id", "w"], "left")
+        .select(
+            "w",
+            F.when(F.col("w") == F.col("fw"), "new")
+            .when(F.col("was").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("st"),
+        )
+    )
+    per = states.groupBy("w").agg(
+        F.sum((F.col("st") == "new").cast("int")).cast("long").alias("n_new"),
+        F.sum((F.col("st") == "retained").cast("int")).cast("long").alias("n_retained"),
+        F.sum((F.col("st") == "resurrected").cast("int"))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    maxw = act.agg(F.max("w").alias("mw"))
+    nxt = act.select("user_id", (F.col("w") - 1).alias("w"), F.lit(1).alias("nx"))
+    churn = (
+        act.join(nxt, ["user_id", "w"], "left")
+        .filter(F.col("nx").isNull())
+        .crossJoin(F.broadcast(maxw))
+        .filter(F.col("w") + 1 <= F.col("mw"))
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        per.join(churn, "w", "left")
+        .select(
+            F.col("w").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0).cast("long")).alias("n_churned"),
+            F.when(F.coalesce(F.col("n_churned"), F.lit(0)) == 0, F.lit(None)).otherwise(
+                F.round(
+                    (F.col("n_new") + F.col("n_resurrected"))
+                    * 1.0
+                    / F.col("n_churned"),
+                    4,
+                )
+            ).alias("quick_ratio"),
+        )
+    )

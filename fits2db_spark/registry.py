@@ -196,6 +196,8 @@ _PRIORITY_QUERIES = (
     "ml_experiment_power",
     "events_funnel_timing",
     "ml_proportion_ztest",
+    "events_growth_accounting",
+    "vec_outlier_scores",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -1533,3 +1533,52 @@ def test_proportion_ztest_branches_and_formulas(spark):
         assert abs(r.ci_lo - (p1 - p0 - 1.95996398454 * se)) < 5e-5
         assert abs(r.ci_hi - (p1 - p0 + 1.95996398454 * se)) < 5e-5
         assert 0 < p0 < 1 and 0 < p1 < 1  # the daily grain keeps rates interior
+
+
+def test_growth_accounting_matches_pandas_and_balances(spark):
+    got = _run(spark, "events_growth_accounting").set_index("week").sort_index()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev[ev.event_type == "purchase"]
+    ev["w"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days // 7
+    act = ev[["user_id", "w"]].drop_duplicates()
+    weeks = sorted(act.w.unique())
+    by_week = {w: set(act[act.w == w].user_id) for w in weeks}
+    first = act.groupby("user_id").w.min()
+    for w in weeks:
+        cur = by_week[w]
+        prv = by_week.get(w - 1, set())
+        new = {u for u in cur if first[u] == w}
+        ret = {u for u in cur if u in prv and first[u] != w}
+        res = cur - new - ret
+        chn = prv - cur if w - 1 in by_week and w <= max(weeks) else set()
+        r = got.loc[w]
+        assert (r.n_new, r.n_retained, r.n_resurrected) == (
+            len(new),
+            len(ret),
+            len(res),
+        )
+        assert r.n_churned == len(chn)
+        # active(w) = new + retained + resurrected, exactly
+        assert len(cur) == r.n_new + r.n_retained + r.n_resurrected
+        if len(chn):
+            assert abs(r.quick_ratio - (len(new) + len(res)) / len(chn)) < 1e-3
+        else:
+            assert pd.isna(r.quick_ratio)
+
+
+def test_vec_outlier_scores_match_numpy_mahalanobis(spark):
+    got = _run(spark, "vec_outlier_scores")
+    e = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.array([np.array(v) for v in e.embedding])
+    mu = X.mean(0)
+    v = X.var(0, ddof=1)
+    scores = (((X - mu) ** 2) / v).sum(1)
+    s = pd.Series(scores, index=e.vec_id)
+    thr = 64 * (1 - 2 / (9 * 64) + 2.326347874041 * (2 / (9 * 64)) ** 0.5) ** 3
+    order = sorted(s.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:20]
+    assert list(got.vec_id) == [k for k, _ in order]
+    for (_, ref), val in zip(order, got.maha_sq):
+        assert abs(val - ref) < 1e-3
+    assert got.n_outliers_total.iloc[0] == int((scores > thr).sum())
+    for _, r in got.iterrows():
+        assert bool(r.is_outlier) == (s[r.vec_id] > thr)
