@@ -4985,3 +4985,228 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quick_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ inventory matrix (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_abc_xyz",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT SUM(revenue) AS tot FROM rev),
+    abc AS (
+      SELECT l_partkey, revenue,
+             CASE WHEN ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) / tot, 9) <= 0.8 THEN 'A'
+                  WHEN ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) / tot, 9) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM rev CROSS JOIN t
+    ),
+    monthly AS (
+      SELECT l_partkey,
+             datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 30
+               AS m,
+             SUM(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cv AS (
+      SELECT l_partkey,
+             CASE WHEN COUNT(*) < 2 THEN NULL
+                  ELSE STDDEV_SAMP(q) / AVG(q) END AS cv
+      FROM monthly GROUP BY 1
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN cv IS NULL THEN 'Z'
+                  WHEN ROUND(cv, 9) < 0.5 THEN 'X'
+                  WHEN ROUND(cv, 9) < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM cv
+    )
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(abc.revenue), 2) AS class_revenue,
+           ROUND(SUM(abc.revenue) / MAX(t.tot), 6) AS revenue_share
+    FROM abc JOIN xyz USING (l_partkey) CROSS JOIN t
+    GROUP BY 1, 2
+    """,
+)
+def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix — the two-axis classification every
+    supply-chain planner starts from: ABC by cumulative revenue share
+    (the `orders_abc` Pareto cut: 80 / 95%) crossed with XYZ by demand
+    variability (coefficient of variation of monthly shipped quantity:
+    X < 0.5 steady, Y < 1.0 variable, Z erratic or single-month). AX
+    items get tight auto-replenishment, CZ items manual review — the
+    matrix cell counts and revenue shares are the policy table.
+
+    Classification compares ROUND(..., 9) values (the `orders_abc`
+    boundary convention) so a 1-ulp fold difference can't flip a class;
+    the per-part CV is NULL -> 'Z' for single-month parts (both engines
+    via an explicit COUNT guard, sidestepping their differing
+    stddev-of-1 conventions).
+
+    Scale: two partial-aggregating scans (per-part revenue, per
+    part-month quantity), one sanctioned global cumsum over the O(parts)
+    revenue dimension (`orders_abc`'s allowlisted shape), and a
+    broadcast-size join of the two O(parts) class tables."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    t = rev.agg(F.sum("revenue").alias("tot"))
+    w = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.round(F.sum("revenue").over(w) / F.col("tot"), 9)
+    abc = rev.crossJoin(F.broadcast(t)).select(
+        "l_partkey",
+        "revenue",
+        F.when(cum <= 0.8, "A").when(cum <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    monthly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), DATE '1995-01-01') div 30"
+        ).alias("m"),
+    ).agg(F.sum("l_quantity").alias("q"))
+    cv = monthly.groupBy("l_partkey").agg(
+        F.when(F.count(F.lit(1)) < 2, F.lit(None))
+        .otherwise(F.stddev_samp("q") / F.avg("q"))
+        .alias("cv")
+    )
+    xyz = cv.select(
+        "l_partkey",
+        F.when(F.col("cv").isNull(), "Z")
+        .when(F.round("cv", 9) < 0.5, "X")
+        .when(F.round("cv", 9) < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(t))
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+            F.round(F.sum("revenue") / F.max("tot"), 6).alias("revenue_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson rate-ratio test (round 9)
+# ---------------------------------------------------------------------------
+_RR_CRIT = 1.95996398454  # two-sided 5% (shared bisection constant)
+_RR_DROP_MOD = 5  # constructed scenario: drop 1/5 of second-half purchases
+
+
+@register(
+    "events_rate_ratio_test",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    temporal AS (
+      SELECT 'temporal_' || event_type AS scenario,
+             CAST(SUM(CASE WHEN d < 15 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+             CAST(SUM(CASE WHEN d >= 15 THEN 1 ELSE 0 END) AS DOUBLE) AS c2
+      FROM e GROUP BY event_type
+    ),
+    constructed AS (
+      SELECT 'constructed_drop' AS scenario,
+             CAST(SUM(CASE WHEN d < 15 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+             CAST(SUM(CASE WHEN d >= 15
+                            AND CAST(concat('0x', substr(md5(CAST(event_id
+                                     AS VARCHAR)), 1, 15)) AS BIGINT)
+                                % {_RR_DROP_MOD} <> 0
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS c2
+      FROM e WHERE event_type = 'purchase'
+    ),
+    allrows AS (SELECT * FROM temporal UNION ALL SELECT * FROM constructed),
+    stats AS (
+      SELECT scenario, c1, c2,
+             ln(c1 / c2) AS lrr,
+             sqrt(1 / c1 + 1 / c2) AS se
+      FROM allrows
+    )
+    SELECT scenario,
+           CAST(c1 AS BIGINT) AS n_first_half,
+           CAST(c2 AS BIGINT) AS n_second_half,
+           ROUND(c1 / c2, 6) AS rate_ratio,
+           ROUND(lrr / se, 4) AS z,
+           ROUND(exp(lrr - {_RR_CRIT} * se), 6) AS ci_lo,
+           ROUND(exp(lrr + {_RR_CRIT} * se), 6) AS ci_hi,
+           ABS(lrr / se) > {_RR_CRIT} AS significant
+    FROM stats
+    """,
+)
+def events_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-ratio test — "did the error rate change?", the ops
+    on-call question: for each event type, first-half vs second-half
+    month counts under equal exposure, with the log-rate-ratio Wald z
+    and CI (Rothman's standard epidemiologic comparison; the same test
+    monitors defect and incident rates). The per-type temporal rows are
+    an honest null (the fixture stream is stationary — expect ratios
+    near 1); a `constructed_drop` scenario deterministically removes
+    1/{_RR_DROP_MOD} of second-half purchases (the `ml_auc_roc`
+    construction convention) so the significant branch is real.
+
+    Counts are exact integers; ln/exp apply each engine's libm to
+    identical rationals (module trig convention); the z critical value
+    is the baked bisection constant.
+
+    Scale: one scan into a 2-counter-per-type mergeable aggregate —
+    the incident-dashboard query at any volume."""
+    ev = load(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    e = ev.select("event_type", "event_id", d.alias("d"))
+    temporal = e.groupBy("event_type").agg(
+        F.sum((F.col("d") < 15).cast("int")).cast("double").alias("c1"),
+        F.sum((F.col("d") >= 15).cast("int")).cast("double").alias("c2"),
+    ).select(
+        F.concat(F.lit("temporal_"), F.col("event_type")).alias("scenario"),
+        "c1",
+        "c2",
+    )
+    keep = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _RR_DROP_MOD
+        != 0
+    )
+    constructed = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(
+            F.sum((F.col("d") < 15).cast("int")).cast("double").alias("c1"),
+            F.sum(((F.col("d") >= 15) & keep).cast("int")).cast("double").alias("c2"),
+        )
+        .select(F.lit("constructed_drop").alias("scenario"), "c1", "c2")
+    )
+    allrows = temporal.unionByName(constructed)
+    lrr = F.log(F.col("c1") / F.col("c2"))
+    se = F.sqrt(1 / F.col("c1") + 1 / F.col("c2"))
+    return allrows.select(
+        "scenario",
+        F.col("c1").cast("long").alias("n_first_half"),
+        F.col("c2").cast("long").alias("n_second_half"),
+        F.round(F.col("c1") / F.col("c2"), 6).alias("rate_ratio"),
+        F.round(lrr / se, 4).alias("z"),
+        F.round(F.exp(lrr - _RR_CRIT * se), 6).alias("ci_lo"),
+        F.round(F.exp(lrr + _RR_CRIT * se), 6).alias("ci_hi"),
+        (F.abs(lrr / se) > _RR_CRIT).alias("significant"),
+    )

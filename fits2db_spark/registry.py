@@ -198,6 +198,8 @@ _PRIORITY_QUERIES = (
     "ml_proportion_ztest",
     "events_growth_accounting",
     "vec_outlier_scores",
+    "orders_abc_xyz",
+    "events_rate_ratio_test",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

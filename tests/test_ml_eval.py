@@ -1582,3 +1582,60 @@ def test_vec_outlier_scores_match_numpy_mahalanobis(spark):
     assert got.n_outliers_total.iloc[0] == int((scores > thr).sum())
     for _, r in got.iterrows():
         assert bool(r.is_outlier) == (s[r.vec_id] > thr)
+
+
+def test_abc_xyz_matrix_matches_pandas(spark):
+    got = _run(spark, "orders_abc_xyz")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li["rev"] = li.l_extendedprice * (1 - li.l_discount)
+    rev = li.groupby("l_partkey").rev.sum().sort_values(ascending=False)
+    rev = rev.reset_index().sort_values(
+        ["rev", "l_partkey"], ascending=[False, True]
+    )
+    cum = rev.rev.cumsum() / rev.rev.sum()
+    abc = np.where(
+        cum.round(9) <= 0.8, "A", np.where(cum.round(9) <= 0.95, "B", "C")
+    )
+    abc_map = dict(zip(rev.l_partkey, abc))
+    li["m"] = (
+        (li.l_shipdate.dt.normalize() - pd.Timestamp("1995-01-01")).dt.days // 30
+    )
+    monthly = li.groupby(["l_partkey", "m"]).l_quantity.sum()
+    xyz_map = {}
+    for pk, g in monthly.groupby("l_partkey"):
+        if len(g) < 2:
+            xyz_map[pk] = "Z"
+        else:
+            cv = round(g.std(ddof=1) / g.mean(), 9)
+            xyz_map[pk] = "X" if cv < 0.5 else ("Y" if cv < 1.0 else "Z")
+    ref = {}
+    revs = li.groupby("l_partkey").rev.sum()
+    for pk in revs.index:
+        key = (abc_map[pk], xyz_map[pk])
+        n, r = ref.get(key, (0, 0.0))
+        ref[key] = (n + 1, r + revs[pk])
+    assert len(got) == len(ref)
+    tot = revs.sum()
+    for _, row in got.iterrows():
+        n, r = ref[(row.abc_class, row.xyz_class)]
+        assert row.n_parts == n
+        assert abs(row.class_revenue - round(r, 2)) < 0.03
+        assert abs(row.revenue_share - r / tot) < 2e-6
+    assert got.n_parts.sum() == len(revs)
+
+
+def test_rate_ratio_test_branches_and_wald_formulas(spark):
+    import math
+
+    got = _run(spark, "events_rate_ratio_test").set_index("scenario")
+    # the constructed 20% drop must be significant; it removed ~1/5
+    r = got.loc["constructed_drop"]
+    assert bool(r.significant) and r.rate_ratio > 1.1
+    for _, row in got.iterrows():
+        c1, c2 = row.n_first_half, row.n_second_half
+        lrr = math.log(c1 / c2)
+        se = math.sqrt(1 / c1 + 1 / c2)
+        assert abs(row.z - lrr / se) < 5e-3
+        assert abs(row.ci_lo - math.exp(lrr - 1.95996398454 * se)) < 5e-5
+        assert abs(row.ci_hi - math.exp(lrr + 1.95996398454 * se)) < 5e-5
+        assert bool(row.significant) == (abs(lrr / se) > 1.95996398454)

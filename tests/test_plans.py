@@ -289,6 +289,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # best-split search over the ~20-bucket price histogram — cumulative +
     # argmin-rank windows over O(buckets) pre-aggregated rows (r9)
     "ml_decision_stump",
+    # ABC Pareto cumsum over the O(parts) revenue dimension — the
+    # orders_abc shape reused for the ABC-XYZ matrix (r9)
+    "orders_abc_xyz",
 }
 
 
