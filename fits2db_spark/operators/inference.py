@@ -3406,3 +3406,163 @@ def ml_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1 - p0 + _PZ_CRIT * se_u, 6).alias("ci_hi"),
         (F.abs(z) > _PZ_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-mixture EM (2 components, histogram E/M, 3 rounds) — round 9
+# ---------------------------------------------------------------------------
+_EM_BINW = 10_000
+_EM_SHIFT = 500_000  # constructed bimodality: +500k for half the orders
+_EM_ROUNDS = 3
+_EM_INIT = (0.5, 200_000.0, 200_000.0, 0.5, 800_000.0, 200_000.0)
+
+
+def _em_oracle() -> str:
+    # one E+M round as a pair of chained CTEs; params quantized (ROUND 6/9)
+    # after every M-step so fold-order ulp can't compound across rounds
+    step = """
+    e{b} AS (
+      SELECT h.x, h.n,
+             p.w1 * exp(-(h.x - p.m1) * (h.x - p.m1) / (2 * p.s1 * p.s1)) / p.s1
+               AS u1,
+             p.w2 * exp(-(h.x - p.m2) * (h.x - p.m2) / (2 * p.s2 * p.s2)) / p.s2
+               AS u2
+      FROM hist h CROSS JOIN p{a} p
+    ),
+    p{b} AS (
+      SELECT ROUND(SUM(n * u1 / (u1 + u2)) / SUM(n), 9) AS w1,
+             ROUND(SUM(n * u1 / (u1 + u2) * x)
+                   / SUM(n * u1 / (u1 + u2)), 6) AS m1,
+             ROUND(sqrt(SUM(n * u1 / (u1 + u2) * x * x)
+                        / SUM(n * u1 / (u1 + u2))
+                        - (SUM(n * u1 / (u1 + u2) * x)
+                           / SUM(n * u1 / (u1 + u2)))
+                          * (SUM(n * u1 / (u1 + u2) * x)
+                             / SUM(n * u1 / (u1 + u2)))), 6) AS s1,
+             ROUND(SUM(n * u2 / (u1 + u2)) / SUM(n), 9) AS w2,
+             ROUND(SUM(n * u2 / (u1 + u2) * x)
+                   / SUM(n * u2 / (u1 + u2)), 6) AS m2,
+             ROUND(sqrt(SUM(n * u2 / (u1 + u2) * x * x)
+                        / SUM(n * u2 / (u1 + u2))
+                        - (SUM(n * u2 / (u1 + u2) * x)
+                           / SUM(n * u2 / (u1 + u2)))
+                          * (SUM(n * u2 / (u1 + u2) * x)
+                             / SUM(n * u2 / (u1 + u2)))), 6) AS s2
+      FROM e{b}
+    )"""
+    rounds = ",".join(step.format(a=i, b=i + 1) for i in range(_EM_ROUNDS))
+    w1, m1, s1, w2, m2, s2 = _EM_INIT
+    return f"""
+    WITH vals AS (
+      SELECT o_totalprice
+             + (CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                         1, 15)) AS BIGINT) % 2)
+               * {_EM_SHIFT} AS v
+      FROM orders
+    ),
+    hist AS (
+      SELECT (FLOOR(v / {_EM_BINW}) + 0.5) * {_EM_BINW} AS x,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM vals GROUP BY 1
+    ),
+    p0 AS (SELECT {w1} AS w1, {m1} AS m1, {s1} AS s1,
+                  {w2} AS w2, {m2} AS m2, {s2} AS s2),
+    {rounds}
+    SELECT k.component,
+           ROUND(CASE WHEN k.component = 1 THEN p.w1 ELSE p.w2 END, 6)
+             AS weight,
+           ROUND(CASE WHEN k.component = 1 THEN p.m1 ELSE p.m2 END, 4)
+             AS mean_value,
+           ROUND(CASE WHEN k.component = 1 THEN p.s1 ELSE p.s2 END, 4)
+             AS stddev_value
+    FROM p{_EM_ROUNDS} p
+    CROSS JOIN (SELECT 1 AS component UNION ALL SELECT 2) k
+    """
+
+
+@register("ml_gaussian_mixture_em", oracle=_em_oracle())
+def ml_gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Gaussian-mixture fit by {_EM_ROUNDS} unrolled EM
+    rounds over a histogram — the distributed-EM pattern every cluster
+    ML library uses (E and M are both mergeable aggregates over bins;
+    binning makes the E-step O(bins) instead of O(rows), the same
+    sketch-first discipline as `ml_auc_roc`). The fixture's order value
+    is unimodal-uniform, so bimodality is CONSTRUCTED (the module's
+    convention): half the orders, chosen by md5 parity, shift by
+    +{_EM_SHIFT} — EM must recover means near 250k and 750k from the
+    deliberately-wrong 200k/800k init, and measurably does.
+
+    Cross-engine determinism: bin centers are exact; after every M-step
+    the six parameters are QUANTIZED (ROUND 6/9 — the `ml_naive_bayes`
+    quantized-model trick), so each round's E-step consumes identical
+    doubles in both engines and fold-order ulp cannot compound across
+    rounds.
+
+    Scale: one scan to an O(bins) histogram; each EM round is one
+    broadcast of 6 parameters onto the bins plus one 6-number aggregate
+    — executor state O(bins), driver state zero, rounds extend by
+    chaining (no driver loop actions)."""
+    o = load(spark, sf_dir, "orders")
+    shift = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    ) * _EM_SHIFT
+    vals = o.select((F.col("o_totalprice") + shift).alias("v"))
+    hist = vals.groupBy(
+        ((F.floor(F.col("v") / _EM_BINW) + 0.5) * _EM_BINW).alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w1, m1, s1, w2, m2, s2 = _EM_INIT
+    params = spark.sql(
+        f"SELECT {w1} AS w1, {m1} AS m1, {s1} AS s1,"
+        f" {w2} AS w2, {m2} AS m2, {s2} AS s2"
+    )
+    for _ in range(_EM_ROUNDS):
+        u1 = (
+            F.col("w1")
+            * F.exp(
+                -(F.col("x") - F.col("m1"))
+                * (F.col("x") - F.col("m1"))
+                / (2 * F.col("s1") * F.col("s1"))
+            )
+            / F.col("s1")
+        )
+        u2 = (
+            F.col("w2")
+            * F.exp(
+                -(F.col("x") - F.col("m2"))
+                * (F.col("x") - F.col("m2"))
+                / (2 * F.col("s2") * F.col("s2"))
+            )
+            / F.col("s2")
+        )
+        e = hist.crossJoin(F.broadcast(params)).select(
+            "x", "n", u1.alias("u1"), u2.alias("u2")
+        )
+        r1 = F.col("u1") / (F.col("u1") + F.col("u2"))
+        r2 = F.col("u2") / (F.col("u1") + F.col("u2"))
+
+        def mstep(r, tag):
+            sw = F.sum(F.col("n") * r)
+            mean = F.sum(F.col("n") * r * F.col("x")) / sw
+            var = F.sum(F.col("n") * r * F.col("x") * F.col("x")) / sw - mean * mean
+            return [
+                F.round(sw / F.sum("n"), 9).alias(f"w{tag}"),
+                F.round(mean, 6).alias(f"m{tag}"),
+                F.round(F.sqrt(var), 6).alias(f"s{tag}"),
+            ]
+
+        params = e.agg(*(mstep(r1, "1") + mstep(r2, "2")))
+    comp = spark.sql("SELECT 1 AS component UNION ALL SELECT 2")
+    return params.crossJoin(F.broadcast(comp)).select(
+        "component",
+        F.round(
+            F.when(F.col("component") == 1, F.col("w1")).otherwise(F.col("w2")), 6
+        ).alias("weight"),
+        F.round(
+            F.when(F.col("component") == 1, F.col("m1")).otherwise(F.col("m2")), 4
+        ).alias("mean_value"),
+        F.round(
+            F.when(F.col("component") == 1, F.col("s1")).otherwise(F.col("s2")), 4
+        ).alias("stddev_value"),
+    )

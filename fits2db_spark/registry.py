@@ -200,6 +200,7 @@ _PRIORITY_QUERIES = (
     "vec_outlier_scores",
     "orders_abc_xyz",
     "events_rate_ratio_test",
+    "ml_gaussian_mixture_em",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -1639,3 +1639,38 @@ def test_rate_ratio_test_branches_and_wald_formulas(spark):
         assert abs(row.ci_lo - math.exp(lrr - 1.95996398454 * se)) < 5e-5
         assert abs(row.ci_hi - math.exp(lrr + 1.95996398454 * se)) < 5e-5
         assert bool(row.significant) == (abs(lrr / se) > 1.95996398454)
+
+
+def test_gaussian_mixture_em_matches_numpy_and_separates_modes(spark):
+    got = _run(spark, "ml_gaussian_mixture_em").set_index("component").sort_index()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    shift = _md5_noise(o.o_orderkey.to_numpy(), 2) * 500_000
+    v = o.o_totalprice.to_numpy() + shift
+    x, n = np.unique(
+        (np.floor(v / 10_000) + 0.5) * 10_000, return_counts=True
+    )
+    n = n.astype(float)
+    w = np.array([0.5, 0.5])
+    m = np.array([200_000.0, 800_000.0])
+    s = np.array([200_000.0, 200_000.0])
+    for _ in range(3):
+        u = np.stack(
+            [w[k] * np.exp(-((x - m[k]) ** 2) / (2 * s[k] ** 2)) / s[k] for k in range(2)]
+        )
+        r = u / u.sum(0)
+        sw = (n * r).sum(1)
+        w = np.round(sw / n.sum(), 9)
+        m_new = np.round((n * r * x).sum(1) / sw, 6)
+        s = np.round(
+            np.sqrt((n * r * x * x).sum(1) / sw - ((n * r * x).sum(1) / sw) ** 2), 6
+        )
+        m = m_new
+    for k in (1, 2):
+        row = got.loc[k]
+        assert abs(row.weight - w[k - 1]) < 1e-4
+        assert abs(row.mean_value - m[k - 1]) < 1.0
+        assert abs(row.stddev_value - s[k - 1]) < 1.0
+    # EM genuinely recovered the constructed modes from the wrong init
+    assert abs(got.loc[1].mean_value - 250_000) < 40_000
+    assert abs(got.loc[2].mean_value - 750_000) < 40_000
+    assert abs(got.weight.sum() - 1.0) < 1e-6
