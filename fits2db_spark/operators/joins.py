@@ -1365,3 +1365,103 @@ def orders_dup_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolating as-of join (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_interpolated",
+    oracle="""
+    WITH curve AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    probes AS (
+      SELECT event_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             (FLOOR(epoch(ts)) - FLOOR(epoch(CAST(CAST(ts AS DATE)
+                                                  AS TIMESTAMP))))
+               / 86400.0 AS frac
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT p.d, p.frac, lo.clicks AS c_lo, hi.clicks AS c_hi
+      FROM probes p
+      JOIN curve lo ON lo.d = p.d
+      LEFT JOIN curve hi ON hi.d = p.d + 1
+    ),
+    interp AS (
+      SELECT d,
+             CASE WHEN c_hi IS NULL THEN c_lo
+                  ELSE c_lo + frac * (c_hi - c_lo) END AS v
+      FROM joined
+    )
+    SELECT CAST(d AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           ROUND(AVG(v), 4) AS avg_interpolated_clicks,
+           ROUND(MIN(v), 4) AS min_interp,
+           ROUND(MAX(v), 4) AS max_interp
+    FROM interp GROUP BY d
+    """,
+)
+def join_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolating as-of join — the sensor-fusion variant the plain
+    `join_asof` family can't express: each probe event samples a
+    reference curve at its exact (fractional-day) timestamp by LINEAR
+    INTERPOLATION between the bracketing curve points, value(t) =
+    c_lo + frac * (c_hi - c_lo), instead of snapping to the last
+    observation (the time-weighted join every telemetry / market-data
+    store offers: kdb's wj, TimescaleDB's interpolate(locf)). Probes are
+    purchase events, the curve is the daily click-volume series; the
+    final day falls back to last-observation (no right bracket).
+
+    The bracket keys are exact integer day indexes, so the join is two
+    equi-joins (d and d+1) — never an inequality scan; `frac` is an
+    exact rational of floored epoch seconds over 86400 (the
+    `events_velocity_flags` convention), so the lerp arithmetic is
+    bit-identical across engines before the aggregate's ROUND(4).
+
+    Scale: the curve partial-aggregates to O(days) and BROADCASTS; the
+    probe side is one narrow projection — per-probe cost is two
+    broadcast-hash lookups, no shuffle of the fact table, the exact
+    plan a 100 TB telemetry join wants."""
+    ev = load(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    curve = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(d.alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("clicks"))
+    )
+    day_start = F.floor(F.col("ts").cast("date").cast("timestamp").cast("double"))
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        d.alias("d"),
+        ((F.floor(F.col("ts").cast("double")) - day_start) / 86400.0).alias("frac"),
+    )
+    lo = curve.select(F.col("d").alias("d"), F.col("clicks").alias("c_lo"))
+    hi = curve.select((F.col("d") - 1).alias("d"), F.col("clicks").alias("c_hi"))
+    joined = probes.join(F.broadcast(lo), "d").join(F.broadcast(hi), "d", "left")
+    v = F.when(F.col("c_hi").isNull(), F.col("c_lo")).otherwise(
+        F.col("c_lo") + F.col("frac") * (F.col("c_hi") - F.col("c_lo"))
+    )
+    return (
+        joined.select("d", v.alias("v"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.round(F.avg("v"), 4).alias("avg_interpolated_clicks"),
+            F.round(F.min("v"), 4).alias("min_interp"),
+            F.round(F.max("v"), 4).alias("max_interp"),
+        )
+        .select(
+            F.col("d").cast("long").alias("day"),
+            "n_probes",
+            "avg_interpolated_clicks",
+            "min_interp",
+            "max_interp",
+        )
+    )

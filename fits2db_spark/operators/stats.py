@@ -5210,3 +5210,112 @@ def events_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(lrr + _RR_CRIT * se), 6).alias("ci_hi"),
         (F.abs(lrr / se) > _RR_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention half-life fit (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_halflife",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (SELECT user_id, MIN(w) AS fw FROM act GROUP BY 1),
+    sizes AS (SELECT fw, CAST(COUNT(*) AS DOUBLE) AS cohort_n FROM f GROUP BY 1),
+    offs AS (
+      SELECT a.w - f.fw AS k, CAST(COUNT(*) AS DOUBLE) AS retained
+      FROM act a JOIN f USING (user_id)
+      WHERE a.w > f.fw GROUP BY 1
+    ),
+    expos AS (
+      -- users whose cohort can be observed at offset k (fw + k <= max week)
+      SELECT k.k, SUM(s.cohort_n) AS exposed
+      FROM sizes s
+      CROSS JOIN (SELECT unnest(range(1, 5)) AS k) k
+      WHERE s.fw + k.k <= (SELECT MAX(w) FROM act)
+      GROUP BY 1
+    ),
+    rate AS (
+      SELECT e.k, o.retained, e.exposed,
+             ln(o.retained / e.exposed) AS lr
+      FROM expos e JOIN offs o USING (k)
+    ),
+    fit AS (
+      SELECT (SUM(k * lr) - SUM(k) * SUM(lr) / COUNT(*))
+             / (SUM(k * k) - SUM(k) * SUM(k) / COUNT(*)) AS slope
+      FROM rate
+    )
+    SELECT CAST(r.k AS BIGINT) AS week_offset,
+           CAST(r.retained AS BIGINT) AS n_retained,
+           CAST(r.exposed AS BIGINT) AS n_exposed,
+           ROUND(r.retained / r.exposed, 6) AS retention,
+           ROUND(f.slope, 6) AS decay_slope,
+           ROUND(-ln(2) / f.slope, 4) AS halflife_weeks
+    FROM rate r CROSS JOIN fit f
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: pooled cohort retention at week offsets 1-4
+    (retained / exposed, exposure-corrected so late cohorts don't bias
+    the tail), a log-linear OLS fit of ln(retention) on offset, and the
+    implied half-life -ln(2)/slope — the single number product teams
+    quote from a retention curve (and the decay constant LTV models
+    plug in; analyzes what `retention_cohorts` tabulates). Purchase-
+    scoped activity like `events_growth_accounting`.
+
+    Counts are exact set-algebra integers; retention divides exact
+    integers; the 4-point OLS runs over engine-identical doubles
+    (ln of exact rationals), ROUND display-only.
+
+    Scale: one distinct (user, week) partial agg — the only stage that
+    sees volume — then joins bounded by users and a 4-row fit."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    act = ev.select(
+        "user_id",
+        F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7").alias("w"),
+    ).distinct()
+    f = act.groupBy("user_id").agg(F.min("w").alias("fw"))
+    sizes = f.groupBy("fw").agg(F.count(F.lit(1)).cast("double").alias("cohort_n"))
+    offs = (
+        act.join(f, "user_id")
+        .filter(F.col("w") > F.col("fw"))
+        .groupBy((F.col("w") - F.col("fw")).alias("k"))
+        .agg(F.count(F.lit(1)).cast("double").alias("retained"))
+    )
+    maxw = act.agg(F.max("w").alias("mw"))
+    ks = spark.range(1, 5).select(F.col("id").cast("int").alias("k"))
+    expos = (
+        sizes.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(maxw))
+        .filter(F.col("fw") + F.col("k") <= F.col("mw"))
+        .groupBy("k")
+        .agg(F.sum("cohort_n").alias("exposed"))
+    )
+    rate = expos.join(offs, "k").select(
+        "k",
+        "retained",
+        "exposed",
+        F.log(F.col("retained") / F.col("exposed")).alias("lr"),
+    )
+    n = F.count(F.lit(1))
+    fit = rate.agg(
+        (
+            (F.sum(F.col("k") * F.col("lr")) - F.sum("k") * F.sum("lr") / n)
+            / (F.sum(F.col("k") * F.col("k")) - F.sum("k") * F.sum("k") / n)
+        ).alias("slope")
+    )
+    import math as _m
+
+    return rate.crossJoin(F.broadcast(fit)).select(
+        F.col("k").cast("long").alias("week_offset"),
+        F.col("retained").cast("long").alias("n_retained"),
+        F.col("exposed").cast("long").alias("n_exposed"),
+        F.round(F.col("retained") / F.col("exposed"), 6).alias("retention"),
+        F.round("slope", 6).alias("decay_slope"),
+        F.round(-_m.log(2) / F.col("slope"), 4).alias("halflife_weeks"),
+    )

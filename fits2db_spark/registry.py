@@ -201,6 +201,8 @@ _PRIORITY_QUERIES = (
     "orders_abc_xyz",
     "events_rate_ratio_test",
     "ml_gaussian_mixture_em",
+    "events_retention_halflife",
+    "join_asof_interpolated",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -1674,3 +1674,69 @@ def test_gaussian_mixture_em_matches_numpy_and_separates_modes(spark):
     assert abs(got.loc[1].mean_value - 250_000) < 40_000
     assert abs(got.loc[2].mean_value - 750_000) < 40_000
     assert abs(got.weight.sum() - 1.0) < 1e-6
+
+
+def test_retention_halflife_matches_pandas_fit(spark):
+    got = _run(spark, "events_retention_halflife").set_index("week_offset")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev[ev.event_type == "purchase"]
+    ev["w"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days // 7
+    act = ev[["user_id", "w"]].drop_duplicates()
+    first = act.groupby("user_id").w.min()
+    mw = act.w.max()
+    ks, lrs = [], []
+    for k in range(1, 5):
+        exposed = sum(
+            (first == fw).sum() for fw in first.unique() if fw + k <= mw
+        )
+        retained = sum(
+            1
+            for u, fw in first.items()
+            if ((act.user_id == u) & (act.w == fw + k)).any()
+        )
+        if k in got.index:
+            r = got.loc[k]
+            assert (r.n_retained, r.n_exposed) == (retained, exposed)
+            assert abs(r.retention - retained / exposed) < 2e-6
+            ks.append(k)
+            lrs.append(np.log(retained / exposed))
+    ks, lrs = np.array(ks, dtype=float), np.array(lrs)
+    slope = ((ks * lrs).sum() - ks.sum() * lrs.sum() / len(ks)) / (
+        (ks * ks).sum() - ks.sum() ** 2 / len(ks)
+    )
+    assert abs(got.decay_slope.iloc[0] - slope) < 1e-4
+    assert abs(got.halflife_weeks.iloc[0] - (-np.log(2) / slope)) < 1e-2
+    # retention decays, so the slope is negative and halflife positive
+    assert slope < 0 and got.halflife_weeks.iloc[0] > 0
+
+
+def test_asof_interpolated_matches_pandas_lerp(spark):
+    got = _run(spark, "join_asof_interpolated").set_index("day")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    curve = ev[ev.event_type == "click"].groupby("d").size().astype(float)
+    pr = ev[ev.event_type == "purchase"].copy()
+    es = np.floor((pr.ts - pd.Timestamp("1970-01-01")).dt.total_seconds())
+    ds = np.floor(
+        (pr.ts.dt.normalize() - pd.Timestamp("1970-01-01")).dt.total_seconds()
+    )
+    pr["frac"] = (es - ds) / 86400.0
+    vs = {}
+    for _, row in pr.iterrows():
+        lo = curve.get(row.d)
+        hi = curve.get(row.d + 1)
+        if lo is None:
+            continue
+        v = lo if hi is None or pd.isna(hi) else lo + row.frac * (hi - lo)
+        vs.setdefault(row.d, []).append(v)
+    assert set(got.index) == set(vs)
+    for day, arr in vs.items():
+        r = got.loc[day]
+        a = np.array(arr)
+        assert r.n_probes == len(a)
+        assert abs(r.avg_interpolated_clicks - a.mean()) < 1e-3
+        assert abs(r.min_interp - a.min()) < 1e-3
+        assert abs(r.max_interp - a.max()) < 1e-3
+    # interpolated values must lie between the bracketing curve points
+    allv = np.concatenate([np.array(a) for a in vs.values()])
+    assert allv.min() >= curve.min() and allv.max() <= curve.max()
