@@ -3566,3 +3566,96 @@ def ml_gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("component") == 1, F.col("s1")).otherwise(F.col("s2")), 4
         ).alias("stddev_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch check (round 9)
+# ---------------------------------------------------------------------------
+_SRM_CHI2_CRIT_1DF = 3.841459  # chi2(1) 95th percentile, fixed literal
+
+
+@register(
+    "ml_ab_srm_check",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '#srm'),
+                                      1, 15)) AS BIGINT) % 3 = 0 AS dropped
+      FROM events
+    ),
+    scen AS (
+      SELECT 'healthy' AS scenario, arm FROM assign
+      UNION ALL
+      SELECT 'broken_bucketing', arm FROM assign
+      WHERE NOT (arm = 1 AND dropped)
+    ),
+    cnt AS (
+      SELECT scenario,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1
+      FROM scen GROUP BY 1
+    )
+    SELECT scenario,
+           CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treat,
+           ROUND(n1 / (n0 + n1), 6) AS treat_share,
+           ROUND((n0 - (n0 + n1) / 2) * (n0 - (n0 + n1) / 2) / ((n0 + n1) / 2)
+                 + (n1 - (n0 + n1) / 2) * (n1 - (n0 + n1) / 2) / ((n0 + n1) / 2),
+                 4) AS chi2,
+           (n0 - (n0 + n1) / 2) * (n0 - (n0 + n1) / 2) / ((n0 + n1) / 2)
+           + (n1 - (n0 + n1) / 2) * (n1 - (n0 + n1) / 2) / ((n0 + n1) / 2)
+             > {_SRM_CHI2_CRIT_1DF} AS srm_detected
+    FROM cnt
+    """,
+)
+def ml_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the assignment-integrity test every
+    experiment platform runs BEFORE reading any metric (Fabijan et al.
+    2019: a biased split invalidates the readout no matter how
+    significant it looks): chi-square goodness-of-fit of the observed
+    arm counts against the designed 50/50, at the user grain. Two
+    scenarios share the scan: `healthy` (the md5 split — expect no SRM)
+    and `broken_bucketing`, where 1/10 of treatment users are
+    deterministically dropped (the classic redirect-loss bug) — SRM
+    fires. Completes the experimentation suite's integrity corner
+    (power -> SRM -> readout -> sequential monitor).
+
+    Counts are exact integers; the chi-square is rational arithmetic on
+    them; the 1-dof critical value is a fixed literal in both engines.
+
+    Scale: one distinct-user aggregate, two 2-counter rows out."""
+    ev = load(spark, sf_dir, "events")
+    h = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")  # noqa: E731
+    assign = ev.select(
+        "user_id",
+        (h(F.col("user_id").cast("string")) % 2).alias("arm"),
+        (
+            h(F.concat(F.col("user_id").cast("string"), F.lit("#srm"))) % 3 == 0
+        ).alias("dropped"),
+    ).distinct()
+    healthy = assign.select(F.lit("healthy").alias("scenario"), "arm")
+    broken = assign.filter(~((F.col("arm") == 1) & F.col("dropped"))).select(
+        F.lit("broken_bucketing").alias("scenario"), "arm"
+    )
+    cnt = (
+        healthy.unionByName(broken)
+        .groupBy("scenario")
+        .agg(
+            F.sum((F.col("arm") == 0).cast("int")).cast("double").alias("n0"),
+            F.sum((F.col("arm") == 1).cast("int")).cast("double").alias("n1"),
+        )
+    )
+    exp = (F.col("n0") + F.col("n1")) / 2
+    chi2 = (F.col("n0") - exp) * (F.col("n0") - exp) / exp + (
+        F.col("n1") - exp
+    ) * (F.col("n1") - exp) / exp
+    return cnt.select(
+        "scenario",
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.round(F.col("n1") / (F.col("n0") + F.col("n1")), 6).alias("treat_share"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > _SRM_CHI2_CRIT_1DF).alias("srm_detected"),
+    )

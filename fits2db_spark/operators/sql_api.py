@@ -1312,3 +1312,44 @@ def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) UNPIVOT (val FOR metric IN (size_v, price_v))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL (modern SQL surface) — round 9
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-06-01'
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the modern-SQL ergonomic both engines now parse
+    (Spark 3.4+/4.x and DuckDB infer the grouping keys as every
+    non-aggregate select item), exercised through the raw SQL surface so
+    the engine's PARSER feature coverage is pinned, not just the
+    DataFrame equivalent (`agg_groupby`). The oracle is the IDENTICAL
+    text — the whole point is that one statement runs on both.
+
+    Scale: same plan as any two-key aggregate — filter pushed to the
+    parquet scan, map-side partial agg, O(flag x status) rows out."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("f2s_li_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               ROUND(AVG(l_quantity), 4) AS avg_qty
+        FROM f2s_li_gba
+        WHERE l_shipdate >= DATE '1995-06-01'
+        GROUP BY ALL
+        """
+    )

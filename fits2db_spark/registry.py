@@ -203,6 +203,8 @@ _PRIORITY_QUERIES = (
     "ml_gaussian_mixture_em",
     "events_retention_halflife",
     "join_asof_interpolated",
+    "ml_ab_srm_check",
+    "sql_group_by_all",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

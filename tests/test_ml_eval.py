@@ -1740,3 +1740,33 @@ def test_asof_interpolated_matches_pandas_lerp(spark):
     # interpolated values must lie between the bracketing curve points
     allv = np.concatenate([np.array(a) for a in vs.values()])
     assert allv.min() >= curve.min() and allv.max() <= curve.max()
+
+
+def test_srm_check_branches(spark):
+    # branch semantics are tier-dependent (chi2 power grows with n);
+    # sf0.01 is the driver tier where both branches must be live
+    got = (
+        all_queries()["ml_ab_srm_check"](spark, SF_MID)
+        .toPandas()
+        .set_index("scenario")
+    )
+    assert not bool(got.loc["healthy"].srm_detected)
+    assert bool(got.loc["broken_bucketing"].srm_detected)
+    ev = pd.read_parquet(f"{SF_MID}/events.parquet")
+    users = ev.user_id.unique()
+    arm = _md5_noise(users, 2)
+    import hashlib
+
+    dropped = np.array(
+        [
+            int(hashlib.md5(f"{u}#srm".encode()).hexdigest()[:15], 16) % 3 == 0
+            for u in users
+        ]
+    )
+    h = got.loc["healthy"]
+    assert (h.n_control, h.n_treat) == ((arm == 0).sum(), (arm == 1).sum())
+    b = got.loc["broken_bucketing"]
+    assert b.n_treat == ((arm == 1) & ~dropped).sum()
+    n0, n1 = b.n_control, b.n_treat
+    exp = (n0 + n1) / 2
+    assert abs(b.chi2 - ((n0 - exp) ** 2 / exp + (n1 - exp) ** 2 / exp)) < 1e-3
