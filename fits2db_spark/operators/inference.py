@@ -3659,3 +3659,239 @@ def ml_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         (chi2 > _SRM_CHI2_CRIT_1DF).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Average precision / PR-AUC (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_pr_auc",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice / {_AUC_BIN}) AS BIGINT) AS bucket,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS label
+      FROM orders
+    ),
+    hist AS (
+      SELECT o_orderpriority, bucket,
+             SUM(label) AS pos,
+             CAST(COUNT(*) AS DOUBLE) - SUM(label) AS neg
+      FROM per GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderpriority, bucket, pos, neg,
+             SUM(pos) OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS tp,
+             SUM(neg) OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS fp,
+             SUM(pos) OVER (PARTITION BY o_orderpriority) AS npos,
+             SUM(pos + neg) OVER (PARTITION BY o_orderpriority) AS ntot
+      FROM hist
+    )
+    SELECT o_orderpriority,
+           CAST(npos AS BIGINT) AS n_pos,
+           ROUND(SUM(pos * (tp / (tp + fp))) / npos, 6) AS pr_auc,
+           ROUND(MAX(npos / ntot), 6) AS baseline_prevalence
+    FROM cum GROUP BY o_orderpriority, npos
+    """,
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of the same histogram-quantized score
+    and signal-plus-noise label as `ml_auc_roc` — the ranking metric
+    that matters under class imbalance, where ROC-AUC flatters (Davis &
+    Goadrich 2006). Computed by the exact step-interpolation identity
+    AP = sum over descending score buckets of (recall gained in the
+    bucket) x (precision at the bucket) = sum(pos_b * P_b) / n_pos,
+    with P_b = TP_b / (TP_b + FP_b) from cumulative counts in
+    DESCENDING score order; the per-slice prevalence column is the
+    random-ranker baseline AP is judged against.
+
+    Same sketch-first scale shape as `ml_auc_roc`: O(rows) projection
+    -> O(slices x buckets) mergeable histogram -> cumulative window
+    over <= ~1.2k rows per slice. Everything is rational arithmetic on
+    exact integer-valued doubles; ROUND(6) display-only."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / _AUC_BIN).cast("long").alias("bucket"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    hist = per.groupBy("o_orderpriority", "bucket").agg(
+        F.sum("label").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("double").alias("neg"),
+    )
+    wd = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "pos",
+        F.sum("pos").over(wd).alias("tp"),
+        F.sum("neg").over(wd).alias("fp"),
+        F.sum("pos").over(wall).alias("npos"),
+        F.sum(F.col("pos") + F.col("neg")).over(wall).alias("ntot"),
+    )
+    return cum.groupBy("o_orderpriority", "npos").agg(
+        F.max("npos").cast("long").alias("n_pos"),
+        F.round(
+            F.sum(F.col("pos") * (F.col("tp") / (F.col("tp") + F.col("fp"))))
+            / F.col("npos"),
+            6,
+        ).alias("pr_auc"),
+        F.round(F.max(F.col("npos") / F.col("ntot")), 6).alias(
+            "baseline_prevalence"
+        ),
+    ).select("o_orderpriority", "n_pos", "pr_auc", "baseline_prevalence")
+
+
+# ---------------------------------------------------------------------------
+# Brier-score Murphy decomposition (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=f"""
+    WITH per AS (
+      SELECT LEAST(9, CAST(FLOOR(o_totalprice / {_CAL_BINW}) AS BIGINT)) AS bin,
+             1.0 / (1.0 + EXP(-(o_totalprice - {_CAL_MID}) / {_CAL_SCALE}))
+               AS score,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS label
+      FROM orders
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nk,
+             AVG(score) AS fk, AVG(label) AS ok_
+      FROM per GROUP BY bin
+    ),
+    g2 AS (
+      SELECT CAST(SUM(nk) AS DOUBLE) AS n,
+             SUM(nk * ok_) / SUM(nk) AS obar,
+             SUM(nk * (fk - ok_) * (fk - ok_)) / SUM(nk) AS reliability
+      FROM bins
+    ),
+    res AS (
+      SELECT SUM(b.nk * (b.ok_ - g2.obar) * (b.ok_ - g2.obar)) / g2.n
+               AS resolution,
+             MAX(g2.obar) AS obar, MAX(g2.n) AS n,
+             MAX(g2.reliability) AS reliability
+      FROM bins b CROSS JOIN g2
+      GROUP BY g2.n
+    ),
+    brier AS (
+      SELECT SUM((score - label) * (score - label))
+             / CAST(COUNT(*) AS DOUBLE) AS brier
+      FROM per
+    )
+    SELECT CAST(r.n AS BIGINT) AS n,
+           ROUND(b.brier, 6) AS brier,
+           ROUND(r.reliability, 6) AS reliability,
+           ROUND(r.resolution, 6) AS resolution,
+           ROUND(r.obar * (1 - r.obar), 6) AS uncertainty,
+           ROUND(r.reliability - r.resolution + r.obar * (1 - r.obar), 6)
+             AS decomposed_brier,
+           ROUND(b.brier - (r.reliability - r.resolution
+                            + r.obar * (1 - r.obar)), 6)
+             AS within_bin_residual
+    FROM res r CROSS JOIN brier b
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for the
+    `ml_calibration_bins` model: Brier = reliability - resolution +
+    uncertainty, computed over the same 10 fixed price bins —
+    reliability (how far bin confidence sits from bin frequency, lower
+    better), resolution (how much the bins separate outcomes, higher
+    better), and uncertainty (the irreducible obar(1-obar)). The
+    `within_bin_residual` column reports the identity's within-bin
+    variance remainder (the decomposition is exact only for bin-constant
+    forecasts), so the operator also QUANTIFIES its own binning error —
+    the honest version of the textbook identity.
+
+    All terms are ratios of mergeable sums over 10 bins; the logistic
+    score follows the module's libm convention; ROUND(6) display-only.
+
+    Scale: one scan into a 10-row bin aggregate plus a 1-row Brier
+    aggregate — two cheap passes (or one with a dual-purpose agg), the
+    forecast-verification query at any volume."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    score = 1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - _CAL_MID) / _CAL_SCALE))
+    per = o.select(
+        F.least(F.lit(9), F.floor(F.col("o_totalprice") / _CAL_BINW).cast("long")).alias(
+            "bin"
+        ),
+        score.alias("score"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    bins = per.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("nk"),
+        F.avg("score").alias("fk"),
+        F.avg("label").alias("ok_"),
+    )
+    g2 = bins.agg(
+        F.sum("nk").alias("n"),
+        (F.sum(F.col("nk") * F.col("ok_")) / F.sum("nk")).alias("obar"),
+        (
+            F.sum(F.col("nk") * (F.col("fk") - F.col("ok_")) * (F.col("fk") - F.col("ok_")))
+            / F.sum("nk")
+        ).alias("reliability"),
+    )
+    res = bins.crossJoin(F.broadcast(g2)).groupBy("n").agg(
+        (
+            F.sum(
+                F.col("nk")
+                * (F.col("ok_") - F.col("obar"))
+                * (F.col("ok_") - F.col("obar"))
+            )
+            / F.max("n")
+        ).alias("resolution"),
+        F.max("obar").alias("obar"),
+        F.max("reliability").alias("reliability"),
+    )
+    brier = per.agg(
+        (
+            F.sum((F.col("score") - F.col("label")) * (F.col("score") - F.col("label")))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("brier")
+    )
+    unc = F.col("obar") * (1 - F.col("obar"))
+    decomp = F.col("reliability") - F.col("resolution") + unc
+    return res.crossJoin(F.broadcast(brier)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round("brier", 6).alias("brier"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(decomp, 6).alias("decomposed_brier"),
+        F.round(F.col("brier") - decomp, 6).alias("within_bin_residual"),
+    )

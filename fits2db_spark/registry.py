@@ -205,6 +205,8 @@ _PRIORITY_QUERIES = (
     "join_asof_interpolated",
     "ml_ab_srm_check",
     "sql_group_by_all",
+    "ml_pr_auc",
+    "ml_brier_decomposition",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -1770,3 +1770,47 @@ def test_srm_check_branches(spark):
     n0, n1 = b.n_control, b.n_treat
     exp = (n0 + n1) / 2
     assert abs(b.chi2 - ((n0 - exp) ** 2 / exp + (n1 - exp) ** 2 / exp)) < 1e-3
+
+
+def test_pr_auc_matches_sklearn_style_step_ap(spark):
+    got = _run(spark, "ml_pr_auc").set_index("o_orderpriority")
+    o = _orders_labeled()
+    o["bucket"] = np.floor(o.o_totalprice / 500).astype(int)
+    for prio, g in o.groupby("o_orderpriority"):
+        hist = g.groupby("bucket").agg(
+            pos=("label", "sum"), n=("label", "size")
+        ).sort_index(ascending=False)
+        hist["neg"] = hist.n - hist.pos
+        tp = hist.pos.cumsum()
+        fp = hist.neg.cumsum()
+        npos = hist.pos.sum()
+        ap = float((hist.pos * (tp / (tp + fp))).sum() / npos)
+        r = got.loc[prio]
+        assert r.n_pos == npos
+        assert abs(r.pr_auc - ap) < 2e-6
+        assert abs(r.baseline_prevalence - npos / hist.n.sum()) < 2e-6
+        # the constructed label carries real ranking signal
+        assert r.pr_auc > r.baseline_prevalence + 0.2
+
+
+def test_brier_decomposition_identity_and_numpy(spark):
+    got = _run(spark, "ml_brier_decomposition").iloc[0]
+    o = _orders_labeled()
+    o["score"] = 1.0 / (1.0 + np.exp(-(o.o_totalprice - 200000.0) / 80000.0))
+    o["bin"] = np.minimum(9, np.floor(o.o_totalprice / 60000).astype(int))
+    brier = float(((o.score - o.label) ** 2).mean())
+    bins = o.groupby("bin").agg(nk=("label", "size"), fk=("score", "mean"), ok=("label", "mean"))
+    n = bins.nk.sum()
+    obar = float((bins.nk * bins.ok).sum() / n)
+    rel = float((bins.nk * (bins.fk - bins.ok) ** 2).sum() / n)
+    res = float((bins.nk * (bins.ok - obar) ** 2).sum() / n)
+    unc = obar * (1 - obar)
+    assert got.n == n
+    assert abs(got.brier - brier) < 2e-6
+    assert abs(got.reliability - rel) < 2e-6
+    assert abs(got.resolution - res) < 2e-6
+    assert abs(got.uncertainty - unc) < 2e-6
+    # Murphy identity holds up to the within-bin variance of the forecast
+    assert abs(got.decomposed_brier - (rel - res + unc)) < 2e-6
+    assert abs(got.within_bin_residual - (brier - (rel - res + unc))) < 4e-6
+    assert abs(got.within_bin_residual) < 0.02  # narrow bins -> small remainder
