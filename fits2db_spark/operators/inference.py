@@ -3895,3 +3895,139 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(decomp, 6).alias("decomposed_brier"),
         F.round(F.col("brier") - decomp, 6).alias("within_bin_residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-label mutual information (round 9)
+# ---------------------------------------------------------------------------
+_MI_BINW = 50_000  # price decile-ish bins for the MI estimate
+
+
+@register(
+    "ml_mutual_information",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(FLOOR(o_totalprice / {_MI_BINW}) AS BIGINT) AS xbin,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1 ELSE 0 END AS y,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || '#mi'),
+                                      1, 15)) AS BIGINT) % 10 AS noisebin
+      FROM orders
+    ),
+    feats AS (
+      SELECT 'price_bin' AS feature, xbin AS x, y FROM per
+      UNION ALL
+      SELECT 'random_bin', noisebin, y FROM per
+    ),
+    cells AS (
+      SELECT feature, x, y, CAST(COUNT(*) AS DOUBLE) AS nxy
+      FROM feats GROUP BY 1, 2, 3
+    ),
+    margins AS (
+      SELECT feature, x, y, nxy,
+             SUM(nxy) OVER (PARTITION BY feature, x) AS nx,
+             SUM(nxy) OVER (PARTITION BY feature, y) AS ny,
+             SUM(nxy) OVER (PARTITION BY feature) AS n
+      FROM cells
+    ),
+    mi AS (
+      SELECT feature,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             SUM(nxy / n * ln(nxy * n / (nx * ny))) / ln(2) AS mi_bits
+      FROM margins GROUP BY feature
+    ),
+    hy AS (
+      SELECT feature, -SUM(ny / n * ln(ny / n) / ln(2)) AS hy
+      FROM (SELECT feature, y, SUM(nxy) AS ny,
+                   SUM(SUM(nxy)) OVER (PARTITION BY feature) AS n
+            FROM cells GROUP BY feature, y)
+      GROUP BY feature
+    )
+    SELECT mi.feature, mi.n_cells,
+           ROUND(mi.mi_bits, 6) AS mi_bits,
+           ROUND(mi.mi_bits / hy.hy, 6) AS mi_over_hy
+    FROM mi JOIN hy USING (feature)
+    """,
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a binned feature and the
+    `ml_auc_roc` label, in bits, with the normalized MI / H(Y) share
+    (how much of the label's entropy the feature explains) — the
+    model-free feature-selection screen (pairs with `ml_woe_iv`: IV is
+    MI's weighted-log-odds cousin; MI also catches NON-monotone
+    dependence that WoE binning hides). Two features share the scan so
+    both verdicts are real: the price bin (genuinely informative —
+    the label is price plus noise) and a pure md5 noise bin (MI ~ 0,
+    the independence floor).
+
+    All probabilities are ratios of exact integer cell counts from ONE
+    (feature, x, y) aggregate; margins come from partitioned windows
+    over those O(bins x 2) cells, never a second scan. ln applies to
+    identical rationals (module convention), ROUND(6) display-only.
+
+    Scale: one O(rows) projection -> one mergeable cell aggregate ->
+    windows over tens of rows. Any feature set just unions more
+    (feature, x, y) triples into the same shuffle."""
+    o = load(spark, sf_dir, "orders")
+    h = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")  # noqa: E731
+    noise = h(F.col("o_orderkey").cast("string")) % _AUC_NOISE_MOD
+    per = o.select(
+        F.floor(F.col("o_totalprice") / _MI_BINW).cast("long").alias("xbin"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("y"),
+        (
+            h(F.concat(F.col("o_orderkey").cast("string"), F.lit("#mi"))) % 10
+        ).alias("noisebin"),
+    )
+    feats = per.select(
+        F.lit("price_bin").alias("feature"), F.col("xbin").alias("x"), "y"
+    ).unionByName(
+        per.select(
+            F.lit("random_bin").alias("feature"), F.col("noisebin").alias("x"), "y"
+        )
+    )
+    cells = feats.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).cast("double").alias("nxy")
+    )
+    wx = Window.partitionBy("feature", "x")
+    wy = Window.partitionBy("feature", "y")
+    wf = Window.partitionBy("feature")
+    margins = cells.select(
+        "feature",
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(wx).alias("nx"),
+        F.sum("nxy").over(wy).alias("ny"),
+        F.sum("nxy").over(wf).alias("n"),
+    )
+    import math as _m
+
+    ln2 = _m.log(2)
+    mi_expr = F.sum(
+        F.col("nxy")
+        / F.col("n")
+        * F.log(F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny")))
+    ) / ln2
+    mi = margins.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        mi_expr.alias("mi_bits"),
+    )
+    # H(Y) from the true y-margin rows — NOT SUM(DISTINCT term), which
+    # would silently collapse if the class shares were exactly equal
+    ymarg = cells.groupBy("feature", "y").agg(F.sum("nxy").alias("ny"))
+    ymarg = ymarg.withColumn("n", F.sum("ny").over(Window.partitionBy("feature")))
+    hy = ymarg.groupBy("feature").agg(
+        (-F.sum(F.col("ny") / F.col("n") * F.log(F.col("ny") / F.col("n")) / ln2))
+        .alias("hy")
+    )
+    return mi.join(hy, "feature").select(
+        "feature",
+        "n_cells",
+        F.round("mi_bits", 6).alias("mi_bits"),
+        F.round(F.col("mi_bits") / F.col("hy"), 6).alias("mi_over_hy"),
+    )

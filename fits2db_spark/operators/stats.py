@@ -5319,3 +5319,141 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("decay_slope"),
         F.round(-_m.log(2) / F.col("slope"), 4).alias("halflife_weeks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HMM forward algorithm (2 hidden states, scaled) — round 9
+# ---------------------------------------------------------------------------
+# fixed literal parameters shared by both engines: transitions, Bernoulli
+# emissions of the "above-median day" observable, uniform init
+_HMM_T = ((0.8, 0.2), (0.3, 0.7))
+_HMM_E1 = (0.7, 0.2)  # P(obs=1 | state)
+_HMM_P0 = (0.5, 0.5)
+
+
+def _hmm_oracle() -> str:
+    t, e1, p0 = _HMM_T, _HMM_E1, _HMM_P0
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(CAST(SUM(value) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS m FROM daily GROUP BY 1
+    ),
+    obs AS (
+      SELECT d.event_type,
+             list_transform(
+               list(struct_pack(d := d.d,
+                                o := CASE WHEN d.v > m.m THEN 1.0
+                                          ELSE 0.0 END) ORDER BY d.d),
+               s -> s.o) AS os
+      FROM daily d JOIN med m USING (event_type)
+      GROUP BY d.event_type
+    ),
+    fwd AS (
+      SELECT event_type, len(os) AS n_days,
+             list_reduce(
+               list_prepend([CAST({p0[0]} AS DOUBLE), CAST({p0[1]} AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                            list_transform(os, o -> [CAST(o AS DOUBLE)])),
+               (acc, ob) -> [
+                 (acc[1] * {t[0][0]} + acc[2] * {t[1][0]})
+                   * (CASE WHEN ob[1] = 1.0 THEN {e1[0]}
+                           ELSE {1 - e1[0]} END)
+                   / ((acc[1] * {t[0][0]} + acc[2] * {t[1][0]})
+                      * (CASE WHEN ob[1] = 1.0 THEN {e1[0]}
+                              ELSE {1 - e1[0]} END)
+                      + (acc[1] * {t[0][1]} + acc[2] * {t[1][1]})
+                        * (CASE WHEN ob[1] = 1.0 THEN {e1[1]}
+                                ELSE {1 - e1[1]} END)),
+                 (acc[1] * {t[0][1]} + acc[2] * {t[1][1]})
+                   * (CASE WHEN ob[1] = 1.0 THEN {e1[1]}
+                           ELSE {1 - e1[1]} END)
+                   / ((acc[1] * {t[0][0]} + acc[2] * {t[1][0]})
+                      * (CASE WHEN ob[1] = 1.0 THEN {e1[0]}
+                              ELSE {1 - e1[0]} END)
+                      + (acc[1] * {t[0][1]} + acc[2] * {t[1][1]})
+                        * (CASE WHEN ob[1] = 1.0 THEN {e1[1]}
+                                ELSE {1 - e1[1]} END)),
+                 acc[3] + ln((acc[1] * {t[0][0]} + acc[2] * {t[1][0]})
+                      * (CASE WHEN ob[1] = 1.0 THEN {e1[0]}
+                              ELSE {1 - e1[0]} END)
+                      + (acc[1] * {t[0][1]} + acc[2] * {t[1][1]})
+                        * (CASE WHEN ob[1] = 1.0 THEN {e1[1]}
+                                ELSE {1 - e1[1]} END))
+               ]
+             ) AS a
+      FROM obs
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(a[3], 4) AS loglik,
+           ROUND(a[1], 6) AS p_state_high_final
+    FROM fwd
+    """
+
+
+@register("events_hmm_forward", oracle=_hmm_oracle())
+def events_hmm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM forward algorithm (scaled): the log-likelihood of each event
+    type's above-median-day sequence under a fixed 2-state hidden Markov
+    model (busy / quiet regimes: transitions {_HMM_T}, Bernoulli
+    emissions {_HMM_E1}), plus the final-day regime posterior — the
+    sequence-scoring primitive under every regime-switching monitor
+    (and the E-step inner loop of Baum-Welch; complements
+    `events_markov_stationary`, which models the OBSERVED chain). The
+    scaled recursion normalizes alpha each step and accumulates the log
+    normalizer, so nothing underflows at any horizon.
+
+    Neither engine has an HMM primitive; both run the same sequential
+    fold over the day-ordered observation array (the `events_dtw_distance`
+    nested-fold discipline, accumulator = [alpha_0, alpha_1, loglik]),
+    with identical literal parameters — bit-identical until the final
+    ROUND.
+
+    Scale: the event scan partial-aggregates to O(types x days); the
+    fold is O(days) scalar work per type with zero shuffles after the
+    daily aggregate. Longer horizons only lengthen the in-row array."""
+    t, e1, p0 = _HMM_T, _HMM_E1, _HMM_P0
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round(F.col("v").cast("double"), 4).alias("v")
+    )
+    med = daily.groupBy("event_type").agg(F.percentile("v", F.lit(0.5)).alias("m"))
+    obs = (
+        daily.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d,"
+                " CASE WHEN v > m THEN 1.0D ELSE 0.0D END AS o))), s -> s.o)"
+            ).alias("os")
+        )
+    )
+
+    def step(acc, ob):
+        em0 = F.when(ob == 1.0, F.lit(e1[0])).otherwise(F.lit(1 - e1[0]))
+        em1 = F.when(ob == 1.0, F.lit(e1[1])).otherwise(F.lit(1 - e1[1]))
+        u0 = (
+            F.element_at(acc, 1) * t[0][0] + F.element_at(acc, 2) * t[1][0]
+        ) * em0
+        u1 = (
+            F.element_at(acc, 1) * t[0][1] + F.element_at(acc, 2) * t[1][1]
+        ) * em1
+        z = u0 + u1
+        return F.array(u0 / z, u1 / z, F.element_at(acc, 3) + F.log(z))
+
+    fwd = obs.select(
+        "event_type",
+        F.size("os").cast("long").alias("n_days"),
+        F.aggregate(
+            "os", F.array(F.lit(p0[0]), F.lit(p0[1]), F.lit(0.0)), step
+        ).alias("a"),
+    )
+    return fwd.select(
+        "event_type",
+        "n_days",
+        F.round(F.element_at("a", 3), 4).alias("loglik"),
+        F.round(F.element_at("a", 1), 6).alias("p_state_high_final"),
+    )

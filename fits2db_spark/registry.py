@@ -207,6 +207,8 @@ _PRIORITY_QUERIES = (
     "sql_group_by_all",
     "ml_pr_auc",
     "ml_brier_decomposition",
+    "events_hmm_forward",
+    "ml_mutual_information",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

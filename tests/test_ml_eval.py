@@ -1814,3 +1814,62 @@ def test_brier_decomposition_identity_and_numpy(spark):
     assert abs(got.decomposed_brier - (rel - res + unc)) < 2e-6
     assert abs(got.within_bin_residual - (brier - (rel - res + unc))) < 4e-6
     assert abs(got.within_bin_residual) < 0.02  # narrow bins -> small remainder
+
+
+def test_hmm_forward_matches_numpy_scaled_recursion(spark):
+    got = _run(spark, "events_hmm_forward").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = ev.groupby(["event_type", "d"]).value.sum().round(4)
+    T = np.array([[0.8, 0.2], [0.3, 0.7]])
+    E1 = np.array([0.7, 0.2])
+    for t, g in daily.groupby(level=0):
+        v = g.droplevel(0).sort_index().to_numpy()
+        m = np.quantile(v, 0.5, method="linear")
+        obs = (v > m).astype(float)
+        a = np.array([0.5, 0.5])
+        ll = 0.0
+        for o in obs:
+            em = E1 if o == 1.0 else 1 - E1
+            u = (a @ T) * em
+            z = u.sum()
+            a = u / z
+            ll += np.log(z)
+        r = got.loc[t]
+        assert r.n_days == len(v)
+        assert abs(r.loglik - ll) < 1e-3
+        assert abs(r.p_state_high_final - a[0]) < 1e-5
+        # scaled forward keeps a proper posterior
+        assert 0 <= r.p_state_high_final <= 1 and r.loglik < 0
+
+
+def test_mutual_information_separates_signal_from_noise(spark):
+    got = _run(spark, "ml_mutual_information").set_index("feature")
+    o = _orders_labeled()
+    o["xbin"] = np.floor(o.o_totalprice / 50_000).astype(int)
+    o["noisebin"] = _md5_noise([f"{k}#mi" for k in o.o_orderkey], 10)
+
+    def mi_bits(x, y):
+        n = len(x)
+        mi = 0.0
+        for xv in np.unique(x):
+            for yv in (0, 1):
+                nxy = ((x == xv) & (y == yv)).sum()
+                if nxy == 0:
+                    continue
+                nx = (x == xv).sum()
+                ny = (y == yv).sum()
+                mi += nxy / n * np.log(nxy * n / (nx * ny))
+        return mi / np.log(2)
+
+    y = o.label.to_numpy()
+    hy = -sum(
+        p * np.log2(p) for p in [(y == 0).mean(), (y == 1).mean()] if p > 0
+    )
+    for feat, x in (("price_bin", o.xbin.to_numpy()), ("random_bin", o.noisebin.to_numpy())):
+        ref = mi_bits(x, y)
+        r = got.loc[feat]
+        assert abs(r.mi_bits - ref) < 2e-5
+        assert abs(r.mi_over_hy - ref / hy) < 2e-5
+    # the informative feature clears the noise floor decisively
+    assert got.loc["price_bin"].mi_bits > 10 * max(got.loc["random_bin"].mi_bits, 1e-4)
