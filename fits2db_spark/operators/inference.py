@@ -4031,3 +4031,86 @@ def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mi_bits", 6).alias("mi_bits"),
         F.round(F.col("mi_bits") / F.col("hy"), 6).alias("mi_over_hy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_anova_oneway",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(x) AS m, SUM(x * x) AS sxx
+      FROM per GROUP BY grp
+    ),
+    tot AS (
+      SELECT SUM(n) AS nt, SUM(n * m) / SUM(n) AS gm,
+             CAST(COUNT(*) AS DOUBLE) AS k
+      FROM g
+    ),
+    comps AS (
+      SELECT SUM(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+             SUM(g.sxx - g.n * g.m * g.m) AS ssw,
+             MAX(t.nt) AS nt, MAX(t.k) AS k
+      FROM g CROSS JOIN tot t
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(nt AS BIGINT) AS n_rows,
+           ROUND(ssb / (k - 1), 4) AS ms_between,
+           ROUND(ssw / (nt - k), 4) AS ms_within,
+           ROUND((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f_stat,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM comps
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five order priorities:
+    between/within mean squares, the F statistic, and eta-squared (the
+    variance-explained effect size) — the k-group generalization of
+    `agg_welch_ttest` and the first test run on any "does this segment
+    matter?" question. The fixture's priorities are independent of
+    price, so this is an honest null family (F ~ 1, eta^2 ~ 0 — the
+    `events_granger` convention): the machinery, not a planted effect,
+    is what the oracle pins.
+
+    Sums of squares come from per-group moments (the distributed ANOVA
+    identity SSW = sum(sxx - n m^2); no second pass), all mergeable;
+    the F ratio divides engine-identical doubles, ROUND display-only.
+
+    Scale: one partial-aggregating groupBy(priority) -> O(k) rows ->
+    a 1-row reduction. The cheapest k-group comparison at any volume."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("sxx"),
+    )
+    t = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    comps = g.crossJoin(F.broadcast(t)).agg(
+        F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))).alias(
+            "ssb"
+        ),
+        F.sum(F.col("sxx") - F.col("n") * F.col("m") * F.col("m")).alias("ssw"),
+        F.max("nt").alias("nt"),
+        F.max("k").alias("k"),
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("nt") - F.col("k"))
+    return comps.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nt").cast("long").alias("n_rows"),
+        F.round(msb, 4).alias("ms_between"),
+        F.round(msw, 4).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_squared"),
+    )

@@ -5457,3 +5457,181 @@ def events_hmm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("a", 3), 4).alias("loglik"),
         F.round(F.element_at("a", 1), 6).alias("p_state_high_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Viterbi decoding with bitmask path carry (round 9)
+# ---------------------------------------------------------------------------
+import math as _vit_math
+
+_VIT_LT = tuple(
+    tuple(_vit_math.log(x) for x in row) for row in _HMM_T
+)  # log transitions, evaluated once in Python and baked as literals
+
+
+def _viterbi_oracle() -> str:
+    lt, e1 = _VIT_LT, _HMM_E1
+
+    def em(s):
+        return (
+            f"ln(CASE WHEN ob[1] = 1.0 THEN {e1[s]} ELSE {1 - e1[s]} END)"
+        )
+
+    def best(s):
+        return (
+            f"CASE WHEN acc[1] + {lt[0][s]} >= acc[2] + {lt[1][s]}"
+            f" THEN acc[1] + {lt[0][s]} ELSE acc[2] + {lt[1][s]} END"
+        )
+
+    def bestp(s):
+        return (
+            f"CASE WHEN acc[1] + {lt[0][s]} >= acc[2] + {lt[1][s]}"
+            f" THEN acc[3] ELSE acc[4] END"
+        )
+
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(CAST(SUM(value) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS m FROM daily GROUP BY 1
+    ),
+    obs AS (
+      SELECT d.event_type,
+             list_transform(
+               list(struct_pack(d := d.d,
+                                o := CASE WHEN d.v > m.m THEN 1.0
+                                          ELSE 0.0 END) ORDER BY d.d),
+               s -> s.o) AS os
+      FROM daily d JOIN med m USING (event_type)
+      GROUP BY d.event_type
+    ),
+    vit AS (
+      SELECT event_type, len(os) AS n_days,
+             list_reduce(
+               list_prepend([CAST(ln(0.5) AS DOUBLE), ln(0.5), 0.0, 0.0],
+                            list_transform(os, o -> [CAST(o AS DOUBLE)])),
+               (acc, ob) -> [
+                 ({best(0)}) + {em(0)},
+                 ({best(1)}) + {em(1)},
+                 ({bestp(0)}) * 2.0,
+                 ({bestp(1)}) * 2.0 + 1.0
+               ]) AS a
+      FROM obs
+    ),
+    path AS (
+      SELECT event_type, n_days,
+             CASE WHEN a[1] >= a[2] THEN a[1] ELSE a[2] END AS best_ll,
+             CAST(CASE WHEN a[1] >= a[2] THEN a[3] ELSE a[4] END
+                  AS BIGINT) AS mask
+      FROM vit
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(best_ll, 4) AS path_loglik,
+           CAST(bit_count(CAST(mask AS BIT)) AS BIGINT) AS n_quiet_days,
+           CAST(bit_count(CAST(xor(mask, mask // 2) AS BIT)
+                ) AS BIGINT)
+             - CASE WHEN mask % 2 = 1 THEN 0 ELSE 0 END
+             - CASE WHEN mask >= (1::BIGINT << (n_days - 1))
+                    THEN 1 ELSE 0 END AS n_switches
+    FROM path
+    """
+
+
+@register("events_viterbi_path", oracle=_viterbi_oracle())
+def events_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of the same 2-state busy/quiet HMM that
+    `events_hmm_forward` scores: the single most-likely regime path per
+    event type, summarized as the path log-likelihood, the number of
+    quiet-regime days, and the number of regime switches — the hard
+    segmentation a monitoring UI draws over the timeline (forward gives
+    the marginal; Viterbi gives the explanation). The dynamic program
+    carries BOTH states' best paths as integer BITMASKS inside the fold
+    accumulator ([delta0, delta1, path0, path1]; a 30-day path is < 2^30,
+    exactly representable in a double), so the argmax backtrace needs no
+    second pass and no driver state — the whole decode is one in-row
+    sequential fold, bit-identical across engines (delta comparisons see
+    identical doubles; ties prefer state 0 in both texts).
+
+    Switch counting is popcount(mask XOR mask>>1) with the top-bit
+    artifact subtracted when day 1 was quiet (the shifted-in zero).
+
+    Scale: identical profile to `events_hmm_forward` — O(types x days)
+    partial agg, then O(days) scalar fold per type, zero shuffles."""
+    lt, e1 = _VIT_LT, _HMM_E1
+    daily = daily_value_series(spark, sf_dir, agg="sum").select(
+        "event_type", "d", F.round(F.col("v").cast("double"), 4).alias("v")
+    )
+    med = daily.groupBy("event_type").agg(F.percentile("v", F.lit(0.5)).alias("m"))
+    obs = (
+        daily.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d,"
+                " CASE WHEN v > m THEN 1.0D ELSE 0.0D END AS o))), s -> s.o)"
+            ).alias("os")
+        )
+    )
+
+    def step(acc, ob):
+        def em(s):
+            return F.log(
+                F.when(ob == 1.0, F.lit(e1[s])).otherwise(F.lit(1 - e1[s]))
+            )
+
+        def pick(s, take_delta):
+            c = (F.element_at(acc, 1) + lt[0][s]) >= (
+                F.element_at(acc, 2) + lt[1][s]
+            )
+            if take_delta:
+                return F.when(c, F.element_at(acc, 1) + lt[0][s]).otherwise(
+                    F.element_at(acc, 2) + lt[1][s]
+                )
+            return F.when(c, F.element_at(acc, 3)).otherwise(F.element_at(acc, 4))
+
+        return F.array(
+            pick(0, True) + em(0),
+            pick(1, True) + em(1),
+            pick(0, False) * 2.0,
+            pick(1, False) * 2.0 + 1.0,
+        )
+
+    init = F.array(
+        F.lit(_vit_math.log(0.5)), F.lit(_vit_math.log(0.5)), F.lit(0.0), F.lit(0.0)
+    )
+    vit = obs.select(
+        "event_type",
+        F.size("os").cast("long").alias("n_days"),
+        F.aggregate("os", init, step).alias("a"),
+    )
+    best_ll = F.when(
+        F.element_at("a", 1) >= F.element_at("a", 2), F.element_at("a", 1)
+    ).otherwise(F.element_at("a", 2))
+    mask = (
+        F.when(
+            F.element_at("a", 1) >= F.element_at("a", 2), F.element_at("a", 3)
+        )
+        .otherwise(F.element_at("a", 4))
+        .cast("long")
+    )
+    path = vit.select(
+        "event_type", "n_days", best_ll.alias("best_ll"), mask.alias("mask")
+    )
+    switches = F.bit_count(
+        F.col("mask").bitwiseXOR(F.expr("shiftright(mask, 1)"))
+    ) - F.when(
+        F.col("mask") >= F.expr("shiftleft(CAST(1 AS BIGINT), CAST(n_days - 1 AS INT))"),
+        1,
+    ).otherwise(0)
+    return path.select(
+        "event_type",
+        "n_days",
+        F.round("best_ll", 4).alias("path_loglik"),
+        F.bit_count("mask").cast("long").alias("n_quiet_days"),
+        switches.cast("long").alias("n_switches"),
+    )

@@ -209,6 +209,8 @@ _PRIORITY_QUERIES = (
     "ml_brier_decomposition",
     "events_hmm_forward",
     "ml_mutual_information",
+    "events_viterbi_path",
+    "agg_anova_oneway",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

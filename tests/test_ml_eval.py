@@ -1873,3 +1873,59 @@ def test_mutual_information_separates_signal_from_noise(spark):
         assert abs(r.mi_over_hy - ref / hy) < 2e-5
     # the informative feature clears the noise floor decisively
     assert got.loc["price_bin"].mi_bits > 10 * max(got.loc["random_bin"].mi_bits, 1e-4)
+
+
+def test_viterbi_path_matches_numpy_dp(spark):
+    import math
+
+    got = _run(spark, "events_viterbi_path").set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = ev.groupby(["event_type", "d"]).value.sum().round(4)
+    T = [[0.8, 0.2], [0.3, 0.7]]
+    E1 = [0.7, 0.2]
+    lt = [[math.log(x) for x in r] for r in T]
+    for t, g in daily.groupby(level=0):
+        v = g.droplevel(0).sort_index().to_numpy()
+        obs = (v > np.quantile(v, 0.5, method="linear")).astype(int)
+        d = [math.log(0.5)] * 2
+        p = [0, 0]
+        for o in obs:
+            em = [E1[0] if o else 1 - E1[0], E1[1] if o else 1 - E1[1]]
+            nd, npth = [0, 0], [0, 0]
+            for s in (0, 1):
+                if d[0] + lt[0][s] >= d[1] + lt[1][s]:
+                    nd[s] = d[0] + lt[0][s] + math.log(em[s])
+                    npth[s] = p[0] * 2 + s
+                else:
+                    nd[s] = d[1] + lt[1][s] + math.log(em[s])
+                    npth[s] = p[1] * 2 + s
+            d, p = nd, npth
+        best = 0 if d[0] >= d[1] else 1
+        mask = p[best]
+        bits = bin(mask)[2:].zfill(len(obs))
+        switches = sum(1 for a, b in zip(bits, bits[1:]) if a != b)
+        r = got.loc[t]
+        assert abs(r.path_loglik - d[best]) < 1e-3
+        assert r.n_quiet_days == bits.count("1")
+        assert r.n_switches == switches
+        assert r.n_days == len(obs)
+
+
+def test_anova_matches_numpy_and_is_honest_null(spark):
+    got = _run(spark, "agg_anova_oneway").iloc[0]
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    groups = [g.o_totalprice.to_numpy() for _, g in o.groupby("o_orderpriority")]
+    k = len(groups)
+    nt = sum(len(g) for g in groups)
+    gm = o.o_totalprice.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert (got.n_groups, got.n_rows) == (k, nt)
+    assert abs(got.ms_between - ssb / (k - 1)) < 1.0
+    assert abs(got.ms_within - ssw / (nt - k)) < 1.0
+    assert abs(got.f_stat - f) < 1e-4
+    assert abs(got.eta_squared - ssb / (ssb + ssw)) < 1e-6
+    # priorities are independent of price: honest null, tiny effect size
+    assert got.eta_squared < 0.01
