@@ -4114,3 +4114,194 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(msb / msw, 6).alias("f_stat"),
         F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by unrolled gradient descent (round 9)
+# ---------------------------------------------------------------------------
+_LGD_ROUNDS = 5
+_LGD_LR = 2.0
+_LGD_PRICE_SCALE = 500_000.0
+_LGD_DAY_SCALE = 2_500.0
+_LGD_PRICE_BINW = 5_000
+_LGD_DAY_BINW = 60
+
+
+def _lgd_oracle() -> str:
+    step = """
+    p{b} AS (
+      SELECT ROUND(p.b0 - {lr} * SUM(c.n * (1.0 / (1.0 + exp(-(p.b0
+                       + p.b1 * c.x1 + p.b2 * c.x2))) ) - c.pos)
+                   / SUM(c.n), 9) AS b0,
+             ROUND(p.b1 - {lr} * SUM((c.n * (1.0 / (1.0 + exp(-(p.b0
+                       + p.b1 * c.x1 + p.b2 * c.x2))) ) - c.pos) * c.x1)
+                   / SUM(c.n), 9) AS b1,
+             ROUND(p.b2 - {lr} * SUM((c.n * (1.0 / (1.0 + exp(-(p.b0
+                       + p.b1 * c.x1 + p.b2 * c.x2))) ) - c.pos) * c.x2)
+                   / SUM(c.n), 9) AS b2
+      FROM cells c CROSS JOIN p{a} p
+      GROUP BY p.b0, p.b1, p.b2
+    )"""
+    rounds = ",".join(
+        step.format(a=i, b=i + 1, lr=_LGD_LR) for i in range(_LGD_ROUNDS)
+    )
+    return f"""
+    WITH per AS (
+      SELECT FLOOR(o_totalprice / {_LGD_PRICE_BINW}) * {_LGD_PRICE_BINW}
+               / {_LGD_PRICE_SCALE} AS x1,
+             FLOOR(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   / {_LGD_DAY_BINW}) * {_LGD_DAY_BINW} / {_LGD_DAY_SCALE} AS x2,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT x1, x2, CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS pos
+      FROM per GROUP BY 1, 2
+    ),
+    p0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+                  CAST(0.0 AS DOUBLE) AS b2),
+    {rounds},
+    fit AS (
+      SELECT -SUM(c.pos * ln(1.0 / (1.0 + exp(-(p.b0 + p.b1 * c.x1
+                                                + p.b2 * c.x2))))
+                  + (c.n - c.pos)
+                    * ln(1.0 - 1.0 / (1.0 + exp(-(p.b0 + p.b1 * c.x1
+                                                  + p.b2 * c.x2)))))
+               / SUM(c.n) AS logloss,
+             SUM(CASE WHEN (1.0 / (1.0 + exp(-(p.b0 + p.b1 * c.x1
+                                               + p.b2 * c.x2))) >= 0.5
+                            AND c.pos > c.n / 2)
+                       OR (1.0 / (1.0 + exp(-(p.b0 + p.b1 * c.x1
+                                              + p.b2 * c.x2))) < 0.5
+                           AND c.pos <= c.n / 2)
+                      THEN c.n ELSE 0 END) / SUM(c.n) AS cell_accuracy,
+             MAX(p.b0) AS b0, MAX(p.b1) AS b1, MAX(p.b2) AS b2
+      FROM cells c CROSS JOIN p{_LGD_ROUNDS} p
+    )
+    SELECT ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+           ROUND(logloss, 6) AS logloss,
+           ROUND(cell_accuracy, 6) AS cell_majority_accuracy
+    FROM fit
+    """
+
+
+@register("ml_logistic_gd", oracle=_lgd_oracle())
+def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained by {_LGD_ROUNDS} unrolled FULL-BATCH
+    gradient-descent rounds over a binned design — the distributed GD
+    shape itself (each round is ONE mergeable aggregate producing the
+    exact gradient; parameters broadcast back — Spark MLlib's LBFGS/GD
+    loop does precisely this per iteration): predicting the `ml_auc_roc`
+    label from scaled price (informative) and scaled order date
+    (uninformative — its weight correctly stays near 0, the
+    `ml_ridge_regression` partialling story in classifier form). Features
+    are bin CENTERS, so the binned gradient is EXACT for the model being
+    fit (the EM histogram discipline, not an approximation dodge).
+    Reports the fitted coefficients, training log-loss, and cell-majority
+    accuracy.
+
+    Parameters are QUANTIZED (ROUND 9) after every update, so each
+    round's sigmoid consumes identical doubles in both engines and
+    fold-order ulp cannot compound (the `ml_gaussian_mixture_em`
+    convention).
+
+    Scale: one scan to O(price-bins x date-bins) cells; each round is a
+    3-number aggregate over those cells with a 3-parameter broadcast —
+    executor state O(cells), driver state zero, rounds extend by
+    chaining."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(
+        (
+            F.floor(F.col("o_totalprice") / _LGD_PRICE_BINW)
+            * _LGD_PRICE_BINW
+            / _LGD_PRICE_SCALE
+        ).alias("x1"),
+        (
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1995-01-01").cast("date"),
+                )
+                / _LGD_DAY_BINW
+            )
+            * _LGD_DAY_BINW
+            / _LGD_DAY_SCALE
+        ).alias("x2"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    cells = per.groupBy("x1", "x2").agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.sum("y").alias("pos")
+    )
+    params = spark.sql(
+        "SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,"
+        " CAST(0.0 AS DOUBLE) AS b2"
+    )
+    for _ in range(_LGD_ROUNDS):
+        z = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+        sig = 1.0 / (1.0 + F.exp(-z))
+        j = cells.crossJoin(F.broadcast(params))
+        params = j.groupBy("b0", "b1", "b2").agg(
+            F.round(
+                F.first("b0")
+                - _LGD_LR
+                * F.sum(F.col("n") * sig - F.col("pos"))
+                / F.sum("n"),
+                9,
+            ).alias("nb0"),
+            F.round(
+                F.first("b1")
+                - _LGD_LR
+                * F.sum((F.col("n") * sig - F.col("pos")) * F.col("x1"))
+                / F.sum("n"),
+                9,
+            ).alias("nb1"),
+            F.round(
+                F.first("b2")
+                - _LGD_LR
+                * F.sum((F.col("n") * sig - F.col("pos")) * F.col("x2"))
+                / F.sum("n"),
+                9,
+            ).alias("nb2"),
+        ).select(
+            F.col("nb0").alias("b0"),
+            F.col("nb1").alias("b1"),
+            F.col("nb2").alias("b2"),
+        )
+    z = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+    sig = 1.0 / (1.0 + F.exp(-z))
+    maj_ok = F.when(
+        ((sig >= 0.5) & (F.col("pos") > F.col("n") / 2))
+        | ((sig < 0.5) & (F.col("pos") <= F.col("n") / 2)),
+        F.col("n"),
+    ).otherwise(0.0)
+    fit = cells.crossJoin(F.broadcast(params)).agg(
+        (
+            -F.sum(
+                F.col("pos") * F.log(sig)
+                + (F.col("n") - F.col("pos")) * F.log(1.0 - sig)
+            )
+            / F.sum("n")
+        ).alias("logloss"),
+        (F.sum(maj_ok) / F.sum("n")).alias("cell_accuracy"),
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+        F.max("b2").alias("b2"),
+    )
+    return fit.select(
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round("logloss", 6).alias("logloss"),
+        F.round("cell_accuracy", 6).alias("cell_majority_accuracy"),
+    )

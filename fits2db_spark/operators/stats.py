@@ -5635,3 +5635,118 @@ def events_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count("mask").cast("long").alias("n_quiet_days"),
         switches.cast("long").alias("n_switches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Net revenue retention (round 9)
+# ---------------------------------------------------------------------------
+_NRR_OFFSETS = (1, 3, 6, 12)
+
+
+@register(
+    "orders_net_revenue_retention",
+    oracle=f"""
+    WITH om AS (
+      SELECT o_custkey,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 30
+               AS m,
+             o_totalprice
+      FROM orders
+    ),
+    first_m AS (SELECT o_custkey, MIN(m) AS c FROM om GROUP BY 1),
+    maxm AS (SELECT MAX(m) AS mm FROM om),
+    cohort_rev AS (
+      SELECT f.c, SUM(o.o_totalprice) AS rev0
+      FROM om o JOIN first_m f USING (o_custkey)
+      WHERE o.m = f.c GROUP BY f.c
+    ),
+    later_rev AS (
+      SELECT f.c, o.m - f.c AS k, SUM(o.o_totalprice) AS revk
+      FROM om o JOIN first_m f USING (o_custkey)
+      WHERE o.m > f.c GROUP BY f.c, o.m - f.c
+    ),
+    pooled AS (
+      SELECT k.k,
+             SUM(CASE WHEN cr.c + k.k <= mx.mm THEN COALESCE(lr.revk, 0)
+                      ELSE 0 END) AS num,
+             SUM(CASE WHEN cr.c + k.k <= mx.mm THEN cr.rev0 ELSE 0 END) AS den
+      FROM cohort_rev cr
+      CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _NRR_OFFSETS)}])
+                  AS k) k
+      CROSS JOIN maxm mx
+      LEFT JOIN later_rev lr ON lr.c = cr.c AND lr.k = k.k
+      GROUP BY k.k
+    )
+    SELECT CAST(k AS BIGINT) AS month_offset,
+           ROUND(num, 2) AS retained_revenue,
+           ROUND(den, 2) AS cohort_base_revenue,
+           ROUND(num / den, 6) AS nrr
+    FROM pooled WHERE den > 0
+    """,
+)
+def orders_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention: for offsets {_NRR_OFFSETS} months after a
+    customer cohort's first order month, the cohort's revenue in that
+    month as a share of its first-month revenue, pooled over cohorts
+    with the exposure correction (a cohort only enters offsets it can be
+    observed at) — THE SaaS board metric (NRR > 100% = expansion beats
+    churn), and the revenue-weighted sibling of `retention_cohorts`'
+    user counts / `events_retention_halflife`'s decay fit.
+
+    Numerator and denominator are exact decimal sums keyed on integer
+    month arithmetic; the ratio divides identical sums in both engines.
+
+    Scale: one scan to per-(customer, month) rows, a per-customer MIN,
+    and joins bounded by cohorts x offsets. The same plan refreshes
+    incrementally month over month."""
+    o = load(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') div 30"
+        ).alias("m"),
+        "o_totalprice",
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("m").alias("c"))
+    maxm = om.agg(F.max("m").alias("mm"))
+    withc = om.join(first_m, "o_custkey")
+    cohort_rev = (
+        withc.filter(F.col("m") == F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("o_totalprice").alias("rev0"))
+    )
+    later_rev = (
+        withc.filter(F.col("m") > F.col("c"))
+        .groupBy("c", (F.col("m") - F.col("c")).alias("k"))
+        .agg(F.sum("o_totalprice").alias("revk"))
+    )
+    ks = spark.range(0, len(_NRR_OFFSETS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in _NRR_OFFSETS]), (F.col("id") + 1).cast("int")
+        ).alias("k")
+    )
+    pooled = (
+        cohort_rev.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(maxm))
+        .join(later_rev, ["c", "k"], "left")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c") + F.col("k") <= F.col("mm"),
+                    F.coalesce(F.col("revk"), F.lit(0.0)),
+                ).otherwise(0.0)
+            ).alias("num"),
+            F.sum(
+                F.when(
+                    F.col("c") + F.col("k") <= F.col("mm"), F.col("rev0")
+                ).otherwise(0.0)
+            ).alias("den"),
+        )
+    )
+    return pooled.filter(F.col("den") > 0).select(
+        F.col("k").cast("long").alias("month_offset"),
+        F.round("num", 2).alias("retained_revenue"),
+        F.round("den", 2).alias("cohort_base_revenue"),
+        F.round(F.col("num") / F.col("den"), 6).alias("nrr"),
+    )

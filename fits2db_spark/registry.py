@@ -211,6 +211,8 @@ _PRIORITY_QUERIES = (
     "ml_mutual_information",
     "events_viterbi_path",
     "agg_anova_oneway",
+    "ml_logistic_gd",
+    "orders_net_revenue_retention",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

@@ -1929,3 +1929,60 @@ def test_anova_matches_numpy_and_is_honest_null(spark):
     assert abs(got.eta_squared - ssb / (ssb + ssw)) < 1e-6
     # priorities are independent of price: honest null, tiny effect size
     assert got.eta_squared < 0.01
+
+
+def test_logistic_gd_matches_numpy_descent(spark):
+    got = _run(spark, "ml_logistic_gd").iloc[0]
+    o = _orders_labeled()
+    x1 = np.floor(o.o_totalprice / 5000) * 5000 / 500000.0
+    d = (o.o_orderdate.dt.normalize() - pd.Timestamp("1995-01-01")).dt.days
+    x2 = np.floor(d / 60) * 60 / 2500.0
+    y = o.label.to_numpy(dtype=float)
+    cells = pd.DataFrame({"x1": x1, "x2": x2, "y": y}).groupby(["x1", "x2"]).agg(
+        n=("y", "size"), pos=("y", "sum")
+    ).reset_index()
+    b = np.zeros(3)
+    X = np.column_stack([np.ones(len(cells)), cells.x1, cells.x2])
+    for _ in range(5):
+        sig = 1 / (1 + np.exp(-(X @ b)))
+        resid = cells.n.to_numpy() * sig - cells.pos.to_numpy()
+        grad = X.T @ resid / cells.n.sum()
+        b = np.round(b - 2.0 * grad, 9)
+    sig = 1 / (1 + np.exp(-(X @ b)))
+    ll = -(
+        cells.pos.to_numpy() * np.log(sig)
+        + (cells.n - cells.pos).to_numpy() * np.log(1 - sig)
+    ).sum() / cells.n.sum()
+    assert abs(got.b0 - b[0]) < 1e-6
+    assert abs(got.b1 - b[1]) < 1e-6
+    assert abs(got.b2 - b[2]) < 1e-6
+    assert abs(got.logloss - ll) < 1e-5
+    # price carries the signal, date does not; loss improved from ln 2
+    assert got.b1 > 5 * abs(got.b2)
+    assert got.logloss < 0.69
+
+
+def test_nrr_matches_pandas_pooled_cohorts(spark):
+    got = _run(spark, "orders_net_revenue_retention").set_index("month_offset")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    o["m"] = (
+        (o.o_orderdate.dt.normalize() - pd.Timestamp("1995-01-01")).dt.days // 30
+    )
+    first = o.groupby("o_custkey").m.min().rename("c")
+    o = o.merge(first, left_on="o_custkey", right_index=True)
+    mm = o.m.max()
+    rev0 = o[o.m == o.c].groupby("c").o_totalprice.sum()
+    for k in (1, 3, 6, 12):
+        num = den = 0.0
+        for c, r0 in rev0.items():
+            if c + k > mm:
+                continue
+            den += r0
+            num += o[(o.c == c) & (o.m == c + k)].o_totalprice.sum()
+        if den > 0:
+            r = got.loc[k]
+            assert abs(r.retained_revenue - round(num, 2)) < 0.03
+            assert abs(r.cohort_base_revenue - round(den, 2)) < 0.03
+            assert abs(r.nrr - num / den) < 2e-6
+    # longer offsets observe less repeat revenue per cohort dollar
+    assert got.nrr.iloc[0] > 0
