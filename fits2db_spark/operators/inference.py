@@ -4305,3 +4305,57 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("logloss", 6).alias("logloss"),
         F.round("cell_accuracy", 6).alias("cell_majority_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise covariance / correlation matrix (round 9)
+# ---------------------------------------------------------------------------
+_CM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_oracle() -> str:
+    rows = []
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i:]:
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" ROUND(covar_samp({a}, {b}), 6) AS cov,"
+                f" ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
+            )
+    return " UNION ALL ".join(rows)
+
+
+@register("agg_corr_matrix", oracle=_corr_matrix_oracle())
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sample covariance / correlation matrix (upper triangle +
+    diagonal) of the four numeric lineitem columns — the feature-screen
+    matrix every modeling notebook renders first, and the input to
+    multicollinearity checks before `ml_ridge_regression`-style fits
+    (`corr_covar` computes ONE pair; this is the d(d+1)/2 build). All
+    ten statistics come from ONE aggregate pass (Spark fuses the
+    `covar_samp`/`corr` aggregates into a single shuffle), so the matrix
+    costs one scan regardless of d.
+
+    Both engines' covar_samp/corr are the same sample statistics
+    (module convention); ROUND(6) absorbs fold-order ulp. The fixture's
+    columns are mutually independent by construction, so off-diagonal
+    correlations sit near 0 and the diagonal is exactly 1 — an honest
+    identity-matrix null the test pins.
+
+    Scale: one O(rows) scan into a 10-statistic mergeable aggregate,
+    then a literal unpivot; d features widen the aggregate, never add
+    passes."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i:]:
+            aggs.append(F.round(F.covar_samp(a, b), 6).alias(f"cov_{a}__{b}"))
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"corr_{a}__{b}"))
+    one = li.agg(*aggs)
+    pairs = [(a, b) for i, a in enumerate(_CM_COLS) for b in _CM_COLS[i:]]
+    stack = ", ".join(
+        f"'{a}', '{b}', `cov_{a}__{b}`, `corr_{a}__{b}`" for a, b in pairs
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack}) as (col_a, col_b, cov, corr)"
+    )

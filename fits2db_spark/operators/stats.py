@@ -5750,3 +5750,84 @@ def orders_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("den", 2).alias("cohort_base_revenue"),
         F.round(F.col("num") / F.col("den"), 6).alias("nrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-mix entropy trend (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mix_entropy_trend",
+    oracle="""
+    WITH cells AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             event_type, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT d, -SUM(n / dn * ln(n / dn) / ln(2)) AS h,
+             CAST(MAX(dn) AS BIGINT) AS n_events
+      FROM (SELECT *, SUM(n) OVER (PARTITION BY d) AS dn FROM cells)
+      GROUP BY d
+    ),
+    halves AS (
+      SELECT AVG(CASE WHEN d < 15 THEN h END) AS h1,
+             AVG(CASE WHEN d >= 15 THEN h END) AS h2
+      FROM daily
+    )
+    SELECT CAST(daily.d AS BIGINT) AS day,
+           daily.n_events,
+           ROUND(daily.h, 6) AS mix_entropy_bits,
+           ROUND(hv.h2 - hv.h1, 6) AS half_over_half_delta
+    FROM daily CROSS JOIN halves hv
+    """,
+)
+def events_mix_entropy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Shannon entropy of the event-type mix (bits) with the
+    second-half-minus-first-half drift delta — "is the traffic
+    composition shifting?", the single-number mix monitor ops teams
+    chart next to volume (a collapsing entropy means one type is taking
+    over — bot floods and client bugs both look exactly like that). The
+    per-day entropy is over the 5-type distribution; the delta column is
+    a constant broadcast so the scalar drift verdict is hash-pinned too.
+
+    Probabilities are ratios of exact integer counts per day; ln on
+    identical rationals (module convention), ROUND(6) display-only.
+
+    Scale: one partial-aggregating scan to O(days x types) cells, a
+    window over those ~150 rows, a 1-row halves aggregate broadcast
+    back. Any volume, one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    import math as _m
+
+    ln2 = _m.log(2)
+    wd = Window.partitionBy("d")
+    daily = (
+        cells.withColumn("dn", F.sum("n").over(wd))
+        .groupBy("d")
+        .agg(
+            (
+                -F.sum(
+                    F.col("n") / F.col("dn") * F.log(F.col("n") / F.col("dn")) / ln2
+                )
+            ).alias("h"),
+            F.max("dn").cast("long").alias("n_events"),
+        )
+    )
+    halves = daily.agg(
+        F.avg(F.when(F.col("d") < 15, F.col("h"))).alias("h1"),
+        F.avg(F.when(F.col("d") >= 15, F.col("h"))).alias("h2"),
+    )
+    return daily.crossJoin(F.broadcast(halves)).select(
+        F.col("d").cast("long").alias("day"),
+        "n_events",
+        F.round("h", 6).alias("mix_entropy_bits"),
+        F.round(F.col("h2") - F.col("h1"), 6).alias("half_over_half_delta"),
+    )

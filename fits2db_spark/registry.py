@@ -213,6 +213,8 @@ _PRIORITY_QUERIES = (
     "agg_anova_oneway",
     "ml_logistic_gd",
     "orders_net_revenue_retention",
+    "events_mix_entropy_trend",
+    "agg_corr_matrix",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

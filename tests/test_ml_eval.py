@@ -1986,3 +1986,39 @@ def test_nrr_matches_pandas_pooled_cohorts(spark):
             assert abs(r.nrr - num / den) < 2e-6
     # longer offsets observe less repeat revenue per cohort dollar
     assert got.nrr.iloc[0] > 0
+
+
+def test_mix_entropy_matches_numpy(spark):
+    got = _run(spark, "events_mix_entropy_trend").set_index("day").sort_index()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["d"] = (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    hs = {}
+    for d, g in ev.groupby("d"):
+        p = g.event_type.value_counts(normalize=True).to_numpy()
+        hs[d] = float(-(p * np.log2(p)).sum())
+        assert got.loc[d].n_events == len(g)
+        assert abs(got.loc[d].mix_entropy_bits - hs[d]) < 2e-6
+    h1 = np.mean([h for d, h in hs.items() if d < 15])
+    h2 = np.mean([h for d, h in hs.items() if d >= 15])
+    assert abs(got.half_over_half_delta.iloc[0] - (h2 - h1)) < 1e-4
+    # 5 near-uniform types -> entropy close to log2(5)
+    assert 2.0 < got.mix_entropy_bits.mean() < np.log2(5) + 1e-6
+
+
+def test_corr_matrix_matches_numpy_and_is_identity_null(spark):
+    got = _run(spark, "agg_corr_matrix").set_index(["col_a", "col_b"])
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    assert len(got) == 10  # upper triangle + diagonal of a 4x4
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            r = got.loc[(a, b)]
+            # bracket access: 'cov'/'corr' collide with pandas methods
+            assert abs(r["cov"] - li[a].cov(li[b])) < max(
+                1e-4, abs(li[a].cov(li[b])) * 1e-5
+            )
+            assert abs(r["corr"] - li[a].corr(li[b])) < 1e-4
+            if a == b:
+                assert abs(r["corr"] - 1.0) < 1e-9
+            else:
+                assert abs(r["corr"]) < 0.05  # independent fixture columns
