@@ -4359,3 +4359,75 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(pairs)}, {stack}) as (col_a, col_b, cov, corr)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_spearman_corr",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag AS grp, l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+    ),
+    rx AS (
+      SELECT grp, x, y,
+             RANK() OVER (PARTITION BY grp ORDER BY x)
+               + (COUNT(*) OVER (PARTITION BY grp, x) - 1) / 2.0 AS r_x,
+             RANK() OVER (PARTITION BY grp ORDER BY y)
+               + (COUNT(*) OVER (PARTITION BY grp, y) - 1) / 2.0 AS r_y
+      FROM per
+    )
+    SELECT grp AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(r_x, r_y), 4) AS spearman_rho,
+           ROUND(corr(x, y), 4) AS pearson_r
+    FROM rx GROUP BY grp
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (with the Pearson column alongside for
+    the monotone-vs-linear contrast) between quantity and price per
+    return flag — the outlier-robust dependence screen every EDA pass
+    runs when Pearson can be dragged by tails. Ties get textbook AVERAGE
+    ranks, computed exactly as RANK() + (tie_count - 1)/2 (quantity has
+    only 50 distinct values, so tie handling IS the operator); Spearman
+    is then Pearson on the rank columns. The fixture's columns are
+    independent, so both coefficients sit near 0 — an honest null
+    (`events_granger` convention).
+
+    Ranks are exact integers-or-halves from partitioned windows (never a
+    global sort); `corr` is the shared sample statistic, ROUND(4)
+    absorbing fold-order ulp (the corr_covar convention).
+
+    Scale: two windows sharing the per-group partition (one sort each)
+    + one mergeable aggregate — O(rows log rows) within groups, the
+    standard distributed rank-statistic budget. For extreme groups,
+    swap exact ranks for bucketed midranks (the agg_ks_test sketch)."""
+    li = load(spark, sf_dir, "lineitem")
+    per = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    rx = per.select(
+        "grp",
+        "x",
+        "y",
+        (
+            F.rank().over(Window.partitionBy("grp").orderBy("x"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("grp", "x")) - 1) / 2.0
+        ).alias("r_x"),
+        (
+            F.rank().over(Window.partitionBy("grp").orderBy("y"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("grp", "y")) - 1) / 2.0
+        ).alias("r_y"),
+    )
+    return rx.groupBy(F.col("grp").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("r_x", "r_y"), 4).alias("spearman_rho"),
+        F.round(F.corr("x", "y"), 4).alias("pearson_r"),
+    )

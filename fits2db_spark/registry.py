@@ -215,6 +215,7 @@ _PRIORITY_QUERIES = (
     "orders_net_revenue_retention",
     "events_mix_entropy_trend",
     "agg_corr_matrix",
+    "agg_spearman_corr",
     # (d) stalest-green rotation backlog (last driver row: round 1)
     "fits_ingest",
     "scan_parquet",

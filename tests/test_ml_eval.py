@@ -2022,3 +2022,19 @@ def test_corr_matrix_matches_numpy_and_is_identity_null(spark):
                 assert abs(r["corr"] - 1.0) < 1e-9
             else:
                 assert abs(r["corr"]) < 0.05  # independent fixture columns
+
+
+def test_spearman_matches_scipy_style_numpy(spark):
+    got = _run(spark, "agg_spearman_corr").set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        rx = pd.Series(g.l_quantity).rank(method="average")
+        ry = pd.Series(g.l_extendedprice).rank(method="average")
+        rho = np.corrcoef(rx, ry)[0, 1]
+        pear = np.corrcoef(g.l_quantity, g.l_extendedprice)[0, 1]
+        r = got.loc[flag]
+        assert r.n == len(g)
+        assert abs(r.spearman_rho - rho) < 2e-4
+        assert abs(r.pearson_r - pear) < 2e-4
+        # independent fixture columns: honest null
+        assert abs(r.spearman_rho) < 0.05
