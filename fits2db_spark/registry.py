@@ -66,11 +66,18 @@ _loaded = False
 #     circular, price index / migration / trimmed mean, nprobe sweep,
 #     spectral entropy, l-diversity, mixing weights, rebin, partition
 #     skew, paired t-test, drawdown/Mann-Kendall/dup-invoices), so
-#     (a)+(b)+(c) = 99 and everything past position 50 spills
-#     to rounds 9-10, like the r7 spill before it (each key is locally
-#     3-tier hash-green, and every r8 key except dedup_lsh_recall is
-#     additionally hash-green at the synthetic ~sf1 tier — including all
-#     41 continuation keys);
+#     (a)+(b)+(c) = 99 at the r8 close, and everything past position 50
+#     spills to rounds 9-10, like the r7 spill before it (each key is
+#     locally 3-tier hash-green, and every r8 key except dedup_lsh_recall
+#     is additionally hash-green at the synthetic ~sf1 tier — including
+#     all 41 continuation keys). The round-9 session then appended its 45
+#     new operators (ml classics/eval, experimentation integrity, QQ/ANOVA/
+#     Spearman/MI, HITS/clustering-coeff, t-closeness/column-stats/
+#     freshness, quadtree, PRF/readability, DTW/CCF/HMM/Viterbi, EM/GD,
+#     AR-aging/ABC-XYZ/NRR/growth-accounting/halflife, velocity/funnel
+#     timing/rate-ratio/SRM, interpolating as-of, outlier scores, mix
+#     entropy, corr matrix, GROUP BY ALL) to the END of (c) — each is
+#     two-tier hash-green locally and queues behind the r8 backlog;
 # (d) the stalest-green rotation backlog (r01 rows first — 44 keys whose
 #     last driver row is round 1; the overflow continues next round).
 _PRIORITY_QUERIES = (
