@@ -47,93 +47,39 @@ _OPERATOR_MODULES = (
     "fits2db_spark.operators.warehouse",
     "fits2db_spark.operators.sql_api",
     "fits2db_spark.operators.retrieval",
+    "fits2db_spark.operators.decimal_money",
 )
 
 _loaded = False
 
 # The external driver verifies queries in dict-iteration order and may stop
-# after a fixed budget (~50 keys per round). Round-8 window, computed from
-# CORRECTNESS_r01∪…∪r07 (r07 covered the first 50 of the r7 queue, 50/50
-# green; 23 oracled keys have never appeared in any driver window, every
-# rows-only key has):
-# (a) keys whose CODE or ORACLE changed in round 8 (the three ADVICE fixes:
-#     haar short-series guard, KMV exhaustive-union exactness, ring pmod) —
-#     any pre-change driver row no longer attests the current check;
-# (b) the 20 remaining never-driver-checked keys (r7 spill + late-r7 adds);
-# (c) new round-8 operators (never checked by construction, appended as
-#     they land) — 76 keys after the continuation session's 41 additions
-#     (ml-eval, FDR/IPW, LPA/BFS, JL projection, logsketch, Stetson/BLS/
-#     circular, price index / migration / trimmed mean, nprobe sweep,
-#     spectral entropy, l-diversity, mixing weights, rebin, partition
-#     skew, paired t-test, drawdown/Mann-Kendall/dup-invoices), so
-#     (a)+(b)+(c) = 99 at the r8 close, and everything past position 50
-#     spills to rounds 9-10, like the r7 spill before it (each key is
-#     locally 3-tier hash-green, and every r8 key except dedup_lsh_recall
-#     is additionally hash-green at the synthetic ~sf1 tier — including
-#     all 41 continuation keys). The round-9 session then appended its 45
-#     new operators (ml classics/eval, experimentation integrity, QQ/ANOVA/
-#     Spearman/MI, HITS/clustering-coeff, t-closeness/column-stats/
-#     freshness, quadtree, PRF/readability, DTW/CCF/HMM/Viterbi, EM/GD,
-#     AR-aging/ABC-XYZ/NRR/growth-accounting/halflife, velocity/funnel
-#     timing/rate-ratio/SRM, interpolating as-of, outlier scores, mix
-#     entropy, corr matrix, GROUP BY ALL) to the END of (c) — each is
-#     two-tier hash-green locally and queues behind the r8 backlog;
-# (d) the stalest-green rotation backlog (r01 rows first — 44 keys whose
-#     last driver row is round 1; the overflow continues next round).
+# after a fixed budget (~50 keys per round).  Round-9 rotation, computed from
+# CORRECTNESS_r01∪…∪r08 (r08 covered the first 50 of the r8 queue, 50/50
+# green).  Ordering policy (VERDICT r8 "Next round" item 1):
+# (a) the 7 keys whose LATEST driver record is still the round-3
+#     events-loader crash (fixed in r4, locally green ever since) — they
+#     read as failures to anyone who only sees the driver files;
+# (b) the 89 keys that have NEVER appeared in any driver 50-key window
+#     (r8 spill + the r8-continuation additions), in registration order;
+#     new round-9 keys append at the END of this section as they land;
+# (c) every already-green key, stalest driver round first, so the whole
+#     420-key surface keeps cycling through driver windows over time.
+# (a)+(b) = 96 keys; the r9 window covers the first 50, the remainder
+# spills to r10 exactly like the r7/r8 spills before it.  Every key is
+# locally hash-green under tools/check_oracle.py at sf0.001 and sf0.01.
 _PRIORITY_QUERIES = (
-    # (a) code/oracle changed in round 8
-    "events_haar_wavelet",
-    "agg_kmv_intersection",
-    "spatial_ring",
-    # (b) never driver-checked (r7 spill first, then late-r7 registrations)
-    "sql_pivot",
-    "sql_unpivot",
-    "fn_mask",
-    "fn_geo",
-    "scan_fixed_width",
-    "scan_csv_corrupt",
-    "stream_live_sliding",
-    "dedup_substring_windows",
-    "scan_xml",
-    "events_holt_trend",
-    "mm_audio_segments",
-    "fn_astro",
-    "privacy_dp_counts",
-    "mm_patch_grid",
-    "sim_maxsim_late_interaction",
-    "spatial_region_assign",
-    "win_cumulative_distinct",
-    "events_peak_detection",
-    "pipeline_fits_catalog_e2e",
-    "mm_scene_cuts",
-    # (c) new round-8 operators land here as they are registered
-    "events_changepoint",
-    "events_hurst",
-    "events_ljungbox",
-    "lightcurve_structure_function",
-    "ml_target_encode",
-    "ml_woe_iv",
-    "ml_kfold_linreg",
-    "text_cooccurrence_pmi",
-    "sample_weighted",
-    "dq_psi",
-    "privacy_generalization_ladder",
-    "warehouse_compaction_plan",
-    "dedup_lsh_recall",
-    "events_kalman_level",
-    "warehouse_cdc_replay",
-    "stream_watermark_audit",
-    "sim_ivf_balance",
-    "orders_littles_law",
-    "events_slo_burnrate",
-    "warehouse_pruning_effectiveness",
-    "win_sliding_distinct",
-    "graph_assortativity",
-    "agg_weighted_median",
-    "ml_cuped_experiment",
-    "scan_csv_gzip",
-    "vec_hubness",
-    "orders_price_elasticity",
+    # (a) stale driver record: latest row is the round-3 events-loader crash
+    #     (re-verified hash-green locally every round since the r4 fix)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "fn_map",
+    "fn_json",
+    "fn_map_access",
+    "fn_json_tuple",
+    # (b) never driver-checked (r8 spill, r8-continuation, late additions) in
+    #     registration order — 89 keys at the r8 close; new r9 keys append at
+    #     the END of this section as they land
     "events_markov_stationary",
     "text_heaps_law",
     "spatial_htm",
@@ -223,51 +169,342 @@ _PRIORITY_QUERIES = (
     "events_mix_entropy_trend",
     "agg_corr_matrix",
     "agg_spearman_corr",
-    # (d) stalest-green rotation backlog (last driver row: round 1)
-    "fits_ingest",
-    "scan_parquet",
-    "scan_csv",
-    "scan_json",
-    "multi_file_union",
-    "project_rename",
-    "cast_types",
-    "filter_pred",
-    "nan_to_null",
-    "null_default",
+    # -- round-9 additions (never driver-checked by construction)
+    "decimal_roundtrip",
+    "agg_decimal_revenue",
+    "win_decimal_balance",
+    # (c) green-rotation backlog: stalest driver round first (r01 ... r08)
+    # -- last driver row: round 1
     "add_rowid",
-    "array_expand",
-    "join_inner_hash",
-    "join_sortmerge",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_self_pairs",
-    "join_star_q5",
-    "join_asof",
-    "sort_multi",
-    "topk_global",
-    "win_row_number",
-    "win_rank",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_first_last",
-    "win_topk_per_group",
+    "agg_conditional",
+    "agg_count_distinct",
+    "agg_cube",
     "agg_global",
     "agg_groupby",
-    "agg_having",
-    "agg_count_distinct",
-    "agg_stats",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_cube",
     "agg_grouping_sets",
+    "agg_having",
+    "agg_percentile",
     "agg_pivot",
-    "agg_conditional",
+    "agg_rollup",
+    "agg_stats",
+    "array_expand",
+    "cast_types",
+    "filter_pred",
+    "fits_ingest",
+    "join_anti",
+    "join_asof",
+    "join_cross",
+    "join_full",
+    "join_inner_hash",
+    "join_left",
+    "join_right",
+    "join_self_pairs",
+    "join_semi",
+    "join_sortmerge",
+    "join_star_q5",
+    "join_theta_range",
+    "multi_file_union",
+    "nan_to_null",
+    "null_default",
+    "project_rename",
+    "scan_csv",
+    "scan_json",
+    "scan_parquet",
+    "sort_multi",
+    "topk_global",
+    "win_first_last",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_rank",
+    "win_row_number",
+    "win_running_sum",
+    "win_topk_per_group",
+    # -- last driver row: round 3
+    "agg_collect",
+    "dedup_embed_cosine",
+    "dedup_exact_text",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_winnowing",
+    "fn_array",
+    "fn_cond",
+    "fn_date",
+    "fn_encode",
+    "fn_fuzzy",
+    "fn_hash",
+    "fn_math",
+    "fn_regex",
+    "fn_string",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "multimodal_join",
+    "sim_ann_lsh",
+    "sim_pair_cosine",
+    "sim_topk_bruteforce",
+    "text_lang_stats",
+    "text_langid",
+    "text_ngram",
+    "text_quality_score",
+    "text_tfidf",
+    "text_token_count_bpeish",
+    "text_tokenize_counts",
+    "udf_grouped_map",
+    "udf_map_arrow",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_scalar",
+    "udf_python_scalar",
+    "udf_table_udtf",
+    "vec_centroid",
+    "vec_norm_stats",
+    # -- last driver row: round 4
+    "agg_extras",
+    "agg_histogram",
+    "agg_mode_median",
+    "agg_skew_salted",
+    "agg_string_concat",
+    "anomaly_zscore",
+    "contamination_ngram",
+    "corr_covar",
+    "dedup_components_bigstar",
+    "dedup_keep_longest",
+    "distinct_rows",
+    "dq_expectations",
+    "dq_profile",
+    "fn_bitwise",
+    "fn_generators",
+    "fn_trig",
+    "fn_try",
+    "funnel_analysis",
+    "gapfill_timeseries",
+    "graph_pagerank",
+    "join_asof_tolerance",
+    "join_range_binned",
+    "join_skew_salted",
+    "limit_offset",
+    "merge_upsert",
+    "retention_cohorts",
+    "scd2_intervals",
+    "seq_pack_bins",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sim_range_search",
+    "sim_topk_matmul",
+    "split_train_test",
+    "stream_windowed_topk",
+    "subquery_correlated",
+    "subquery_in",
+    "text_pii_redact",
+    "text_vocab_topk",
+    "udf_arrow_scalar",
+    "unpivot_melt",
+    "vec_quantize_int8",
+    "win_range_frame",
+    # -- last driver row: round 5
+    "add_random_id",
+    "add_rowid_unordered",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_entropy",
+    "agg_histogram2d",
+    "agg_linreg",
+    "anomaly_mad",
+    "basket_lift",
+    "cap_docs_per_source",
+    "dedup_components",
+    "dedup_semantic_clusters",
+    "domain_mix_sample",
+    "etl_winsorize",
+    "events_ewma",
+    "events_ohlc",
+    "events_rolling_active",
+    "fits_ingest_compressed",
+    "fn_hash_native",
+    "fn_soundex",
+    "fn_url",
+    "fn_variant",
+    "graph_triangles",
+    "join_fuzzy_blocked",
+    "join_interval_overlap",
+    "join_xmatch_zone",
+    "mm_decode_features",
+    "mm_phash_dedup",
+    "mm_phash_near",
+    "orders_rfm",
+    "pipeline_curate_e2e",
+    "sample_fraction",
+    "sample_stratified",
+    "scan_partition_pruning",
+    "scan_schema_evolution",
+    "sim_ann_ivf",
+    "spatial_cols",
+    "sql_tpch_q3",
+    "sql_tpch_q6",
+    "sql_window_ranking",
+    "stream_live_dedup",
+    "stream_live_interval_join",
+    "stream_live_tumbling",
+    "text_perplexity",
+    "text_repetition",
+    "vec_kmeans",
+    "vec_pca_evr",
+    "win_distribution",
+    "win_gaps_islands",
+    # -- last driver row: round 6
+    "agg_chisq",
+    "agg_concentration",
+    "agg_decile_stats",
+    "agg_gini",
+    "agg_incremental_mv",
+    "agg_ks_test",
+    "agg_moments",
+    "agg_welch_ttest",
+    "cone_search",
+    "dedup_containment",
+    "dq_benford",
+    "er_golden_record",
+    "events_acf",
+    "events_anomaly_seasonal",
+    "events_attribution",
+    "events_cusum",
+    "events_growth",
+    "events_interarrival",
+    "events_markov",
+    "events_paths",
+    "events_seasonality",
+    "fits_cutout",
+    "fits_image_ingest",
+    "fits_wcs_ingest",
+    "join_asof_nearest",
+    "join_dpp",
+    "join_scd2_pointintime",
+    "lightcurve_pdm",
+    "mm_wav_features",
+    "orders_abc",
+    "orders_survival_km",
+    "scan_orc",
+    "sim_ann_pq",
+    "sim_ann_recall_eval",
+    "skyline_pareto",
+    "snapshot_diff",
+    "sql_lateral_topk",
+    "sql_parameterized",
+    "sql_tpch_q1",
+    "sql_tpch_q18",
+    "stream_live_counters",
+    "stream_live_session",
+    "text_bigram_lm",
+    "text_zipf",
+    "ts_interpolate",
+    "vec_pq_train",
+    "vec_truncate_mrl",
+    "win_forward_fill",
+    "win_rolling_median",
+    "zorder_layout",
+    # -- last driver row: round 7
+    "agg_bootstrap_ci",
+    "agg_hll_deterministic",
+    "agg_theilsen",
+    "bpe_train_merges",
+    "cms_heavy_hitters",
+    "dedup_incremental_minhash",
+    "events_forecast_backtest",
+    "events_periodogram",
+    "events_sax",
+    "graph_kcore",
+    "graph_node_similarity",
+    "join_bloom_filter",
+    "join_geohash_prefix",
+    "join_xmatch_nearest",
+    "ml_feature_hash",
+    "orders_cohort_ltv",
+    "privacy_k_anonymity",
+    "sim_ann_binary",
+    "sim_mmr_rerank",
+    "sim_rrf_fusion",
+    "spatial_geohash",
+    "spatial_nest",
+    "spatial_point_in_polygon",
+    "sql_recursive_hierarchy",
+    "sql_tpch_q10",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q13",
+    "sql_tpch_q14",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q19",
+    "sql_tpch_q2",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
+    "sql_tpch_q22",
+    "sql_tpch_q4",
+    "sql_tpch_q5",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "stream_live_enrich",
+    "subquery_scalar",
+    "sync_merkle_buckets",
+    "text_bigram_kn",
+    "text_bm25",
+    "text_importance_dsir",
+    "text_keyphrase_rake",
+    "vec_power_iteration",
+    # -- last driver row: round 8
+    "agg_kmv_intersection",
+    "agg_weighted_median",
+    "dedup_lsh_recall",
+    "dedup_substring_windows",
+    "dq_psi",
+    "events_changepoint",
+    "events_haar_wavelet",
+    "events_holt_trend",
+    "events_hurst",
+    "events_kalman_level",
+    "events_ljungbox",
+    "events_peak_detection",
+    "events_slo_burnrate",
+    "fn_astro",
+    "fn_geo",
+    "fn_mask",
+    "graph_assortativity",
+    "lightcurve_structure_function",
+    "ml_cuped_experiment",
+    "ml_kfold_linreg",
+    "ml_target_encode",
+    "ml_woe_iv",
+    "mm_audio_segments",
+    "mm_patch_grid",
+    "mm_scene_cuts",
+    "orders_littles_law",
+    "orders_price_elasticity",
+    "pipeline_fits_catalog_e2e",
+    "privacy_dp_counts",
+    "privacy_generalization_ladder",
+    "sample_weighted",
+    "scan_csv_corrupt",
+    "scan_csv_gzip",
+    "scan_fixed_width",
+    "scan_xml",
+    "sim_ivf_balance",
+    "sim_maxsim_late_interaction",
+    "spatial_region_assign",
+    "spatial_ring",
+    "sql_pivot",
+    "sql_unpivot",
+    "stream_live_sliding",
+    "stream_watermark_audit",
+    "text_cooccurrence_pmi",
+    "vec_hubness",
+    "warehouse_cdc_replay",
+    "warehouse_compaction_plan",
+    "warehouse_pruning_effectiveness",
+    "win_cumulative_distinct",
+    "win_sliding_distinct",
 )
 _PRIORITY_MODULE_ORDER = (
     "fits2db_spark.operators.llm_text",
