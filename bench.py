@@ -46,6 +46,36 @@ HEADLINE = [
     "sql_tpch_q9",          # raw-SQL 5-way star profit rollup
 ]
 
+# Second tier (round 9, r8 verdict item 3): the 20 most expensive
+# NON-headline keys by the tools/time_all.py sweep at sf0.01, timed
+# best-of-1 with no warmup lap — a coarse per-round regression tripwire
+# over the wide surface (the headline tier stays the precise
+# best-of-3 signal). The list is PINNED so wide_total is comparable
+# across rounds; re-derive it with time_all.py only when the surface
+# changes materially, and note the re-pin in BASELINE.md.
+WIDE = [
+    "graph_hits",               # unrolled mutual-reinforcement rounds
+    "graph_kcore",              # iterative peel
+    "sim_mmr_rerank",           # greedy diversity re-rank, unrolled
+    "stream_live_interval_join",  # real stream-stream join drain
+    "graph_bfs_distance",       # multi-source BFS rounds
+    "spatial_htm",              # recursive triangle subdivision
+    "sim_ann_ivf",              # IVF coarse quantizer + probe join
+    "graph_label_propagation",  # iterative LPA
+    "graph_pagerank",           # iterative PR
+    "stream_live_dedup",        # stateful streaming dedup drain
+    "vec_kmeans",               # Lloyd rounds
+    "vec_power_iteration",      # covariance power iteration
+    "sim_ivf_balance",          # IVF balance metrology
+    "bpe_train_merges",         # iterative BPE merge learning
+    "ml_logistic_gd",           # unrolled gradient-descent epochs
+    "stream_live_counters",     # stateful streaming counters drain
+    "vec_pca_evr",              # gram collect + LAPACK eig
+    "sim_ann_lsh",              # hyperplane LSH bucket join
+    "join_xmatch_knn",          # zone-join kNN crossmatch
+    "events_granger",           # per-pair OLS F-tests
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,6 +120,16 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # wide tier: best-of-1, no warmup — regression tripwire, not a precise
+    # number (±30% run-to-run is expected; compare round-over-round trends)
+    wide: dict[str, float] = {}
+    for name in WIDE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        wide[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -97,6 +137,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "wide": wide,
+                "wide_total": round(sum(wide.values()), 3),
                 "sf": sf,
             }
         )

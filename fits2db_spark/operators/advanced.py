@@ -1235,9 +1235,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         kept = deg.filter(F.col("d") >= _KCORE_K).select("node")
-        e = e.join(
-            F.broadcast(kept.withColumnRenamed("node", "u")), "u", "left_semi"
-        ).join(F.broadcast(kept.withColumnRenamed("node", "v")), "v", "left_semi")
+        # truncate lineage per peel round: e feeds BOTH the degree count and
+        # the semi-joins, so an uncut plan doubles per round (2^rounds copies
+        # of the edge subtree re-optimized and re-executed). The survivor
+        # edge list only shrinks, so the per-round materialization is cheap —
+        # the same cut the docstring's 100 TB note prescribes.
+        e = (
+            e.join(F.broadcast(kept.withColumnRenamed("node", "u")), "u", "left_semi")
+            .join(F.broadcast(kept.withColumnRenamed("node", "v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
     return (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -1725,8 +1732,16 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("score") * F.col("n_p")).alias("tot"))
             .crossJoin(F.broadcast(n_par))
         )
-        a = raw_a.crossJoin(F.broadcast(anorm)).select(
-            "p", (F.col("raw") * F.col("n_par") / F.col("tot")).alias("score")
+        # truncate lineage each half-round: h and a are each consumed TWICE
+        # (score join + normalizer), so without a cut the logical plan grows
+        # 4x per round — 4^rounds subtree copies that Catalyst re-optimizes
+        # and the executor recomputes (measured 20s -> ~2s at sf0.01). The
+        # checkpointed frames are O(nodes) score tables, the same per-round
+        # materialization any distributed power iteration ships.
+        a = (
+            raw_a.crossJoin(F.broadcast(anorm))
+            .select("p", (F.col("raw") * F.col("n_par") / F.col("tot")).alias("score"))
+            .localCheckpoint(eager=True)
         )
         raw_h = (
             edges.join(a, "p")
@@ -1738,8 +1753,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("score") * F.col("n_s")).alias("tot"))
             .crossJoin(F.broadcast(n_sup))
         )
-        h = raw_h.crossJoin(F.broadcast(hnorm)).select(
-            "s", (F.col("raw") * F.col("n_sup") / F.col("tot")).alias("score")
+        h = (
+            raw_h.crossJoin(F.broadcast(hnorm))
+            .select("s", (F.col("raw") * F.col("n_sup") / F.col("tot")).alias("score"))
+            .localCheckpoint(eager=True)
         )
     hubs = (
         h.select(

@@ -1144,6 +1144,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MMR_TOPN)
         .select("query_id", "cand_id", "c_emb", F.round("rel_raw", 6).alias("rel"))
+        # the shortlist (queries x topn rows) feeds the pair self-join AND
+        # every greedy step — cut its lineage once so the crossJoin+window
+        # scan runs a single time instead of once per unrolled reference
+        .localCheckpoint(eager=True)
     )
     a, b = cand.alias("a"), cand.alias("b")
     pair = a.join(
@@ -1155,7 +1159,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.cand_id").alias("c1"),
         F.col("b.cand_id").alias("c2"),
         _cos(F.col("a.c_emb"), F.col("b.c_emb")).alias("sim"),
-    )
+    ).localCheckpoint(eager=True)  # O(queries x topn^2) rows, reused K times
     lam, om = _MMR_LAMBDA, 1 - _MMR_LAMBDA
     selected = None
     slim = cand.select("query_id", "cand_id", "rel")
@@ -1199,7 +1203,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("mmr_micro").cast("double") / 1000000).alias("mmr"),
             )
         )
-        selected = step if selected is None else selected.unionByName(step)
+        # per-step cut: `selected` is consumed twice next step (anti-join +
+        # selected-keys join), so the uncut unrolled plan triples per step
+        selected = (
+            step if selected is None else selected.unionByName(step)
+        ).localCheckpoint(eager=True)
     return selected
 
 

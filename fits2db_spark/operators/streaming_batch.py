@@ -663,9 +663,17 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     close + delay rather than the global max-event-time watermark clock,
     which depends on cross-partition arrival interleaving — a property no
     deterministic batch audit should depend on); it upper-bounds drops,
-    so the sizing it suggests is conservative. The LIVE semantics
-    (actual eviction by the watermark clock) are exercised by the
-    `stream_live_*` family in fits2db_spark/streaming/.
+    so the sizing it suggests is conservative. Quantified against a real
+    continuous drain replaying the SAME arrival process (tests/
+    test_streaming_live.py::test_watermark_audit_reconciles_with_live_
+    eviction): at sf0.001 with 16 arrival-ordered micro-batches the live
+    path drops 4 rows where this audit classifies 512 — the audit assumes
+    the fastest possible eviction clock (arrival wall-time − delay),
+    while the real clock only advances to max OBSERVED event-time at
+    micro-batch boundaries, so live drops are provably ≤ the audit count
+    under ANY trigger cadence. The LIVE semantics (actual eviction by
+    the watermark clock) are exercised by the `stream_live_*` family in
+    fits2db_spark/streaming/.
 
     Scale: one narrow projection (hash, epoch arithmetic) + one
     partial-agg groupBy on event_type — linear, no window functions, no

@@ -93,6 +93,24 @@ def test_jdbc_sink_derby(spark, tmp_path):
     )
 
 
+def test_jdbc_create_overwrite_values(spark, tmp_path):
+    # create (errorifexists) with explicit column types, then overwrite —
+    # and compare VALUES, not just counts, on the read-back
+    from pyspark.sql.utils import AnalysisException
+
+    from fits2db_spark.sinks.jdbc import write_jdbc
+    from fits2db_spark.tables import load
+
+    url = f"jdbc:derby:{tmp_path}/db2;create=true"
+    df = load(spark, "/root/testdata/sf0.001", "region")
+    write_jdbc(df, url, "region_c", mode="create", column_types="r_name VARCHAR(32)")
+    with pytest.raises(AnalysisException):
+        write_jdbc(df, url, "region_c", mode="create")  # already exists
+    write_jdbc(df.limit(2), url, "region_c", mode="overwrite")
+    back = spark.read.format("jdbc").option("url", url).option("dbtable", "region_c").load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.limit(2).collect()))
+
+
 def test_jdbc_bad_mode():
     with pytest.raises(ValueError):
         from fits2db_spark.sinks.jdbc import write_jdbc

@@ -363,3 +363,82 @@ def test_session_window_exact_gap_boundary_semantics(spark):
 
     assert n_sessions("2024-01-01 00:30:00") == 1
     assert n_sessions("2024-01-01 00:30:00.000001") == 2
+
+
+def test_watermark_audit_reconciles_with_live_eviction(spark, tmp_path):
+    """Eviction parity (r8 verdict item 5): replay the EXACT arrival process
+    stream_watermark_audit simulates (arrival = ts + md5-derived 0-2h delay)
+    through a real continuous drain — arrival-ordered micro-batches, 30-min
+    watermark, 1-h tumbling windows — and reconcile observed live drops
+    (stateOperators.numRowsDroppedByWatermark) against the batch audit.
+
+    The audit classifies against window_close + delay, which provably
+    upper-bounds the live watermark clock (max event-time seen lags arrival
+    wall-time, and micro-batch boundaries lag it further), so:
+        live_dropped <= audit n_dropped, for ANY batch interleaving.
+    """
+    import shutil
+
+    from fits2db_spark.operators.streaming_batch import (
+        _WM_DELAY_S,
+        stream_watermark_audit,
+    )
+
+    audit = stream_watermark_audit(spark, SF_SMOKE).collect()
+    audit_dropped = sum(r["n_dropped"] for r in audit)
+    audit_total = sum(r["n_on_time"] + r["n_late_ok"] + r["n_dropped"] for r in audit)
+    assert audit_dropped > 0, "fixture must exercise the dropped class"
+
+    # replay feed: same deterministic delay, rows written in ARRIVAL order
+    ev = load(spark, SF_SMOKE, "events")
+    delay_s = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 7200
+    )
+    arr = ev.withColumn("arrival", F.unix_timestamp("ts") + delay_s).orderBy("arrival")
+    rows = arr.drop("arrival").collect()
+    staging = tmp_path / "wm_parity"
+    staging.mkdir()
+    flat = tmp_path / "wm_parity_flat"
+    flat.mkdir()
+    # 16 batches: coarse enough to run fast, fine enough that the live
+    # watermark clock actually evicts (at 8 batches the clock advances in
+    # ~3.5-day jumps and nothing lands in the drop band — verified by
+    # simulation; 16 batches yields 4 live drops at sf0.001)
+    n_batches = 16
+    n = len(rows)
+    for i in range(n_batches):
+        chunk = rows[i * n // n_batches : (i + 1) * n // n_batches]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(staging / f"b{i}")
+        )
+    for i in range(n_batches):
+        (f,) = glob.glob(str(staging / f"b{i}" / "*.parquet"))
+        shutil.copy(f, flat / f"{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = (
+        tumbling_counts(stream, watermark=f"{_WM_DELAY_S} seconds")
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wm_parity_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    live_dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    # the theorem: the batch audit is a conservative upper bound on drops —
+    # and the live path must actually drop something (non-vacuous)
+    assert 0 < live_dropped <= audit_dropped, (live_dropped, audit_dropped)
+    # and the live path must have processed every row
+    processed = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    assert processed == audit_total == n
