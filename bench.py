@@ -122,12 +122,16 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     # wide tier: best-of-1, no warmup — regression tripwire, not a precise
-    # number (±30% run-to-run is expected; compare round-over-round trends)
+    # number (±30% run-to-run is expected; compare round-over-round trends).
+    # Unlike the headline tier, construction is INSIDE the timed window:
+    # the iterative operators here (HITS, k-core, MMR, Lloyd, live-stream
+    # drains) materialize per-round checkpoints / drain streaming queries
+    # while the DataFrame is being built, so excluding construction would
+    # time only the final cheap projection.
     wide: dict[str, float] = {}
     for name in WIDE:
-        df = qs[name](spark, sf_dir)
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         wide[name] = round(time.time() - t0, 3)
 
     print(

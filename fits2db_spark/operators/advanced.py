@@ -2035,3 +2035,91 @@ def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("dur_s", F.lit(0.75)) / 3600.0, 4).alias("p75_hours"),
         F.round(F.avg(F.col("dur_s").cast("double")) / 3600.0, 4).alias("mean_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution power-law fit (round 9)
+# ---------------------------------------------------------------------------
+_PL_DMIN = 5  # Hill-estimator tail threshold
+
+
+@register(
+    "graph_degree_powerlaw",
+    oracle=f"""
+    WITH deg AS (
+      SELECT l_suppkey AS node, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS k
+      FROM lineitem GROUP BY 1
+    ),
+    hist AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY 1
+    ),
+    ols AS (
+      SELECT COUNT(*) AS np,
+             (SUM(ln(k) * ln(cnt)) - SUM(ln(k)) * SUM(ln(cnt)) / COUNT(*))
+             / (SUM(ln(k) * ln(k)) - SUM(ln(k)) * SUM(ln(k)) / COUNT(*))
+               AS slope
+      FROM hist
+    ),
+    hill AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             1.0 + COUNT(*) / SUM(ln(k / ({_PL_DMIN} - 0.5))) AS alpha
+      FROM deg WHERE k >= {_PL_DMIN}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT MAX(k) FROM deg) AS BIGINT) AS max_degree,
+           CAST((SELECT np FROM ols) AS BIGINT) AS n_hist_points,
+           ROUND((SELECT slope FROM ols), 6) AS loglog_slope,
+           (SELECT n_tail FROM hill) AS n_tail,
+           ROUND((SELECT alpha FROM hill), 6) AS alpha_hill
+    """,
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the supplier-part degree distribution heavy-tailed? Two standard
+    estimates in one row: the log-log OLS slope over the degree histogram
+    (the classic—and biased—eyeball fit) and the Hill/Clauset MLE
+    alpha = 1 + n/Σ ln(k/(k_min−0.5)) over the k ≥ {_PL_DMIN} tail (the
+    estimator the power-law literature actually trusts). The graph-shape
+    screen run before choosing skew strategies: a heavy tail here is the
+    quantitative case for the salting/cap machinery used by
+    `join_skew_salted` and the dedup hot-bucket caps.
+
+    Scale: one distinct-pair groupBy (the volume stage), then O(distinct
+    degrees) histogram math; both fits are single-row reduces. ln on
+    identical integer-derived doubles agrees across engines; ROUND(6)."""
+    li = load(spark, sf_dir, "lineitem")
+    deg = li.groupBy(F.col("l_suppkey").alias("node")).agg(
+        F.countDistinct("l_partkey").cast("long").alias("k")
+    )
+    hist = deg.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    lk, lc = F.log(F.col("k").cast("double")), F.log(F.col("cnt").cast("double"))
+    ols = hist.agg(
+        F.count(F.lit(1)).alias("np"),
+        (
+            (F.sum(lk * lc) - F.sum(lk) * F.sum(lc) / F.count(F.lit(1)))
+            / (F.sum(lk * lk) - F.sum(lk) * F.sum(lk) / F.count(F.lit(1)))
+        ).alias("slope"),
+    )
+    hill = deg.filter(F.col("k") >= _PL_DMIN).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        (
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("k").cast("double") / (_PL_DMIN - 0.5)))
+        ).alias("alpha"),
+    )
+    top = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("k").cast("long").alias("max_degree"),
+    )
+    return (
+        top.crossJoin(F.broadcast(ols))
+        .crossJoin(F.broadcast(hill))
+        .select(
+            "n_nodes",
+            "max_degree",
+            F.col("np").cast("long").alias("n_hist_points"),
+            F.round("slope", 6).alias("loglog_slope"),
+            "n_tail",
+            F.round("alpha", 6).alias("alpha_hill"),
+        )
+    )

@@ -4431,3 +4431,316 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("r_x", "r_y"), 4).alias("spearman_rho"),
         F.round(F.corr("x", "y"), 4).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe / Levene variance-homogeneity test (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_levene_test",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY 1
+    ),
+    z AS (
+      SELECT li.l_returnflag AS g, ABS(li.l_extendedprice - med.m) AS z
+      FROM lineitem li JOIN med ON med.g = li.l_returnflag
+    ),
+    grp AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n, AVG(z) AS zbar,
+             SUM(z * z) - COUNT(*) * AVG(z) * AVG(z) AS ss_within
+      FROM z GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n * zbar) / SUM(n) AS zgrand,
+             SUM(ss_within) AS ssw
+      FROM grp
+    )
+    SELECT g AS l_returnflag, n, ROUND(zbar, 4) AS mean_absdev,
+           ROUND(((SELECT n_tot FROM tot) - (SELECT k FROM tot))
+                 * (SELECT SUM(n * (zbar - (SELECT zgrand FROM tot))
+                               * (zbar - (SELECT zgrand FROM tot))) FROM grp)
+                 / (((SELECT k FROM tot) - 1) * (SELECT ssw FROM tot)), 4)
+             AS levene_f
+    FROM grp
+    """,
+)
+def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with median centers, the robust
+    default) for variance homogeneity of ``l_extendedprice`` across return
+    flags — the gate check before trusting ANOVA's equal-variance
+    assumption (`agg_anova_oneway` is the companion): F on the absolute
+    deviations from each group's MEDIAN, large F = heteroscedastic.
+
+    Exactness: group medians are exact interpolated percentiles in both
+    engines; within-group sums of squares use the one-pass identity
+    Σz² − n·z̄² on identical doubles; the shared F repeats per output row
+    (grouped-row + global-statistic convention used by the other tests
+    here). Scale: one join against a k-row broadcast of medians, one
+    partial-aggregating groupBy, one k-row final reduce — the raw table
+    is touched twice (percentile pass + deviation pass), both linear."""
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("m")
+    )
+    z = li.join(F.broadcast(med), li.l_returnflag == med.g).select(
+        "g", F.abs(F.col("l_extendedprice") - F.col("m")).alias("z")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("z").alias("zbar"),
+        (F.sum(F.col("z") * F.col("z"))
+         - F.count(F.lit(1)) * F.avg("z") * F.avg("z")).alias("ss_within"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum(F.col("n") * F.col("zbar")) / F.sum("n")).alias("zgrand"),
+        F.sum("ss_within").alias("ssw"),
+    )
+    ssb = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n")
+                * (F.col("zbar") - F.col("zgrand"))
+                * (F.col("zbar") - F.col("zgrand"))
+            ).alias("ssb"),
+            F.first("n_tot").alias("n_tot"),
+            F.first("k").alias("k"),
+            F.first("ssw").alias("ssw"),
+        )
+    )
+    return grp.crossJoin(F.broadcast(ssb)).select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.round("zbar", 4).alias("mean_absdev"),
+        F.round(
+            (F.col("n_tot") - F.col("k")) * F.col("ssb")
+            / ((F.col("k") - 1) * F.col("ssw")),
+            4,
+        ).alias("levene_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Randomization (approximate permutation) test (round 9)
+# ---------------------------------------------------------------------------
+_PERM_K = 200  # md5-seeded pseudo-permutations
+
+
+@register(
+    "agg_permutation_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    obs AS (
+      SELECT AVG(CASE WHEN is_a = 1 THEN value END)
+             - AVG(CASE WHEN is_a = 0 THEN value END) AS d,
+             SUM(is_a) AS n_a, COUNT(*) AS n
+      FROM base
+    ),
+    perms AS (
+      SELECT s.seed,
+             AVG(CASE WHEN CAST(concat('0x', substr(md5(CAST(b.event_id * {_PERM_K}
+                      + s.seed AS VARCHAR)), 1, 15)) AS BIGINT) % o.n < o.n_a
+                      THEN b.value END)
+             - AVG(CASE WHEN CAST(concat('0x', substr(md5(CAST(b.event_id * {_PERM_K}
+                      + s.seed AS VARCHAR)), 1, 15)) AS BIGINT) % o.n >= o.n_a
+                      THEN b.value END) AS d
+      FROM base b
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PERM_K - 1})) AS seed) s
+      CROSS JOIN obs o
+      GROUP BY s.seed
+    )
+    SELECT CAST((SELECT n FROM obs) AS BIGINT) AS n,
+           ROUND((SELECT d FROM obs), 4) AS observed_diff,
+           CAST(SUM(CASE WHEN ABS(p.d) >= ABS((SELECT d FROM obs))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           ROUND(SUM(CASE WHEN ABS(p.d) >= ABS((SELECT d FROM obs))
+                          THEN 1.0 ELSE 0.0 END) / {_PERM_K}, 4) AS p_value
+    FROM perms p
+    """,
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the click-vs-view mean-value difference:
+    {_PERM_K} md5-seeded pseudo-permutations reassign each row to group A
+    with the observed group-A share (Bernoulli relabeling — the standard
+    approximate permutation test; exact permutation needs a global
+    shuffle-sort per replicate), and the p-value is the share of
+    replicates whose |mean difference| reaches the observed one. The
+    distribution-free alternative to `agg_welch_ttest` when normality is
+    doubtful.
+
+    Scale: the replicate axis is a {_PERM_K}-element explode on top of one
+    linear pass — map-side partial aggregation collapses it to
+    O({_PERM_K}) rows before the only shuffle; no window, no sort, no
+    driver state. Determinism: the replicate assignment hashes
+    (event_id, seed) through md5 identically in both engines."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    base = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    obs = base.agg(
+        (
+            F.avg(F.when(F.col("is_a") == 1, F.col("value")))
+            - F.avg(F.when(F.col("is_a") == 0, F.col("value")))
+        ).alias("d_obs"),
+        F.sum("is_a").alias("n_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    seeds = spark.range(_PERM_K).select(F.col("id").cast("int").alias("seed"))
+    hashed = (
+        base.crossJoin(F.broadcast(seeds))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "seed",
+            "value",
+            "d_obs",
+            "n",
+            "n_a",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            (F.col("event_id") * _PERM_K + F.col("seed")).cast("string")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("h"),
+        )
+    )
+    perms = hashed.groupBy("seed").agg(
+        (
+            F.avg(F.when(F.col("h") < F.col("n_a"), F.col("value")))
+            - F.avg(F.when(F.col("h") >= F.col("n_a"), F.col("value")))
+        ).alias("d"),
+        F.first("d_obs").alias("d_obs"),
+        F.first("n").alias("n"),
+    )
+    return perms.agg(
+        F.first("n").cast("long").alias("n"),
+        F.round(F.first("d_obs"), 4).alias("observed_diff"),
+        F.sum(F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_extreme"),
+        F.round(
+            F.sum(
+                F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1.0).otherwise(0.0)
+            )
+            / _PERM_K,
+            4,
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pinball-loss evaluation for quantile forecasts (round 9)
+# ---------------------------------------------------------------------------
+_PIN_SPLIT_DAY = 21  # train on days < 21, evaluate on the rest
+
+
+@register(
+    "ml_quantile_pinball",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    fc AS (
+      SELECT event_type,
+             quantile_cont(v, 0.1) AS q10,
+             quantile_cont(v, 0.5) AS q50,
+             quantile_cont(v, 0.9) AS q90
+      FROM daily WHERE d < {_PIN_SPLIT_DAY} GROUP BY 1
+    ),
+    q AS (
+      SELECT event_type, CAST(0.1 AS DOUBLE) AS tau, q10 AS f FROM fc
+      UNION ALL SELECT event_type, CAST(0.5 AS DOUBLE), q50 FROM fc
+      UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE), q90 FROM fc
+    )
+    SELECT q.event_type, q.tau, ROUND(q.f, 4) AS forecast,
+           CAST(COUNT(*) AS BIGINT) AS n_test_days,
+           ROUND(AVG(CASE WHEN t.v >= q.f THEN q.tau * (t.v - q.f)
+                          ELSE (q.tau - 1) * (t.v - q.f) END), 4)
+             AS pinball_loss
+    FROM q JOIN daily t ON t.event_type = q.event_type
+    WHERE t.d >= {_PIN_SPLIT_DAY}
+    GROUP BY q.event_type, q.tau, q.f
+    """,
+)
+def ml_quantile_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss scoring of a naive per-type quantile
+    forecast: train-window exact quantiles of the daily value series
+    become the q10/q50/q90 forecasts, evaluated on the holdout days with
+    the asymmetric pinball loss — the scoring rule every probabilistic
+    forecaster (demand, capacity, SLO latency) is graded with; a proper
+    forecast has q50 loss below the tails and q10/q90 losses reflecting
+    the distribution's asymmetry (companion to `events_forecast_backtest`,
+    which scores POINT forecasts).
+
+    Scale: daily series partial-aggregates first (the only stage that
+    sees event volume); quantiles are exact percentiles over O(days)
+    rows per type; the eval join is O(types x 3) broadcast against
+    O(types x days). Interpolated quantiles match across engines on
+    identical doubles; losses ROUND(4)."""
+    daily = daily_value_series(spark, sf_dir)
+    fc = (
+        daily.filter(F.col("d") < _PIN_SPLIT_DAY)
+        .groupBy("event_type")
+        .agg(
+            F.percentile("v", F.lit(0.1)).alias("q10"),
+            F.percentile("v", F.lit(0.5)).alias("q50"),
+            F.percentile("v", F.lit(0.9)).alias("q90"),
+        )
+    )
+    q = (
+        fc.select("event_type", F.lit(0.1).alias("tau"), F.col("q10").alias("f"))
+        .unionByName(
+            fc.select("event_type", F.lit(0.5).alias("tau"), F.col("q50").alias("f"))
+        )
+        .unionByName(
+            fc.select("event_type", F.lit(0.9).alias("tau"), F.col("q90").alias("f"))
+        )
+    )
+    test = daily.filter(F.col("d") >= _PIN_SPLIT_DAY)
+    err = F.col("v") - F.col("f")
+    return (
+        test.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "tau", "f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_days"),
+            F.round(
+                F.avg(
+                    F.when(err >= 0, F.col("tau") * err).otherwise(
+                        (F.col("tau") - 1) * err
+                    )
+                ),
+                4,
+            ).alias("pinball_loss"),
+        )
+        .select(
+            "event_type",
+            "tau",
+            F.round("f", 4).alias("forecast"),
+            "n_test_days",
+            "pinball_loss",
+        )
+    )

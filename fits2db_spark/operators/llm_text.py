@@ -2609,3 +2609,66 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings / cluster-size metrology (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_dedup_cluster_stats",
+    oracle="""
+    WITH cl AS (
+      SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+             CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+             CAST(MIN(n_chars) AS BIGINT) AS bytes_kept
+      FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(bytes_total - bytes_kept) AS BIGINT) AS bytes_saved,
+           ROUND(SUM(bytes_total - bytes_kept) * 1.0
+                 / SUM(SUM(bytes_total)) OVER (), 6) AS savings_share
+    FROM cl GROUP BY sz
+    """,
+)
+def text_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup metrology BEFORE running the dedup: the exact-duplicate
+    cluster-size distribution and the byte savings each size class buys
+    (keep the min-length representative per cluster — same normalization
+    as `dedup_exact_text`). The curation-planning query: singleton share
+    says whether dedup is worth a pass at all, and the savings histogram
+    says whether near-dup machinery (`dedup_near_minhash`) should follow
+    the exact pass — this is how the pipeline's stages get budgeted.
+
+    Scale: one hash-groupBy on the normalized text (at 100 TB: on
+    ``sha2(norm)`` — see dedup_exact_text), then O(distinct sizes) rows
+    through the histogram and the single-row total; integer byte math
+    end-to-end except the final ROUND(6) share."""
+    d = load(spark, sf_dir, "documents")
+    cl = (
+        d.select(_norm_text(F.col("text")).alias("norm"), "n_chars")
+        .groupBy("norm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.sum("n_chars").cast("long").alias("bytes_total"),
+            F.min("n_chars").cast("long").alias("bytes_kept"),
+        )
+    )
+    hist = cl.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("bytes_total") - F.col("bytes_kept")).cast("long").alias("bytes_saved"),
+        F.sum("bytes_total").alias("_bt"),
+    )
+    tot = hist.agg(F.sum("_bt").alias("bt_all"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        "bytes_saved",
+        F.round(F.col("bytes_saved") * 1.0 / F.col("bt_all"), 6).alias("savings_share"),
+    )

@@ -909,3 +909,67 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_good", "n_corrupt", "key_sum")
     )
+
+
+@register(
+    "fits_vla_compressed",
+    oracle="""
+    SELECT c_nationkey AS n_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_keys,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def fits_vla_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length (P-descriptor) arrays inside a tile-compressed
+    BINTABLE -> DataFrame (round 9, closing the r8 verdict "compressed VLA"
+    gap): pack each nation's customer keys into one ragged VLA cell, write
+    the ZTABLE container (each VLA tile cell = descriptors || tile-local
+    heap, GZIP_1 — sources/fits_compress.py module docstring), read it back
+    through the same binaryFile + mapInArrow path, explode the arrays, and
+    re-aggregate. Lossless and deterministic (keys sorted per nation), so
+    the explode+agg reproduces the source grouping exactly — the archive
+    use case is fpacked catalogs whose per-row arrays (aperture fluxes,
+    epoch lists) survive compression untouched.
+
+    Scale: the decode is per-tile inside the Arrow batch task (bounded by
+    tile size); the explode+agg is one partial-aggregating groupBy."""
+    import duckdb
+
+    from ..sources.fits import read_fits
+    from ..sources.fits_compress import write_fits_bintable_compressed
+
+    def write(out_dir: str) -> None:
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT c_nationkey, list(c_custkey ORDER BY c_custkey) FROM "
+                f"read_parquet('{sf_dir}/customer.parquet') "
+                "GROUP BY c_nationkey ORDER BY c_nationkey"
+            )
+            .fetchall()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        blob = write_fits_bintable_compressed(
+            [
+                ("n_nationkey", "J", [r[0] for r in rows]),
+                ("custkeys", "PK", [r[1] for r in rows]),
+            ],
+            tile_len=7,  # forces multi-tile VLA heaps even at sf0.001
+            extname="VLACAT",
+        )
+        with open(os.path.join(out_dir, "vla_z.fits"), "wb") as f:
+            f.write(blob)
+
+    df = read_fits(spark, _scratch_dir(spark, sf_dir, "vla_zfits", write))
+    return (
+        df.select("n_nationkey", F.explode("custkeys").alias("ck"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("ck").cast("long").alias("sum_keys"),
+            F.max("ck").cast("long").alias("max_key"),
+        )
+    )

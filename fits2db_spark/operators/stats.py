@@ -5831,3 +5831,207 @@ def events_mix_entropy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h", 6).alias("mix_entropy_bits"),
         F.round(F.col("h2") - F.col("h1"), 6).alias("half_over_half_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation via Durbin-Levinson (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_pacf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, AVG(v) AS vbar FROM daily GROUP BY 1),
+    den AS (
+      SELECT d.event_type, SUM((d.v - m.vbar) * (d.v - m.vbar)) AS ss
+      FROM daily d JOIN m USING (event_type) GROUP BY 1
+    ),
+    num AS (
+      SELECT a.event_type, k.k,
+             SUM((a.v - m.vbar) * (b.v - m.vbar)) AS num
+      FROM daily a
+      JOIN m USING (event_type)
+      CROSS JOIN (VALUES (1), (2), (3)) AS k(k)
+      JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + k.k
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT n.event_type,
+             MAX(CASE WHEN n.k = 1 THEN n.num / den.ss END) AS r1,
+             MAX(CASE WHEN n.k = 2 THEN n.num / den.ss END) AS r2,
+             MAX(CASE WHEN n.k = 3 THEN n.num / den.ss END) AS r3
+      FROM num n JOIN den ON den.event_type = n.event_type
+      GROUP BY 1
+    )
+    SELECT event_type,
+           ROUND(r1, 6) AS r1, ROUND(r2, 6) AS r2, ROUND(r3, 6) AS r3,
+           ROUND(r1, 6) AS pacf1,
+           ROUND((r2 - r1 * r1) / (1 - r1 * r1), 6) AS pacf2,
+           ROUND((r3 - (r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1))) * r2
+                     - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1)
+                 / (1 - (r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1))) * r1
+                      - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2), 6) AS pacf3
+    FROM r
+    """,
+)
+def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily per-type revenue series at
+    lags 1-3 via the Durbin-Levinson recursion unrolled in closed form —
+    the AR-order identification tool (`events_acf` tails off under an AR
+    process; THIS cuts off after the true order p): pacf1 = r1, pacf2 =
+    (r2−r1²)/(1−r1²), pacf3 from the level-2 coefficients φ21 = r1(1−φ22).
+    Autocorrelations use the classical estimator (full-series mean and
+    denominator) rather than pairwise Pearson, the convention DL assumes.
+
+    Scale: one map-side daily aggregate sees the volume; the lag joins
+    align O(days) rows per type; the DL algebra runs on a one-row-per-type
+    frame. Identical arithmetic expressions on identically-rounded inputs
+    in both engines."""
+    daily = daily_value_series(spark, sf_dir, agg="sum")
+    m = daily.groupBy("event_type").agg(F.avg("v").alias("vbar"))
+    dm = daily.join(F.broadcast(m), "event_type")
+    den = dm.groupBy("event_type").agg(
+        F.sum((F.col("v") - F.col("vbar")) * (F.col("v") - F.col("vbar"))).alias("ss")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    )
+    a = dm.alias("a").crossJoin(F.broadcast(ks))
+    b = daily.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") == F.col("a.d") + F.col("k")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "k")
+        .agg(
+            F.sum(
+                (F.col("a.v") - F.col("a.vbar")) * (F.col("b.v") - F.col("a.vbar"))
+            ).alias("num")
+        )
+    )
+    r = (
+        num.join(F.broadcast(den), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("k") == 1, F.col("num") / F.col("ss"))).alias("r1"),
+            F.max(F.when(F.col("k") == 2, F.col("num") / F.col("ss"))).alias("r2"),
+            F.max(F.when(F.col("k") == 3, F.col("num") / F.col("ss"))).alias("r3"),
+        )
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 * (1 - phi22)
+    pacf3 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+    return r.select(
+        "event_type",
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(r3, 6).alias("r3"),
+        F.round(r1, 6).alias("pacf1"),
+        F.round(phi22, 6).alias("pacf2"),
+        F.round(pacf3, 6).alias("pacf3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generalized ESD outlier peeling (round 9)
+# ---------------------------------------------------------------------------
+_ESD_ROUNDS = 3
+
+
+def _esd_oracle() -> str:
+    parts = [
+        """
+    WITH daily1 AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1
+    )"""
+    ]
+    for k in range(1, _ESD_ROUNDS + 1):
+        parts.append(f"""
+    s{k} AS (SELECT AVG(v) AS m, stddev_samp(v) AS sd, COUNT(*) AS n
+             FROM daily{k}),
+    o{k} AS (
+      SELECT d, v, ROUND(ABS(v - s{k}.m) / s{k}.sd, 6) AS r, s{k}.n AS n
+      FROM daily{k} CROSS JOIN s{k}
+      ORDER BY ROUND(ABS(v - s{k}.m) / s{k}.sd, 6) DESC, d
+      LIMIT 1
+    ),
+    daily{k + 1} AS (
+      SELECT d, v FROM daily{k} WHERE d NOT IN (SELECT d FROM o{k})
+    )""")
+    selects = [
+        f"SELECT {k} AS round, d AS day, ROUND(v, 4) AS v, r AS r_stat, "
+        f"CAST(n AS BIGINT) AS n_remaining FROM o{k}"
+        for k in range(1, _ESD_ROUNDS + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("events_anomaly_esd", oracle=_esd_oracle())
+def events_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier peeling (Rosner 1983) on the all-types
+    daily revenue series: {_ESD_ROUNDS} statically-unrolled rounds each
+    recompute mean/stddev over the REMAINING days, emit the most extreme
+    studentized deviate R_k = max|v−m|/sd (tie-break: earliest day), and
+    peel it — the masking-resistant multi-outlier test that single-pass
+    z-scores (`anomaly_zscore`) fail when one extreme inflates the scale
+    estimate for the others. R_k is emitted raw; compare against the ESD
+    critical-value ladder for the chosen alpha downstream.
+
+    Scale: the only volume-touching stage is the daily partial aggregate;
+    each peel round is a 1-row stats reduce + TakeOrdered(1) + anti-join
+    over O(days) rows. Determinism: deviates ROUND(6) before the argmax
+    ordering so both engines peel the same day."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    outs = []
+    cur = daily
+    for k in range(1, _ESD_ROUNDS + 1):
+        st = cur.agg(
+            F.avg("v").alias("m"),
+            F.stddev_samp("v").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        o = (
+            cur.crossJoin(F.broadcast(st))
+            .select(
+                "d",
+                "v",
+                F.round(F.abs(F.col("v") - F.col("m")) / F.col("sd"), 6).alias("r"),
+                "n",
+            )
+            .orderBy(F.col("r").desc(), "d")
+            .limit(1)
+            .localCheckpoint(eager=True)  # consumed twice: output + anti-join
+        )
+        outs.append(
+            o.select(
+                F.lit(k).alias("round"),
+                F.col("d").alias("day"),
+                F.round("v", 4).alias("v"),
+                F.col("r").alias("r_stat"),
+                F.col("n").cast("long").alias("n_remaining"),
+            )
+        )
+        cur = cur.join(o.select("d"), "d", "left_anti")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -933,3 +933,99 @@ def warehouse_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("val", F.lit(0.50)), 4).alias("p50"),
         F.round(F.percentile("val", F.lit(0.75)), 4).alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable column statistics (round 9)
+# ---------------------------------------------------------------------------
+_MS_BUCKETS = 16
+
+
+@register(
+    "warehouse_mergeable_stats",
+    oracle=f"""
+    WITH part AS (
+      SELECT l_orderkey % {_MS_BUCKETS} AS b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(l_extendedprice) AS s,
+             SUM(l_extendedprice * l_extendedprice) AS ss,
+             MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem GROUP BY 1
+    ),
+    merged AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             SUM(s) / SUM(n) AS mean,
+             (SUM(ss) - SUM(s) * SUM(s) / SUM(n)) / (SUM(n) - 1) AS var,
+             MIN(mn) AS mn, MAX(mx) AS mx
+      FROM part
+    ),
+    direct AS (
+      SELECT SUM(l_extendedprice) / COUNT(*) AS mean,
+             (SUM(l_extendedprice * l_extendedprice)
+              - SUM(l_extendedprice) * SUM(l_extendedprice) / COUNT(*))
+             / (COUNT(*) - 1) AS var
+      FROM lineitem
+    )
+    SELECT m.n_buckets, m.n_rows,
+           ROUND(m.mean, 4) AS mean_merged,
+           ROUND(m.var, 2) AS var_merged,
+           ROUND(m.mn, 2) AS min_price, ROUND(m.mx, 2) AS max_price,
+           ROUND(ABS(m.mean - d.mean), 4) AS mean_merge_err,
+           ROUND(ABS(m.var - d.var) / d.var, 6) AS var_merge_relerr
+    FROM merged m CROSS JOIN direct d
+    """,
+)
+def warehouse_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table statistics WITHOUT a rescan: per-bucket partial moments
+    (n, Σx, Σx², min, max — the footer-stats every file already carries)
+    merged into exact table-level mean/variance via the pooled identities,
+    checked in the same row against a direct single-pass computation. The
+    lakehouse pattern: ANALYZE-grade stats maintained incrementally from
+    per-file partials as files land — cost O(files) per refresh, never a
+    table scan — because power sums, unlike variance, are associative.
+
+    The fixture buckets on ``l_orderkey % {_MS_BUCKETS}`` to simulate the
+    file boundaries. Merge error columns land at 0.0 after rounding —
+    the identities are exact; only float fold order separates the paths.
+    Scale: one partial-aggregating groupBy to {_MS_BUCKETS} rows, one
+    {_MS_BUCKETS}-row reduce."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    part = li.groupBy((F.col("l_orderkey") % _MS_BUCKETS).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("ss"),
+        F.min(x).alias("mn"),
+        F.max(x).alias("mx"),
+    )
+    merged = part.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_rows"),
+        (F.sum("s") / F.sum("n")).alias("mean"),
+        (
+            (F.sum("ss") - F.sum("s") * F.sum("s") / F.sum("n"))
+            / (F.sum("n") - 1)
+        ).alias("var"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    direct = li.agg(
+        (F.sum(x) / F.count(F.lit(1))).alias("d_mean"),
+        (
+            (F.sum(x * x) - F.sum(x) * F.sum(x) / F.count(F.lit(1)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("d_var"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "n_buckets",
+        "n_rows",
+        F.round("mean", 4).alias("mean_merged"),
+        F.round("var", 2).alias("var_merged"),
+        F.round("mn", 2).alias("min_price"),
+        F.round("mx", 2).alias("max_price"),
+        F.round(F.abs(F.col("mean") - F.col("d_mean")), 4).alias("mean_merge_err"),
+        F.round(F.abs(F.col("var") - F.col("d_var")) / F.col("d_var"), 6).alias(
+            "var_merge_relerr"
+        ),
+    )

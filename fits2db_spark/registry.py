@@ -173,6 +173,15 @@ _PRIORITY_QUERIES = (
     "decimal_roundtrip",
     "agg_decimal_revenue",
     "win_decimal_balance",
+    "fits_vla_compressed",
+    "agg_levene_test",
+    "agg_permutation_test",
+    "ml_quantile_pinball",
+    "events_pacf",
+    "events_anomaly_esd",
+    "graph_degree_powerlaw",
+    "text_dedup_cluster_stats",
+    "warehouse_mergeable_stats",
     # (c) green-rotation backlog: stalest driver round first (r01 ... r08)
     # -- last driver row: round 1
     "add_rowid",
