@@ -4744,3 +4744,226 @@ def ml_quantile_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pinball_loss",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator (round 9)
+# ---------------------------------------------------------------------------
+_DID_POST_DAY = 15
+_DID_LIFT = 1.10
+
+
+@register(
+    "ml_did_estimator",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS treat,
+             CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       >= {_DID_POST_DAY} THEN 1 ELSE 0 END AS post,
+             value
+      FROM events
+    ),
+    sc AS (
+      SELECT 'null' AS scenario, treat, post, value AS v FROM base
+      UNION ALL
+      SELECT 'lift', treat, post,
+             CASE WHEN treat = 1 AND post = 1 THEN value * {_DID_LIFT}
+                  ELSE value END
+      FROM base
+    ),
+    cells AS (
+      SELECT scenario, treat, post, AVG(v) AS m, CAST(COUNT(*) AS BIGINT) AS n
+      FROM sc GROUP BY 1, 2, 3
+    )
+    SELECT scenario,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(MAX(CASE WHEN treat = 0 AND post = 0 THEN m END), 4)
+             AS mean_ctrl_pre,
+           ROUND(MAX(CASE WHEN treat = 0 AND post = 1 THEN m END), 4)
+             AS mean_ctrl_post,
+           ROUND(MAX(CASE WHEN treat = 1 AND post = 0 THEN m END), 4)
+             AS mean_treat_pre,
+           ROUND(MAX(CASE WHEN treat = 1 AND post = 1 THEN m END), 4)
+             AS mean_treat_post,
+           ROUND((MAX(CASE WHEN treat = 1 AND post = 1 THEN m END)
+                  - MAX(CASE WHEN treat = 1 AND post = 0 THEN m END))
+                 - (MAX(CASE WHEN treat = 0 AND post = 1 THEN m END)
+                    - MAX(CASE WHEN treat = 0 AND post = 0 THEN m END)), 4)
+             AS did
+    FROM cells GROUP BY scenario
+    """,
+)
+def ml_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treatment assigned by user-id hash,
+    post period from day {_DID_POST_DAY}, estimate = (treat post−pre) −
+    (control post−pre) — the parallel-trends causal workhorse when
+    randomized assignment isn't available. Two scenarios share one pass:
+    'null' (no effect injected; DiD ≈ 0, the placebo check) and 'lift'
+    (a deterministic {_DID_LIFT}x multiplier on treated-post rows; DiD
+    recovers the implied absolute lift) — both branches of the decision
+    are live at the driver tier, the `ml_proportion_ztest` convention.
+
+    Scale: one linear pass fans out to the 2-scenario union, collapses
+    map-side to 8 (scenario, treat, post) cells, then a 2-row pivot
+    reduce. Assignment hashes user_id through md5 identically in both
+    engines; all means ROUND(4)."""
+    ev = load(spark, sf_dir, "events")
+    treat = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    ).alias("treat")
+    post = (
+        F.when(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            >= _DID_POST_DAY,
+            1,
+        )
+        .otherwise(0)
+        .alias("post")
+    )
+    base = ev.select(treat, post, "value")
+    sc = base.select(
+        F.lit("null").alias("scenario"), "treat", "post", F.col("value").alias("v")
+    ).unionByName(
+        base.select(
+            F.lit("lift").alias("scenario"),
+            "treat",
+            "post",
+            F.when(
+                (F.col("treat") == 1) & (F.col("post") == 1),
+                F.col("value") * _DID_LIFT,
+            )
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+    )
+    cells = sc.groupBy("scenario", "treat", "post").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+    def cell(t: int, p: int):
+        return F.max(F.when((F.col("treat") == t) & (F.col("post") == p), F.col("m")))
+
+    return cells.groupBy("scenario").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(cell(0, 0), 4).alias("mean_ctrl_pre"),
+        F.round(cell(0, 1), 4).alias("mean_ctrl_post"),
+        F.round(cell(1, 0), 4).alias("mean_treat_pre"),
+        F.round(cell(1, 1), 4).alias("mean_treat_post"),
+        F.round((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 4).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity (local linear, sharp design) (round 9)
+# ---------------------------------------------------------------------------
+_RD_CUTOFF = 250_000.0  # running variable: o_totalprice
+_RD_BW = 100_000.0      # local-linear bandwidth each side
+_RD_JUMP = 2.0          # injected effect for the constructed scenario
+
+
+@register(
+    "ml_regression_discontinuity",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    base AS (
+      SELECT (o.o_totalprice - {_RD_CUTOFF}) AS x,
+             CASE WHEN o.o_totalprice >= {_RD_CUTOFF} THEN 1 ELSE 0 END AS rt,
+             li.y
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice >= {_RD_CUTOFF} - {_RD_BW}
+        AND o.o_totalprice < {_RD_CUTOFF} + {_RD_BW}
+    ),
+    sc AS (
+      SELECT 'null' AS scenario, x, rt, y FROM base
+      UNION ALL
+      SELECT 'jump', x, rt,
+             y + CASE WHEN rt = 1 THEN {_RD_JUMP} ELSE 0 END
+      FROM base
+    ),
+    fit AS (
+      SELECT scenario, rt, CAST(COUNT(*) AS BIGINT) AS n,
+             (SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+             / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) AS slope,
+             SUM(y) / COUNT(*) AS ybar, SUM(x) / COUNT(*) AS xbar
+      FROM sc GROUP BY 1, 2
+    ),
+    ic AS (
+      SELECT scenario, rt, n, slope, ybar - slope * xbar AS icpt FROM fit
+    )
+    SELECT scenario,
+           CAST(MAX(CASE WHEN rt = 0 THEN n END) AS BIGINT) AS n_left,
+           CAST(MAX(CASE WHEN rt = 1 THEN n END) AS BIGINT) AS n_right,
+           ROUND(MAX(CASE WHEN rt = 0 THEN icpt END), 4) AS limit_left,
+           ROUND(MAX(CASE WHEN rt = 1 THEN icpt END), 4) AS limit_right,
+           ROUND(MAX(CASE WHEN rt = 1 THEN icpt END)
+                 - MAX(CASE WHEN rt = 0 THEN icpt END), 4) AS rd_effect
+    FROM ic GROUP BY scenario
+    """,
+)
+def ml_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at o_totalprice = {_RD_CUTOFF:,.0f}:
+    local linear fits on each side of the cutoff (bandwidth
+    {_RD_BW:,.0f}), effect = right-limit − left-limit of the fitted
+    conditional mean — the quasi-experimental design for threshold rules
+    (free shipping over X, credit over a score). Outcome: lineitems per
+    order. Two scenarios share the pass: 'null' (no true jump; the
+    placebo) and 'jump' (deterministic +{_RD_JUMP} on the right side;
+    the estimator must recover it exactly since the injected effect is
+    constant) — both decision branches live at the driver tier.
+
+    Scale: one fact-side count aggregate, a bandwidth filter that pushes
+    into the orders scan, a 4-cell moment aggregate; the OLS algebra runs
+    on 4 rows. Identical closed-form expressions in both engines."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= _RD_CUTOFF - _RD_BW)
+        & (F.col("o_totalprice") < _RD_CUTOFF + _RD_BW)
+    )
+    base = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_totalprice") - _RD_CUTOFF).alias("x"),
+        F.when(F.col("o_totalprice") >= _RD_CUTOFF, 1).otherwise(0).alias("rt"),
+        "y",
+    )
+    sc = base.select(
+        F.lit("null").alias("scenario"), "x", "rt", "y"
+    ).unionByName(
+        base.select(
+            F.lit("jump").alias("scenario"),
+            "x",
+            "rt",
+            (F.col("y") + F.when(F.col("rt") == 1, _RD_JUMP).otherwise(0.0)).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    fit = sc.groupBy("scenario", "rt").agg(
+        n.cast("long").alias("n"),
+        (
+            (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / n)
+            / (F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / n)
+        ).alias("slope"),
+        (F.sum("y") / n).alias("ybar"),
+        (F.sum("x") / n).alias("xbar"),
+    )
+    ic = fit.select(
+        "scenario", "rt", "n",
+        (F.col("ybar") - F.col("slope") * F.col("xbar")).alias("icpt"),
+    )
+    left = F.max(F.when(F.col("rt") == 0, F.col("icpt")))
+    right = F.max(F.when(F.col("rt") == 1, F.col("icpt")))
+    return ic.groupBy("scenario").agg(
+        F.max(F.when(F.col("rt") == 0, F.col("n"))).cast("long").alias("n_left"),
+        F.max(F.when(F.col("rt") == 1, F.col("n"))).cast("long").alias("n_right"),
+        F.round(left, 4).alias("limit_left"),
+        F.round(right, 4).alias("limit_right"),
+        F.round(right - left, 4).alias("rd_effect"),
+    )

@@ -2672,3 +2672,126 @@ def text_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bytes_saved",
         F.round(F.col("bytes_saved") * 1.0 / F.col("bt_all"), 6).alias("savings_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L between neighboring docs (round 9)
+# ---------------------------------------------------------------------------
+_RL_TOK = 30  # token cap per side (bounds the LCS DP at 30x30)
+
+
+@register(
+    "text_rouge_l",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ')[1:{_RL_TOK}] AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, source, t,
+             LEAD(doc_id) OVER w AS nxt_id,
+             LEAD(t) OVER w AS t2
+      FROM toks
+      WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    ),
+    dp AS (
+      SELECT doc_id, nxt_id, source,
+             CAST(len(t) AS BIGINT) AS len_a, CAST(len(t2) AS BIGINT) AS len_b,
+             list_reduce(
+               list_prepend(
+                 list_transform(generate_series(0, len(t2)), j -> 0),
+                 list_transform(generate_series(1, len(t)), i -> [i])
+               ),
+               (prev, ib) -> list_reduce(
+                 list_prepend([0],
+                   list_transform(generate_series(1, len(t2)), j -> [j])),
+                 (rowacc, jb) -> list_append(rowacc,
+                    CASE WHEN t[ib[1]] = t2[jb[1]]
+                         THEN prev[jb[1]] + 1
+                         ELSE greatest(prev[jb[1] + 1], rowacc[jb[1]]) END)
+               )
+             )[len(t2) + 1] AS lcs
+      FROM pairs WHERE nxt_id IS NOT NULL AND len(t) > 0 AND len(t2) > 0
+    )
+    SELECT doc_id, nxt_id, source, len_a, len_b,
+           CAST(lcs AS BIGINT) AS lcs,
+           ROUND(CASE WHEN lcs = 0 THEN 0.0
+                      ELSE 2.0 * (lcs * 1.0 / len_b) * (lcs * 1.0 / len_a)
+                           / ((lcs * 1.0 / len_b) + (lcs * 1.0 / len_a)) END, 6)
+             AS rouge_l_f
+    FROM dp
+    """,
+)
+def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (longest-common-subsequence F-measure, Lin 2004) between
+    each document and its doc-id successor within the same source — the
+    summarization/near-dup similarity that n-gram Jaccard misses when
+    tokens match in ORDER but not contiguously. Token streams cap at
+    {_RL_TOK} per side, bounding the LCS DP at {_RL_TOK}x{_RL_TOK} per
+    pair; the full DP runs as two nested sequential array folds with an
+    identical op sequence in both engines (the `events_dtw_distance`
+    machinery on integer state — exact, no float concerns).
+
+    Scale: pairing is one LEAD window per source (no self-join); the DP
+    is in-row compute, embarrassingly parallel, O({_RL_TOK}²) integers
+    per pair. At 100 TB the same shape scores ANY candidate pair list —
+    swap the window pairing for the LSH candidate join."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.slice(F.split(_norm_text(F.col("text")), " "), 1, _RL_TOK).alias("t"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = toks.select(
+        "doc_id",
+        "source",
+        "t",
+        F.lead("doc_id").over(w).alias("nxt_id"),
+        F.lead("t").over(w).alias("t2"),
+    ).filter(F.col("nxt_id").isNotNull() & (F.size("t") > 0) & (F.size("t2") > 0))
+
+    def dp_row(prev, ib):
+        # ib is a 1-element boxed index array (mirrors the DuckDB fold,
+        # whose accumulator and element types must match)
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size("t2")),
+            F.array(F.lit(0)),
+            lambda rowacc, j: F.concat(
+                rowacc,
+                F.array(
+                    F.when(
+                        F.element_at(F.col("t"), F.element_at(ib, 1))
+                        == F.element_at(F.col("t2"), j),
+                        F.element_at(prev, j) + 1,
+                    ).otherwise(
+                        F.greatest(
+                            F.element_at(prev, j + 1), F.element_at(rowacc, j)
+                        )
+                    )
+                ),
+            ),
+        )
+
+    init = F.transform(
+        F.sequence(F.lit(0), F.size("t2")), lambda j: F.lit(0)
+    )
+    boxed = F.transform(F.sequence(F.lit(1), F.size("t")), lambda i: F.array(i))
+    lcs = F.element_at(F.aggregate(boxed, init, dp_row), F.size("t2") + 1)
+    scored = pairs.select(
+        "doc_id",
+        "nxt_id",
+        "source",
+        F.size("t").cast("long").alias("len_a"),
+        F.size("t2").cast("long").alias("len_b"),
+        lcs.cast("long").alias("lcs"),
+    )
+    p, r = F.col("lcs") / F.col("len_b"), F.col("lcs") / F.col("len_a")
+    return scored.withColumn(
+        "rouge_l_f",
+        F.round(
+            F.when(F.col("lcs") == 0, F.lit(0.0)).otherwise(2.0 * p * r / (p + r)), 6
+        ),
+    )

@@ -2309,3 +2309,72 @@ def vec_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maha_sq").desc(), "vec_id")
         .limit(_OUT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distance-concentration diagnostic (round 9)
+# ---------------------------------------------------------------------------
+_DC_STRIDE = 17  # deterministic pair stride (coprime to fixture sizes)
+
+
+@register(
+    "vec_dim_concentration",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    pairs AS (
+      SELECT sqrt(list_sum(list_transform(generate_series(1, {{d}}),
+               i -> (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE))
+                    * (CAST(a.embedding[i] AS DOUBLE)
+                       - CAST(b.embedding[i] AS DOUBLE))))) AS dist
+      FROM embeddings a
+      JOIN n ON TRUE
+      JOIN embeddings b ON b.vec_id = (a.vec_id + {_DC_STRIDE}) % n.n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(dist), 6) AS mean_dist,
+           ROUND(stddev_samp(dist), 6) AS sd_dist,
+           ROUND(stddev_samp(dist) / AVG(dist), 6) AS concentration_ratio,
+           ROUND((MAX(dist) - MIN(dist)) / MIN(dist), 6) AS relative_contrast
+    FROM pairs
+    """.replace("{d}", "{_DIM}").format(_DIM=_DIM),
+)
+def vec_dim_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-concentration diagnostic (the curse-of-dimensionality
+    screen): over a deterministic stride-{_DC_STRIDE} pairing of the
+    corpus, the coefficient of variation of pairwise Euclidean distance
+    and the relative contrast (max−min)/min — as dimension grows these
+    collapse toward 0 and nearest-neighbor search loses meaning
+    (Beyer 1999). Run this BEFORE trusting any ANN index choice; healthy
+    embeddings keep contrast well above 0 (`vec_hubness` is the
+    complementary pathology screen on the neighbor graph).
+
+    Scale: exactly N pairs via an integer-keyed self-join (never the N²
+    pair set a naive sample would shuffle) — linear in corpus size, and
+    the stride join is key-aligned under any hash layout. Distances in
+    explicit double math, identical element order in both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    n_tot = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = e.alias("a").crossJoin(F.broadcast(n_tot))
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    ).alias("b")
+    diff_sq = F.zip_with(
+        F.col("a.embedding"),
+        F.col("b_emb"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
+    pairs = a.join(
+        b, F.col("b_id") == (F.col("a.vec_id") + _DC_STRIDE) % F.col("n")
+    ).select(dist.alias("dist"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("dist"), 6).alias("mean_dist"),
+        F.round(F.stddev_samp("dist"), 6).alias("sd_dist"),
+        F.round(F.stddev_samp("dist") / F.avg("dist"), 6).alias("concentration_ratio"),
+        F.round((F.max("dist") - F.min("dist")) / F.min("dist"), 6).alias(
+            "relative_contrast"
+        ),
+    )

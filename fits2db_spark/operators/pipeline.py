@@ -2373,3 +2373,81 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_last") / F.col("t7_avg") < _FRESH_PARTIAL).alias("is_partial"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (round 9)
+# ---------------------------------------------------------------------------
+_RI_EDGES = (
+    # (child table, child col, parent table, parent col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    # deliberately unconstrained edge: events.user_id never promised to be
+    # a customer key — the live "orphans found" branch of the audit
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _ri_oracle() -> str:
+    legs = [
+        f"""
+    SELECT '{ct}.{cc}' AS fk_edge, '{pt}.{pc}' AS parent,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN p.{pc} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           ROUND(SUM(CASE WHEN p.{pc} IS NULL THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS orphan_share
+    FROM {ct} c LEFT JOIN (SELECT DISTINCT {pc} FROM {pt}) p
+      ON p.{pc} = c.{cc}"""
+        for ct, cc, pt, pc in _RI_EDGES
+    ]
+    return "\n    UNION ALL".join(legs)
+
+
+@register("dq_referential_integrity", oracle=_ri_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the whole star schema in one
+    result: for every declared FK edge, the child row count, orphan count
+    (child keys with no parent), and orphan share — the constraint check
+    a lakehouse runs after every load because parquet enforces nothing.
+    The six TPC-H edges hold by construction (0 orphans); the seventh
+    (events.user_id -> customer) is deliberately unconstrained, so the
+    "violations found" branch is live at the driver tier, not just in a
+    unit test.
+
+    Scale: each leg is one LEFT join of the child against the DISTINCT
+    parent keys (a broadcast for dimension parents; key-aligned shuffle
+    for fact-fact) + a count — no row data moves, only keys. The legs are
+    independent and union lazily, so Catalyst schedules them as parallel
+    subtrees of one job."""
+    out = None
+    for ct, cc, pt, pc in _RI_EDGES:
+        child = load(spark, sf_dir, ct)
+        parent = load(spark, sf_dir, pt).select(pc).distinct()
+        leg = (
+            child.join(parent, child[cc] == parent[pc], "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+                F.sum(F.when(F.col(pc).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+                F.round(
+                    F.sum(F.when(F.col(pc).isNull(), 1.0).otherwise(0.0))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("orphan_share"),
+            )
+            .select(
+                F.lit(f"{ct}.{cc}").alias("fk_edge"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                "n_child_rows",
+                "n_orphans",
+                "orphan_share",
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -6035,3 +6035,188 @@ def events_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal strength (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    dow AS (
+      SELECT event_type, d % 7 AS dow, AVG(v) AS s
+      FROM daily GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT daily.event_type, daily.v, daily.v - dow.s AS r
+      FROM daily JOIN dow
+        ON dow.event_type = daily.event_type AND dow.dow = daily.d % 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(var_samp(v), 4) AS var_total,
+           ROUND(var_samp(r), 4) AS var_remainder,
+           ROUND(GREATEST(0.0, 1.0 - var_samp(r) / var_samp(v)), 6)
+             AS seasonal_strength
+    FROM j GROUP BY event_type
+    """,
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal strength per event type: fit the DOW-means
+    model to the daily series and report Fs = max(0, 1 − Var(remainder)/
+    Var(series)) — the R² of the weekly-seasonal component, the
+    STL-decomposition "strength of seasonality" statistic in its ANOVA
+    form. The triage number that decides whether downstream models
+    (forecast_backtest, anomaly_seasonal) should bother with a weekly
+    term; `events_seasonality` reports the per-DOW profile itself, THIS
+    reduces it to one comparable scalar per series.
+
+    Scale: daily partial agg (the volume stage) -> 7-row DOW means per
+    type -> one join back on integer (type, dow) keys -> per-type
+    variance reduce. var_samp on identical doubles in both engines."""
+    daily = daily_value_series(spark, sf_dir, agg="sum").alias("a")
+    dow = (
+        daily_value_series(spark, sf_dir, agg="sum")
+        .groupBy(F.col("event_type").alias("et"), (F.col("d") % 7).alias("dow"))
+        .agg(F.avg("v").alias("s"))
+    )
+    j = daily.join(
+        F.broadcast(dow),
+        (F.col("et") == F.col("a.event_type")) & (F.col("dow") == F.col("a.d") % 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        "v",
+        (F.col("v") - F.col("s")).alias("r"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.var_samp("v"), 4).alias("var_total"),
+        F.round(F.var_samp("r"), 4).alias("var_remainder"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.var_samp("r") / F.var_samp("v")), 6
+        ).alias("seasonal_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast (round 9)
+# ---------------------------------------------------------------------------
+_CR_ALPHA = 0.2
+_CR_USER_MOD = 7  # sparsify: only users with user_id % 7 = 0 demand
+
+
+@register(
+    "events_croston",
+    oracle=f"""
+    WITH demand AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS y
+      FROM events WHERE user_id % {_CR_USER_MOD} = 0
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, d, y,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m,
+             d - LAG(d) OVER w AS gap
+      FROM demand
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    ses AS (
+      SELECT event_type, MAX(m) AS m,
+             SUM(CASE WHEN rn = 1 THEN pow(1 - {_CR_ALPHA}, m - 1) * y
+                      ELSE {_CR_ALPHA} * pow(1 - {_CR_ALPHA}, m - rn) * y
+                 END) AS s_size,
+             SUM(CASE WHEN rn = 2 THEN pow(1 - {_CR_ALPHA}, m - 2) * gap
+                      WHEN rn > 2 THEN
+                        {_CR_ALPHA} * pow(1 - {_CR_ALPHA}, m - rn) * gap
+                 END) AS s_int,
+             AVG(gap) AS mean_gap
+      FROM seq GROUP BY event_type
+    )
+    SELECT event_type, CAST(m AS BIGINT) AS n_demand_days,
+           ROUND(mean_gap, 4) AS mean_interval,
+           ROUND(s_size, 4) AS ses_size,
+           ROUND(s_int, 4) AS ses_interval,
+           ROUND(s_size / s_int, 4) AS croston_forecast,
+           ROUND((1 - {_CR_ALPHA} / 2) * s_size / s_int, 4) AS sba_forecast
+    FROM ses
+    """,
+)
+def events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) for intermittent demand, per event type:
+    separate exponential smoothing of nonzero demand SIZES and of the
+    INTERVALS between demand days (alpha={_CR_ALPHA}), forecast =
+    size/interval, plus the Syntetos-Boylan bias correction (x(1−α/2)) —
+    the spare-parts/slow-mover forecaster where Holt/EWMA on the raw
+    (mostly-zero) series systematically lags. Demand is sparsified to the
+    user_id % {_CR_USER_MOD} = 0 cohort so the interval process is
+    non-trivial at fixture scale.
+
+    The SES recursions are evaluated in closed form — weight
+    α(1−α)^(m−i) per observation, (1−α)^(m−1) for the first — so no
+    sequential state crosses rows: one daily partial agg (the volume
+    stage), one O(days)-row window pass for rank/gap, one weighted-sum
+    reduce per type. pow on identical integer exponents matches across
+    engines; ROUND(4)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id") % _CR_USER_MOD == 0
+    )
+    demand = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(F.sum("value").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    wc = Window.partitionBy("event_type")
+    seq = demand.select(
+        "event_type",
+        "d",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+        (F.col("d") - F.lag("d").over(w)).alias("gap"),
+    )
+    al = _CR_ALPHA
+    ses = seq.groupBy("event_type").agg(
+        F.max("m").alias("m"),
+        F.sum(
+            F.when(
+                F.col("rn") == 1,
+                F.pow(F.lit(1 - al), F.col("m") - 1) * F.col("y"),
+            ).otherwise(
+                F.lit(al) * F.pow(F.lit(1 - al), F.col("m") - F.col("rn")) * F.col("y")
+            )
+        ).alias("s_size"),
+        F.sum(
+            F.when(
+                F.col("rn") == 2,
+                F.pow(F.lit(1 - al), F.col("m") - 2) * F.col("gap"),
+            ).when(
+                F.col("rn") > 2,
+                F.lit(al) * F.pow(F.lit(1 - al), F.col("m") - F.col("rn")) * F.col("gap"),
+            )
+        ).alias("s_int"),
+        F.avg("gap").alias("mean_gap"),
+    )
+    return ses.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_demand_days"),
+        F.round("mean_gap", 4).alias("mean_interval"),
+        F.round("s_size", 4).alias("ses_size"),
+        F.round("s_int", 4).alias("ses_interval"),
+        F.round(F.col("s_size") / F.col("s_int"), 4).alias("croston_forecast"),
+        F.round(F.lit(1 - al / 2) * F.col("s_size") / F.col("s_int"), 4).alias(
+            "sba_forecast"
+        ),
+    )

@@ -182,6 +182,13 @@ _PRIORITY_QUERIES = (
     "graph_degree_powerlaw",
     "text_dedup_cluster_stats",
     "warehouse_mergeable_stats",
+    "dq_referential_integrity",
+    "events_seasonal_strength",
+    "ml_did_estimator",
+    "ml_regression_discontinuity",
+    "vec_dim_concentration",
+    "text_rouge_l",
+    "events_croston",
     # (c) green-rotation backlog: stalest driver round first (r01 ... r08)
     # -- last driver row: round 1
     "add_rowid",
