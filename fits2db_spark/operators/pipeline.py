@@ -2386,9 +2386,10 @@ _RI_EDGES = (
     ("orders", "o_custkey", "customer", "c_custkey"),
     ("customer", "c_nationkey", "nation", "n_nationkey"),
     ("nation", "n_regionkey", "region", "r_regionkey"),
-    # deliberately unconstrained edge: events.user_id never promised to be
-    # a customer key — the live "orphans found" branch of the audit
-    ("events", "user_id", "customer", "c_custkey"),
+    # deliberately MIS-DECLARED edge: supplier.s_nationkey against region
+    # keys (0-4) orphans every nation key >= 5 by construction — the live
+    # "violations found" branch of the audit at every scale factor
+    ("supplier", "s_nationkey", "region", "r_regionkey"),
 )
 
 
@@ -2415,7 +2416,8 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (child keys with no parent), and orphan share — the constraint check
     a lakehouse runs after every load because parquet enforces nothing.
     The six TPC-H edges hold by construction (0 orphans); the seventh
-    (events.user_id -> customer) is deliberately unconstrained, so the
+    (supplier.s_nationkey checked against REGION keys, a deliberately
+    mis-declared constraint) orphans every nation key >= 5, so the
     "violations found" branch is live at the driver tier, not just in a
     unit test.
 
