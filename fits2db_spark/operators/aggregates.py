@@ -1063,3 +1063,136 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive-rate metrology (round 9)
+# ---------------------------------------------------------------------------
+_BF_BITS = 16384
+_BF_HASHES = 4
+_BF_PROBE_OFFSET = 1_000_000_000  # probe keys guaranteed disjoint from members
+
+
+@register(
+    "agg_bloom_fpp",
+    oracle=f"""
+    WITH members AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+    bits AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(m.key * {_BF_HASHES}
+                 + h.h AS VARCHAR)), 1, 15)) AS BIGINT) % {_BF_BITS} AS pos
+      FROM members m
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BF_HASHES - 1})) AS h) h
+    ),
+    probes AS (
+      SELECT key + {_BF_PROBE_OFFSET} AS pkey FROM members
+    ),
+    ppos AS (
+      SELECT p.pkey, CAST(concat('0x', substr(md5(CAST(p.pkey * {_BF_HASHES}
+                 + h.h AS VARCHAR)), 1, 15)) AS BIGINT) % {_BF_BITS} AS pos
+      FROM probes p
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BF_HASHES - 1})) AS h) h
+    ),
+    hits AS (
+      SELECT pkey, CAST(COUNT(DISTINCT CASE WHEN b.pos IS NOT NULL
+                                            THEN pp.pos END) AS BIGINT) AS nhit,
+             CAST(COUNT(DISTINCT pp.pos) AS BIGINT) AS npos
+      FROM ppos pp LEFT JOIN bits b ON b.pos = pp.pos
+      GROUP BY pkey
+    ),
+    agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+             CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+             CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(SUM(CASE WHEN nhit = npos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos
+      FROM hits
+    )
+    SELECT n_members, n_bits_set, n_probes, n_false_pos,
+           ROUND(n_false_pos * 1.0 / n_probes, 6) AS measured_fpp,
+           ROUND(pow(1.0 - exp(-{_BF_HASHES}.0 * n_members / {_BF_BITS}),
+                     {_BF_HASHES}), 6) AS theoretical_fpp
+    FROM agg
+    """,
+)
+def agg_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter metrology: build an m={_BF_BITS}-bit, k={_BF_HASHES}-
+    hash filter over the order keys as a RELATION of set bit positions,
+    probe it with an equal-sized disjoint key set, and report the
+    measured false-positive rate next to the textbook
+    (1−e^(−kn/m))^k prediction — the sizing check run before shipping a
+    bloom-pruned join (`join_bloom_filter` is the consumer; this is the
+    calibration). A probe is a false positive iff ALL k of its positions
+    are set.
+
+    Scale: positions explode k-fold then collapse DISTINCT (the bitmap
+    relation is at most m rows regardless of input); the probe check is
+    one LEFT join on the integer position + a per-probe count — linear,
+    and at 100 TB the m-row bit set broadcasts. md5 position streams are
+    engine-identical."""
+    members = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    ).distinct()
+    hs = spark.range(_BF_HASHES).select(F.col("id").cast("long").alias("h"))
+
+    def positions(keycol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5((keycol * _BF_HASHES + F.col("h")).cast("string")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BF_BITS
+        )
+
+    bits = (
+        members.crossJoin(F.broadcast(hs))
+        .select(positions(F.col("key")).alias("pos"))
+        .distinct()
+    )
+    ppos = (
+        members.select((F.col("key") + _BF_PROBE_OFFSET).alias("pkey"))
+        .crossJoin(F.broadcast(hs))
+        .select("pkey", positions(F.col("pkey")).alias("pos"))
+    )
+    hits = (
+        ppos.join(F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+                  F.col("bpos") == F.col("pos"), "left")
+        .groupBy("pkey")
+        .agg(
+            F.countDistinct(F.when(F.col("bpos").isNotNull(), F.col("pos")))
+            .cast("long")
+            .alias("nhit"),
+            F.countDistinct("pos").cast("long").alias("npos"),
+        )
+    )
+    counts = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("nhit") == F.col("npos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    nm = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    nb = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    return (
+        nm.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "n_members",
+            "n_bits_set",
+            "n_probes",
+            "n_false_pos",
+            F.round(F.col("n_false_pos") * 1.0 / F.col("n_probes"), 6).alias(
+                "measured_fpp"
+            ),
+            F.round(
+                F.pow(
+                    F.lit(1.0)
+                    - F.exp(F.lit(-float(_BF_HASHES)) * F.col("n_members") / _BF_BITS),
+                    F.lit(_BF_HASHES),
+                ),
+                6,
+            ).alias("theoretical_fpp"),
+        )
+    )

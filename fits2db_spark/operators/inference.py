@@ -4967,3 +4967,137 @@ def ml_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(right, 4).alias("limit_right"),
         F.round(right - left, 4).alias("rd_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via pool-adjacent-violators (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_isotonic_pav",
+    oracle=f"""
+    WITH per AS (
+      SELECT LEAST(9, CAST(FLOOR(o_totalprice / {_CAL_BINW}) AS BIGINT)) AS bin,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS label
+      FROM orders
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS DOUBLE) AS w, SUM(label) AS s
+      FROM per GROUP BY bin
+    ),
+    boxed AS (
+      SELECT list_transform(list(struct_pack(b := bin, w := w, s := s)
+                                 ORDER BY bin),
+                            x -> [struct_pack(w := x.w, s := x.s)]) AS items
+      FROM bins
+    ),
+    pav AS (
+      SELECT list_reduce(
+               list_prepend(CAST([] AS STRUCT(w DOUBLE, s DOUBLE)[]), items),
+               (acc, e) -> list_reduce(
+                 list_prepend(list_append(acc, e[1]),
+                   list_transform(generate_series(1, 10),
+                                  i -> CAST([] AS STRUCT(w DOUBLE, s DOUBLE)[]))),
+                 (st, dummy) -> CASE
+                   WHEN len(st) >= 2
+                        AND st[len(st) - 1].s / st[len(st) - 1].w
+                            > st[len(st)].s / st[len(st)].w
+                   THEN list_append(st[1:len(st) - 2],
+                          struct_pack(
+                            w := st[len(st) - 1].w + st[len(st)].w,
+                            s := st[len(st) - 1].s + st[len(st)].s))
+                   ELSE st END
+               )
+             ) AS pools
+      FROM boxed
+    )
+    SELECT CAST(p.i AS BIGINT) AS pool_id,
+           CAST(p.pool.w AS BIGINT) AS n_rows,
+           ROUND(p.pool.s / p.pool.w, 6) AS calibrated_p
+    FROM (
+      SELECT unnest(pools) AS pool,
+             unnest(generate_series(1, len(pools))) AS i
+      FROM pav
+    ) p
+    """,
+)
+def ml_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration by pool-adjacent-violators over the 10 fixed
+    score bins of `ml_calibration_bins`: walk the bins in score order,
+    pooling any adjacent bins whose empirical positive rates violate
+    monotonicity, until the fitted step function is nondecreasing — the
+    nonparametric calibrator (Zadrozny-Elkan) that `ml_calibration_bins`
+    diagnoses the need for. Output: one row per surviving pool with its
+    row weight and calibrated probability (monotone by construction —
+    pinned in tests/test_round9_ops.py).
+
+    PAV is sequential, but over BINS, not rows: the raw table collapses
+    to 10 (weight, positive-sum) pairs in one partial-aggregating pass,
+    and the PAV stack fold runs in-row on that 10-element array — the
+    same nested-sequential-fold machinery as `events_dtw_distance`
+    (outer fold pushes a bin, bounded inner fold cascades merges), with
+    an IDENTICAL op sequence in both engines so the pooled doubles
+    match exactly. At 100 TB nothing changes: bins stay 10."""
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = load(spark, sf_dir, "orders").select(
+        F.least(F.lit(9), F.floor(F.col("o_totalprice") / _CAL_BINW)).alias("bin"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    bins = per.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("w"), F.sum("label").alias("s")
+    )
+    boxed = bins.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bin", "w", "s"))),
+            lambda x: F.array(F.struct(x["w"].alias("w"), x["s"].alias("s"))),
+        ).alias("items")
+    )
+
+    def last(st, k=0):  # element_at from the end (k=0 -> last)
+        return F.element_at(st, F.size(st) - k)
+
+    def cascade(st):
+        viol = (F.size(st) >= 2) & (
+            last(st, 1)["s"] / last(st, 1)["w"] > last(st, 0)["s"] / last(st, 0)["w"]
+        )
+        merged = F.concat(
+            F.slice(st, 1, F.size(st) - 2),
+            F.array(
+                F.struct(
+                    (last(st, 1)["w"] + last(st, 0)["w"]).alias("w"),
+                    (last(st, 1)["s"] + last(st, 0)["s"]).alias("s"),
+                )
+            ),
+        )
+        return F.when(viol, merged).otherwise(st)
+
+    empty = F.slice(F.col("items")[0], 1, 0)  # empty array<struct<w,s>>
+    pav = boxed.select(
+        F.aggregate(
+            F.col("items"),
+            empty,
+            lambda acc, e: F.aggregate(
+                F.sequence(F.lit(1), F.lit(10)),
+                F.concat(acc, e),
+                lambda st, _i: cascade(st),
+            ),
+        ).alias("pools")
+    )
+    return pav.select(
+        F.posexplode("pools").alias("i0", "pool")
+    ).select(
+        (F.col("i0") + 1).cast("long").alias("pool_id"),
+        F.col("pool")["w"].cast("long").alias("n_rows"),
+        F.round(F.col("pool")["s"] / F.col("pool")["w"], 6).alias("calibrated_p"),
+    )

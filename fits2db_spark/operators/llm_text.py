@@ -2795,3 +2795,102 @@ def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lcs") == 0, F.lit(0.0)).otherwise(2.0 * p * r / (p + r)), 6
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out n-gram novelty (round 9)
+# ---------------------------------------------------------------------------
+_NV_MOD = 5  # md5(doc_id) % 5 == 4 -> held-out test split
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_NV_MOD} = {_NV_MOD - 1} AS is_test,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, is_test, unnest(
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+             ) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    train AS (SELECT DISTINCT g FROM grams WHERE NOT is_test),
+    test AS (
+      SELECT g.source, g.g, tr.g IS NULL AS novel
+      FROM grams g LEFT JOIN train tr ON tr.g = g.g
+      WHERE g.is_test
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_test_grams,
+           CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN novel THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+             AS novelty_rate
+    FROM test GROUP BY source
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram novelty per source: split the corpus by doc-id
+    hash ({_NV_MOD - 1}:1 train:test), and measure what fraction of the
+    test split's word trigrams never occur in training — the
+    generalization-gap / memorization screen (novelty ≈ 0 means the
+    held-out data is effectively IN the training set: the contamination
+    signal `contamination_ngram` checks against an external benchmark,
+    measured here INSIDE the corpus), and the denominator for
+    extrapolating how fast new data stops adding new n-grams
+    (`text_heaps_law`'s incremental form).
+
+    Scale: trigram explode collapses map-side to the DISTINCT train
+    vocabulary (bounded by corpus novelty, not token count); the test
+    probe is one LEFT join on the gram string — at 100 TB, hash the gram
+    to a 64-bit key so shuffle rows stay narrow. Token stream count per
+    row is len−2 in BOTH engines (identical windowing)."""
+    d = load(spark, sf_dir, "documents")
+    is_test = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _NV_MOD
+        == _NV_MOD - 1
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        is_test.alias("is_test"),
+        F.split(_norm_text(F.col("text")), " ").alias("t"),
+    ).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "source",
+        "is_test",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + 1),
+                    F.element_at(F.col("t"), i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    train = grams.filter(~F.col("is_test")).select("g").distinct()
+    test = grams.filter(F.col("is_test")).join(
+        train.withColumnRenamed("g", "tg"), F.col("tg") == F.col("g"), "left"
+    )
+    return test.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_grams"),
+        F.sum(F.when(F.col("tg").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("tg").isNull(), 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_rate"),
+    )

@@ -6220,3 +6220,59 @@ def events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sba_forecast"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Index of dispersion (Poisson overdispersion screen) (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dispersion_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(c), 4) AS mean_count,
+           ROUND(var_samp(c), 4) AS var_count,
+           ROUND(var_samp(c) / AVG(c), 6) AS dispersion_index,
+           ROUND((var_samp(c) / AVG(c) - 1.0)
+                 * sqrt((COUNT(*) - 1) / 2.0), 4) AS z_stat,
+           var_samp(c) / AVG(c) > 1.0 AS overdispersed
+    FROM daily GROUP BY event_type
+    """,
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion on the daily arrival counts per event type:
+    D = Var/Mean with the normal-approximation z = (D−1)·sqrt((n−1)/2) —
+    the Poisson-ness screen (D ≈ 1 Poisson, D > 1 bursty/clumped, D < 1
+    regular) that decides whether rate models (`events_rate_ratio_test`,
+    the SLO burn math) can assume Poisson arrivals or need a
+    negative-binomial correction. Complements `events_interarrival`
+    (which looks at gaps; this looks at counts).
+
+    Scale: one map-side daily count aggregate, one per-type variance
+    reduce over O(days) rows. var_samp/avg on identical doubles."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    d_idx = F.var_samp("c") / F.avg("c")
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg("c"), 4).alias("mean_count"),
+        F.round(F.var_samp("c"), 4).alias("var_count"),
+        F.round(d_idx, 6).alias("dispersion_index"),
+        F.round(
+            (d_idx - 1.0) * F.sqrt((F.count(F.lit(1)) - 1) / F.lit(2.0)), 4
+        ).alias("z_stat"),
+        (d_idx > 1.0).alias("overdispersed"),
+    )

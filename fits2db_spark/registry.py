@@ -189,6 +189,10 @@ _PRIORITY_QUERIES = (
     "vec_dim_concentration",
     "text_rouge_l",
     "events_croston",
+    "agg_bloom_fpp",
+    "events_dispersion_index",
+    "text_ngram_novelty",
+    "ml_isotonic_pav",
     # (c) green-rotation backlog: stalest driver round first (r01 ... r08)
     # -- last driver row: round 1
     "add_rowid",

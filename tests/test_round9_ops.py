@@ -105,3 +105,37 @@ def test_dim_concentration_contrast_positive(spark):
     assert r["n_pairs"] > 0
     assert r["relative_contrast"] > 0
     assert 0 < r["concentration_ratio"] < 1
+
+
+def test_isotonic_pav_monotone_and_mass_conserving(spark):
+    rows = sorted(_run(spark, "ml_isotonic_pav"), key=lambda r: r["pool_id"])
+    probs = [r["calibrated_p"] for r in rows]
+    assert probs == sorted(probs), "PAV output must be nondecreasing"
+    assert len(rows) <= 10
+    from fits2db_spark.tables import load
+
+    assert sum(r["n_rows"] for r in rows) == load(spark, SF_SMOKE, "orders").count()
+
+
+def test_bloom_fpp_measured_near_theory(spark):
+    (r,) = _run(spark, "agg_bloom_fpp")
+    assert r["n_bits_set"] <= 16384
+    assert r["n_probes"] == r["n_members"]
+    # with n=1500, m=16384, k=4 theory is ~0.6%; measured must be the
+    # same order of magnitude (binomial noise at n_probes=1500 allows 3x)
+    assert r["theoretical_fpp"] > 0
+    assert r["measured_fpp"] <= 5 * r["theoretical_fpp"] + 0.01
+
+
+def test_dispersion_index_fields_consistent(spark):
+    for r in _run(spark, "events_dispersion_index"):
+        assert r["overdispersed"] == (r["dispersion_index"] > 1.0)
+        assert r["n_days"] > 1 and r["mean_count"] > 0
+
+
+def test_ngram_novelty_bounds(spark):
+    rows = _run(spark, "text_ngram_novelty")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+        assert r["n_novel"] <= r["n_test_grams"]
