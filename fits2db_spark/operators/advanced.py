@@ -12,6 +12,20 @@ from ..registry import register
 from ..tables import load
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame.  ``DataFrame.unpersist()`` only talks to the cache manager and
+    leaves checkpoint blocks alone (they belong to the internal RDD wrapped
+    by the ``LogicalRDD`` leaf), so iterative operators that cut lineage per
+    round would otherwise leak one block set per cut until the JVM
+    ContextCleaner happens to run.  The frame is unreadable afterwards —
+    only call on superseded intermediates."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # non-LogicalRDD plan or already cleaned — nothing to free
+
+
 @register(
     "subquery_scalar",
     oracle="""
@@ -768,10 +782,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (ranks onto edges) + one groupBy (sum contributions) — the exact
     per-round shuffle profile PageRank has on any cluster; ranks never
     leave the executors, iteration count is fixed (no driver-side
-    convergence action), and each round's ranks are persisted while the
-    previous round's are unpersisted, so executor storage stays O(1).
-    Returns the top-20 nodes by rank. Invariants (rank conservation,
-    positivity, determinism) in tests/test_rows_only_quality.py."""
+    convergence action), and each round's ranks are localCheckpointed
+    (the graph_hits lineage-cut discipline: without the cut the logical
+    plan nests one join+agg deeper per round and Catalyst re-analyzes the
+    whole chain each iteration — the planning cost, not the data, was the
+    measured per-round overhead), so executor storage and plan depth both
+    stay O(1). Returns the top-20 nodes by rank. Invariants (rank
+    conservation, positivity, determinism) in
+    tests/test_rows_only_quality.py."""
     li = load(spark, sf_dir, "lineitem")
     edges = (
         li.select(
@@ -782,36 +800,44 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select("src")
-    n_nodes = nodes.count()  # one small action; node count is a scalar input
-    ranks = nodes.select("src", F.lit(1.0).alias("rank"))
-    prev = None
-    for _ in range(5):
-        contribs = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
-            .select(F.col("dst").alias("src"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("src")
-            .agg(F.sum("c").alias("in_sum"))
+    # deg is consumed inside every round's broadcast subtree: cut its lineage
+    # once so each round starts from a leaf, not from the edges scan.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    ranks = deg.select("src", F.lit(1.0).alias("rank"))
+    # Per round: fold rank/deg on the O(nodes) side, BROADCAST it onto the
+    # persisted edge list (edges never re-shuffle or re-sort — without the
+    # hint the checkpointed rank frame has no size stats and Catalyst picks
+    # a sort-merge join that re-sorts all edges every round), then one
+    # map-side-combining groupBy. Because the edge list holds both
+    # directions, every node has in-edges, so the damped sum covers all
+    # nodes and no nodes-left-join backfill is needed. Lineage is cut every
+    # SECOND round (r10; measured 7.0s -> 3.7s cold at sf0.1): a single-
+    # consumer chain only pays plan depth, so half the materialization jobs
+    # suffice. At 100 TB the rank side outgrows broadcast: pre-partition
+    # edges by src and co-shuffle ranks instead — the per-round shuffle
+    # profile stays one small-side exchange + one partial agg either way.
+    cuts: list[DataFrame] = []
+    for i in range(5):
+        rd = ranks.join(deg, "src").select(
+            "src", (F.col("rank") / F.col("deg")).alias("w")
         )
         ranks = (
-            nodes.join(contribs, "src", "left")
-            .select(
-                "src",
-                (F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .persist()
+            edges.join(F.broadcast(rd), "src")
+            .select(F.col("dst").alias("src"), F.col("w").alias("c"))
+            .groupBy("src")
+            .agg((F.lit(0.15) + F.lit(0.85) * F.sum("c")).alias("rank"))
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
-    # Materialize the 20-row result eagerly, then release BOTH loop caches —
+        if i % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            cuts.append(ranks)
+    # Materialize the 20-row result eagerly, then release the edge cache —
     # edges.persist() previously outlived every invocation (round-3 storage
-    # leak). The checkpointed result is 20 rows; executor storage is flat
-    # across repeated invocations (tests/test_rows_only_quality.py).
+    # leak) — and explicitly free the intermediate checkpoint blocks (deg +
+    # per-cut ranks), which the cache manager does not track. The
+    # checkpointed result is 20 rows; executor storage is flat across
+    # repeated invocations (tests/test_rows_only_quality.py).
     result = (
         ranks.select(
             F.col("src").alias("node_id"),
@@ -824,8 +850,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .localCheckpoint(eager=True)
     )
-    ranks.unpersist()
     edges.unpersist()
+    for interim in (deg, *cuts):
+        _free_local_checkpoint(interim)
     return result
 
 

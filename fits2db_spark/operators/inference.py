@@ -4562,9 +4562,9 @@ _PERM_K = 200  # md5-seeded pseudo-permutations
     )
     SELECT CAST((SELECT n FROM obs) AS BIGINT) AS n,
            ROUND((SELECT d FROM obs), 4) AS observed_diff,
-           CAST(SUM(CASE WHEN ABS(p.d) >= ABS((SELECT d FROM obs))
+           CAST(SUM(CASE WHEN ROUND(ABS(p.d), 6) >= ROUND(ABS((SELECT d FROM obs)), 6)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
-           ROUND(SUM(CASE WHEN ABS(p.d) >= ABS((SELECT d FROM obs))
+           ROUND(SUM(CASE WHEN ROUND(ABS(p.d), 6) >= ROUND(ABS((SELECT d FROM obs)), 6)
                           THEN 1.0 ELSE 0.0 END) / {_PERM_K}, 4) AS p_value
     FROM perms p
     """,
@@ -4634,17 +4634,16 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("d_obs").alias("d_obs"),
         F.first("n").alias("n"),
     )
+    # 6dp rounding before the extremity comparison on BOTH engines: Spark's
+    # partial-aggregation fold order can differ from DuckDB's sequential sum,
+    # so a near-tie replicate could otherwise flip n_extreme (ESD convention).
+    extreme = F.round(F.abs(F.col("d")), 6) >= F.round(F.abs(F.col("d_obs")), 6)
     return perms.agg(
         F.first("n").cast("long").alias("n"),
         F.round(F.first("d_obs"), 4).alias("observed_diff"),
-        F.sum(F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1).otherwise(0))
-        .cast("long")
-        .alias("n_extreme"),
+        F.sum(F.when(extreme, 1).otherwise(0)).cast("long").alias("n_extreme"),
         F.round(
-            F.sum(
-                F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1.0).otherwise(0.0)
-            )
-            / _PERM_K,
+            F.sum(F.when(extreme, 1.0).otherwise(0.0)) / _PERM_K,
             4,
         ).alias("p_value"),
     )

@@ -53,76 +53,21 @@ _OPERATOR_MODULES = (
 _loaded = False
 
 # The external driver verifies queries in dict-iteration order and may stop
-# after a fixed budget (~50 keys per round).  Round-9 rotation, computed from
-# CORRECTNESS_r01∪…∪r08 (r08 covered the first 50 of the r8 queue, 50/50
-# green).  Ordering policy (VERDICT r8 "Next round" item 1):
-# (a) the 7 keys whose LATEST driver record is still the round-3
-#     events-loader crash (fixed in r4, locally green ever since) — they
-#     read as failures to anyone who only sees the driver files;
-# (b) the 89 keys that have NEVER appeared in any driver 50-key window
-#     (r8 spill + the r8-continuation additions), in registration order;
-#     new round-9 keys append at the END of this section as they land;
-# (c) every already-green key, stalest driver round first, so the whole
-#     420-key surface keeps cycling through driver windows over time.
-# (a)+(b) = 96 keys; the r9 window covers the first 50, the remainder
-# spills to r10 exactly like the r7/r8 spills before it.  Every key is
-# locally hash-green under tools/check_oracle.py at sf0.001 and sf0.01.
+# after a fixed budget (~50 keys per round).  Round-10 rotation, regenerated
+# from CORRECTNESS_r01∪…∪r09 (r09 covered the first 50 of the r9 queue,
+# 50/50 green).  Ordering policy (VERDICT r9 "Next round" item 1):
+# (a) the 69 keys that have NEVER appeared in any driver 50-key window —
+#     mostly r8/r9 statistics/ML/decimal additions — in prior queue order;
+#     the r10 window takes the first 50, the remaining 19 lead r11.  New
+#     round-10 keys append at the END of this section as they land;
+# (b) every already-green key, stalest latest-driver-round first, so the
+#     whole surface keeps cycling through driver windows over time.
+# Every key is locally hash-green under tools/check_oracle.py at sf0.001
+# and sf0.01 (and the full sf0.1 deep sweep, docs/ROUND_NOTES.md r10).
 _PRIORITY_QUERIES = (
-    # (a) stale driver record: latest row is the round-3 events-loader crash
-    #     (re-verified hash-green locally every round since the r4 fix)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "fn_map",
-    "fn_json",
-    "fn_map_access",
-    "fn_json_tuple",
-    # (b) never driver-checked (r8 spill, r8-continuation, late additions) in
-    #     registration order — 89 keys at the r8 close; new r9 keys append at
-    #     the END of this section as they land
-    "events_markov_stationary",
-    "text_heaps_law",
-    "spatial_htm",
-    "text_term_burstiness",
-    "join_xmatch_knn",
-    "scan_json_corrupt",
-    "agg_median_of_means",
-    "ml_auc_roc",
-    "ml_calibration_bins",
-    "ml_ndcg",
-    "events_spectral_entropy",
-    "privacy_entropy_ldiv",
-    "graph_label_propagation",
-    "vec_random_projection",
-    "agg_logsketch_quantiles",
-    "graph_bfs_distance",
-    "ml_lift_deciles",
-    "ml_ipw_ate",
-    "agg_fdr_bh",
-    "warehouse_partition_skew",
-    "lightcurve_stetson",
-    "events_granger",
-    "domain_mix_temperature",
-    "orders_segment_migration",
-    "orders_price_index",
-    "agg_trimmed_mean",
-    "vec_cluster_purity",
-    "ts_rebin_flux",
-    "sim_ann_nprobe_sweep",
-    "lightcurve_bls",
-    "events_circular_stats",
-    "agg_paired_ttest",
-    "events_max_drawdown",
-    "events_mann_kendall",
-    "orders_dup_invoices",
-    "vec_energy_distance",
-    "agg_jackknife_ratio_se",
-    "agg_cohens_kappa",
-    "text_js_divergence",
-    "events_bollinger",
-    "events_extreme_value",
-    "text_burrows_delta",
-    "events_runs_test",
+    # (a) never driver-checked over r01..r09 (69 keys) — the r10 window
+    #     takes the first 50; the remaining 19 lead r11.  Regenerated from
+    #     CORRECTNESS_r01..r09 union by round-10 session (VERDICT r9 item 1).
     "orders_revenue_waterfall",
     "agg_hodges_lehmann",
     "agg_wilcoxon_signed_rank",
@@ -169,7 +114,6 @@ _PRIORITY_QUERIES = (
     "events_mix_entropy_trend",
     "agg_corr_matrix",
     "agg_spearman_corr",
-    # -- round-9 additions (never driver-checked by construction)
     "decimal_roundtrip",
     "agg_decimal_revenue",
     "win_decimal_balance",
@@ -193,7 +137,7 @@ _PRIORITY_QUERIES = (
     "events_dispersion_index",
     "text_ngram_novelty",
     "ml_isotonic_pav",
-    # (c) green-rotation backlog: stalest driver round first (r01 ... r08)
+    # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",
     "agg_conditional",
@@ -525,6 +469,57 @@ _PRIORITY_QUERIES = (
     "warehouse_pruning_effectiveness",
     "win_cumulative_distinct",
     "win_sliding_distinct",
+    # -- last driver row: round 9
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "fn_map",
+    "fn_json",
+    "fn_map_access",
+    "fn_json_tuple",
+    "events_markov_stationary",
+    "text_heaps_law",
+    "spatial_htm",
+    "text_term_burstiness",
+    "join_xmatch_knn",
+    "scan_json_corrupt",
+    "agg_median_of_means",
+    "ml_auc_roc",
+    "ml_calibration_bins",
+    "ml_ndcg",
+    "events_spectral_entropy",
+    "privacy_entropy_ldiv",
+    "graph_label_propagation",
+    "vec_random_projection",
+    "agg_logsketch_quantiles",
+    "graph_bfs_distance",
+    "ml_lift_deciles",
+    "ml_ipw_ate",
+    "agg_fdr_bh",
+    "warehouse_partition_skew",
+    "lightcurve_stetson",
+    "events_granger",
+    "domain_mix_temperature",
+    "orders_segment_migration",
+    "orders_price_index",
+    "agg_trimmed_mean",
+    "vec_cluster_purity",
+    "ts_rebin_flux",
+    "sim_ann_nprobe_sweep",
+    "lightcurve_bls",
+    "events_circular_stats",
+    "agg_paired_ttest",
+    "events_max_drawdown",
+    "events_mann_kendall",
+    "orders_dup_invoices",
+    "vec_energy_distance",
+    "agg_jackknife_ratio_se",
+    "agg_cohens_kappa",
+    "text_js_divergence",
+    "events_bollinger",
+    "events_extreme_value",
+    "text_burrows_delta",
+    "events_runs_test",
 )
 _PRIORITY_MODULE_ORDER = (
     "fits2db_spark.operators.llm_text",
@@ -560,12 +555,41 @@ def _ordered_names() -> list[str]:
     return out
 
 
+_DOC_PLACEHOLDER = __import__("re").compile(
+    r"\{(_[A-Za-z0-9_]+(?:\[[^\]]+\])?(?:\s*[-+]\s*\d+)?)(:[^{}]*)?\}"
+)
+
+
+def _render_doc(fn: QueryFn) -> None:
+    """Substitute ``{_CONST}`` / ``{_CONST:spec}`` placeholders in a query
+    docstring with the module-level constant's value, so ``help()`` and
+    generated docs show real numbers instead of literal braces.  Docstrings
+    are plain strings (an f-string first statement would leave ``__doc__``
+    unset), so rendering happens here, once, at registration time.  Unknown
+    names are left as-is."""
+    doc = fn.__doc__
+    if not doc or "{_" not in doc:
+        return
+    mod_ns = vars(importlib.import_module(fn.__module__))
+
+    def sub(m: "__import__('re').Match") -> str:
+        expr, spec = m.group(1), m.group(2) or ""
+        try:
+            val = eval(expr, {"__builtins__": {}}, mod_ns)  # noqa: S307 — module constants only
+            return format(val, spec[1:]) if spec else str(val)
+        except Exception:
+            return m.group(0)
+
+    fn.__doc__ = _DOC_PLACEHOLDER.sub(sub, doc)
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query (and optionally its DuckDB oracle SQL)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query registration: {name}")
+        _render_doc(fn)
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # every entry point guarantees runtime confs + package shipping

@@ -451,6 +451,15 @@ def decode_compressed_tiles(
                     .astype(np.int64)
                 )
                 descs[:, 1] += len(vheap)  # tile-local -> synthetic heap
+                # P-descriptors are >i4 on disk: a rebased offset past
+                # INT32_MAX would wrap silently under numpy's cast — fail
+                # loudly instead (Q-descriptors are >i8 and unaffected).
+                if c["letter"] == "P" and descs.size and descs[:, 1].max() > 2**31 - 1:
+                    raise FitsFormatError(
+                        f"column {c['name']!r}: rebased VLA heap offset "
+                        f"{int(descs[:, 1].max())} exceeds INT32_MAX for a "
+                        "P-type descriptor; file needs Q-type (64-bit) VLAs"
+                    )
                 raw[c["name"]][pos : pos + cnt] = descs
                 vheap += plain[dsz:]
                 continue

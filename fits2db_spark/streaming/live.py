@@ -20,14 +20,19 @@ from pyspark.sql import functions as F
 from ..tables import SCHEMAS
 
 
-def events_stream(spark: SparkSession, staging_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+def events_stream(
+    spark: SparkSession, staging_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     """File-source stream of events rows (parquet files dropped into
-    ``staging_dir``). Schema is declared, never inferred (§1.1)."""
-    return (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(staging_dir)
-    )
+    ``staging_dir``). Schema is declared, never inferred (§1.1).
+    ``max_files_per_trigger=None`` leaves batch splitting to the trigger —
+    under ``availableNow`` that means ONE micro-batch over all staged files
+    (the cheap drain for registry entries whose semantics don't depend on
+    per-file replay; the multi-batch replay stays pinned in pytest)."""
+    rs = spark.readStream.schema(SCHEMAS["events"])
+    if max_files_per_trigger is not None:
+        rs = rs.option("maxFilesPerTrigger", max_files_per_trigger)
+    return rs.parquet(staging_dir)
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:

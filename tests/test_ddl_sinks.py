@@ -106,9 +106,12 @@ def test_jdbc_create_overwrite_values(spark, tmp_path):
     write_jdbc(df, url, "region_c", mode="create", column_types="r_name VARCHAR(32)")
     with pytest.raises(AnalysisException):
         write_jdbc(df, url, "region_c", mode="create")  # already exists
-    write_jdbc(df.limit(2), url, "region_c", mode="overwrite")
+    # deterministic 2-row subset: LIMIT without ORDER BY may pick different
+    # rows across executions, so filter on the key instead
+    sub = df.filter("r_regionkey < 2")
+    write_jdbc(sub, url, "region_c", mode="overwrite")
     back = spark.read.format("jdbc").option("url", url).option("dbtable", "region_c").load()
-    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.limit(2).collect()))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sub.collect()))
 
 
 def test_jdbc_bad_mode():
