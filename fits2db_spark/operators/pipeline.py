@@ -2453,3 +2453,94 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-rule quality gate with per-rule rejection accounting (round 10)
+# ---------------------------------------------------------------------------
+_QG_MIN_TOK, _QG_MAX_TOK = 20, 90  # C4-style length gates
+_QG_TOP_SHARE = 0.125  # max share of the most frequent token (repetition)
+_QG_LANGS = ("en", "de", "fr", "es")  # supported-language allowlist
+
+
+@register(
+    "pipeline_quality_gate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS ntok
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             ntok < {_QG_MIN_TOK} AS r_short,
+             ntok > {_QG_MAX_TOK} AS r_long,
+             (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt
+                                    FROM UNNEST(toks) AS u(t) GROUP BY t))
+               * 1.0 / ntok > {_QG_TOP_SHARE} AS r_repeat,
+             lang NOT IN ('en', 'de', 'fr', 'es') AS r_lang
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS rej_short,
+           CAST(SUM(CASE WHEN r_long THEN 1 ELSE 0 END) AS BIGINT) AS rej_long,
+           CAST(SUM(CASE WHEN r_repeat THEN 1 ELSE 0 END) AS BIGINT) AS rej_repeat,
+           CAST(SUM(CASE WHEN r_lang THEN 1 ELSE 0 END) AS BIGINT) AS rej_lang,
+           CAST(SUM(CASE WHEN NOT (r_short OR r_long OR r_repeat OR r_lang)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           ROUND(SUM(CASE WHEN NOT (r_short OR r_long OR r_repeat OR r_lang)
+                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS pass_rate
+    FROM m GROUP BY source
+    """,
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style multi-rule document quality gate with PER-RULE rejection
+    accounting: length window [{_QG_MIN_TOK}, {_QG_MAX_TOK}] tokens,
+    repetition (most frequent token above {_QG_TOP_SHARE} of the doc),
+    and a supported-language allowlist — reported per source as rule-hit
+    counts plus the survival rate. The accounting is the point: a gate
+    that only emits survivors can silently lose a source to one
+    misconfigured rule, which is why production curation pipelines
+    (C4, Gopher/MassiveText, RefinedWeb rules) always ship rejection
+    breakdowns alongside the filtered corpus.
+
+    Plan: every rule is a PER-ROW expression — length and language from
+    the row itself; the top-token share via aggregate/transform over the
+    in-row token array (array_distinct x filter is O(ntok * vocab_in_doc)
+    scalar work inside codegen, no explode, no shuffle). The only
+    exchange is the final per-source rollup of boolean sums. At 100 TB
+    the gate is a single map pass over the corpus — the cheapest shape a
+    document filter can have."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    m = d.select(
+        "source",
+        (F.size(toks) < _QG_MIN_TOK).alias("r_short"),
+        (F.size(toks) > _QG_MAX_TOK).alias("r_long"),
+        (top_cnt / F.size(toks) > _QG_TOP_SHARE).alias("r_repeat"),
+        (~F.col("lang").isin(*_QG_LANGS)).alias("r_lang"),
+    )
+    rejected = F.col("r_short") | F.col("r_long") | F.col("r_repeat") | F.col("r_lang")
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("r_short"), 1).otherwise(0)).cast("long").alias(
+            "rej_short"
+        ),
+        F.sum(F.when(F.col("r_long"), 1).otherwise(0)).cast("long").alias("rej_long"),
+        F.sum(F.when(F.col("r_repeat"), 1).otherwise(0)).cast("long").alias(
+            "rej_repeat"
+        ),
+        F.sum(F.when(F.col("r_lang"), 1).otherwise(0)).cast("long").alias("rej_lang"),
+        F.sum(F.when(~rejected, 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.round(
+            F.sum(F.when(~rejected, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 6
+        ).alias("pass_rate"),
+    )

@@ -163,7 +163,15 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("dl").alias("dl"),
         )
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # df as a count-over-window on the contracted tf table (r10): the r7-r9
+    # shape built df as a separate groupBy and BROADCAST it back, but a
+    # broadcast build is its own job, so the explode -> semi-join -> tf
+    # pipeline executed twice per query (the text_bm25 creep the r9 verdict
+    # flagged). The window repartitions only the |q|-term posting lists —
+    # O(q terms x matching docs) rows — and the whole score is one pass.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
+    )
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tfpart = (F.col("tf") * (_BM25_K1 + 1.0)) / (
         F.col("tf")
@@ -171,7 +179,6 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(idf * tfpart).alias("score"))
@@ -610,4 +617,129 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         rm1.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _PRF_TERMS)
         .select("query_id", "term", F.round("wgt", 6).alias("rm1_weight"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood ranking (round 10)
+# ---------------------------------------------------------------------------
+_QL_MU = 100.0  # Dirichlet pseudo-document mass (Zhai & Lafferty 2001)
+_QL_TOPK = 10
+
+
+@register(
+    "text_query_likelihood",
+    oracle=f"""
+    WITH q AS ({_BM25_QUERY_SQL}),
+    qsize AS (SELECT query_id, COUNT(*) AS qlen FROM q GROUP BY query_id),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ),
+    coll AS (
+      SELECT t.term, CAST(COUNT(*) AS DOUBLE) AS cf
+      FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      GROUP BY t.term
+    ),
+    csize AS (
+      SELECT SUM(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS ctoks
+      FROM documents
+    ),
+    tf AS (
+      SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf,
+             ANY_VALUE(t.dl) AS dl
+      FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      GROUP BY t.doc_id, t.term
+    ),
+    matched AS (
+      SELECT q.query_id, tf.doc_id, ANY_VALUE(tf.dl) AS dl,
+             SUM(ln(1.0 + tf.tf * s.ctoks / ({_QL_MU} * coll.cf))) AS msum
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN coll ON coll.term = q.term
+      CROSS JOIN csize s
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    scored AS (
+      SELECT m.query_id, m.doc_id,
+             m.msum + qs.qlen * ln({_QL_MU} / (m.dl + {_QL_MU})) AS score
+      FROM matched m JOIN qsize qs USING (query_id)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ROUND(score, 6) DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, doc_id, ROUND(score, 6) AS score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_QL_TOPK}
+    """,
+)
+def text_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001)
+    — the language-modeling alternative to `text_bm25` over the same
+    fixed query workload: score(q, d) = sum over matched terms of
+    ln(1 + tf * |C| / (mu * cf)) + |q| * ln(mu / (dl + mu)), the
+    rank-equivalent decomposition whose first sum touches only posting
+    lists of the query terms and whose second term depends on the
+    document alone — which is exactly what makes smoothed LM retrieval
+    feasible on an inverted index (the naive form needs every (doc, term)
+    pair INCLUDING zero-tf cells). Candidates are docs matching >= 1 query
+    term, the standard index-driven candidate set.
+
+    Plan: same single-pass postings contraction as `text_bm25` (explode ->
+    broadcast semi-join on query terms -> tf groupBy); collection term
+    frequencies fall out of the same contracted stream; the only
+    additional input is the scalar corpus token count (1-row broadcast).
+    Top-{_QL_TOPK} per query is a WindowGroupLimit, never a global
+    sort."""
+    d = load(spark, sf_dir, "documents")
+    q = _bm25_query_df(spark)
+    qsize = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("qlen"))
+    csize = d.agg(
+        F.sum(F.size(F.split("text", " ")).cast("double")).alias("ctoks")
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("term"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    qterms = q.select("term").distinct()
+    contracted = toks.join(F.broadcast(qterms), "term")
+    tf = contracted.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    # collection frequency via a window over the contracted tf table — one
+    # pass, no second explode (the text_bm25 r10 discipline)
+    tf = tf.withColumn("cf", F.sum("tf").over(Window.partitionBy("term")))
+    matched = (
+        tf.join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(csize))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.first("dl").alias("dl"),
+            F.sum(
+                F.log(
+                    1.0
+                    + F.col("tf") * F.col("ctoks") / (_QL_MU * F.col("cf"))
+                )
+            ).alias("msum"),
+        )
+    )
+    scored = matched.join(F.broadcast(qsize), "query_id").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("msum")
+            + F.col("qlen") * F.log(F.lit(_QL_MU) / (F.col("dl") + _QL_MU))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QL_TOPK)
+        .select("query_id", "doc_id", F.round("score", 6).alias("score"), "rk")
     )

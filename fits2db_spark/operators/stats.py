@@ -6276,3 +6276,100 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_stat"),
         (d_idx > 1.0).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift detector (round 10)
+# ---------------------------------------------------------------------------
+_PH_DELTA = 0.5  # tolerated per-step drift in daily mean value
+_PH_LAMBDA = 20.0  # alarm threshold on the PH statistic
+
+
+@register(
+    "events_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, d, v,
+             AVG(v) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS mu,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type, d, t,
+             SUM(v - mu - {_PH_DELTA})
+               OVER (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM cum
+    ),
+    ph AS (
+      SELECT event_type, d, t, mt,
+             mt - MIN(mt) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ph_t
+      FROM m
+    )
+    SELECT event_type,
+           CAST(MAX(t) AS BIGINT) AS n_days,
+           ROUND(MAX(ph_t), 6) AS max_ph,
+           CAST(MIN(CASE WHEN ph_t > {_PH_LAMBDA} THEN d END) AS BIGINT)
+             AS first_alarm_day,
+           CAST(MAX(ph_t) > {_PH_LAMBDA} AS BOOLEAN) AS drift_detected
+    FROM ph GROUP BY event_type
+    """,
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector (Page 1954, Hinkley 1971) over each
+    event type's daily mean value: the sequential statistic
+    m_t = sum_i (x_i - mu_i - delta) against its running minimum, alarming
+    when the gap exceeds lambda={_PH_LAMBDA} — the streaming-ML standard
+    for "has this metric's level shifted upward?", complementing
+    `events_cusum` (known target mean) with the self-calibrating running
+    mean mu_i, and `events_changepoint` (retrospective, single split)
+    with an ONLINE detector whose alarm day is the deployable signal.
+
+    Plan: the event stream collapses to O(days x types) in the shared
+    `daily_value_series` partial aggregation; every window after that
+    (running mean, running sum, running min) rides ONE
+    partitionBy(event_type) ORDER BY day sort over that small frame —
+    the sanctioned daily-series window shape. Reports per type: series
+    length, max PH statistic, first alarm day, and the drift verdict."""
+    daily = daily_value_series(spark, sf_dir, agg="avg")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("d")).alias(
+            "t"
+        ),
+    )
+    m = cum.select(
+        "event_type",
+        "d",
+        "t",
+        F.sum(F.col("v") - F.col("mu") - _PH_DELTA).over(w).alias("mt"),
+    )
+    ph = m.select(
+        "event_type", "d", "t", (F.col("mt") - F.min("mt").over(w)).alias("ph_t")
+    )
+    return ph.groupBy("event_type").agg(
+        F.max("t").cast("long").alias("n_days"),
+        F.round(F.max("ph_t"), 6).alias("max_ph"),
+        F.min(F.when(F.col("ph_t") > _PH_LAMBDA, F.col("d")))
+        .cast("long")
+        .alias("first_alarm_day"),
+        (F.max("ph_t") > _PH_LAMBDA).alias("drift_detected"),
+    )

@@ -137,6 +137,17 @@ _PRIORITY_QUERIES = (
     "events_dispersion_index",
     "text_ngram_novelty",
     "ml_isotonic_pav",
+    # -- round-10 additions (never driver-checked by construction)
+    "agg_kruskal_wallis",
+    "agg_cramers_v",
+    "ml_mcnemar_test",
+    "ml_tost_equivalence",
+    "text_line_dedup",
+    "dedup_prefix_truncation",
+    "text_hapax_ratio",
+    "events_page_hinkley",
+    "text_query_likelihood",
+    "pipeline_quality_gate",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",

@@ -1,0 +1,121 @@
+"""Semantic invariants for the round-10 operators — properties the oracle
+hash check cannot express (null behavior, bound constraints, survivorship
+correctness, accounting identities)."""
+
+import math
+
+from fits2db_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name):
+    return all_queries()[name](spark, SF_SMOKE).collect()
+
+
+def test_kruskal_wallis_null_and_bounds(spark):
+    (r,) = _run(spark, "agg_kruskal_wallis")
+    assert r["df"] == 4  # 5 priorities
+    assert r["h_stat"] >= 0
+    # price independent of priority -> H near its chi2(4) mean; the 99.9th
+    # percentile of chi2(4) is 18.5 — a generous true-null ceiling
+    assert r["h_stat"] < 18.5, r["h_stat"]
+
+
+def test_cramers_v_in_unit_interval_and_near_zero(spark):
+    (r,) = _run(spark, "agg_cramers_v")
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["chi2"] >= 0
+    assert r["df"] == (5 - 1) * (3 - 1)
+
+
+def test_mcnemar_counts_and_chi2_identity(spark):
+    (r,) = _run(spark, "ml_mcnemar_test")
+    assert 0 < r["b01"] and 0 < r["c10"]
+    assert r["b01"] + r["c10"] <= r["n"]
+    want = (abs(r["b01"] - r["c10"]) - 1) ** 2 / (r["b01"] + r["c10"])
+    assert abs(r["chi2_mcnemar"] - want) < 1e-4
+    assert 0.0 <= r["acc_a"] <= 1.0 and 0.0 <= r["acc_b"] <= 1.0
+
+
+def test_tost_verdict_matches_statistics(spark):
+    (r,) = _run(spark, "ml_tost_equivalence")
+    assert r["se"] > 0
+    assert r["equivalent"] == (r["t_lower"] > 1.6449 and r["t_upper"] < -1.6449)
+    # the two one-sided statistics must bracket the margin-free t
+    assert r["t_lower"] > r["t_upper"]
+
+
+def test_line_dedup_shares_consistent(spark):
+    rows = _run(spark, "text_line_dedup")
+    assert rows, "per-source stats must be non-empty"
+    for r in rows:
+        assert 0 <= r["n_boiler_chunks"] <= r["n_chunks"]
+        assert abs(r["boiler_share"] - r["n_boiler_chunks"] / r["n_chunks"]) < 1e-5
+        assert r["n_docs_affected"] <= r["n_chunks"]
+
+
+def test_prefix_truncation_keeper_is_longest(spark):
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.tables import load
+
+    rows = _run(spark, "dedup_prefix_truncation")
+    assert rows, "the fixture plants prefix families"
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_docs"] > 1
+        assert r["min_tokens"] <= r["max_tokens"]
+        # the elected keeper is the longest member of its family
+        assert docs[r["keep_doc_id"]] == r["max_tokens"]
+
+
+def test_hapax_ratio_bounds(spark):
+    for r in _run(spark, "text_hapax_ratio"):
+        assert 0 < r["vocab"] <= r["n_tokens"]
+        assert 0 <= r["hapax"] <= r["vocab"]
+        assert abs(r["hapax_ratio"] - r["hapax"] / r["vocab"]) < 1e-5
+
+
+def test_page_hinkley_statistic_nonnegative(spark):
+    rows = _run(spark, "events_page_hinkley")
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert r["max_ph"] >= 0  # PH_t = m_t - min m_s >= 0 by construction
+        assert r["drift_detected"] == (r["max_ph"] > 20.0)
+        if r["first_alarm_day"] is not None:
+            assert r["drift_detected"]
+
+
+def test_query_likelihood_ranks_and_scores(spark):
+    rows = _run(spark, "text_query_likelihood")
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # every score is a finite log-likelihood ratio sum
+        assert all(math.isfinite(s) for s in scores)
+
+
+def test_quality_gate_accounting_identity(spark):
+    rows = _run(spark, "pipeline_quality_gate")
+    assert rows
+    tot = sum(r["n_docs"] for r in rows)
+    passed = sum(r["n_pass"] for r in rows)
+    assert 0 < passed < tot, "gate must reject some and pass some"
+    for r in rows:
+        assert r["n_pass"] <= r["n_docs"]
+        # rules can overlap, so rejections >= docs - pass is NOT an identity;
+        # but no rule can reject more than the source holds
+        for k in ("rej_short", "rej_long", "rej_repeat", "rej_lang"):
+            assert 0 <= r[k] <= r["n_docs"]
+        assert abs(r["pass_rate"] - r["n_pass"] / r["n_docs"]) < 1e-5
