@@ -973,3 +973,87 @@ def fits_vla_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ck").cast("long").alias("max_key"),
         )
     )
+
+
+@register(
+    "fits_multi_hdu_catalog",
+    oracle="""
+    SELECT 'catalog.fits' AS file, 0 AS hdu, NULL AS extname,
+           'PRIMARY' AS xtension, CAST(0 AS BIGINT) AS n_rows,
+           0 AS n_cols
+    UNION ALL
+    SELECT 'catalog.fits', 1, 'REGION', 'BINTABLE',
+           (SELECT COUNT(*) FROM region), 2
+    UNION ALL
+    SELECT 'catalog.fits', 2, 'NATION', 'BINTABLE',
+           (SELECT COUNT(*) FROM nation), 3
+    UNION ALL
+    SELECT 'catalog.fits', 3, 'SUPPLIER', 'BINTABLE',
+           (SELECT COUNT(*) FROM supplier), 3
+    """,
+)
+def fits_multi_hdu_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDU manifest over a multi-extension FITS file — the planning query
+    a bulk loader (the reference's `fits2db` walks extensions the same
+    way) runs BEFORE ingest: which HDUs exist, under what EXTNAMEs, with
+    how many rows/columns. Stages one file holding REGION + NATION +
+    SUPPLIER as three BINTABLE extensions, then catalogs it with the
+    header-only distributed walk (`sources.fits.read_fits_catalog`):
+    headers are parsed executor-side via mapInArrow, data areas are
+    SKIPPED by the standard size formula, so the manifest costs O(files)
+    regardless of data volume — at archive scale (millions of files,
+    100 TB of pixels) that asymmetry is the whole point. The data_bytes
+    column is dropped for the oracle (byte layout is writer-specific);
+    per-HDU byte accounting is covered by tests/test_fits.py.
+    """
+    import duckdb
+
+    from ..sources.fits import read_fits_catalog, write_fits_multi
+
+    def write(out_dir: str) -> None:
+        con = duckdb.connect()
+        reg = con.execute(
+            f"SELECT r_regionkey, r_name FROM read_parquet('{sf_dir}/region.parquet')"
+            " ORDER BY r_regionkey"
+        ).fetchall()
+        nat = con.execute(
+            "SELECT n_nationkey, n_name, n_regionkey FROM "
+            f"read_parquet('{sf_dir}/nation.parquet') ORDER BY n_nationkey"
+        ).fetchall()
+        sup = con.execute(
+            "SELECT s_suppkey, s_name, s_acctbal FROM "
+            f"read_parquet('{sf_dir}/supplier.parquet') ORDER BY s_suppkey"
+        ).fetchall()
+        blob = write_fits_multi(
+            [
+                {
+                    "columns": [
+                        ("r_regionkey", "J", [r[0] for r in reg]),
+                        ("r_name", "A25", [r[1] for r in reg]),
+                    ],
+                    "extname": "REGION",
+                },
+                {
+                    "columns": [
+                        ("n_nationkey", "J", [r[0] for r in nat]),
+                        ("n_name", "A24", [r[1] for r in nat]),
+                        ("n_regionkey", "J", [r[2] for r in nat]),
+                    ],
+                    "extname": "NATION",
+                },
+                {
+                    "columns": [
+                        ("s_suppkey", "J", [r[0] for r in sup]),
+                        ("s_name", "A25", [r[1] for r in sup]),
+                        ("s_acctbal", "D", [float(r[2]) for r in sup]),
+                    ],
+                    "extname": "SUPPLIER",
+                },
+            ]
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "catalog.fits"), "wb") as f:
+            f.write(blob)
+
+    staged = _scratch_dir(spark, sf_dir, "multi_hdu_catalog", write)
+    return read_fits_catalog(spark, staged).drop("data_bytes")

@@ -148,6 +148,7 @@ _PRIORITY_QUERIES = (
     "events_page_hinkley",
     "text_query_likelihood",
     "pipeline_quality_gate",
+    "fits_multi_hdu_catalog",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",

@@ -1064,6 +1064,99 @@ def verify_checksums(blob: bytes) -> list[dict]:
     return results
 
 
+def catalog_hdus(blob: bytes) -> list[dict]:
+    """Header-only walk of every HDU in a FITS file: index, EXTNAME,
+    extension type, row/column counts and data-area bytes — WITHOUT
+    touching the data areas (the walk seeks by the standard size formula,
+    so cataloging a multi-GB file costs only its header blocks). This is
+    the manifest step a bulk loader runs before scheduling per-HDU ingest
+    jobs: which extensions exist, under what names, and how big each is."""
+    out = []
+    off = 0
+    idx = 0
+    while off < len(blob):
+        cards, data_off = _parse_header(blob, off)
+        dsize = _hdu_data_size(cards)
+        padded = (dsize + BLOCK - 1) // BLOCK * BLOCK
+        if data_off + padded > len(blob):
+            raise FitsFormatError("truncated HDU data area")
+        xt = str(cards.get("XTENSION", "PRIMARY")).strip()
+        naxis = _header_int(cards, "NAXIS")
+        out.append(
+            {
+                "hdu": idx,
+                "extname": cards.get("EXTNAME"),
+                "xtension": xt,
+                "n_rows": _header_int(cards, "NAXIS2") if naxis >= 2 else 0,
+                "n_cols": int(cards["TFIELDS"]) if "TFIELDS" in cards else 0,
+                "data_bytes": dsize,
+            }
+        )
+        off = data_off + padded
+        idx += 1
+    return out
+
+
+def read_fits_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed HDU manifest over a file / glob of FITS files: one row
+    per HDU with (file, hdu, extname, xtension, n_rows, n_cols,
+    data_bytes). Runs :func:`catalog_hdus` executor-side per file via
+    mapInArrow — header blocks only, no data decode, so the scan cost is
+    O(files), not O(bytes); at archive scale this is the planning query
+    that decides which HDUs are worth a full ingest pass."""
+    import os as _os
+
+    import pyarrow as pa
+
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    files = spark.read.format("binaryFile").load(path)
+    schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("hdu", IntegerType()),
+            StructField("extname", StringType()),
+            StructField("xtension", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("n_cols", IntegerType()),
+            StructField("data_bytes", LongType()),
+        ]
+    )
+
+    def walk(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            rows: list[dict] = []
+            for pathv, payload in zip(tbl.column("path"), tbl.column("content")):
+                base = _os.path.basename(str(pathv.as_py()))
+                for e in catalog_hdus(payload.as_py()):
+                    rows.append(
+                        {
+                            "file": base,
+                            "hdu": e["hdu"],
+                            "extname": e["extname"],
+                            "xtension": e["xtension"],
+                            "n_rows": e["n_rows"],
+                            "n_cols": e["n_cols"],
+                            "data_bytes": e["data_bytes"],
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(rows, schema=pa.schema(
+                [
+                    pa.field("file", pa.string()),
+                    pa.field("hdu", pa.int32()),
+                    pa.field("extname", pa.string()),
+                    pa.field("xtension", pa.string()),
+                    pa.field("n_rows", pa.int64()),
+                    pa.field("n_cols", pa.int32()),
+                    pa.field("data_bytes", pa.int64()),
+                ]
+            ))
+
+    return files.select("path", "content").mapInArrow(walk, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # IMAGE extensions (XTENSION = 'IMAGE' / primary arrays) -> pixel tables
 # ---------------------------------------------------------------------------
