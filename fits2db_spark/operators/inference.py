@@ -5455,3 +5455,106 @@ def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((diff - _TOST_MARGIN) / se < -1.6449)
         ).alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Youden-J optimal threshold (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_youden_threshold",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(FLOOR(o_totalprice / {_AUC_BIN}) AS BIGINT) AS bucket,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    hist AS (
+      SELECT bucket,
+             CAST(SUM(label) AS DOUBLE) AS pos,
+             CAST(COUNT(*) - SUM(label) AS DOUBLE) AS neg
+      FROM per GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(pos) AS np, SUM(neg) AS nn FROM hist),
+    cum AS (
+      SELECT bucket,
+             SUM(pos) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pos_upto,
+             SUM(neg) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS neg_upto
+      FROM hist
+    ),
+    j AS (
+      SELECT bucket,
+             ROUND((t.np - pos_upto) / t.np, 6) AS tpr,
+             ROUND((t.nn - neg_upto) / t.nn, 6) AS fpr
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT CAST(bucket + 1 AS BIGINT) AS threshold_bucket,
+           ROUND(tpr - fpr, 6) AS youden_j, tpr, fpr
+    FROM j
+    ORDER BY ROUND(tpr - fpr, 6) DESC, bucket
+    LIMIT 1
+    """,
+)
+def ml_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal operating point by Youden's J (1950): over the SAME
+    {_AUC_BIN}-unit score histogram and constructed label as
+    `ml_auc_roc`, evaluate "predict positive when bucket >= theta" at
+    every cut and return the theta maximizing J = TPR - FPR — the
+    standard threshold election after a model ships (AUC says the
+    ranking is good; Youden says WHERE to cut it). Ties break toward the
+    lower bucket.
+
+    Plan: the order stream reduces to the O(buckets) histogram (the AUC
+    exchange exactly); TPR/FPR at every cut are two cumulative windows
+    over that histogram, and the argmax is a 1-row TakeOrdered. Streams
+    through the same one-pass mergeable-histogram shape production ML
+    monitors use for threshold sweeps."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(
+        F.floor(F.col("o_totalprice") / _AUC_BIN).cast("long").alias("bucket"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    hist = per.groupBy("bucket").agg(
+        F.sum("label").cast("double").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("double").alias("neg"),
+    )
+    tot = hist.agg(F.sum("pos").alias("np"), F.sum("neg").alias("nn"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("pos").over(w).alias("pos_upto"),
+        F.sum("neg").over(w).alias("neg_upto"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round((F.col("np") - F.col("pos_upto")) / F.col("np"), 6).alias("tpr"),
+        F.round((F.col("nn") - F.col("neg_upto")) / F.col("nn"), 6).alias("fpr"),
+    )
+    return (
+        j.select(
+            (F.col("bucket") + 1).cast("long").alias("threshold_bucket"),
+            F.round(F.col("tpr") - F.col("fpr"), 6).alias("youden_j"),
+            "tpr",
+            "fpr",
+        )
+        .orderBy(F.col("youden_j").desc(), F.col("threshold_bucket"))
+        .limit(1)
+    )

@@ -3127,3 +3127,60 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                  AS DOUBLE) AS subwords,
+             CAST(strlen(text) AS DOUBLE) AS bytes
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(words) AS BIGINT) AS n_words,
+           CAST(SUM(subwords) AS BIGINT) AS n_subwords,
+           ROUND(SUM(subwords) / SUM(words), 6) AS fertility,
+           ROUND(SUM(bytes) / SUM(subwords), 6) AS bytes_per_token
+    FROM per GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per whitespace
+    word (and bytes per token) under the BPE-ish regex segmentation
+    shared with `text_token_count_bpeish`. Fertility is the standard
+    tokenizer-equity metric in multilingual corpus reports (a tokenizer
+    trained on English fragments other scripts into far more tokens per
+    word, inflating their effective training cost and context usage);
+    bytes/token is the compression-rate companion. Pipelines threshold on
+    these before committing a tokenizer to a data mix.
+
+    Plan: both token counts are per-row regexp/split size expressions
+    inside codegen — no explode, no per-token rows — followed by one
+    O(langs) partial-aggregating groupBy. The cheapest possible shape:
+    a 100 TB corpus pays exactly one scan."""
+    d = load(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("double")
+    subwords = F.size(
+        F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    ).cast("double")
+    per = d.select(
+        "lang",
+        words.alias("words"),
+        subwords.alias("subwords"),
+        F.length("text").cast("double").alias("bytes"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("subwords").cast("long").alias("n_subwords"),
+        F.round(F.sum("subwords") / F.sum("words"), 6).alias("fertility"),
+        F.round(F.sum("bytes") / F.sum("subwords"), 6).alias("bytes_per_token"),
+    )

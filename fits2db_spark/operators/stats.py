@@ -6373,3 +6373,143 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_alarm_day"),
         (F.max("ph_t") > _PH_LAMBDA).alias("drift_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase-folded lightcurve (round 10)
+# ---------------------------------------------------------------------------
+_PF_PERIOD = 7.0  # fold period in days (the weekly cycle planted in events)
+_PF_BINS = 20
+
+
+@register(
+    "lightcurve_phase_fold",
+    oracle=f"""
+    WITH obs AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0 AS t, value AS v
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT CAST(LEAST(FLOOR(((t / {_PF_PERIOD}) % 1.0) * {_PF_BINS}),
+                      {_PF_BINS} - 1) AS INT) AS phase_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(v), 6) AS mean_v,
+           ROUND(STDDEV_SAMP(v) / SQRT(COUNT(*)), 6) AS sem_v
+    FROM obs GROUP BY 1
+    """,
+)
+def lightcurve_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-folded lightcurve at a KNOWN period ({_PF_PERIOD} days): fold
+    observation times modulo the period, bin the phase into {_PF_BINS}
+    cells, and report each cell's mean value with its standard error —
+    the reduction every periodic-variable pipeline runs after a period
+    search (`lightcurve_pdm`/`lightcurve_bls` FIND the period; the fold
+    at that period is what a human or a classifier actually inspects).
+
+    Plan: single pass — phase arithmetic is per-row double fmod, then one
+    {_PF_BINS}-cell partial-aggregating groupBy; nothing scales with
+    anything but the input scan. The same fold at 100 TB is embarrassing
+    parallelism with a {_PF_BINS}-row result."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    obs = ev.select(
+        (F.unix_micros(F.col("ts")) / 86_400_000_000.0).alias("t"),
+        F.col("value").alias("v"),
+    )
+    pbin = F.least(
+        F.floor(((F.col("t") / _PF_PERIOD) % 1.0) * _PF_BINS), F.lit(_PF_BINS - 1)
+    ).cast("int")
+    return obs.groupBy(pbin.alias("phase_bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v") / F.sqrt(F.count(F.lit(1))), 6).alias("sem_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interrupted time series / segmented regression (round 10)
+# ---------------------------------------------------------------------------
+_ITS_CUT = 15  # intervention day (the ml_did_estimator period convention)
+
+
+@register(
+    "events_intervention_its",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS d,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT event_type, CASE WHEN d < {_ITS_CUT} THEN 0 ELSE 1 END AS post,
+             COUNT(*) AS n, AVG(d) AS mx, AVG(v) AS my,
+             SUM(d * d) AS sxx, SUM(d * v) AS sxy
+      FROM daily GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT event_type, post, n, mx, my,
+             (sxy - n * mx * my) / (sxx - n * mx * mx) AS slope,
+             my - (sxy - n * mx * my) / (sxx - n * mx * mx) * mx AS icept
+      FROM seg
+    )
+    SELECT a.event_type,
+           ROUND(b.icept + b.slope * {_ITS_CUT}
+                 - (a.icept + a.slope * {_ITS_CUT}), 6) AS level_change,
+           ROUND(b.slope - a.slope, 6) AS slope_change,
+           ROUND(a.slope, 6) AS pre_slope,
+           CAST(a.n AS BIGINT) AS n_pre, CAST(b.n AS BIGINT) AS n_post
+    FROM fit a JOIN fit b USING (event_type)
+    WHERE a.post = 0 AND b.post = 1
+    """,
+)
+def events_intervention_its(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time series (segmented regression) per event type: OLS
+    lines fitted separately before and after an intervention at day
+    {_ITS_CUT}, reporting the LEVEL change (post line minus pre line,
+    both evaluated at the cutoff) and the SLOPE change — the quasi-
+    experimental design when there is no control group at all
+    (`ml_did_estimator` needs one; `ml_regression_discontinuity` needs a
+    continuous running variable; ITS needs only the before/after series).
+    The fixture has no real intervention, so both changes sit near 0 —
+    a true-null placebo, the same convention as the DiD null scenario.
+
+    Plan: the event stream collapses in the shared daily partial
+    aggregation; each segment's OLS is closed-form moment algebra over
+    O(days x types x 2) rows, and the pre/post join is on the tiny fit
+    table. Nothing after the first groupBy scales with volume."""
+    daily = daily_value_series(spark, sf_dir, agg="avg").select(
+        "event_type", F.col("d").cast("double").alias("d"), "v"
+    )
+    seg = daily.groupBy(
+        "event_type",
+        F.when(F.col("d") < _ITS_CUT, 0).otherwise(1).alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("d").alias("mx"),
+        F.avg("v").alias("my"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+        F.sum(F.col("d") * F.col("v")).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    fit = seg.select(
+        "event_type",
+        "post",
+        "n",
+        slope.alias("slope"),
+        (F.col("my") - slope * F.col("mx")).alias("icept"),
+    )
+    a = fit.filter(F.col("post") == 0).alias("a")
+    b = fit.filter(F.col("post") == 1).alias("b")
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.icept") + F.col("b.slope") * _ITS_CUT)
+            - (F.col("a.icept") + F.col("a.slope") * _ITS_CUT),
+            6,
+        ).alias("level_change"),
+        F.round(F.col("b.slope") - F.col("a.slope"), 6).alias("slope_change"),
+        F.round(F.col("a.slope"), 6).alias("pre_slope"),
+        F.col("a.n").cast("long").alias("n_pre"),
+        F.col("b.n").cast("long").alias("n_post"),
+    )

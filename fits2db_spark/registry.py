@@ -149,6 +149,10 @@ _PRIORITY_QUERIES = (
     "text_query_likelihood",
     "pipeline_quality_gate",
     "fits_multi_hdu_catalog",
+    "lightcurve_phase_fold",
+    "events_intervention_its",
+    "ml_youden_threshold",
+    "text_tokenizer_fertility",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",

@@ -287,6 +287,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # midrank cumulative window over the same O(price-buckets) histogram
     # as agg_mann_whitney (r10)
     "agg_kruskal_wallis",
+    # TPR/FPR cumulative windows over the same O(price-buckets) histogram
+    # (r10)
+    "ml_youden_threshold",
     # SPRT likelihood walk over the O(periods)~80 pre-aggregated counts (r8)
     "ml_sprt_monitor",
     # best-split search over the ~20-bucket price histogram — cumulative +

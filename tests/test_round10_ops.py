@@ -119,3 +119,51 @@ def test_quality_gate_accounting_identity(spark):
         for k in ("rej_short", "rej_long", "rej_repeat", "rej_lang"):
             assert 0 <= r[k] <= r["n_docs"]
         assert abs(r["pass_rate"] - r["n_pass"] / r["n_docs"]) < 1e-5
+
+
+def test_phase_fold_bins_cover_and_counts_sum(spark):
+    from fits2db_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = _run(spark, "lightcurve_phase_fold")
+    bins = sorted(r["phase_bin"] for r in rows)
+    assert bins == list(range(20))
+    n_views = (
+        load(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    assert sum(r["n"] for r in rows) == n_views
+    assert all(r["sem_v"] >= 0 for r in rows)
+
+
+def test_its_placebo_near_null(spark):
+    rows = _run(spark, "events_intervention_its")
+    assert len(rows) == 5
+    for r in rows:
+        # no intervention is planted: both changes sit near zero relative to
+        # the value scale (daily means are O(50)); at the sf0.001 smoke tier
+        # each segment has only ~15 noisy points, so the null band is wide
+        assert abs(r["level_change"]) < 40.0, r
+        assert abs(r["slope_change"]) < 6.0, r
+        assert r["n_pre"] > 2 and r["n_post"] > 2
+
+
+def test_youden_threshold_separates_constructed_label(spark):
+    (r,) = _run(spark, "ml_youden_threshold")
+    # the AUC label has real signal (AUC ~0.94), so the best J must be
+    # strongly positive and the rates must be genuine probabilities
+    assert r["youden_j"] > 0.5, r
+    assert 0.0 <= r["fpr"] < r["tpr"] <= 1.0
+    assert r["threshold_bucket"] > 0
+
+
+def test_tokenizer_fertility_bounds(spark):
+    rows = _run(spark, "text_tokenizer_fertility")
+    assert {r["lang"] for r in rows} == {"en", "de", "fr", "es", "zh"}
+    for r in rows:
+        # fixture text is space-separated alnum words: every word yields
+        # at least one subword, so fertility >= 1; bytes/token is positive
+        assert r["fertility"] >= 1.0
+        assert r["bytes_per_token"] > 0
+        assert r["n_subwords"] >= r["n_words"] > 0
