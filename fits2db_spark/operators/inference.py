@@ -5558,3 +5558,87 @@ def ml_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("youden_j").desc(), F.col("threshold_bucket"))
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# ECE / MCE calibration summary (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_calibration_ece",
+    oracle=f"""
+    WITH per AS (
+      SELECT LEAST(9, CAST(FLOOR(o_totalprice / {_CAL_BINW}) AS BIGINT)) AS bin,
+             1.0 / (1.0 + EXP(-(o_totalprice - {_CAL_MID}) / {_CAL_SCALE}))
+               AS score,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS label
+      FROM orders
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(score) AS ms, AVG(label) AS fp,
+             AVG((score - label) * (score - label)) AS brier
+      FROM per GROUP BY bin
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS INT) AS n_bins,
+           FLOOR(SUM(n * ABS(ms - fp)) / SUM(n) * 10000) / 10000 AS ece,
+           FLOOR(MAX(ABS(ms - fp)) * 10000) / 10000 AS mce,
+           FLOOR(SUM(n * brier) / SUM(n) * 10000) / 10000 AS brier
+    FROM bins
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / Maximum Calibration Error (Guo et al. 2017) — the alert
+    SCALARS over the same 10-bin reliability diagram as
+    `ml_calibration_bins`: ECE = the n-weighted mean |confidence −
+    accuracy| gap, MCE = the worst bin's gap, plus the overall Brier
+    score. The bins entry is the dashboard; this is the number a
+    monitoring threshold fires on (the two must come from the SAME
+    binning, which is why they share every constant).
+
+    Scale: identical exchange to the bins query — one O(rows) scan into a
+    10-row mergeable aggregate, then a 1-row fold. FLOOR at 1e-4 after
+    the fold (the per-bin averages carry full precision into the
+    weighting, so this cannot drift from a re-derivation off the rounded
+    bins output)."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    score = 1.0 / (
+        1.0 + F.exp(-(F.col("o_totalprice") - _CAL_MID) / _CAL_SCALE)
+    )
+    per = o.select(
+        F.least(
+            F.lit(9), F.floor(F.col("o_totalprice") / _CAL_BINW).cast("long")
+        ).alias("bin"),
+        score.alias("score"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    bins = per.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("score").alias("ms"),
+        F.avg("label").alias("fp"),
+        F.avg(
+            (F.col("score") - F.col("label")) * (F.col("score") - F.col("label"))
+        ).alias("brier"),
+    )
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    gap = F.abs(F.col("ms") - F.col("fp"))
+    return bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+        f4(F.sum(F.col("n") * gap) / F.sum("n")).alias("ece"),
+        f4(F.max(gap)).alias("mce"),
+        f4(F.sum(F.col("n") * F.col("brier")) / F.sum("n")).alias("brier"),
+    )

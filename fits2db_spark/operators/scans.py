@@ -1057,3 +1057,79 @@ def fits_multi_hdu_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = _scratch_dir(spark, sf_dir, "multi_hdu_catalog", write)
     return read_fits_catalog(spark, staged).drop("data_bytes")
+
+
+_SC_ROUNDS, _SC_K = 3, 2.0  # sigma-clip iterations and clip width
+
+
+def _sigma_clip_oracle() -> str:
+    # regenerate the closed-form pixel image relationally, then unroll the
+    # clip rounds as chained CTEs (the graph_pagerank fixed-iteration trick)
+    it = """
+    s{a} AS (SELECT AVG(val) AS mu, STDDEV_SAMP(val) AS sd FROM k{a}),
+    r{a} AS (SELECT CAST({a} + 1 AS INT) AS round,
+                    CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    ROUND(AVG(k.val), 6) AS mean_val,
+                    ROUND(STDDEV_SAMP(k.val), 6) AS std_val
+             FROM k{a} k CROSS JOIN s{a} s
+             WHERE ABS(k.val - s.mu) <= {k} * s.sd),
+    k{b} AS (SELECT k.val FROM k{a} k CROSS JOIN s{a} s
+             WHERE ABS(k.val - s.mu) <= {k} * s.sd)"""
+    rounds = ",".join(
+        it.format(a=i, b=i + 1, k=_SC_K) for i in range(_SC_ROUNDS)
+    )
+    union = " UNION ALL ".join(f"SELECT * FROM r{i}" for i in range(_SC_ROUNDS))
+    return f"""
+    WITH px AS (
+      SELECT ((x.x * 31 + y.y * 17) % 1000 - 200) * 0.5 + 100.0 AS val
+      FROM (SELECT UNNEST(range(48)) AS x) x
+      CROSS JOIN (SELECT UNNEST(range(32)) AS y) y
+    ),
+    k0 AS (SELECT val FROM px),
+    {rounds}
+    {union}
+    """
+
+
+@register("fits_image_sigma_clip", oracle=_sigma_clip_oracle())
+def fits_image_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteratively sigma-clipped image statistics — the astronomy-standard
+    background estimator (astropy's sigma_clipped_stats): {_SC_ROUNDS}
+    rounds of "estimate mean/std, reject pixels beyond {_SC_K} sigma,
+    re-estimate", reported per round so the convergence is visible. Run
+    on the staged SCI image's pixel table (the `fits_image_ingest` path);
+    the closed-form pixel function lets DuckDB regenerate the identical
+    image relationally, so every round is hash-checked.
+
+    Plan: the pixel scan happens once into a cached O(pixels) frame; each
+    round is a 1-row broadcast stats aggregate + a map-side filter —
+    never a shuffle of pixels (the filter consumes the broadcast scalar).
+    On a mosaic at archive scale the same plan runs per-tile via one
+    groupBy(file) with the clip bounds as windowed scalars."""
+    from ..sources.fits import read_fits_image
+
+    px = read_fits_image(spark, _stage_sci_image(spark, sf_dir), hdu="SCI").select(
+        F.col("val").cast("double").alias("val")
+    )
+    kept = px
+    legs = []
+    for i in range(_SC_ROUNDS):
+        stats = kept.agg(
+            F.avg("val").alias("mu"), F.stddev_samp("val").alias("sd")
+        )
+        survivors = kept.crossJoin(F.broadcast(stats)).filter(
+            F.abs(F.col("val") - F.col("mu")) <= _SC_K * F.col("sd")
+        )
+        legs.append(
+            survivors.agg(
+                F.lit(i + 1).cast("int").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.round(F.avg("val"), 6).alias("mean_val"),
+                F.round(F.stddev_samp("val"), 6).alias("std_val"),
+            )
+        )
+        kept = survivors.select("val")
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -6513,3 +6513,76 @@ def events_intervention_its(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n").cast("long").alias("n_pre"),
         F.col("b.n").cast("long").alias("n_post"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+             CAST(ts AS DATE) AS day, user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT month, day, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS dau
+      FROM d GROUP BY month, day
+    ),
+    mau AS (
+      SELECT month, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS mau,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM d GROUP BY month
+    )
+    SELECT CAST(mau.month AS DATE) AS month,
+           CAST(mau.mau AS BIGINT) AS mau,
+           ROUND(AVG(dau.dau), 4) AS avg_dau,
+           mau.n_days,
+           ROUND(AVG(dau.dau) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau USING (month)
+    GROUP BY mau.month, mau.mau, mau.n_days
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — average daily active users over
+    monthly active users, the engagement-frequency ratio every product
+    dashboard tracks (1.0 = every monthly user shows up every day;
+    `events_growth_accounting` classifies WHO churned, stickiness says
+    how habitual the survivors are).
+
+    Plan: two countDistinct aggregations off one projection — the daily
+    one partial-aggregates per (month, day), the monthly one per month —
+    joined on the O(months) key. countDistinct over user ids is the
+    exact form; at 100 TB the sketch form (`agg_approx_distinct`) swaps
+    in per the documented trade, shape unchanged."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("month", F.col("ts").cast("date")).cast("date").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    dau = d.groupBy("month", "day").agg(
+        F.countDistinct("user_id").cast("double").alias("dau")
+    )
+    mau = d.groupBy("month").agg(
+        F.countDistinct("user_id").cast("double").alias("mau"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month", "mau", "n_days")
+        .agg(
+            F.round(F.avg("dau"), 4).alias("avg_dau"),
+            F.round(F.avg("dau") / F.first("mau"), 6).alias("stickiness"),
+        )
+        .select(
+            "month",
+            F.col("mau").cast("long").alias("mau"),
+            "avg_dau",
+            F.col("n_days").cast("long").alias("n_days"),
+            "stickiness",
+        )
+    )

@@ -153,6 +153,9 @@ _PRIORITY_QUERIES = (
     "events_intervention_its",
     "ml_youden_threshold",
     "text_tokenizer_fertility",
+    "ml_calibration_ece",
+    "events_dau_mau_stickiness",
+    "fits_image_sigma_clip",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",

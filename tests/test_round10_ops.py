@@ -167,3 +167,36 @@ def test_tokenizer_fertility_bounds(spark):
         assert r["fertility"] >= 1.0
         assert r["bytes_per_token"] > 0
         assert r["n_subwords"] >= r["n_words"] > 0
+
+
+def test_calibration_ece_consistent_with_bins(spark):
+    (r,) = _run(spark, "ml_calibration_ece")
+    bins = _run(spark, "ml_calibration_bins")
+    # at the smoke tier a price bin can be EMPTY — both entries must agree
+    # on the occupied-bin count, which is at most the 10 fixed bins
+    assert r["n_bins"] == len(bins) <= 10
+    assert r["n"] == sum(b["n"] for b in bins)
+    # ECE is a weighted mean of per-bin gaps -> bounded by the max gap
+    assert 0.0 <= r["ece"] <= r["mce"] <= 1.0
+    # MCE agrees with the bins entry's worst gap (both floor at 1e-4, but
+    # the bins floor each gap first — allow that one-ulp-of-floor slack)
+    assert abs(r["mce"] - max(b["calib_gap"] for b in bins)) <= 1e-4
+
+
+def test_stickiness_bounds(spark):
+    rows = _run(spark, "events_dau_mau_stickiness")
+    assert rows
+    for r in rows:
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["avg_dau"] <= r["mau"]
+        assert r["n_days"] >= 1
+
+
+def test_sigma_clip_monotone_contraction(spark):
+    rows = sorted(_run(spark, "fits_image_sigma_clip"), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    ns = [r["n_kept"] for r in rows]
+    assert ns[0] <= 48 * 32
+    assert ns == sorted(ns, reverse=True), "clip must only shrink"
+    stds = [r["std_val"] for r in rows]
+    assert stds == sorted(stds, reverse=True), "std must not increase"
