@@ -209,17 +209,38 @@ def _live_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple[str, str, str
 
 
 def _drain_live(
-    spark: SparkSession, key: tuple, prefix: str, stream_df: DataFrame, output_mode: str
+    spark: SparkSession,
+    key: tuple,
+    prefix: str,
+    stream_df: DataFrame,
+    output_mode: str,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a live stream to a memory sink (availableNow), memoize the sink
     table per (session, sf_dir, tag), and return it. Raises rather than
     memoizing if the drain does not terminate — a partial sink table must
-    never be returned. The ONE drain contract for every stream_live_* query."""
+    never be returned. The ONE drain contract for every stream_live_* query.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    query's FIRST batch only (streaming state sharding is fixed at query
+    start from that conf; each drain uses a fresh temp checkpoint, so the
+    pin never conflicts with prior state). Every state-store shard pays a
+    per-commit maintenance round trip per micro-batch — at fixture scale
+    fewer shards is strictly faster, and on a real cluster the knob is
+    sized to state volume, exactly as the module docstring prescribes."""
     from ..streaming.live import run_stream_to_memory
 
     name = f"{prefix}_{abs(hash(key)) % 10**8}"
-    q = run_stream_to_memory(stream_df, name, output_mode=output_mode)
-    if not q.awaitTermination(300):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = run_stream_to_memory(stream_df, name, output_mode=output_mode)
+        terminated = q.awaitTermination(300)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+    if not terminated:
         q.stop()
         raise RuntimeError(
             f"{prefix}: availableNow drain did not terminate in 300s — a "
@@ -391,7 +412,11 @@ def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "buy_ts",
         F.round("buy_value", 2).alias("buy_value"),
     )
-    return _drain_live(spark, key, "live_ivjoin", joined, "append")
+    # 2 state stores (one per join side) x shards x per-batch commit cost:
+    # 4 shards ≈ 150 events/shard at sf0.1 — plenty; 8 was pure overhead
+    return _drain_live(
+        spark, key, "live_ivjoin", joined, "append", state_partitions=4
+    )
 
 
 @register(
