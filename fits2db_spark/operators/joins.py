@@ -1465,3 +1465,84 @@ def join_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_interp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (round 10)
+# ---------------------------------------------------------------------------
+_BUCKETS = 8
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over PRE-BUCKETED tables — THE repeated-join layout
+    at 100 TB: both sides are written once with ``bucketBy(N, key)`` +
+    ``sortBy``, after which every join on that key satisfies the
+    distribution requirement from the LAYOUT and Catalyst elides both
+    exchanges (no per-query shuffle of either fact table, ever again).
+    This is the registry-visible twin of
+    tests/test_bucketing.py::test_bucketed_join_has_no_exchange, which
+    additionally asserts the exchange-free plan; here the bucketed round
+    trip's RESULT is oracle-checked against the plain join. The merge
+    hint pins SMJ (at fixture scale AQE would broadcast, hiding the
+    layout's point).
+
+    Scale: bucket count is sized to data volume (128 MB-ish per bucket
+    file x buckets x partitions); the one-time bucketed write costs one
+    shuffle — amortized over every subsequent join, the trade every
+    warehouse makes for its fact-to-fact conformance keys."""
+    import os
+
+    from .scans import _scratch_dir
+
+    # catalog identifiers cannot carry '.' (sf0.001 would parse as a
+    # schema qualifier) — sanitize the tag for the table names only
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    li_t, o_t = f"li_bkt_{tag}", f"o_bkt_{tag}"
+
+    def stage(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_t}")
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .bucketBy(_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(out_dir, "li"))
+            .saveAsTable(li_t)
+        )
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .bucketBy(_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(out_dir, "o"))
+            .saveAsTable(o_t)
+        )
+
+    # _scratch_dir memoizes per (session, sf): a fresh session re-runs
+    # stage(), which drops + recreates the catalog entries over the same
+    # external paths — so the tables always exist when the join builds
+    _scratch_dir(spark, sf_dir, "bucketed_join", stage)
+    return (
+        spark.table(li_t)
+        .hint("merge")
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

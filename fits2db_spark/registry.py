@@ -156,6 +156,7 @@ _PRIORITY_QUERIES = (
     "ml_calibration_ece",
     "events_dau_mau_stickiness",
     "fits_image_sigma_clip",
+    "join_bucketed_colocated",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",
