@@ -256,6 +256,36 @@ def _kmeans_oracle(k: int = 5, iters: int = 5, d: int = 64) -> str:
     """
 
 
+def _kmeans_silhouette_oracle(k: int = 5, iters: int = 5, d: int = 64) -> str:
+    # same unrolled Lloyd CTE chain as _kmeans_oracle, different final
+    # reduction: simplified (centroid-based) silhouette per cluster
+    base = _kmeans_oracle(k, iters, d)
+    ctes = base.split("SELECT cluster, CAST(COUNT(*) AS BIGINT)")[0]
+
+    def dist(emb: str, cent: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(generate_series(1, {d}), i -> "
+            f"(CAST({emb}[i] AS DOUBLE) - {cent}[i])"
+            f" * (CAST({emb}[i] AS DOUBLE) - {cent}[i]))))"
+        )
+
+    return f"""{ctes.rstrip()},
+    per AS (
+      SELECT a.vec_id, a.cluster,
+             MIN(CASE WHEN c.cluster = a.cluster
+                      THEN {dist('a.embedding', 'c.centroid')} END) AS adist,
+             MIN(CASE WHEN c.cluster <> a.cluster
+                      THEN {dist('a.embedding', 'c.centroid')} END) AS bdist
+      FROM a{iters} a CROSS JOIN c{iters - 1} c
+      GROUP BY a.vec_id, a.cluster, a.embedding
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG((bdist - adist) / GREATEST(adist, bdist)), 6)
+             AS mean_silhouette
+    FROM per GROUP BY cluster
+    """
+
+
 @register("vec_kmeans", oracle=_kmeans_oracle())
 def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (Lloyd's) over the embedding column, pure DataFrame ops.
@@ -2163,4 +2193,110 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tail",
             F.round("alpha", 6).alias("alpha_hill"),
         )
+    )
+
+
+@register("vec_kmeans_silhouette", oracle=_kmeans_silhouette_oracle())
+def vec_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cluster — the
+    standard cluster-quality score (Rousseeuw 1987; the centroid variant
+    is what scikit-learn calls "simplified silhouette" and what every
+    distributed ML library computes, because the exact form needs all
+    pairwise distances): for each point, a = distance to its OWN final
+    centroid, b = distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b). Run over the SAME deterministic Lloyd
+    fixpoint as `vec_kmeans` (identical init, identical 5 rounds,
+    identical tie-breaks — the two operators must agree on assignments
+    or the score is meaningless), reporting n and mean s per cluster.
+
+    Scale: the Lloyd loop is `vec_kmeans`'s bounded-driver-state pattern
+    (k x 64 doubles per round); the silhouette pass itself is ONE extra
+    map over the corpus against the broadcast centroid array — a and b
+    fall out of a single per-row distance array, no joins, no shuffles
+    beyond the final per-cluster rollup."""
+    k, iters = 5, 5
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        (i + 1, [float(x) for x in r.embedding])
+        for i, r in enumerate(
+            e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        )
+    ]
+    assigned = None
+    for _ in range(iters):
+        cent_col = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
+        label_col = F.array(*[F.lit(lb) for lb, _ in cents])
+        dist2 = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            F.array_min(
+                F.zip_with(
+                    F.transform(cent_col, dist2),
+                    label_col,
+                    lambda dd, lb: F.struct(dd.alias("d"), lb.alias("lb")),
+                )
+            )["lb"].alias("cluster"),
+        )
+        if _ < iters - 1:
+            new_cents = (
+                assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+                .select("cluster", F.col("ps.m").alias("centroid"))
+                .orderBy("cluster")
+                .collect()
+            )
+            cents = [
+                (int(r.cluster), [float(x) for x in r.centroid]) for r in new_cents
+            ]
+    # one per-row pass against the FINAL round's centroids: pairs of
+    # (euclidean distance, label), then a = own-cluster distance and
+    # b = nearest other-cluster distance from the same array
+    cent_col = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
+    label_col = F.array(*[F.lit(lb) for lb, _ in cents])
+    dist = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    pairs = F.zip_with(
+        F.transform(cent_col, dist),
+        label_col,
+        lambda dd, lb: F.struct(dd.alias("d"), lb.alias("lb")),
+    )
+    scored = assigned.select(
+        "cluster",
+        F.element_at(
+            F.filter(pairs, lambda p: p["lb"] == F.col("cluster")), 1
+        )["d"].alias("adist"),
+        F.array_min(F.filter(pairs, lambda p: p["lb"] != F.col("cluster")))[
+            "d"
+        ].alias("bdist"),
+    )
+    return scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.avg(
+                (F.col("bdist") - F.col("adist"))
+                / F.greatest(F.col("adist"), F.col("bdist"))
+            ),
+            6,
+        ).alias("mean_silhouette"),
     )

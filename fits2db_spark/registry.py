@@ -157,6 +157,7 @@ _PRIORITY_QUERIES = (
     "events_dau_mau_stickiness",
     "fits_image_sigma_clip",
     "join_bucketed_colocated",
+    "vec_kmeans_silhouette",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",

@@ -200,3 +200,12 @@ def test_sigma_clip_monotone_contraction(spark):
     assert ns == sorted(ns, reverse=True), "clip must only shrink"
     stds = [r["std_val"] for r in rows]
     assert stds == sorted(stds, reverse=True), "std must not increase"
+
+
+def test_silhouette_bounds_and_agreement_with_kmeans(spark):
+    sil = {r["cluster"]: r for r in _run(spark, "vec_kmeans_silhouette")}
+    km = {r["cluster"]: r for r in _run(spark, "vec_kmeans")}
+    assert set(sil) == set(km), "both must see the same final clusters"
+    for c, r in sil.items():
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert r["n"] == km[c]["n"], "assignments must agree"
