@@ -1313,48 +1313,49 @@ def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         _PQ_FIT_CACHE[key] = cov
-    # Each round's 64-row vector is collected and re-broadcast as literals
-    # (the sanctioned bounded-driver-state pattern shared with vec_kmeans:
-    # O(dim) doubles/round). Leaving the rounds lazy doubles the plan per
-    # round (~512 chained shuffle aggregates for 8 rounds — measured 160s+
-    # at sf0.01); materializing keeps it at 8 small jobs. The matvec SUM
-    # itself stays distributed, so the arithmetic matches the oracle's.
-    import math
+    # FULLY-RELATIONAL rounds (r10; the r7-r9 shape collected the 64-row
+    # vector each round and re-broadcast it as literals — 8 collects, 8
+    # structurally-distinct plans to compile, plus a createDataFrame round
+    # trip for the output, ~2.2s of fixed cost). Each round is matvec
+    # (join + groupBy over the d^2 cov table) -> norm (1-row broadcast) ->
+    # rescale, all inside the plan; lineage is cut every SECOND round
+    # because w feeds BOTH the norm and the next vector (the uncut chain
+    # quadruples per round — the graph_hits discipline; within one 2-round
+    # block the duplication tops out at 16 copies of a 64-row subtree).
+    # Nothing ever reaches the driver; the arithmetic is the oracle's own
+    # relational sums, fold-order noise absorbed by ROUND(6).
+    from .advanced import _free_local_checkpoint
 
-    v_rows = [(j, 1.0) for j in range(1, _DIM + 1)]
-    nrm_val = None
-    for _ in range(_PI_ROUNDS):
-        # the round vector ships as an inline create_map literal, not a
-        # createDataFrame broadcast: the driver->JVM frame round trip costs
-        # ~0.4s per round even for 64 rows (measured r7); the literal map
-        # keeps each matvec a single narrow agg job
-        vmap = F.create_map(
-            *[
-                F.lit(x).cast("bigint") if k == 0 else F.lit(float(x))
-                for j, val in v_rows
-                for k, x in enumerate((j, val))
-            ]
-        )
-        w_rows = sorted(
-            (r["i"], r["w"])
-            for r in cov.select(
-                "i", (F.col("c") * F.element_at(vmap, F.col("j"))).alias("cv")
-            )
+    v = spark.range(1, _DIM + 1).select(
+        F.col("id").cast("int").alias("j"), F.lit(1.0).alias("val")
+    )
+    w = nrm = None
+    cuts: list[DataFrame] = []
+    for t in range(_PI_ROUNDS):
+        w = (
+            cov.join(v, cov.j == v.j)
             .groupBy("i")
-            .agg(F.sum("cv").alias("w"))
-            .collect()
+            .agg(F.sum(F.col("c") * F.col("val")).alias("w"))
         )
-        nrm_val = math.sqrt(math.fsum(w * w for _, w in w_rows))
-        v_rows = [(i, w / nrm_val) for i, w in w_rows]
-    out = spark.createDataFrame(
-        [(j, val, nrm_val) for j, val in v_rows],
-        "component bigint, loading double, eigenvalue double",
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("val")
+        )
+        if t % 2 == 1 and t < _PI_ROUNDS - 1:
+            v = v.localCheckpoint(eager=True)
+            cuts.append(v)
+    out = (
+        v.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("j").cast("int").alias("component"),
+            F.round("val", 6).alias("loading"),
+            F.round("nrm", 6).alias("eigenvalue"),
+        )
+        .localCheckpoint(eager=True)
     )
-    return out.select(
-        F.col("component").cast("int").alias("component"),
-        F.round("loading", 6).alias("loading"),
-        F.round("eigenvalue", 6).alias("eigenvalue"),
-    )
+    for interim in cuts:
+        _free_local_checkpoint(interim)
+    return out
 
 
 # ---------------------------------------------------------------------------
