@@ -5642,3 +5642,98 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         f4(F.max(gap)).alias("mce"),
         f4(F.sum(F.col("n") * F.col("brier")) / F.sum("n")).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effect (round 10)
+# ---------------------------------------------------------------------------
+_QTE_BINW = 2.0  # value-bucket width for the mergeable ECDF
+_QTE_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+@register(
+    "agg_quantile_treatment_effect",
+    oracle=f"""
+    WITH per AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp,
+             CAST(FLOOR(value / {_QTE_BINW}) AS BIGINT) AS bucket
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    hist AS (
+      SELECT grp, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM per GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, bucket,
+             SUM(c) OVER (PARTITION BY grp ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(c) OVER (PARTITION BY grp) AS cdf
+      FROM hist
+    ),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in _QTE_QS)}]) AS q),
+    inv AS (
+      SELECT qs.q, cum.grp, MIN(cum.bucket) AS qb
+      FROM qs JOIN cum ON cum.cdf >= qs.q
+      GROUP BY qs.q, cum.grp
+    )
+    SELECT CAST(t.q AS DOUBLE) AS q,
+           ROUND(CAST((t.qb + 1) * {_QTE_BINW} AS DOUBLE), 2) AS q_treat,
+           ROUND(CAST((c.qb + 1) * {_QTE_BINW} AS DOUBLE), 2) AS q_control,
+           ROUND(CAST((t.qb - c.qb) * {_QTE_BINW} AS DOUBLE), 2) AS qte
+    FROM inv t JOIN inv c ON t.q = c.q AND t.grp = 1 AND c.grp = 0
+    """,
+)
+def agg_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the per-quantile difference between the
+    click ("treatment") and view ("control") value distributions at
+    q = {_QTE_QS}: where in the distribution the lift lives, which a mean
+    difference (`agg_welch_ttest`) averages away (classic A/B case: a
+    heavy-tail treatment moves p90 but not the median). Quantiles invert
+    a {_QTE_BINW}-unit bucketed ECDF — the same mergeable-histogram
+    discipline as the AUC/KS/Mann-Whitney family, which is what makes QTE
+    one-pass and exact-to-bucket-width on any data volume; reported
+    values are bucket upper edges, identical in both engines by
+    construction.
+
+    Plan: one (group, bucket) histogram shuffle; two O(buckets) windows;
+    the quantile inversion joins the tiny q-grid against the cumulative
+    table and takes a MIN per (q, group). Nothing after the histogram
+    scales with rows."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per = ev.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("grp"),
+        F.floor(F.col("value") / _QTE_BINW).cast("long").alias("bucket"),
+    )
+    hist = per.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "bucket",
+        (F.sum("c").over(wcum) / F.sum("c").over(wall)).alias("cdf"),
+    )
+    qs = spark.sql(
+        "SELECT col1 AS q FROM (VALUES "
+        + ", ".join(f"({q})" for q in _QTE_QS)
+        + ")"
+    )
+    inv = (
+        cum.join(F.broadcast(qs), F.col("cdf") >= F.col("q"))
+        .groupBy("q", "grp")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    t = inv.filter(F.col("grp") == 1).alias("t")
+    c = inv.filter(F.col("grp") == 0).alias("c")
+    return t.join(c, F.col("t.q") == F.col("c.q")).select(
+        F.col("t.q").cast("double").alias("q"),
+        F.round((F.col("t.qb") + 1) * _QTE_BINW, 2).alias("q_treat"),
+        F.round((F.col("c.qb") + 1) * _QTE_BINW, 2).alias("q_control"),
+        F.round((F.col("t.qb") - F.col("c.qb")) * _QTE_BINW, 2).alias("qte"),
+    )

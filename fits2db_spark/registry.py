@@ -158,6 +158,7 @@ _PRIORITY_QUERIES = (
     "fits_image_sigma_clip",
     "join_bucketed_colocated",
     "vec_kmeans_silhouette",
+    "agg_quantile_treatment_effect",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",

@@ -209,3 +209,13 @@ def test_silhouette_bounds_and_agreement_with_kmeans(spark):
     for c, r in sil.items():
         assert -1.0 <= r["mean_silhouette"] <= 1.0
         assert r["n"] == km[c]["n"], "assignments must agree"
+
+
+def test_qte_monotone_quantiles(spark):
+    rows = sorted(_run(spark, "agg_quantile_treatment_effect"), key=lambda r: r["q"])
+    assert [r["q"] for r in rows] == [0.25, 0.5, 0.75, 0.9]
+    for col in ("q_treat", "q_control"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals), f"{col} must be nondecreasing in q"
+    for r in rows:
+        assert abs(r["qte"] - (r["q_treat"] - r["q_control"])) < 1e-9
