@@ -6586,3 +6586,184 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson goodness-of-fit on order size (round 10)
+# ---------------------------------------------------------------------------
+_GOF_CAP = 10  # categories 0..cap-1 individually, >=cap pooled
+
+
+@register(
+    "orders_poisson_gof",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY 1
+    ),
+    hist AS (SELECT k, CAST(COUNT(*) AS DOUBLE) AS o FROM per GROUP BY k),
+    s AS (
+      SELECT SUM(o) AS n, SUM(k * o) / SUM(o) AS lam FROM hist
+    ),
+    grid AS (SELECT UNNEST(range({_GOF_CAP} + 1)) AS k),
+    ex AS (
+      SELECT g.k,
+             CASE WHEN g.k < {_GOF_CAP}
+                  THEN s.n * exp(-s.lam) * pow(s.lam, g.k) / factorial(CAST(g.k AS INT))
+                  ELSE s.n * (1 - list_sum(list_transform(range({_GOF_CAP}),
+                         j -> exp(-s.lam) * pow(s.lam, j) / factorial(CAST(j AS INT)))))
+             END AS e,
+             COALESCE((SELECT CASE WHEN g.k < {_GOF_CAP} THEN
+                                (SELECT o FROM hist WHERE hist.k = g.k)
+                              ELSE (SELECT SUM(o) FROM hist WHERE hist.k >= {_GOF_CAP})
+                         END), 0) AS o
+      FROM grid g CROSS JOIN s
+    )
+    SELECT CAST((SELECT n FROM s) AS BIGINT) AS n_orders,
+           ROUND((SELECT lam FROM s), 6) AS lambda_hat,
+           CAST(COUNT(*) - 2 AS INT) AS df,
+           ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2,
+           CAST(SUM((o - e) * (o - e) / e) > 16.92 AS BOOLEAN) AS reject_poisson
+    FROM ex
+    """,
+)
+def orders_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson goodness-of-fit for the lines-per-order distribution:
+    lambda fitted by the ML estimator (the mean), expected category counts
+    N * e^-lambda lambda^k / k! for k = 0..{_GOF_CAP}-1 with the >= {_GOF_CAP}
+    tail pooled, Pearson chi-square against the observed histogram on
+    k - 2 degrees of freedom (one for the total, one for the fitted
+    lambda), rejecting at the 5% critical value 16.92. The fixture's
+    order sizes have no 0-line orders, so the fit should REJECT — the
+    honest outcome a distribution-fit monitor must be able to produce
+    (`events_dispersion_index` screens Var/Mean; this tests the FULL
+    shape).
+
+    Plan: per-order counts are one partial-agg shuffle; the count
+    histogram is O(distinct sizes) rows; lambda is a 1-row broadcast;
+    expected counts come from an 11-row literal grid. exp/pow follow the
+    module's libm convention (identical doubles in, each engine's libm),
+    with ROUND(4) on the statistic."""
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    hist = per.groupBy("k").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    s = hist.agg(
+        F.sum("o").alias("n"),
+        (F.sum(F.col("k") * F.col("o")) / F.sum("o")).alias("lam"),
+    )
+    grid = spark.range(_GOF_CAP + 1).select(F.col("id").cast("long").alias("k"))
+    obs = (
+        grid.join(
+            hist.select(
+                F.when(F.col("k") < _GOF_CAP, F.col("k"))
+                .otherwise(F.lit(_GOF_CAP))
+                .alias("k"),
+                "o",
+            )
+            .groupBy("k")
+            .agg(F.sum("o").alias("o")),
+            "k",
+            "left",
+        )
+        .select("k", F.coalesce("o", F.lit(0.0)).alias("o"))
+    )
+    pmf_sum = None
+    for j in range(_GOF_CAP):
+        term = F.exp(-F.col("lam")) * F.pow(F.col("lam"), float(j)) / float(
+            __import__("math").factorial(j)
+        )
+        pmf_sum = term if pmf_sum is None else pmf_sum + term
+    ex = obs.crossJoin(F.broadcast(s)).select(
+        "k",
+        "o",
+        "n",
+        "lam",
+        F.when(
+            F.col("k") < _GOF_CAP,
+            F.col("n")
+            * F.exp(-F.col("lam"))
+            * F.pow(F.col("lam"), F.col("k").cast("double"))
+            / F.factorial(F.col("k").cast("int")),
+        )
+        .otherwise(F.col("n") * (1 - pmf_sum))
+        .alias("e"),
+    )
+    chi2 = F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    return ex.agg(
+        F.first("n").cast("long").alias("n_orders"),
+        F.round(F.first("lam"), 6).alias("lambda_hat"),
+        (F.count(F.lit(1)) - 2).cast("int").alias("df"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 16.92).alias("reject_poisson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bhattacharyya / Hellinger distribution overlap (round 10)
+# ---------------------------------------------------------------------------
+_BH_BINW = 5.0
+
+
+@register(
+    "agg_bhattacharyya",
+    oracle=f"""
+    WITH per AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp,
+             CAST(FLOOR(value / {_BH_BINW}) AS BIGINT) AS bucket
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    hist AS (
+      SELECT grp, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM per GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT grp, bucket, c / SUM(c) OVER (PARTITION BY grp) AS p FROM hist
+    ),
+    bc AS (
+      SELECT SUM(sqrt(a.p * b.p)) AS bc
+      FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.grp = 1 AND b.grp = 0
+    )
+    SELECT ROUND(bc, 6) AS bc_coefficient,
+           ROUND(-ln(bc), 6) AS bhattacharyya_dist,
+           ROUND(sqrt(1 - bc), 6) AS hellinger_dist
+    FROM bc
+    """,
+)
+def agg_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient / distance and Hellinger distance between
+    the click and view value distributions over a {_BH_BINW}-unit
+    histogram: BC = sum over shared buckets of sqrt(p_i * q_i) (buckets
+    one side lacks contribute 0, so the inner join IS the sum); the two
+    derived distances are the standard bounded [0, 1]-ish overlap metrics
+    for drift monitoring — `dq_psi` alarms on reweighting, Hellinger is
+    a true metric, and `text_js_divergence` covers the token analogue.
+
+    Plan: one (group, bucket) histogram shuffle, per-group share window
+    over O(buckets), one O(buckets) self-join, 1-row fold. The same
+    mergeable-histogram contraction as the rest of the two-sample
+    family."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per = ev.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("grp"),
+        F.floor(F.col("value") / _BH_BINW).cast("long").alias("bucket"),
+    )
+    hist = per.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    sh = hist.select(
+        "grp",
+        "bucket",
+        (F.col("c") / F.sum("c").over(Window.partitionBy("grp"))).alias("p"),
+    )
+    a = sh.filter(F.col("grp") == 1).select(
+        F.col("bucket").alias("bkt"), F.col("p").alias("pa")
+    )
+    b = sh.filter(F.col("grp") == 0).select(
+        F.col("bucket").alias("bkt"), F.col("p").alias("pb")
+    )
+    bc = a.join(b, "bkt").agg(F.sum(F.sqrt(F.col("pa") * F.col("pb"))).alias("bc"))
+    return bc.select(
+        F.round("bc", 6).alias("bc_coefficient"),
+        F.round(-F.log("bc"), 6).alias("bhattacharyya_dist"),
+        F.round(F.sqrt(1 - F.col("bc")), 6).alias("hellinger_dist"),
+    )

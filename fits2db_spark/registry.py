@@ -159,6 +159,8 @@ _PRIORITY_QUERIES = (
     "join_bucketed_colocated",
     "vec_kmeans_silhouette",
     "agg_quantile_treatment_effect",
+    "orders_poisson_gof",
+    "agg_bhattacharyya",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",

@@ -219,3 +219,21 @@ def test_qte_monotone_quantiles(spark):
         assert vals == sorted(vals), f"{col} must be nondecreasing in q"
     for r in rows:
         assert abs(r["qte"] - (r["q_treat"] - r["q_control"])) < 1e-9
+
+
+def test_poisson_gof_rejects_zero_truncated_data(spark):
+    (r,) = _run(spark, "orders_poisson_gof")
+    assert r["lambda_hat"] > 1.0
+    assert r["df"] == 9
+    assert r["chi2"] > 0
+    # no 0-line orders exist, so a plain Poisson must misfit -> reject
+    assert r["reject_poisson"] is True
+
+
+def test_bhattacharyya_bounds(spark):
+    (r,) = _run(spark, "agg_bhattacharyya")
+    assert 0.0 < r["bc_coefficient"] <= 1.0
+    assert r["bhattacharyya_dist"] >= 0.0
+    assert 0.0 <= r["hellinger_dist"] <= 1.0
+    # click and view values are near-identically distributed -> high overlap
+    assert r["bc_coefficient"] > 0.9
