@@ -6767,3 +6767,157 @@ def agg_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.log("bc"), 6).alias("bhattacharyya_dist"),
         F.round(F.sqrt(1 - F.col("bc")), 6).alias("hellinger_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev,
+             NTILE(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM per
+    ),
+    dec AS (
+      SELECT decile, CAST(COUNT(*) AS DOUBLE) AS n, SUM(rev) AS rev
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(rev) AS trev FROM dec)
+    SELECT CAST(decile AS INT) AS decile,
+           ROUND(SUM(n) OVER (ORDER BY decile
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / t.tn, 6) AS cum_cust_share,
+           ROUND(SUM(rev) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / t.trev, 6) AS cum_rev_share
+    FROM dec CROSS JOIN tot t
+    """,
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration: customers sorted by
+    revenue into deciles (NTILE with the customer-key tie-break), each
+    point = (cumulative customer share, cumulative revenue share). The
+    CURVE is what `agg_gini` integrates to a scalar — dashboards plot
+    this to show WHERE the concentration lives ("the top decile carries
+    X% of revenue"), and `orders_abc` is its 3-bucket business cut.
+
+    Plan: per-customer revenue is one partial-agg shuffle; the decile
+    NTILE sorts only the O(customers) revenue table (at 100 TB swap the
+    exact NTILE for percentile-cutoff broadcasts, the documented
+    `orders_rfm` trade); the curve itself is two cumulative windows over
+    10 rows."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    ranked = per.select(
+        "rev",
+        F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile"),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.sum("rev").alias("rev")
+    )
+    tot = dec.agg(F.sum("n").alias("tn"), F.sum("rev").alias("trev"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.round(F.sum("n").over(w) / F.col("tn"), 6).alias("cum_cust_share"),
+            F.round(F.sum("rev").over(w) / F.col("trev"), 6).alias("cum_rev_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source-vocabulary overlap (round 10)
+# ---------------------------------------------------------------------------
+_VJ_TOPK = 15  # report the most-overlapping source pairs
+
+
+@register(
+    "text_vocab_overlap_jaccard",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS v FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS DOUBLE) AS i
+      FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i.src_a, i.src_b,
+             ROUND(i.i / (sa.v + sb.v - i.i), 6) AS jaccard,
+             ROW_NUMBER() OVER (ORDER BY ROUND(i.i / (sa.v + sb.v - i.i), 6) DESC,
+                                i.src_a, i.src_b) AS rk
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.src_a
+      JOIN sizes sb ON sb.source = i.src_b
+    )
+    SELECT src_a, src_b, jaccard, CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= {_VJ_TOPK}
+    """,
+)
+def text_vocab_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (top-{_VJ_TOPK} most
+    overlapping pairs): |V_a intersect V_b| / |V_a union V_b| over DISTINCT
+    terms — the source-redundancy screen a data-mix design runs before
+    weighting (`text_js_divergence` compares token DISTRIBUTIONS of two
+    halves; this compares vocabulary SETS across all source pairs, which
+    is what predicts whether two crawls contribute distinct content).
+
+    Plan: the corpus contracts to the (source, term) DISTINCT vocabulary
+    first — everything pairwise happens on vocab rows, never documents;
+    the intersection join is term-keyed (partial-agg both sides), so
+    cost is sum over terms of (sources containing the term choose 2) —
+    bounded by source count squared per term, the same df-cap shape the
+    dedup family documents. Top-k is a WindowGroupLimit cut."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term")).distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("v"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("v", "va")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("v", "vb")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("i") / (F.col("va") + F.col("vb") - F.col("i")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _VJ_TOPK)
+    )

@@ -161,6 +161,8 @@ _PRIORITY_QUERIES = (
     "agg_quantile_treatment_effect",
     "orders_poisson_gof",
     "agg_bhattacharyya",
+    "agg_lorenz_curve",
+    "text_vocab_overlap_jaccard",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",

@@ -290,6 +290,12 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # TPR/FPR cumulative windows over the same O(price-buckets) histogram
     # (r10)
     "ml_youden_threshold",
+    # decile NTILE over the O(customers) revenue table + 10-row cumulative
+    # curve (r10; the at-scale swap is percentile-cutoff broadcasts, the
+    # orders_rfm trade)
+    "agg_lorenz_curve",
+    # top-k rank over the O(source-pairs)~190 overlap table (r10)
+    "text_vocab_overlap_jaccard",
     # SPRT likelihood walk over the O(periods)~80 pre-aggregated counts (r8)
     "ml_sprt_monitor",
     # best-split search over the ~20-bucket price histogram — cumulative +

@@ -237,3 +237,25 @@ def test_bhattacharyya_bounds(spark):
     assert 0.0 <= r["hellinger_dist"] <= 1.0
     # click and view values are near-identically distributed -> high overlap
     assert r["bc_coefficient"] > 0.9
+
+
+def test_lorenz_curve_convex_and_anchored(spark):
+    rows = sorted(_run(spark, "agg_lorenz_curve"), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert abs(rows[-1]["cum_cust_share"] - 1.0) < 1e-6
+    assert abs(rows[-1]["cum_rev_share"] - 1.0) < 1e-6
+    # Lorenz curve lies under the diagonal and is nondecreasing
+    prev = 0.0
+    for r in rows:
+        assert r["cum_rev_share"] <= r["cum_cust_share"] + 1e-6
+        assert r["cum_rev_share"] >= prev
+        prev = r["cum_rev_share"]
+
+
+def test_vocab_overlap_bounds(spark):
+    rows = _run(spark, "text_vocab_overlap_jaccard")
+    assert len(rows) == 15
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+    assert all(r["src_a"] < r["src_b"] for r in rows)
+    js = [r["jaccard"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert js == sorted(js, reverse=True)
