@@ -163,6 +163,7 @@ _PRIORITY_QUERIES = (
     "agg_bhattacharyya",
     "agg_lorenz_curve",
     "text_vocab_overlap_jaccard",
+    "text_mattr_diversity",
     # (b) green-rotation backlog: stalest latest-driver-round first
     # -- last driver row: round 1
     "add_rowid",

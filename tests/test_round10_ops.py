@@ -259,3 +259,12 @@ def test_vocab_overlap_bounds(spark):
     assert all(r["src_a"] < r["src_b"] for r in rows)
     js = [r["jaccard"] for r in sorted(rows, key=lambda r: r["rk"])]
     assert js == sorted(js, reverse=True)
+
+
+def test_mattr_bounds(spark):
+    rows = _run(spark, "text_mattr_diversity")
+    assert len(rows) == 20
+    for r in rows:
+        # each window's TTR is in (0, 1]; so are the per-source summaries
+        assert 0.0 < r["min_mattr"] <= r["mean_mattr"] <= 1.0
+        assert r["n_docs"] > 0
