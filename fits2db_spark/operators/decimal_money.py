@@ -16,11 +16,25 @@ converts via the double's shortest decimal representation, DuckDB rounds
 to nearest at scale 2, and no fixture value sits on a half-cent tie. All
 downstream arithmetic stays in decimal: multiplication widens scale
 (2+2→4, 4+2→6) without rounding, SUM widens precision without rounding,
-and each final value is cast to one pinned DECIMAL(38,s) on BOTH sides so
-the collected Python ``Decimal``s carry identical digits. Division is
-deliberately absent — decimal division scale rules diverge across engines
-(Spark ``max(6, s1+p2+1)`` vs DuckDB ``max(s1, s2)``-family); ratios
-belong in double space after the exact decimal sums.
+and each final value is cast to one pinned DECIMAL(38,s) and then
+rendered as VARCHAR on BOTH sides so the compared values carry identical
+digits. Division is deliberately absent — decimal division scale rules
+diverge across engines (Spark ``max(6, s1+p2+1)`` vs DuckDB
+``max(s1, s2)``-family); ratios belong in double space after the exact
+decimal sums.
+
+Why the final VARCHAR (round 11): the external correctness harness
+canonicalizes through pandas, where Spark yields ``Decimal('950112.70')``
+but DuckDB renders DECIMAL columns as float64 ``950112.7`` — every value
+whose last scale digit is 0 stringifies differently even though the two
+are numerically identical (r10: ``agg_decimal_revenue`` 1/18 rows,
+``win_decimal_balance`` 29/306 rows, ``decimal_roundtrip`` 0/9 by luck).
+Both engines render a pinned-scale decimal to text identically
+(``950112.70``, ``123.400000``, ``-5.00`` — verified), so the string is
+the exact, engine-independent wire format. The arithmetic underneath is
+still DecimalType end-to-end; only the comparison boundary is text.
+``tests/test_decimal_money.py`` pins the no-DecimalType-in-final-schema
+contract for every oracled query in the registry.
 
 Scale posture: all three plans are single-exchange — a partial-aggregating
 groupBy (revenue), a per-customer window over a pre-filtered key subset
@@ -49,12 +63,12 @@ from .scans import _scratch_dir
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(38,2))
-             AS sum_price,
-           CAST(MIN(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
-             AS min_price,
-           CAST(MAX(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
-             AS max_price
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+           CAST(CAST(MIN(CAST(l_extendedprice AS DECIMAL(15,2)))
+                     AS DECIMAL(15,2)) AS VARCHAR) AS min_price,
+           CAST(CAST(MAX(CAST(l_extendedprice AS DECIMAL(15,2)))
+                     AS DECIMAL(15,2)) AS VARCHAR) AS max_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -87,9 +101,9 @@ def decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("price").cast("decimal(38,2)").alias("sum_price"),
-        F.min("price").cast("decimal(15,2)").alias("min_price"),
-        F.max("price").cast("decimal(15,2)").alias("max_price"),
+        F.sum("price").cast("decimal(38,2)").cast("string").alias("sum_price"),
+        F.min("price").cast("decimal(15,2)").cast("string").alias("min_price"),
+        F.max("price").cast("decimal(15,2)").cast("string").alias("max_price"),
     )
 
 
@@ -103,15 +117,15 @@ def decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(38,2))
-             AS sum_base,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
-                    * CAST(1.00 - l_discount AS DECIMAL(5,2)))
-                AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
-                    * CAST(1.00 - l_discount AS DECIMAL(5,2))
-                    * CAST(1.00 + l_tax AS DECIMAL(5,2)))
-                AS DECIMAL(38,6)) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS sum_base,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                         * CAST(1.00 - l_discount AS DECIMAL(5,2)))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                         * CAST(1.00 - l_discount AS DECIMAL(5,2))
+                         * CAST(1.00 + l_tax AS DECIMAL(5,2)))
+                     AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -140,9 +154,15 @@ def agg_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_returnflag", "l_linestatus", price.alias("p"), disc.alias("d"), tax.alias("t"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("p").cast("decimal(38,2)").alias("sum_base"),
-            F.sum(F.col("p") * F.col("d")).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(F.col("p") * F.col("d") * F.col("t")).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum("p").cast("decimal(38,2)").cast("string").alias("sum_base"),
+            F.sum(F.col("p") * F.col("d"))
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias("sum_disc_price"),
+            F.sum(F.col("p") * F.col("d") * F.col("t"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("sum_charge"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -158,11 +178,11 @@ def agg_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
-                  PARTITION BY o_custkey
-                  ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS balance
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(38,2)) AS VARCHAR) AS balance
     FROM orders
     WHERE o_custkey % 50 = 0
     """,
@@ -191,5 +211,6 @@ def win_decimal_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
         .over(w)
         .cast("decimal(38,2)")
+        .cast("string")
         .alias("balance"),
     )

@@ -1674,9 +1674,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus explode + groupBy t times over (lineage re-runs, measured
     # 5.3s -> ~1.5s at sf0.1). The checkpoint is O(vocabulary) — exactly
     # the contraction the docstring claims BPE rides on.
-    w = words.select(
+    w0 = words.select(
         F.rtrim(F.regexp_replace("token", "(.)", "<$1> ")).alias("ws"), "freq"
     ).localCheckpoint(eager=True)
+    w = w0
     merges = []
     for t in range(1, _BPE_ROUNDS + 1):
         pairs = (
@@ -1704,6 +1705,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("ws"), F.lit(f"{p1} {p2}"), F.lit(merged)).alias("ws"),
             "freq",
         )
+    # the merge table is already collected Python state — release the
+    # checkpointed word-frequency blocks (unpersist() would not; r10 advice)
+    from .advanced import _free_local_checkpoint
+
+    _free_local_checkpoint(w0)
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, pair_count bigint"
     )
@@ -3176,7 +3182,10 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         words.alias("words"),
         subwords.alias("subwords"),
-        F.length("text").cast("double").alias("bytes"),
+        # octet_length (BYTES) to match the oracle's strlen — F.length counts
+        # CHARACTERS and agrees only on pure-ASCII fixtures (r10 advice);
+        # bytes is also the semantically right unit for bytes_per_token.
+        F.octet_length("text").cast("double").alias("bytes"),
     )
     return per.groupBy("lang").agg(
         F.sum("words").cast("long").alias("n_words"),

@@ -41,11 +41,21 @@ def test_all_outputs_scalar(spark, all_queries):
     """No registered query may emit array/map/struct columns: the external
     driver canonicalizes results via a pandas sort whose factorize step
     cannot hash ``numpy.ndarray`` cells (burned agg_collect and
-    agg_approx_percentile in round 1). Array-native variants belong in
-    pytest-only coverage, not the registry."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    agg_approx_percentile in round 1).  And no ORACLED query may emit a
+    DecimalType final column: the driver canonicalizes through pandas,
+    where Spark yields ``Decimal('950112.70')`` but DuckDB renders DECIMAL
+    as float64 ``950112.7`` — every trailing-zero scale digit hash-
+    mismatches even when numerically identical (burned agg_decimal_revenue
+    and win_decimal_balance in round 10; decimal arithmetic stays internal,
+    finals are pinned-scale VARCHAR on both engines).  Array-native or
+    decimal-native variants belong in pytest-only coverage, not the
+    registry."""
+    import __spark_entry__ as e
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
-    offenders = {}
+    oracled = set(e.oracle_sql())
+    offenders: dict[str, list] = {}
+    decimal_offenders: dict[str, list] = {}
     for name, fn in sorted(all_queries.items()):
         df = fn(spark, SF_SMOKE)
         complex_cols = [
@@ -55,7 +65,19 @@ def test_all_outputs_scalar(spark, all_queries):
         ]
         if complex_cols:
             offenders[name] = complex_cols
+        if name in oracled:
+            dec_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, DecimalType)
+            ]
+            if dec_cols:
+                decimal_offenders[name] = dec_cols
     assert not offenders, f"non-scalar registered outputs: {offenders}"
+    assert not decimal_offenders, (
+        f"DecimalType in oracled final schemas (driver pandas hash hazard): "
+        f"{decimal_offenders}"
+    )
 
 
 def test_all_queries_execute(spark, all_queries):

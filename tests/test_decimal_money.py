@@ -1,7 +1,18 @@
-"""DECIMAL money family (round 9): the decimal logical type must survive
-the parquet round-trip, the arithmetic must be exact (not double-drifted),
-and none of the plans may fall out of codegen into Python."""
+"""DECIMAL money family (round 9; finals re-pinned round 11): the decimal
+logical type must survive the parquet round-trip, the arithmetic must be
+exact (not double-drifted), and none of the plans may fall out of codegen
+into Python.
 
+Round-11 change: final output columns are pinned-scale VARCHAR on both
+engines (the external driver canonicalizes through pandas where DuckDB
+renders DECIMAL as float64, hash-mismatching every trailing-zero scale
+digit — CORRECTNESS_r10 burned agg_decimal_revenue and win_decimal_balance
+on exactly this). These tests parse the strings back through
+``decimal.Decimal`` so the exactness assertions are unchanged, and pin the
+string format itself (fixed scale, trailing zeros preserved).
+"""
+
+import re
 from decimal import Decimal
 
 from pyspark.sql.types import DecimalType
@@ -16,13 +27,20 @@ from fits2db_spark.tables import load
 from tests.conftest import SF_SMOKE
 
 
+def _pinned(scale: int) -> re.Pattern:
+    return re.compile(rf"^-?\d+\.\d{{{scale}}}$")
+
+
 def test_roundtrip_preserves_decimal_type(spark):
     df = decimal_roundtrip(spark, SF_SMOKE)
     types = dict(df.dtypes)
-    assert types["sum_price"] == "decimal(38,2)"
-    assert types["min_price"] == "decimal(15,2)"
-    assert types["max_price"] == "decimal(15,2)"
+    assert types["sum_price"] == "string"
+    assert types["min_price"] == "string"
+    assert types["max_price"] == "string"
     rows = {r["l_returnflag"]: r for r in df.collect()}
+    for r in rows.values():
+        assert _pinned(2).match(r["sum_price"]), r["sum_price"]
+        assert _pinned(2).match(r["min_price"]), r["min_price"]
     # exact reconstruction from the source doubles via Python Decimal
     src = load(spark, SF_SMOKE, "lineitem").select("l_returnflag", "l_extendedprice").collect()
     expect: dict[str, Decimal] = {}
@@ -30,28 +48,36 @@ def test_roundtrip_preserves_decimal_type(spark):
         cents = Decimal(repr(r["l_extendedprice"])).quantize(Decimal("0.01"))
         expect[r["l_returnflag"]] = expect.get(r["l_returnflag"], Decimal(0)) + cents
     for flag, want in expect.items():
-        assert rows[flag]["sum_price"] == want, flag
+        assert Decimal(rows[flag]["sum_price"]) == want, flag
 
 
 def test_revenue_scales_and_exactness(spark):
     df = agg_decimal_revenue(spark, SF_SMOKE)
     types = dict(df.dtypes)
-    assert types["sum_base"] == "decimal(38,2)"
-    assert types["sum_disc_price"] == "decimal(38,4)"
-    assert types["sum_charge"] == "decimal(38,6)"
+    assert types["sum_base"] == "string"
+    assert types["sum_disc_price"] == "string"
+    assert types["sum_charge"] == "string"
     out = df.collect()
     assert out
     for r in out:
+        # the string carries the full pinned scale (the whole point of the
+        # VARCHAR boundary: '950112.70' stays '950112.70')
+        assert _pinned(2).match(r["sum_base"]), r["sum_base"]
+        assert _pinned(4).match(r["sum_disc_price"]), r["sum_disc_price"]
+        assert _pinned(6).match(r["sum_charge"]), r["sum_charge"]
+        base = Decimal(r["sum_base"])
+        disc = Decimal(r["sum_disc_price"])
+        charge = Decimal(r["sum_charge"])
         # charge applies a tax factor in [1.00, 1.08] on top of disc price
-        assert r["sum_charge"] >= r["sum_disc_price"]
-        assert r["sum_disc_price"] <= r["sum_base"]
+        assert charge >= disc
+        assert disc <= base
         # scale-6 values are exact multiples of 10^-6 by construction
-        assert r["sum_charge"] == r["sum_charge"].quantize(Decimal("0.000001"))
+        assert charge == charge.quantize(Decimal("0.000001"))
 
 
 def test_balance_is_exact_prefix_sum(spark):
     df = win_decimal_balance(spark, SF_SMOKE)
-    assert dict(df.dtypes)["balance"] == "decimal(38,2)"
+    assert dict(df.dtypes)["balance"] == "string"
     rows = df.collect()
     assert rows
     src = (
@@ -70,7 +96,8 @@ def test_balance_is_exact_prefix_sum(spark):
             run += Decimal(repr(r["o_totalprice"])).quantize(Decimal("0.01"))
             expect[(cust, r["o_orderkey"])] = run
     for r in rows:
-        assert r["balance"] == expect[(r["o_custkey"], r["o_orderkey"])]
+        assert _pinned(2).match(r["balance"]), r["balance"]
+        assert Decimal(r["balance"]) == expect[(r["o_custkey"], r["o_orderkey"])]
 
 
 def test_decimal_plans_stay_jvm_side(spark):
