@@ -1272,18 +1272,28 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
         ).distinct()
         a, b = ps.alias("a"), ps.alias("b")
+        # materialize the pair-count aggregate ONCE (r11): the percentile
+        # threshold is a broadcast build (its own job) and the e0 filter a
+        # second job, so without the cut the ~C(|suppliers per part|,2)
+        # pair enumeration — the operator's dominant cost, 3.8s of the
+        # 7.2s cold total at sf0.1 — executed twice over. Post-agg sh is
+        # O(supplier-pairs) (~500k rows), far smaller than the raw pair
+        # stream, so the checkpoint is cheap; it is freed as soon as the
+        # (also checkpointed) thresholded edge list exists.
         sh = (
             a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
             .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
             .agg(F.count(F.lit(1)).cast("double").alias("c"))
+            .localCheckpoint(eager=True)
         )
         thr = sh.agg(F.percentile("c", F.lit(_KCORE_EDGE_Q)).alias("thr"))
         e = (
             sh.crossJoin(F.broadcast(thr))
             .filter(F.col("c") >= F.col("thr"))
             .select("u", "v")
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        _free_local_checkpoint(sh)
         _TRI_EDGE_CACHE[memo_key] = e
     for i in range(_KCORE_ROUNDS):
         deg = (
@@ -1291,7 +1301,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        kept = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        # checkpoint the (tiny, O(|suppliers|)) survivor-node set once per
+        # round (r11): it feeds TWO broadcast builds below, each of which is
+        # its own job and would re-execute the degree aggregate over the
+        # edge list — the same double-execution class as the edge build.
+        kept = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
         # truncate lineage per peel round: e feeds BOTH the degree count and
         # the semi-joins, so an uncut plan doubles per round (2^rounds copies
         # of the edge subtree re-optimized and re-executed). The survivor
@@ -1303,10 +1321,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(kept.withColumnRenamed("node", "v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
+        _free_local_checkpoint(kept)
         if i > 0:
             # free the SUPERSEDED round's checkpoint blocks (round 0's input
-            # is the memoized persisted edge cache — never freed; the final
-            # round's blocks feed the lazily-returned aggregate, also kept)
+            # is the memoized edge cache — never freed; the final round's
+            # blocks feed the lazily-returned aggregate, also kept)
             _free_local_checkpoint(prev)
     return (
         e.select(F.explode(F.array("u", "v")).alias("node"))

@@ -163,15 +163,18 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("dl").alias("dl"),
         )
     )
-    # df as a count-over-window on the contracted tf table (r10): the r7-r9
-    # shape built df as a separate groupBy and BROADCAST it back, but a
-    # broadcast build is its own job, so the explode -> semi-join -> tf
-    # pipeline executed twice per query (the text_bm25 creep the r9 verdict
-    # flagged). The window repartitions only the |q|-term posting lists —
-    # O(q terms x matching docs) rows — and the whole score is one pass.
-    tf = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
-    )
+    # df as a separate groupBy broadcast back onto tf (re-pinned r11): the
+    # r10 one-pass count-over-window shape avoided the broadcast build's
+    # re-execution of the explode -> semi-join -> tf subtree, but measured
+    # SLOWER at the bench tier (sf0.1 best-of-6: window 1.03s vs broadcast
+    # 0.95s; r10 quiet-box 0.459 vs 0.425) — the window's exchange on the
+    # |q|-term key lands all posting lists on ≤|q| partitions and sorts
+    # them, costing more than the duplicated contraction. At 100 TB the
+    # tradeoff can flip (the corpus scan dominates, and the window pays it
+    # once) — if it does, cut the re-execution with a localCheckpoint on
+    # the contracted tf (measured equal-best here), not the window.
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    tf = tf.join(F.broadcast(dfc), "term")
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tfpart = (F.col("tf") * (_BM25_K1 + 1.0)) / (
         F.col("tf")

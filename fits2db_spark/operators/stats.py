@@ -3306,24 +3306,34 @@ def events_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny frame into a single-row moment aggregate. All engine work on
     identical doubles; FLOOR 1e-4."""
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
-            "d"
-        ),
-    ).agg(F.count(F.lit(1)).cast("double").alias("cnt")).persist()
+    # materialize the O(types x days) daily frame ONCE, eagerly: a lazy
+    # persist() let the three union legs race to populate the cache at
+    # collect time (the events scan ran up to 3x cold — the r10 wide-tier
+    # mover, 1.5 -> 2.6-3.0s under load) and re-persisted on every call
+    # ("already cached" warnings). The checkpointed frame loses size stats,
+    # so the lag joins below hint broadcast explicitly (playbook pitfall).
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     outs = []
     for x, y in _GRANGER_PAIRS:
         yt, yl, xl = daily.alias("yt"), daily.alias("yl"), daily.alias("xl")
         z = (
             yt.filter(F.col("yt.event_type") == y)
             .join(
-                yl,
+                F.broadcast(yl),
                 (F.col("yl.event_type") == F.col("yt.event_type"))
                 & (F.col("yl.d") == F.col("yt.d") - 1),
             )
             .join(
-                xl,
+                F.broadcast(xl),
                 (F.col("xl.event_type") == x)
                 & (F.col("xl.d") == F.col("yt.d") - 1),
             )
