@@ -5737,3 +5737,175 @@ def agg_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round((F.col("c.qb") + 1) * _QTE_BINW, 2).alias("q_control"),
         F.round((F.col("t.qb") - F.col("c.qb")) * _QTE_BINW, 2).alias("qte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score confidence intervals for proportions (round 11)
+# ---------------------------------------------------------------------------
+_WILSON_Z = 1.959964  # two-sided 95%
+
+
+@register(
+    "agg_wilson_ci",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           CAST(x AS BIGINT) AS n_filled,
+           ROUND(x / n, 6) AS p_hat,
+           ROUND((x / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  - {_WILSON_Z} * sqrt((x / n) * (1 - x / n) / n
+                      + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_lo,
+           ROUND((x / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  + {_WILSON_Z} * sqrt((x / n) * (1 - x / n) / n
+                      + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_hi
+    FROM s
+    """,
+)
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the filled-order-rate
+    proportion per order priority (Wilson 1927) — the interval every metrics
+    platform should use instead of the Wald +/-1.96*sqrt(pq/n) textbook
+    formula, which collapses to zero width at p=0/1 and undercovers
+    badly for small n or extreme p; Wilson stays inside [0,1] and is
+    the score-test inversion (Brown, Cai & DasGupta 2001 recommend it
+    as the default). Complements `ml_proportion_ztest` (a two-sample
+    decision) with the per-group estimation view.
+
+    Plan: one partial-aggregating groupBy(priority) carrying two numbers
+    per group; the interval algebra is all on the O(groups) frame. The
+    identical closed form is spelled out in both engines (no engine CI
+    builtins exist to diverge)."""
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+    )
+    z = _WILSON_Z
+    p = F.col("x") / F.col("n")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    return s.select(
+        "o_orderpriority",
+        n.cast("long").alias("n"),
+        F.col("x").cast("long").alias("n_filled"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standardized effect sizes between two segments (round 11)
+# ---------------------------------------------------------------------------
+# center money values by a pinned constant before the moment sums: variance
+# is shift-invariant, and uncentered sum(x^2) on ~1e5-magnitude prices loses
+# ~10 significant digits to cancellation — the r6/r10 deep-sweep divergence
+# class (6dp ROUND boundaries on large-magnitude doubles)
+_EFF_CENTER = 150000.0
+_EFF_G1, _EFF_G2 = "1-URGENT", "5-LOW"
+
+
+@register(
+    "agg_effect_sizes",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(o_totalprice - {_EFF_CENTER}) AS sx,
+             SUM((o_totalprice - {_EFF_CENTER}) * (o_totalprice - {_EFF_CENTER}))
+               AS sxx
+      FROM orders WHERE o_orderpriority IN ('{_EFF_G1}', '{_EFF_G2}')
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN g = '{_EFF_G1}' THEN n END) AS n1,
+        MAX(CASE WHEN g = '{_EFF_G2}' THEN n END) AS n2,
+        MAX(CASE WHEN g = '{_EFF_G1}' THEN sx / n END) AS m1,
+        MAX(CASE WHEN g = '{_EFF_G2}' THEN sx / n END) AS m2,
+        MAX(CASE WHEN g = '{_EFF_G1}' THEN (sxx - sx * sx / n) / (n - 1) END) AS v1,
+        MAX(CASE WHEN g = '{_EFF_G2}' THEN (sxx - sx * sx / n) / (n - 1) END) AS v2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(m1 - m2, 4) AS mean_diff,
+           ROUND((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                  / (n1 + n2 - 2)), 6) AS cohens_d,
+           ROUND((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                  / (n1 + n2 - 2))
+                 * (1 - 3 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
+           ROUND((m1 - m2) / sqrt(v2), 6) AS glass_delta
+    FROM w
+    """,
+)
+def agg_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the order-value difference between
+    '{_EFF_G1}' and '{_EFF_G2}' priority orders: Cohen's d (pooled-SD
+    standardized mean difference), Hedges' g (d with the small-sample
+    bias correction 1 - 3/(4N-9)), and Glass's delta (control-SD
+    denominator) — what a significance test (`ml_proportion_ztest`,
+    `agg_mann_whitney`) deliberately does not tell you: HOW LARGE the
+    difference is in units a reader can calibrate (0.2 small / 0.5
+    medium / 0.8 large). The fixture priorities are independent of
+    price, so this is a TRUE-NULL family: d ~ 0 is the correct answer
+    and any drift flags a fixture or formula bug.
+
+    Cross-engine exactness: variances come from explicit centered moment
+    sums (sum, sum-of-squares) around the PINNED constant
+    {_EFF_CENTER:.0f} — shift-invariant algebra that keeps ~10
+    significant digits that uncentered sums of squared prices would lose
+    to cancellation (the r6/r10 deep-sweep divergence class), with both
+    engines spelling the identical formula. One partial-aggregating
+    groupBy carrying three numbers per group; everything after is
+    O(groups)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_EFF_G1, _EFF_G2)
+    )
+    c = F.col("o_totalprice") - _EFF_CENTER
+    s = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c).alias("sx"),
+        F.sum(c * c).alias("sxx"),
+    )
+    pick = lambda col: F.max(F.when(F.col("g") == _EFF_G1, F.col(col)))  # noqa: E731
+    pick2 = lambda col: F.max(F.when(F.col("g") == _EFF_G2, F.col(col)))  # noqa: E731
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    s = s.withColumn("m", F.col("sx") / F.col("n")).withColumn("v", var)
+    w = s.agg(
+        pick("n").alias("n1"),
+        pick2("n").alias("n2"),
+        pick("m").alias("m1"),
+        pick2("m").alias("m2"),
+        pick("v").alias("v1"),
+        pick2("v").alias("v2"),
+    )
+    pooled = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / pooled
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1 - 3 / (4 * (F.col("n1") + F.col("n2")) - 9)), 6).alias(
+            "hedges_g"
+        ),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(F.col("v2")), 6).alias(
+            "glass_delta"
+        ),
+    )

@@ -3265,3 +3265,249 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("mattr"), 6).alias("min_mattr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Yule's K / Simpson's D vocabulary concentration (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_yule_k",
+    oracle="""
+    WITH tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(10000.0 * (SUM(c * c) - SUM(c)) / (SUM(c) * SUM(c)), 6)
+             AS yule_k,
+           ROUND(SUM(c * (c - 1.0)) / (SUM(c) * (SUM(c) - 1.0)), 6)
+             AS simpson_d
+    FROM tf GROUP BY source
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K and Simpson's D per source — the classic
+    vocabulary-concentration statistics (Yule 1944; the authorship /
+    text-degeneracy metrology behind `text_burrows_delta`): K =
+    10^4 * (sum(c^2) - N) / N^2 over the token-frequency spectrum, and D =
+    sum(c(c-1)) / (N(N-1)) is the probability two random tokens coincide.
+    High K/D flags template-generated or keyword-stuffed sources whose
+    token mass concentrates on few types — a corpus-level complement to
+    the per-document `text_repetition` flags and the within-document
+    `text_mattr_diversity` window sweep.
+
+    Plan: one explode -> partial-aggregating groupBy(source, token) (the
+    shared tf contraction), then an O(vocab)-row rollup per source. Both
+    statistics are plain moments of the frequency spectrum, so the 100 TB
+    cost is exactly one corpus scan plus a vocabulary-sized shuffle."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("source").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.round(10000.0 * (F.sum(F.col("c") * F.col("c")) - n) / (n * n), 6).alias(
+            "yule_k"
+        ),
+        F.round(
+            F.sum(F.col("c") * (F.col("c") - 1.0)) / (n * (n - 1.0)), 6
+        ).alias("simpson_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection signals (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_code_detect",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS DOUBLE) AS nc,
+             string_split(text, ' ') AS l
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_chars,
+           ROUND(len(regexp_extract_all(text, '[{}();=<>]')) / nc, 6)
+             AS sym_ratio,
+           ROUND(len(regexp_extract_all(text, '[0-9]')) / nc, 6)
+             AS digit_ratio,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(l), 6)
+             AS avg_token_len,
+           ROUND(len(list_filter(l, x -> contains(x, '_')
+                                      OR regexp_matches(x, '[a-z][A-Z]')))
+                 * 1.0 / len(l), 6) AS ident_share,
+           (len(regexp_extract_all(text, '[{}();=<>]')) / nc > 0.03
+            OR len(list_filter(l, x -> contains(x, '_')
+                                    OR regexp_matches(x, '[a-z][A-Z]')))
+               * 1.0 / len(l) > 0.10) AS is_code
+    FROM s
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection signals per document: structural-symbol
+    density ({};()=<> per char), digit density, mean token length, and
+    identifier share (tokens containing '_' or a camelCase case flip) —
+    the cheap first-stage router every mixed web crawl runs before
+    sending text down prose-quality (C4/Gopher) vs code-quality
+    (StarCoder-style) filter stacks; misrouted code wrecks prose
+    perplexity filters and vice versa. The fixture corpus is pure prose,
+    so is_code is a TRUE-NULL flag here (all false) — the operator
+    certifies the router does not fire on prose, the same convention as
+    `events_granger`'s null family.
+
+    Plan: every signal is a per-row regexp/array expression inside
+    codegen — no explode, no shuffle, no Python; a 100 TB corpus pays one
+    scan. Thresholds (3% symbols, 10% identifiers) follow the StarCoder
+    data-pipeline spirit; exact values are fixture-pinned."""
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    sym = F.regexp_count("text", F.lit(r"[{}();=<>]")).cast("double")
+    dig = F.regexp_count("text", F.lit("[0-9]")).cast("double")
+    ident = F.size(
+        F.filter(
+            toks,
+            lambda x: x.contains("_") | x.rlike("[a-z][A-Z]"),
+        )
+    ).cast("double")
+    avg_tok = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_toks
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.round(sym / n_chars, 6).alias("sym_ratio"),
+        F.round(dig / n_chars, 6).alias("digit_ratio"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(ident / n_toks, 6).alias("ident_share"),
+        ((sym / n_chars > 0.03) | (ident / n_toks > 0.10)).alias("is_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square feature selection: class-discriminative terms (round 11)
+# ---------------------------------------------------------------------------
+_CHI2_TOPK = 3  # terms reported per class
+_CHI2_MIN_DF = 20  # minimum corpus document frequency for a candidate term
+
+
+@register(
+    "ml_chi2_feature_select",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT lang, doc_id, tok
+      FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    per_lang AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS nl FROM documents GROUP BY lang
+    ),
+    a_tab AS (
+      SELECT lang, tok, CAST(COUNT(*) AS DOUBLE) AS a FROM pres
+      GROUP BY lang, tok
+    ),
+    t_tab AS (SELECT tok, SUM(a) AS t FROM a_tab GROUP BY tok),
+    chi AS (
+      SELECT a_tab.lang, a_tab.tok, a_tab.a, t_tab.t, per_lang.nl, tot.n,
+             (t_tab.t - a_tab.a) AS b,
+             (per_lang.nl - a_tab.a) AS c,
+             (tot.n - per_lang.nl - (t_tab.t - a_tab.a)) AS d
+      FROM a_tab JOIN t_tab USING (tok)
+      JOIN per_lang USING (lang) CROSS JOIN tot
+      WHERE t_tab.t >= {_CHI2_MIN_DF} AND t_tab.t < tot.n
+    ),
+    scored AS (
+      SELECT lang, tok,
+             ROUND(n * (a * d - b * c) * (a * d - b * c)
+                   / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2,
+             CAST(a AS BIGINT) AS df_in_class
+      FROM chi
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY chi2 DESC, tok) AS rk
+      FROM scored
+    )
+    SELECT lang, tok, chi2, df_in_class, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_CHI2_TOPK}
+    """,
+)
+def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the top-{_CHI2_TOPK} most
+    class-discriminative terms per language by the 2x2 presence/class
+    chi-square statistic N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — the
+    classic supervised term-selection step (Yang & Pedersen 1997) that
+    feeds classifier vocabularies and drift dashboards; distinct from
+    `agg_chisq` (a single global independence test) in that it RANKS the
+    feature vocabulary per class. Candidate terms need corpus document
+    frequency >= {_CHI2_MIN_DF} (and < N) so the 2x2 margins are
+    non-degenerate.
+
+    Plan: per-doc term presence is array_distinct in-row before the
+    explode (no within-doc duplicate rows ever leave the scan), the
+    (term, lang) contingency cells come from one partial-aggregating
+    groupBy, the term margin is a window sum over the same contracted
+    frame, and the class margins (O(langs)) plus the 1-row corpus total
+    broadcast. The only shuffles carry the presence vocabulary, never
+    the corpus; final top-k is a per-class WindowGroupLimit."""
+    d = load(spark, sf_dir, "documents")
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("nl"))
+    pres = d.select(
+        "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    a_tab = pres.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("a")
+    )
+    a_tab = a_tab.withColumn(
+        "t", F.sum("a").over(Window.partitionBy("tok"))
+    )
+    chi = (
+        a_tab.join(F.broadcast(per_lang), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("t") >= _CHI2_MIN_DF) & (F.col("t") < F.col("n")))
+        .select(
+            "lang",
+            "tok",
+            "a",
+            (F.col("t") - F.col("a")).alias("b"),
+            (F.col("nl") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("nl") - (F.col("t") - F.col("a"))).alias("d"),
+            "n",
+        )
+    )
+    num = F.col("n") * (F.col("a") * F.col("d") - F.col("b") * F.col("c")) ** 2
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    scored = chi.select(
+        "lang",
+        "tok",
+        F.round(num / den, 6).alias("chi2"),
+        F.col("a").cast("long").alias("df_in_class"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("chi2").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CHI2_TOPK)
+        .select("lang", "tok", "chi2", "df_in_class", "rk")
+    )

@@ -2398,3 +2398,106 @@ def vec_dim_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "relative_contrast"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (round 11)
+# ---------------------------------------------------------------------------
+_MRL_HEAD = 16  # truncated prefix dimensionality
+_MRL_K = 5  # rank depth compared
+_MRL_NQ = 8  # query vectors (vec_id < _MRL_NQ)
+
+
+def _mrl_topk_sql(dim_slice: str) -> str:
+    """DuckDB top-k CTE body over cosine on a given embedding slice."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}),"
+        " i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))"
+    )
+    if dim_slice == "full":
+        d, qe, ce = _DIM, "q.embedding", "c.embedding"
+    else:
+        d, qe, ce = _MRL_HEAD, f"q.embedding[1:{_MRL_HEAD}]", f"c.embedding[1:{_MRL_HEAD}]"
+    dot_expr = dot.format(d=d).replace("q.qe", qe).replace("c.ce", ce)
+    norm_q = dot.format(d=d).replace("q.qe", qe).replace("c.ce", qe)
+    norm_c = dot.format(d=d).replace("q.qe", ce).replace("c.ce", ce)
+    return f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {dot_expr} / (sqrt({norm_q}) * sqrt({norm_c})) DESC,
+                          c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_MRL_NQ}
+      ) WHERE rk <= {_MRL_K}"""
+
+
+@register(
+    "sim_mrl_recall",
+    oracle=f"""
+    WITH full_k AS ({_mrl_topk_sql("full")}),
+    head_k AS ({_mrl_topk_sql("head")})
+    SELECT f.query_id,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_matched,
+           ROUND(COUNT(h.neighbor_id) / {_MRL_K}.0, 6) AS recall_at_{_MRL_K}
+    FROM full_k f
+    LEFT JOIN head_k h
+      ON f.query_id = h.query_id AND f.neighbor_id = h.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall: for each of {_MRL_NQ} query vectors,
+    what fraction of the TRUE cosine top-{_MRL_K} (full {_DIM}-dim)
+    survives when the index serves only the first {_MRL_HEAD} dims — the
+    decision measurement for MRL-style truncation (Kusupati et al. 2022):
+    `vec_truncate_mrl` reports how much embedding ENERGY the prefix
+    keeps, this reports what that costs in retrieval RECALL, which is
+    the number a serving team actually signs off on before shrinking
+    the ANN index 4x. Same evaluation-as-an-operator pattern as
+    `sim_ann_recall_eval` (recall of the LSH index vs brute force).
+
+    Plan: two broadcast nested-loop top-k probes (query side is
+    {_MRL_NQ} rows broadcast; per-query top-{_MRL_K} is a
+    WindowGroupLimit, so only k rows per query survive each partition)
+    joined on (query, neighbor). The corpus is scanned twice — at scale
+    the head-dim probe would come from the truncated index instead, and
+    this operator is exactly the offline audit that validates it."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+
+    def topk(qe_col, ce_col):
+        sim = _dot(qe_col, ce_col) / (_norm(qe_col) * _norm(ce_col))
+        w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "neighbor_id")
+        return (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", sim.alias("s"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MRL_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_k = topk(F.col("qe"), F.col("ce"))
+    head_k = (
+        topk(F.slice(F.col("qe"), 1, _MRL_HEAD), F.slice(F.col("ce"), 1, _MRL_HEAD))
+        .withColumnRenamed("neighbor_id", "h_neighbor")
+        .withColumnRenamed("query_id", "h_query")
+    )
+    joined = full_k.join(
+        head_k,
+        (F.col("query_id") == F.col("h_query"))
+        & (F.col("neighbor_id") == F.col("h_neighbor")),
+        "left",
+    ).select("query_id", "h_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count("h_neighbor").cast("long").alias("n_matched"),
+        F.round(F.count("h_neighbor") / float(_MRL_K), 6).alias(
+            f"recall_at_{_MRL_K}"
+        ),
+    )

@@ -6931,3 +6931,196 @@ def text_vocab_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _VJ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend estimator (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type, (b.v - a.v) / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM slopes
+    ),
+    med AS (
+      SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+             AVG(slope) AS ts_slope
+      FROM ranked
+      WHERE rn = CAST(FLOOR((m + 1) / 2) AS BIGINT)
+         OR rn = CAST(FLOOR(m / 2) + 1 AS BIGINT)
+      GROUP BY event_type
+    ),
+    resid AS (
+      SELECT daily.event_type, daily.v - med.ts_slope * daily.d AS r
+      FROM daily JOIN med USING (event_type)
+    ),
+    rranked AS (
+      SELECT event_type, r,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM resid
+    ),
+    icpt AS (
+      SELECT event_type, AVG(r) AS ts_intercept
+      FROM rranked
+      WHERE rn = CAST(FLOOR((m + 1) / 2) AS BIGINT)
+         OR rn = CAST(FLOOR(m / 2) + 1 AS BIGINT)
+      GROUP BY event_type
+    )
+    SELECT med.event_type, med.n_pairs,
+           ROUND(med.ts_slope, 6) AS ts_slope,
+           ROUND(icpt.ts_intercept, 6) AS ts_intercept
+    FROM med JOIN icpt USING (event_type)
+    """,
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event-type daily series: the
+    slope is the MEDIAN of all pairwise slopes (v_j - v_i)/(d_j - d_i),
+    the intercept the median residual v - slope*d (Theil 1950, Sen 1968)
+    — the standard outlier-immune alternative to OLS trend (29.3%
+    breakdown point) used on noisy operational metrics where one
+    incident day would drag a least-squares fit. Complements
+    `events_mann_kendall` (the significance test of the same monotone-
+    trend family) with the actual magnitude estimate.
+
+    Both medians are computed as EXPLICIT order statistics (rank the
+    values, average the one or two middle rows) so Spark and DuckDB fold
+    identical doubles — engine median()/percentile interpolation paths
+    differ in last-ulp arithmetic and would flap a 6dp hash.
+
+    Plan: events collapse to the shared O(types x days) daily frame
+    first (the only stage that sees event volume, map-side partial agg);
+    the pairwise self-join is O(types x days^2) on that tiny frame — at
+    100 TB of events the day count, not the event count, bounds the
+    quadratic term, which is the same contraction every Theil-Sen
+    implementation at scale uses (or swaps for repeated-median sampling
+    past ~10^4 points)."""
+    daily = daily_value_series(spark, sf_dir, "sum")
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.v") - F.col("a.v")) / (F.col("b.d") - F.col("a.d"))).alias(
+            "slope"
+        ),
+    )
+
+    def _median_rows(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        wm = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wm).alias("m"),
+        )
+        return ranked.filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("m") / 2) + 1)
+        )
+
+    med = _median_rows(slopes, "slope").groupBy("event_type").agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.avg("slope").alias("ts_slope"),
+    )
+    resid = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        (F.col("v") - F.col("ts_slope") * F.col("d")).alias("r"),
+    )
+    icpt = (
+        _median_rows(resid, "r")
+        .groupBy("event_type")
+        .agg(F.avg("r").alias("ts_intercept"))
+    )
+    return med.join(icpt, "event_type").select(
+        "event_type",
+        "n_pairs",
+        F.round("ts_slope", 6).alias("ts_slope"),
+        F.round("ts_intercept", 6).alias("ts_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (round 11)
+# ---------------------------------------------------------------------------
+_HILL_K = 500  # tail order statistics used
+
+
+@register(
+    "orders_hill_tail",
+    oracle=f"""
+    WITH top AS (
+      SELECT o_totalprice AS x FROM orders
+      ORDER BY o_totalprice DESC LIMIT {_HILL_K + 1}
+    ),
+    m AS (SELECT MIN(x) AS xk FROM top)
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           ROUND(m.xk, 2) AS x_kplus1,
+           ROUND(SUM(ln(t.x / m.xk)), 6) AS sum_log_excess,
+           ROUND({_HILL_K} / SUM(ln(t.x / m.xk)), 6) AS hill_alpha
+    FROM top t CROSS JOIN m
+    GROUP BY m.xk
+    """,
+)
+def orders_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over the top-{_HILL_K}
+    order values: alpha_hat = k / sum_i ln(x_i / x_(k+1)) (Hill 1975) —
+    the standard heavy-tail diagnostic behind "is revenue / latency /
+    degree power-law, and how heavy": alpha <= 2 means infinite
+    variance, alpha <= 1 infinite mean, so capacity planning and
+    whale-customer risk both key off this number. Complements
+    `graph_degree_powerlaw` (a fit over binned degree counts) with the
+    order-statistics MLE on raw values. The summand for the x_(k+1) row
+    itself is ln(1) = 0, so summing over all k+1 retained rows equals
+    the k-term Hill sum — no boundary-row exclusion logic, and ties at
+    the boundary cannot perturb the result (the multiset of top-(k+1)
+    VALUES is unique even when row identities tie).
+
+    Plan: the only distributed work is a top-(k+1) selection, which
+    Spark serves as TakeOrdered (per-partition heap + driver merge of
+    k+1-row spines — NO global sort shuffle); the estimator itself folds
+    k+1 rows. At 100 TB this is the cheapest possible shape for any
+    order-statistics tail estimator."""
+    o = load(spark, sf_dir, "orders")
+    top = o.select(F.col("o_totalprice").alias("x")).orderBy(
+        F.col("x").desc()
+    ).limit(_HILL_K + 1)
+    m = top.agg(F.min("x").alias("xk"))
+    return (
+        top.crossJoin(F.broadcast(m))
+        .groupBy("xk")
+        .agg(
+            F.lit(_HILL_K).cast("long").alias("k"),
+            F.round(F.sum(F.log(F.col("x") / F.col("xk"))), 6).alias(
+                "sum_log_excess"
+            ),
+            F.round(
+                F.lit(float(_HILL_K)) / F.sum(F.log(F.col("x") / F.col("xk"))), 6
+            ).alias("hill_alpha"),
+        )
+        .select(
+            "k",
+            F.round("xk", 2).alias("x_kplus1"),
+            "sum_log_excess",
+            "hill_alpha",
+        )
+    )

@@ -1,0 +1,120 @@
+"""Semantic invariants for the round-11 operators — properties the oracle
+hash check cannot express (null behavior, bound constraints, estimator
+identities, recall monotonicity)."""
+
+import math
+
+from fits2db_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name):
+    return all_queries()[name](spark, SF_SMOKE).collect()
+
+
+def test_yule_k_matches_python_reconstruction(spark):
+    rows = {r["source"]: r for r in _run(spark, "text_yule_k")}
+    assert rows
+    from fits2db_spark.tables import load
+    from collections import Counter
+
+    docs = load(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    by_src: dict[str, Counter] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], Counter()).update(r["text"].split(" "))
+    for src, cnt in by_src.items():
+        n = sum(cnt.values())
+        s2 = sum(c * c for c in cnt.values())
+        want_k = 10000.0 * (s2 - n) / (n * n)
+        want_d = sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
+        got = rows[src]
+        assert got["n_tokens"] == n and got["vocab"] == len(cnt)
+        assert abs(got["yule_k"] - want_k) < 1e-4, src
+        assert abs(got["simpson_d"] - want_d) < 1e-6, src
+
+
+def test_code_detect_prose_is_true_null(spark):
+    rows = _run(spark, "text_code_detect")
+    assert rows
+    for r in rows:
+        # word-salad prose fixture: the router must NOT fire
+        assert r["is_code"] is False, r
+        assert 0.0 <= r["sym_ratio"] <= 1.0
+        assert 0.0 <= r["ident_share"] <= 1.0
+        assert r["avg_token_len"] > 0
+
+
+def test_chi2_feature_select_shape_and_nonnegative(spark):
+    rows = _run(spark, "ml_chi2_feature_select")
+    langs = {}
+    for r in rows:
+        assert r["chi2"] >= 0
+        assert 1 <= r["rk"] <= 3
+        langs.setdefault(r["lang"], set()).add(r["rk"])
+    # every represented language carries a dense 1..k rank prefix
+    for lang, rks in langs.items():
+        assert rks == set(range(1, len(rks) + 1)), (lang, rks)
+
+
+def test_theil_sen_median_is_between_extreme_slopes(spark):
+    rows = _run(spark, "events_theil_sen")
+    assert len(rows) == 5  # five event types
+    from fits2db_spark.tables import daily_value_series
+
+    daily = daily_value_series(spark, SF_SMOKE, "sum").collect()
+    by_type: dict[str, list] = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append((r["d"], r["v"]))
+    for r in rows:
+        pts = sorted(by_type[r["event_type"]])
+        slopes = sorted(
+            (v2 - v1) / (d2 - d1)
+            for i, (d1, v1) in enumerate(pts)
+            for (d2, v2) in pts[i + 1 :]
+        )
+        m = len(slopes)
+        assert r["n_pairs"] == m
+        want = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2.0
+        assert abs(r["ts_slope"] - want) < 1e-4, r["event_type"]
+
+
+def test_hill_tail_identity_and_positive(spark):
+    (r,) = _run(spark, "orders_hill_tail")
+    assert r["k"] == 500
+    assert r["x_kplus1"] > 0
+    assert r["sum_log_excess"] > 0
+    assert abs(r["hill_alpha"] - 500.0 / r["sum_log_excess"]) < 1e-3
+    # a bounded-support fixture (uniform-ish prices) looks very heavy-
+    # tail-SHORT: alpha must at least be positive and finite
+    assert math.isfinite(r["hill_alpha"])
+
+
+def test_wilson_ci_brackets_p_hat_and_stays_in_unit_interval(spark):
+    rows = _run(spark, "agg_wilson_ci")
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0, r
+        # Wilson never collapses to a zero-width interval for 0 < n
+        assert r["ci_hi"] - r["ci_lo"] > 0
+
+
+def test_effect_sizes_true_null_and_identities(spark):
+    (r,) = _run(spark, "agg_effect_sizes")
+    assert r["n1"] > 0 and r["n2"] > 0
+    # priority is independent of price: standardized effects near zero
+    assert abs(r["cohens_d"]) < 0.25, r["cohens_d"]
+    # |g| < |d| (shrinkage factor < 1), same sign
+    assert abs(r["hedges_g"]) <= abs(r["cohens_d"]) + 1e-12
+    if r["cohens_d"] != 0:
+        assert (r["hedges_g"] >= 0) == (r["cohens_d"] >= 0)
+
+
+def test_mrl_recall_bounds_and_head_subset(spark):
+    rows = _run(spark, "sim_mrl_recall")
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_matched"] <= 5
+        assert abs(r["recall_at_5"] - r["n_matched"] / 5.0) < 1e-9
+    # truncation must retain SOME signal on at least one query (16 of 64
+    # dims of a smooth synthetic embedding is far above random overlap)
+    assert any(r["n_matched"] > 0 for r in rows)
