@@ -5909,3 +5909,404 @@ def agg_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "glass_delta"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fairness parity audit of the shared fixed classifier (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_fairness_parity",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_orderpriority AS grp,
+             CASE WHEN o_totalprice >= {_CAL_MID} THEN 1 ELSE 0 END AS pred,
+             CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                  THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    g AS (
+      SELECT grp,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(pred) AS DOUBLE) AS npred,
+             CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS tp,
+             CAST(SUM(label) AS DOUBLE) AS npos,
+             CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS fp
+      FROM per GROUP BY grp
+    ),
+    o AS (
+      SELECT SUM(npred) / SUM(n) AS sel_all,
+             SUM(tp) / SUM(npos) AS tpr_all,
+             SUM(fp) / (SUM(n) - SUM(npos)) AS fpr_all
+      FROM g
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           ROUND(npred / n, 6) AS sel_rate,
+           ROUND(tp / npos, 6) AS tpr,
+           ROUND(fp / (n - npos), 6) AS fpr,
+           ROUND(npred / n - o.sel_all, 6) AS dp_gap,
+           ROUND(GREATEST(ABS(tp / npos - o.tpr_all),
+                          ABS(fp / (n - npos) - o.fpr_all)), 6) AS eo_gap
+    FROM g CROSS JOIN o
+    """,
+)
+def ml_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the shared fixed classifier (the
+    `ml_calibration_bins` logistic at its 0.5 operating point, i.e.
+    price >= {_CAL_MID:.0f}) with order priority as the protected-
+    attribute proxy: per-group selection rate (demographic parity), TPR
+    and FPR (equalized odds), and the gap of each against the overall
+    rates — the model-card fairness table (Hardt et al. 2016; Barocas
+    et al.) every governed ML deployment publishes next to
+    `ml_confusion_matrix`. Priority is independent of price in the
+    fixture, so all gaps are TRUE-NULL (~0): the audit certifies a fair
+    model as fair, and any gap drift flags a pipeline bug.
+
+    Plan: label, prediction, and group are all row-local (no join); one
+    partial-aggregating groupBy to 5 rows of integer counts; overall
+    rates are a 1-row broadcast derived from the SAME 5-row frame (no
+    second scan). Every ratio divides exact integer-valued doubles."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    per = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.when(F.col("o_totalprice") >= _CAL_MID, 1).otherwise(0).alias("pred"),
+        F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    g = per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pred").cast("double").alias("npred"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("tp"),
+        F.sum("label").cast("double").alias("npos"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("fp"),
+    )
+    ov = g.agg(
+        (F.sum("npred") / F.sum("n")).alias("sel_all"),
+        (F.sum("tp") / F.sum("npos")).alias("tpr_all"),
+        (F.sum("fp") / (F.sum("n") - F.sum("npos"))).alias("fpr_all"),
+    )
+    sel = F.col("npred") / F.col("n")
+    tpr = F.col("tp") / F.col("npos")
+    fpr = F.col("fp") / (F.col("n") - F.col("npos"))
+    return g.crossJoin(F.broadcast(ov)).select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(sel, 6).alias("sel_rate"),
+        F.round(tpr, 6).alias("tpr"),
+        F.round(fpr, 6).alias("fpr"),
+        F.round(sel - F.col("sel_all"), 6).alias("dp_gap"),
+        F.round(
+            F.greatest(
+                F.abs(tpr - F.col("tpr_all")), F.abs(fpr - F.col("fpr_all"))
+            ),
+            6,
+        ).alias("eo_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_ratio_metric_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, SUM(value) AS x, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM per_user
+    ),
+    d AS (
+      SELECT n, sx / sy AS r, sy / n AS my,
+             (sxx - sx * sx / n) / (n - 1) AS vx,
+             (syy - sy * sy / n) / (n - 1) AS vy,
+             (sxy - sx * sy / n) / (n - 1) AS cxy
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(r, 6) AS ratio,
+           ROUND(sqrt((vx - 2 * r * cxy + r * r * vy) / (n * my * my)), 6)
+             AS se,
+           ROUND(r - 1.959964 * sqrt((vx - 2 * r * cxy + r * r * vy)
+                                     / (n * my * my)), 6) AS ci_lo,
+           ROUND(r + 1.959964 * sqrt((vx - 2 * r * cxy + r * r * vy)
+                                     / (n * my * my)), 6) AS ci_hi
+    FROM d
+    """,
+)
+def ml_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric — value per
+    event with per-user clustering: R = sum(X_u)/sum(Y_u) over users,
+    Var(R) ~ (S_X^2 - 2R*S_XY + R^2*S_Y^2) / (n * Ybar^2) (Fieller/
+    delta; Deng et al. 2017's ratio-metric machinery) — the CI every
+    experimentation platform needs for per-session / per-user ratio
+    KPIs, where naive row-level variance is WRONG because the
+    denominator is itself random and rows within a user correlate.
+    Complements `agg_jackknife_ratio_se` (resampling answer) with the
+    closed form, and `ml_cuped_experiment` consumes the same per-user
+    frame.
+
+    Plan: events partial-aggregate to one (x, y) row per user — the
+    only stage that sees event volume — then a single 1-row moment
+    aggregate; both engines spell the identical centered-moment
+    algebra. Per-user x/y are small-magnitude, so no cancellation
+    hazard at 6dp."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum("value").alias("x"), F.count(F.lit(1)).cast("double").alias("y")
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = sx / sy
+    my = sy / n
+    vx = (F.col("sxx") - sx * sx / n) / (n - 1)
+    vy = (F.col("syy") - sy * sy / n) / (n - 1)
+    cxy = (F.col("sxy") - sx * sy / n) / (n - 1)
+    se = F.sqrt((vx - 2 * r * cxy + r * r * vy) / (n * my * my))
+    z = 1.959964
+    return m.select(
+        n.cast("long").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - z * se, 6).alias("ci_lo"),
+        F.round(r + z * se, 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binned two-sample Cramer-von Mises test (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cvm_test",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n2
+      FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1
+    ),
+    t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM b),
+    c AS (
+      SELECT n1, n2,
+             SUM(n1) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c1,
+             SUM(n2) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c2
+      FROM b
+    )
+    SELECT CAST(t.t1 AS BIGINT) AS n_open,
+           CAST(t.t2 AS BIGINT) AS n_filled,
+           ROUND(t.t1 * t.t2 / (t.t1 + t.t2)
+                 * SUM((c.c1 / t.t1 - c.c2 / t.t2)
+                       * (c.c1 / t.t1 - c.c2 / t.t2)
+                       * (c.n1 + c.n2) / (t.t1 + t.t2)), 6) AS cvm_t,
+           CAST(t.t1 * t.t2 / (t.t1 + t.t2)
+                * SUM((c.c1 / t.t1 - c.c2 / t.t2)
+                      * (c.c1 / t.t1 - c.c2 / t.t2)
+                      * (c.n1 + c.n2) / (t.t1 + t.t2)) > 0.461
+                AS INTEGER) AS reject_05
+    FROM c CROSS JOIN t
+    GROUP BY t.t1, t.t2
+    """,
+)
+def agg_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Cramer-von Mises test on the same open-vs-filled
+    order-price split as `agg_ks_test`: T = (n1*n2/(n1+n2)) * integral of
+    (F1 - F2)^2 against the POOLED empirical measure, approximated over
+    the shared 5000-wide price buckets, vs the asymptotic 5% critical
+    value 0.461 (Anderson 1962). Where KS keys on the single WORST ECDF
+    gap, CvM integrates the squared gap everywhere — more power against
+    diffuse distributional differences, which is why drift monitors run
+    both.
+
+    Plan: identical contraction to agg_ks_test — one map-side-combining
+    groupBy(bucket), one cumulative window over O(price range / 5000)
+    rows, one reduction. The raw table is never sorted."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.select(
+        "n1", "n2", F.sum("n1").over(w).alias("c1"), F.sum("n2").over(w).alias("c2")
+    )
+    t = b.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    gap2 = (F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2")) ** 2
+    term = F.sum(gap2 * (F.col("n1") + F.col("n2")) / (F.col("t1") + F.col("t2")))
+    stat = F.col("t1") * F.col("t2") / (F.col("t1") + F.col("t2")) * term
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("t1", "t2")
+        .agg(
+            F.round(stat, 6).alias("cvm_t"),
+            (stat > 0.461).cast("int").alias("reject_05"),
+        )
+        .select(
+            F.col("t1").cast("long").alias("n_open"),
+            F.col("t2").cast("long").alias("n_filled"),
+            "cvm_t",
+            "reject_05",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test over a bucketed grand median (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mood_median_test",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(c) AS n FROM b),
+    medb AS (
+      SELECT MIN(bucket) AS mb FROM (
+        SELECT bucket,
+               SUM(c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM b
+      ) s CROSS JOIN t WHERE s.cum >= t.n / 2
+    ),
+    cls AS (
+      SELECT o_orderpriority AS grp,
+             CAST(SUM(CASE WHEN FLOOR(o_totalprice / 5000) > medb.mb
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+             CAST(SUM(CASE WHEN FLOOR(o_totalprice / 5000) <= medb.mb
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS bl
+      FROM orders CROSS JOIN medb GROUP BY 1, medb.mb
+    ),
+    tot AS (SELECT SUM(a) AS ta, SUM(bl) AS tb FROM cls)
+    SELECT CAST(SUM(cls.a + cls.bl) AS BIGINT) AS n,
+           CAST(COUNT(*) - 1 AS BIGINT) AS df,
+           ROUND(SUM(
+             (cls.a - (cls.a + cls.bl) * tot.ta / (tot.ta + tot.tb))
+             * (cls.a - (cls.a + cls.bl) * tot.ta / (tot.ta + tot.tb))
+             / ((cls.a + cls.bl) * tot.ta / (tot.ta + tot.tb))
+             + (cls.bl - (cls.a + cls.bl) * tot.tb / (tot.ta + tot.tb))
+             * (cls.bl - (cls.a + cls.bl) * tot.tb / (tot.ta + tot.tb))
+             / ((cls.a + cls.bl) * tot.tb / (tot.ta + tot.tb))), 6) AS chi2,
+           CAST(ROUND(SUM(
+             (cls.a - (cls.a + cls.bl) * tot.ta / (tot.ta + tot.tb))
+             * (cls.a - (cls.a + cls.bl) * tot.ta / (tot.ta + tot.tb))
+             / ((cls.a + cls.bl) * tot.ta / (tot.ta + tot.tb))
+             + (cls.bl - (cls.a + cls.bl) * tot.tb / (tot.ta + tot.tb))
+             * (cls.bl - (cls.a + cls.bl) * tot.tb / (tot.ta + tot.tb))
+             / ((cls.a + cls.bl) * tot.tb / (tot.ta + tot.tb))), 6)
+                > 9.487729 AS INTEGER) AS reject_05
+    FROM cls CROSS JOIN tot
+    GROUP BY tot.ta, tot.tb
+    """,
+)
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across order priorities: split every order at a
+    common bucketed grand median (the smallest 5000-wide price bucket
+    whose cumulative count reaches n/2 — same scale-safe histogram-
+    inversion as `agg_quantile_treatment_effect`, so no global sort) and
+    chi-square the resulting 2x5 above/below contingency table against
+    the pooled proportions (df = 4, 5% critical value 9.488). The
+    coarsest, most outlier-immune of the k-sample location tests —
+    `agg_kruskal_wallis` uses full rank information, Mood's only the
+    side of the median — and the fixture's price-independent priorities
+    make it a TRUE-NULL family.
+
+    Plan: one O(buckets) histogram + cumulative window to find the
+    split bucket (broadcast 1-row), one partial-aggregating
+    groupBy(priority) for the counts, O(groups) algebra after. Two
+    scans of orders (histogram + classify), both column-pruned to two
+    columns."""
+    o = load(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_n = b.agg(F.sum("c").alias("n"))
+    medb = (
+        b.select("bucket", F.sum("c").over(w).alias("cum"))
+        .crossJoin(F.broadcast(tot_n))
+        .filter(F.col("cum") >= F.col("n") / 2)
+        .agg(F.min("bucket").alias("mb"))
+    )
+    cls = (
+        o.crossJoin(F.broadcast(medb))
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.floor(F.col("o_totalprice") / 5000) > F.col("mb"), 1
+                ).otherwise(0)
+            )
+            .cast("double")
+            .alias("a"),
+            F.sum(
+                F.when(
+                    F.floor(F.col("o_totalprice") / 5000) <= F.col("mb"), 1
+                ).otherwise(0)
+            )
+            .cast("double")
+            .alias("bl"),
+        )
+    )
+    tot = cls.agg(F.sum("a").alias("ta"), F.sum("bl").alias("tb"))
+    j = cls.crossJoin(F.broadcast(tot))
+    ea = (F.col("a") + F.col("bl")) * F.col("ta") / (F.col("ta") + F.col("tb"))
+    eb = (F.col("a") + F.col("bl")) * F.col("tb") / (F.col("ta") + F.col("tb"))
+    cell = (F.col("a") - ea) * (F.col("a") - ea) / ea + (
+        F.col("bl") - eb
+    ) * (F.col("bl") - eb) / eb
+    return j.agg(
+        F.sum(F.col("a") + F.col("bl")).cast("long").alias("n"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("df"),
+        F.round(F.sum(cell), 6).alias("chi2"),
+        (F.round(F.sum(cell), 6) > 9.487729).cast("int").alias("reject_05"),
+    )

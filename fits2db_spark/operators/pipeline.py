@@ -2544,3 +2544,61 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~rejected, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 6
         ).alias("pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-row dataset card (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 4)
+             AS mean_tokens_per_doc,
+           ROUND(1.0 - COUNT(DISTINCT text) * 1.0 / COUNT(*), 6)
+             AS exact_dup_rate,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS en_share
+    FROM documents
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the document corpus: size (docs, tokens,
+    chars), composition (sources, languages, English share), and health
+    (exact-duplicate rate) — the summary block of a Datasheets/Dataset
+    Cards release artifact (Gebru et al. 2021) and the first thing a
+    data-mix review reads; every number here is a first-class operator
+    elsewhere in the registry (dedup_exact_text, text_lang_stats,
+    cap_docs_per_source), this is the composed headline view.
+
+    Plan: ONE scan with per-row token/char expressions in codegen; the
+    distinct counts ride the same aggregate. The text-distinct count is
+    computed over a sha2-256 digest on the Spark side (bounded-width
+    shuffle keys instead of full document bodies — the dedup_exact_text
+    convention; equal counts barring a 2^-128 collision, which is the
+    industry-standard trade at 100 TB)."""
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(
+            F.sum(F.size(F.split("text", " "))) / F.count(F.lit(1)), 4
+        ).alias("mean_tokens_per_doc"),
+        F.round(
+            1.0 - F.countDistinct(F.sha2("text", 256)) / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("en_share"),
+    )

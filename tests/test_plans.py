@@ -304,6 +304,12 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # ABC Pareto cumsum over the O(parts) revenue dimension — the
     # orders_abc shape reused for the ABC-XYZ matrix (r9)
     "orders_abc_xyz",
+    # squared-ECDF-gap cumulative window over the same O(price-buckets)
+    # histogram as agg_ks_test (r11)
+    "agg_cvm_test",
+    # median-bucket search: cumulative window over the O(price-buckets)
+    # histogram, then broadcast 1-row split (r11)
+    "agg_mood_median_test",
 }
 
 

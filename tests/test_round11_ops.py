@@ -118,3 +118,55 @@ def test_mrl_recall_bounds_and_head_subset(spark):
     # truncation must retain SOME signal on at least one query (16 of 64
     # dims of a smooth synthetic embedding is far above random overlap)
     assert any(r["n_matched"] > 0 for r in rows)
+
+
+def test_fairness_parity_true_null_and_identities(spark):
+    rows = _run(spark, "ml_fairness_parity")
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["sel_rate"] <= 1.0
+        assert 0.0 <= r["tpr"] <= 1.0 and 0.0 <= r["fpr"] <= 1.0
+        # priority independent of price: parity gaps are small
+        assert abs(r["dp_gap"]) < 0.1, r
+        assert r["eo_gap"] < 0.15, r
+        # the classifier has real signal: TPR must dominate FPR per group
+        assert r["tpr"] > r["fpr"], r
+
+
+def test_ratio_metric_ci_brackets_plugin_estimate(spark):
+    (r,) = _run(spark, "ml_ratio_metric_ci")
+    assert r["n_users"] > 0
+    assert r["se"] > 0
+    assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
+    # plug-in check: ratio equals total value / total events
+    from fits2db_spark.tables import load
+
+    ev = load(spark, SF_SMOKE, "events").selectExpr(
+        "sum(value) AS sv", "count(*) AS c"
+    ).collect()[0]
+    assert abs(r["ratio"] - ev["sv"] / ev["c"]) < 1e-4
+
+
+def test_cvm_consistent_with_ks_family(spark):
+    (r,) = _run(spark, "agg_cvm_test")
+    assert r["cvm_t"] >= 0
+    assert r["reject_05"] in (0, 1)
+    # O and F prices are iid uniform in the fixture: same distribution
+    assert r["reject_05"] == 0, r["cvm_t"]
+
+
+def test_mood_median_true_null(spark):
+    (r,) = _run(spark, "agg_mood_median_test")
+    assert r["df"] == 4
+    assert r["chi2"] >= 0
+    assert r["reject_05"] == 0, r["chi2"]  # price independent of priority
+
+
+def test_dataset_card_internally_consistent(spark):
+    (r,) = _run(spark, "pipeline_dataset_card")
+    assert r["n_docs"] > 0
+    assert r["n_sources"] == 20 and r["n_langs"] == 5
+    assert 0.0 <= r["exact_dup_rate"] < 1.0
+    assert 0.0 <= r["en_share"] <= 1.0
+    assert abs(r["mean_tokens_per_doc"] - r["n_tokens"] / r["n_docs"]) < 1e-3
+    assert r["total_chars"] >= r["n_tokens"]  # every token >= 1 char
