@@ -6310,3 +6310,90 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(cell), 6).alias("chi2"),
         (F.round(F.sum(cell), 6) > 9.487729).cast("int").alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman rank test across treatments with blocks (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_friedman_test",
+    oracle="""
+    WITH cell AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS blk,
+             o_orderpriority AS trt,
+             AVG(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+    ),
+    ranked AS (
+      SELECT c.blk, c.trt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.blk
+                                     ORDER BY c.v, c.trt) AS DOUBLE) AS r
+      FROM cell c JOIN complete USING (blk)
+    ),
+    rsum AS (
+      SELECT trt, SUM(r) AS rj, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM ranked GROUP BY trt
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           ROUND(12.0 / (MAX(n) * COUNT(*) * (COUNT(*) + 1)) * SUM(rj * rj)
+                 - 3.0 * MAX(n) * (COUNT(*) + 1), 6) AS q_stat,
+           CAST(COUNT(*) - 1 AS BIGINT) AS df,
+           CAST((12.0 / (MAX(n) * COUNT(*) * (COUNT(*) + 1)) * SUM(rj * rj)
+                 - 3.0 * MAX(n) * (COUNT(*) + 1)) > 9.487729 AS INTEGER)
+             AS reject_05
+    FROM rsum
+    """,
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (Friedman 1937): do the five order priorities
+    differ in monthly mean order value, treating calendar months as
+    BLOCKS? Within each complete block the treatments are ranked 1..5,
+    and Q = 12/(nk(k+1)) * sum_j R_j^2 - 3n(k+1) ~ chi2(k-1) under the
+    null — the repeated-measures / blocked counterpart of
+    `agg_kruskal_wallis` (which pools all rows and would confound any
+    month-level drift into the treatment comparison). Priority is
+    independent of price in the fixture, so this is a TRUE-NULL family
+    (5% critical value 9.488 at df=4). Months missing a priority are
+    dropped whole (complete-block requirement) identically on both
+    engines; cell means are continuous, so within-block rank ties are
+    measure-zero and the (v, trt) orderBy pins any residual tie.
+
+    Plan: orders partial-aggregate to O(months x 5) cell means — the
+    only stage that sees row volume — then per-block rank windows over
+    5-row partitions and an O(k) reduction."""
+    o = load(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(F.avg("o_totalprice").alias("v"))
+    complete = cell.groupBy("blk").agg(F.count(F.lit(1)).alias("kc")).filter(
+        F.col("kc") == 5
+    )
+    ranked = cell.join(F.broadcast(complete.select("blk")), "blk").select(
+        "blk",
+        "trt",
+        F.row_number()
+        .over(Window.partitionBy("blk").orderBy("v", "trt"))
+        .cast("double")
+        .alias("r"),
+    )
+    rsum = ranked.groupBy("trt").agg(
+        F.sum("r").alias("rj"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    n, k = F.max("n"), F.count(F.lit(1))
+    q = 12.0 / (n * k * (k + 1)) * F.sum(F.col("rj") * F.col("rj")) - 3.0 * n * (
+        k + 1
+    )
+    return rsum.agg(
+        n.cast("long").alias("n_blocks"),
+        k.cast("long").alias("k"),
+        F.round(q, 6).alias("q_stat"),
+        (k - 1).cast("long").alias("df"),
+        (q > 9.487729).cast("int").alias("reject_05"),
+    )

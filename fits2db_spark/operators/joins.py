@@ -1546,3 +1546,145 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-scheme quality metrics for entity resolution (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er_blocking_metrics",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name,
+             string_split(p_name, ' ')[1] AS k1,
+             string_split(p_name, ' ')[2] AS k2
+      FROM names
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM names),
+    raw_pairs AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM keyed a JOIN keyed b ON a.k1 = b.k1 AND a.p_name < b.p_name
+      UNION
+      SELECT a.p_name, b.p_name
+      FROM keyed a JOIN keyed b ON a.k2 = b.k2 AND a.p_name < b.p_name
+    ),
+    truth AS (
+      SELECT rp.na, rp.nb,
+             CAST(ka.k1 = kb.k1 AS INTEGER) AS in1,
+             CAST(ka.k2 = kb.k2 AS INTEGER) AS in2
+      FROM raw_pairs rp
+      JOIN keyed ka ON ka.p_name = rp.na
+      JOIN keyed kb ON kb.p_name = rp.nb
+      WHERE levenshtein(rp.na, rp.nb) BETWEEN 1 AND 2
+    ),
+    cand AS (
+      SELECT 'tok1' AS scheme,
+             CAST(COUNT(DISTINCT k1) AS BIGINT) AS n_blocks,
+             SUM(cnt * (cnt - 1) / 2) AS n_cand
+      FROM (SELECT k1, CAST(COUNT(*) AS DOUBLE) AS cnt FROM keyed GROUP BY k1)
+      UNION ALL
+      SELECT 'tok2',
+             CAST(COUNT(DISTINCT k2) AS BIGINT),
+             SUM(cnt * (cnt - 1) / 2)
+      FROM (SELECT k2, CAST(COUNT(*) AS DOUBLE) AS cnt FROM keyed GROUP BY k2)
+    ),
+    tr AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_truth,
+             CAST(SUM(in1) AS DOUBLE) AS m1,
+             CAST(SUM(in2) AS DOUBLE) AS m2
+      FROM truth
+    )
+    SELECT c.scheme, c.n_blocks,
+           CAST(c.n_cand AS BIGINT) AS n_cand_pairs,
+           ROUND(1.0 - c.n_cand / (tot.n * (tot.n - 1) / 2), 6)
+             AS reduction_ratio,
+           ROUND(CASE WHEN c.scheme = 'tok1' THEN tr.m1 ELSE tr.m2 END
+                 / tr.n_truth, 6) AS pairs_completeness
+    FROM cand c CROSS JOIN tot CROSS JOIN tr
+    """,
+)
+def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality metrics for entity resolution: REDUCTION
+    RATIO (share of the all-pairs comparison space a blocking scheme
+    avoids — pure counting, no pair is ever enumerated globally) and
+    PAIRS COMPLETENESS (share of true near-duplicate name pairs the
+    scheme's blocks retain) for two candidate schemes over the part-name
+    universe — block on the first name token vs the second (the scheme
+    `join_fuzzy_blocked` ships). Truth is the levenshtein-1..2 pair set
+    found within the UNION of both blockings — the standard blocking-
+    union truth proxy in ER evaluation (Christen 2012): completeness is
+    measured relative to what any candidate scheme can see, since exact
+    truth would require the all-pairs scan blocking exists to avoid.
+    This is the measurement loop that precedes every `er_golden_record`
+    deployment: a scheme below ~0.9 completeness silently loses matches.
+
+    Plan: the name universe is contracted to DISTINCT names first; the
+    truth join enumerates pairs only WITHIN the unioned blocks (one
+    shuffle on each key); candidate counts are per-block C(m,2) algebra
+    on block-size aggregates, never materialized pairs. At 100 TB block
+    sizes are bounded by the name-token vocabulary, the same contraction
+    the fuzzy join itself rides."""
+    p = load(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    keyed = names.select(
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("k1"),
+        F.split("p_name", " ").getItem(1).alias("k2"),
+    )
+    tot = names.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+
+    def _block_pairs(key: str) -> DataFrame:
+        # equi-join within one blocking key (an OR-of-keys join would fall
+        # out of hash-join planning into a nested loop over the full name
+        # universe — the blowup blocking exists to avoid)
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        ).select(
+            F.col("a.p_name").alias("na"),
+            F.col("b.p_name").alias("nb"),
+            (F.col("a.k1") == F.col("b.k1")).cast("int").alias("in1"),
+            (F.col("a.k2") == F.col("b.k2")).cast("int").alias("in2"),
+        )
+
+    truth = (
+        _block_pairs("k1")
+        .unionByName(_block_pairs("k2"))
+        .filter(F.levenshtein(F.col("na"), F.col("nb")).between(1, 2))
+        .groupBy("na", "nb")
+        .agg(F.max("in1").alias("in1"), F.max("in2").alias("in2"))
+    )
+    tr = truth.agg(
+        F.count(F.lit(1)).cast("double").alias("n_truth"),
+        F.sum("in1").cast("double").alias("m1"),
+        F.sum("in2").cast("double").alias("m2"),
+    )
+
+    def scheme(col: str, label: str) -> DataFrame:
+        sizes = keyed.groupBy(col).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        return sizes.agg(
+            F.lit(label).alias("scheme"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2).alias("n_cand"),
+        )
+
+    cand = scheme("k1", "tok1").unionByName(scheme("k2", "tok2"))
+    pc = F.when(F.col("scheme") == "tok1", F.col("m1")).otherwise(F.col("m2"))
+    return (
+        cand.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "scheme",
+            "n_blocks",
+            F.col("n_cand").cast("long").alias("n_cand_pairs"),
+            F.round(
+                1.0 - F.col("n_cand") / (F.col("n") * (F.col("n") - 1) / 2), 6
+            ).alias("reduction_ratio"),
+            F.round(pc / F.col("n_truth"), 6).alias("pairs_completeness"),
+        )
+    )

@@ -7124,3 +7124,142 @@ def orders_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hill_alpha",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lomb-Scargle periodogram on unevenly sampled points (round 11)
+# ---------------------------------------------------------------------------
+_LS_PERIODS = (2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0, 12.0, 14.0)  # days
+_LS_TYPE = "purchase"
+
+
+@register(
+    "lightcurve_lomb_scargle",
+    oracle=f"""
+    WITH pts AS (
+      SELECT (epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 86400000000.0
+               AS t,
+             value AS y
+      FROM events WHERE event_type = '{_LS_TYPE}'
+    ),
+    st AS (
+      SELECT AVG(y) AS mu,
+             (SUM(y * y) - SUM(y) * SUM(y) / COUNT(*)) / (COUNT(*) - 1) AS var,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM pts
+    ),
+    grid AS (SELECT unnest(ARRAY{list(_LS_PERIODS)}) AS period),
+    tau AS (
+      SELECT g.period,
+             g.period / (4 * pi())
+             * atan2(SUM(sin(4 * pi() * p.t / g.period)),
+                     SUM(cos(4 * pi() * p.t / g.period))) AS tau
+      FROM pts p CROSS JOIN grid g GROUP BY g.period
+    ),
+    comp AS (
+      SELECT tau.period, st.n,
+             SUM((p.y - st.mu) * cos(2 * pi() * (p.t - tau.tau) / tau.period))
+               AS cs,
+             SUM((p.y - st.mu) * sin(2 * pi() * (p.t - tau.tau) / tau.period))
+               AS ss,
+             SUM(cos(2 * pi() * (p.t - tau.tau) / tau.period)
+                 * cos(2 * pi() * (p.t - tau.tau) / tau.period)) AS cc,
+             SUM(sin(2 * pi() * (p.t - tau.tau) / tau.period)
+                 * sin(2 * pi() * (p.t - tau.tau) / tau.period)) AS s2,
+             MAX(st.var) AS var
+      FROM pts p CROSS JOIN tau CROSS JOIN st
+      GROUP BY tau.period, st.n
+    )
+    SELECT period, CAST(n AS BIGINT) AS n,
+           FLOOR((cs * cs / cc + ss * ss / s2) / (2 * var) * 10000) / 10000
+             AS ls_power
+    FROM comp
+    """,
+)
+def lightcurve_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb-Scargle periodogram (Lomb 1976, Scargle 1982) of the
+    '{_LS_TYPE}' value series at the RAW, unevenly spaced event
+    timestamps — the astronomy-standard period search when sampling is
+    irregular (`events_periodogram` is the classic DFT and REQUIRES the
+    regular daily grid; LS handles arbitrary t_i by solving the
+    per-frequency least-squares phase tau = P/(4pi) * atan2(sum sin
+    4pi*t/P, sum cos 4pi*t/P), which makes the periodogram invariant to
+    time-origin shifts). Normalized power (cs^2/cc + ss^2/ss) / (2 s^2)
+    per trial period; the fixture's arrivals carry no periodic value
+    signal, so powers stay at the noise floor (~O(1)) — the true-null
+    convention.
+
+    Cross-engine determinism: t is DAYS SINCE THE PINNED 2024-01-01
+    epoch (t in [0, ~30] — trig arguments stay small, so last-ulp libm
+    divergence cannot be amplified by huge phases), mu/var come from
+    explicit moment sums, and the power is FLOOR-rounded at 1e-4 (the
+    events_periodogram convention for trig-sum outputs).
+
+    Plan: two passes over the filtered points (tau needs the first
+    pass's per-period sums — a {len(_LS_PERIODS)}-row broadcast joins
+    back for the second), each pass a grid-crossJoin into a map-side
+    partial aggregate keyed by period: the shuffle carries
+    O(grid) rows per task, never the points. Linear in points x grid —
+    the same cost every production LS implementation pays before FFT
+    tricks (Press & Rybicki) kick in at much larger grids."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == _LS_TYPE)
+    epoch0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    pts = ev.select(
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(epoch0))
+            / 86400000000.0
+        ).alias("t"),
+        F.col("value").alias("y"),
+    )
+    st = pts.agg(
+        F.avg("y").alias("mu"),
+        (
+            (F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y") / F.count(F.lit(1)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("var"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    grid = spark.sql(
+        "SELECT col1 AS period FROM (VALUES "
+        + ", ".join(f"({p})" for p in _LS_PERIODS)
+        + ")"
+    )
+    two_pi = 2.0 * math.pi
+    tau = (
+        pts.crossJoin(F.broadcast(grid))
+        .groupBy("period")
+        .agg(
+            (
+                F.col("period")
+                / (2 * two_pi)
+                * F.atan2(
+                    F.sum(F.sin(2 * two_pi * F.col("t") / F.col("period"))),
+                    F.sum(F.cos(2 * two_pi * F.col("t") / F.col("period"))),
+                )
+            ).alias("tau")
+        )
+        .select("period", "tau")
+    )
+    ph = two_pi * (F.col("t") - F.col("tau")) / F.col("period")
+    comp = (
+        pts.crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(st))
+        .groupBy("period", "n")
+        .agg(
+            F.sum((F.col("y") - F.col("mu")) * F.cos(ph)).alias("cs"),
+            F.sum((F.col("y") - F.col("mu")) * F.sin(ph)).alias("ss"),
+            F.sum(F.cos(ph) * F.cos(ph)).alias("cc"),
+            F.sum(F.sin(ph) * F.sin(ph)).alias("s2"),
+            F.max("var").alias("var"),
+        )
+    )
+    power = (
+        F.col("cs") * F.col("cs") / F.col("cc")
+        + F.col("ss") * F.col("ss") / F.col("s2")
+    ) / (2 * F.col("var"))
+    return comp.select(
+        "period",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(power * 10000) / 10000).alias("ls_power"),
+    )

@@ -170,3 +170,35 @@ def test_dataset_card_internally_consistent(spark):
     assert 0.0 <= r["en_share"] <= 1.0
     assert abs(r["mean_tokens_per_doc"] - r["n_tokens"] / r["n_docs"]) < 1e-3
     assert r["total_chars"] >= r["n_tokens"]  # every token >= 1 char
+
+
+def test_friedman_true_null_and_bounds(spark):
+    (r,) = _run(spark, "agg_friedman_test")
+    assert r["k"] == 5 and r["df"] == 4
+    assert r["n_blocks"] > 0
+    assert r["q_stat"] >= 0
+    assert r["reject_05"] == 0, r["q_stat"]  # price independent of priority
+
+
+def test_er_blocking_metrics_identities(spark):
+    rows = {r["scheme"]: r for r in _run(spark, "er_blocking_metrics")}
+    assert set(rows) == {"tok1", "tok2"}
+    for r in rows.values():
+        assert 0.0 < r["reduction_ratio"] < 1.0
+        assert 0.0 <= r["pairs_completeness"] <= 1.0
+        assert r["n_cand_pairs"] > 0 and r["n_blocks"] > 1
+    # completeness over the two-scheme union must cover the union: the
+    # max of the two schemes cannot be 0 (truth is found WITHIN them)
+    assert max(r["pairs_completeness"] for r in rows.values()) > 0.0
+
+
+def test_lomb_scargle_noise_floor_and_shape(spark):
+    rows = _run(spark, "lightcurve_lomb_scargle")
+    assert len(rows) == 10  # trial periods
+    n = rows[0]["n"]
+    for r in rows:
+        assert r["n"] == n
+        assert r["ls_power"] >= 0
+        # no periodic signal planted: normalized LS power stays at the
+        # noise floor (E[P] ~ 1 under the null; 15 is a generous ceiling)
+        assert r["ls_power"] < 15.0, r
