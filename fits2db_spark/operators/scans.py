@@ -1133,3 +1133,83 @@ def fits_image_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# FITS spectral cube -> aperture spectrum (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fits_cube_spectrum",
+    oracle="""
+    WITH vox AS (
+      SELECT gx.x, gy.y, gz.z,
+             CAST(50 + 0.25 * (((gx.x * 31 + gy.y * 17 + gz.z * 7) % 1000)
+                               - 200) AS DOUBLE) AS val
+      FROM generate_series(0, 19) gx(x),
+           generate_series(0, 15) gy(y),
+           generate_series(0, 11) gz(z)
+    )
+    SELECT z AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_pix,
+           ROUND(SUM(val), 4) AS flux,
+           ROUND(AVG(val), 6) AS mean_val,
+           ROUND(MIN(val), 4) AS min_val,
+           ROUND(MAX(val), 4) AS max_val
+    FROM vox
+    WHERE x >= 4 AND x < 12 AND y >= 3 AND y < 9
+    GROUP BY z
+    """,
+)
+def fits_cube_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FITS spectral cube -> extracted aperture spectrum: a 20x16x12
+    int16 cube (NAXIS3 = channel; voxel function (x*31 + y*17 + z*7) %
+    1000 - 200, BSCALE 0.25 / BZERO 50) staged by our own 3-D writer,
+    read back as an (x, y, z, val) voxel table through the shared
+    binaryFile + mapInArrow path, then reduced to per-channel aperture
+    photometry over the box x in [4,12) x y in [3,9) — flux, mean,
+    min, max per channel. This is the radio/IFU archive's core data
+    product (a spectrum at a source position), and on the voxel-table
+    representation it is a pure filter + groupBy(channel): the aperture
+    predicate prunes at the scan and the channel aggregate is one
+    map-side-combining shuffle of O(channels) rows.
+
+    Scale: one cube file = one decode task; a survey's cube collection
+    parallelizes by file, a MATERIALIZED voxel table partitioned by
+    channel serves N apertures as one scan with N box predicates, and
+    row-group min/max on (x, y, z) keeps pruning alive — the same
+    argument as fits_cutout one dimension up. The closed-form voxel
+    function makes every value oracle-checkable (the fits_image_ingest
+    convention)."""
+    from ..sources.fits import read_fits_cube
+
+    vox = read_fits_cube(spark, _stage_spec_cube(spark, sf_dir), hdu="CUBE")
+    ap = vox.filter(
+        (F.col("x") >= 4) & (F.col("x") < 12) & (F.col("y") >= 3) & (F.col("y") < 9)
+    )
+    return ap.groupBy(F.col("z").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pix"),
+        F.round(F.sum("val"), 4).alias("flux"),
+        F.round(F.avg("val"), 6).alias("mean_val"),
+        F.round(F.min("val"), 4).alias("min_val"),
+        F.round(F.max("val"), 4).alias("max_val"),
+    )
+
+
+def _stage_spec_cube(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the 20x16x12 spectral cube (voxel function (x*31 + y*17 +
+    z*7) % 1000 - 200, BSCALE 0.25 / BZERO 50) once per (session, sf)."""
+    from ..sources.fits import write_fits_cube
+
+    def write(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        x = np.arange(20)[None, None, :]
+        y = np.arange(16)[None, :, None]
+        z = np.arange(12)[:, None, None]
+        cube = ((x * 31 + y * 17 + z * 7) % 1000 - 200).astype("i2")
+        with open(os.path.join(out_dir, "cube.fits"), "wb") as f:
+            write_fits_cube(cube, bscale=0.25, bzero=50.0, extname="CUBE", out=f)
+
+    out = _scratch_dir(spark, sf_dir, "fits_cube", write)
+    return os.path.join(out, "cube.fits")

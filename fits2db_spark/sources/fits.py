@@ -1270,3 +1270,113 @@ def read_fits_image(
     return _read_fits_with(
         spark, path, hdu, schema, _maybe_verifying(decode_image, verify_checksum)
     )
+
+
+def write_fits_cube(
+    data: "np.ndarray",
+    bscale: float = 1.0,
+    bzero: float = 0.0,
+    extname: str | None = None,
+    out: io.IOBase | None = None,
+) -> bytes:
+    """Build a FITS file whose first extension is a 3-D IMAGE HDU (a
+    spectral cube: NAXIS1 = x, NAXIS2 = y, NAXIS3 = channel — the radio /
+    IFU data product). ``data`` is indexed [z, y, x] (C order matches the
+    FITS axis-1-fastest serialization); BSCALE/BZERO as in
+    :func:`write_fits_image`."""
+    inv = {v.lstrip(">"): k for k, v in _BITPIX_DTYPES.items()}
+    key = data.dtype.newbyteorder("=").str.lstrip("<>=|")
+    if key not in inv:
+        raise FitsFormatError(f"unsupported cube dtype {data.dtype}")
+    bitpix = inv[key]
+    nz, h, w = data.shape
+    cards = [
+        _card("XTENSION", "IMAGE"),
+        _card("BITPIX", bitpix),
+        _card("NAXIS", 3),
+        _card("NAXIS1", w),
+        _card("NAXIS2", h),
+        _card("NAXIS3", nz),
+        _card("PCOUNT", 0),
+        _card("GCOUNT", 1),
+    ]
+    if bscale != 1.0:
+        cards.append(_card("BSCALE", bscale))
+    if bzero != 0.0:
+        cards.append(_card("BZERO", bzero))
+    if extname is not None:
+        cards.append(_card("EXTNAME", extname))
+    cards.append(b"END".ljust(CARD))
+    hdr = _pad(b"".join(cards), b" ")
+    payload = data.astype(_BITPIX_DTYPES[bitpix]).tobytes()
+    blob = _primary_hdu() + hdr + _pad(payload)
+    if out is not None:
+        out.write(blob)
+    return blob
+
+
+def decode_cube(data: bytes, hdu: int | str = 1):
+    """3-D IMAGE HDU -> (x, y, z, val) voxel table: x is the fastest FITS
+    axis (NAXIS1), z the channel (NAXIS3); val is the PHYSICAL value
+    BZERO + BSCALE * raw as double. Same (schema, columns) contract as
+    :func:`decode_image`, so the parallel Spark read path is shared."""
+    off, idx = 0, 0
+    while True:
+        cards, data_off = _parse_header(data, off)
+        is_image = (idx == 0 and cards.get("SIMPLE") == "T") or cards.get(
+            "XTENSION", ""
+        ).strip() == "IMAGE"
+        match = (
+            is_image
+            and _header_int(cards, "NAXIS") == 3
+            and (
+                (isinstance(hdu, int) and idx == hdu)
+                or (isinstance(hdu, str) and cards.get("EXTNAME") == hdu)
+            )
+        )
+        if match:
+            break
+        dsize = _hdu_data_size(cards)
+        off = data_off + (dsize + BLOCK - 1) // BLOCK * BLOCK
+        idx += 1
+        if off >= len(data):
+            raise FitsFormatError(f"3-D IMAGE HDU {hdu!r} not found")
+    w = _header_int(cards, "NAXIS1")
+    h = _header_int(cards, "NAXIS2")
+    nz = _header_int(cards, "NAXIS3")
+    bitpix = _header_int(cards, "BITPIX")
+    try:
+        dt = np.dtype(_BITPIX_DTYPES[bitpix])
+    except KeyError as e:
+        raise FitsFormatError(f"bad BITPIX {bitpix}") from e
+    bscale = float(cards.get("BSCALE", 1.0))
+    bzero = float(cards.get("BZERO", 0.0))
+    raw = np.frombuffer(data, dtype=dt, count=w * h * nz, offset=data_off)
+    x = np.tile(np.arange(w, dtype="i4"), h * nz)
+    y = np.tile(np.repeat(np.arange(h, dtype="i4"), w), nz)
+    z = np.repeat(np.arange(nz, dtype="i4"), w * h)
+    val = bzero + bscale * raw.astype("f8")
+    schema = StructType(
+        [
+            StructField("x", IntegerType(), False),
+            StructField("y", IntegerType(), False),
+            StructField("z", IntegerType(), False),
+            StructField("val", DoubleType(), False),
+        ]
+    )
+    return schema, [x, y, z, val]
+
+
+def read_fits_cube(
+    spark: SparkSession,
+    path: str,
+    hdu: int | str = 1,
+    schema: StructType | None = None,
+    verify_checksum: bool = False,
+) -> DataFrame:
+    """Read 3-D IMAGE extension(s) as a voxel table — one (x, y, z, val)
+    row per voxel with BSCALE/BZERO applied; same per-file parallel decode
+    contract as :func:`read_fits_image`."""
+    return _read_fits_with(
+        spark, path, hdu, schema, _maybe_verifying(decode_cube, verify_checksum)
+    )

@@ -202,3 +202,26 @@ def test_lomb_scargle_noise_floor_and_shape(spark):
         # no periodic signal planted: normalized LS power stays at the
         # noise floor (E[P] ~ 1 under the null; 15 is a generous ceiling)
         assert r["ls_power"] < 15.0, r
+
+
+def test_cube_spectrum_roundtrip_and_aperture(spark):
+    rows = _run(spark, "fits_cube_spectrum")
+    assert len(rows) == 12  # channels
+    for r in rows:
+        assert r["n_pix"] == 8 * 6  # aperture box
+        assert r["min_val"] <= r["mean_val"] <= r["max_val"]
+        # physical values: 50 + 0.25 * ([0, 1000) - 200) in [0, 250)
+        assert 0.0 <= r["min_val"] and r["max_val"] < 250.0
+        assert abs(r["flux"] - r["mean_val"] * r["n_pix"]) < 0.01
+
+
+def test_cube_voxel_table_full_shape(spark):
+    # the staged cube read back whole must carry exactly w*h*nz voxels
+    from fits2db_spark.operators.scans import _stage_spec_cube
+    from fits2db_spark.sources.fits import read_fits_cube
+
+    vox = read_fits_cube(spark, _stage_spec_cube(spark, SF_SMOKE), hdu="CUBE")
+    assert vox.count() == 20 * 16 * 12
+    row = vox.filter("x = 5 AND y = 7 AND z = 3").collect()[0]
+    want = 50 + 0.25 * ((5 * 31 + 7 * 17 + 3 * 7) % 1000 - 200)
+    assert abs(row["val"] - want) < 1e-9
