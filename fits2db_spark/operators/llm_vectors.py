@@ -2489,8 +2489,10 @@ def sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("neighbor_id", "h_neighbor")
         .withColumnRenamed("query_id", "h_query")
     )
+    # head_k is <= NQ*K rows but sits behind a window, so Catalyst has no
+    # size stats and would sort-merge two ~40-row frames — hint broadcast
     joined = full_k.join(
-        head_k,
+        F.broadcast(head_k),
         (F.col("query_id") == F.col("h_query"))
         & (F.col("neighbor_id") == F.col("h_neighbor")),
         "left",

@@ -7013,8 +7013,11 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     past ~10^4 points)."""
     daily = daily_value_series(spark, sf_dir, "sum")
     a, b = daily.alias("a"), daily.alias("b")
+    # broadcast the probe side: the daily frame is O(types x days) and the
+    # equi key (event_type) alone has 5 values, so Catalyst would pick a
+    # sort-merge join on a ~150-row frame
     slopes = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.event_type") == F.col("b.event_type"))
         & (F.col("a.d") < F.col("b.d")),
     ).select(
@@ -7051,7 +7054,7 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.avg("r").alias("ts_intercept"))
     )
-    return med.join(icpt, "event_type").select(
+    return med.join(F.broadcast(icpt), "event_type").select(
         "event_type",
         "n_pairs",
         F.round("ts_slope", 6).alias("ts_slope"),
