@@ -7152,7 +7152,7 @@ _LS_TYPE = "purchase"
              CAST(COUNT(*) AS DOUBLE) AS n
       FROM pts
     ),
-    grid AS (SELECT unnest(ARRAY{list(_LS_PERIODS)}) AS period),
+    grid AS (SELECT CAST(unnest(ARRAY{list(_LS_PERIODS)}) AS DOUBLE) AS period),
     tau AS (
       SELECT g.period,
              g.period / (4 * pi())
@@ -7223,8 +7223,11 @@ def lightcurve_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var"),
         F.count(F.lit(1)).cast("double").alias("n"),
     )
+    # CAST the literal grid to DOUBLE: a bare VALUES (2.0) types the column
+    # DECIMAL(2,1) on both engines, which the no-DecimalType-in-finals
+    # contract (test_contract.py) rejects — the r10 pandas-hash bug class
     grid = spark.sql(
-        "SELECT col1 AS period FROM (VALUES "
+        "SELECT CAST(col1 AS DOUBLE) AS period FROM (VALUES "
         + ", ".join(f"({p})" for p in _LS_PERIODS)
         + ")"
     )
