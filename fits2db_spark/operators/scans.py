@@ -1213,3 +1213,60 @@ def _stage_spec_cube(spark: SparkSession, sf_dir: str) -> str:
 
     out = _scratch_dir(spark, sf_dir, "fits_cube", write)
     return os.path.join(out, "cube.fits")
+
+
+# ---------------------------------------------------------------------------
+# FITS as a registered Spark data source (Python DataSource API, round 11)
+# ---------------------------------------------------------------------------
+
+
+@register("fits_datasource_v2", oracle="SELECT * FROM nation")
+def fits_datasource_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same nation BINTABLE round trip as ``fits_ingest``, but read
+    through Spark 4's Python DataSource API: ``FitsDataSource`` is
+    registered once per session and the file loads as
+    ``spark.read.format("fits").load(path)`` — FITS as a first-class
+    format string, schema inferred from a header-only probe, one input
+    partition per file planned BY THE ENGINE, Arrow RecordBatch transfer
+    from the Python decoder. The decode machinery is shared byte-for-byte
+    with the mapInArrow path (sources/fits.py), so the two ingestion
+    routes cannot drift — and this oracle proves it: identical SQL to
+    fits_ingest's.
+
+    At scale the DataSource route is what a warehouse catalog speaks
+    (``CREATE TABLE obs USING fits OPTIONS (path ...)``), while the
+    mapInArrow route remains the library-call form; both fan out one
+    decode task per file."""
+    import duckdb
+
+    from ..sources.fits import write_fits_bintable
+    from ..sources.fits_datasource import FitsDataSource
+
+    def write(out_dir: str) -> None:
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT n_nationkey, n_name, n_regionkey FROM "
+                f"read_parquet('{sf_dir}/nation.parquet') ORDER BY n_nationkey"
+            )
+            .fetchall()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        blob = write_fits_bintable(
+            [
+                ("n_nationkey", "J", [r[0] for r in rows]),
+                ("n_name", "A24", [r[1] for r in rows]),
+                ("n_regionkey", "J", [r[2] for r in rows]),
+            ]
+        )
+        with open(os.path.join(out_dir, "nation.fits"), "wb") as f:
+            f.write(blob)
+
+    # same scratch key as fits_ingest: both operators stage the identical
+    # file, so whichever runs first defines it for both
+    path = _scratch_dir(spark, sf_dir, "nation_fits", write)
+    try:
+        spark.dataSource.register(FitsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("fits").option("hdu", "1").load(path)

@@ -225,3 +225,28 @@ def test_cube_voxel_table_full_shape(spark):
     row = vox.filter("x = 5 AND y = 7 AND z = 3").collect()[0]
     want = 50 + 0.25 * ((5 * 31 + 7 * 17 + 3 * 7) % 1000 - 200)
     assert abs(row["val"] - want) < 1e-9
+
+
+def test_fits_datasource_matches_mapinarrow_path(spark):
+    # the two ingestion routes share the decode machinery and must agree
+    from fits2db_spark.registry import all_queries as _aq
+
+    qs = _aq()
+    via_ds = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in qs["fits_datasource_v2"](spark, SF_SMOKE).collect()
+    }
+    via_arrow = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in qs["fits_ingest"](spark, SF_SMOKE).collect()
+    }
+    assert via_ds == via_arrow and len(via_ds) == 25
+
+
+def test_fits_datasource_schema_and_partitioning(spark):
+    from fits2db_spark.registry import all_queries as _aq
+
+    df = _aq()["fits_datasource_v2"](spark, SF_SMOKE)
+    assert [f[0] for f in df.dtypes] == ["n_nationkey", "n_name", "n_regionkey"]
+    # one staged file -> the engine plans exactly one input partition
+    assert df.rdd.getNumPartitions() == 1
