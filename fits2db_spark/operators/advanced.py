@@ -1792,25 +1792,43 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("n_p"))
-    pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("n_s"))
-    n_sup = edges.select("s").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("n_sup")
+    # materialize the degree tables and node counts ONCE (r11): every
+    # normalizer below is a broadcast BUILD — its own job — so without the
+    # cut each of the 2 x _HITS_ROUNDS half-rounds re-ran these O(edges)
+    # groupBys / distinct-counts against the persisted edge list. All four
+    # are O(nodes) or 1-row; freed before return with the score tables.
+    sdeg = (
+        edges.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_p"))
+        .localCheckpoint(eager=True)
     )
-    n_par = edges.select("p").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("n_par")
+    pdeg = (
+        edges.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_s"))
+        .localCheckpoint(eager=True)
+    )
+    n_sup = (
+        sdeg.agg(F.count(F.lit(1)).cast("double").alias("n_sup"))
+        .localCheckpoint(eager=True)
+    )
+    n_par = (
+        pdeg.agg(F.count(F.lit(1)).cast("double").alias("n_par"))
+        .localCheckpoint(eager=True)
     )
     h = edges.select("s").distinct().select("s", F.lit(1.0).alias("score"))
     a = None
     for _ in range(_HITS_ROUNDS):
+        # broadcast the O(nodes) score table onto the edge list: h/a are
+        # checkpointed (no size stats), so Catalyst would SMJ — re-sorting
+        # the edge list every half-round (the pagerank r10 finding)
         raw_a = (
-            edges.join(h, "s")
+            edges.join(F.broadcast(h), "s")
             .groupBy("p")
             .agg(F.sum("score").alias("raw"))
         )
         # mean-1 rescale: sum over edges of h = sum_s h_s * outdeg(s)
         anorm = (
-            h.join(sdeg, "s")
+            h.join(F.broadcast(sdeg), "s")
             .agg(F.sum(F.col("score") * F.col("n_p")).alias("tot"))
             .crossJoin(F.broadcast(n_par))
         )
@@ -1829,12 +1847,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev_a is not None:
             _free_local_checkpoint(prev_a)  # superseded score table's blocks
         raw_h = (
-            edges.join(a, "p")
+            edges.join(F.broadcast(a), "p")
             .groupBy("s")
             .agg(F.sum("score").alias("raw"))
         )
         hnorm = (
-            a.join(pdeg, "p")
+            a.join(F.broadcast(pdeg), "p")
             .agg(F.sum(F.col("score") * F.col("n_s")).alias("tot"))
             .crossJoin(F.broadcast(n_sup))
         )
@@ -1866,7 +1884,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = hubs.unionByName(auths).localCheckpoint(eager=True)
     edges.unpersist()
-    for interim in (a, h):
+    for interim in (a, h, sdeg, pdeg, n_sup, n_par):
         _free_local_checkpoint(interim)
     return result
 
