@@ -1695,17 +1695,23 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.lit(0).alias("dist"))
     )
     prev = None
-    for _ in range(_BFS_ROUNDS):
+    for i in range(_BFS_ROUNDS):
+        # eager localCheckpoint per relaxation round (r11): dist is consumed
+        # TWICE per round (frontier join + union), and the former lazy
+        # persist was unpersisted before any action ever materialized it —
+        # so the logical plan doubled per round (2^rounds copies of the
+        # seed/edge subtree re-optimized and re-executed). Same cut as the
+        # kcore peel; the distance table is O(reached nodes).
         dist = (
             edges.join(dist, edges.src == dist.node)
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .unionByName(dist.select("node", "dist"))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if prev is not None:
-            prev.unpersist()
+            _free_local_checkpoint(prev)
         prev = dist
     return (
         nodes.join(dist, "node", "left")
