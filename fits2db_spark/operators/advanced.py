@@ -1580,16 +1580,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "label")
             .unionByName(labels.select("node", "label"))
         )
+        # eager localCheckpoint per round (r11): labels is consumed TWICE
+        # per round (vote join + union), and the former lazy persist was
+        # unpersisted before any action materialized it — the same
+        # 2^rounds lineage doubling as graph_bfs_distance.
         labels = (
             votes.groupBy("node", "label")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if prev is not None:
-            prev.unpersist()
+            _free_local_checkpoint(prev)
         prev = labels
     wk = Window.orderBy(F.col("size").desc(), F.col("community").asc())
     return (
