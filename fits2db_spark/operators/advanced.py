@@ -1837,8 +1837,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("score").alias("raw"))
         )
         # mean-1 rescale: sum over edges of h = sum_s h_s * outdeg(s)
+        # (measured r11: broadcast-hinting sdeg/pdeg here LOSES ~0.5s — the
+        # build jobs cost more than the tiny shuffle they avoid; the score
+        # joins below are where the broadcast pays)
         anorm = (
-            h.join(F.broadcast(sdeg), "s")
+            h.join(sdeg, "s")
             .agg(F.sum(F.col("score") * F.col("n_p")).alias("tot"))
             .crossJoin(F.broadcast(n_par))
         )
@@ -1862,7 +1865,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("score").alias("raw"))
         )
         hnorm = (
-            a.join(F.broadcast(pdeg), "p")
+            a.join(pdeg, "p")
             .agg(F.sum(F.col("score") * F.col("n_s")).alias("tot"))
             .crossJoin(F.broadcast(n_sup))
         )
