@@ -1503,6 +1503,58 @@ def _lpa_round_sql(prev: str, out: str) -> str:
     )"""
 
 
+def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA machinery: the md5-sampled symmetric edge list and the
+    converged (fixed-round) label table — consumed by
+    `graph_label_propagation` (top communities) and `graph_modularity`
+    (partition quality). One definition so the two can never drift."""
+    li = load(spark, sf_dir, "lineitem")
+    sp = li.select(
+        (F.col("l_partkey") + 1_000_000).alias("a"), F.col("l_suppkey").alias("b")
+    ).distinct()
+    kept = sp.filter(
+        F.conv(
+            F.substring(
+                F.md5((F.col("a") * 100_000 + F.col("b")).cast("string")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < _LPA_EDGE_PCT
+    )
+    edges = kept.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        kept.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    prev = None
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(labels.select("node", "label"))
+        )
+        # eager localCheckpoint per round (r11): labels is consumed TWICE
+        # per round (vote join + union), and the former lazy persist was
+        # unpersisted before any action materialized it — the same
+        # 2^rounds lineage doubling as graph_bfs_distance.
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            _free_local_checkpoint(prev)
+        prev = labels
+    return edges, labels
+
+
 @register(
     "graph_label_propagation",
     oracle=f"""
@@ -1551,50 +1603,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines on the same statically-planned dataflow (vec_kmeans /
     graph_kcore convention: after convergence extra rounds are no-ops).
     Votes carry exact integer counts; no floats anywhere."""
-    li = load(spark, sf_dir, "lineitem")
-    sp = li.select(
-        (F.col("l_partkey") + 1_000_000).alias("a"), F.col("l_suppkey").alias("b")
-    ).distinct()
-    kept = sp.filter(
-        F.conv(
-            F.substring(
-                F.md5((F.col("a") * 100_000 + F.col("b")).cast("string")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-        < _LPA_EDGE_PCT
-    )
-    edges = kept.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        kept.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
-    prev = None
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-            .unionByName(labels.select("node", "label"))
-        )
-        # eager localCheckpoint per round (r11): labels is consumed TWICE
-        # per round (vote join + union), and the former lazy persist was
-        # unpersisted before any action materialized it — the same
-        # 2^rounds lineage doubling as graph_bfs_distance.
-        labels = (
-            votes.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
-        if prev is not None:
-            _free_local_checkpoint(prev)
-        prev = labels
+    edges, labels = _lpa_edges_labels(spark, sf_dir)
     wk = Window.orderBy(F.col("size").desc(), F.col("community").asc())
     return (
         labels.groupBy(F.col("label").alias("community"))
@@ -2350,3 +2359,111 @@ def vec_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label-propagation partition (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT l_partkey + 1000000 AS a, l_suppkey AS b FROM lineitem
+    ),
+    kept AS (
+      SELECT a, b FROM sp
+      WHERE CAST(concat('0x', substr(md5(CAST(a * 100000 + b AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 100 < {_LPA_EDGE_PCT}
+    ),
+    f2s_lpa_edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM kept
+      UNION ALL
+      SELECT b AS src, a AS dst FROM kept
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM f2s_lpa_edges),
+    {','.join(_lpa_round_sql(f'l{i}', f'l{i + 1}') for i in range(_LPA_ROUNDS))},
+    m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM f2s_lpa_edges),
+    dc AS (
+      SELECT l.label, CAST(COUNT(*) AS DOUBLE) AS d
+      FROM f2s_lpa_edges e JOIN l{_LPA_ROUNDS} l ON l.node = e.src
+      GROUP BY l.label
+    ),
+    ecc AS (
+      SELECT ls.label, CAST(COUNT(*) AS DOUBLE) AS e_in
+      FROM f2s_lpa_edges e
+      JOIN l{_LPA_ROUNDS} ls ON ls.node = e.src
+      JOIN l{_LPA_ROUNDS} ld ON ld.node = e.dst
+      WHERE ls.label = ld.label
+      GROUP BY ls.label
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(MAX(m2.m2) / 2 AS BIGINT) AS m_edges,
+           ROUND(SUM(COALESCE(ecc.e_in, 0) / m2.m2
+                     - (dc.d / m2.m2) * (dc.d / m2.m2)), 6) AS modularity,
+           ROUND(SUM(COALESCE(ecc.e_in, 0)) / MAX(m2.m2), 6)
+             AS internal_edge_frac
+    FROM dc LEFT JOIN ecc USING (label) CROSS JOIN m2
+    GROUP BY m2.m2
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the `graph_label_propagation`
+    partition: Q = sum_c [ e_cc/2m - (d_c/2m)^2 ] over the same sampled
+    supplier-part graph and the same fixed-round LPA labels — the
+    partition-quality score that tells you whether the communities LPA
+    found are denser than a degree-preserving random graph (Q ~ 0 means
+    "no community structure", the honest answer on this near-random
+    bipartite fixture). The same evaluation-as-an-operator pattern as
+    `vec_kmeans_silhouette` (cluster quality for k-means) and
+    `sim_ann_recall_eval` (recall for the ANN index): detection and its
+    quality metric ship together, sharing one machinery
+    (`_lpa_edges_labels`) so they cannot drift.
+
+    Plan: after the shared LPA rounds, modularity needs exactly two
+    label-keyed partial aggregates — the degree mass d_c (one edge->label
+    join) and the within-community edge count e_cc (edge joined to BOTH
+    endpoint labels, broadcast: the label table is O(nodes)) — folded to
+    a single row. Directed-representation bookkeeping: the symmetric
+    edge list carries 2m rows, so e_cc and d_c are both doubled
+    consistently and Q needs no correction factor."""
+    edges, labels = _lpa_edges_labels(spark, sf_dir)
+    m2 = edges.agg(F.count(F.lit(1)).cast("double").alias("m2"))
+    lab = F.broadcast(labels)
+    dc = (
+        edges.join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    ls = lab.withColumnRenamed("node", "src").withColumnRenamed("label", "lsrc")
+    ld = lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "ldst")
+    ecc = (
+        edges.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count(F.lit(1)).cast("double").alias("e_in"))
+    )
+    j = (
+        dc.join(F.broadcast(ecc), "label", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "label",
+            "m2",
+            F.coalesce(F.col("e_in"), F.lit(0.0)).alias("e_in"),
+            "d",
+        )
+    )
+    return j.groupBy("m2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        (F.max("m2") / 2).cast("long").alias("m_edges"),
+        F.round(
+            F.sum(
+                F.col("e_in") / F.col("m2")
+                - (F.col("d") / F.col("m2")) * (F.col("d") / F.col("m2"))
+            ),
+            6,
+        ).alias("modularity"),
+        F.round(F.sum("e_in") / F.max("m2"), 6).alias("internal_edge_frac"),
+    ).drop("m2").select("n_communities", "m_edges", "modularity", "internal_edge_frac")

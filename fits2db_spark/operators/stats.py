@@ -7269,3 +7269,173 @@ def lightcurve_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.floor(power * 10000) / 10000).alias("ls_power"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial moment fit for overdispersed counts (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_negbin_fit",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    full_grid AS (
+      SELECT t.event_type, u.user_id, COALESCE(c.c, 0) AS c
+      FROM users u CROSS JOIN types t
+      LEFT JOIN cnt c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(c) AS mu,
+             (SUM(c * c) - SUM(c) * SUM(c) / COUNT(*)) / (COUNT(*) - 1) AS v
+      FROM full_grid GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_users,
+           ROUND(mu, 6) AS mean_count,
+           ROUND(v, 6) AS var_count,
+           ROUND(v / mu, 6) AS fano,
+           CASE WHEN v > mu THEN ROUND(mu * mu / (v - mu), 6) END AS nb_r,
+           CASE WHEN v > mu THEN ROUND(mu / v, 6) END AS nb_p
+    FROM mo
+    """,
+)
+def events_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial moment fit for per-user event counts by type:
+    with mean mu and variance v over the FULL user grid (absent users
+    count 0 — arrival models must see the zeros), the method-of-moments
+    NB parameters are r = mu^2/(v - mu) and p = mu/v, defined only under
+    overdispersion (v > mu; NULL otherwise — a Poisson or underdispersed
+    series has no NB fit). The standard next step after
+    `orders_poisson_gof` rejects (or `events_dispersion_index` flags
+    Fano > 1): user activity is almost never Poisson (heterogeneous
+    rates gamma-mix into NB), and the fitted r drives engagement
+    segmentation and burstiness-aware capacity planning.
+
+    Plan: events partial-aggregate to O(users x types) counts, the zero
+    grid is a broadcast cross of two distinct-key frames, and the
+    moment rollup is explicit centered sums (identical algebra both
+    engines; per-user counts are small so no cancellation at 6dp)."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(cnt, ["user_id", "event_type"], "left")
+        .select(
+            "event_type", F.coalesce(F.col("c"), F.lit(0.0)).alias("c")
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    v = (F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c") / n) / (n - 1)
+    mo = grid.groupBy("event_type").agg(
+        n.alias("n"), F.avg("c").alias("mu"), v.alias("v")
+    )
+    over = F.col("v") > F.col("mu")
+    return mo.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.round("mu", 6).alias("mean_count"),
+        F.round("v", 6).alias("var_count"),
+        F.round(F.col("v") / F.col("mu"), 6).alias("fano"),
+        F.when(over, F.round(F.col("mu") * F.col("mu") / (F.col("v") - F.col("mu")), 6)).alias("nb_r"),
+        F.when(over, F.round(F.col("mu") / F.col("v"), 6)).alias("nb_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch gap-based sessionization (round 11)
+# ---------------------------------------------------------------------------
+_SESS_GAP_S = 1800  # 30-minute inactivity gap
+
+
+@register(
+    "events_session_stats",
+    oracle=f"""
+    WITH ts_rows AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > {_SESS_GAP_S}
+                    OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ts_rows
+    ),
+    sess AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS DOUBLE) AS n_ev,
+             CAST(MAX(t) - MIN(t) AS DOUBLE) AS dur
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           ROUND(AVG(n_ev), 6) AS avg_events_per_session,
+           ROUND(AVG(dur), 6) AS avg_session_secs,
+           CAST(MAX(dur) AS BIGINT) AS max_session_secs
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization — the canonical web-analytics
+    transform: a user's events split into sessions at every
+    >{_SESS_GAP_S}-second inactivity gap (lag + cumulative-flag-sum,
+    the gaps-and-islands pattern on raw epoch seconds), then per-user
+    session statistics (count, events/session, mean/max duration).
+    The BATCH twin of `stream_live_session` (Structured Streaming's
+    session_window): identical session semantics, so a lambda-style
+    backfill of the streaming metric reconciles exactly; `events_paths`
+    consumes a same-shaped sessionization for journey mining.
+
+    Plan: two per-user window passes (lag flag, running sum) on integer
+    epoch seconds — exchanges once on user_id and reuses that
+    partitioning for both windows, the per-session groupBy, AND the
+    final per-user rollup (four stages, ONE shuffle). Ties in t within
+    a user collapse into the same session regardless of intra-tie
+    order, so the output is deterministic without a tiebreak column."""
+    ev = load(spark, sf_dir, "events")
+    t = (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long")
+    rows = ev.select("user_id", t.alias("t"))
+    wl = Window.partitionBy("user_id").orderBy("t")
+    lag = F.lag("t").over(wl)
+    flagged = rows.select(
+        "user_id",
+        "t",
+        F.when(lag.isNull() | ((F.col("t") - lag) > _SESS_GAP_S), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        "user_id", "t", F.sum("new_s").over(wc).alias("sid")
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("double").alias("n_ev"),
+        (F.max("t") - F.min("t")).cast("double").alias("dur"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.round(F.avg("n_ev"), 6).alias("avg_events_per_session"),
+        F.round(F.avg("dur"), 6).alias("avg_session_secs"),
+        F.max("dur").cast("long").alias("max_session_secs"),
+    )

@@ -250,3 +250,43 @@ def test_fits_datasource_schema_and_partitioning(spark):
     assert [f[0] for f in df.dtypes] == ["n_nationkey", "n_name", "n_regionkey"]
     # one staged file -> the engine plans exactly one input partition
     assert df.rdd.getNumPartitions() == 1
+
+
+def test_modularity_bounds_and_consistency(spark):
+    (r,) = _run(spark, "graph_modularity")
+    assert -0.5 <= r["modularity"] <= 1.0
+    assert 0.0 <= r["internal_edge_frac"] <= 1.0
+    assert r["n_communities"] >= 1
+    assert r["m_edges"] > 0
+    # Q <= internal fraction (the degree-expectation term is nonnegative)
+    assert r["modularity"] <= r["internal_edge_frac"] + 1e-9
+
+
+def test_negbin_fit_moment_identities(spark):
+    rows = _run(spark, "events_negbin_fit")
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_users"] > 0
+        assert r["mean_count"] > 0
+        assert abs(r["fano"] - r["var_count"] / r["mean_count"]) < 1e-3
+        if r["nb_r"] is not None:
+            # overdispersed: recover mu = r(1-p)/p within rounding
+            mu_back = r["nb_r"] * (1 - r["nb_p"]) / r["nb_p"]
+            assert abs(mu_back - r["mean_count"]) / r["mean_count"] < 1e-2
+        else:
+            assert r["fano"] <= 1.0 + 1e-6
+
+
+def test_session_stats_identities(spark):
+    rows = _run(spark, "events_session_stats")
+    assert rows
+    from fits2db_spark.tables import load
+
+    total_events = load(spark, SF_SMOKE, "events").count()
+    assert sum(r["n_events"] for r in rows) == total_events
+    for r in rows:
+        assert 1 <= r["n_sessions"] <= r["n_events"]
+        assert abs(
+            r["avg_events_per_session"] - r["n_events"] / r["n_sessions"]
+        ) < 1e-3
+        assert r["max_session_secs"] >= 0
