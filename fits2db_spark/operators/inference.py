@@ -28,6 +28,8 @@ DATE + INTERVAL so both engines join on exact integers.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -6397,3 +6399,244 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k - 1).cast("long").alias("df"),
         (q > 9.487729).cast("int").alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biserial effect size for the Mann-Whitney comparison (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rank_biserial",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(FLOOR(o_totalprice / {_AUC_BIN}) AS BIGINT) AS bucket,
+             CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS grp
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ),
+    hist AS (
+      SELECT bucket,
+             CAST(SUM(grp) AS DOUBLE) AS n1b,
+             CAST(COUNT(*) - SUM(grp) AS DOUBLE) AS n2b
+      FROM per GROUP BY bucket
+    ),
+    cum AS (
+      SELECT n1b, n2b,
+             SUM(n2b) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n2b AS below
+      FROM hist
+    )
+    SELECT CAST(SUM(n1b) AS BIGINT) AS n_open,
+           CAST(SUM(n2b) AS BIGINT) AS n_filled,
+           ROUND((SUM(n1b * below) + 0.5 * SUM(n1b * n2b))
+                 / (SUM(n1b) * SUM(n2b)), 6) AS cl_effect,
+           ROUND(2.0 * (SUM(n1b * below) + 0.5 * SUM(n1b * n2b))
+                 / (SUM(n1b) * SUM(n2b)) - 1.0, 6) AS rank_biserial
+    FROM cum
+    """,
+)
+def agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biserial correlation r = 2U/(n1*n2) - 1 (Cureton 1956; the
+    Wendt identity) and the common-language effect size U/(n1*n2) =
+    P(open price > filled price) for the `agg_mann_whitney` comparison —
+    the effect-size companion a significance test needs before anyone
+    acts on it (the same pairing `agg_effect_sizes` provides for the
+    parametric t-family). Shares the exact histogram pair-counting
+    machinery (and the {_AUC_BIN}-unit buckets) with agg_mann_whitney /
+    ml_auc_roc, so the U underneath can never drift from the test it
+    describes. TRUE NULL on the fixture: r ~ 0, CL ~ 0.5.
+
+    Plan: identical contraction — one map-side-combining bucket
+    histogram, one cumulative window over O(buckets), one reduction."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    hist = o.groupBy(
+        F.floor(F.col("o_totalprice") / _AUC_BIN).cast("long").alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("double")
+        .alias("n1b"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("double")
+        .alias("n2b"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n1b", "n2b", (F.sum("n2b").over(w) - F.col("n2b")).alias("below")
+    )
+    u = F.sum(F.col("n1b") * F.col("below")) + 0.5 * F.sum(
+        F.col("n1b") * F.col("n2b")
+    )
+    n1n2 = F.sum("n1b") * F.sum("n2b")
+    return cum.agg(
+        F.sum("n1b").cast("long").alias("n_open"),
+        F.sum("n2b").cast("long").alias("n_filled"),
+        F.round(u / n1n2, 6).alias("cl_effect"),
+        F.round(2.0 * u / n1n2 - 1.0, 6).alias("rank_biserial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Platt scaling: post-hoc logistic calibration (round 11)
+# ---------------------------------------------------------------------------
+_PLATT_STEPS = 6  # unrolled Newton steps, both engines
+
+
+def _platt_hist_sql() -> str:
+    return f"""
+      SELECT 1.0 / (1.0 + EXP(-((CAST(FLOOR(o_totalprice / {_AUC_BIN}) AS DOUBLE)
+                                 * {_AUC_BIN} + {_AUC_BIN} / 2 - {_CAL_MID})
+                                / {_CAL_SCALE}))) AS s,
+             CAST(SUM(CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS pos,
+             CAST(SUM(CASE WHEN o_totalprice
+                       + CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                         % {_AUC_NOISE_MOD} > {_AUC_THRESHOLD}
+                      THEN 0 ELSE 1 END) AS DOUBLE) AS neg
+      FROM orders GROUP BY FLOOR(o_totalprice / {_AUC_BIN})"""
+
+
+def _platt_step_sql(prev: str, out: str) -> str:
+    # one Newton step on the 2-parameter cross-entropy against the Platt
+    # smoothed targets; parameters re-quantized at 9dp (the ml_logistic_gd
+    # convention) so both engines feed identical doubles into the next step
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT ROUND(a - ( hbb * ga - hab * gb) / (haa * hbb - hab * hab), 9)
+               AS a,
+             ROUND(b - (-hab * ga + haa * gb) / (haa * hbb - hab * hab), 9)
+               AS b
+      FROM (
+        SELECT MAX(p.a) AS a, MAX(p.b) AS b,
+               SUM(h.s * (h.pos * (1.0 / (1.0 + EXP(-(p.a * h.s + p.b))) - t.tpos)
+                        + h.neg * (1.0 / (1.0 + EXP(-(p.a * h.s + p.b))) - t.tneg)))
+                 AS ga,
+               SUM(h.pos * (1.0 / (1.0 + EXP(-(p.a * h.s + p.b))) - t.tpos)
+                 + h.neg * (1.0 / (1.0 + EXP(-(p.a * h.s + p.b))) - t.tneg)) AS gb,
+               SUM((h.pos + h.neg) * (1.0 / (1.0 + EXP(-(p.a * h.s + p.b))))
+                   * (1.0 - 1.0 / (1.0 + EXP(-(p.a * h.s + p.b)))) * h.s * h.s)
+                 AS haa,
+               SUM((h.pos + h.neg) * (1.0 / (1.0 + EXP(-(p.a * h.s + p.b))))
+                   * (1.0 - 1.0 / (1.0 + EXP(-(p.a * h.s + p.b)))) * h.s) AS hab,
+               SUM((h.pos + h.neg) * (1.0 / (1.0 + EXP(-(p.a * h.s + p.b))))
+                   * (1.0 - 1.0 / (1.0 + EXP(-(p.a * h.s + p.b))))) AS hbb
+        FROM f2s_platt_hist h CROSS JOIN {prev} p CROSS JOIN f2s_platt_t t
+      ) g
+    )"""
+
+
+@register(
+    "ml_platt_scaling",
+    oracle=f"""
+    WITH f2s_platt_hist AS MATERIALIZED ({_platt_hist_sql()}),
+    f2s_platt_t AS MATERIALIZED (
+      SELECT (SUM(pos) + 1.0) / (SUM(pos) + 2.0) AS tpos,
+             1.0 / (SUM(neg) + 2.0) AS tneg,
+             SUM(pos) AS npos, SUM(neg) AS nneg
+      FROM f2s_platt_hist
+    ),
+    p0 AS (SELECT 0.0 AS a,
+                  ROUND(LN((t.nneg + 1.0) / (t.npos + 1.0)), 9) AS b
+           FROM f2s_platt_t t),
+    {','.join(_platt_step_sql(f'p{i}', f'p{i + 1}') for i in range(_PLATT_STEPS))}
+    SELECT CAST(t.npos AS BIGINT) AS n_pos,
+           CAST(t.nneg AS BIGINT) AS n_neg,
+           ROUND(p.a, 6) AS platt_a,
+           ROUND(p.b, 6) AS platt_b,
+           ROUND(SUM(-(h.pos * LN(1.0 / (1.0 + EXP(-(p.a * h.s + p.b))))
+                       + h.neg * LN(1.0 - 1.0 / (1.0 + EXP(-(p.a * h.s + p.b))))))
+                 / (t.npos + t.nneg), 6) AS logloss_after
+    FROM f2s_platt_hist h CROSS JOIN p{_PLATT_STEPS} p CROSS JOIN f2s_platt_t t
+    GROUP BY t.npos, t.nneg, p.a, p.b
+    """,
+)
+def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling (Platt 1999): fit sigma(A*s + B) to the shared fixed
+    model's scores against the `ml_auc_roc` labels by {_PLATT_STEPS}
+    unrolled Newton steps on the cross-entropy with Platt's smoothed
+    targets (N+ + 1)/(N+ + 2) and 1/(N- + 2) — the parametric
+    calibration map that completes the calibration family:
+    `ml_calibration_bins` DIAGNOSES miscalibration, `ml_isotonic_pav`
+    fits the non-parametric map, this fits the 2-parameter sigmoid every
+    SVM/probe-scoring stack ships. Reports A, B, and the calibrated
+    training log-loss. The model is already near-calibrated by
+    construction, so A ~ 1-ish, B small — and the Newton fixpoint is
+    well-conditioned (the Hessian is the positive-definite weighted
+    score covariance).
+
+    Determinism: scores live on bucket CENTERS of the shared
+    {_AUC_BIN}-unit price histogram (the binned-design discipline of
+    ml_logistic_gd — the fit is EXACT for the quantized model), and
+    (A, B) are re-quantized at 9dp after every step so both engines
+    feed identical doubles forward; fold-order ulp is absorbed by the
+    quantization and the final ROUND 6.
+
+    Scale: one scan to O(buckets) rows, checkpointed once; each Newton
+    step is a 5-number aggregate over those buckets with a 2-parameter
+    driver state — the bounded-collect loop contract of vec_kmeans
+    (k x 64 doubles there, 2 doubles here)."""
+    o = load(spark, sf_dir, "orders")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _AUC_NOISE_MOD
+    )
+    label = F.when(F.col("o_totalprice") + noise > _AUC_THRESHOLD, 1).otherwise(0)
+    b = F.floor(F.col("o_totalprice") / _AUC_BIN).cast("double")
+    s = 1.0 / (
+        1.0 + F.exp(-((b * _AUC_BIN + _AUC_BIN / 2 - _CAL_MID) / _CAL_SCALE))
+    )
+    hist = (
+        o.select(s.alias("s"), label.alias("l"))
+        .groupBy("s")
+        .agg(
+            F.sum("l").cast("double").alias("pos"),
+            F.sum(1 - F.col("l")).cast("double").alias("neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tots = hist.agg(F.sum("pos").alias("npos"), F.sum("neg").alias("nneg")).collect()[0]
+    npos, nneg = float(tots["npos"]), float(tots["nneg"])
+    tpos, tneg = (npos + 1.0) / (npos + 2.0), 1.0 / (nneg + 2.0)
+    a, bb = 0.0, round(math.log((nneg + 1.0) / (npos + 1.0)), 9)
+    for _ in range(_PLATT_STEPS):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(a) * F.col("s") + F.lit(bb))))
+        resid = F.col("pos") * (p - tpos) + F.col("neg") * (p - tneg)
+        wgt = (F.col("pos") + F.col("neg")) * p * (1.0 - p)
+        g = hist.agg(
+            F.sum(F.col("s") * resid).alias("ga"),
+            F.sum(resid).alias("gb"),
+            F.sum(wgt * F.col("s") * F.col("s")).alias("haa"),
+            F.sum(wgt * F.col("s")).alias("hab"),
+            F.sum(wgt).alias("hbb"),
+        ).collect()[0]
+        det = g["haa"] * g["hbb"] - g["hab"] * g["hab"]
+        a = round(a - (g["hbb"] * g["ga"] - g["hab"] * g["gb"]) / det, 9)
+        bb = round(bb - (-g["hab"] * g["ga"] + g["haa"] * g["gb"]) / det, 9)
+    pf = 1.0 / (1.0 + F.exp(-(F.lit(a) * F.col("s") + F.lit(bb))))
+    out = hist.agg(
+        F.lit(int(npos)).cast("long").alias("n_pos"),
+        F.lit(int(nneg)).cast("long").alias("n_neg"),
+        F.lit(round(a, 6)).alias("platt_a"),
+        F.lit(round(bb, 6)).alias("platt_b"),
+        F.round(
+            F.sum(
+                -(F.col("pos") * F.log(pf) + F.col("neg") * F.log(1.0 - pf))
+            )
+            / F.lit(npos + nneg),
+            6,
+        ).alias("logloss_after"),
+    )
+    from .advanced import _free_local_checkpoint
+
+    result = out.localCheckpoint(eager=True)
+    _free_local_checkpoint(hist)
+    return result

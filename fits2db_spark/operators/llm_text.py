@@ -3511,3 +3511,246 @@ def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _CHI2_TOPK)
         .select("lang", "tok", "chi2", "df_in_class", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted MinHash (ICWS) near-duplicate detection (round 11)
+# ---------------------------------------------------------------------------
+_ICWS_K = 8  # independent ICWS samples per document
+_ICWS_JW = 0.5  # exact weighted-Jaccard report threshold
+_ICWS_BUCKET_CAP = 64  # max docs per (k, shingle, t) sample bucket
+
+
+def _icws_u_sql(tok: str, k: str, salt: int) -> str:
+    """md5-derived uniform in (0, 1): (h % 10^6 + 0.5) / 10^6 — never 0,
+    so every ln() below is finite. Identical text in both engines."""
+    return (
+        f"(CAST(concat('0x', substr(md5({tok} || '#' || CAST({k} AS VARCHAR)"
+        f" || '#{salt}'), 1, 15)) AS BIGINT) % 1000000 + 0.5) / 1000000.0"
+    )
+
+
+def _icws_u(tok, k, salt: int):
+    return (
+        _h64(F.concat_ws("#", tok, k.cast("string"), F.lit(str(salt))))
+        % 1_000_000
+        + 0.5
+    ) / 1_000_000.0
+
+
+def _icws_key_sql(tok: str, k: str) -> str:
+    """The ICWS argmin key a = c / (y * e^r) for one (element, sample),
+    ROUNDED at 9dp so last-ulp libm divergence cannot flip the argmin."""
+    u1, u2 = _icws_u_sql(tok, k, 1), _icws_u_sql(tok, k, 2)
+    u3, u4 = _icws_u_sql(tok, k, 3), _icws_u_sql(tok, k, 4)
+    u5 = _icws_u_sql(tok, k, 5)
+    r = f"(-LN({u1} * {u2}))"
+    t = f"CAST(FLOOR(LN(w) / {r} + {u5}) AS BIGINT)"
+    return (
+        f"ROUND((-LN({u3} * {u4})) / EXP({r} * ({t} + 1.0 - {u5})), 9)"
+    )
+
+
+def _icws_t_sql(tok: str, k: str) -> str:
+    u1, u2 = _icws_u_sql(tok, k, 1), _icws_u_sql(tok, k, 2)
+    u5 = _icws_u_sql(tok, k, 5)
+    return f"CAST(FLOOR(LN(w) / (-LN({u1} * {u2})) + {u5}) AS BIGINT)"
+
+
+@register(
+    "dedup_weighted_minhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, sh, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l) - 1),
+                      i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS sh
+        FROM toks WHERE len(l) >= 3
+      ) GROUP BY doc_id, sh
+    ),
+    samp AS (
+      SELECT doc_id, k, sh, t FROM (
+        SELECT doc_id, g.k, sh,
+               {{t_expr}} AS t,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, g.k
+                                  ORDER BY {{key_expr}}, sh) AS rn
+        FROM tf CROSS JOIN (SELECT unnest(generate_series(0, {_ICWS_K - 1}))
+                            AS k) g
+      ) r WHERE rn = 1
+    ),
+    hot AS (
+      SELECT k, sh, t FROM samp GROUP BY k, sh, t
+      HAVING COUNT(*) > {_ICWS_BUCKET_CAP}
+    ),
+    kept AS (
+      SELECT s.* FROM samp s ANTI JOIN hot
+        ON s.k = hot.k AND s.sh = hot.sh AND s.t = hot.t
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS DOUBLE) AS matches
+      FROM kept a JOIN kept b
+        ON a.k = b.k AND a.sh = b.sh AND a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    mass AS (SELECT doc_id, SUM(w) AS mass FROM tf GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.matches,
+             SUM(LEAST(ta.w, tb.w)) AS smin
+      FROM cand c
+      JOIN tf ta ON ta.doc_id = c.doc_a
+      JOIN tf tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+      GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      -- sum(max) over the shingle UNION == mass_a + mass_b - sum(min)
+      SELECT i.doc_a, i.doc_b, i.matches,
+             i.smin / (ma.mass + mb.mass - i.smin) AS jw
+      FROM inter i
+      JOIN mass ma ON ma.doc_id = i.doc_a
+      JOIN mass mb ON mb.doc_id = i.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(matches / {_ICWS_K}.0, 6) AS est_jw,
+           ROUND(jw, 6) AS exact_jw
+    FROM exact WHERE jw >= {_ICWS_JW}
+    """.format(
+        t_expr=_icws_t_sql("sh", "g.k"), key_expr=_icws_key_sql("sh", "g.k")
+    ),
+)
+def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted MinHash near-duplicate detection via Improved Consistent
+    Weighted Sampling (Ioffe 2010) over word 3-shingle multisets: each
+    document draws {_ICWS_K} independent (shingle, t) samples whose
+    cross-document collision probability EQUALS the weighted Jaccard
+    sum min(tf)/sum max(tf) — the tf-aware upgrade of
+    `dedup_near_minhash`, which hashes the DISTINCT shingle set and
+    treats a 40-repeat boilerplate shingle like a hapax. Candidates
+    share >= 1 sample, sample buckets above {_ICWS_BUCKET_CAP} docs are
+    dropped before the pair join (the `_LSH_BUCKET_CAP` convention,
+    mirrored in the oracle — boilerplate samples, not near-dup
+    evidence; measured: UNIGRAM element sets make the buckets
+    near-all-pairs on this corpus, 11.7M candidate pairs at sf0.1,
+    which is why the element universe is shingles), and the exact
+    weighted Jaccard verifies every candidate. Pairs at J_w >=
+    {_ICWS_JW} report both the collision estimate and the exact value
+    (estimator quality visible in the result, the `sim_ann_recall_eval`
+    philosophy).
+
+    Determinism: every ICWS draw is an md5-derived fixed-point uniform,
+    the transforms (r = -ln(u1 u2), c = -ln(u3 u4), t = floor(ln w / r
+    + beta), key a = c / (y e^r), y = e^(r (t - beta))) are identical
+    arithmetic in both engines, and the per-(doc, sample) argmin
+    compares the key ROUNDED at 9dp with a shingle tiebreak — last-ulp
+    libm divergence cannot flip the winner (the ml_gaussian_mixture_em
+    quantization convention).
+
+    Scale: the corpus contracts to the (doc, shingle, tf) frame;
+    sampling is a per-row expression over tf x {_ICWS_K} plus one
+    per-(doc, k) WindowGroupLimit; candidates come from a capped
+    equi-join on sample buckets — never all-pairs — and the exact
+    verify joins only candidate tf rows. The dedup_near_minhash cost
+    envelope, with weights."""
+    d = load(spark, sf_dir, "documents")
+    l = F.split("text", " ")
+    sh = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size(l) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(l, i),
+                F.element_at(l, i + 1),
+                F.element_at(l, i + 2),
+            ),
+        )
+    )
+    tf = (
+        d.filter(F.size(l) >= 3)
+        .select("doc_id", sh.alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ks = spark.sql(f"SELECT explode(sequence(0, {_ICWS_K - 1})) AS k")
+    rows = tf.crossJoin(F.broadcast(ks))
+    k, shc = F.col("k"), F.col("sh")
+    r = -F.log(_icws_u(shc, k, 1) * _icws_u(shc, k, 2))
+    c = -F.log(_icws_u(shc, k, 3) * _icws_u(shc, k, 4))
+    beta = _icws_u(shc, k, 5)
+    t = F.floor(F.log("w") / r + beta).cast("long")
+    y_er = F.exp(r * (t + 1.0 - beta))  # y * e^r == e^(r (t + 1 - beta))
+    a_key = F.round(c / y_er, 9)
+    w_rank = Window.partitionBy("doc_id", "k").orderBy("a", "sh")
+    samp = (
+        rows.select("doc_id", "k", "sh", t.alias("t"), a_key.alias("a"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "k", "sh", "t")
+    )
+    hot = (
+        samp.groupBy("k", "sh", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _ICWS_BUCKET_CAP)
+        .select("k", "sh", "t")
+    )
+    kept = samp.join(F.broadcast(hot), ["k", "sh", "t"], "left_anti")
+    sa, sb = kept.alias("sa"), kept.alias("sb")
+    cand = (
+        sa.join(
+            sb,
+            (F.col("sa.k") == F.col("sb.k"))
+            & (F.col("sa.sh") == F.col("sb.sh"))
+            & (F.col("sa.t") == F.col("sb.t"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("matches"))
+    )
+    ta = tf.select(F.col("doc_id").alias("doc_a"), "sh", F.col("w").alias("wa"))
+    tb = tf.select(F.col("doc_id").alias("doc_b"), "sh", F.col("w").alias("wb"))
+    # exact weighted Jaccard per candidate: sum(min)/sum(max) over the
+    # UNION of the two shingle sets = (sum min) / (mass_a + mass_b - sum min)
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "matches")
+        .agg(F.sum(F.least("wa", "wb")).alias("smin"))
+    )
+    mass = tf.groupBy("doc_id").agg(F.sum("w").alias("mass"))
+    exact = (
+        inter.join(
+            F.broadcast(
+                mass.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "mass", "ma"
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                mass.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "mass", "mb"
+                )
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "matches",
+            (F.col("smin") / (F.col("ma") + F.col("mb") - F.col("smin"))).alias(
+                "jw"
+            ),
+        )
+    )
+    return exact.filter(F.col("jw") >= _ICWS_JW).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("matches") / float(_ICWS_K), 6).alias("est_jw"),
+        F.round("jw", 6).alias("exact_jw"),
+    )

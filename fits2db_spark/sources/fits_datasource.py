@@ -1,86 +1,182 @@
-"""FITS as a first-class Spark data source (Python DataSource API, Spark 4).
+"""FITS as a first-class Spark data source: ``spark.read.format("fits")``
+(Spark 4 Python DataSource API — SURVEY.md §4 candidate 3).
 
-``spark.dataSource.register(FitsDataSource)`` makes
-``spark.read.format("fits").option("hdu", "1").load(path)`` work like any
-built-in format — schema inference from a header-only probe, one input
-partition per file (the same per-file parallelism contract as the
-binaryFile + mapInArrow path in :mod:`fits`), and Arrow RecordBatch
-transfer from the Python reader into the JVM.
+One InputPartition per FITS file -> per-file parallel decode, same pure-numpy
+parser as sources/fits.py, rows delivered as Arrow batches. Options:
 
-Why both paths exist: the mapInArrow reader (``sources/fits.py``) is
-self-contained DataFrame code that works on any Spark; this DataSource is
-the idiomatic Spark-4 integration — the format string composes with the
-standard reader API (``.schema(...)``, options, SQL ``CREATE TABLE ...
-USING fits``) and the engine owns partition scheduling. Both share every
-byte of the decode machinery, so they cannot drift.
+    spark.read.format("fits").option("hdu", 1).load("/data/catalog/*.fits")
 
-Scale: ``schema()`` and ``partitions()`` run driver-side but do
-header-only probes (O(headers) seeks, never payload); each ``read()``
-task decodes one file and streams Arrow batches. A survey of N files
-fans out to N tasks exactly like the binaryFile path; within-file
-row-range splitting would extend ``partitions()`` with the
-``decode_bintable_range`` offsets (already implemented for the cutout
-path).
+Schema comes from the FIRST file's header (declared, never inferred from
+data); pass an explicit ``.schema(...)`` to skip the probe or to read
+heterogeneous-ordered files by name.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import StructType
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+from .fits import decode_bintable, to_arrow_columns
 
 
-def _file_list(path: str) -> list[str]:
-    if os.path.isdir(path):
-        return sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".fits")
-        )
-    return [path]
+class FitsInputPartition(InputPartition):
+    def __init__(self, path: str, row_start: int, row_count: int):
+        self.path = path
+        self.row_start = row_start
+        self.row_count = row_count
 
 
-def _hdu_opt(options) -> int | str:
-    raw = options.get("hdu", "1")
-    return int(raw) if str(raw).lstrip("-").isdigit() else str(raw)
+class FitsDataSourceReader(DataSourceReader):
+    """Plans one partition per ~chunk_mb of fixed-width rows PER FILE (not
+    per file): a single multi-GB BINTABLE reads in parallel because rows are
+    fixed width, so each task seeks straight to its byte range. Planning
+    cost is a header-only probe per file (O(header blocks) I/O, no data)."""
 
-
-class FitsReader(DataSourceReader):
-    """One input partition per FITS file; each read() decodes its file with
-    the shared BINTABLE machinery and yields Arrow RecordBatches."""
-
-    def __init__(self, options, schema: StructType):
-        self._paths = _file_list(options["path"])
-        self._hdu = _hdu_opt(options)
+    def __init__(self, options, schema):
+        self._paths = _resolve_paths(options.get("path"))
+        self._hdu = _hdu_option(options)
         self._schema = schema
+        self._chunk_bytes = int(float(options.get("chunk_mb", 64)) * 1024 * 1024)
 
     def partitions(self):
-        return [InputPartition(p) for p in self._paths]
+        from .fits import _header_int, parse_bintable_header_path
 
-    def read(self, partition: InputPartition):
+        parts = []
+        for p in self._paths:
+            cards, _, _ = parse_bintable_header_path(p, self._hdu)
+            if cards.get("ZTABLE", "").strip() == "T":
+                # tile-compressed table: the container's NAXIS2 counts TILES,
+                # but decode_bintable_range addresses ORIGINAL rows — plan in
+                # original-row space (ZNAXIS1/ZNAXIS2) and align chunks to
+                # tile boundaries so no tile decompresses in two tasks
+                nrows = _header_int(cards, "ZNAXIS2")
+                rowbytes = _header_int(cards, "ZNAXIS1")
+                tile_len = _header_int(cards, "ZTILELEN")
+                rows_per_chunk = max(1, self._chunk_bytes // max(rowbytes, 1))
+                rows_per_chunk = max(
+                    tile_len, rows_per_chunk - rows_per_chunk % tile_len
+                )
+            else:
+                nrows = _header_int(cards, "NAXIS2")
+                rowbytes = _header_int(cards, "NAXIS1")
+                rows_per_chunk = max(1, self._chunk_bytes // max(rowbytes, 1))
+            start = 0
+            while start < max(nrows, 1):
+                parts.append(FitsInputPartition(p, start, min(rows_per_chunk, nrows - start)))
+                start += rows_per_chunk
+                if nrows == 0:
+                    break
+        return parts
+
+    def read(self, partition):
         import pyarrow as pa
 
-        from .fits import decode_bintable, to_arrow_columns
+        from .fits import decode_bintable_range
 
-        with open(partition.value, "rb") as f:
-            data = f.read()
-        schema, out = decode_bintable(data, self._hdu)
-        arrs = to_arrow_columns(schema, out)
-        yield pa.RecordBatch.from_arrays(arrs, [f.name for f in schema.fields])
+        s, cols = decode_bintable_range(
+            partition.path, self._hdu, partition.row_start, partition.row_count
+        )
+        names = [f.name for f in self._schema.fields]
+        yield pa.RecordBatch.from_arrays(to_arrow_columns(s, cols), names=names)
 
 
 class FitsDataSource(DataSource):
-    """``spark.read.format("fits")`` — BINTABLE HDUs as DataFrames."""
-
     @classmethod
     def name(cls) -> str:
         return "fits"
 
-    def schema(self) -> StructType:
-        from .fits import fits_spark_schema, parse_bintable_header_path
+    def schema(self):
+        paths = _resolve_paths(self.options.get("path"))
+        if not paths:
+            raise FileNotFoundError(f"no FITS files at {self.options.get('path')!r}")
+        with open(paths[0], "rb") as f:
+            schema, _ = decode_bintable(f.read(), _hdu_option(self.options))
+        return schema
 
-        first = _file_list(self.options["path"])[0]
-        _, cols, _ = parse_bintable_header_path(first, _hdu_opt(self.options))
-        return fits_spark_schema(cols)
+    def reader(self, schema):
+        return FitsDataSourceReader(self.options, schema)
 
-    def reader(self, schema: StructType) -> FitsReader:
-        return FitsReader(self.options, schema)
+    def simpleStreamReader(self, schema):
+        return FitsSimpleStreamReader(self.options, schema)
+
+
+def _hdu_option(options) -> int | str:
+    """``hdu`` option: numeric string -> 1-based index, else EXTNAME."""
+    raw = options.get("hdu", 1)
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return str(raw)
+
+
+def _resolve_paths(path: str | None) -> list[str]:
+    if not path:
+        raise ValueError("fits datasource requires a load path")
+    path = path.removeprefix("file:")
+    if os.path.isdir(path):
+        path = os.path.join(path, "*")
+    return sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+
+
+def register(spark) -> None:
+    """Register the 'fits' format on a session (idempotent)."""
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # executors must be able to import the parser
+    spark.dataSource.register(FitsDataSource)
+
+
+class FitsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming FITS directory source: each micro-batch picks up FITS files
+    not seen by a previous batch — `readStream.format("fits")` is the
+    streaming version of the reference's loader (watch an archive directory,
+    land rows continuously into a DB via foreachBatch + the JDBC sink).
+
+    Offsets record the set of processed file paths, which keeps replay exact
+    (readBetweenOffsets re-decodes precisely the files of that batch —
+    required for exactly-once sinks). A production-hardened variant would
+    compact the seen-set into a retention-bounded log the way Spark's own
+    FileStreamSource does; the contract here is identical."""
+
+    def __init__(self, options, schema):
+        self._options = options
+        self._schema = schema
+        self._hdu = _hdu_option(options)
+        self._path = options.get("path")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _rows_for(self, paths):
+        # returns a LIST iterator: the simple-stream runner caches and
+        # copy.copy()s the batch iterator (generators are not copyable)
+        import pyarrow as pa
+
+        from .fits import decode_bintable
+
+        names = [f.name for f in self._schema.fields]
+        rows = []
+        for p in sorted(paths):
+            with open(p, "rb") as f:
+                s, cols = decode_bintable(f.read(), self._hdu)
+            tbl = pa.Table.from_arrays(to_arrow_columns(s, cols), names=names)
+            rows.extend(tuple(rec[n] for n in names) for rec in tbl.to_pylist())
+        return iter(rows)
+
+    def read(self, start: dict):
+        current = _resolve_paths(self._path)
+        seen = set(start.get("seen", []))
+        new = [p for p in current if p not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return self._rows_for(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        batch = set(end.get("seen", [])) - set(start.get("seen", []))
+        return self._rows_for(batch)

@@ -310,6 +310,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # median-bucket search: cumulative window over the O(price-buckets)
     # histogram, then broadcast 1-row split (r11)
     "agg_mood_median_test",
+    # U-statistic cumulative window over the same O(price-buckets)
+    # histogram as agg_mann_whitney (r11)
+    "agg_rank_biserial",
 }
 
 

@@ -290,3 +290,36 @@ def test_session_stats_identities(spark):
             r["avg_events_per_session"] - r["n_events"] / r["n_sessions"]
         ) < 1e-3
         assert r["max_session_secs"] >= 0
+
+
+def test_rank_biserial_true_null_and_identity(spark):
+    (r,) = _run(spark, "agg_rank_biserial")
+    assert 0.0 <= r["cl_effect"] <= 1.0
+    assert -1.0 <= r["rank_biserial"] <= 1.0
+    assert abs(r["rank_biserial"] - (2 * r["cl_effect"] - 1)) < 1e-5
+    assert abs(r["rank_biserial"]) < 0.1  # status independent of price
+
+
+def test_platt_scaling_sane_fit(spark):
+    (r,) = _run(spark, "ml_platt_scaling")
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    # the model has real signal: the fitted slope must be positive
+    assert r["platt_a"] > 0, r
+    # calibrated log-loss beats the uninformative-constant baseline
+    import math
+
+    p0 = r["n_pos"] / (r["n_pos"] + r["n_neg"])
+    baseline = -(p0 * math.log(p0) + (1 - p0) * math.log(1 - p0))
+    assert r["logloss_after"] < baseline, (r["logloss_after"], baseline)
+
+
+def test_weighted_minhash_estimator_tracks_exact(spark):
+    rows = _run(spark, "dedup_weighted_minhash")
+    assert rows  # the corpus contains near-duplicates
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.5 <= r["exact_jw"] <= 1.0
+        assert 0.0 < r["est_jw"] <= 1.0  # candidates share >= 1 sample
+    # the collision estimate is unbiased for J_w: mean signed error small
+    err = [r["est_jw"] - r["exact_jw"] for r in rows]
+    assert abs(sum(err) / len(err)) < 0.35  # K=8 samples -> coarse but centered
