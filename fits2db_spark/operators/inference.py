@@ -6640,3 +6640,86 @@ def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.localCheckpoint(eager=True)
     _free_local_checkpoint(hist)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD post-hoc pairwise comparisons (round 11)
+# ---------------------------------------------------------------------------
+_HSD_Q_CRIT = 3.858  # studentized range q(0.05, k=5, df=inf)
+
+
+@register(
+    "agg_tukey_hsd",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(o_totalprice - {_EFF_CENTER}) AS sx,
+             SUM((o_totalprice - {_EFF_CENTER}) * (o_totalprice - {_EFF_CENTER}))
+               AS sxx
+      FROM orders GROUP BY 1
+    ),
+    mse AS (
+      SELECT SUM(sxx - sx * sx / n) / (SUM(n) - COUNT(*)) AS mse FROM s
+    )
+    SELECT a.g AS group_a, b.g AS group_b,
+           ROUND(a.sx / a.n - b.sx / b.n, 4) AS mean_diff,
+           ROUND(ABS(a.sx / a.n - b.sx / b.n)
+                 / sqrt(mse.mse / 2 * (1 / a.n + 1 / b.n)), 6) AS q_stat,
+           CAST(ABS(a.sx / a.n - b.sx / b.n)
+                / sqrt(mse.mse / 2 * (1 / a.n + 1 / b.n)) > {_HSD_Q_CRIT}
+                AS INTEGER) AS reject_05
+    FROM s a JOIN s b ON a.g < b.g CROSS JOIN mse
+    """,
+)
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's HSD post-hoc pairwise comparisons across the five order
+    priorities: for every pair, the studentized-range statistic q =
+    |mean_i - mean_j| / sqrt(MSE/2 (1/n_i + 1/n_j)) against the 5%
+    critical value {_HSD_Q_CRIT} (k=5, df ~ inf) — the step that
+    belongs AFTER `agg_anova_oneway`: an omnibus F only says "some pair
+    differs", HSD says WHICH pairs while controlling the family-wise
+    error rate the way 10 naive t-tests would not. TRUE NULL on the
+    fixture (price independent of priority): all 10 rejections must be
+    0, matching the ANOVA family's null.
+
+    Cross-engine exactness: group moments are centered on the pinned
+    constant {_EFF_CENTER:.0f} (the agg_effect_sizes convention — an
+    uncentered sum of squared prices loses ~10 significant digits);
+    MSE is the pooled within-group variance from the same explicit
+    sums. One partial-aggregating groupBy to 5 rows; the pairwise join
+    is 5x5 algebra."""
+    o = load(spark, sf_dir, "orders")
+    c = F.col("o_totalprice") - _EFF_CENTER
+    s = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c).alias("sx"),
+        F.sum(c * c).alias("sxx"),
+    )
+    mse = s.agg(
+        (
+            F.sum(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("mse")
+    )
+    a = s.select(
+        F.col("g").alias("group_a"), F.col("n").alias("na"), F.col("sx").alias("sxa")
+    )
+    b = s.select(
+        F.col("g").alias("group_b"), F.col("n").alias("nb"), F.col("sx").alias("sxb")
+    )
+    diff = F.col("sxa") / F.col("na") - F.col("sxb") / F.col("nb")
+    q = F.abs(diff) / F.sqrt(
+        F.col("mse") / 2 * (1 / F.col("na") + 1 / F.col("nb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(diff, 4).alias("mean_diff"),
+            F.round(q, 6).alias("q_stat"),
+            (q > _HSD_Q_CRIT).cast("int").alias("reject_05"),
+        )
+    )

@@ -3754,3 +3754,108 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("matches") / float(_ICWS_K), 6).alias("est_jw"),
         F.round("jw", 6).alias("exact_jw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram entropy rate (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_entropy_rate",
+    oracle="""
+    WITH big AS (
+      SELECT source, substr(text, i, 1) AS c1, substr(text, i + 1, 1) AS c2
+      FROM documents,
+           (SELECT unnest(generate_series(1, 8192)) AS i) g
+      WHERE i < length(text)
+    ),
+    cnt AS (
+      SELECT source, c1, c2, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM big GROUP BY source, c1, c2
+    ),
+    tot AS (SELECT source, SUM(n) AS nn FROM cnt GROUP BY source),
+    h2 AS (
+      SELECT cnt.source,
+             -SUM(cnt.n / tot.nn * LN(cnt.n / tot.nn)) AS h2
+      FROM cnt JOIN tot USING (source) GROUP BY cnt.source
+    ),
+    m1 AS (
+      SELECT source, c1, SUM(n) AS n FROM cnt GROUP BY source, c1
+    ),
+    h1 AS (
+      SELECT m1.source,
+             -SUM(m1.n / tot.nn * LN(m1.n / tot.nn)) AS h1
+      FROM m1 JOIN tot USING (source) GROUP BY m1.source
+    )
+    SELECT h2.source,
+           CAST(tot.nn AS BIGINT) AS n_bigrams,
+           ROUND(h1.h1, 6) AS h_unigram,
+           ROUND(h2.h2, 6) AS h_bigram,
+           ROUND(h2.h2 - h1.h1, 6) AS entropy_rate
+    FROM h2 JOIN h1 USING (source) JOIN tot USING (source)
+    """,
+)
+def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram entropy rate per source: H(c2 | c1) = H(c1,c2) -
+    H(c1) in nats — the order-1 Markov approximation of Shannon's
+    entropy-of-English measurement and the SQL-reproducible stand-in for
+    the gzip-compressibility quality signal LLM pipelines use (low rate
+    = template/repetitive text, high rate = encrypted/garbled blobs;
+    both get filtered before training). Complements the TOKEN-level
+    diversity family (`text_yule_k`, `text_mattr_diversity`): character
+    structure catches degeneracies tokenization hides (e.g. base64
+    blocks tokenize into few long types but have near-maximal char
+    entropy).
+
+    Plan: the bigram extraction is a bounded positional explode (one row
+    per character — the tokenize-family cost, linear in corpus bytes),
+    collapsed immediately by a map-side-combining groupBy to O(sources x
+    alphabet^2) cells; both entropies are folds over that tiny frame.
+    LN of exact integer ratios on identically-grouped cells, fold-order
+    ulp absorbed by ROUND 6 (the text_js_divergence convention)."""
+    d = load(spark, sf_dir, "documents")
+    big = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.struct(
+                    F.col("text").substr(i, F.lit(1)).alias("c1"),
+                    F.col("text").substr(i + 1, F.lit(1)).alias("c2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2"))
+    cnt = big.groupBy("source", "c1", "c2").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("nn"))
+    h2 = (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            (-F.sum(F.col("n") / F.col("nn") * F.log(F.col("n") / F.col("nn"))))
+            .alias("h2")
+        )
+    )
+    m1 = cnt.groupBy("source", "c1").agg(F.sum("n").alias("n"))
+    h1 = (
+        m1.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            (-F.sum(F.col("n") / F.col("nn") * F.log(F.col("n") / F.col("nn"))))
+            .alias("h1")
+        )
+    )
+    return (
+        h2.join(F.broadcast(h1), "source")
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.col("nn").cast("long").alias("n_bigrams"),
+            F.round("h1", 6).alias("h_unigram"),
+            F.round("h2", 6).alias("h_bigram"),
+            F.round(F.col("h2") - F.col("h1"), 6).alias("entropy_rate"),
+        )
+    )

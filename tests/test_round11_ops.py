@@ -323,3 +323,29 @@ def test_weighted_minhash_estimator_tracks_exact(spark):
     # the collision estimate is unbiased for J_w: mean signed error small
     err = [r["est_jw"] - r["exact_jw"] for r in rows]
     assert abs(sum(err) / len(err)) < 0.35  # K=8 samples -> coarse but centered
+
+
+def test_tukey_hsd_true_null_and_symmetric_q(spark):
+    rows = _run(spark, "agg_tukey_hsd")
+    assert len(rows) == 10  # C(5,2) priority pairs
+    for r in rows:
+        assert r["group_a"] < r["group_b"]
+        assert r["q_stat"] >= 0
+        assert r["reject_05"] == 0, r  # price independent of priority
+        # q and mean_diff agree in magnitude ordering: zero diff -> zero q
+        if abs(r["mean_diff"]) < 1e-9:
+            assert r["q_stat"] < 1e-6
+
+
+def test_char_entropy_rate_bounds(spark):
+    rows = _run(spark, "text_char_entropy_rate")
+    assert len(rows) == 20  # sources
+    import math
+
+    for r in rows:
+        # conditional entropy: 0 <= H(c2|c1) <= H(c2) <= H(c1,c2)
+        assert 0.0 <= r["entropy_rate"] <= r["h_bigram"] + 1e-9
+        assert r["h_unigram"] <= r["h_bigram"] + 1e-9
+        # alphabet is ~27 symbols: unigram entropy below ln(40)
+        assert r["h_unigram"] < math.log(40.0)
+        assert r["n_bigrams"] > 0
