@@ -6723,3 +6723,829 @@ def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             (q > _HSD_Q_CRIT).cast("int").alias("reject_05"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc pairwise rank comparisons (round 11 tail)
+# ---------------------------------------------------------------------------
+_DUNN_Z_CRIT = _norm_inv(1 - 0.05 / (2 * 10))  # Bonferroni: 10 pairs, two-sided
+
+
+@register(
+    "agg_dunn_posthoc",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_orderpriority AS grp,
+             CAST(FLOOR(o_totalprice / {_KW_BIN}) AS BIGINT) AS bucket
+      FROM orders
+    ),
+    hist AS (
+      SELECT grp, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM per GROUP BY 1, 2
+    ),
+    btot AS (SELECT bucket, SUM(c) AS t FROM hist GROUP BY bucket),
+    mid AS (
+      SELECT bucket, t,
+             SUM(t) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - t + (t + 1) / 2.0 AS midrank
+      FROM btot
+    ),
+    g AS (
+      SELECT h.grp, SUM(h.c) AS n_g, SUM(h.c * m.midrank) / SUM(h.c) AS rbar
+      FROM hist h JOIN mid m USING (bucket) GROUP BY h.grp
+    ),
+    tot AS (
+      SELECT SUM(n_g) AS n,
+             (SELECT SUM(t*t*t - t) FROM btot) AS tie3
+      FROM g
+    )
+    SELECT a.grp AS group_a, b.grp AS group_b,
+           ROUND(a.rbar - b.rbar, 4) AS rank_diff,
+           ROUND((a.rbar - b.rbar)
+                 / sqrt((tot.n * (tot.n + 1) / 12.0
+                         - tot.tie3 / (12.0 * (tot.n - 1)))
+                        * (1 / a.n_g + 1 / b.n_g)), 6) AS z_stat,
+           CAST(ABS(a.rbar - b.rbar)
+                / sqrt((tot.n * (tot.n + 1) / 12.0
+                        - tot.tie3 / (12.0 * (tot.n - 1)))
+                       * (1 / a.n_g + 1 / b.n_g)) > {_DUNN_Z_CRIT}
+                AS INTEGER) AS reject_05
+    FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN tot
+    """,
+)
+def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's (1964) post-hoc pairwise rank comparisons across the 5 order
+    priorities — the WHICH-pair step after `agg_kruskal_wallis`'s omnibus
+    H, exactly as `agg_tukey_hsd` follows `agg_anova_oneway` but on
+    midranks instead of means: z_ij = (Rbar_i - Rbar_j) / sqrt((N(N+1)/12
+    - sum(t^3-t)/(12(N-1))) (1/n_i + 1/n_j)), tie-corrected because the
+    shared {_KW_BIN}-wide price buckets tie by construction. Significance
+    against the Bonferroni-adjusted two-sided 5% critical value
+    {_DUNN_Z_CRIT} (alpha/20, baked at import by the `_norm_inv` bisection
+    so neither engine needs a normal CDF in-query). TRUE NULL on the
+    fixture (price independent of priority): all 10 rejections must be 0,
+    consistent with the KW family's null.
+
+    Plan: identical contraction to agg_kruskal_wallis — one O(rows)
+    partial-aggregating groupBy to the (group, bucket) histogram, an
+    O(buckets) cumulative window for midranks, an O(groups) rollup, then
+    5x5 pairwise algebra over broadcast frames. The shuffle carries bucket
+    cardinality, never order rows; exact rank post-hocs at 100 TB are
+    feasible only through this histogram identity."""
+    o = load(spark, sf_dir, "orders")
+    per = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / _KW_BIN).cast("long").alias("bucket"),
+    )
+    hist = per.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    btot = hist.groupBy("bucket").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mid = btot.select(
+        "bucket",
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0).alias("midrank"),
+    )
+    g = (
+        hist.join(mid, "bucket")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_g"),
+            (F.sum(F.col("c") * F.col("midrank")) / F.sum("c")).alias("rbar"),
+        )
+    )
+    tot = btot.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+        F.sum("t").alias("n"),
+    )
+    a = g.select(
+        F.col("grp").alias("group_a"),
+        F.col("n_g").alias("na"),
+        F.col("rbar").alias("ra"),
+    )
+    b = g.select(
+        F.col("grp").alias("group_b"),
+        F.col("n_g").alias("nb"),
+        F.col("rbar").alias("rb"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("n") * (F.col("n") + 1) / 12.0
+            - F.col("tie3") / (12.0 * (F.col("n") - 1))
+        )
+        * (1 / F.col("na") + 1 / F.col("nb"))
+    )
+    z = (F.col("ra") - F.col("rb")) / sigma
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(F.col("ra") - F.col("rb"), 4).alias("rank_diff"),
+            F.round(z, 6).alias("z_stat"),
+            (F.abs(z) > _DUNN_Z_CRIT).cast("int").alias("reject_05"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test (round 11 tail)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_jarque_bera",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(o_totalprice - {_EFF_CENTER}) AS m1,
+             AVG(POW(o_totalprice - {_EFF_CENTER}, 2)) AS r2,
+             AVG(POW(o_totalprice - {_EFF_CENTER}, 3)) AS r3,
+             AVG(POW(o_totalprice - {_EFF_CENTER}, 4)) AS r4
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT g, n,
+             r2 - m1*m1 AS m2,
+             r3 - 3*m1*r2 + 2*m1*m1*m1 AS m3,
+             r4 - 4*m1*r3 + 6*m1*m1*r2 - 3*m1*m1*m1*m1 AS m4
+      FROM s
+    ),
+    j AS (
+      SELECT g, CAST(n AS BIGINT) AS n,
+             m3 / POW(m2, 1.5) AS skew,
+             m4 / (m2 * m2) - 3 AS kurt_excess,
+             n / 6.0 * (POW(m3 / POW(m2, 1.5), 2)
+                        + POW(m4 / (m2 * m2) - 3, 2) / 4.0) AS jb
+      FROM c
+    )
+    SELECT g, n, ROUND(skew, 6) AS skew, ROUND(kurt_excess, 6) AS kurt_excess,
+           ROUND(jb, 4) AS jb_stat, ROUND(EXP(-jb / 2.0), 6) AS p_value,
+           CAST(jb > 5.991 AS INTEGER) AS reject_05
+    FROM j ORDER BY g
+    """,
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of order price within each of the 5
+    order priorities: JB = n/6 (skew^2 + kurt_excess^2/4) ~ chi2(2) under
+    normality, with the exact chi2(2) survival p = exp(-JB/2) (the one
+    chi-square whose CDF is closed-form, so both engines compute the
+    p-value with plain EXP — no approximation machinery). o_totalprice is
+    a sum of ~4 uniform line prices (Irwin-Hall), i.e. NEAR-normal but
+    measurably platykurtic — JB rejects at this n, which is the correct
+    and deterministic answer (the `agg_qq_normal` family's diagnosis,
+    condensed to one statistic per group).
+
+    Cross-engine exactness: raw moments are averaged about the pinned
+    center {_EFF_CENTER:.0f} (the agg_effect_sizes / agg_tukey_hsd
+    discipline) and converted to central moments by the binomial
+    identities m2 = r2 - m1^2 etc. — identical arithmetic text on both
+    engines; outputs rounded. Plan: ONE partial-aggregating groupBy to 5
+    rows; everything after is per-row algebra. 5.991 = chi2(2, 0.95)."""
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice") - _EFF_CENTER
+    s = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(x).alias("m1"),
+        F.avg(F.pow(x, 2)).alias("r2"),
+        F.avg(F.pow(x, 3)).alias("r3"),
+        F.avg(F.pow(x, 4)).alias("r4"),
+    )
+    m1, r2, r3, r4 = F.col("m1"), F.col("r2"), F.col("r3"), F.col("r4")
+    c = s.select(
+        "g",
+        "n",
+        (r2 - m1 * m1).alias("m2"),
+        (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1).alias("m3"),
+        (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1).alias("m4"),
+    )
+    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    jb = F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4.0)
+    return (
+        c.select(
+            "g",
+            F.col("n").cast("long").alias("n"),
+            F.round(skew, 6).alias("skew"),
+            F.round(kurt, 6).alias("kurt_excess"),
+            F.round(jb, 4).alias("jb_stat"),
+            F.round(F.exp(-jb / 2.0), 6).alias("p_value"),
+            (jb > 5.991).cast("int").alias("reject_05"),
+        )
+        .orderBy("g")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q test for k related binary treatments (round 11 tail)
+# ---------------------------------------------------------------------------
+_CQ_THRESH = 150000.0  # binary outcome: block's mean price in cell > this
+
+
+@register(
+    "agg_cochran_q",
+    oracle=f"""
+    WITH cell AS (
+      SELECT o_custkey AS blk, o_orderpriority AS trt,
+             CASE WHEN AVG(o_totalprice) > {_CQ_THRESH} THEN 1 ELSE 0 END AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5),
+    c AS (SELECT cell.* FROM cell JOIN complete USING (blk)),
+    rows_ AS (SELECT blk, CAST(SUM(x) AS DOUBLE) AS ri FROM c GROUP BY blk),
+    cols_ AS (SELECT trt, CAST(SUM(x) AS DOUBLE) AS cj FROM c GROUP BY trt),
+    tot AS (
+      SELECT (SELECT SUM(ri) FROM rows_) AS t,
+             (SELECT SUM(ri * ri) FROM rows_) AS r2,
+             (SELECT COUNT(*) FROM rows_) AS nb
+    )
+    SELECT CAST(tot.nb AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(*) - 1 AS BIGINT) AS df,
+           ROUND(COUNT(*) * (COUNT(*) - 1)
+                 * (SUM(cj * cj) - tot.t * tot.t / COUNT(*))
+                 / (COUNT(*) * tot.t - tot.r2), 6) AS q_stat,
+           CAST(COUNT(*) * (COUNT(*) - 1)
+                * (SUM(cj * cj) - tot.t * tot.t / COUNT(*))
+                / (COUNT(*) * tot.t - tot.r2) > 9.487729 AS INTEGER)
+             AS reject_05
+    FROM cols_ CROSS JOIN tot
+    GROUP BY tot.nb, tot.t, tot.r2
+    """,
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (1950): do the five order priorities differ in the
+    RATE of a binary outcome (customer's mean order value in that
+    priority exceeding {_CQ_THRESH:.0f}), treating customers with orders
+    in all five priorities as matched BLOCKS? Q = k(k-1) sum_j (C_j -
+    T/k)^2 / (kT - sum_i R_i^2) ~ chi2(k-1) — the binary-outcome member
+    of the blocked family (`agg_friedman_test` ranks continuous cells,
+    `ml_mcnemar_test` is its k=2 special case). TRUE NULL on the fixture
+    (price independent of priority): expect no rejection.
+
+    Plan: one O(rows) partial-aggregating groupBy to (customer,
+    priority) cells, a HAVING filter for complete blocks, then two
+    bounded rollups (per-block row totals, per-treatment column totals)
+    — the shuffle carries cell cardinality, never order rows. 9.487729 =
+    chi2(4, 0.95), the agg_chisq family constant."""
+    o = load(spark, sf_dir, "orders")
+    cell = (
+        o.groupBy(
+            F.col("o_custkey").alias("blk"), F.col("o_orderpriority").alias("trt")
+        )
+        .agg((F.avg("o_totalprice") > _CQ_THRESH).cast("int").alias("x"))
+    )
+    complete = (
+        cell.groupBy("blk").agg(F.count(F.lit(1)).alias("nc")).filter(F.col("nc") == 5)
+    )
+    c = cell.join(complete.select("blk"), "blk")
+    rows_ = c.groupBy("blk").agg(F.sum("x").cast("double").alias("ri"))
+    cols_ = c.groupBy("trt").agg(F.sum("x").cast("double").alias("cj"))
+    tot = rows_.agg(
+        F.sum("ri").alias("t"),
+        F.sum(F.col("ri") * F.col("ri")).alias("r2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    # sum_j (C_j - T/k)^2 == sum_j C_j^2 - T^2/k, so the pairwise deviation
+    # never nests an aggregate inside an aggregate (Spark disallows that)
+    agg = (
+        cols_.crossJoin(F.broadcast(tot))
+        .groupBy("nb", "t", "r2")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("cj") * F.col("cj")).alias("c2"),
+        )
+    )
+    k = F.col("k")
+    q = (
+        k
+        * (k - 1)
+        * (F.col("c2") - F.col("t") * F.col("t") / k)
+        / (k * F.col("t") - F.col("r2"))
+    )
+    return agg.select(
+        F.col("nb").cast("long").alias("n_blocks"),
+        k.cast("long").alias("k"),
+        (k - 1).cast("long").alias("df"),
+        F.round(q, 6).alias("q_stat"),
+        (q > 9.487729).cast("int").alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional hazards, single binary covariate (round 11 tail)
+# ---------------------------------------------------------------------------
+_COX_STEPS = 4         # unrolled Newton steps, both engines
+_COX_THRESH = 150000.0  # covariate: first order's totalprice above this
+
+
+def _cox_step_sql(prev: str, out: str) -> str:
+    # one Newton step on the Breslow partial likelihood; with a BINARY
+    # covariate the risk-set sums reduce to S0 = (nr - n1) + n1 e^b and
+    # S1 = S2 = n1 e^b, so each step is one aggregate over event times
+    ratio = "(n1 * EXP(p.b)) / ((nr - n1) + n1 * EXP(p.b))"
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT ROUND(p.b + SUM(sx - d * {ratio})
+                       / SUM(d * {ratio} * (1 - {ratio})), 9) AS b
+      FROM f2s_cox_ev CROSS JOIN {prev} p GROUP BY p.b
+    )"""
+
+
+@register(
+    "ml_cox_ph",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS first_o,
+             MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS second_o,
+             MIN(CASE WHEN rn = 1 THEN o_totalprice END) AS first_price
+      FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ),
+    subj AS (
+      SELECT CASE WHEN second_o IS NOT NULL
+                  THEN datediff('day', first_o, second_o)
+                  ELSE datediff('day', first_o, TIMESTAMP '2001-08-01') END AS dur,
+             CASE WHEN second_o IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CASE WHEN first_price > {_COX_THRESH} THEN 1 ELSE 0 END AS x
+      FROM per_cust
+    ),
+    e0 AS (
+      SELECT dur, CAST(COUNT(*) AS DOUBLE) AS m, CAST(SUM(ev) AS DOUBLE) AS d,
+             CAST(SUM(x) AS DOUBLE) AS m1, CAST(SUM(ev * x) AS DOUBLE) AS sx
+      FROM subj GROUP BY dur
+    ),
+    f2s_cox_ev AS MATERIALIZED (
+      SELECT dur, d, sx, nr, n1 FROM (
+        SELECT dur, d, sx,
+               SUM(m) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS nr,
+               SUM(m1) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS n1
+        FROM e0
+      ) WHERE d >= 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                   CAST(SUM(ev) AS BIGINT) AS n_events FROM subj),
+    b0 AS (SELECT 0.0 AS b),
+    {",".join(_cox_step_sql(f"b{i}", f"b{i + 1}") for i in range(_COX_STEPS))},
+    fin AS (
+      SELECT p.b,
+             SUM(d * (n1 * EXP(p.b)) / ((nr - n1) + n1 * EXP(p.b))
+                   * (1 - (n1 * EXP(p.b)) / ((nr - n1) + n1 * EXP(p.b)))) AS info
+      FROM f2s_cox_ev CROSS JOIN b{_COX_STEPS} p GROUP BY p.b
+    )
+    SELECT tot.n_subjects, tot.n_events,
+           ROUND(fin.b, 6) AS beta,
+           ROUND(EXP(fin.b), 6) AS hazard_ratio,
+           ROUND(1 / SQRT(fin.info), 6) AS se,
+           ROUND(fin.b * SQRT(fin.info), 6) AS z_stat,
+           CAST(ABS(fin.b * SQRT(fin.info)) > 1.96 AS INTEGER) AS reject_05
+    FROM fin CROSS JOIN tot
+    """,
+)
+def ml_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression (Cox 1972, Breslow ties) on
+    time-to-repeat-order with one binary covariate — does a large first
+    order (totalprice > {_COX_THRESH:.0f}) change the repeat-purchase
+    hazard? Fit by {_COX_STEPS} unrolled Newton steps on the partial
+    likelihood. The REGRESSION member of the survival family:
+    `orders_survival_km` estimates the curve, this estimates a covariate
+    effect with its standard error — and on the fixture (price
+    independent of repeat timing) the true-null answer is beta ~ 0, no
+    rejection. Reports beta, the hazard ratio e^beta, se = I^-1/2, and
+    the Wald z.
+
+    The binary covariate makes the risk-set sums CLOSED-FORM in the
+    beta-independent cumulative counts: S0(t) = (n_risk - n1) + n1 e^b,
+    S1 = S2 = n1 e^b, where n_risk(t) and n1(t) come from one descending
+    cumulative window over the O(distinct durations) duration histogram
+    (the orders_survival_km shape). So the data-volume work happens
+    exactly once; each Newton step is a 2-number aggregate over event
+    times with a 1-double driver state, re-quantized at 9dp per step
+    (the ml_platt_scaling bounded-collect contract).
+
+    Scale: one per-customer window + one groupBy contraction; the
+    iteration never touches raw rows. At 100 TB the duration histogram
+    is a few thousand rows regardless of input volume."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", "o_totalprice", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("first_o"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("second_o"),
+        F.min(F.when(F.col("rn") == 1, F.col("o_totalprice"))).alias("first_price"),
+    )
+    end = F.lit("2001-08-01").cast("timestamp")
+    dur = F.when(
+        F.col("second_o").isNotNull(),
+        F.datediff(F.col("second_o").cast("date"), F.col("first_o").cast("date")),
+    ).otherwise(F.datediff(end.cast("date"), F.col("first_o").cast("date")))
+    subj = per_cust.select(
+        dur.alias("dur"),
+        F.col("second_o").isNotNull().cast("int").alias("ev"),
+        (F.col("first_price") > _COX_THRESH).cast("int").alias("x"),
+    )
+    e0 = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("ev").cast("double").alias("d"),
+        F.sum("x").cast("double").alias("m1"),
+        F.sum(F.col("ev") * F.col("x")).cast("double").alias("sx"),
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ev_t = (
+        e0.select(
+            "dur",
+            "d",
+            "sx",
+            F.sum("m").over(w_desc).alias("nr"),
+            F.sum("m1").over(w_desc).alias("n1"),
+        )
+        .filter(F.col("d") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    tot = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum("ev").cast("long").alias("n_events"),
+    ).collect()[0]
+    b = 0.0
+    info = None
+    for _ in range(_COX_STEPS):
+        ratio = (F.col("n1") * math.exp(b)) / (
+            (F.col("nr") - F.col("n1")) + F.col("n1") * math.exp(b)
+        )
+        g = ev_t.agg(
+            F.sum(F.col("sx") - F.col("d") * ratio).alias("u"),
+            F.sum(F.col("d") * ratio * (1 - ratio)).alias("i"),
+        ).collect()[0]
+        b = round(b + g["u"] / g["i"], 9)
+    ratio = (F.col("n1") * math.exp(b)) / (
+        (F.col("nr") - F.col("n1")) + F.col("n1") * math.exp(b)
+    )
+    info = ev_t.agg(F.sum(F.col("d") * ratio * (1 - ratio)).alias("i")).collect()[0][
+        "i"
+    ]
+    z = b * math.sqrt(info)
+    out = ev_t.limit(1).select(
+        F.lit(int(tot["n_subjects"])).cast("long").alias("n_subjects"),
+        F.lit(int(tot["n_events"])).cast("long").alias("n_events"),
+        F.lit(round(b, 6)).alias("beta"),
+        F.lit(round(math.exp(b), 6)).alias("hazard_ratio"),
+        F.lit(round(1 / math.sqrt(info), 6)).alias("se"),
+        F.lit(round(z, 6)).alias("z_stat"),
+        F.lit(1 if abs(z) > 1.96 else 0).cast("int").alias("reject_05"),
+    )
+    from .advanced import _free_local_checkpoint
+
+    result = out.localCheckpoint(eager=True)
+    _free_local_checkpoint(ev_t)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval (round 11 tail)
+# ---------------------------------------------------------------------------
+_CONF_BINW = 500.0  # residual-score bucket width for the mergeable ECDF
+_CONF_ALPHA = 0.1   # target 90% coverage
+
+
+@register(
+    "ml_conformal_interval",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS x FROM lineitem GROUP BY 1
+    ),
+    d AS (
+      SELECT o_totalprice AS y, li.x,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 4 AS part
+      FROM orders JOIN li ON l_orderkey = o_orderkey
+    ),
+    fit0 AS (
+      SELECT SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM d WHERE part IN (0, 1)
+    ),
+    fit AS (
+      SELECT n AS n_train,
+             ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 2) AS b
+      FROM fit0
+    ),
+    fit2 AS (
+      SELECT fit.n_train, fit.b,
+             ROUND((f0.sy - fit.b * f0.sx) / f0.n, 2) AS a
+      FROM fit CROSS JOIN fit0 f0
+    ),
+    calh AS (
+      SELECT CAST(FLOOR(ABS(y - (a + b * x)) / {_CONF_BINW}) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM d CROSS JOIN fit2 WHERE part = 2 GROUP BY 1
+    ),
+    caln AS (SELECT SUM(c) AS n_cal FROM calh),
+    cum AS (
+      SELECT bucket, SUM(c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS cc
+      FROM calh
+    ),
+    qh AS (
+      SELECT (MIN(bucket) + 1) * {_CONF_BINW}e0 AS q_hat
+      FROM cum CROSS JOIN caln
+      WHERE cc >= CEIL((1 - {_CONF_ALPHA}) * (n_cal + 1))
+    ),
+    test AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_test,
+             CAST(SUM(CASE WHEN ABS(y - (a + b * x)) <= q_hat
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS cov
+      FROM d CROSS JOIN fit2 CROSS JOIN qh WHERE part = 3
+    )
+    SELECT CAST(fit2.n_train AS BIGINT) AS n_train,
+           CAST(caln.n_cal AS BIGINT) AS n_cal,
+           CAST(test.n_test AS BIGINT) AS n_test,
+           fit2.a AS intercept, fit2.b AS slope,
+           qh.q_hat AS q_hat,
+           ROUND(test.cov / test.n_test, 6) AS coverage
+    FROM fit2 CROSS JOIN caln CROSS JOIN qh CROSS JOIN test
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018) —
+    the distribution-free way to attach a FINITE-SAMPLE-guaranteed
+    interval to any point model: fit on the train split, take the
+    ceil((1-alpha)(n_cal+1))-th smallest absolute residual on the
+    calibration split as the half-width q_hat, and coverage on the
+    held-out test split is then >= 1 - alpha BY CONSTRUCTION, no
+    distributional assumptions. Model: OLS of order value on the
+    order's lineitem count (TPC-H prices are literally sums over
+    lineitems, so the signal is strong and intervals are much narrower
+    than the marginal spread); splits are md5(o_orderkey) % 4
+    (train/train/cal/test — the split_train_test hashing discipline).
+
+    Determinism: the conformal quantile uses the mergeable bucketed-ECDF
+    inversion of `agg_quantile_treatment_effect` ({_CONF_BINW:.0f}-wide
+    residual buckets, q_hat = the bucket's UPPER edge — conservative by
+    <= one bucket, documented), and the fitted (slope, intercept) are
+    re-quantized at 2dp on both engines so every downstream residual is
+    bit-identical — the model quantization costs <= 3.5 in yhat against
+    a {_CONF_BINW:.0f}-wide bucket grid.
+
+    Scale: one lineitem contraction + one equi-join; fit and quantile
+    run on O(1) and O(buckets) frames. The cumulative window sorts
+    buckets, never rows — conformal calibration at 100 TB is exactly
+    this shape (scores are mergeable histograms)."""
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    o = load(spark, sf_dir, "orders")
+    part = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 4
+    )
+    d = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_totalprice").alias("y"), "x", part.alias("part")
+    )
+    fit0 = d.filter(F.col("part").isin(0, 1)).agg(
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    b = F.round(
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+        2,
+    )
+    fit2 = fit0.select(
+        F.col("n").alias("n_train"),
+        b.alias("b"),
+    ).crossJoin(F.broadcast(fit0.select("sx", "sy", "n"))).select(
+        "n_train",
+        "b",
+        F.round((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n"), 2).alias("a"),
+    )
+    resid = F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+    calh = (
+        d.filter(F.col("part") == 2)
+        .crossJoin(F.broadcast(fit2))
+        .groupBy(F.floor(resid / _CONF_BINW).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    caln = calh.agg(F.sum("c").alias("n_cal"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = calh.select("bucket", F.sum("c").over(w).alias("cc"))
+    qh = (
+        cum.crossJoin(F.broadcast(caln))
+        .filter(F.col("cc") >= F.ceil((1 - _CONF_ALPHA) * (F.col("n_cal") + 1)))
+        .agg(((F.min("bucket") + 1) * _CONF_BINW).alias("q_hat"))
+    )
+    test = (
+        d.filter(F.col("part") == 3)
+        .crossJoin(F.broadcast(fit2))
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_test"),
+            F.sum((resid <= F.col("q_hat")).cast("double")).alias("cov"),
+        )
+    )
+    return (
+        fit2.crossJoin(F.broadcast(caln))
+        .crossJoin(F.broadcast(qh))
+        .crossJoin(F.broadcast(test))
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("a").alias("intercept"),
+            F.col("b").alias("slope"),
+            F.col("q_hat").alias("q_hat"),
+            F.round(F.col("cov") / F.col("n_test"), 6).alias("coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps on a binned design (round 11 tail)
+# ---------------------------------------------------------------------------
+_GBM_ROUNDS = 3
+_GBM_BINW = 20000.0  # o_totalprice bucket width for the stump candidates
+
+
+def _gbm_round_sql(hist: str, out_best: str, out_hist: str, rnd: int) -> str:
+    # one boosting round: cumulative left sums over the bucket grid ->
+    # best split by SSE-reduction gain (ties: smallest bucket) ->
+    # residual update with the 9dp-quantized leaf means
+    return f"""
+    cum{rnd} AS (
+      SELECT bucket, n, r,
+             SUM(n * r) OVER w AS sl, SUM(n) OVER w AS nl,
+             SUM(n * r) OVER () AS st, SUM(n) OVER () AS nt
+      FROM {hist}
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    {out_best} AS MATERIALIZED (
+      SELECT {rnd} AS round, bucket AS split_bucket,
+             ROUND(sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)
+                   - st * st / nt, 6) AS gain,
+             ROUND(sl / nl, 9) AS mu_left,
+             ROUND((st - sl) / (nt - nl), 9) AS mu_right
+      FROM cum{rnd} WHERE nl < nt
+      ORDER BY ROUND(sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)
+                     - st * st / nt, 6) DESC, bucket ASC
+      LIMIT 1
+    ),
+    {out_hist} AS MATERIALIZED (
+      SELECT h.bucket, h.n,
+             h.r - CASE WHEN h.bucket <= b.split_bucket
+                        THEN b.mu_left ELSE b.mu_right END AS r
+      FROM {hist} h CROSS JOIN {out_best} b
+    )"""
+
+
+@register(
+    "ml_gradient_boost_stumps",
+    oracle=f"""
+    WITH h0 AS MATERIALIZED (
+      SELECT CAST(FLOOR(o.o_totalprice / {_GBM_BINW}) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             -- y is an INTEGER count, so sums are exact in double and the
+             -- whole boosting recursion is bit-identical across engines
+             SUM(li.x) / COUNT(*) AS r
+      FROM orders o
+      JOIN (SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS x
+            FROM lineitem GROUP BY 1) li
+        ON li.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ),
+    hist0 AS MATERIALIZED (
+      SELECT bucket, n, ROUND(r, 9) AS r FROM h0
+    ),
+    {",".join(_gbm_round_sql(f"hist{i}", f"best{i + 1}", f"hist{i + 1}", i + 1) for i in range(_GBM_ROUNDS))}
+    SELECT round, split_bucket, gain, mu_left, mu_right FROM best1
+    UNION ALL SELECT round, split_bucket, gain, mu_left, mu_right FROM best2
+    UNION ALL SELECT round, split_bucket, gain, mu_left, mu_right FROM best3
+    ORDER BY round
+    """,
+)
+def ml_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient boosting with depth-1 trees (Friedman 2001), squared
+    loss, {_GBM_ROUNDS} rounds, on a binned design: predict an order's
+    LINEITEM COUNT from its total price (a real, strong relationship in
+    the fixture — totalprice is literally a sum over lineitems). Each
+    round fits the best single split over the {_GBM_BINW:.0f}-wide price
+    buckets by SSE-reduction gain (the events_changepoint identity
+    S_L^2/N_L + S_R^2/N_R - S^2/N) and subtracts the fitted leaf means
+    from the residuals — the exact additive-stage recursion inside
+    every GBDT library, demonstrably relational. Reports per round the
+    chosen split, its gain, and the two leaf values.
+
+    Determinism: the target is an integer count, so every bucket mean is
+    exact-rational; residual means are re-quantized at 9dp per round
+    (ml_platt_scaling contract), gains gate the argmax at ROUND 6 with
+    bucket ascending as tiebreak (the events_changepoint discipline).
+
+    Scale: the ONLY stage that sees data volume is the first
+    (order, lineitem-count) contraction; all {_GBM_ROUNDS} boosting
+    rounds run on the O(price-buckets) histogram (~60 rows) with a
+    3-double driver state per round — a GBDT on 100 TB is exactly this
+    shape (XGBoost's approx/hist mode IS binned-sketch boosting)."""
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    o = load(spark, sf_dir, "orders")
+    hist = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.floor(F.col("o_totalprice") / _GBM_BINW).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.round(F.sum("x") / F.count(F.lit(1)), 9).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = []
+    cur = hist
+    for rnd in range(1, _GBM_ROUNDS + 1):
+        cum = cur.select(
+            "bucket",
+            F.sum(F.col("n") * F.col("r")).over(w).alias("sl"),
+            F.sum("n").over(w).alias("nl"),
+        ).crossJoin(
+            F.broadcast(
+                cur.agg(
+                    F.sum(F.col("n") * F.col("r")).alias("st"),
+                    F.sum("n").alias("nt"),
+                )
+            )
+        )
+        gain = F.round(
+            F.col("sl") * F.col("sl") / F.col("nl")
+            + (F.col("st") - F.col("sl"))
+            * (F.col("st") - F.col("sl"))
+            / (F.col("nt") - F.col("nl"))
+            - F.col("st") * F.col("st") / F.col("nt"),
+            6,
+        )
+        best = (
+            cum.filter(F.col("nl") < F.col("nt"))
+            .select(
+                F.col("bucket").alias("split_bucket"),
+                gain.alias("gain"),
+                F.round(F.col("sl") / F.col("nl"), 9).alias("mu_left"),
+                F.round(
+                    (F.col("st") - F.col("sl")) / (F.col("nt") - F.col("nl")), 9
+                ).alias("mu_right"),
+            )
+            .orderBy(F.col("gain").desc(), F.col("split_bucket").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        rows.append(
+            (
+                rnd,
+                int(best["split_bucket"]),
+                float(best["gain"]),
+                float(best["mu_left"]),
+                float(best["mu_right"]),
+            )
+        )
+        nxt = cur.select(
+            "bucket",
+            "n",
+            (
+                F.col("r")
+                - F.when(
+                    F.col("bucket") <= F.lit(int(best["split_bucket"])),
+                    F.lit(float(best["mu_left"])),
+                ).otherwise(F.lit(float(best["mu_right"])))
+            ).alias("r"),
+        ).localCheckpoint(eager=True)
+        from .advanced import _free_local_checkpoint
+
+        if cur is not hist:
+            _free_local_checkpoint(cur)
+        cur = nxt
+    from .advanced import _free_local_checkpoint
+
+    _free_local_checkpoint(hist)
+    _free_local_checkpoint(cur)
+    return spark.createDataFrame(
+        rows, "round int, split_bucket long, gain double, mu_left double, mu_right double"
+    )

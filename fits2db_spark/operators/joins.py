@@ -1688,3 +1688,209 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pc / F.col("n_truth"), 6).alias("pairs_completeness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Angular two-point correlation function (round 11 tail)
+# ---------------------------------------------------------------------------
+_TP_PATCH = 10.0   # survey patch: [0,10)x[0,10) deg at the equator
+_TP_MAX = 2.0      # max separation counted (deg) == zone height
+_TP_KEYS = 1000    # fixture cap (documented): keys drawn from customer
+_TP_EDGES = (0.0, 0.25, 0.5, 1.0, 2.0)
+
+_TP_SEP = """
+      degrees(2 * asin(sqrt(
+        sin(radians(b.dec - a.dec) / 2) * sin(radians(b.dec - a.dec) / 2)
+        + cos(radians(a.dec)) * cos(radians(b.dec))
+          * sin(radians(b.ra - a.ra) / 2) * sin(radians(b.ra - a.ra) / 2))))
+"""
+
+_TP_BIN = f"""CASE WHEN s < {_TP_EDGES[1]} THEN 0 WHEN s < {_TP_EDGES[2]} THEN 1
+              WHEN s < {_TP_EDGES[3]} THEN 2 ELSE 3 END"""
+
+
+def _two_point_oracle() -> str:
+    # direct quadratic pair counting (dec-band prefiltered) — the oracle
+    # checks COUNTS, not the plan; the Spark side must reach the same
+    # counts through the zone join
+    def leg(aa: str, bb: str, same: bool) -> str:
+        cond = "a.id < b.id" if same else "1 = 1"
+        return f"""
+      SELECT {_TP_BIN} AS bin, COUNT(*) AS c
+      FROM (SELECT {_TP_SEP} AS s
+            FROM {aa} a JOIN {bb} b
+              ON {cond} AND ABS(a.dec - b.dec) <= {_TP_MAX})
+      WHERE s <= {_TP_MAX} GROUP BY 1
+"""
+
+    return f"""
+    WITH keys AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey <= {_TP_KEYS}),
+    dpos AS (
+      -- md5-scattered positions: Kronecker spirals are LATTICES (large
+      -- minimum gap -> zero small-separation pairs); hashes are Poisson
+      SELECT k,
+             CAST(concat('0x', substr(md5(concat('d-', k)), 1, 15)) AS BIGINT)
+               % 100000 / 10000.0 AS ra,
+             CAST(concat('0x', substr(md5(concat('d-', k)), 16, 15)) AS BIGINT)
+               % 100000 / 10000.0 AS dec
+      FROM keys
+    ),
+    dbase AS (
+      SELECT k * 2 AS id, ra, dec FROM dpos
+      UNION ALL
+      SELECT k * 2 + 1, ra + 0.02 + (k % 7) * 0.01, dec + 0.02 + (k % 5) * 0.01
+      FROM dpos WHERE k % 4 = 0
+    ),
+    rbase AS (
+      SELECT k AS id,
+             CAST(concat('0x', substr(md5(concat('r-', k)), 1, 15)) AS BIGINT)
+               % 100000 / 10000.0 AS ra,
+             CAST(concat('0x', substr(md5(concat('r-', k)), 16, 15)) AS BIGINT)
+               % 100000 / 10000.0 AS dec
+      FROM keys
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM dbase),
+    nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nr FROM rbase),
+    dd AS ({leg("dbase", "dbase", True)}),
+    rr AS ({leg("rbase", "rbase", True)}),
+    dr AS ({leg("dbase", "rbase", False)})
+    SELECT b.bin,
+           CAST([{",".join(str(e) for e in _TP_EDGES[:-1])}][b.bin + 1]
+                AS DOUBLE) AS theta_lo,
+           CAST([{",".join(str(e) for e in _TP_EDGES[1:])}][b.bin + 1]
+                AS DOUBLE) AS theta_hi,
+           COALESCE(dd.c, 0) AS dd, COALESCE(dr.c, 0) AS dr,
+           COALESCE(rr.c, 0) AS rr,
+           ROUND((COALESCE(dd.c, 0) / (nd * (nd - 1) / 2)
+                  - 2 * COALESCE(dr.c, 0) / (nd * nr)
+                  + COALESCE(rr.c, 0) / (nr * (nr - 1) / 2))
+                 / (COALESCE(rr.c, 0) / (nr * (nr - 1) / 2)), 6) AS w_ls
+    FROM (VALUES (0), (1), (2), (3)) AS b(bin)
+    LEFT JOIN dd ON dd.bin = b.bin
+    LEFT JOIN dr ON dr.bin = b.bin
+    LEFT JOIN rr ON rr.bin = b.bin
+    CROSS JOIN nd CROSS JOIN nr
+    ORDER BY b.bin
+    """
+
+
+@register("astro_two_point_angular", oracle=_two_point_oracle())
+def astro_two_point_angular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Angular two-point correlation function w(theta) with the
+    Landy-Szalay (1993) estimator — THE large-scale-structure statistic
+    (galaxy clustering excess over a random catalog): w = (DD~ - 2DR~ +
+    RR~) / RR~ with each pair count normalized by its number of pairs.
+    The data catalog is a quasi-uniform {_TP_PATCH:.0f}-deg equatorial
+    patch (golden-ratio spirals off customer keys, capped at {_TP_KEYS}
+    keys — documented fixture normalization) with a planted companion
+    within ~0.1 deg of every 4th object, so w(theta) must come out
+    strongly positive in the first bin and ~0 in the outer bins; the
+    random catalog is an independent unclustered spiral.
+
+    Scale: all three pair counts (DD, DR, RR) run through the SDSS zone
+    algorithm exactly as `join_xmatch_zone` — one equi-shuffle on the
+    2-deg declination zone with zone+/-1 candidate expansion, never the
+    quadratic cross join the oracle uses; candidate volume is
+    objects x 3 x zone density. Counts are exact integers, so the
+    estimator is reproducible across engines regardless of trig ulp
+    (positions are irrational multiples — no separation sits on a bin
+    edge). At survey scale this is the standard tree/zone-code shape
+    (Landy & Szalay 1993; Gray, Nieto-Santisteban & Szalay 2004)."""
+    keys = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .filter(F.col("k") <= _TP_KEYS)
+    )
+    def pos(salt: str, off: int):
+        # md5-scattered coordinate in [0, 10): Kronecker spirals are
+        # LATTICES (no small-separation pairs); hashes give Poisson randoms
+        h = F.md5(F.concat(F.lit(salt + "-"), F.col("k").cast("string")))
+        return (
+            F.conv(F.substring(h, off, 15), 16, 10).cast("long") % 100000
+        ) / 10000.0
+
+    dpos = keys.select(
+        "k", pos("d", 1).alias("ra"), pos("d", 16).alias("dec")
+    )
+    dbase = dpos.select(
+        (F.col("k") * 2).alias("id"), "ra", "dec"
+    ).unionByName(
+        dpos.filter(F.col("k") % 4 == 0).select(
+            (F.col("k") * 2 + 1).alias("id"),
+            (F.col("ra") + 0.02 + (F.col("k") % 7) * 0.01).alias("ra"),
+            (F.col("dec") + 0.02 + (F.col("k") % 5) * 0.01).alias("dec"),
+        )
+    )
+    rbase = keys.select(
+        F.col("k").alias("id"), pos("r", 1).alias("ra"), pos("r", 16).alias("dec")
+    )
+
+    def leg(a: DataFrame, b: DataFrame, same: bool, tag: str) -> DataFrame:
+        az = a.select(
+            F.col("id").alias("a_id"),
+            F.col("ra").alias("a_ra"),
+            F.col("dec").alias("a_dec"),
+            F.floor((F.col("dec") + 90.0) / _TP_MAX).alias("zone"),
+        )
+        z = F.floor((F.col("dec") + 90.0) / _TP_MAX)
+        bz = b.select(
+            F.col("id").alias("b_id"),
+            F.col("ra").alias("b_ra"),
+            F.col("dec").alias("b_dec"),
+            F.explode(F.array(z - 1, z, z + 1)).alias("zone"),
+        )
+        sep = F.degrees(
+            2
+            * F.asin(
+                F.sqrt(
+                    F.pow(F.sin(F.radians(F.col("b_dec") - F.col("a_dec")) / 2), 2)
+                    + F.cos(F.radians("a_dec"))
+                    * F.cos(F.radians("b_dec"))
+                    * F.pow(F.sin(F.radians(F.col("b_ra") - F.col("a_ra")) / 2), 2)
+                )
+            )
+        )
+        j = az.join(bz, "zone")
+        if same:
+            j = j.filter(F.col("a_id") < F.col("b_id"))
+        bin_ = (
+            F.when(sep < _TP_EDGES[1], 0)
+            .when(sep < _TP_EDGES[2], 1)
+            .when(sep < _TP_EDGES[3], 2)
+            .otherwise(3)
+        )
+        return (
+            j.filter(sep <= _TP_MAX)
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(tag))
+        )
+
+    nd = dbase.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    nr = rbase.agg(F.count(F.lit(1)).cast("double").alias("nr"))
+    bins = spark.range(4).select(F.col("id").cast("int").alias("bin"))
+    lo = F.element_at(F.array(*[F.lit(e) for e in _TP_EDGES[:-1]]), F.col("bin") + 1)
+    hi = F.element_at(F.array(*[F.lit(e) for e in _TP_EDGES[1:]]), F.col("bin") + 1)
+    dd_n = F.coalesce(F.col("dd"), F.lit(0)) / (F.col("nd") * (F.col("nd") - 1) / 2)
+    dr_n = 2 * F.coalesce(F.col("dr"), F.lit(0)) / (F.col("nd") * F.col("nr"))
+    rr_n = F.coalesce(F.col("rr"), F.lit(0)) / (F.col("nr") * (F.col("nr") - 1) / 2)
+    return (
+        bins.join(F.broadcast(leg(dbase, dbase, True, "dd")), "bin", "left")
+        .join(F.broadcast(leg(dbase, rbase, False, "dr")), "bin", "left")
+        .join(F.broadcast(leg(rbase, rbase, True, "rr")), "bin", "left")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bin",
+            lo.alias("theta_lo"),
+            hi.alias("theta_hi"),
+            F.coalesce(F.col("dd"), F.lit(0)).alias("dd"),
+            F.coalesce(F.col("dr"), F.lit(0)).alias("dr"),
+            F.coalesce(F.col("rr"), F.lit(0)).alias("rr"),
+            F.when(
+                F.coalesce(F.col("rr"), F.lit(0)) > 0,
+                F.round((dd_n - dr_n + rr_n) / rr_n, 6),
+            ).alias("w_ls"),
+        )
+        .orderBy("bin")
+    )

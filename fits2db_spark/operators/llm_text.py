@@ -3859,3 +3859,147 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("h2") - F.col("h1"), 6).alias("entropy_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (round 11 tail)
+# ---------------------------------------------------------------------------
+_CDC_W = 3  # rolling-window width (tokens) that decides chunk boundaries
+_CDC_D = 8  # boundary divisor: P(boundary) = 1/8 -> ~8-token expected chunks
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    cutsets AS (
+      SELECT doc_id, source, t,
+             list_sort(list_distinct(list_concat(list_concat(
+               [0],
+               list_transform(
+                 list_filter(generate_series(1, GREATEST(len(t) - {_CDC_W} + 1, 0)),
+                   i -> CAST(concat('0x', substr(md5(
+                          array_to_string(t[i:i+{_CDC_W} - 1], ' ')), 1, 15))
+                        AS BIGINT) % {_CDC_D} = 0),
+                 i -> i + {_CDC_W} - 1)),
+               [len(t)]))) AS cuts
+      FROM toks
+    ),
+    chunks AS (
+      SELECT source,
+             CAST(concat('0x', substr(md5(chunk_text), 1, 15)) AS BIGINT) AS ch,
+             ntoks
+      FROM (
+        SELECT source,
+               array_to_string(t[cuts[j] + 1:cuts[j + 1]], ' ') AS chunk_text,
+               cuts[j + 1] - cuts[j] AS ntoks
+        FROM cutsets, UNNEST(generate_series(1, len(cuts) - 1)) AS u(j)
+      )
+    ),
+    per_chunk AS (
+      SELECT source, ch, CAST(COUNT(*) AS DOUBLE) AS reps,
+             MIN(ntoks) AS ntoks
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(reps) AS BIGINT) AS total_chunks,
+           COUNT(*) AS distinct_chunks,
+           ROUND(1 - COUNT(*) / SUM(reps), 4) AS dup_chunk_pct,
+           ROUND(SUM(reps * ntoks) / SUM(reps), 4) AS avg_chunk_toks,
+           CAST(SUM((reps - 1) * ntoks) AS BIGINT) AS saved_toks
+    FROM per_chunk GROUP BY source ORDER BY source
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC / rsync / LBFS family):
+    chunk boundaries fall where a {_CDC_W}-token rolling window's hash is
+    0 mod {_CDC_D}, so boundaries depend only on LOCAL content — an
+    insertion near the head of a document shifts every fixed-width block
+    but leaves all downstream CDC chunks byte-identical, which is the
+    property that makes storage-level dedup work and which
+    `text_line_dedup`'s fixed line grid does not have. Per source:
+    chunk-count, distinct-chunk count, duplicate-chunk fraction, mean
+    chunk length, and the tokens a chunk-store would save (reps-1 copies
+    of each repeated chunk).
+
+    Plan: boundary detection, cut-point assembly, and chunk extraction are
+    ALL in-row array expressions over the token array (no explode until
+    finished chunks exist); the only shuffles are the two bounded
+    groupBys — (source, chunk_hash) then source. Chunk identity is the
+    `_h64` md5 hash (8-byte shuffle keys, same function in the oracle).
+    At 100 TB this is the standard dedup-storage accounting pass: one map
+    stage plus a near-linear hash aggregation, never pairwise."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n = F.size(t)
+    win = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, (i + k).cast("int")) for k in range(_CDC_W)]
+    )
+    # when() is lazy per row, so short docs (< _CDC_W tokens, where Spark's
+    # sequence(1, 0) would DESCEND into an element_at(t, 0) error) never
+    # evaluate the window branch and become one whole-doc chunk.
+    bpos = F.when(
+        n >= _CDC_W,
+        F.filter(
+            F.sequence(F.lit(1), n - _CDC_W + 1),
+            lambda i: _h64(win(i)) % _CDC_D == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(0)),
+                F.transform(bpos, lambda i: (i + _CDC_W - 1).cast("long")),
+                F.array(n.cast("long")),
+            )
+        )
+    )
+    cut = d.select("source", t.alias("t"), cuts.alias("cuts"))
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), F.size("cuts") - 1),
+        lambda j: F.struct(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    (F.element_at(F.col("cuts"), j.cast("int")) + 1).cast("int"),
+                    (
+                        F.element_at(F.col("cuts"), (j + 1).cast("int"))
+                        - F.element_at(F.col("cuts"), j.cast("int"))
+                    ).cast("int"),
+                ),
+            ).alias("chunk_text"),
+            (
+                F.element_at(F.col("cuts"), (j + 1).cast("int"))
+                - F.element_at(F.col("cuts"), j.cast("int"))
+            ).alias("ntoks"),
+        ),
+    )
+    chunks = cut.select(
+        "source", F.explode(chunk_structs).alias("c")
+    ).select(
+        "source",
+        _h64(F.col("c.chunk_text")).alias("ch"),
+        F.col("c.ntoks").alias("ntoks"),
+    )
+    per_chunk = chunks.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("reps"),
+        F.min("ntoks").alias("ntoks"),
+    )
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.sum("reps").cast("long").alias("total_chunks"),
+            F.count(F.lit(1)).alias("distinct_chunks"),
+            F.round(1 - F.count(F.lit(1)) / F.sum("reps"), 4).alias("dup_chunk_pct"),
+            F.round(
+                F.sum(F.col("reps") * F.col("ntoks")) / F.sum("reps"), 4
+            ).alias("avg_chunk_toks"),
+            F.sum((F.col("reps") - 1) * F.col("ntoks"))
+            .cast("long")
+            .alias("saved_toks"),
+        )
+        .orderBy("source")
+    )

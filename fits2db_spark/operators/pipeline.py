@@ -2602,3 +2602,127 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("en_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-ary randomized response (round 11 tail)
+# ---------------------------------------------------------------------------
+import math as _math
+
+_RR_EPS = 1.0
+_RR_CATS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+_RR_K = len(_RR_CATS)
+_RR_P = _math.exp(_RR_EPS) / (_math.exp(_RR_EPS) + _RR_K - 1)  # P(report truth)
+_RR_Q = 1.0 / (_math.exp(_RR_EPS) + _RR_K - 1)  # P(report a specific lie)
+# integer truth threshold on the 60-bit md5 uniform: u < T -> report truth;
+# otherwise (u - T) % (k-1) picks the lie. Pure integer arithmetic, so the
+# derandomized channel is bit-identical across engines (no float compare).
+_RR_T = int(_RR_P * (1 << 60))
+
+
+@register(
+    "privacy_randomized_response",
+    oracle=f"""
+    WITH cats AS (
+      SELECT UNNEST(['{"','".join(_RR_CATS)}']) AS cat,
+             UNNEST(generate_series(1, {_RR_K})) AS pos
+    ),
+    resp AS (
+      SELECT c.c_mktsegment AS truth, t.pos AS tpos,
+             CAST(concat('0x', substr(md5(concat('rr-',
+                    CAST(c.c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) AS u
+      FROM customer c JOIN cats t ON t.cat = c.c_mktsegment
+    ),
+    reported AS (
+      SELECT truth,
+             CASE WHEN u < {_RR_T} THEN tpos
+                  ELSE CASE WHEN 1 + (u - {_RR_T}) % {_RR_K - 1} >= tpos
+                            THEN 2 + (u - {_RR_T}) % {_RR_K - 1}
+                            ELSE 1 + (u - {_RR_T}) % {_RR_K - 1} END
+             END AS rpos
+      FROM resp
+    ),
+    obs AS (
+      SELECT cat, CAST(COUNT(r.rpos) AS DOUBLE) AS c_obs
+      FROM cats LEFT JOIN reported r ON r.rpos = cats.pos GROUP BY cat
+    ),
+    tru AS (SELECT truth AS cat, COUNT(*) AS n_true FROM reported GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM reported)
+    SELECT obs.cat AS segment,
+           COALESCE(tru.n_true, 0) AS true_n,
+           CAST(obs.c_obs AS BIGINT) AS reported_n,
+           ROUND((obs.c_obs - n.n * {_RR_Q}) / ({_RR_P} - {_RR_Q}), 3) + 0.0
+             AS est_n,
+           ROUND(((obs.c_obs - n.n * {_RR_Q}) / ({_RR_P} - {_RR_Q})
+                  - COALESCE(tru.n_true, 0))
+                 / COALESCE(tru.n_true, 1), 6) + 0.0 AS rel_err
+    FROM obs LEFT JOIN tru USING (cat) CROSS JOIN n
+    ORDER BY segment
+    """,
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ary randomized response (Warner 1965; the RAPPOR/Apple-DP local
+    model): each customer reports their true market segment with
+    p = e^eps/(e^eps + k - 1) = {_RR_P:.4f} and each specific other
+    segment with q = {_RR_Q:.4f}, then the collector inverts the channel
+    with the unbiased estimator n_hat_j = (c_j - N q)/(p - q). The LOCAL
+    counterpart of `privacy_dp_counts` (there the curator adds Laplace
+    noise to true aggregates; here no one ever SEES a truthful row).
+    Reports true/observed/estimated counts and the estimator's relative
+    error per segment.
+
+    The channel is derandomized on a 60-bit md5 integer with a pinned
+    integer threshold and modulus — pure integer comparisons, so both
+    engines flip identical coins (the privacy_dp_counts seeded-noise
+    convention; production swaps in client-side CSPRNG coins, every
+    other piece — channel design, inverse estimator, accounting — is the
+    real mechanism). Plan: one codegen projection per row + one
+    O(k)-cell groupBy; nothing but the k-row frame ever shuffles."""
+    c = load(spark, sf_dir, "customer")
+    cats = F.array(*[F.lit(x) for x in _RR_CATS])
+    tpos = F.array_position(cats, F.col("c_mktsegment"))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rr-"), F.col("c_custkey").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    lie = 1 + (u - _RR_T) % (_RR_K - 1)
+    rpos = F.when(u < _RR_T, tpos).otherwise(
+        F.when(lie >= tpos, lie + 1).otherwise(lie)
+    )
+    reported = c.select(
+        F.col("c_mktsegment").alias("truth"), rpos.alias("rpos")
+    )
+    cat_df = spark.range(1, _RR_K + 1).select(
+        F.col("id").cast("int").alias("pos"),
+        F.element_at(cats, F.col("id").cast("int")).alias("cat"),
+    )
+    obs = (
+        cat_df.join(reported, cat_df["pos"] == reported["rpos"], "left")
+        .groupBy("cat")
+        .agg(F.count("rpos").cast("double").alias("c_obs"))
+    )
+    tru = reported.groupBy(F.col("truth").alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    n = reported.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    est = (F.col("c_obs") - F.col("n") * _RR_Q) / (_RR_P - _RR_Q)
+    return (
+        obs.join(F.broadcast(tru), "cat", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("cat").alias("segment"),
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("true_n"),
+            F.col("c_obs").cast("long").alias("reported_n"),
+            (F.round(est, 3) + 0.0).alias("est_n"),
+            (
+                F.round(
+                    (est - F.coalesce(F.col("n_true"), F.lit(0)))
+                    / F.coalesce(F.col("n_true"), F.lit(1)),
+                    6,
+                )
+                + 0.0
+            ).alias("rel_err"),
+        )
+        .orderBy("segment")
+    )

@@ -287,6 +287,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # midrank cumulative window over the same O(price-buckets) histogram
     # as agg_mann_whitney (r10)
     "agg_kruskal_wallis",
+    "agg_dunn_posthoc",
+    "ml_conformal_interval",
     # TPR/FPR cumulative windows over the same O(price-buckets) histogram
     # (r10)
     "ml_youden_threshold",

