@@ -1176,3 +1176,330 @@ def spatial_quadtree_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.n_points").alias("n_points"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Moran's I global spatial autocorrelation (round 11 tail)
+# ---------------------------------------------------------------------------
+_MI_GRID = 16     # cells per axis (queen adjacency on a 16x16 lattice)
+_MI_TREND = 500.0  # planted per-cell gradient (must dominate the ~3e3 acctbal cell noise)
+
+
+@register(
+    "spatial_morans_i",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(concat('0x', substr(md5(concat('mi-',
+               CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % {_MI_GRID}
+               AS cx,
+             CAST(concat('0x', substr(md5(concat('mi-',
+               CAST(c_custkey AS VARCHAR))), 16, 15)) AS BIGINT) % {_MI_GRID}
+               AS cy,
+             c_acctbal AS v
+      FROM customer
+    ),
+    cells AS MATERIALIZED (
+      SELECT cx, cy, AVG(v) AS m,
+             AVG(v) + {_MI_TREND} * (cx + cy) AS mg
+      FROM pos GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.m AS ma, b.m AS manbr, a.mg AS ga, b.mg AS ganbr,
+             a.cx AS acx, a.cy AS acy
+      FROM cells a JOIN (
+        SELECT cx + dx AS ncx, cy + dy AS ncy, m, mg
+        FROM cells, (SELECT UNNEST([-1,-1,-1,0,0,1,1,1]) AS dx,
+                            UNNEST([-1,0,1,-1,1,-1,0,1]) AS dy) o
+      ) b ON a.cx = b.ncx AND a.cy = b.ncy
+    ),
+    deg AS (SELECT acx, acy, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM pairs GROUP BY 1, 2),
+    consts AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM cells) AS nn,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM pairs) AS ww,
+             (SELECT SUM(d * d) * 4 FROM deg) AS s2,
+             (SELECT AVG(m) FROM cells) AS mbar,
+             (SELECT AVG(mg) FROM cells) AS gbar
+    ),
+    num AS (
+      SELECT SUM((ma - c.mbar) * (manbr - c.mbar)) AS num0,
+             SUM((ga - c.gbar) * (ganbr - c.gbar)) AS numg
+      FROM pairs CROSS JOIN consts c
+    ),
+    den AS (
+      SELECT SUM((m - c.mbar) * (m - c.mbar)) AS den0,
+             SUM((mg - c.gbar) * (mg - c.gbar)) AS deng
+      FROM cells CROSS JOIN consts c
+    ),
+    scen AS (
+      SELECT 'gradient' AS scenario, nn, ww,
+             nn / ww * numg / deng AS i_stat, s2
+      FROM consts CROSS JOIN num CROSS JOIN den
+      UNION ALL
+      SELECT 'null', nn, ww, nn / ww * num0 / den0, s2
+      FROM consts CROSS JOIN num CROSS JOIN den
+    )
+    SELECT scenario,
+           CAST(nn AS BIGINT) AS n_cells,
+           CAST(ww AS BIGINT) AS w_pairs,
+           ROUND(i_stat, 6) AS morans_i,
+           ROUND(-1 / (nn - 1), 6) AS e_i,
+           ROUND((i_stat + 1 / (nn - 1))
+                 / sqrt((nn * nn * 2 * ww - nn * s2 + 3 * ww * ww)
+                        / (ww * ww * (nn * nn - 1))
+                        - 1 / ((nn - 1) * (nn - 1))), 4) AS z_stat,
+           CAST(ABS((i_stat + 1 / (nn - 1))
+                    / sqrt((nn * nn * 2 * ww - nn * s2 + 3 * ww * ww)
+                           / (ww * ww * (nn * nn - 1))
+                           - 1 / ((nn - 1) * (nn - 1)))) > 1.96 AS INTEGER)
+             AS reject_05
+    FROM scen ORDER BY scenario
+    """,
+)
+def spatial_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I (1950) — THE global spatial-autocorrelation statistic:
+    I = (N/W) sum_ij w_ij z_i z_j / sum_i z_i^2 over queen (8-neighbor)
+    adjacency on a {_MI_GRID}x{_MI_GRID} lattice of md5-scattered
+    customer cells, with the normality-assumption null E[I] = -1/(N-1),
+    Var(I) = (N^2 S1 - N S2 + 3W^2)/(W^2(N^2-1)) - E[I]^2 (0/1 symmetric
+    weights make S1 = 2W and S2 = 4 sum deg^2 exactly). TWO scenarios
+    (the ml_proportion_ztest convention): 'null' = raw per-cell mean
+    account balance (spatially random -> I ~ E[I], no rejection) and
+    'gradient' = the same means plus a planted {_MI_TREND:.0f}(cx+cy)
+    trend (strong positive autocorrelation -> detected).
+
+    Scale: the ONLY data-volume stage is the one groupBy contracting
+    customers to O(grid^2) cells; the queen join is an 8-way offset
+    explode + equi-join on cell ids (never a distance cross join), and
+    every moment after runs on <= 256 rows. This is exactly how Moran/
+    Getis-Ord hot-spot screens run on planet-scale point data: grid
+    first, weight-join the contraction."""
+    c = load(spark, sf_dir, "customer")
+    h = lambda off: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit("mi-"), F.col("c_custkey").cast("string"))), off, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    pos = c.select(
+        (h(1) % _MI_GRID).alias("cx"),
+        (h(16) % _MI_GRID).alias("cy"),
+        F.col("c_acctbal").alias("v"),
+    )
+    cells = pos.groupBy("cx", "cy").agg(F.avg("v").alias("m"))
+    cells = cells.select(
+        "cx", "cy", "m", (F.col("m") + _MI_TREND * (F.col("cx") + F.col("cy"))).alias("mg")
+    )
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    nbr = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("ncx"),
+                        (F.col("cy") + dy).alias("ncy"),
+                    )
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("o"),
+        F.col("m").alias("mb_"),
+        F.col("mg").alias("mgb_"),
+    ).select(F.col("o.ncx").alias("ncx"), F.col("o.ncy").alias("ncy"), "mb_", "mgb_")
+    pairs = cells.join(
+        nbr, (F.col("cx") == F.col("ncx")) & (F.col("cy") == F.col("ncy"))
+    ).select("cx", "cy", "m", "mg", "mb_", "mgb_")
+    deg = pairs.groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    base = (
+        cells.agg(
+            F.count(F.lit(1)).cast("double").alias("nn"),
+            F.avg("m").alias("mbar"),
+            F.avg("mg").alias("mgbar"),
+        )
+        .crossJoin(F.broadcast(pairs.agg(F.count(F.lit(1)).cast("double").alias("ww"))))
+        .crossJoin(F.broadcast(deg.agg((F.sum(F.col("d") * F.col("d")) * 4).alias("s2"))))
+    )
+    num = pairs.crossJoin(F.broadcast(base)).agg(
+        F.sum((F.col("m") - F.col("mbar")) * (F.col("mb_") - F.col("mbar"))).alias(
+            "num0"
+        ),
+        F.sum(
+            (F.col("mg") - F.col("mgbar")) * (F.col("mgb_") - F.col("mgbar"))
+        ).alias("numg"),
+    )
+    den = cells.crossJoin(F.broadcast(base)).agg(
+        F.sum((F.col("m") - F.col("mbar")) * (F.col("m") - F.col("mbar"))).alias(
+            "den0"
+        ),
+        F.sum((F.col("mg") - F.col("mgbar")) * (F.col("mg") - F.col("mgbar"))).alias(
+            "deng"
+        ),
+    )
+    j = base.crossJoin(F.broadcast(num)).crossJoin(F.broadcast(den))
+    nn, ww, s2 = F.col("nn"), F.col("ww"), F.col("s2")
+    var_i = (nn * nn * 2 * ww - nn * s2 + 3 * ww * ww) / (
+        ww * ww * (nn * nn - 1)
+    ) - 1 / ((nn - 1) * (nn - 1))
+    rows = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("gradient").alias("scenario"),
+                    (nn / ww * F.col("numg") / F.col("deng")).alias("i_stat"),
+                ),
+                F.struct(
+                    F.lit("null").alias("scenario"),
+                    (nn / ww * F.col("num0") / F.col("den0")).alias("i_stat"),
+                ),
+            )
+        ).alias("r"),
+        "nn",
+        "ww",
+        "s2",
+    )
+    i_stat = F.col("r.i_stat")
+    z = (i_stat + 1 / (nn - 1)) / F.sqrt(var_i)
+    return rows.select(
+        F.col("r.scenario").alias("scenario"),
+        nn.cast("long").alias("n_cells"),
+        ww.cast("long").alias("w_pairs"),
+        F.round(i_stat, 6).alias("morans_i"),
+        F.round(-1 / (nn - 1), 6).alias("e_i"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("reject_05"),
+    ).orderBy("scenario")
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord local hot spots (round 11 tail)
+# ---------------------------------------------------------------------------
+_GO_TOPK = 10
+
+
+@register(
+    "spatial_getis_ord",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(concat('0x', substr(md5(concat('mi-',
+               CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % {_MI_GRID}
+               AS cx,
+             CAST(concat('0x', substr(md5(concat('mi-',
+               CAST(c_custkey AS VARCHAR))), 16, 15)) AS BIGINT) % {_MI_GRID}
+               AS cy,
+             c_acctbal AS v
+      FROM customer
+    ),
+    cells AS MATERIALIZED (
+      SELECT cx, cy,
+             AVG(v) + {_MI_TREND} * (cx + cy) AS x
+      FROM pos GROUP BY 1, 2
+    ),
+    consts AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nn, AVG(x) AS xbar,
+             SQRT(SUM(x * x) / COUNT(*) - AVG(x) * AVG(x)) AS s
+      FROM cells
+    ),
+    nbr AS (
+      SELECT a.cx, a.cy,
+             SUM(b.x) + MAX(a.x) AS wx,
+             CAST(COUNT(*) + 1 AS DOUBLE) AS k
+      FROM cells a JOIN (
+        SELECT cx + dx AS ncx, cy + dy AS ncy, x
+        FROM cells, (SELECT UNNEST([-1,-1,-1,0,0,1,1,1]) AS dx,
+                            UNNEST([-1,0,1,-1,1,-1,0,1]) AS dy) o
+      ) b ON a.cx = b.ncx AND a.cy = b.ncy
+      GROUP BY a.cx, a.cy
+    ),
+    g AS (
+      SELECT cx, cy,
+             ROUND((wx - k * xbar)
+                   / (s * SQRT((nn * k - k * k) / (nn - 1))), 4) AS gi_z
+      FROM nbr CROSS JOIN consts
+    )
+    SELECT cx, cy, gi_z
+    FROM g ORDER BY gi_z DESC, cx ASC, cy ASC LIMIT {_GO_TOPK}
+    """,
+)
+def spatial_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* local hot-spot statistic (Getis & Ord 1992, Ord &
+    Getis 1995) — the LOCAL companion of `spatial_morans_i` (same
+    md5-scattered cell grid, same planted {_MI_TREND:.0f}(cx+cy)
+    gradient, same queen weights, self-included as Gi* requires): for
+    each cell, z = (sum of the neighborhood's values - k xbar) /
+    (s sqrt((N k - k^2)/(N-1))) — the statistic behind every "hot spot
+    map" in epidemiology/crime/retail geo-analytics. Reports the
+    {_GO_TOPK} hottest cells; the planted gradient means they MUST
+    cluster at high (cx + cy) (pinned by pytest).
+
+    Determinism: Gi* is rounded at 4dp BEFORE the top-k sort with
+    (cx, cy) tiebreaks, so fold-order ulp cannot reorder the cut (the
+    join_xmatch_nearest rank-on-rounded discipline). Plan: one grid
+    contraction (the only data-volume stage), the same 8-offset
+    equi-join as Moran, then a {_GO_TOPK}-row TakeOrdered — no global
+    sort of anything bigger than the cell frame."""
+    c = load(spark, sf_dir, "customer")
+    h = lambda off: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit("mi-"), F.col("c_custkey").cast("string"))), off, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    pos = c.select(
+        (h(1) % _MI_GRID).alias("cx"),
+        (h(16) % _MI_GRID).alias("cy"),
+        F.col("c_acctbal").alias("v"),
+    )
+    cells = pos.groupBy("cx", "cy").agg(
+        (F.avg("v") + _MI_TREND * (F.col("cx") + F.col("cy"))).alias("x")
+    )
+    consts = cells.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.avg("x").alias("xbar"),
+        F.sqrt(
+            F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+            - F.avg("x") * F.avg("x")
+        ).alias("s"),
+    )
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    nbrs = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("ncx"),
+                        (F.col("cy") + dy).alias("ncy"),
+                    )
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("o"),
+        F.col("x").alias("xn"),
+    ).select(F.col("o.ncx").alias("ncx"), F.col("o.ncy").alias("ncy"), "xn")
+    nbr = (
+        cells.join(nbrs, (F.col("cx") == F.col("ncx")) & (F.col("cy") == F.col("ncy")))
+        .groupBy("cx", "cy")
+        .agg(
+            (F.sum("xn") + F.max("x")).alias("wx"),
+            (F.count(F.lit(1)) + 1).cast("double").alias("k"),
+        )
+    )
+    g = nbr.crossJoin(F.broadcast(consts)).select(
+        "cx",
+        "cy",
+        F.round(
+            (F.col("wx") - F.col("k") * F.col("xbar"))
+            / (
+                F.col("s")
+                * F.sqrt(
+                    (F.col("nn") * F.col("k") - F.col("k") * F.col("k"))
+                    / (F.col("nn") - 1)
+                )
+            ),
+            4,
+        ).alias("gi_z"),
+    )
+    return g.orderBy(F.col("gi_z").desc(), F.col("cx").asc(), F.col("cy").asc()).limit(
+        _GO_TOPK
+    )

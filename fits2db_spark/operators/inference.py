@@ -7549,3 +7549,188 @@ def ml_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, split_bucket long, gain double, mu_left double, mu_right double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test for homogeneity of variances (round 11 tail)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_bartlett_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(o_totalprice - {_EFF_CENTER}) AS sx,
+             SUM((o_totalprice - {_EFF_CENTER}) * (o_totalprice - {_EFF_CENTER}))
+               AS sxx
+      FROM orders GROUP BY 1
+    ),
+    v AS (SELECT g, n, (sxx - sx * sx / n) / (n - 1) AS s2 FROM s),
+    agg AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS nt, CAST(COUNT(*) AS DOUBLE) AS k,
+             SUM((n - 1) * LN(s2)) AS sln,
+             SUM((n - 1) * s2) AS ssp,
+             SUM(1 / (n - 1)) AS sinv
+      FROM v
+    ),
+    t AS (
+      SELECT nt, k,
+             ((nt - k) * LN(ssp / (nt - k)) - sln)
+             / (1 + (sinv - 1 / (nt - k)) / (3 * (k - 1))) AS x2
+      FROM agg
+    )
+    SELECT CAST(nt AS BIGINT) AS n, CAST(k - 1 AS BIGINT) AS df,
+           ROUND(x2, 6) AS bartlett_x2,
+           ROUND(EXP(-x2 / 2) * (1 + x2 / 2), 6) AS p_value,
+           CAST(x2 > 9.487729 AS INTEGER) AS reject_05
+    FROM t
+    """,
+)
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test (1937) that the five order priorities share one
+    price variance: X^2 = [(N-k) ln(s_p^2) - sum (n_i-1) ln(s_i^2)] / C
+    with the standard correction C — the parametric counterpart of
+    `agg_levene_test` (Levene is robust to non-normality; Bartlett is
+    the more powerful test when normality holds, and running both is the
+    textbook variance-homogeneity workflow before pooling in
+    `agg_anova_oneway` / `agg_tukey_hsd`). With k = 5 the null is
+    chi-square with df = 4 — an EVEN df, so the survival function is
+    closed-form: p = exp(-x/2)(1 + x/2); both engines compute the exact
+    p-value with plain EXP/LN (the agg_jarque_bera principle). TRUE NULL
+    on the fixture: no rejection expected.
+
+    Determinism: group variances come from pinned-center sums (the
+    agg_effect_sizes discipline); one partial-aggregating groupBy to 5
+    rows, then scalar algebra. 9.487729 = chi2(4, 0.95)."""
+    o = load(spark, sf_dir, "orders")
+    c = F.col("o_totalprice") - _EFF_CENTER
+    s = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c).alias("sx"),
+        F.sum(c * c).alias("sxx"),
+    )
+    v = s.select(
+        "g",
+        "n",
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s2"),
+    )
+    agg = v.agg(
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum((F.col("n") - 1) * F.log("s2")).alias("sln"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("ssp"),
+        F.sum(1 / (F.col("n") - 1)).alias("sinv"),
+    )
+    nt, k = F.col("nt"), F.col("k")
+    x2 = (
+        (nt - k) * F.log(F.col("ssp") / (nt - k)) - F.col("sln")
+    ) / (1 + (F.col("sinv") - 1 / (nt - k)) / (3 * (k - 1)))
+    return agg.select(
+        nt.cast("long").alias("n"),
+        (k - 1).cast("long").alias("df"),
+        F.round(x2, 6).alias("bartlett_x2"),
+        F.round(F.exp(-x2 / 2) * (1 + x2 / 2), 6).alias("p_value"),
+        (x2 > 9.487729).cast("int").alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's heteroscedastic one-way ANOVA (round 11 tail)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_welch_anova",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(o_totalprice - {_EFF_CENTER}) AS sx,
+             SUM((o_totalprice - {_EFF_CENTER}) * (o_totalprice - {_EFF_CENTER}))
+               AS sxx
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT g, n, sx / n AS m,
+             n / ((sxx - sx * sx / n) / (n - 1)) AS wi
+      FROM s
+    ),
+    t1 AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(wi) AS sw,
+             SUM(wi * m) / SUM(wi) AS gm
+      FROM w
+    ),
+    t2 AS (
+      SELECT t1.k, t1.sw, t1.gm,
+             SUM(wi * (m - gm) * (m - gm)) / (t1.k - 1) AS num,
+             SUM((1 - wi / t1.sw) * (1 - wi / t1.sw) / (n - 1)) AS lam
+      FROM w CROSS JOIN t1 GROUP BY t1.k, t1.sw, t1.gm
+    )
+    SELECT CAST(k - 1 AS BIGINT) AS df1,
+           ROUND((k * k - 1) / (3 * lam), 4) AS df2,
+           ROUND(num / (1 + 2 * (k - 2) / (k * k - 1) * lam), 6) AS welch_f
+    FROM t2
+    """,
+)
+def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951) of order price
+    across the five priorities: weights w_i = n_i/s_i^2, F* =
+    sum w_i (m_i - m_w)^2 / (k-1) over the Welch denominator, with the
+    Welch-Satterthwaite df2 = (k^2-1)/(3 Lambda) — what `agg_anova_oneway`
+    should become the moment `agg_levene_test` / `agg_bartlett_test`
+    REJECT equal variances (the complete workflow this family now
+    carries: test variances, then pick the pooled or the Welch F). The
+    k-sample generalization of `agg_welch_ttest`. df2 is fractional by
+    construction, so the statistic and both dfs are reported (p needs an
+    F CDF neither engine has closed-form; the fixture's F* sits near 1
+    under its true null, directly interpretable).
+
+    Plan: ONE pinned-center partial-aggregating groupBy to 5 rows, then
+    two tiny rollups — O(groups) algebra after a single O(rows) scan."""
+    o = load(spark, sf_dir, "orders")
+    c = F.col("o_totalprice") - _EFF_CENTER
+    s = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c).alias("sx"),
+        F.sum(c * c).alias("sxx"),
+    )
+    w = s.select(
+        "g",
+        "n",
+        (F.col("sx") / F.col("n")).alias("m"),
+        (
+            F.col("n")
+            / ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+        ).alias("wi"),
+    )
+    t1 = w.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("wi").alias("sw"),
+        (F.sum(F.col("wi") * F.col("m")) / F.sum("wi")).alias("gm"),
+    )
+    t2 = (
+        w.crossJoin(F.broadcast(t1))
+        .groupBy("k", "sw", "gm")
+        .agg(
+            (
+                F.sum(
+                    F.col("wi") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+                )
+                / (F.first("k") - 1)
+            ).alias("num"),
+            F.sum(
+                (1 - F.col("wi") / F.col("sw"))
+                * (1 - F.col("wi") / F.col("sw"))
+                / (F.col("n") - 1)
+            ).alias("lam"),
+        )
+    )
+    k, lam = F.col("k"), F.col("lam")
+    return t2.select(
+        (k - 1).cast("long").alias("df1"),
+        F.round((k * k - 1) / (3 * lam), 4).alias("df2"),
+        F.round(F.col("num") / (1 + 2 * (k - 2) / (k * k - 1) * lam), 6).alias(
+            "welch_f"
+        ),
+    )

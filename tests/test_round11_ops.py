@@ -507,3 +507,77 @@ def test_gradient_boost_gains_decrease_and_fit_improves(spark):
         assert min(r["mu_left"], r["mu_right"]) < 0 < max(
             r["mu_left"], r["mu_right"]
         )
+
+
+def test_bartlett_true_null_and_exact_p(spark):
+    rows = _run(spark, "agg_bartlett_test")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["df"] == 4
+    assert r["bartlett_x2"] >= 0
+    want_p = math.exp(-r["bartlett_x2"] / 2) * (1 + r["bartlett_x2"] / 2)
+    assert abs(r["p_value"] - want_p) < 1e-4
+    assert r["reject_05"] == 0, "true null: one shared price variance"
+
+
+def test_welch_anova_true_null(spark):
+    rows = _run(spark, "agg_welch_anova")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["df1"] == 4
+    assert r["df2"] > r["df1"], "Welch df2 far exceeds k-1 at these n"
+    assert 0 <= r["welch_f"] < 5, "true null: F* near 1"
+
+
+def test_morans_i_null_vs_gradient(spark):
+    rows = {r["scenario"]: r for r in _run(spark, "spatial_morans_i")}
+    assert set(rows) == {"null", "gradient"}
+    null, grad = rows["null"], rows["gradient"]
+    assert null["n_cells"] == grad["n_cells"] > 50
+    # planted trend must dominate: strong positive I, detected
+    assert grad["morans_i"] > 0.3 and grad["reject_05"] == 1
+    # raw balances are spatially random: I near E[I], not detected
+    assert abs(null["morans_i"] - null["e_i"]) < 0.15
+    assert null["reject_05"] == 0
+    # lattice sanity: queen adjacency mean degree < 8 (edges lose neighbors)
+    assert grad["w_pairs"] < 8 * grad["n_cells"]
+
+
+def test_getis_ord_hotspots_sit_on_the_gradient(spark):
+    rows = _run(spark, "spatial_getis_ord")
+    assert len(rows) == 10
+    zs = [r["gi_z"] for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    assert zs[0] > 1.96, "planted gradient must produce a significant hot spot"
+    from fits2db_spark.operators.etl import _MI_GRID
+
+    # hottest cells live in the high-(cx+cy) corner of the lattice
+    for r in rows[:3]:
+        assert r["cx"] + r["cy"] > _MI_GRID, (r["cx"], r["cy"])
+
+
+def test_xmatch_bayes_grades_by_separation(spark):
+    rows = _run(spark, "join_xmatch_bayes")
+    assert rows
+    import math as m
+
+    from fits2db_spark.operators.joins import _XB_LNB0, _XB_SIGMA2
+
+    for r in rows:
+        # log-space identities hold at the rounded precision
+        want_lbf = m.log10(_XB_LNB0) - r["sep_arcsec"] ** 2 / (
+            2 * _XB_SIGMA2
+        ) / m.log(10)
+        assert abs(r["log10_bf"] - want_lbf) < 0.05, r
+        assert 0.0 <= r["posterior"] <= 1.0
+    # monotone: smaller separation never scores a lower Bayes factor
+    # (slack = d(log10 B)/d(sep) x the 2dp sep rounding granularity)
+    srt = sorted(rows, key=lambda r: r["sep_arcsec"])
+    # slack: two pairs whose TRUE separations differ by up to a full 2dp
+    # step (0.01") can round to the same/swapped display value, and
+    # d(log10 B)/d(sep) ~ sep/(sigma2 ln10) ~ 5.5/arcsec at the edge
+    for a, b in zip(srt, srt[1:]):
+        assert a["log10_bf"] >= b["log10_bf"] - 0.08
+    # the closest pairs must be near-certain matches, the farthest ~0
+    assert srt[0]["posterior"] > 0.9
+    assert srt[-1]["posterior"] < 0.5
