@@ -2028,3 +2028,195 @@ def join_xmatch_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("posterior"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (round 11 tail)
+# ---------------------------------------------------------------------------
+_FS_STEPS = 3
+_FS_INIT = (0.1, 0.8, 0.8, 0.8, 0.1, 0.1, 0.5)  # lam, m1..m3, u1..u3
+_FS_EPS = 1.0e-6  # post-step clamp keeps every Bernoulli param in (0,1)
+
+
+def _fs_step_sql(prev: str, out: str) -> str:
+    pm = ("(CASE WHEN g1 = 1 THEN p.m1 ELSE 1 - p.m1 END)"
+          " * (CASE WHEN g2 = 1 THEN p.m2 ELSE 1 - p.m2 END)"
+          " * (CASE WHEN g3 = 1 THEN p.m3 ELSE 1 - p.m3 END)")
+    pu = ("(CASE WHEN g1 = 1 THEN p.u1 ELSE 1 - p.u1 END)"
+          " * (CASE WHEN g2 = 1 THEN p.u2 ELSE 1 - p.u2 END)"
+          " * (CASE WHEN g3 = 1 THEN p.u3 ELSE 1 - p.u3 END)")
+    cl = lambda e: f"LEAST(GREATEST(ROUND({e}, 9), {_FS_EPS}), 1 - {_FS_EPS})"  # noqa: E731
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT {cl("SUM(n * w) / SUM(n)")} AS lam,
+             {cl("SUM(n * w * g1) / SUM(n * w)")} AS m1,
+             {cl("SUM(n * w * g2) / SUM(n * w)")} AS m2,
+             {cl("SUM(n * w * g3) / SUM(n * w)")} AS m3,
+             {cl("SUM(n * (1 - w) * g1) / SUM(n * (1 - w))")} AS u1,
+             {cl("SUM(n * (1 - w) * g2) / SUM(n * (1 - w))")} AS u2,
+             {cl("SUM(n * (1 - w) * g3) / SUM(n * (1 - w))")} AS u3
+      FROM (
+        SELECT n, g1, g2, g3,
+               p.lam * {pm} / (p.lam * {pm} + (1 - p.lam) * {pu}) AS w
+        FROM f2s_fs_pat CROSS JOIN {prev} p
+      )
+    )"""
+
+
+@register(
+    "er_fellegi_sunter",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name, string_split(p_name, ' ')[1] AS k1,
+             string_split(p_name, ' ')[2] AS k2,
+             CAST(FLOOR(strlen(p_name) / 5) AS BIGINT) AS lb
+      FROM names
+    ),
+    cand AS (
+      SELECT CASE WHEN a.k2 = b.k2 THEN 1 ELSE 0 END AS g1,
+             CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                  THEN 1 ELSE 0 END AS g2,
+             CASE WHEN a.lb = b.lb THEN 1 ELSE 0 END AS g3
+      FROM keyed a JOIN keyed b
+        ON a.k1 = b.k1 AND a.p_name < b.p_name
+    ),
+    f2s_fs_pat AS MATERIALIZED (
+      SELECT g1, g2, g3, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM cand GROUP BY 1, 2, 3
+    ),
+    p0 AS (SELECT {", ".join(f"{v}e0 AS {c}" for v, c in zip(_FS_INIT, ("lam", "m1", "m2", "m3", "u1", "u2", "u3")))}),
+    {",".join(_fs_step_sql(f"p{i}", f"p{i + 1}") for i in range(_FS_STEPS))}
+    SELECT g1, g2, g3, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(LOG2(((CASE WHEN g1 = 1 THEN p.m1 ELSE 1 - p.m1 END)
+                       * (CASE WHEN g2 = 1 THEN p.m2 ELSE 1 - p.m2 END)
+                       * (CASE WHEN g3 = 1 THEN p.m3 ELSE 1 - p.m3 END))
+                      / ((CASE WHEN g1 = 1 THEN p.u1 ELSE 1 - p.u1 END)
+                         * (CASE WHEN g2 = 1 THEN p.u2 ELSE 1 - p.u2 END)
+                         * (CASE WHEN g3 = 1 THEN p.u3 ELSE 1 - p.u3 END))), 4)
+             AS match_weight,
+           ROUND(p.lam * ((CASE WHEN g1 = 1 THEN p.m1 ELSE 1 - p.m1 END)
+                          * (CASE WHEN g2 = 1 THEN p.m2 ELSE 1 - p.m2 END)
+                          * (CASE WHEN g3 = 1 THEN p.m3 ELSE 1 - p.m3 END))
+                 / (p.lam * ((CASE WHEN g1 = 1 THEN p.m1 ELSE 1 - p.m1 END)
+                             * (CASE WHEN g2 = 1 THEN p.m2 ELSE 1 - p.m2 END)
+                             * (CASE WHEN g3 = 1 THEN p.m3 ELSE 1 - p.m3 END))
+                    + (1 - p.lam)
+                      * ((CASE WHEN g1 = 1 THEN p.u1 ELSE 1 - p.u1 END)
+                         * (CASE WHEN g2 = 1 THEN p.u2 ELSE 1 - p.u2 END)
+                         * (CASE WHEN g3 = 1 THEN p.u3 ELSE 1 - p.u3 END))), 6)
+             AS posterior
+    FROM f2s_fs_pat CROSS JOIN p{_FS_STEPS} p
+    ORDER BY g1, g2, g3
+    """,
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969) — the model
+    behind Splink and every census/MDM linkage stack: candidate pairs
+    (first-name-token blocking, the `er_blocking_metrics` scheme) are
+    reduced to 3-bit comparison vectors (second token equal, levenshtein
+    <= 3, same length bucket), and {_FS_STEPS} unrolled EM steps fit the
+    two-class conditional-independence mixture (prevalence lambda,
+    per-feature m = P(agree|match) and u = P(agree|non-match)). Output:
+    per observed pattern, its pair count, the log2 MATCH WEIGHT
+    log2(prod m / prod u) — the additive score Splink users threshold —
+    and the posterior match probability. Completes the ER family:
+    `join_fuzzy_blocked` finds candidates, `er_blocking_metrics` grades
+    the blocking, THIS learns the decision model unsupervised, and
+    `er_golden_record` consumes the decisions.
+
+    Determinism: EM runs entirely on the <= 8-row pattern-count frame;
+    all 7 parameters are re-quantized at 9dp and clamped to
+    [{_FS_EPS}, 1-{_FS_EPS}] after every step on both engines (the
+    ml_platt_scaling contract plus the clamp EM needs because a fitted
+    Bernoulli CAN round to an exact 0/1 and zero out a likelihood).
+
+    Scale: one blocked self-join (never all-pairs) contracted
+    immediately to pattern counts; EM cost is independent of data
+    volume. At 100 TB this is exactly Splink's architecture on Spark."""
+    p = load(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    keyed = names.select(
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("k1"),
+        F.split("p_name", " ").getItem(1).alias("k2"),
+        F.floor(F.length("p_name") / 5).alias("lb"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.k1") == F.col("b.k1")) & (F.col("a.p_name") < F.col("b.p_name")),
+    ).select(
+        (F.col("a.k2") == F.col("b.k2")).cast("int").alias("g1"),
+        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .cast("int")
+        .alias("g2"),
+        (F.col("a.lb") == F.col("b.lb")).cast("int").alias("g3"),
+    )
+    pat = (
+        cand.groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rows = pat.collect()  # <= 8 rows: the vec_kmeans bounded-collect contract
+    lam, m1, m2, m3, u1, u2, u3 = _FS_INIT
+    clamp = lambda x: min(max(round(x, 9), _FS_EPS), 1 - _FS_EPS)  # noqa: E731
+    for _ in range(_FS_STEPS):
+        sw = sn = 0.0
+        swg = [0.0, 0.0, 0.0]
+        sug = [0.0, 0.0, 0.0]
+        su = 0.0
+        for r in rows:
+            g = (r["g1"], r["g2"], r["g3"])
+            pm = (
+                (m1 if g[0] else 1 - m1)
+                * (m2 if g[1] else 1 - m2)
+                * (m3 if g[2] else 1 - m3)
+            )
+            pu = (
+                (u1 if g[0] else 1 - u1)
+                * (u2 if g[1] else 1 - u2)
+                * (u3 if g[2] else 1 - u3)
+            )
+            w = lam * pm / (lam * pm + (1 - lam) * pu)
+            sn += r["n"]
+            sw += r["n"] * w
+            su += r["n"] * (1 - w)
+            for k in range(3):
+                swg[k] += r["n"] * w * g[k]
+                sug[k] += r["n"] * (1 - w) * g[k]
+        lam = clamp(sw / sn)
+        m1, m2, m3 = (clamp(swg[k] / sw) for k in range(3))
+        u1, u2, u3 = (clamp(sug[k] / su) for k in range(3))
+    import math as _m
+
+    out = []
+    for r in sorted(rows, key=lambda r: (r["g1"], r["g2"], r["g3"])):
+        g = (r["g1"], r["g2"], r["g3"])
+        pm = (
+            (m1 if g[0] else 1 - m1)
+            * (m2 if g[1] else 1 - m2)
+            * (m3 if g[2] else 1 - m3)
+        )
+        pu = (
+            (u1 if g[0] else 1 - u1)
+            * (u2 if g[1] else 1 - u2)
+            * (u3 if g[2] else 1 - u3)
+        )
+        out.append(
+            (
+                g[0],
+                g[1],
+                g[2],
+                int(r["n"]),
+                round(_m.log2(pm / pu), 4),
+                round(lam * pm / (lam * pm + (1 - lam) * pu), 6),
+            )
+        )
+    from .advanced import _free_local_checkpoint
+
+    _free_local_checkpoint(pat)
+    return spark.createDataFrame(
+        out,
+        "g1 int, g2 int, g3 int, n_pairs long, match_weight double, posterior double",
+    )

@@ -1269,3 +1269,61 @@ def fits_datasource_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_dir(spark, sf_dir, "nation_fits", write)
     register_fits(spark)  # idempotent; ships the parser to executors
     return spark.read.format("fits").option("hdu", "1").load(path)
+
+
+@register(
+    "fits_datasource_pushdown",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_regionkey = 2 AND n_nationkey > 5
+    """,
+)
+def fits_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the registered ``fits`` format (Spark 4.1
+    ``DataSourceReader.pushFilters``, gated by
+    ``spark.sql.python.filterPushdown.enabled``): the EqualTo and
+    GreaterThan predicates reach the Python reader, which applies them on
+    the decoded Arrow batch BEFORE rows cross the Python->JVM Arrow
+    channel — the expensive edge of any Python data source. Catalyst
+    drops its own re-evaluation of fully-pushed filters, so the scan
+    output IS the filtered set (this oracle proves the semantics; the
+    reader-level unit test in tests/test_fits.py proves the filters were
+    actually accepted rather than yielded back).
+
+    At scale this is the difference between shipping a full multi-GB
+    BINTABLE through Arrow and shipping the matching rows only; combined
+    with the row-range partition planning it gives the registered format
+    the same scan-reduction levers a parquet reader has (minus row-group
+    statistics, which FITS headers do not carry)."""
+    import duckdb
+
+    from ..sources.fits import write_fits_bintable
+    from ..sources.fits_datasource import register as register_fits
+
+    def write(out_dir: str) -> None:
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT n_nationkey, n_name, n_regionkey FROM "
+                f"read_parquet('{sf_dir}/nation.parquet') ORDER BY n_nationkey"
+            )
+            .fetchall()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        blob = write_fits_bintable(
+            [
+                ("n_nationkey", "J", [r[0] for r in rows]),
+                ("n_name", "A24", [r[1] for r in rows]),
+                ("n_regionkey", "J", [r[2] for r in rows]),
+            ]
+        )
+        with open(os.path.join(out_dir, "nation.fits"), "wb") as f:
+            f.write(blob)
+
+    path = _scratch_dir(spark, sf_dir, "nation_fits", write)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_fits(spark)
+    df = spark.read.format("fits").option("hdu", "1").load(path)
+    return df.filter(
+        (F.col("n_regionkey") == 2) & (F.col("n_nationkey") > 5)
+    ).select("n_nationkey", "n_name")

@@ -44,6 +44,50 @@ class FitsDataSourceReader(DataSourceReader):
         self._hdu = _hdu_option(options)
         self._schema = schema
         self._chunk_bytes = int(float(options.get("chunk_mb", 64)) * 1024 * 1024)
+        self._pushed: list[tuple[str, str, object]] = []
+
+    # comparisons behave correctly under these Spark/Arrow scalar types;
+    # nested/binary/VLA columns stay Spark-side
+    _PUSHABLE_TYPES = frozenset(
+        {"tinyint", "smallint", "int", "bigint", "float", "double",
+         "string", "boolean"}
+    )
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown (spark.sql.python.filterPushdown.enabled):
+        accept EqualTo / GreaterThan / LessThan on flat scalar columns and
+        apply them inside read() on the decoded Arrow batch — rows are
+        dropped BEFORE crossing the Python->JVM Arrow channel, which is the
+        expensive edge of this source. Unsupported shapes are yielded back
+        for Spark to evaluate post-scan (the API contract)."""
+        by_name = {f.name: f.dataType.simpleString() for f in self._schema.fields}
+        for flt in filters:
+            kind = type(flt).__name__
+            attr = getattr(flt, "attribute", None)
+            if (
+                kind in ("EqualTo", "GreaterThan", "LessThan")
+                and attr is not None
+                and len(attr) == 1
+                and by_name.get(attr[0]) in self._PUSHABLE_TYPES
+            ):
+                self._pushed.append((attr[0], kind, flt.value))
+            else:
+                yield flt
+
+    def _apply_pushed(self, batch):
+        if not self._pushed:
+            return batch
+        import pyarrow.compute as pc
+
+        mask = None
+        ops = {"EqualTo": pc.equal, "GreaterThan": pc.greater, "LessThan": pc.less}
+        for name, kind, value in self._pushed:
+            cond = ops[kind](batch.column(batch.schema.get_field_index(name)), value)
+            mask = cond if mask is None else pc.and_(mask, cond)
+        # SQL semantics: a null comparison never satisfies the predicate
+        import pyarrow as pa
+
+        return batch.filter(pc.coalesce(mask, pa.scalar(False)))
 
     def partitions(self):
         from .fits import _header_int, parse_bintable_header_path
@@ -84,7 +128,9 @@ class FitsDataSourceReader(DataSourceReader):
             partition.path, self._hdu, partition.row_start, partition.row_count
         )
         names = [f.name for f in self._schema.fields]
-        yield pa.RecordBatch.from_arrays(to_arrow_columns(s, cols), names=names)
+        yield self._apply_pushed(
+            pa.RecordBatch.from_arrays(to_arrow_columns(s, cols), names=names)
+        )
 
 
 class FitsDataSource(DataSource):

@@ -581,3 +581,19 @@ def test_xmatch_bayes_grades_by_separation(spark):
     # the closest pairs must be near-certain matches, the farthest ~0
     assert srt[0]["posterior"] > 0.9
     assert srt[-1]["posterior"] < 0.5
+
+
+def test_fellegi_sunter_weights_order_patterns(spark):
+    rows = _run(spark, "er_fellegi_sunter")
+    assert rows
+    by_pat = {(r["g1"], r["g2"], r["g3"]): r for r in rows}
+    assert sum(r["n_pairs"] for r in rows) > 0
+    for r in rows:
+        assert 0.0 <= r["posterior"] <= 1.0
+        assert math.isfinite(r["match_weight"])
+    # monotone in evidence: posterior never decreases when a pattern adds
+    # an agreement bit (holds when every fitted m_k/u_k ratio > 1, which
+    # the all-agree-vs-all-disagree comparison verifies indirectly)
+    if (1, 1, 1) in by_pat and (0, 0, 0) in by_pat:
+        assert by_pat[(1, 1, 1)]["match_weight"] > by_pat[(0, 0, 0)]["match_weight"]
+        assert by_pat[(1, 1, 1)]["posterior"] >= by_pat[(0, 0, 0)]["posterior"]
