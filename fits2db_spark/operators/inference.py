@@ -7734,3 +7734,211 @@ def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             "welch_f"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test for two survival curves (round 11 tail)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_logrank_test",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS first_o,
+             MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS second_o,
+             MIN(CASE WHEN rn = 1 THEN o_totalprice END) AS first_price
+      FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ),
+    subj AS (
+      SELECT CASE WHEN second_o IS NOT NULL
+                  THEN datediff('day', first_o, second_o)
+                  ELSE datediff('day', first_o, TIMESTAMP '2001-08-01') END AS dur,
+             CASE WHEN second_o IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CASE WHEN first_price > {_COX_THRESH} THEN 1 ELSE 0 END AS x
+      FROM per_cust
+    ),
+    e0 AS (
+      SELECT dur, CAST(COUNT(*) AS DOUBLE) AS m, CAST(SUM(ev) AS DOUBLE) AS d,
+             CAST(SUM(x) AS DOUBLE) AS m1, CAST(SUM(ev * x) AS DOUBLE) AS d1
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d, d1,
+             SUM(m) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS nr,
+             SUM(m1) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS n1
+      FROM e0
+    ),
+    terms AS (
+      SELECT d1, d * n1 / nr AS e1,
+             CASE WHEN nr > 1
+                  THEN d * (n1 / nr) * (1 - n1 / nr) * (nr - d) / (nr - 1)
+                  ELSE 0 END AS v1
+      FROM risk WHERE d >= 1
+    )
+    SELECT CAST(SUM(d1) AS BIGINT) AS observed_1,
+           ROUND(SUM(e1), 4) AS expected_1,
+           ROUND((SUM(d1) - SUM(e1)) * (SUM(d1) - SUM(e1)) / SUM(v1), 6)
+             AS logrank_x2,
+           ROUND((SUM(d1) - SUM(e1)) / SQRT(SUM(v1)), 6) AS z_stat,
+           CAST((SUM(d1) - SUM(e1)) * (SUM(d1) - SUM(e1)) / SUM(v1) > 3.841459
+                AS INTEGER) AS reject_05
+    FROM terms
+    """,
+)
+def ml_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test that the big-first-order and
+    small-first-order customers share one repeat-purchase survival
+    curve — the hypothesis-test capstone of the survival family
+    (`orders_survival_km` draws the curves, `ml_cox_ph` sizes the
+    effect, THIS tests it non-parametrically): at each event time the
+    group-1 events d1 are compared against the hypergeometric
+    expectation d n1/n with variance d (n1/n)(1-n1/n)(n-d)/(n-1), and
+    X^2 = (O-E)^2/V ~ chi2(1). TRUE NULL on the fixture (first-order
+    size independent of repeat timing), consistent with ml_cox_ph's
+    beta ~ 0. 3.841459 = chi2(1, 0.95).
+
+    Plan: the IDENTICAL contraction as ml_cox_ph — per-customer window,
+    one groupBy to the O(distinct durations) histogram, descending
+    cumulative risk counts — then one aggregate. No iteration at all:
+    the log-rank statistic is a single closed-form pass, which is why
+    it is the default first look before any Cox fit."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", "o_totalprice", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("first_o"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("second_o"),
+        F.min(F.when(F.col("rn") == 1, F.col("o_totalprice"))).alias("first_price"),
+    )
+    end = F.lit("2001-08-01").cast("timestamp")
+    dur = F.when(
+        F.col("second_o").isNotNull(),
+        F.datediff(F.col("second_o").cast("date"), F.col("first_o").cast("date")),
+    ).otherwise(F.datediff(end.cast("date"), F.col("first_o").cast("date")))
+    subj = per_cust.select(
+        dur.alias("dur"),
+        F.col("second_o").isNotNull().cast("int").alias("ev"),
+        (F.col("first_price") > _COX_THRESH).cast("int").alias("x"),
+    )
+    e0 = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("ev").cast("double").alias("d"),
+        F.sum("x").cast("double").alias("m1"),
+        F.sum(F.col("ev") * F.col("x")).cast("double").alias("d1"),
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = e0.select(
+        "d",
+        "d1",
+        F.sum("m").over(w_desc).alias("nr"),
+        F.sum("m1").over(w_desc).alias("n1"),
+    ).filter(F.col("d") >= 1)
+    e1 = F.col("d") * F.col("n1") / F.col("nr")
+    v1 = F.when(
+        F.col("nr") > 1,
+        F.col("d")
+        * (F.col("n1") / F.col("nr"))
+        * (1 - F.col("n1") / F.col("nr"))
+        * (F.col("nr") - F.col("d"))
+        / (F.col("nr") - 1),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(e1).alias("e1"),
+        F.sum(v1).alias("v1"),
+    )
+    x2 = (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v1")
+    return agg.select(
+        F.col("o1").cast("long").alias("observed_1"),
+        F.round(F.col("e1"), 4).alias("expected_1"),
+        F.round(x2, 6).alias("logrank_x2"),
+        F.round(
+            (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v1")), 6
+        ).alias("z_stat"),
+        (x2 > 3.841459).cast("int").alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate (round 11 tail)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_capture_recapture",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate < TIMESTAMP '1994-01-01'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1994-01-01'),
+    c AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM a) AS n1,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM b) AS n2,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM a JOIN b USING (o_custkey))
+               AS m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_sample1,
+           CAST(n2 AS BIGINT) AS n_sample2,
+           CAST(m AS BIGINT) AS n_both,
+           ROUND((n1 + 1) * (n2 + 1) / (m + 1) - 1, 3) AS n_hat_chapman,
+           ROUND(SQRT((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+                      / ((m + 1) * (m + 1) * (m + 2))), 3) AS se,
+           ROUND(((n1 + 1) * (n2 + 1) / (m + 1) - 1)
+                 - 1.96 * SQRT((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+                               / ((m + 1) * (m + 1) * (m + 2))), 3) AS ci_lo,
+           ROUND(((n1 + 1) * (n2 + 1) / (m + 1) - 1)
+                 + 1.96 * SQRT((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+                               / ((m + 1) * (m + 1) * (m + 2))), 3) AS ci_hi
+    FROM c
+    """,
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation with the Chapman (1951)
+    bias-corrected Lincoln-Petersen estimator: customers active before
+    1994 are the first capture, customers active from 1994 the second,
+    and N_hat = (n1+1)(n2+1)/(m+1) - 1 estimates the TOTAL customer
+    universe from the overlap — the ecology classic that data engineers
+    reuse to estimate true entity counts behind incomplete extracts
+    (how many customers exist if two feeds each see a biased sample?).
+    Seber's variance gives the 95% CI. The fixture's truth (every
+    customer with any order) is recoverable, so the pytest pins that
+    the CI brackets the actual distinct-customer count.
+
+    Plan: two distinct-contractions and one equi-join on customer key —
+    every stage is a hash aggregate; at 100 TB the DISTINCTs are the
+    only shuffles and they carry key cardinality, not order volume."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1994-01-01").cast("timestamp")
+    a = o.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    n1 = a.agg(F.count(F.lit(1)).cast("double").alias("n1"))
+    n2 = b.agg(F.count(F.lit(1)).cast("double").alias("n2"))
+    m = a.join(b, "o_custkey").agg(F.count(F.lit(1)).cast("double").alias("m"))
+    j = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    nhat = (F.col("n1") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    se = F.sqrt(
+        (F.col("n1") + 1)
+        * (F.col("n2") + 1)
+        * (F.col("n1") - F.col("m"))
+        * (F.col("n2") - F.col("m"))
+        / ((F.col("m") + 1) * (F.col("m") + 1) * (F.col("m") + 2))
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n_sample1"),
+        F.col("n2").cast("long").alias("n_sample2"),
+        F.col("m").cast("long").alias("n_both"),
+        F.round(nhat, 3).alias("n_hat_chapman"),
+        F.round(se, 3).alias("se"),
+        F.round(nhat - 1.96 * se, 3).alias("ci_lo"),
+        F.round(nhat + 1.96 * se, 3).alias("ci_hi"),
+    )

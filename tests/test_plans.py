@@ -289,6 +289,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "agg_kruskal_wallis",
     "agg_dunn_posthoc",
     "ml_conformal_interval",
+    "ml_logrank_test",
     # TPR/FPR cumulative windows over the same O(price-buckets) histogram
     # (r10)
     "ml_youden_threshold",

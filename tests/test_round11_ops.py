@@ -597,3 +597,21 @@ def test_fellegi_sunter_weights_order_patterns(spark):
     if (1, 1, 1) in by_pat and (0, 0, 0) in by_pat:
         assert by_pat[(1, 1, 1)]["match_weight"] > by_pat[(0, 0, 0)]["match_weight"]
         assert by_pat[(1, 1, 1)]["posterior"] >= by_pat[(0, 0, 0)]["posterior"]
+
+
+def test_logrank_true_null_and_identities(spark):
+    (r,) = _run(spark, "ml_logrank_test")
+    assert r["observed_1"] >= 0 and r["expected_1"] > 0
+    assert r["logrank_x2"] >= 0
+    assert abs(r["z_stat"] ** 2 - r["logrank_x2"]) < 1e-3
+    assert r["reject_05"] == 0, "true null: same survival curve both groups"
+
+
+def test_capture_recapture_brackets_truth(spark):
+    (r,) = _run(spark, "agg_capture_recapture")
+    from fits2db_spark.tables import load
+
+    truth = load(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    assert r["n_both"] <= min(r["n_sample1"], r["n_sample2"])
+    assert r["n_hat_chapman"] >= max(r["n_sample1"], r["n_sample2"]) - 1
+    assert r["ci_lo"] <= truth <= r["ci_hi"], (r, truth)
