@@ -7942,3 +7942,117 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nhat - 1.96 * se, 3).alias("ci_lo"),
         F.round(nhat + 1.96 * se, 3).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANCOVA (round 11 tail)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_ancova",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS x FROM lineitem GROUP BY 1
+    ),
+    d AS (
+      SELECT o.o_orderpriority AS g, li.x,
+             o.o_totalprice - {_EFF_CENTER} AS y
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM d GROUP BY g
+    ),
+    w AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS nt,
+             SUM(sxx - sx * sx / n) AS exx,
+             SUM(sxy - sx * sy / n) AS exy,
+             SUM(syy - sy * sy / n) AS eyy,
+             SUM(sx) AS tx, SUM(sy) AS ty,
+             SUM(sxx) AS txx, SUM(sxy) AS txy, SUM(syy) AS tyy
+      FROM s
+    ),
+    f AS (
+      SELECT k, nt,
+             eyy - exy * exy / exx AS sse_within,
+             (tyy - ty * ty / nt)
+               - (txy - tx * ty / nt) * (txy - tx * ty / nt)
+                 / (txx - tx * tx / nt) AS sse_total,
+             exy / exx AS beta_w
+      FROM w
+    )
+    SELECT CAST(nt AS BIGINT) AS n,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(nt - k - 1 AS BIGINT) AS df2,
+           ROUND(beta_w, 6) AS pooled_slope,
+           ROUND(((sse_total - sse_within) / (k - 1))
+                 / (sse_within / (nt - k - 1)), 6) AS f_stat,
+           CAST(((sse_total - sse_within) / (k - 1))
+                / (sse_within / (nt - k - 1)) > 2.372 AS INTEGER) AS reject_05
+    FROM f
+    """,
+)
+def agg_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANCOVA (Fisher): does order priority affect total price
+    AFTER adjusting for the order's lineitem count? The covariate soaks
+    up the variance the raw ANOVA charges to noise: F = ((SSE_total -
+    SSE_within)/(k-1)) / (SSE_within/(N-k-1)), where each SSE is the
+    residual sum of squares of a regression on the covariate — total
+    fits ONE line, within fits a pooled within-group slope with
+    per-group intercepts (the standard partitioned-sums identity, no
+    design matrix needed for one covariate). The missing member between
+    `agg_anova_oneway` (no covariate) and `ml_did_estimator`
+    (two-factor adjustment). TRUE NULL on the fixture: priority is
+    independent of price given anything, so F sits near 1; 2.372 =
+    F(4, inf, 0.95).
+
+    Plan: one lineitem contraction + one equi-join + ONE
+    partial-aggregating groupBy to 5 rows of pinned-center sums (the
+    agg_effect_sizes discipline); everything after is scalar algebra."""
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    o = load(spark, sf_dir, "orders")
+    d = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("g"),
+        "x",
+        (F.col("o_totalprice") - _EFF_CENTER).alias("y"),
+    )
+    s = d.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w = s.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias("exx"),
+        F.sum(F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")).alias("exy"),
+        F.sum(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("eyy"),
+        F.sum("sx").alias("tx"),
+        F.sum("sy").alias("ty"),
+        F.sum("sxx").alias("txx"),
+        F.sum("sxy").alias("txy"),
+        F.sum("syy").alias("tyy"),
+    )
+    sse_within = F.col("eyy") - F.col("exy") * F.col("exy") / F.col("exx")
+    sse_total = (
+        F.col("tyy") - F.col("ty") * F.col("ty") / F.col("nt")
+    ) - (F.col("txy") - F.col("tx") * F.col("ty") / F.col("nt")) * (
+        F.col("txy") - F.col("tx") * F.col("ty") / F.col("nt")
+    ) / (F.col("txx") - F.col("tx") * F.col("tx") / F.col("nt"))
+    fstat = ((sse_total - sse_within) / (F.col("k") - 1)) / (
+        sse_within / (F.col("nt") - F.col("k") - 1)
+    )
+    return w.select(
+        F.col("nt").cast("long").alias("n"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("nt") - F.col("k") - 1).cast("long").alias("df2"),
+        F.round(F.col("exy") / F.col("exx"), 6).alias("pooled_slope"),
+        F.round(fstat, 6).alias("f_stat"),
+        (fstat > 2.372).cast("int").alias("reject_05"),
+    )

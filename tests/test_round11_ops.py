@@ -615,3 +615,30 @@ def test_capture_recapture_brackets_truth(spark):
     assert r["n_both"] <= min(r["n_sample1"], r["n_sample2"])
     assert r["n_hat_chapman"] >= max(r["n_sample1"], r["n_sample2"]) - 1
     assert r["ci_lo"] <= truth <= r["ci_hi"], (r, truth)
+
+
+def test_ancova_true_null_and_slope_sanity(spark):
+    (r,) = _run(spark, "agg_ancova")
+    assert r["df1"] == 4 and r["df2"] > 100
+    assert r["f_stat"] >= 0
+    assert r["reject_05"] == 0, "true null: priority moves nothing, adjusted"
+    assert math.isfinite(r["pooled_slope"])
+
+
+def test_parallax_mode_is_root_and_prior_pulls_outward(spark):
+    rows = _run(spark, "astro_parallax_distance")
+    assert len(rows) > 50
+    from fits2db_spark.operators.joins import _PX_FRAC, _PX_L
+
+    n_out = 0
+    for r in rows:
+        plx, rm = r["plx"], r["r_mode"]
+        s2 = (_PX_FRAC * plx) ** 2
+        froot = rm**3 / _PX_L - 2 * rm**2 + (plx / s2) * rm - 1 / s2
+        fscale = abs(plx / s2) * max(rm, 1.0)
+        assert abs(froot) < 1e-3 * fscale, "Newton converged to the cubic root"
+        assert rm > 0
+        n_out += 1 if r["rel_shift"] > 0 else 0
+    # the EDSD prior has more volume OUTWARD (r^2 factor): at 20% errors
+    # the mode sits beyond 1/plx for the bulk of stars
+    assert n_out > len(rows) * 0.6
