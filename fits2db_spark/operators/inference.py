@@ -8056,3 +8056,217 @@ def agg_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fstat, 6).alias("f_stat"),
         (fstat > 2.372).cast("int").alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Instrumental-variable (Wald) estimator (round 11 tail)
+# ---------------------------------------------------------------------------
+_IV_EFFECT = 1.5  # planted true causal effect of x on y
+_IV_CONF = 3.0    # planted confounder loading on y (biases OLS upward)
+
+
+@register(
+    "ml_iv_wald_estimator",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(concat('ivz-',
+               CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 2 AS DOUBLE)
+               AS z,
+             (CAST(concat('0x', substr(md5(concat('ivc-',
+               CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000001)
+               / 1000000.0 AS c,
+             (CAST(concat('0x', substr(md5(concat('ive-',
+               CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000001)
+               / 1000000.0 AS e1,
+             (CAST(concat('0x', substr(md5(concat('ivf-',
+               CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000001)
+               / 1000000.0 AS e2
+      FROM orders
+    ),
+    xy AS (
+      SELECT z, 2 * c + 0.5 * z + 0.3 * e1 AS x,
+             {_IV_EFFECT} * (2 * c + 0.5 * z + 0.3 * e1)
+               + {_IV_CONF} * c + 0.3 * e2 AS y
+      FROM d
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(x) AS mx, AVG(y) AS my, AVG(z) AS mz,
+             AVG(x * y) AS mxy, AVG(x * x) AS mxx,
+             AVG(z * y) AS mzy, AVG(z * x) AS mzx, AVG(z * z) AS mzz
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((mxy - mx * my) / (mxx - mx * mx), 6) AS beta_ols,
+           ROUND((mzy - mz * my) / (mzx - mz * mx), 6) AS beta_iv,
+           ROUND((mzx - mz * mx) * (mzx - mz * mx) / (mzz - mz * mz)
+                 / ((mxx - mx * mx)
+                    - (mzx - mz * mx) * (mzx - mz * mx) / (mzz - mz * mz))
+                 * (n - 2), 4) AS first_stage_f
+    FROM s
+    """,
+)
+def ml_iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable estimation (the Wald / two-stage-least-
+    squares estimator with one binary instrument): a planted structural
+    system — confounder c drives BOTH treatment x and outcome y, a
+    random "encouragement" coin z shifts x only — where naive OLS is
+    biased upward by construction ({_IV_EFFECT} + confounding) and the
+    IV ratio cov(z,y)/cov(z,x) recovers the true effect {_IV_EFFECT}.
+    The missing member of the causal family (`ml_did_estimator` needs
+    panel structure, `ml_regression_discontinuity` a threshold,
+    `ml_ipw_ate` observed confounders; IV is what you run when the
+    confounder is UNOBSERVED but an instrument exists). The first-stage
+    F (instrument strength) is reported because a weak instrument
+    invalidates the whole design (rule of thumb F > 10).
+
+    Determinism: the structural system is md5-derandomized per order
+    (four independent 60-bit uniforms); everything else is ONE
+    moment-aggregate pass — no iteration, no join. Pytest pins
+    beta_iv ~ {_IV_EFFECT} within sampling error while beta_ols is
+    biased away by > 10 standard errors."""
+    o = load(spark, sf_dir, "orders")
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag + "-"), F.col("o_orderkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    z = (h("ivz") % 2).cast("double")
+    c = (h("ivc") % 1000001) / 1000000.0
+    e1 = (h("ive") % 1000001) / 1000000.0
+    e2 = (h("ivf") % 1000001) / 1000000.0
+    x = 2 * c + 0.5 * z + 0.3 * e1
+    y = _IV_EFFECT * x + _IV_CONF * c + 0.3 * e2
+    s = o.select(z.alias("z"), x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg("z").alias("mz"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("z") * F.col("y")).alias("mzy"),
+        F.avg(F.col("z") * F.col("x")).alias("mzx"),
+        F.avg(F.col("z") * F.col("z")).alias("mzz"),
+    )
+    cxy = F.col("mxy") - F.col("mx") * F.col("my")
+    vxx = F.col("mxx") - F.col("mx") * F.col("mx")
+    czy = F.col("mzy") - F.col("mz") * F.col("my")
+    czx = F.col("mzx") - F.col("mz") * F.col("mx")
+    vzz = F.col("mzz") - F.col("mz") * F.col("mz")
+    expl = czx * czx / vzz
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(cxy / vxx, 6).alias("beta_ols"),
+        F.round(czy / czx, 6).alias("beta_iv"),
+        F.round(expl / (vxx - expl) * (F.col("n") - 2), 4).alias("first_stage_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous-treatment-effect subgroup scan (round 11 tail)
+# ---------------------------------------------------------------------------
+_HTE_LIFT = 60000.0  # planted effect, BUILDING only (the fixture price sigma ~9e4, so a detectable lift must be of that order)
+_HTE_Z = _norm_inv(1 - 0.05 / (2 * 5))  # Bonferroni: 5 segments, two-sided
+
+
+@register(
+    "ml_hte_subgroup_scan",
+    oracle=f"""
+    WITH d AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(concat('0x', substr(md5(concat('hte-',
+               CAST(o.o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 2
+               AS INTEGER) AS t,
+             o.o_totalprice
+             + CASE WHEN c.c_mktsegment = 'BUILDING'
+                    AND CAST(concat('0x', substr(md5(concat('hte-',
+                      CAST(o.o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 1
+                    THEN {_HTE_LIFT} ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT segment, t, CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(y) AS m, var_samp(y) AS v
+      FROM d GROUP BY 1, 2
+    )
+    SELECT a.segment,
+           CAST(a.n AS BIGINT) AS n_treat, CAST(b.n AS BIGINT) AS n_ctrl,
+           ROUND(a.m - b.m, 4) AS uplift,
+           ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 4) AS z_stat,
+           CAST(ABS((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n)) > {_HTE_Z}
+                AS INTEGER) AS significant
+    FROM s a JOIN s b ON a.segment = b.segment AND a.t = 1 AND b.t = 0
+    ORDER BY a.segment
+    """,
+)
+def ml_hte_subgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-treatment-effect subgroup scan — the post-experiment
+    question every team asks next ("the average effect is X, but WHO is
+    it working for?"), done with the guardrail it requires: per-segment
+    treated-vs-control Welch z with the BONFERRONI critical value
+    {_HTE_Z:.3f} (alpha/10 two-sided for 5 subgroups), because scanning
+    subgroups at the nominal 1.96 is the classic false-discovery
+    machine. Treatment is an md5 coin per order; a {_HTE_LIFT:.0f} lift
+    is PLANTED in the BUILDING segment only, so exactly one subgroup
+    must flag and the other four must hold their true null (pytest-
+    pinned both ways).
+
+    Plan: one join + ONE partial-aggregating groupBy to (segment,
+    treated) cells; the scan is 5x2 algebra. At 100 TB subgroup scans
+    are exactly this contraction — never per-subgroup passes."""
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hte-"), F.col("o_orderkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    d = o.join(cust, cust["c_custkey"] == o["o_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        t.alias("t"),
+        (
+            F.col("o_totalprice")
+            + F.when((F.col("c_mktsegment") == "BUILDING") & (t == 1), _HTE_LIFT)
+            .otherwise(0.0)
+        ).alias("y"),
+    )
+    s = d.groupBy("segment", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+    )
+    a = s.filter(F.col("t") == 1).select(
+        "segment", F.col("n").alias("nt"), F.col("m").alias("mt"), F.col("v").alias("vt")
+    )
+    b = s.filter(F.col("t") == 0).select(
+        "segment", F.col("n").alias("nc"), F.col("m").alias("mc"), F.col("v").alias("vc")
+    )
+    zed = (F.col("mt") - F.col("mc")) / F.sqrt(
+        F.col("vt") / F.col("nt") + F.col("vc") / F.col("nc")
+    )
+    return (
+        a.join(b, "segment")
+        .select(
+            "segment",
+            F.col("nt").cast("long").alias("n_treat"),
+            F.col("nc").cast("long").alias("n_ctrl"),
+            F.round(F.col("mt") - F.col("mc"), 4).alias("uplift"),
+            F.round(zed, 4).alias("z_stat"),
+            (F.abs(zed) > _HTE_Z).cast("int").alias("significant"),
+        )
+        .orderBy("segment")
+    )

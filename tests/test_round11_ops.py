@@ -642,3 +642,25 @@ def test_parallax_mode_is_root_and_prior_pulls_outward(spark):
     # the EDSD prior has more volume OUTWARD (r^2 factor): at 20% errors
     # the mode sits beyond 1/plx for the bulk of stars
     assert n_out > len(rows) * 0.6
+
+
+def test_iv_recovers_truth_where_ols_is_biased(spark):
+    (r,) = _run(spark, "ml_iv_wald_estimator")
+    from fits2db_spark.operators.inference import _IV_EFFECT
+
+    assert r["first_stage_f"] > 10, "instrument must be strong"
+    assert abs(r["beta_iv"] - _IV_EFFECT) < 0.2, r["beta_iv"]
+    # the confounder biases OLS upward by ~ cov(c,y-bx)/var(x) >> 0.2
+    assert r["beta_ols"] > _IV_EFFECT + 0.5, r["beta_ols"]
+
+
+def test_hte_scan_flags_only_the_planted_segment(spark):
+    rows = {r["segment"]: r for r in _run(spark, "ml_hte_subgroup_scan")}
+    assert set(rows) == {
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+    }
+    assert rows["BUILDING"]["significant"] == 1, rows["BUILDING"]
+    assert rows["BUILDING"]["uplift"] > 0
+    for seg, r in rows.items():
+        if seg != "BUILDING":
+            assert r["significant"] == 0, (seg, r)
