@@ -2304,14 +2304,22 @@ def astro_parallax_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_true = 0.1 + (h(1) % 1000) / 500.0
     u = (h(16) % 1000001) / 1000000.0
     plx = (1 / r_true) * (0.8 + 0.4 * u)
-    base = c.select(
+    # each Newton step references r ~6 times, so a purely-inlined unroll
+    # grows the expression tree ~6^steps (measured: 32s of Catalyst/codegen
+    # for 500 rows). A lineage cut per step keeps every tree small; the
+    # frame is bounded at _PX_KEYS rows by construction, so the cuts are
+    # O(1) jobs (the iterative-plan law, docs/SCALE.md).
+    from .advanced import _free_local_checkpoint
+
+    cur = c.select(
         F.col("c_custkey").alias("id"),
         plx.alias("plx"),
         (F.lit(_PX_FRAC**2) * plx * plx).alias("s2"),
         (1 / plx).alias("r"),
-    )
-    r = F.col("r")
+    ).localCheckpoint(eager=True)
+    first = cur
     for _ in range(_PX_STEPS):
+        r = F.col("r")
         fv = (
             r * r * r / _PX_L
             - 2 * r * r
@@ -2319,11 +2327,21 @@ def astro_parallax_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1 / F.col("s2")
         )
         fp = 3 * r * r / _PX_L - 4 * r + F.col("plx") / F.col("s2")
-        r = F.round(r - fv / fp, 9)
-    return base.select(
+        nxt = cur.select(
+            "id", "plx", "s2", F.round(r - fv / fp, 9).alias("r")
+        ).localCheckpoint(eager=True)
+        if cur is not first:
+            _free_local_checkpoint(cur)
+        cur = nxt
+    out = cur.select(
         "id",
         F.round(F.col("plx"), 6).alias("plx"),
         F.round(1 / F.col("plx"), 6).alias("r_naive"),
-        F.round(r, 6).alias("r_mode"),
-        F.round((r - 1 / F.col("plx")) / (1 / F.col("plx")), 6).alias("rel_shift"),
-    )
+        F.round(F.col("r"), 6).alias("r_mode"),
+        F.round(
+            (F.col("r") - 1 / F.col("plx")) / (1 / F.col("plx")), 6
+        ).alias("rel_shift"),
+    ).localCheckpoint(eager=True)
+    _free_local_checkpoint(first)
+    _free_local_checkpoint(cur)
+    return out
