@@ -7439,3 +7439,119 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dur"), 6).alias("avg_session_secs"),
         F.max("dur").cast("long").alias("max_session_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-averaged cross-spectral coherence (round 11 tail)
+# ---------------------------------------------------------------------------
+_COH_BLOCK = 10          # days per Welch block (the events fixture spans 30 days -> 3 blocks at every SF)
+_COH_FREQS = (1, 2, 3, 4)  # cycles per block
+_COH_PI = 3.141592653589793
+
+
+@register(
+    "events_coherence",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(value) AS v
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+    ),
+    xy AS (
+      SELECT a.d, a.v AS x, b.v AS y,
+             CAST(FLOOR(a.d / {_COH_BLOCK}) AS BIGINT) AS blk,
+             a.d % {_COH_BLOCK} AS t
+      FROM (SELECT d, v FROM daily WHERE event_type = 'click') a
+      JOIN (SELECT d, v FROM daily WHERE event_type = 'view') b USING (d)
+    ),
+    demeaned AS (
+      SELECT blk, t, x - AVG(x) OVER (PARTITION BY blk) AS x,
+             y - AVG(y) OVER (PARTITION BY blk) AS y
+      FROM xy
+    ),
+    terms AS (
+      SELECT blk, k,
+             SUM(x * COS(2 * {_COH_PI} * k * t / {_COH_BLOCK})) AS xc,
+             SUM(x * SIN(2 * {_COH_PI} * k * t / {_COH_BLOCK})) AS xs,
+             SUM(y * COS(2 * {_COH_PI} * k * t / {_COH_BLOCK})) AS yc,
+             SUM(y * SIN(2 * {_COH_PI} * k * t / {_COH_BLOCK})) AS ys
+      FROM demeaned,
+           (SELECT UNNEST([{", ".join(str(k) for k in _COH_FREQS)}]) AS k)
+      GROUP BY 1, 2
+    )
+    SELECT k AS cycles_per_block,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           ROUND((SUM(xc * yc + xs * ys) * SUM(xc * yc + xs * ys)
+                  + SUM(xs * yc - xc * ys) * SUM(xs * yc - xc * ys))
+                 / (SUM(xc * xc + xs * xs) * SUM(yc * yc + ys * ys)), 6)
+             AS coherence2,
+           ROUND(ATAN2(SUM(xs * yc - xc * ys), SUM(xc * yc + xs * ys)), 4)
+             AS phase
+    FROM terms GROUP BY k ORDER BY k
+    """,
+)
+def events_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-averaged (Welch) magnitude-squared coherence between the
+    click and view daily series at {_COH_FREQS} cycles per
+    {_COH_BLOCK}-day block: |S_xy|^2 / (S_xx S_yy) with the cross- and
+    auto-spectra averaged over blocks — WITHOUT block averaging the
+    single-taper coherence is identically 1, which is the classic
+    rookie mistake this operator's construction bakes out. The
+    FREQUENCY-DOMAIN member of the dependence family (events_cross_
+    correlation answers "at what lag", events_granger "does x forecast
+    y"; coherence answers "at which timescale are they coupled"),
+    plus the cross-phase at each frequency. Missing days drop from both
+    series identically (inner day join), so both engines sum the same
+    terms.
+
+    Plan: the daily groupBy is the only event-volume stage; one
+    self-join on day, an O(days) per-block demeaning window, a 4-way
+    frequency explode to O(days x freqs) rows, and two bounded rollups.
+    The trig arguments are exact rationals times a baked pi literal —
+    identical text both engines; ROUND absorbs libm ulp."""
+    daily = daily_value_series(spark, sf_dir, agg="sum")
+    x = daily.filter(F.col("event_type") == "click").select(
+        "d", F.col("v").alias("x")
+    )
+    y = daily.filter(F.col("event_type") == "view").select(
+        "d", F.col("v").alias("y")
+    )
+    xy = x.join(y, "d").select(
+        (F.floor(F.col("d") / _COH_BLOCK)).cast("long").alias("blk"),
+        (F.col("d") % _COH_BLOCK).alias("t"),
+        "x",
+        "y",
+    )
+    wb = Window.partitionBy("blk")
+    dm = xy.select(
+        "blk",
+        "t",
+        (F.col("x") - F.avg("x").over(wb)).alias("x"),
+        (F.col("y") - F.avg("y").over(wb)).alias("y"),
+    )
+    freqs = F.explode(F.array(*[F.lit(k) for k in _COH_FREQS])).alias("k")
+    ang = 2 * _COH_PI * F.col("k") * F.col("t") / _COH_BLOCK
+    terms = (
+        dm.select("blk", "t", "x", "y", freqs)
+        .groupBy("blk", "k")
+        .agg(
+            F.sum(F.col("x") * F.cos(ang)).alias("xc"),
+            F.sum(F.col("x") * F.sin(ang)).alias("xs"),
+            F.sum(F.col("y") * F.cos(ang)).alias("yc"),
+            F.sum(F.col("y") * F.sin(ang)).alias("ys"),
+        )
+    )
+    rxy = F.sum(F.col("xc") * F.col("yc") + F.col("xs") * F.col("ys"))
+    ixy = F.sum(F.col("xs") * F.col("yc") - F.col("xc") * F.col("ys"))
+    sxx = F.sum(F.col("xc") * F.col("xc") + F.col("xs") * F.col("xs"))
+    syy = F.sum(F.col("yc") * F.col("yc") + F.col("ys") * F.col("ys"))
+    return (
+        terms.groupBy(F.col("k").alias("cycles_per_block"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.round((rxy * rxy + ixy * ixy) / (sxx * syy), 6).alias("coherence2"),
+            F.round(F.atan2(ixy, rxy), 4).alias("phase"),
+        )
+        .orderBy("cycles_per_block")
+    )

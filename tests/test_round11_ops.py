@@ -664,3 +664,14 @@ def test_hte_scan_flags_only_the_planted_segment(spark):
     for seg, r in rows.items():
         if seg != "BUILDING":
             assert r["significant"] == 0, (seg, r)
+
+
+def test_coherence_bounds_and_blocks(spark):
+    rows = _run(spark, "events_coherence")
+    assert [r["cycles_per_block"] for r in rows] == [1, 2, 3, 4]
+    nb = rows[0]["n_blocks"]
+    assert nb >= 2, "block averaging needs >= 2 blocks or coherence is 1"
+    for r in rows:
+        assert r["n_blocks"] == nb
+        assert 0.0 <= r["coherence2"] <= 1.0 + 1e-9, r
+        assert -math.pi - 1e-6 <= r["phase"] <= math.pi + 1e-6
