@@ -8270,3 +8270,178 @@ def ml_hte_subgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroscedasticity test (round 11 tail)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_breusch_pagan",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS x FROM lineitem GROUP BY 1
+    ),
+    d AS (
+      SELECT li.x, o.o_totalprice AS y
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(x) AS mx, AVG(y) AS my,
+             ROUND((AVG(x * y) - AVG(x) * AVG(y))
+                   / (AVG(x * x) - AVG(x) * AVG(x)), 9) AS b
+      FROM d
+    ),
+    fit2 AS (SELECT n, mx, b, ROUND(my - b * mx, 9) AS a FROM fit),
+    e AS (
+      SELECT x, (y - (a + b * x)) * (y - (a + b * x)) AS e2, n
+      FROM d CROSS JOIN fit2
+    ),
+    r AS (
+      SELECT MAX(n) AS n,
+             (AVG(x * e2) - AVG(x) * AVG(e2)) * (AVG(x * e2) - AVG(x) * AVG(e2))
+               / ((AVG(x * x) - AVG(x) * AVG(x))
+                  * (AVG(e2 * e2) - AVG(e2) * AVG(e2))) AS r2
+      FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(n * r2, 6) AS lm_stat,
+           ROUND(r2, 9) AS r2_aux,
+           CAST(n * r2 > 3.841459 AS INTEGER) AS reject_05
+    FROM r
+    """,
+)
+def ml_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan / Koenker heteroscedasticity test on the order-value
+    ~ lineitem-count regression: LM = n R^2 of the auxiliary regression
+    of SQUARED residuals on the regressor, ~ chi2(1) under
+    homoscedasticity. The diagnostic that decides whether the OLS family
+    (`agg_linreg`, `ml_ridge_regression`, `ml_conformal_interval`'s
+    fit) may quote its classical standard errors or must go robust —
+    and on THIS fixture the answer is genuinely heteroscedastic:
+    o_totalprice is a SUM of ~x lineitem prices, so Var(y|x) grows
+    linearly in x, and the test must reject (pinned by pytest; a rare
+    true-ALTERNATIVE fixture in a family of true nulls).
+
+    Determinism: the OLS pair is re-quantized at 9dp (the
+    ml_conformal_interval discipline) so every squared residual is
+    bit-identical cross-engine; both passes are single moment
+    aggregates — no window, no iteration. 3.841459 = chi2(1, 0.95)."""
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    o = load(spark, sf_dir, "orders")
+    d = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "x", F.col("o_totalprice").alias("y")
+    )
+    fit = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.round(
+            (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y"))
+            / (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")),
+            9,
+        ).alias("b"),
+    ).select(
+        "n", "mx", "b", F.round(F.col("my") - F.col("b") * F.col("mx"), 9).alias("a")
+    )
+    e2 = (F.col("y") - (F.col("a") + F.col("b") * F.col("x"))) * (
+        F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    )
+    r = d.crossJoin(F.broadcast(fit)).select("x", e2.alias("e2"), "n").agg(
+        F.max("n").alias("n"),
+        (
+            (F.avg(F.col("x") * F.col("e2")) - F.avg("x") * F.avg("e2"))
+            * (F.avg(F.col("x") * F.col("e2")) - F.avg("x") * F.avg("e2"))
+            / (
+                (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
+                * (F.avg(F.col("e2") * F.col("e2")) - F.avg("e2") * F.avg("e2"))
+            )
+        ).alias("r2"),
+    )
+    lm = F.col("n") * F.col("r2")
+    return r.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(lm, 6).alias("lm_stat"),
+        F.round(F.col("r2"), 9).alias("r2_aux"),
+        (lm > 3.841459).cast("int").alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition (round 11 tail)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_theil_decomposition",
+    oracle="""
+    WITH d AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT segment, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS s,
+             SUM(x * LN(x)) AS sxl
+      FROM d GROUP BY segment
+    ),
+    tot AS (SELECT SUM(n) AS nt, SUM(s) AS st FROM g),
+    parts AS (
+      SELECT g.segment, g.n, g.s,
+             -- within-group Theil T weighted by the group's income share
+             (g.sxl / g.s - LN(g.s / g.n)) AS t_within_g,
+             (g.s / tot.st) * LN((g.s / tot.st) / (g.n / tot.nt)) AS t_between_g,
+             g.s / tot.st AS share
+      FROM g CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           ROUND(SUM(share * t_within_g) + SUM(t_between_g), 6) AS theil_total,
+           ROUND(SUM(share * t_within_g), 6) AS theil_within,
+           ROUND(SUM(t_between_g), 6) AS theil_between,
+           ROUND(SUM(t_between_g)
+                 / (SUM(share * t_within_g) + SUM(t_between_g)), 6)
+             AS between_share
+    FROM parts
+    """,
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index with its exact between/within
+    decomposition by market segment: T = sum_g share_g T_g (within) +
+    sum_g share_g ln(share_g / popshare_g) (between) — the property
+    that makes Theil the inequality measure for group analysis where
+    `agg_gini` / `agg_lorenz_curve` cannot decompose additively. The
+    fixture's prices are segment-independent, so the between term must
+    be ~0 and essentially all inequality within (pytest pins the
+    decomposition identity AND that between/total is negligible).
+
+    The group Theil uses the one-pass identity T_g = E[x ln x]/mu -
+    ln(mu) on positive values (o_totalprice > 0 always), so the whole
+    operator is ONE partial-aggregating groupBy to 5 rows of (n, sum,
+    sum x ln x) plus scalar algebra — the same contraction cost as a
+    plain mean at any data volume."""
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    d = o.join(cust, cust["c_custkey"] == o["o_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("x")
+    )
+    g = d.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.log("x")).alias("sxl"),
+    )
+    tot = g.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
+    parts = g.crossJoin(F.broadcast(tot)).select(
+        (F.col("sxl") / F.col("s") - F.log(F.col("s") / F.col("n"))).alias("tw"),
+        (
+            (F.col("s") / F.col("st"))
+            * F.log((F.col("s") / F.col("st")) / (F.col("n") / F.col("nt")))
+        ).alias("tb"),
+        (F.col("s") / F.col("st")).alias("share"),
+    )
+    within = F.sum(F.col("share") * F.col("tw"))
+    between = F.sum("tb")
+    return parts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.round(within + between, 6).alias("theil_total"),
+        F.round(within, 6).alias("theil_within"),
+        F.round(between, 6).alias("theil_between"),
+        F.round(between / (within + between), 6).alias("between_share"),
+    )

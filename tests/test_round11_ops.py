@@ -675,3 +675,25 @@ def test_coherence_bounds_and_blocks(spark):
         assert r["n_blocks"] == nb
         assert 0.0 <= r["coherence2"] <= 1.0 + 1e-9, r
         assert -math.pi - 1e-6 <= r["phase"] <= math.pi + 1e-6
+
+
+def test_breusch_pagan_detects_the_built_in_heteroscedasticity(spark):
+    (r,) = _run(spark, "ml_breusch_pagan")
+    assert r["n"] > 0
+    assert 0.0 <= r["r2_aux"] <= 1.0
+    # o_totalprice is a sum of ~x lineitem prices: Var(y|x) grows with x,
+    # so the LM test must reject homoscedasticity (true alternative)
+    assert r["reject_05"] == 1, r["lm_stat"]
+    assert r["lm_stat"] > 3.841459
+
+
+def test_theil_decomposition_identity_and_null_between(spark):
+    (r,) = _run(spark, "agg_theil_decomposition")
+    assert r["k"] == 5
+    assert r["theil_total"] > 0
+    assert (
+        abs(r["theil_within"] + r["theil_between"] - r["theil_total"]) < 2e-6
+    )
+    # prices are segment-independent: between-group inequality ~ 0
+    assert r["theil_between"] < 0.01 * r["theil_total"] + 1e-4, r
+    assert 0.0 <= r["between_share"] < 0.02
