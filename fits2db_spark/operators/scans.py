@@ -1321,9 +1321,26 @@ def fits_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(blob)
 
     path = _scratch_dir(spark, sf_dir, "nation_fits", write)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    register_fits(spark)
-    df = spark.read.format("fits").option("hdu", "1").load(path)
-    return df.filter(
-        (F.col("n_regionkey") == 2) & (F.col("n_nationkey") > 5)
-    ).select("n_nationkey", "n_name")
+    # The pushdown conf is consulted when the scan is PLANNED (action time),
+    # so restore-after-return would silently disable it — and leaving it set
+    # would change scan behavior for every later fits read in the session.
+    # Materialize eagerly while the conf is on, then restore (ADVICE r11).
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        register_fits(spark)
+        df = (
+            spark.read.format("fits")
+            .option("hdu", "1")
+            .option("pushdown", "true")
+            .load(path)
+        )
+        return df.filter(
+            (F.col("n_regionkey") == 2) & (F.col("n_nationkey") > 5)
+        ).select("n_nationkey", "n_name").localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)

@@ -33,11 +33,18 @@ class FitsInputPartition(InputPartition):
         self.row_count = row_count
 
 
-class FitsDataSourceReader(DataSourceReader):
+class FitsBaseReader(DataSourceReader):
     """Plans one partition per ~chunk_mb of fixed-width rows PER FILE (not
     per file): a single multi-GB BINTABLE reads in parallel because rows are
     fixed width, so each task seeks straight to its byte range. Planning
-    cost is a header-only probe per file (O(header blocks) I/O, no data)."""
+    cost is a header-only probe per file (O(header blocks) I/O, no data).
+
+    This base class deliberately does NOT implement pushFilters: Spark 4.1
+    refuses to run a pushFilters-implementing reader unless
+    spark.sql.python.filterPushdown.enabled is on, so a single class would
+    make every plain ``format("fits")`` read depend on session conf state.
+    Pushdown is opt-in via ``.option("pushdown", "true")`` (see
+    FitsDataSourceReader / FitsDataSource.reader)."""
 
     def __init__(self, options, schema):
         self._paths = _resolve_paths(options.get("path"))
@@ -46,47 +53,32 @@ class FitsDataSourceReader(DataSourceReader):
         self._chunk_bytes = int(float(options.get("chunk_mb", 64)) * 1024 * 1024)
         self._pushed: list[tuple[str, str, object]] = []
 
-    # comparisons behave correctly under these Spark/Arrow scalar types;
-    # nested/binary/VLA columns stay Spark-side
-    _PUSHABLE_TYPES = frozenset(
-        {"tinyint", "smallint", "int", "bigint", "float", "double",
-         "string", "boolean"}
-    )
-
-    def pushFilters(self, filters):
-        """Spark 4.1 filter pushdown (spark.sql.python.filterPushdown.enabled):
-        accept EqualTo / GreaterThan / LessThan on flat scalar columns and
-        apply them inside read() on the decoded Arrow batch — rows are
-        dropped BEFORE crossing the Python->JVM Arrow channel, which is the
-        expensive edge of this source. Unsupported shapes are yielded back
-        for Spark to evaluate post-scan (the API contract)."""
-        by_name = {f.name: f.dataType.simpleString() for f in self._schema.fields}
-        for flt in filters:
-            kind = type(flt).__name__
-            attr = getattr(flt, "attribute", None)
-            if (
-                kind in ("EqualTo", "GreaterThan", "LessThan")
-                and attr is not None
-                and len(attr) == 1
-                and by_name.get(attr[0]) in self._PUSHABLE_TYPES
-            ):
-                self._pushed.append((attr[0], kind, flt.value))
-            else:
-                yield flt
-
     def _apply_pushed(self, batch):
         if not self._pushed:
             return batch
+        import pyarrow as pa
         import pyarrow.compute as pc
 
         mask = None
-        ops = {"EqualTo": pc.equal, "GreaterThan": pc.greater, "LessThan": pc.less}
         for name, kind, value in self._pushed:
-            cond = ops[kind](batch.column(batch.schema.get_field_index(name)), value)
+            col = batch.column(batch.schema.get_field_index(name))
+            # Spark SQL NaN semantics differ from Arrow's IEEE kernels: Spark
+            # orders NaN ABOVE every numeric (so NaN > v holds for any finite
+            # v) while IEEE comparisons on NaN are all false.  Catalyst drops
+            # its own re-evaluation of fully-pushed predicates, so the pushed
+            # mask must reproduce Spark's ordering exactly — NaN is the
+            # standard FITS floating-point null, it WILL appear in real data.
+            # (NaN literals are never pushed; see pushFilters.)
+            if kind == "EqualTo":
+                cond = pc.equal(col, value)  # NaN = finite is false in both
+            elif kind == "GreaterThan":
+                cond = pc.greater(col, value)
+                if pa.types.is_floating(col.type):
+                    cond = pc.or_(cond, pc.is_nan(col))
+            else:  # LessThan: NaN < finite is false in both engines
+                cond = pc.less(col, value)
             mask = cond if mask is None else pc.and_(mask, cond)
         # SQL semantics: a null comparison never satisfies the predicate
-        import pyarrow as pa
-
         return batch.filter(pc.coalesce(mask, pa.scalar(False)))
 
     def partitions(self):
@@ -133,6 +125,50 @@ class FitsDataSourceReader(DataSourceReader):
         )
 
 
+class FitsDataSourceReader(FitsBaseReader):
+    """FitsBaseReader + Spark 4.1 filter pushdown.  Selected only when the
+    read asks for it (``.option("pushdown", "true")``) because Spark
+    refuses to run any pushFilters-implementing reader while
+    spark.sql.python.filterPushdown.enabled is off — the caller opting in
+    is responsible for having that conf on for the read."""
+
+    # comparisons behave correctly under these Spark/Arrow scalar types;
+    # nested/binary/VLA columns stay Spark-side
+    _PUSHABLE_TYPES = frozenset(
+        {"tinyint", "smallint", "int", "bigint", "float", "double",
+         "string", "boolean"}
+    )
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown (spark.sql.python.filterPushdown.enabled):
+        accept EqualTo / GreaterThan / LessThan on flat scalar columns and
+        apply them inside read() on the decoded Arrow batch — rows are
+        dropped BEFORE crossing the Python->JVM Arrow channel, which is the
+        expensive edge of this source. Unsupported shapes are yielded back
+        for Spark to evaluate post-scan (the API contract)."""
+        import math
+
+        by_name = {f.name: f.dataType.simpleString() for f in self._schema.fields}
+        for flt in filters:
+            kind = type(flt).__name__
+            attr = getattr(flt, "attribute", None)
+            value = getattr(flt, "value", None)
+            # A NaN literal is the one comparison value whose Spark semantics
+            # (NaN = NaN true, NaN greatest) can't be expressed as a single
+            # Arrow compare kernel — yield it back for Spark to evaluate.
+            nan_literal = isinstance(value, float) and math.isnan(value)
+            if (
+                kind in ("EqualTo", "GreaterThan", "LessThan")
+                and attr is not None
+                and len(attr) == 1
+                and by_name.get(attr[0]) in self._PUSHABLE_TYPES
+                and not nan_literal
+            ):
+                self._pushed.append((attr[0], kind, value))
+            else:
+                yield flt
+
+
 class FitsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -147,7 +183,9 @@ class FitsDataSource(DataSource):
         return schema
 
     def reader(self, schema):
-        return FitsDataSourceReader(self.options, schema)
+        if str(self.options.get("pushdown", "")).lower() in ("1", "true", "yes"):
+            return FitsDataSourceReader(self.options, schema)
+        return FitsBaseReader(self.options, schema)
 
     def simpleStreamReader(self, schema):
         return FitsSimpleStreamReader(self.options, schema)
