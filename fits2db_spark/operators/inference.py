@@ -7287,10 +7287,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration split as the half-width q_hat, and coverage on the
     held-out test split is then >= 1 - alpha BY CONSTRUCTION, no
     distributional assumptions. Model: OLS of order value on the
-    order's lineitem count (TPC-H prices are literally sums over
-    lineitems, so the signal is strong and intervals are much narrower
-    than the marginal spread); splits are md5(o_orderkey) % 4
-    (train/train/cal/test — the split_train_test hashing discipline).
+    order's lineitem count. (Measured on the fixture the two are nearly
+    independent — corr ≈ −0.02, the synthetic o_totalprice is not a sum
+    over lineitems — so the fitted slope is ~0 and the conformal
+    intervals come out ~the marginal residual quantiles; the coverage
+    guarantee is distribution-free and holds regardless.) Splits are
+    md5(o_orderkey) % 4 (train/train/cal/test — the split_train_test
+    hashing discipline).
 
     Determinism: the conformal quantile uses the mergeable bucketed-ECDF
     inversion of `agg_quantile_treatment_effect` ({_CONF_BINW:.0f}-wide
@@ -7445,8 +7448,11 @@ def _gbm_round_sql(hist: str, out_best: str, out_hist: str, rnd: int) -> str:
 def ml_gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gradient boosting with depth-1 trees (Friedman 2001), squared
     loss, {_GBM_ROUNDS} rounds, on a binned design: predict an order's
-    LINEITEM COUNT from its total price (a real, strong relationship in
-    the fixture — totalprice is literally a sum over lineitems). Each
+    LINEITEM COUNT from its total price. (Measured on the fixture the
+    two are nearly independent — corr ≈ −0.02, the synthetic generator
+    draws o_totalprice without summing lineitems — so the stumps find
+    only weak splits; the boosting recursion, gain argmax, and leaf
+    updates are exercised identically either way.) Each
     round fits the best single split over the {_GBM_BINW:.0f}-wide price
     buckets by SSE-reduction gain (the events_changepoint identity
     S_L^2/N_L + S_R^2/N_R - S^2/N) and subtracts the fitted leaf means

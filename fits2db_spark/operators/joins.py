@@ -1784,8 +1784,9 @@ def astro_two_point_angular(spark: SparkSession, sf_dir: str) -> DataFrame:
     (galaxy clustering excess over a random catalog): w = (DD~ - 2DR~ +
     RR~) / RR~ with each pair count normalized by its number of pairs.
     The data catalog is a quasi-uniform {_TP_PATCH:.0f}-deg equatorial
-    patch (golden-ratio spirals off customer keys, capped at {_TP_KEYS}
-    keys — documented fixture normalization) with a planted companion
+    patch (md5-scattered positions off customer keys — hash scatter, not
+    a lattice, so small-separation pairs exist — capped at {_TP_KEYS}
+    keys, documented fixture normalization) with a planted companion
     within ~0.1 deg of every 4th object, so w(theta) must come out
     strongly positive in the first bin and ~0 in the outer bins; the
     random catalog is an independent unclustered spiral.

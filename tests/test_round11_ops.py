@@ -403,26 +403,77 @@ def test_cdc_chunks_accounting_identities(spark):
         assert r["avg_chunk_toks"] > 0
 
 
-def test_cdc_chunks_boundaries_shift_invariant(spark):
-    # the CDC property itself: prepending tokens to a doc must leave the
-    # downstream chunk set identical (only chunks touching the head change)
-    from fits2db_spark.operators.llm_text import _CDC_D, _CDC_W
+def _cdc_reference_chunks(toks: list[str]) -> list[str]:
+    """Local reimplementation of the operator/oracle chunking convention:
+    1-based window start i in [1, n-W+1], window = tokens i..i+W-1, cut
+    (exclusive 0-based end) at i + W - 1.  Parity with the DuckDB oracle
+    expression is pinned by test_cdc_chunks_helper_matches_oracle, so the
+    shift-invariance test below exercises the REAL boundary convention
+    (ADVICE r11: the old helper cut at i + W - 2, validating neither)."""
     import hashlib
+
+    from fits2db_spark.operators.llm_text import _CDC_D, _CDC_W
 
     def h64(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
-    def chunks(toks: list[str]) -> list[str]:
-        cuts = {0, len(toks)}
-        for i in range(1, len(toks) - _CDC_W + 2):
-            if h64(" ".join(toks[i - 1 : i - 1 + _CDC_W])) % _CDC_D == 0:
-                cuts.add(i + _CDC_W - 2)
-        cs = sorted(cuts)
-        return [" ".join(toks[a:b]) for a, b in zip(cs, cs[1:])]
+    cuts = {0, len(toks)}
+    for i in range(1, len(toks) - _CDC_W + 2):
+        if h64(" ".join(toks[i - 1 : i - 1 + _CDC_W])) % _CDC_D == 0:
+            cuts.add(i + _CDC_W - 1)
+    cs = sorted(cuts)
+    return [" ".join(toks[a:b]) for a, b in zip(cs, cs[1:])]
 
+
+def test_cdc_chunks_helper_matches_oracle():
+    # the helper must place cuts exactly where the registered DuckDB
+    # oracle does (same windows, same i + W - 1 convention) — otherwise
+    # the shift-invariance test validates a phantom convention
+    import duckdb
+
+    from fits2db_spark.operators.llm_text import _CDC_D, _CDC_W
+
+    docs = [
+        [f"tok{i % 13}x{i % 7}" for i in range(120)],
+        ["new0", "new1", "new2"] + [f"tok{i % 13}x{i % 7}" for i in range(120)],
+        ["a"],  # shorter than the window: one whole-doc chunk
+        [f"w{i % 5}" for i in range(17)],
+    ]
+    con = duckdb.connect()
+    for toks in docs:
+        text = " ".join(toks)
+        got = con.execute(
+            f"""
+            WITH toks AS (SELECT string_split(?, ' ') AS t),
+            cutsets AS (
+              SELECT t,
+                 list_sort(list_distinct(list_concat(list_concat(
+                   [0],
+                   list_transform(
+                     list_filter(generate_series(1, GREATEST(len(t) - {_CDC_W} + 1, 0)),
+                       i -> CAST(concat('0x', substr(md5(
+                              array_to_string(t[i:i+{_CDC_W} - 1], ' ')), 1, 15))
+                            AS BIGINT) % {_CDC_D} = 0),
+                     i -> i + {_CDC_W} - 1)),
+                   [len(t)]))) AS cuts
+              FROM toks
+            )
+            SELECT list_transform(generate_series(1, len(cuts) - 1),
+                     j -> array_to_string(t[cuts[j] + 1:cuts[j + 1]], ' '))
+            FROM cutsets
+            """,
+            [text],
+        ).fetchone()[0]
+        assert got == _cdc_reference_chunks(toks), toks[:5]
+
+
+def test_cdc_chunks_boundaries_shift_invariant(spark):
+    # the CDC property itself: prepending tokens to a doc must leave the
+    # downstream chunk set identical (only chunks touching the head change)
     base = [f"tok{i % 13}x{i % 7}" for i in range(120)]
     shifted = ["new0", "new1", "new2"] + base
-    c0, c1 = chunks(base), chunks(shifted)
+    c0, c1 = _cdc_reference_chunks(base), _cdc_reference_chunks(shifted)
+    assert len(c0) > 2, "fixture must actually produce multiple chunks"
     # all but the first chunk(s) of the shifted doc already exist verbatim
     assert set(c0[1:]) <= set(c1)
 
