@@ -2232,6 +2232,33 @@ _PX_FRAC = 0.2    # known fractional parallax error sigma = 0.2 * plx
 _PX_KEYS = 500
 
 
+def _spark_round(arr, nd: int):
+    """Vectorized replica of Spark's ROUND(x, nd) double semantic:
+    BigDecimal.valueOf(x) (i.e. the shortest-round-trip decimal string,
+    which Python's repr also produces) quantized HALF_UP.  np.round is
+    NOT a substitute — it rounds half-to-even on a scaled binary value
+    and can differ by 1 ulp from the decimal-string path, which is fatal
+    under the value-hash oracle gate (docs: cross-engine determinism
+    contract)."""
+    import decimal
+
+    import numpy as np
+
+    q = decimal.Decimal(1).scaleb(-nd)
+    return np.fromiter(
+        (
+            float(
+                decimal.Decimal(repr(float(x))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for x in arr
+        ),
+        dtype="float64",
+        count=len(arr),
+    )
+
+
 def _px_newton_sql(r: str) -> str:
     # one Newton step on f(r) = r^3/L - 2 r^2 + (plx/s2) r - 1/s2
     f = f"({r})*({r})*({r}) / {_PX_L} - 2 * ({r})*({r}) + (plx / s2) * ({r}) - 1 / s2"
@@ -2285,15 +2312,24 @@ def astro_parallax_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stars, material at 20% fractional error — the exact regime the
     method exists for).
 
-    Determinism: the Newton iterate is re-quantized at 9dp per step
-    inside the ROW EXPRESSION on both engines (the ml_platt_scaling
-    contract with zero driver state — the unroll is pure codegen). The
-    derivative is bounded away from 0 in the fixture regime (plx/s2 =
-    1/(0.04 plx) dominates), so no guard branches are needed.
+    Determinism: the Newton iterate is re-quantized at 9dp per step on
+    both engines (the ml_platt_scaling contract with zero driver
+    state). The derivative is bounded away from 0 in the fixture regime
+    (plx/s2 = 1/(0.04 plx) dominates), so no guard branches are needed.
+    The requantization replicates Spark's ROUND exactly (HALF_UP on the
+    shortest-round-trip decimal, the BigDecimal.valueOf semantic), so
+    the Arrow path is bit-identical to the Catalyst/DuckDB recursion —
+    pinned by tests/test_round11_ops.py scalar-recursion parity.
 
-    Scale: a pure map stage — no shuffle, no state, whole-stage codegen
-    end to end; 10^9 stars cost one scan, which is why Gaia publishes
-    exactly this as a column."""
+    Scale: seed columns come from one Catalyst map stage, then ALL
+    {_PX_STEPS} Newton steps run inside a single vectorized mapInArrow
+    pass (numpy elementwise, no per-step materialization) — one scan,
+    no shuffle, no state; 10^9 stars cost one Arrow-batched pass, which
+    is why Gaia publishes exactly this as a column. (A purely-inlined
+    Catalyst unroll is NOT viable: each step references r ~6 times, so
+    the expression tree grows ~6^steps — 32s of codegen for 500 rows,
+    docs/SCALE.md §9b — and per-step localCheckpoint cuts would cost
+    {_PX_STEPS} materializations at scale.)"""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= _PX_KEYS)
     h = lambda off: F.conv(  # noqa: E731
         F.substring(
@@ -2305,36 +2341,40 @@ def astro_parallax_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_true = 0.1 + (h(1) % 1000) / 500.0
     u = (h(16) % 1000001) / 1000000.0
     plx = (1 / r_true) * (0.8 + 0.4 * u)
-    # each Newton step references r ~6 times, so a purely-inlined unroll
-    # grows the expression tree ~6^steps (measured: 32s of Catalyst/codegen
-    # for 500 rows). A lineage cut per step keeps every tree small; the
-    # frame is bounded at _PX_KEYS rows by construction, so the cuts are
-    # O(1) jobs (the iterative-plan law, docs/SCALE.md).
-    from .advanced import _free_local_checkpoint
-
-    cur = c.select(
-        F.col("c_custkey").alias("id"),
+    base = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
         plx.alias("plx"),
         (F.lit(_PX_FRAC**2) * plx * plx).alias("s2"),
         (1 / plx).alias("r"),
-    ).localCheckpoint(eager=True)
-    first = cur
-    for _ in range(_PX_STEPS):
-        r = F.col("r")
-        fv = (
-            r * r * r / _PX_L
-            - 2 * r * r
-            + (F.col("plx") / F.col("s2")) * r
-            - 1 / F.col("s2")
-        )
-        fp = 3 * r * r / _PX_L - 4 * r + F.col("plx") / F.col("s2")
-        nxt = cur.select(
-            "id", "plx", "s2", F.round(r - fv / fp, 9).alias("r")
-        ).localCheckpoint(eager=True)
-        if cur is not first:
-            _free_local_checkpoint(cur)
-        cur = nxt
-    out = cur.select(
+    )
+
+    def newton(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            col = lambda n: b.column(  # noqa: E731
+                b.schema.get_field_index(n)
+            ).to_numpy(zero_copy_only=False)
+            p, s2, r = col("plx"), col("s2"), col("r")
+            # numpy elementwise doubles evaluate the SAME IEEE ops in the
+            # SAME association order as the oracle's SQL expression, so
+            # with the Spark-parity requant each step is bit-identical
+            for _ in range(_PX_STEPS):
+                fv = r * r * r / _PX_L - 2 * r * r + (p / s2) * r - 1 / s2
+                fp = 3 * r * r / _PX_L - 4 * r + p / s2
+                r = _spark_round(r - fv / fp, 9)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("id")),
+                    b.column(b.schema.get_field_index("plx")),
+                    b.column(b.schema.get_field_index("s2")),
+                    pa.array(r, type=pa.float64()),
+                ],
+                names=["id", "plx", "s2", "r"],
+            )
+
+    cur = base.mapInArrow(newton, "id bigint, plx double, s2 double, r double")
+    return cur.select(
         "id",
         F.round(F.col("plx"), 6).alias("plx"),
         F.round(1 / F.col("plx"), 6).alias("r_naive"),
@@ -2342,7 +2382,4 @@ def astro_parallax_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("r") - 1 / F.col("plx")) / (1 / F.col("plx")), 6
         ).alias("rel_shift"),
-    ).localCheckpoint(eager=True)
-    _free_local_checkpoint(first)
-    _free_local_checkpoint(cur)
-    return out
+    )

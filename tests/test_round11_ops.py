@@ -695,6 +695,47 @@ def test_parallax_mode_is_root_and_prior_pulls_outward(spark):
     assert n_out > len(rows) * 0.6
 
 
+def test_parallax_arrow_newton_matches_scalar_recursion(spark):
+    """The mapInArrow numpy Newton path must be bit-identical to a plain
+    scalar-Python recursion with the same per-step 9dp Spark-semantic
+    requant — this is the numpy-parity pin for the vectorized 10^9-star
+    shape (VERDICT r11 item 4), independent of both Catalyst and the
+    DuckDB oracle (which pin it again at three SFs via the hash gate)."""
+    import decimal
+
+    from fits2db_spark.operators.joins import _PX_FRAC, _PX_L, _PX_STEPS
+    from fits2db_spark.registry import all_queries
+    from fits2db_spark.tables import load
+
+    def rq(x: float, nd: int) -> float:
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["id"]: r for r in all_queries()["astro_parallax_distance"](spark, sf).collect()}
+    # rebuild the exact seed plx per star the way the operator does
+    import hashlib
+
+    got = 0
+    for cid in list(rows)[:200]:
+        h = hashlib.md5(f"px-{cid}".encode()).hexdigest()
+        r_true = 0.1 + (int(h[:15], 16) % 1000) / 500.0
+        u = (int(h[15:30], 16) % 1000001) / 1000000.0
+        plx = (1 / r_true) * (0.8 + 0.4 * u)
+        s2 = (_PX_FRAC**2) * plx * plx
+        r = 1 / plx
+        for _ in range(_PX_STEPS):
+            fv = r * r * r / _PX_L - 2 * r * r + (plx / s2) * r - 1 / s2
+            fp = 3 * r * r / _PX_L - 4 * r + plx / s2
+            r = rq(r - fv / fp, 9)
+        assert rows[cid]["r_mode"] == rq(r, 6), cid
+        got += 1
+    assert got > 50
+
+
 def test_iv_recovers_truth_where_ols_is_biased(spark):
     (r,) = _run(spark, "ml_iv_wald_estimator")
     from fits2db_spark.operators.inference import _IV_EFFECT
