@@ -378,8 +378,86 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..registry import deprioritize  # noqa: E402
+from ..tables import register_aux_cache  # noqa: E402
 
 deprioritize("sim_range_search")
+
+# Trained IVF centroids per (session, sf_dir, k, iters). Registered so
+# tables.clear_cache() stays the ONE reset path (the _TRI_EDGE_CACHE leak
+# class). VERDICT r11 item 5: sim_ann_ivf and sim_ivf_balance each ran
+# their own identical 3-round Lloyd train (3 collect jobs apiece) — under
+# bench conditions nothing memoized, so the second operator re-paid the
+# whole train. Now they share one.
+_IVF_TRAIN_CACHE: dict = register_aux_cache({})
+
+
+def _ivf_nearest(cents, n):
+    """Stable-label nearest-cell expression: top-``n`` cell LABELS for the
+    row's ``embedding`` against the (label, centroid) list ``cents``.
+    Labels stay stable if a Lloyd round empties a cell (positional
+    collapse would relabel every higher cell and diverge from the
+    oracle's stable-label CTEs)."""
+
+    def dist2_to(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    cent_array = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
+    labels = F.array(*[F.lit(lb) for lb, _ in cents])
+    return F.transform(
+        _nearest_cells(F.transform(cent_array, dist2_to), n),
+        lambda p: F.element_at(labels, p),
+    )
+
+
+def _ivf_lloyd_cents(spark: SparkSession, sf_dir: str, k: int, iters: int):
+    """Deterministic Lloyd training for the IVF coarse quantizer: seeds
+    from vec_id 0..k-1, ``iters`` assignment+mean rounds. Only k x 64
+    doubles ever reach the driver per round. Memoized per (session,
+    sf_dir, k, iters) so every IVF-family operator in a session pays the
+    train exactly once."""
+    key = (
+        "ivf-lloyd",
+        getattr(spark.sparkContext, "applicationId", ""),
+        sf_dir,
+        k,
+        iters,
+    )
+    if key in _IVF_TRAIN_CACHE:
+        return _IVF_TRAIN_CACHE[key]
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        (i + 1, [float(x) for x in r.embedding])
+        for i, r in enumerate(
+            e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        )
+    ]
+    for _ in range(iters):
+        assigned = e.select(
+            "vec_id", "embedding", F.element_at(_ivf_nearest(cents, 1), 1).alias("cell")
+        )
+        cents = [
+            (int(r.cell), [float(x) for x in r.centroid])
+            for r in (
+                assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+                .select("cell", F.col("ps.m").alias("centroid"))
+                .orderBy("cell")
+                .collect()
+            )
+        ]
+    _IVF_TRAIN_CACHE[key] = cents
+    return cents
 
 
 def _ivf_oracle(
@@ -478,65 +556,23 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     `nprobe` nearest cells and ranking exact cosine inside them. Probe cost
     per query is ~(nprobe/k) of the corpus vs LSH's (tables/buckets)
     fraction; recall vs brute force is asserted in
-    tests/test_rows_only_quality.py."""
+    tests/test_rows_only_quality.py. Training is the shared memoized
+    `_ivf_lloyd_cents` (one train per session, shared with
+    `sim_ivf_balance`)."""
     k, iters, nprobe = 8, 3, 3
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # (label, centroid) pairs: cell labels stay stable if a Lloyd round
-    # empties a cell (positional collapse would relabel every higher cell
-    # and diverge from the oracle's stable-label CTEs)
-    cents = [
-        (i + 1, [float(x) for x in r.embedding])
-        for i, r in enumerate(e.filter(F.col("vec_id") < k).orderBy("vec_id").collect())
-    ]
-
-    def dist2_to(c):
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
-    def cent_array():
-        return F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
-
-    def nearest(n):
-        # _nearest_cells yields POSITIONS into cents; map to stable labels
-        labels = F.array(*[F.lit(lb) for lb, _ in cents])
-        return F.transform(
-            _nearest_cells(F.transform(cent_array(), dist2_to), n),
-            lambda p: F.element_at(labels, p),
-        )
-
-    for _ in range(iters):
-        assigned = e.select(
-            "vec_id", "embedding", F.element_at(nearest(1), 1).alias("cell")
-        )
-        cents = [
-            (int(r.cell), [float(x) for x in r.centroid])
-            for r in (
-                assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-                .groupBy("cell", "pos")
-                .agg(F.avg(F.col("v").cast("double")).alias("m"))
-                .groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
-                .select("cell", F.col("ps.m").alias("centroid"))
-                .orderBy("cell")
-                .collect()
-            )
-        ]
+    cents = _ivf_lloyd_cents(spark, sf_dir, k, iters)
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
-        F.element_at(nearest(1), 1).alias("cell"),
+        F.element_at(_ivf_nearest(cents, 1), 1).alias("cell"),
     )
     probes = (
         e.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.explode(nearest(nprobe)).alias("cell"),
+            F.explode(_ivf_nearest(cents, nprobe)).alias("cell"),
         )
     )
     sim = _cos(F.col("qe"), F.col("ce"))
@@ -1468,58 +1504,15 @@ def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_lsh_recall`'s banding audit).
 
     Same deterministic 3-round Lloyd training and stable-label assignment
-    as `sim_ann_ivf` (docstring there); only the final reduction differs —
-    one partial-agg groupBy on the cell id, so the audit costs one
-    O(cells) shuffle past the assignment scan that the index build
-    already pays."""
+    as `sim_ann_ivf` — literally the same trained centroids via the
+    memoized `_ivf_lloyd_cents` (one train per session across the IVF
+    family); only the final reduction differs — one partial-agg groupBy
+    on the cell id, so the audit costs one O(cells) shuffle past the
+    assignment scan that the index build already pays."""
     k, iters = 8, 3
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = [
-        (i + 1, [float(x) for x in r.embedding])
-        for i, r in enumerate(
-            e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-        )
-    ]
-
-    def dist2_to(c):
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
-    def cent_array():
-        return F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
-
-    def nearest(n):
-        labels = F.array(*[F.lit(lb) for lb, _ in cents])
-        return F.transform(
-            _nearest_cells(F.transform(cent_array(), dist2_to), n),
-            lambda p: F.element_at(labels, p),
-        )
-
-    for _ in range(iters):
-        assigned = e.select(
-            "vec_id", "embedding", F.element_at(nearest(1), 1).alias("cell")
-        )
-        cents = [
-            (int(r.cell), [float(x) for x in r.centroid])
-            for r in (
-                assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-                .groupBy("cell", "pos")
-                .agg(F.avg(F.col("v").cast("double")).alias("m"))
-                .groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
-                .select("cell", F.col("ps.m").alias("centroid"))
-                .orderBy("cell")
-                .collect()
-            )
-        ]
-    corpus = e.select(F.element_at(nearest(1), 1).alias("cell"))
+    cents = _ivf_lloyd_cents(spark, sf_dir, k, iters)
+    corpus = e.select(F.element_at(_ivf_nearest(cents, 1), 1).alias("cell"))
     per = corpus.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
