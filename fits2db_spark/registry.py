@@ -119,6 +119,7 @@ _PRIORITY_QUERIES = (
     "events_coherence",
     "ml_breusch_pagan",
     "agg_theil_decomposition",
+    "stream_live_fits_ingest",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",

@@ -23,7 +23,17 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-from .fits import decode_bintable, to_arrow_columns
+# Module-level imports ONLY for the sibling parser: the streaming runner
+# executes this class from a by-value pickle (see register()), where a
+# call-time ``from .fits import ...`` would re-enter the real import
+# system and fail — module-scope names are captured into the pickle.
+from .fits import (
+    _header_int,
+    decode_bintable,
+    decode_bintable_range,
+    parse_bintable_header_path,
+    to_arrow_columns,
+)
 
 
 class FitsInputPartition(InputPartition):
@@ -82,8 +92,6 @@ class FitsBaseReader(DataSourceReader):
         return batch.filter(pc.coalesce(mask, pa.scalar(False)))
 
     def partitions(self):
-        from .fits import _header_int, parse_bintable_header_path
-
         parts = []
         for p in self._paths:
             cards, _, _ = parse_bintable_header_path(p, self._hdu)
@@ -113,8 +121,6 @@ class FitsBaseReader(DataSourceReader):
 
     def read(self, partition):
         import pyarrow as pa
-
-        from .fits import decode_bintable_range
 
         s, cols = decode_bintable_range(
             partition.path, self._hdu, partition.row_start, partition.row_count
@@ -210,10 +216,27 @@ def _resolve_paths(path: str | None) -> list[str]:
 
 
 def register(spark) -> None:
-    """Register the 'fits' format on a session (idempotent)."""
+    """Register the 'fits' format on a session (idempotent).
+
+    The DataSource class is shipped BY VALUE: batch Python-datasource
+    workers resolve modules through the addPyFile zip, but the Spark 4.1
+    STREAMING planning runner (PythonStreamingSourceRunner) does not put
+    pyFiles on its path — a `readStream.format("fits")` from a process
+    whose cwd can't import this package dies with ModuleNotFoundError
+    (caught by the foreign-cwd driver sim, r12). register_pickle_by_value
+    on the two self-contained source modules makes every pickle of the
+    class carry its code, so no runner-side import is needed. The parser
+    modules depend only on stdlib/numpy/pyspark."""
+    from pyspark import cloudpickle
+
     from ..session import ensure_runtime_confs
+    from . import fits, fits_compress
+    import sys
 
     ensure_runtime_confs(spark)  # executors must be able to import the parser
+    cloudpickle.register_pickle_by_value(fits)
+    cloudpickle.register_pickle_by_value(fits_compress)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(FitsDataSource)
 
 
@@ -242,8 +265,6 @@ class FitsSimpleStreamReader(SimpleDataSourceStreamReader):
         # returns a LIST iterator: the simple-stream runner caches and
         # copy.copy()s the batch iterator (generators are not copyable)
         import pyarrow as pa
-
-        from .fits import decode_bintable
 
         names = [f.name for f in self._schema.fields]
         rows = []

@@ -442,3 +442,28 @@ def test_watermark_audit_reconciles_with_live_eviction(spark, tmp_path):
     # and the live path must have processed every row
     processed = sum(int(p["numInputRows"]) for p in q.recentProgress)
     assert processed == audit_total == n
+
+
+def test_stream_live_fits_ingest_matches_batch_filter(spark):
+    """The live FITS-archive ingest key must land exactly the rows the
+    batch filter admits — each staged BINTABLE file decoded exactly once
+    (exactly-once offsets), the in-stream filter applied before the
+    sink."""
+    from fits2db_spark.registry import all_queries
+
+    got = sorted(
+        (r.c_custkey, r.c_name, r.acctbal)
+        for r in all_queries()["stream_live_fits_ingest"](spark, SF_SMOKE).collect()
+    )
+    want = sorted(
+        (r.c_custkey, r.c_name, round(r.c_acctbal, 2))
+        for r in load(spark, SF_SMOKE, "customer")
+        .filter("c_acctbal > 5000")
+        .collect()
+    )
+    assert got == want and len(got) > 10
+    # memoized: a second call returns the same sink table, no re-drain
+    again = all_queries()["stream_live_fits_ingest"](spark, SF_SMOKE)
+    assert sorted(
+        (r.c_custkey, r.c_name, r.acctbal) for r in again.collect()
+    ) == got
