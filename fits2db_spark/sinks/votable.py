@@ -51,7 +51,11 @@ def _fields_xml(df: DataFrame) -> str:
             )
         dt, arraysize = _VOTABLE_TYPES[tname]
         arr = f' arraysize="{arraysize}"' if arraysize else ""
-        out.append(f'      <FIELD name={quoteattr(f.name)} datatype="{dt}"{arr}/>')
+        # FITS TUNITn captured as column metadata by the reader flows
+        # through to the VOTable unit attribute (VOTable 1.4 §4.1)
+        md = f.metadata or {}
+        unit = f" unit={quoteattr(md['fits.tunit'])}" if md.get("fits.tunit") else ""
+        out.append(f'      <FIELD name={quoteattr(f.name)} datatype="{dt}"{arr}{unit}/>')
     return "\n".join(out)
 
 

@@ -317,6 +317,13 @@ def _parse_columns(cards: dict) -> list[dict]:
                      spark_type=stype, np_dtype=np_char,
                      tnull=tnull, kind=kind, tscale=tscale, tzero=tzero)
             )
+    # Optional per-column conventions (FITS 4.0 §7.3.2): TUNITn physical
+    # unit and TDISPn display format ride along as Spark column METADATA —
+    # they never change decoded values, but sinks (VOTable unit attr) and
+    # format_tdisp() consume them downstream.
+    for i, c in enumerate(cols, start=1):
+        c["unit"] = cards.get(f"TUNIT{i}", "").strip() or None
+        c["disp"] = cards.get(f"TDISP{i}", "").strip() or None
     return cols
 
 
@@ -343,8 +350,55 @@ def _physical_type(letter: str, stype: DataType, tscale: float, tzero: float):
     return DoubleType(), "float_scale"
 
 
+def _field_metadata(c: dict) -> dict:
+    """TUNITn/TDISPn as Spark StructField metadata keys (absent if the
+    header never declared them)."""
+    md = {}
+    if c.get("unit"):
+        md["fits.tunit"] = c["unit"]
+    if c.get("disp"):
+        md["fits.tdisp"] = c["disp"]
+    return md
+
+
 def fits_spark_schema(cols: list[dict]) -> StructType:
-    return StructType([StructField(c["name"], c["spark_type"], True) for c in cols])
+    return StructType(
+        [
+            StructField(c["name"], c["spark_type"], True, metadata=_field_metadata(c))
+            for c in cols
+        ]
+    )
+
+
+_TDISP_RE = re.compile(r"^([AILFEDG])(?:N|S)?(\d+)?(?:\.(\d+))?", re.IGNORECASE)
+
+
+def format_tdisp(col, tdisp: str):
+    """Render a column as its FITS TDISPn display string (FITS 4.0 table
+    8.6 subset): ``Iw`` right-justified integer, ``Fw.d`` fixed point,
+    ``Ew.d``/``Dw.d``/``Gw.d`` scientific, ``Aw`` left-justified string;
+    anything else falls back to a plain string cast. Pure Catalyst
+    (format_string), so a TDISP-faithful CSV/VOTable export stays one
+    codegen'd projection at any scale."""
+    from pyspark.sql import functions as F
+
+    m = _TDISP_RE.match(tdisp.strip()) if tdisp else None
+    if not m:
+        return F.col(col).cast("string") if isinstance(col, str) else col.cast("string")
+    c = F.col(col) if isinstance(col, str) else col
+    letter = m.group(1).upper()
+    w = int(m.group(2)) if m.group(2) else 0
+    d = int(m.group(3)) if m.group(3) is not None else 6
+    if letter == "I":
+        return F.format_string(f"%{w}d" if w else "%d", c.cast("long"))
+    if letter == "F":
+        return F.format_string(f"%{w}.{d}f" if w else f"%.{d}f", c.cast("double"))
+    if letter in ("E", "D", "G"):
+        return F.format_string(f"%{w}.{d}E" if w else f"%.{d}E", c.cast("double"))
+    if letter == "A":
+        # FITS character data is left-justified within the field width
+        return F.format_string(f"%-{w}s" if w else "%s", c.cast("string"))
+    return c.cast("string")
 
 
 # ---------------------------------------------------------------------------
@@ -809,6 +863,8 @@ def parse_asciitable_header(data: bytes, hdu: int | str = 1) -> tuple[dict, list
                 tnull=cards.get(f"TNULL{i}", None),
                 tscale=tscale,
                 tzero=tzero,
+                unit=cards.get(f"TUNIT{i}", "").strip() or None,
+                disp=cards.get(f"TDISP{i}", "").strip() or None,
             )
         )
     return cards, cols, off
@@ -857,7 +913,7 @@ def decode_asciitable(data: bytes, hdu: int | str = 1):
         if null_mask.any():
             v = np.ma.MaskedArray(v, mask=null_mask)
         out.append(v)
-    schema = StructType([StructField(c["name"], c["spark_type"], True) for c in cols])
+    schema = fits_spark_schema(cols)
     return schema, out
 
 
