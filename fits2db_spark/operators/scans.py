@@ -1344,3 +1344,47 @@ def fits_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+@register(
+    "fits_tdisp_render",
+    oracle="""
+    SELECT c_custkey,
+           printf('%8d', c_custkey) AS custkey_disp,
+           printf('%-25s', c_name) AS name_disp,
+           printf('%12.2f', c_acctbal) AS acctbal_disp
+    FROM customer
+    """,
+)
+def fits_tdisp_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TDISPn-faithful display rendering, end to end: the customer table
+    staged as FITS BINTABLEs carrying TDISPn cards (I8 / A25 / F12.2 —
+    the FITS 4.0 table-8.6 display formats), read back with the header
+    conventions captured as column METADATA, and each annotated column
+    rendered by `format_tdisp` exactly as a FITS-aware viewer or
+    fixed-width exporter would print it. The formats are applied FROM the
+    schema metadata, not hard-coded — the query proves the
+    header -> metadata -> renderer chain.
+
+    Determinism: Iw/Aw/Fw.d map to %wd / %-ws / %w.df, identical between
+    Java's Formatter (format_string) and DuckDB's printf for integral,
+    string, and exact-2dp monetary values (acctbal carries exactly 2
+    decimals, so no cross-engine rounding ties exist; the Ew.d scientific
+    form is excluded from the oracle for exactly that reason and is
+    pytest-pinned instead).
+
+    Scale: one scan, zero shuffles — format_string is codegen'd, so a
+    TDISP-faithful export of 10^9 rows is a single map stage (the same
+    projection feeds the CSV/VOTable sinks)."""
+    from ..sources.fits import format_tdisp, read_fits
+    from .streaming_batch import _staged_customer_fits_dir
+
+    path = _staged_customer_fits_dir(spark, sf_dir)
+    df = read_fits(spark, path)
+    rendered = [F.col("c_custkey")]
+    for f in df.schema.fields:
+        disp = (f.metadata or {}).get("fits.tdisp")
+        if disp:
+            short = f.name.removeprefix("c_")
+            rendered.append(format_tdisp(f.name, disp).alias(f"{short}_disp"))
+    return df.select(*rendered)

@@ -865,7 +865,14 @@ def _staged_customer_fits_dir(spark: SparkSession, sf_dir: str) -> str:
                     ("c_name", "A25", [r[1] for r in part]),
                     ("c_nationkey", "J", [r[2] for r in part]),
                     ("c_acctbal", "D", [r[3] for r in part]),
-                ]
+                ],
+                # display/unit conventions consumed by fits_tdisp_render
+                extra_cards=[
+                    ("TDISP1", "I8"),
+                    ("TDISP2", "A25"),
+                    ("TDISP4", "F12.2"),
+                    ("TUNIT4", "ct"),
+                ],
             )
             with open(os.path.join(out_dir, f"{i:03d}.fits"), "wb") as f:
                 f.write(blob)

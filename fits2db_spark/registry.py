@@ -120,6 +120,7 @@ _PRIORITY_QUERIES = (
     "ml_breusch_pagan",
     "agg_theil_decomposition",
     "stream_live_fits_ingest",
+    "fits_tdisp_render",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",

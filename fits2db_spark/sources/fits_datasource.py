@@ -186,7 +186,20 @@ class FitsDataSource(DataSource):
             raise FileNotFoundError(f"no FITS files at {self.options.get('path')!r}")
         with open(paths[0], "rb") as f:
             schema, _ = decode_bintable(f.read(), _hdu_option(self.options))
-        return schema
+        # Strip TUNIT/TDISP column metadata at the DataSource boundary:
+        # Spark 4.1's SimpleDataSourceStreamReader runner fails its Arrow
+        # batch assertion whenever the declared schema carries ANY
+        # StructField metadata (minimal repro in
+        # tests/test_streaming_live.py::test_datasource_schema_is_metadata_free
+        # — plain schema streams fine, one metadata key dies with
+        # INTERNAL_ERROR at PythonStreamingSourceRunner.readArrowRecordBatches).
+        # Header-convention metadata stays on the read_fits path, which is
+        # where format_tdisp and the VOTable sink consume it.
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [StructField(f.name, f.dataType, f.nullable) for f in schema.fields]
+        )
 
     def reader(self, schema):
         if str(self.options.get("pushdown", "")).lower() in ("1", "true", "yes"):

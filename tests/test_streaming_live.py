@@ -467,3 +467,26 @@ def test_stream_live_fits_ingest_matches_batch_filter(spark):
     assert sorted(
         (r.c_custkey, r.c_name, r.acctbal) for r in again.collect()
     ) == got
+
+
+def test_datasource_schema_is_metadata_free(spark, tmp_path):
+    """Spark 4.1 upstream bug: a SimpleDataSourceStreamReader whose
+    declared schema carries ANY StructField metadata dies in the
+    streaming runner's Arrow assertion (INTERNAL_ERROR at
+    PythonStreamingSourceRunner.readArrowRecordBatches; verified with a
+    minimal two-line reader — plain schema streams, one metadata key
+    fails). The fits DataSource therefore strips TUNIT/TDISP metadata at
+    its schema() boundary; the conventions stay on the read_fits path."""
+    from fits2db_spark.sources.fits import write_fits_bintable
+    from fits2db_spark.sources.fits_datasource import FitsDataSource
+
+    p = tmp_path / "m.fits"
+    p.write_bytes(
+        write_fits_bintable(
+            [("x", "D", [1.0])],
+            extra_cards=[("TUNIT1", "deg"), ("TDISP1", "F8.2")],
+        )
+    )
+    ds = FitsDataSource({"path": str(p)})
+    schema = ds.schema()
+    assert all(not f.metadata for f in schema.fields), schema
