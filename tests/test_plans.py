@@ -354,3 +354,26 @@ def test_global_windows_are_exactly_the_allowlist(spark):
     stale = GLOBAL_WINDOW_ALLOWLIST - hits
     assert not unsanctioned, f"unsanctioned global-window queries: {sorted(unsanctioned)}"
     assert not stale, f"allowlist entries with no global window anymore: {sorted(stale)}"
+
+
+def test_tdisp_render_is_shuffle_free_map_stage(spark):
+    """fits_tdisp_render's claim: a TDISP-faithful export is ONE map stage
+    — format_string projections over the decode, no Exchange anywhere."""
+    from fits2db_spark.registry import all_queries
+
+    df = all_queries()["fits_tdisp_render"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "format_string" in plan.lower() or "staticinvoke" in plan.lower(), plan
+
+
+def test_parallax_is_single_arrow_pass(spark):
+    """astro_parallax_distance's 10^9-star shape: exactly ONE Arrow map
+    stage carries all Newton steps (no per-step materialization), and no
+    shuffle exists in the whole plan."""
+    from fits2db_spark.registry import all_queries
+
+    df = all_queries()["astro_parallax_distance"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Exchange" not in plan, plan
