@@ -2383,3 +2383,137 @@ def astro_parallax_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r") - 1 / F.col("plx")) / (1 / F.col("plx")), 6
         ).alias("rel_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-propagation cross-match (round 12)
+# ---------------------------------------------------------------------------
+_EP_DT = 25.0            # years between the two catalog epochs
+_EP_RADIUS = 5.0         # match radius, arcsec
+_EP_ZONE_DEG = _EP_RADIUS / 3600.0
+
+
+def _epoch_xmatch_oracle() -> str:
+    def sep(ara: str, adec: str) -> str:
+        return f"""
+      degrees(2 * asin(sqrt(
+        sin(radians(b.dec - {adec}) / 2) * sin(radians(b.dec - {adec}) / 2)
+        + cos(radians({adec})) * cos(radians(b.dec))
+          * sin(radians(b.ra - {ara}) / 2) * sin(radians(b.ra - {ara}) / 2)
+        ))) * 3600"""
+
+    return f"""
+    WITH base AS ({_XM_SQL_COORDS}),
+    a AS (
+      SELECT id AS a_id, ra, dec,
+             ((id % 41) - 20) * 0.1 AS pm_ra,
+             ((id % 37) - 18) * 0.1 AS pm_dec,
+             ra + ((id % 41) - 20) * 0.1 * {_EP_DT} / 3600.0 AS ra_prop,
+             dec + ((id % 37) - 18) * 0.1 * {_EP_DT} / 3600.0 AS dec_prop
+      FROM base
+    ),
+    b AS (
+      SELECT id AS b_id,
+             ra + ((id % 41) - 20) * 0.1 * {_EP_DT} / 3600.0
+                + ((id % 13) - 6) * 0.00002 AS ra,
+             dec + ((id % 37) - 18) * 0.1 * {_EP_DT} / 3600.0
+                 + ((id % 11) - 5) * 0.00002
+                 + CASE WHEN id % 5 = 0 THEN 2.0 ELSE 0.0 END AS dec
+      FROM base
+    )
+    SELECT a.a_id, b.b_id,
+           ROUND({sep("a.ra_prop", "a.dec_prop")}, 2) AS sep_prop_arcsec,
+           ROUND({sep("a.ra", "a.dec")}, 2) AS sep_naive_arcsec
+    FROM a JOIN b ON {sep("a.ra_prop", "a.dec_prop")} <= {_EP_RADIUS}
+    """
+
+
+@register("astro_epoch_xmatch", oracle=_epoch_xmatch_oracle())
+def astro_epoch_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper-motion epoch propagation BEFORE cross-match — the step every
+    multi-epoch catalog join needs (Gaia DR3 is epoch 2016.0; matching a
+    {_EP_DT:.0f}-years-later observation catalog at a {_EP_RADIUS:.0f}"
+    radius without propagating loses every high-PM star, since 2"/yr x
+    {_EP_DT:.0f} yr = 50" of displacement). Catalog A carries per-object
+    proper motions (key-derived, up to +/-2"/yr per axis); catalog B is
+    the same objects observed {_EP_DT:.0f} years later (displaced by
+    pm x dt, plus sub-arcsec jitter; every 5th object displaced 2 deg =
+    a non-match). A's positions are propagated to B's epoch
+    (ra + pm_ra x dt, coordinate-angle convention: the fixture's pm_ra is
+    dRA/dt, not pm_ra* = mu_ra cos dec — both engines apply the identical
+    offset, so the contract is cross-engine exact), then matched with the
+    same SDSS zone algorithm as `join_xmatch_zone`. Both separations are
+    reported: sep_prop (sub-arcsec, the match basis) and sep_naive (tens
+    of arcsec — what a no-propagation match would have had to survive).
+
+    Determinism: positions/PMs are golden-angle + modular-arithmetic
+    doubles computed by the same expressions in both engines; planted
+    separations are <= ~1.5" and non-matches are >= 1 deg away, so trig
+    ulp can never flip the {_EP_RADIUS:.0f}" cut.
+
+    Scale: one equi-shuffle on the declination zone of the PROPAGATED
+    position (zone height = match radius), candidates = objects x 3 x
+    zone density — never the oracle's quadratic cross join. This is the
+    standard epoch-aware xmatch shape run catalog-scale (10^9 rows): the
+    propagation itself is a pure map stage fused into the scan."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    ra = (F.col("id") * 137.50776405) % 360.0
+    dec = F.degrees(F.asin(((F.col("id") * 0.6180339887) % 1.0) * 2 - 1))
+    pm_ra = ((F.col("id") % 41) - 20) * 0.1
+    pm_dec = ((F.col("id") % 37) - 18) * 0.1
+    base = c.select(
+        "id", ra.alias("ra"), dec.alias("dec"),
+        pm_ra.alias("pm_ra"), pm_dec.alias("pm_dec"),
+    )
+    a = base.select(
+        F.col("id").alias("a_id"),
+        F.col("ra").alias("a_ra"),
+        F.col("dec").alias("a_dec"),
+        (F.col("ra") + F.col("pm_ra") * _EP_DT / 3600.0).alias("a_ra_prop"),
+        (F.col("dec") + F.col("pm_dec") * _EP_DT / 3600.0).alias("a_dec_prop"),
+    ).withColumn(
+        "zone", F.floor((F.col("a_dec_prop") + 90.0) / _EP_ZONE_DEG)
+    )
+    b_dec = (
+        F.col("dec")
+        + F.col("pm_dec") * _EP_DT / 3600.0
+        + ((F.col("id") % 11) - 5) * 0.00002
+        + F.when(F.col("id") % 5 == 0, 2.0).otherwise(0.0)
+    )
+    bz = F.floor((b_dec + 90.0) / _EP_ZONE_DEG)
+    b = base.select(
+        F.col("id").alias("b_id"),
+        (
+            F.col("ra")
+            + F.col("pm_ra") * _EP_DT / 3600.0
+            + ((F.col("id") % 13) - 6) * 0.00002
+        ).alias("b_ra"),
+        b_dec.alias("b_dec"),
+        F.explode(F.array(bz - 1, bz, bz + 1)).alias("zone"),
+    )
+
+    def sep(ara, adec):
+        return F.degrees(
+            2
+            * F.asin(
+                F.sqrt(
+                    F.pow(F.sin(F.radians(F.col("b_dec") - adec) / 2), 2)
+                    + F.cos(F.radians(adec))
+                    * F.cos(F.radians(F.col("b_dec")))
+                    * F.pow(F.sin(F.radians(F.col("b_ra") - ara) / 2), 2)
+                )
+            )
+        ) * 3600
+
+    sep_prop = sep(F.col("a_ra_prop"), F.col("a_dec_prop"))
+    sep_naive = sep(F.col("a_ra"), F.col("a_dec"))
+    return (
+        a.join(b, "zone")
+        .filter(sep_prop <= _EP_RADIUS)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(sep_prop, 2).alias("sep_prop_arcsec"),
+            F.round(sep_naive, 2).alias("sep_naive_arcsec"),
+        )
+    )

@@ -121,6 +121,7 @@ _PRIORITY_QUERIES = (
     "agg_theil_decomposition",
     "stream_live_fits_ingest",
     "fits_tdisp_render",
+    "astro_epoch_xmatch",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",

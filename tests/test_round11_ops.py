@@ -789,3 +789,28 @@ def test_theil_decomposition_identity_and_null_between(spark):
     # prices are segment-independent: between-group inequality ~ 0
     assert r["theil_between"] < 0.01 * r["theil_total"] + 1e-4, r
     assert 0.0 <= r["between_share"] < 0.02
+
+
+def test_epoch_xmatch_recovers_high_pm_stars(spark):
+    """Propagation must recover every surviving object as a SELF-match
+    (sub-arcsec propagated separation), while the naive separation shows
+    the pm x dt displacement a no-propagation match would have faced;
+    the 2-degree displaced objects (id % 5 == 0) must not match."""
+    from fits2db_spark.operators.joins import _EP_DT
+
+    rows = _run(spark, "astro_epoch_xmatch")
+    assert rows
+    ids = [r["a_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "one match per object"
+    big_naive = 0
+    for r in rows:
+        assert r["a_id"] == r["b_id"], "cross-object match at 5 deg spacing?!"
+        assert r["a_id"] % 5 != 0, "displaced non-match leaked through"
+        assert r["sep_prop_arcsec"] <= 0.6, r
+        pm_ra = ((r["a_id"] % 41) - 20) * 0.1
+        pm_dec = ((r["a_id"] % 37) - 18) * 0.1
+        if abs(pm_ra) + abs(pm_dec) > 1.0:
+            # > 25 arcsec of true displacement: naive match impossible
+            assert r["sep_naive_arcsec"] > 5.0, r
+            big_naive += 1
+    assert big_naive > len(rows) * 0.5, "fixture must be dominated by high-PM stars"
