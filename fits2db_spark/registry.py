@@ -53,73 +53,23 @@ _OPERATOR_MODULES = (
 _loaded = False
 
 # The external driver verifies queries in dict-iteration order and may stop
-# after a fixed budget (~50 keys per round).  Round-12 rotation, regenerated
-# from CORRECTNESS_r01∪…∪r11 (r11 covered the first 50 of the r11 queue,
-# 50/50 green including all three DECIMAL keys).  Ordering policy (VERDICT
-# r11 "Next round" item 1):
+# after a fixed budget (~50 keys per round).  Round-13 rotation, regenerated
+# from CORRECTNESS_r01∪…∪r12 (r12 covered the first 50 of the r12 queue,
+# 50/50 green).  Ordering policy (VERDICT r12 "Next round" item 1):
 # (a) keys that have NEVER appeared in any driver 50-key window lead, in
-#     prior queue order — at rotation time that is exactly the 49 round-11
-#     additions, so the r12 window gives each its first driver hash row.
-#     New round-12 keys append at the END of this section as they land;
+#     prior queue order — at rotation time that is exactly the two post-
+#     window r12 additions (fits_tdisp_render, astro_epoch_xmatch), so the
+#     r13 window gives each its first driver hash row.  New round-13 keys
+#     append at the END of this section as they land;
 # (b) every already-green key, stalest latest-driver-round first (r01 keys
-#     before r03 keys before … before r11 keys), so the whole surface keeps
+#     before r03 keys before … before r12 keys), so the whole surface keeps
 #     cycling through driver windows over time.
-# Staleness is now test-pinned: tests/test_rotation.py fails if any
+# Staleness is test-pinned: tests/test_rotation.py fails if any
 # never-driver-checked registered key sits behind an already-checked key.
 # Every key is locally hash-green under tools/check_oracle.py at sf0.001
-# and sf0.01 (and the full sf0.1 deep sweep, docs/ROUND_NOTES.md r11).
+# and sf0.01 (and the full sf0.1 deep sweeps, docs/ROUND_NOTES.md r12).
 _PRIORITY_QUERIES = (
-    # (a) never driver-checked over r01..r11 — the 49 round-11 additions.
-    "ml_chi2_feature_select",
-    "events_theil_sen",
-    "orders_hill_tail",
-    "agg_wilson_ci",
-    "agg_effect_sizes",
-    "sim_mrl_recall",
-    "ml_fairness_parity",
-    "ml_ratio_metric_ci",
-    "agg_cvm_test",
-    "agg_mood_median_test",
-    "pipeline_dataset_card",
-    "agg_friedman_test",
-    "er_blocking_metrics",
-    "lightcurve_lomb_scargle",
-    "fits_cube_spectrum",
-    "fits_datasource_v2",
-    "graph_modularity",
-    "events_negbin_fit",
-    "events_session_stats",
-    "agg_rank_biserial",
-    "ml_platt_scaling",
-    "dedup_weighted_minhash",
-    "agg_tukey_hsd",
-    "text_char_entropy_rate",
-    "agg_dunn_posthoc",
-    "agg_jarque_bera",
-    "dedup_cdc_chunks",
-    "astro_two_point_angular",
-    "agg_cochran_q",
-    "ml_cox_ph",
-    "ml_conformal_interval",
-    "privacy_randomized_response",
-    "ml_gradient_boost_stumps",
-    "agg_bartlett_test",
-    "agg_welch_anova",
-    "spatial_morans_i",
-    "spatial_getis_ord",
-    "join_xmatch_bayes",
-    "er_fellegi_sunter",
-    "fits_datasource_pushdown",
-    "ml_logrank_test",
-    "agg_capture_recapture",
-    "agg_ancova",
-    "astro_parallax_distance",
-    "ml_iv_wald_estimator",
-    "ml_hte_subgroup_scan",
-    "events_coherence",
-    "ml_breusch_pagan",
-    "agg_theil_decomposition",
-    "stream_live_fits_ingest",
+    # (a) never driver-checked over r01..r12.
     "fits_tdisp_render",
     "astro_epoch_xmatch",
     # (b) driver-checked keys, stalest first (latest driver round
@@ -595,6 +545,56 @@ _PRIORITY_QUERIES = (
     "text_mattr_diversity",
     "text_yule_k",
     "text_code_detect",
+    "ml_chi2_feature_select",
+    "events_theil_sen",
+    "orders_hill_tail",
+    "agg_wilson_ci",
+    "agg_effect_sizes",
+    "sim_mrl_recall",
+    "ml_fairness_parity",
+    "ml_ratio_metric_ci",
+    "agg_cvm_test",
+    "agg_mood_median_test",
+    "pipeline_dataset_card",
+    "agg_friedman_test",
+    "er_blocking_metrics",
+    "lightcurve_lomb_scargle",
+    "fits_cube_spectrum",
+    "fits_datasource_v2",
+    "graph_modularity",
+    "events_negbin_fit",
+    "events_session_stats",
+    "agg_rank_biserial",
+    "ml_platt_scaling",
+    "dedup_weighted_minhash",
+    "agg_tukey_hsd",
+    "text_char_entropy_rate",
+    "agg_dunn_posthoc",
+    "agg_jarque_bera",
+    "dedup_cdc_chunks",
+    "astro_two_point_angular",
+    "agg_cochran_q",
+    "ml_cox_ph",
+    "ml_conformal_interval",
+    "privacy_randomized_response",
+    "ml_gradient_boost_stumps",
+    "agg_bartlett_test",
+    "agg_welch_anova",
+    "spatial_morans_i",
+    "spatial_getis_ord",
+    "join_xmatch_bayes",
+    "er_fellegi_sunter",
+    "fits_datasource_pushdown",
+    "ml_logrank_test",
+    "agg_capture_recapture",
+    "agg_ancova",
+    "astro_parallax_distance",
+    "ml_iv_wald_estimator",
+    "ml_hte_subgroup_scan",
+    "events_coherence",
+    "ml_breusch_pagan",
+    "agg_theil_decomposition",
+    "stream_live_fits_ingest",
 )
 _PRIORITY_MODULE_ORDER = (
     "fits2db_spark.operators.llm_text",

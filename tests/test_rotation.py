@@ -20,11 +20,11 @@ correct as future rounds land without edits here.
 
 import glob
 import json
-import re
+import pathlib
 
 from fits2db_spark.registry import _PRIORITY_QUERIES, all_queries
 
-REPO = "/root/repo"
+REPO = str(pathlib.Path(__file__).resolve().parents[1])
 
 
 def _driver_checked_keys():
