@@ -2239,23 +2239,25 @@ def _spark_round(arr, nd: int):
     NOT a substitute — it rounds half-to-even on a scaled binary value
     and can differ by 1 ulp from the decimal-string path, which is fatal
     under the value-hash oracle gate (docs: cross-engine determinism
-    contract)."""
+    contract).  Non-finite inputs (nan/±inf) pass through unchanged, as
+    Spark's ROUND does — Decimal('Infinity').quantize would raise
+    InvalidOperation and kill the whole Arrow task (ADVICE r12)."""
     import decimal
+    import math
 
     import numpy as np
 
     q = decimal.Decimal(1).scaleb(-nd)
+
+    def _one(x: float) -> float:
+        if not math.isfinite(x):
+            return x
+        return float(
+            decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+        )
+
     return np.fromiter(
-        (
-            float(
-                decimal.Decimal(repr(float(x))).quantize(
-                    q, rounding=decimal.ROUND_HALF_UP
-                )
-            )
-            for x in arr
-        ),
-        dtype="float64",
-        count=len(arr),
+        (_one(float(x)) for x in arr), dtype="float64", count=len(arr)
     )
 
 

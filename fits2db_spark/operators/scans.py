@@ -31,6 +31,9 @@ _SCRATCH = os.path.join(tempfile.gettempdir(), "fits2db_spark_scratch")
 # as a needless side effect. Paths embed the sf tag so alternating scale
 # factors in one session can never serve stale data.
 _SCRATCH_DONE: set[tuple[str, str]] = set()
+# (applicationId, sf_dir) -> checkpointed pushdown result; see
+# fits_datasource_pushdown for why the checkpoint is cached, not freed.
+_PUSHDOWN_CKPT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _scratch_dir(spark: SparkSession, sf_dir: str, name: str, write) -> str:
@@ -1325,6 +1328,18 @@ def fits_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so restore-after-return would silently disable it — and leaving it set
     # would change scan behavior for every later fits read in the session.
     # Materialize eagerly while the conf is on, then restore (ADVICE r11).
+    # Memoized per (session, sf_dir) so repeated invocations reuse ONE
+    # checkpoint instead of accumulating blocks in the block manager
+    # (ADVICE r12 — the other localCheckpoint sites pair with
+    # _free_local_checkpoint; here the result must outlive the call, so
+    # per-session reuse is the leak-free shape).
+    cache_key = (
+        getattr(spark.sparkContext, "applicationId", ""),
+        sf_dir,
+    )
+    cached = _PUSHDOWN_CKPT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     conf_key = "spark.sql.python.filterPushdown.enabled"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "true")
@@ -1336,9 +1351,11 @@ def fits_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pushdown", "true")
             .load(path)
         )
-        return df.filter(
+        out = df.filter(
             (F.col("n_regionkey") == 2) & (F.col("n_nationkey") > 5)
         ).select("n_nationkey", "n_name").localCheckpoint(eager=True)
+        _PUSHDOWN_CKPT_CACHE[cache_key] = out
+        return out
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
