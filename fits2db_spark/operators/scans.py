@@ -1405,3 +1405,67 @@ def fits_tdisp_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             short = f.name.removeprefix("c_")
             rendered.append(format_tdisp(f.name, disp).alias(f"{short}_disp"))
     return df.select(*rendered)
+
+
+@register(
+    "fits_write_roundtrip",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE CAST(length(c_mktsegment) AS INTEGER) END AS seg_len,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+               * CAST(0.01 AS DOUBLE) AS acctbal
+    FROM customer
+    """,
+)
+def fits_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMIT half of the reference's identity, under the driver gate:
+    customer -> distributed ``write_fits_dataset`` (one BINTABLE file per
+    partition, executor-side numpy encode) -> ``read_fits`` glob scan ->
+    exact value-hash vs the source table. The write exercises the header
+    conventions the reader family decodes: EXTNAME selection, a TNULLn
+    sentinel standing in for SQL NULL on an integer column (nulls survive
+    the round trip), TSCALn physical scaling (acctbal stored as int cents,
+    decoded as ``raw * 0.01`` — the oracle computes the identical IEEE
+    product), and a TUNITn card.
+
+    Determinism: the stored integer is ``FLOOR(acctbal*100 + 0.5)`` on
+    both engines (tie-free half-up without Python round()'s banker
+    semantics), and the decode's ``raw.astype(f8) * 0.01 + 0.0`` equals
+    the oracle's ``CAST(raw AS BIGINT) * CAST(0.01 AS DOUBLE)`` —
+    float64 multiplication is a single deterministic IEEE op. The DOUBLE
+    cast on 0.01 keeps DuckDB off its DECIMAL literal path.
+
+    Scale: the write is a normal Spark sink shape — N partitions encode N
+    files in parallel, one bounded summary row per partition reaches the
+    driver; the read back is the same binaryFile + mapInArrow scan every
+    fits key uses, parallel by file."""
+    from ..sources.fits import read_fits, write_fits_dataset
+
+    staged = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("int"))
+        .otherwise(F.length("c_mktsegment").cast("int"))
+        .alias("seg_len"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("int").alias("acctbal"),
+    ).repartitionByRange(4, "c_custkey")
+
+    def write(out_dir: str) -> None:
+        write_fits_dataset(
+            staged,
+            out_dir,
+            tforms={
+                "c_custkey": "K",
+                "c_name": "A25",
+                "seg_len": "J",
+                "acctbal": "J",
+            },
+            extname="CUSTROUND",
+            extra_cards=[("TSCAL4", 0.01), ("TUNIT4", "usd")],
+            tnulls={"seg_len": -9999},
+        )
+
+    path = _scratch_dir(spark, sf_dir, "customer_fits_roundtrip", write)
+    return read_fits(spark, path, hdu="CUSTROUND")

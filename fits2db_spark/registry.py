@@ -69,9 +69,11 @@ _loaded = False
 # Every key is locally hash-green under tools/check_oracle.py at sf0.001
 # and sf0.01 (and the full sf0.1 deep sweeps, docs/ROUND_NOTES.md r12).
 _PRIORITY_QUERIES = (
-    # (a) never driver-checked over r01..r12.
+    # (a) never driver-checked over r01..r12 (round-13 keys append at the
+    #     end of this section as they land).
     "fits_tdisp_render",
     "astro_epoch_xmatch",
+    "fits_write_roundtrip",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import io
 import math
+import os
 import re
 
 import numpy as np
@@ -714,6 +715,81 @@ def write_fits_multi(
     if out is not None:
         out.write(blob)
     return blob
+
+
+def write_fits_dataset(
+    df: DataFrame,
+    out_dir: str,
+    tforms: dict[str, str],
+    extname: str | None = None,
+    extra_cards: list[tuple[str, object]] | None = None,
+    tnulls: dict[str, int] | None = None,
+) -> int:
+    """Distributed FITS BINTABLE write: one file per input partition.
+
+    The inverse of :func:`read_fits`, shaped like a Spark sink: each
+    partition's Arrow batches are encoded executor-side into one
+    ``part-{pid:05d}.fits`` (primary HDU + a single BINTABLE extension via
+    :func:`write_fits_multi`), so an N-partition DataFrame writes N files
+    in parallel — the layout :func:`read_fits`'s glob scan parallelizes
+    over on the way back in. ``tforms`` maps every column to its TFORMn;
+    ``tnulls`` maps integer columns to a TNULLn sentinel — SQL NULLs are
+    substituted on write and the TNULLn card is emitted automatically, so
+    a null-bearing DataFrame round-trips its nulls. ``extra_cards`` ride
+    along on every extension (TSCALn/TZEROn/TUNITn/TDISPn conventions).
+
+    Returns the total row count written (summed from one summary row per
+    partition — the only thing that reaches the driver). Scale: like any
+    file sink, ``out_dir`` must be storage all executors can reach; encode
+    is vectorized numpy per partition, no per-row Python."""
+    import pyarrow as pa
+
+    from ..session import ensure_runtime_confs
+
+    spark = df.sparkSession
+    ensure_runtime_confs(spark)  # ships this package to executor workers
+    os.makedirs(out_dir, exist_ok=True)
+    names = [f.name for f in df.schema.fields]
+    missing = [n for n in names if n not in tforms]
+    if missing:
+        raise FitsFormatError(f"no TFORM given for columns {missing}")
+    cards = list(extra_cards or [])
+    for i, n in enumerate(names, start=1):
+        if tnulls and n in tnulls:
+            cards.append((f"TNULL{i}", int(tnulls[n])))
+    col_tforms = [tforms[n] for n in names]
+    sentinels = {n: int(tnulls[n]) for n in (tnulls or {})}
+
+    def encode_partition(batches):
+        from pyspark import TaskContext
+
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        columns = []
+        for name, tform in zip(names, col_tforms):
+            values = tbl.column(name).to_pylist()
+            if name in sentinels:
+                s = sentinels[name]
+                values = [s if v is None else v for v in values]
+            columns.append((name, tform, values))
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.fits")
+        blob = write_fits_multi(
+            [{"columns": columns, "extname": extname, "extra_cards": cards}]
+        )
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([path]), pa.array([tbl.num_rows], type=pa.int64())],
+            names=["path", "nrows"],
+        )
+
+    summary = df.mapInArrow(
+        encode_partition, schema="path string, nrows long"
+    ).collect()  # bounded: one row per partition
+    return sum(r.nrows for r in summary)
 
 
 def _bintable_ext(

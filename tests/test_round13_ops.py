@@ -47,3 +47,56 @@ def test_fits_datasource_pushdown_checkpoint_is_memoized(spark):
     assert a is b, "repeated invocations must reuse the cached checkpoint"
     assert len(scans._PUSHDOWN_CKPT_CACHE) == 1
     assert a.count() == b.count()
+
+
+def test_write_fits_dataset_roundtrip_nulls_scale_multifile(spark, tmp_path):
+    """write_fits_dataset: N partitions -> N files, TNULL sentinels stand in
+    for SQL NULLs on disk and come back as NULLs, TSCAL decodes physically."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.sources.fits import read_fits, write_fits_dataset
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("row-"), F.col("id")).alias("label"),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") * 3).cast("int"))
+        .alias("maybe"),
+        (F.col("id") * 25).cast("int").alias("cents"),
+    ).repartitionByRange(3, "k")
+
+    out = str(tmp_path / "ds")
+    n = write_fits_dataset(
+        df,
+        out,
+        tforms={"k": "K", "label": "A16", "maybe": "J", "cents": "J"},
+        extname="RT",
+        extra_cards=[("TSCAL4", 0.01), ("TUNIT4", "usd")],
+        tnulls={"maybe": -1},
+    )
+    assert n == 40
+    files = sorted(glob.glob(os.path.join(out, "part-*.fits")))
+    assert len(files) == 3, "one file per non-empty partition"
+
+    back = read_fits(spark, out, hdu="RT")
+    rows = {r.k: r for r in back.collect()}
+    assert len(rows) == 40
+    assert rows[10].maybe is None and rows[11].maybe == 33
+    assert rows[7].cents == 0.01 * (7 * 25)
+    assert rows[3].label == "row-3"
+    # unit card survives into column metadata
+    meta = {f.name: (f.metadata or {}) for f in back.schema.fields}
+    assert meta["cents"].get("fits.tunit") == "usd"
+
+
+def test_write_fits_dataset_requires_tform_for_every_column(spark, tmp_path):
+    import pytest
+
+    from fits2db_spark.sources.fits import FitsFormatError, write_fits_dataset
+
+    df = spark.range(3).selectExpr("id AS a", "id AS b")
+    with pytest.raises(FitsFormatError, match="b"):
+        write_fits_dataset(df, str(tmp_path / "x"), tforms={"a": "K"})
