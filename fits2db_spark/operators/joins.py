@@ -2519,3 +2519,197 @@ def astro_epoch_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sep_naive, 2).alias("sep_naive_arcsec"),
         )
     )
+
+
+# --- HEALPix-sharded cross-match (round 13) --------------------------------
+_HPX_NSIDE = 16  # coarse shard pixelization: 3072 pixels, ~3.7 deg across
+
+
+def _nest_pix_col(z, tt, nside: int):
+    """HEALPix nested pixel id as a Catalyst expression, generalized from
+    operators/etl.py:spatial_nest (Gorski et al. 2005 ang2pix_nest) to any
+    power-of-two nside. ``z`` = sin(dec), ``tt`` = (ra mod 360)/90."""
+    from .etl import _interleave_col
+
+    bits = int(math.log2(nside))
+    za = F.abs(z)
+    jp_eq = F.floor(nside * (0.5 + tt) - nside * z * 0.75)
+    jm_eq = F.floor(nside * (0.5 + tt) + nside * z * 0.75)
+    ntt = F.least(F.floor(tt).cast("long"), F.lit(3))
+    tp = tt - ntt
+    tmp = nside * F.sqrt(3.0 * (1.0 - za))
+    jp_po = F.least(F.floor(tp * tmp).cast("long"), F.lit(nside - 1))
+    jm_po = F.least(F.floor((1.0 - tp) * tmp).cast("long"), F.lit(nside - 1))
+    ifp, ifm = F.shiftright(jp_eq, bits), F.shiftright(jm_eq, bits)
+    eq = za <= 2.0 / 3.0
+    north = z >= 0
+    face = F.when(
+        eq,
+        F.when(ifp == ifm, ifp.bitwiseAND(F.lit(3)) + 4)
+        .when(ifp < ifm, ifp.bitwiseAND(F.lit(3)))
+        .otherwise(ifm.bitwiseAND(F.lit(3)) + 8),
+    ).otherwise(F.when(north, ntt).otherwise(ntt + 8))
+    ix = (
+        F.when(eq, jm_eq.bitwiseAND(F.lit(nside - 1)))
+        .when(north, nside - jm_po - 1)
+        .otherwise(jp_po)
+    )
+    iy = (
+        F.when(eq, nside - jp_eq.bitwiseAND(F.lit(nside - 1)) - 1)
+        .when(north, nside - jp_po - 1)
+        .otherwise(jm_po)
+    )
+    return face * (nside * nside) + _interleave_col(ix, iy, bits)
+
+
+def _xmatch_healpix_oracle() -> str:
+    from .etl import _interleave_sql
+
+    n = _HPX_NSIDE
+    bits = int(math.log2(n))
+    sep = """
+      2 * asin(sqrt(
+        sin(radians(b.dec - a.dec) / 2) * sin(radians(b.dec - a.dec) / 2)
+        + cos(radians(a.dec)) * cos(radians(b.dec))
+          * sin(radians(b.ra - a.ra) / 2) * sin(radians(b.ra - a.ra) / 2)))
+    """
+    return f"""
+    WITH base AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 137.50776405) % 360.0 AS ra,
+             degrees(asin(((c_custkey * 0.6180339887) % 1.0) * 2 - 1)) AS dec,
+             ((CAST(c_custkey AS DOUBLE) * 0.6180339887) % 1.0) * 2 - 1 AS z,
+             ((CAST(c_custkey AS DOUBLE) * 137.50776405) % 360.0) / 90.0 AS tt
+      FROM customer
+    ),
+    eqn AS (
+      SELECT id, ra, dec, z, tt, ABS(z) AS za,
+             CAST(FLOOR({n} * (0.5 + tt) - {n} * z * 0.75) AS BIGINT) AS jp_eq,
+             CAST(FLOOR({n} * (0.5 + tt) + {n} * z * 0.75) AS BIGINT) AS jm_eq,
+             LEAST(CAST(FLOOR(tt) AS BIGINT), 3) AS ntt,
+             {n} * SQRT(3.0 * (1.0 - ABS(z))) AS tmp
+      FROM base
+    ),
+    fxy AS (
+      SELECT id, ra, dec,
+        CASE WHEN za <= 2.0/3.0 THEN
+          CASE WHEN (jp_eq >> {bits}) = (jm_eq >> {bits}) THEN ((jp_eq >> {bits}) & 3) + 4
+               WHEN (jp_eq >> {bits}) < (jm_eq >> {bits}) THEN (jp_eq >> {bits}) & 3
+               ELSE ((jm_eq >> {bits}) & 3) + 8 END
+        WHEN z >= 0 THEN ntt ELSE ntt + 8 END AS face,
+        CASE WHEN za <= 2.0/3.0 THEN jm_eq & {n - 1}
+             WHEN z >= 0 THEN {n} - LEAST(CAST(FLOOR((1.0 - (tt - ntt)) * tmp) AS BIGINT), {n - 1}) - 1
+             ELSE LEAST(CAST(FLOOR((tt - ntt) * tmp) AS BIGINT), {n - 1}) END AS ix,
+        CASE WHEN za <= 2.0/3.0 THEN {n} - (jp_eq & {n - 1}) - 1
+             WHEN z >= 0 THEN {n} - LEAST(CAST(FLOOR((tt - ntt) * tmp) AS BIGINT), {n - 1}) - 1
+             ELSE LEAST(CAST(FLOOR((1.0 - (tt - ntt)) * tmp) AS BIGINT), {n - 1}) END AS iy
+      FROM eqn
+    ),
+    a AS (
+      SELECT id AS a_id, ra, dec,
+             face * {n * n} + ({_interleave_sql('ix', 'iy', bits)}) AS shard_pix
+      FROM fxy
+    ),
+    b AS (
+      SELECT id AS b_id,
+             ra + ((id % 21) - 10) * 0.0001 AS ra,
+             dec + ((id % 17) - 8) * 0.0001
+                 + CASE WHEN id % 5 = 0 THEN 2.0 ELSE 0.0 END AS dec
+      FROM base
+    )
+    SELECT a.a_id, b.b_id,
+           ROUND(degrees({sep}) * 3600, 2) AS sep_arcsec,
+           a.shard_pix
+    FROM a JOIN b
+      ON degrees({sep}) * 3600 <= {_XM_RADIUS_ARCSEC}
+    """
+
+
+@register("join_xmatch_healpix", oracle=_xmatch_healpix_oracle())
+def join_xmatch_healpix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEALPix-SHARDED cross-match: the zone join's dec bands replaced by
+    the coarse nested pixel layout `spatial_nest` computes at load time —
+    the blocking scheme that matches how a 100 TB master catalog is
+    actually laid out on disk (partitioned by coarse pixel, e.g. LSD /
+    AXS / LSST butler sharding). Catalog A joins on its OWN storage shard
+    key (nest pixel at nside={_HPX_NSIDE}, ~3.7 deg); catalog B probes
+    every pixel its {_XM_RADIUS_ARCSEC}-arcsec match cone can touch —
+    the pixel under its center plus the pixels under 16 compass samples
+    on the cone boundary (array_distinct'd, so each candidate pair is
+    generated exactly once). Exact haversine verification then keeps true
+    matches only; emitted `shard_pix` is the A-side shard every match was
+    found in.
+
+    Cross-engine determinism: the EMITTED shard pixel is computed on the
+    trig-free fixture path (z = sin(dec) equals the golden-angle u
+    EXACTLY, so both engines floor identical doubles — the spatial_nest
+    contract); the PROBE-side pixels use real trig on jittered positions
+    but never appear in the output, so 1-ulp sin/cos differences can only
+    perturb the candidate set, never the verified result (the oracle is
+    the quadratic join and checks results, not candidates).
+
+    Scale: one equi-shuffle on the shard pixel, exactly co-partitioned
+    with the master catalog's storage layout — the probe side arrives at
+    the shard where A's rows already live, so the master table is joined
+    WITHOUT reshuffling 100 TB (Spark's storage-partitioned-join /
+    bucketing lever); candidate volume ~ |B| x avg probed pixels (~1-4 at
+    this radius/nside ratio). The dec-zone variant (join_xmatch_zone)
+    shuffles BOTH sides; this one moves only the observations."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    ra = (F.col("id") * 137.50776405) % 360.0
+    dec = F.degrees(F.asin(((F.col("id") * 0.6180339887) % 1.0) * 2 - 1))
+    z = ((F.col("id") * 0.6180339887) % 1.0) * 2 - 1
+    tt = ((F.col("id") * 137.50776405) % 360.0) / 90.0
+    base = c.select(
+        "id", ra.alias("ra"), dec.alias("dec"), z.alias("z"), tt.alias("tt")
+    )
+    a = base.select(
+        F.col("id").alias("a_id"),
+        F.col("ra").alias("a_ra"),
+        F.col("dec").alias("a_dec"),
+        _nest_pix_col(F.col("z"), F.col("tt"), _HPX_NSIDE).alias("shard_pix"),
+    )
+
+    b_ra = F.col("ra") + ((F.col("id") % 21) - 10) * 0.0001
+    b_dec = (
+        F.col("dec")
+        + ((F.col("id") % 17) - 8) * 0.0001
+        + F.when(F.col("id") % 5 == 0, 2.0).otherwise(0.0)
+    )
+    b = base.select(F.col("id").alias("b_id"), b_ra.alias("b_ra"), b_dec.alias("b_dec"))
+
+    r_deg = _XM_RADIUS_ARCSEC / 3600.0
+
+    def probe_pix(dtheta_deg, dphi_scaled):
+        # sample point: dec + r*sin(theta), ra + r*cos(theta)/cos(dec)
+        dec_s = F.least(F.greatest(F.col("b_dec") + dtheta_deg, F.lit(-90.0)), F.lit(90.0))
+        ra_s = F.col("b_ra") + dphi_scaled / F.cos(F.radians("b_dec"))
+        z_s = F.sin(F.radians(dec_s))
+        tt_s = (((ra_s % 360.0) + 360.0) % 360.0) / 90.0
+        return _nest_pix_col(z_s, tt_s, _HPX_NSIDE)
+
+    samples = [probe_pix(F.lit(0.0), F.lit(0.0))]
+    for k in range(16):
+        th = 2.0 * math.pi * k / 16.0
+        samples.append(
+            probe_pix(F.lit(r_deg * math.sin(th)), F.lit(r_deg * math.cos(th)))
+        )
+    probes = b.select(
+        "b_id", "b_ra", "b_dec",
+        F.explode(F.array_distinct(F.array(*samples))).alias("shard_pix"),
+    )
+
+    sep_rad = 2 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("b_dec") - F.col("a_dec")) / 2), 2)
+            + F.cos(F.radians("a_dec"))
+            * F.cos(F.radians("b_dec"))
+            * F.pow(F.sin(F.radians(F.col("b_ra") - F.col("a_ra")) / 2), 2)
+        )
+    )
+    sep_arcsec = F.degrees(sep_rad) * 3600
+    return (
+        a.join(probes, "shard_pix")
+        .filter(sep_arcsec <= _XM_RADIUS_ARCSEC)
+        .select("a_id", "b_id", F.round(sep_arcsec, 2).alias("sep_arcsec"), "shard_pix")
+    )

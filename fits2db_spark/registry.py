@@ -74,6 +74,7 @@ _PRIORITY_QUERIES = (
     "fits_tdisp_render",
     "astro_epoch_xmatch",
     "fits_write_roundtrip",
+    "join_xmatch_healpix",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",

@@ -104,12 +104,38 @@ def test_all_queries_execute(spark, all_queries):
             "fits_ingest", "udf_pandas_scalar", "fn_string",
         ]
         targets = sorted((set(all_queries) - oracled) | set(canaries))
+    def _session_state():
+        """Observable session state a query must leave untouched: the
+        explicitly-set runtime SQL confs and the set of temp views.
+        Conf leaks silently re-plan every LATER query in the session
+        (round 12 found one by accident — scans.py's pushdown conf; this
+        makes the class a red test). Temp-view ADDITIONS are the
+        documented memoized-fixture pattern (f2s_* staging views, live
+        memory sinks), so only conf deltas and view REMOVALS fail."""
+        confs = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+        views = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+        return confs, views
+
     failures = []
+    leaks = []
     for name in targets:
+        pre_conf, pre_views = _session_state()
         try:
             df = all_queries[name](spark, SF_SMOKE)
             df.take(1)
             assert df.columns, f"{name}: no columns"
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
+            continue
+        post_conf, post_views = _session_state()
+        if post_conf != pre_conf:
+            delta = {
+                k: (pre_conf.get(k, "<unset>"), post_conf.get(k, "<unset>"))
+                for k in set(pre_conf) | set(post_conf)
+                if pre_conf.get(k) != post_conf.get(k)
+            }
+            leaks.append(f"{name}: conf leak {delta}")
+        if pre_views - post_views:
+            leaks.append(f"{name}: dropped temp views {pre_views - post_views}")
     assert not failures, "\n".join(failures)
+    assert not leaks, "session-state leaks:\n" + "\n".join(leaks)

@@ -100,3 +100,22 @@ def test_write_fits_dataset_requires_tform_for_every_column(spark, tmp_path):
     df = spark.range(3).selectExpr("id AS a", "id AS b")
     with pytest.raises(FitsFormatError, match="b"):
         write_fits_dataset(df, str(tmp_path / "x"), tforms={"a": "K"})
+
+
+def test_xmatch_healpix_agrees_with_zone_join(spark):
+    """The pixel-sharded cross-match and the dec-zone cross-match are two
+    blocking schemes over the same exact-verification predicate — their
+    (a_id, b_id, sep) result sets must be identical, and every healpix
+    match must carry the A-side shard pixel spatial-nest-style blocking
+    would put that object in."""
+    from fits2db_spark.operators.joins import join_xmatch_healpix, join_xmatch_zone
+
+    sf = "/root/testdata/sf0.001"
+    zone = {
+        (r.a_id, r.b_id, r.sep_arcsec) for r in join_xmatch_zone(spark, sf).collect()
+    }
+    hp_rows = join_xmatch_healpix(spark, sf).collect()
+    hp = {(r.a_id, r.b_id, r.sep_arcsec) for r in hp_rows}
+    assert hp == zone
+    assert len(hp_rows) == len(hp), "pixel probes must not duplicate pairs"
+    assert all(0 <= r.shard_pix < 12 * 16 * 16 for r in hp_rows)
