@@ -1469,3 +1469,45 @@ def fits_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch_dir(spark, sf_dir, "customer_fits_roundtrip", write)
     return read_fits(spark, path, hdu="CUSTROUND")
+
+
+@register(
+    "fits_image_blank",
+    oracle="""
+    SELECT gx.x, gy.y,
+           CASE WHEN (gx.x + gy.y) % 11 = 0 THEN NULL
+                ELSE CAST(100 + 0.5 * (((gx.x * 31 + gy.y * 17) % 1000) - 200)
+                     AS DOUBLE) END AS val
+    FROM generate_series(0, 47) gx(x), generate_series(0, 31) gy(y)
+    """,
+)
+def fits_image_blank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undefined pixels on the integer image path: the same 48x32 int16
+    science image as `fits_image_ingest`, but every pixel with
+    (x + y) % 11 == 0 is stored as the BLANK sentinel (-32768, FITS 4.0
+    §4.4.2.5 — the IMAGE-HDU analogue of a BINTABLE TNULLn). The reader
+    masks raw == BLANK BEFORE BSCALE/BZERO scaling, so those pixels
+    emerge as SQL NULLs in the (x, y, val) pixel table — bad-pixel /
+    saturation masks round-trip without a separate mask file. Downstream
+    stats (sigma-clip, background estimation) then exclude them the way
+    any SQL aggregate skips NULLs.
+
+    Scale: identical to the other image keys — one decode task per file,
+    masking is a vectorized numpy compare riding the existing Arrow
+    validity bitmap path (to_arrow_columns), zero extra passes."""
+    from ..sources.fits import read_fits_image, write_fits_image
+
+    def write(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        img = (
+            (np.arange(32)[:, None] * 17 + np.arange(48)[None, :] * 31) % 1000 - 200
+        ).astype("i2")
+        xy = np.arange(48)[None, :] + np.arange(32)[:, None]
+        img[xy % 11 == 0] = -32768
+        with open(os.path.join(out_dir, "sci_blank.fits"), "wb") as f:
+            write_fits_image(
+                img, bscale=0.5, bzero=100.0, extname="SCI", blank=-32768, out=f
+            )
+
+    out = _scratch_dir(spark, sf_dir, "fits_image_blank", write)
+    return read_fits_image(spark, os.path.join(out, "sci_blank.fits"), hdu="SCI")

@@ -75,6 +75,7 @@ _PRIORITY_QUERIES = (
     "astro_epoch_xmatch",
     "fits_write_roundtrip",
     "join_xmatch_healpix",
+    "fits_image_blank",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",

@@ -1302,11 +1302,16 @@ def write_fits_image(
     bzero: float = 0.0,
     extname: str | None = None,
     out: io.IOBase | None = None,
+    blank: int | None = None,
 ) -> bytes:
     """Build a FITS file whose first extension is a 2-D IMAGE HDU. BITPIX
     follows the array dtype; BSCALE/BZERO are written as given (the stored
     integers are the RAW values — physical = BZERO + BSCALE * raw, applied
-    by the reader per the standard)."""
+    by the reader per the standard). ``blank`` emits the BLANK card — the
+    integer-image undefined-pixel sentinel (FITS 4.0 §4.4.2.5, integer
+    BITPIX only), the IMAGE-HDU analogue of a BINTABLE TNULLn."""
+    if blank is not None and data.dtype.kind not in "iu":
+        raise FitsFormatError("BLANK is only defined for integer BITPIX")
     inv = {v.lstrip(">"): k for k, v in _BITPIX_DTYPES.items()}
     key = data.dtype.newbyteorder("=").str.lstrip("<>=|")
     if key not in inv:
@@ -1328,6 +1333,8 @@ def write_fits_image(
         cards.append(_card("BZERO", bzero))
     if extname is not None:
         cards.append(_card("EXTNAME", extname))
+    if blank is not None:
+        cards.append(_card("BLANK", int(blank)))
     cards.append(b"END".ljust(CARD))
     hdr = _pad(b"".join(cards), b" ")
     payload = data.astype(_BITPIX_DTYPES[bitpix]).tobytes()
@@ -1373,15 +1380,20 @@ def decode_image(data: bytes, hdu: int | str = 1):
         raise FitsFormatError(f"bad BITPIX {bitpix}") from e
     bscale = float(cards.get("BSCALE", 1.0))
     bzero = float(cards.get("BZERO", 0.0))
+    # BLANK: undefined-pixel sentinel on RAW stored values (integer BITPIX
+    # only, like a BINTABLE TNULLn) -> SQL NULL after scaling
+    blank = int(cards["BLANK"]) if "BLANK" in cards and bitpix > 0 else None
     raw = np.frombuffer(data, dtype=dt, count=w * h, offset=data_off)
     x = np.tile(np.arange(w, dtype="i4"), h)
     y = np.repeat(np.arange(h, dtype="i4"), w)
     val = bzero + bscale * raw.astype("f8")
+    if blank is not None:
+        val = np.ma.MaskedArray(val, mask=raw == blank)
     schema = StructType(
         [
             StructField("x", IntegerType(), False),
             StructField("y", IntegerType(), False),
-            StructField("val", DoubleType(), False),
+            StructField("val", DoubleType(), blank is not None),
         ]
     )
     return schema, [x, y, val]
@@ -1438,6 +1450,8 @@ def write_fits_cube(
         cards.append(_card("BZERO", bzero))
     if extname is not None:
         cards.append(_card("EXTNAME", extname))
+    if blank is not None:
+        cards.append(_card("BLANK", int(blank)))
     cards.append(b"END".ljust(CARD))
     hdr = _pad(b"".join(cards), b" ")
     payload = data.astype(_BITPIX_DTYPES[bitpix]).tobytes()

@@ -119,3 +119,27 @@ def test_xmatch_healpix_agrees_with_zone_join(spark):
     assert hp == zone
     assert len(hp_rows) == len(hp), "pixel probes must not duplicate pairs"
     assert all(0 <= r.shard_pix < 12 * 16 * 16 for r in hp_rows)
+
+
+def test_image_blank_masks_before_scaling(spark, tmp_path):
+    """BLANK is matched on RAW stored values (pre-BSCALE/BZERO); non-blank
+    pixels scale normally; float images ignore BLANK by the standard."""
+    import numpy as np
+    import pytest
+
+    from fits2db_spark.sources.fits import (
+        FitsFormatError,
+        read_fits_image,
+        write_fits_image,
+    )
+
+    img = np.array([[1, 2], [-99, 4]], dtype="i2")
+    p = tmp_path / "b.fits"
+    p.write_bytes(
+        write_fits_image(img, bscale=2.0, bzero=10.0, extname="X", blank=-99)
+    )
+    rows = {(r.x, r.y): r.val for r in read_fits_image(spark, str(p), hdu="X").collect()}
+    assert rows[(0, 1)] is None, "BLANK pixel must decode to NULL"
+    assert rows[(0, 0)] == 12.0 and rows[(1, 1)] == 18.0
+    with pytest.raises(FitsFormatError, match="BLANK"):
+        write_fits_image(np.zeros((2, 2), dtype="f4"), blank=0)

@@ -164,10 +164,111 @@ def candidate_growth() -> list[dict]:
     return rows
 
 
+def wide_scaleup(cap_sec: float = 90.0) -> dict:
+    """r12 verdict item 3: measure the WIDE tier (bench.py's 20 pinned
+    graph/ANN/streaming/iterative keys) at sf0.1 vs the synthetic ~sf1
+    tier, Spark AND the DuckDB oracle leg, per key — the first measured
+    scale-up evidence for exactly the families whose local sf0.1 numbers
+    look worst (fixed-floor-bound).  Spark runs are best-of-1 in one
+    shared session per the wide-tier convention (construction inside the
+    timed window — the iterative keys materialize checkpoints while
+    building).  DuckDB oracles run under a ``cap_sec`` interrupt because
+    several are deliberately quadratic reference formulations (the oracle
+    checks results, not plans) and would not finish at sf1; a capped
+    entry reports ``null`` with ``">cap"`` in the notes — that asymmetry
+    IS the scale-up finding."""
+    import threading
+
+    from bench import WIDE
+    from fits2db_spark.registry import all_oracles, all_queries
+    from fits2db_spark.session import get_spark
+    from fits2db_spark.tables import warm_cache
+    from tools.bench_duckdb import TABLES
+
+    spark = get_spark("scaleup_wide", shuffle_partitions=8)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs = all_queries()
+    oracles = all_oracles()
+
+    tiers = {"sf0.1": SRC, "sf1": OUT}
+    spark_t: dict[str, dict[str, float]] = {k: {} for k in tiers}
+    duck_t: dict[str, dict[str, float | None]] = {k: {} for k in tiers}
+    capped: list[str] = []
+    for label, sf_dir in tiers.items():
+        warm_cache(spark, sf_dir, partitions=8)
+        for name in WIDE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark_t[label][name] = round(time.time() - t0, 3)
+            print(
+                f"spark {label} {name}: {spark_t[label][name]}s", file=sys.stderr
+            )
+        con = duckdb.connect()
+        con.execute("SET threads TO 32")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in WIDE:
+            sql = oracles.get(name)
+            if sql is None:
+                duck_t[label][name] = None  # rows-only key, no oracle
+                continue
+            timer = threading.Timer(cap_sec, con.interrupt)
+            timer.start()
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+                duck_t[label][name] = round(time.time() - t0, 3)
+            except duckdb.Error:
+                duck_t[label][name] = None
+                capped.append(f"{label}:{name}")
+            finally:
+                timer.cancel()
+            print(
+                f"duck  {label} {name}: {duck_t[label][name]}s", file=sys.stderr
+            )
+        con.close()
+
+    rows = []
+    for name in WIDE:
+        s01, s1 = spark_t["sf0.1"][name], spark_t["sf1"][name]
+        d01, d1 = duck_t["sf0.1"][name], duck_t["sf1"][name]
+        rows.append(
+            {
+                "key": name,
+                "spark_sf01": s01,
+                "spark_sf1": s1,
+                "spark_scaleup_x": round(s1 / s01, 2) if s01 else None,
+                "duck_sf01": d01,
+                "duck_sf1": d1,
+                "duck_scaleup_x": round(d1 / d01, 2) if d01 and d1 else None,
+                "ratio_sf1": round(s1 / d1, 2) if d1 else None,
+            }
+        )
+    return {
+        "cap_sec": cap_sec,
+        "spark_total_sf01": round(sum(spark_t["sf0.1"].values()), 2),
+        "spark_total_sf1": round(sum(spark_t["sf1"].values()), 2),
+        "duck_capped_or_skipped": capped,
+        "per_key": rows,
+    }
+
+
 def main() -> None:
     factor = 10
     if "--factor" in sys.argv:
         factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    if "--wide" in sys.argv:
+        if "--skip-gen" not in sys.argv and not os.path.exists(
+            os.path.join(OUT, "embeddings.parquet")
+        ):
+            t0 = time.time()
+            generate(factor)
+            print(f"generated {OUT} in {time.time()-t0:.1f}s", file=sys.stderr)
+        print(json.dumps({"tier": OUT, "wide": wide_scaleup()}, indent=2))
+        return
     if "--skip-gen" not in sys.argv:
         t0 = time.time()
         generate(factor)
