@@ -1422,12 +1422,15 @@ def write_fits_cube(
     bzero: float = 0.0,
     extname: str | None = None,
     out: io.IOBase | None = None,
+    blank: int | None = None,
 ) -> bytes:
     """Build a FITS file whose first extension is a 3-D IMAGE HDU (a
     spectral cube: NAXIS1 = x, NAXIS2 = y, NAXIS3 = channel — the radio /
     IFU data product). ``data`` is indexed [z, y, x] (C order matches the
-    FITS axis-1-fastest serialization); BSCALE/BZERO as in
-    :func:`write_fits_image`."""
+    FITS axis-1-fastest serialization); BSCALE/BZERO and the ``blank``
+    undefined-voxel sentinel as in :func:`write_fits_image`."""
+    if blank is not None and data.dtype.kind not in "iu":
+        raise FitsFormatError("BLANK is only defined for integer BITPIX")
     inv = {v.lstrip(">"): k for k, v in _BITPIX_DTYPES.items()}
     key = data.dtype.newbyteorder("=").str.lstrip("<>=|")
     if key not in inv:
@@ -1497,17 +1500,20 @@ def decode_cube(data: bytes, hdu: int | str = 1):
         raise FitsFormatError(f"bad BITPIX {bitpix}") from e
     bscale = float(cards.get("BSCALE", 1.0))
     bzero = float(cards.get("BZERO", 0.0))
+    blank = int(cards["BLANK"]) if "BLANK" in cards and bitpix > 0 else None
     raw = np.frombuffer(data, dtype=dt, count=w * h * nz, offset=data_off)
     x = np.tile(np.arange(w, dtype="i4"), h * nz)
     y = np.tile(np.repeat(np.arange(h, dtype="i4"), w), nz)
     z = np.repeat(np.arange(nz, dtype="i4"), w * h)
     val = bzero + bscale * raw.astype("f8")
+    if blank is not None:
+        val = np.ma.MaskedArray(val, mask=raw == blank)
     schema = StructType(
         [
             StructField("x", IntegerType(), False),
             StructField("y", IntegerType(), False),
             StructField("z", IntegerType(), False),
-            StructField("val", DoubleType(), False),
+            StructField("val", DoubleType(), blank is not None),
         ]
     )
     return schema, [x, y, z, val]

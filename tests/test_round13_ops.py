@@ -143,3 +143,20 @@ def test_image_blank_masks_before_scaling(spark, tmp_path):
     assert rows[(0, 0)] == 12.0 and rows[(1, 1)] == 18.0
     with pytest.raises(FitsFormatError, match="BLANK"):
         write_fits_image(np.zeros((2, 2), dtype="f4"), blank=0)
+
+
+def test_cube_blank_masks_voxels(spark, tmp_path):
+    import numpy as np
+
+    from fits2db_spark.sources.fits import read_fits_cube, write_fits_cube
+
+    cube = np.arange(2 * 2 * 3, dtype="i4").reshape(2, 2, 3)
+    cube[1, 0, 2] = -7
+    p = tmp_path / "c.fits"
+    p.write_bytes(write_fits_cube(cube, bscale=2.0, extname="C", blank=-7))
+    rows = {
+        (r.x, r.y, r.z): r.val
+        for r in read_fits_cube(spark, str(p), hdu="C").collect()
+    }
+    assert rows[(2, 0, 1)] is None
+    assert rows[(0, 0, 0)] == 0.0 and rows[(2, 1, 1)] == 22.0
