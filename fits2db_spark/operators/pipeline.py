@@ -2726,3 +2726,45 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_GS_SHARDS = 16  # shard-count literal; at 100 TB this is ~tokens/shard-size
+
+
+@register(
+    "pipeline_global_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                  ':epoch0')), 1, 15)) AS BIGINT) AS k
+      FROM documents
+    )
+    SELECT doc_id, k % {_GS_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY k % {_GS_SHARDS}
+                                   ORDER BY k, doc_id) AS INTEGER) AS pos
+    FROM keyed
+    """,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle — the step between
+    curation and the dataloader: every document gets a reshuffle-proof
+    pseudo-random rank (md5 of doc_id + epoch salt), is routed to one of
+    {_GS_SHARDS} shards by that key, and receives its position within the
+    shard. Readers stream shards in pos order and see a reproducible
+    epoch-0 permutation; changing the salt ('epoch1', ...) re-shuffles
+    without any RNG state to checkpoint, and appends never perturb the
+    relative order of existing docs within a shard. This is the standard
+    hash-shuffle used by large-corpus training pipelines in place of a
+    global ORDER BY random().
+
+    Scale: ONE shuffle on the shard key, then a per-shard sort — i.e.
+    exactly a shuffle-write of the training shards (at 100 TB the shard
+    count literal becomes corpus_tokens / shard_size and each sorted
+    shard streams straight to its output file; no global sort, no global
+    window — the per-shard window IS the shard file's write order)."""
+    d = load(spark, sf_dir, "documents")
+    k = _h64(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0")))
+    keyed = d.select("doc_id", k.alias("k"), F.pmod(k, F.lit(_GS_SHARDS)).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select("doc_id", "shard", F.row_number().over(w).alias("pos"))

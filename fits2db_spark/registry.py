@@ -76,6 +76,7 @@ _PRIORITY_QUERIES = (
     "fits_write_roundtrip",
     "join_xmatch_healpix",
     "fits_image_blank",
+    "pipeline_global_shuffle",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",

@@ -160,3 +160,25 @@ def test_cube_blank_masks_voxels(spark, tmp_path):
     }
     assert rows[(2, 0, 1)] is None
     assert rows[(0, 0, 0)] == 0.0 and rows[(2, 1, 1)] == 22.0
+
+
+def test_global_shuffle_is_deterministic_and_balanced(spark):
+    """pipeline_global_shuffle: same result across invocations (no RNG
+    state), every doc appears exactly once, shards are load-balanced, and
+    positions are a contiguous 1..n_shard sequence."""
+    from fits2db_spark.operators.pipeline import _GS_SHARDS, pipeline_global_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    a = pipeline_global_shuffle(spark, sf).collect()
+    b = pipeline_global_shuffle(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    docs = [r.doc_id for r in a]
+    assert len(docs) == len(set(docs))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(_GS_SHARDS))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * min(sizes), f"shard skew: {sizes}"
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
