@@ -1511,3 +1511,59 @@ def fits_image_blank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _scratch_dir(spark, sf_dir, "fits_image_blank", write)
     return read_fits_image(spark, os.path.join(out, "sci_blank.fits"), hdu="SCI")
+
+
+@register(
+    "votable_write_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+           c_acctbal
+    FROM customer
+    """,
+)
+def votable_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VOTable sink under the driver gate: customer (with a NULL-bearing
+    column) -> ``write_votable_fragments`` (distributed: one <TR>-stream
+    fragment per partition, rendered where the rows live) ->
+    ``read_votable_tabledata`` (Catalyst regexp parse of the row stream)
+    -> exact value-hash vs the source table. Pins the sink's null
+    convention (empty TD <-> SQL NULL), XML escaping round trip, and
+    float round trip (the writer emits Python's shortest repr; the
+    string->double cast parses it back to the identical bits, and the
+    oracle reads the source column directly).
+
+    Scale: write is fragment-per-partition with a tiny driver-side
+    header/footer (concatenate in object storage for the document — the
+    TAP streaming shape); read back is a splittable line scan, linear,
+    zero Python."""
+    from ..sinks.votable import read_votable_tabledata, write_votable_fragments
+
+    staged = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        "c_acctbal",
+    ).repartition(4)
+
+    def write(out_dir: str) -> None:
+        # a previous PROCESS may have left the fragment dir behind, and
+        # saveAsTextFile refuses to overwrite — clear before re-staging
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        write_votable_fragments(staged, out_dir, table_name="customer")
+
+    path = _scratch_dir(spark, sf_dir, "customer_votable", write)
+    back = read_votable_tabledata(
+        spark, os.path.join(path, "rows", "part-*"),
+        ["c_custkey", "c_name", "seg", "c_acctbal"],
+    )
+    return back.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "seg",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )

@@ -77,6 +77,7 @@ _PRIORITY_QUERIES = (
     "join_xmatch_healpix",
     "fits_image_blank",
     "pipeline_global_shuffle",
+    "votable_write_roundtrip",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",

@@ -163,3 +163,37 @@ def votable_string(
             1,
         )
     return doc
+
+
+def read_votable_tabledata(spark, path: str, names: list[str]):
+    """Read back the TABLEDATA row stream :func:`write_votable_fragments`
+    emits: one ``<TR><TD>..</TD>..</TR>`` per line, parsed entirely with
+    Catalyst expressions (``spark.read.text`` + ``regexp_extract_all``) —
+    splittable, linear, no Python on the data path. Cells come back as
+    strings in FIELD order under the given ``names``; an empty TD (the
+    VOTable null convention) becomes SQL NULL; the five XML entities the
+    writer escapes are unescaped. Callers cast columns to their declared
+    FIELD types. This is the fragment/concatenated-document fast path —
+    fully general VOTable documents (BINARY2 serialization, nested
+    RESOURCEs) belong to Spark's xml datasource."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).filter(F.col("value").contains("<TR>"))
+    cells = F.regexp_extract_all(
+        F.replace(F.col("value"), F.lit("<TD/>"), F.lit("<TD></TD>")),
+        F.lit("<TD>(.*?)</TD>"),
+        1,
+    )
+
+    def unescape(c):
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&amp;", "&")):
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return c
+
+    return lines.select(
+        *[
+            F.nullif(unescape(F.element_at(cells, i + 1)), F.lit("")).alias(n)
+            for i, n in enumerate(names)
+        ]
+    )
