@@ -1567,3 +1567,66 @@ def votable_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
     )
+
+
+@register(
+    "fits_ascii_write_roundtrip",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE CAST(length(c_mktsegment) AS BIGINT) END AS seg_len,
+           c_acctbal
+    FROM customer
+    """,
+)
+def fits_ascii_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ASCII TABLE emit path under the driver gate — the third sink
+    round trip (BINTABLE: fits_write_roundtrip; VOTable:
+    votable_write_roundtrip): customer -> ``write_fits_asciitable``
+    (Aw/Iw/Fw.d fixed-column text, TNULLn string sentinel for SQL NULL)
+    -> ``read_fits_ascii`` -> exact value-hash vs the source table.
+
+    Float determinism: acctbal carries exactly 2 decimals, so the F12.2
+    rendering is exact (no rounding ties) and the parse-back returns the
+    bit-identical double the parquet column holds — the oracle reads the
+    source column directly. The Iw null sentinel round-trips the NULL
+    seg_len column; ASCII 'I' decodes as LongType, mirrored by the
+    BIGINT casts in the oracle.
+
+    Scale: the ASCII writer is the reference's interchange/debug format
+    (a fixture-grade driver-side emitter, like the reference tool's own
+    single-node writer); bulk exports belong to the distributed BINTABLE
+    dataset writer — this key pins the FORMAT contract, not a bulk
+    path."""
+    import duckdb
+
+    from ..sources.fits import read_fits_ascii, write_fits_asciitable
+
+    def write(out_dir: str) -> None:
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT c_custkey, c_name, "
+                "CASE WHEN c_custkey % 7 = 0 THEN NULL "
+                "ELSE length(c_mktsegment) END, c_acctbal FROM "
+                f"read_parquet('{sf_dir}/customer.parquet') ORDER BY c_custkey"
+            )
+            .fetchall()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        blob = write_fits_asciitable(
+            [
+                ("c_custkey", "I12", [r[0] for r in rows]),
+                ("c_name", "A25", [r[1] for r in rows]),
+                ("seg_len", "I6", [r[2] for r in rows]),
+                ("c_acctbal", "F12.2", [r[3] for r in rows]),
+            ],
+            extname="CUSTASCII",
+            null_token="*",
+        )
+        with open(os.path.join(out_dir, "customer_ascii.fits"), "wb") as f:
+            f.write(blob)
+
+    path = _scratch_dir(spark, sf_dir, "customer_fits_ascii", write)
+    return read_fits_ascii(spark, path, hdu="CUSTASCII")

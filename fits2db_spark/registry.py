@@ -78,6 +78,7 @@ _PRIORITY_QUERIES = (
     "fits_image_blank",
     "pipeline_global_shuffle",
     "votable_write_roundtrip",
+    "fits_ascii_write_roundtrip",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",
