@@ -1630,3 +1630,52 @@ def fits_ascii_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch_dir(spark, sf_dir, "customer_fits_ascii", write)
     return read_fits_ascii(spark, path, hdu="CUSTASCII")
+
+
+@register(
+    "fits_checksum_verified_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def fits_checksum_verified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity-verified archive scan under the driver gate: the nation
+    table staged as a CHECKSUM/DATASUM-bearing BINTABLE (the public FITS
+    checksum convention archives ship with — 1's-complement 32-bit sums,
+    ASCII-encoded complement) and read back with
+    ``read_fits(verify_checksum=True)``, which validates every HDU of
+    every file EXECUTOR-SIDE before decode and fails the job on the
+    first corrupt HDU. The gate thus certifies the verified path returns
+    exactly the source rows; the corruption-detection half (a flipped
+    byte must raise) is pinned in tests/test_fits_checksum.py.
+
+    Scale: verification is one extra linear pass over bytes already in
+    memory for the decode, per file, inside the same parallel map — the
+    standard archive-ingest posture (verify-on-read, no separate
+    integrity job)."""
+    import duckdb
+
+    from ..sources.fits import add_checksums, read_fits, write_fits_bintable
+
+    def write(out_dir: str) -> None:
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT n_nationkey, n_name, n_regionkey FROM "
+                f"read_parquet('{sf_dir}/nation.parquet') ORDER BY n_nationkey"
+            )
+            .fetchall()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        blob = add_checksums(
+            write_fits_bintable(
+                [
+                    ("n_nationkey", "J", [r[0] for r in rows]),
+                    ("n_name", "A24", [r[1] for r in rows]),
+                    ("n_regionkey", "J", [r[2] for r in rows]),
+                ]
+            )
+        )
+        with open(os.path.join(out_dir, "nation_ck.fits"), "wb") as f:
+            f.write(blob)
+
+    path = _scratch_dir(spark, sf_dir, "nation_fits_checksum", write)
+    return read_fits(spark, path, verify_checksum=True)

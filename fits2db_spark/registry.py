@@ -79,6 +79,7 @@ _PRIORITY_QUERIES = (
     "pipeline_global_shuffle",
     "votable_write_roundtrip",
     "fits_ascii_write_roundtrip",
+    "fits_checksum_verified_scan",
     # (b) driver-checked keys, stalest first (latest driver round
     #     ascending; ties keep prior queue order).
     "add_rowid",
