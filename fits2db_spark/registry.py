@@ -53,76 +53,19 @@ _OPERATOR_MODULES = (
 _loaded = False
 
 # The external driver verifies queries in dict-iteration order and may stop
-# after a fixed budget (~50 keys per round).  Round-13 rotation, regenerated
-# from CORRECTNESS_r01∪…∪r12 (r12 covered the first 50 of the r12 queue,
-# 50/50 green).  Ordering policy (VERDICT r12 "Next round" item 1):
-# (a) keys that have NEVER appeared in any driver 50-key window lead, in
-#     prior queue order — at rotation time that is exactly the two post-
-#     window r12 additions (fits_tdisp_render, astro_epoch_xmatch), so the
-#     r13 window gives each its first driver hash row.  New round-13 keys
-#     append at the END of this section as they land;
-# (b) every already-green key, stalest latest-driver-round first (r01 keys
-#     before r03 keys before … before r12 keys), so the whole surface keeps
-#     cycling through driver windows over time.
-# Staleness is test-pinned: tests/test_rotation.py fails if any
-# never-driver-checked registered key sits behind an already-checked key.
+# after a fixed budget (~50 keys per round).  Round-14 rotation, regenerated
+# from CORRECTNESS_r01∪…∪r13 (r13 covered the first 50 of the r13 queue,
+# 50/50 green; after r13 every registered key has at least one driver hash
+# row — zero never-checked keys remain).  Ordering policy (VERDICT r13
+# "Next round" item 1): pure stalest-first — each key sorts by the LATEST
+# round whose CORRECTNESS_r*.json window contains it (ascending), ties by
+# prior queue order.  The r14 window therefore re-certifies the 50 stalest
+# keys (3 last seen in r01, 38 in r03, 9 in r04).  New round-14 keys, never
+# driver-checked by definition, must PREPEND to the queue as they land
+# (tests/test_rotation.py enforces never-checked-keys-first).
 # Every key is locally hash-green under tools/check_oracle.py at sf0.001
-# and sf0.01 (and the full sf0.1 deep sweeps, docs/ROUND_NOTES.md r12).
+# and sf0.01 (and the sf0.1 deep sweeps, docs/ROUND_NOTES.md).
 _PRIORITY_QUERIES = (
-    # (a) never driver-checked over r01..r12 (round-13 keys append at the
-    #     end of this section as they land).
-    "fits_tdisp_render",
-    "astro_epoch_xmatch",
-    "fits_write_roundtrip",
-    "join_xmatch_healpix",
-    "fits_image_blank",
-    "pipeline_global_shuffle",
-    "votable_write_roundtrip",
-    "fits_ascii_write_roundtrip",
-    "fits_checksum_verified_scan",
-    # (b) driver-checked keys, stalest first (latest driver round
-    #     ascending; ties keep prior queue order).
-    "add_rowid",
-    "agg_conditional",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_global",
-    "agg_groupby",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "array_expand",
-    "cast_types",
-    "filter_pred",
-    "fits_ingest",
-    "join_anti",
-    "join_asof",
-    "join_cross",
-    "join_full",
-    "join_inner_hash",
-    "join_left",
-    "join_right",
-    "join_self_pairs",
-    "join_semi",
-    "join_sortmerge",
-    "join_star_q5",
-    "join_theta_range",
-    "multi_file_union",
-    "nan_to_null",
-    "null_default",
-    "project_rename",
-    "scan_csv",
-    "scan_json",
-    "scan_parquet",
-    "sort_multi",
-    "topk_global",
-    "win_first_last",
-    "win_lag_lead",
-    "win_moving_avg",
-    "win_rank",
     "win_row_number",
     "win_running_sum",
     "win_topk_per_group",
@@ -603,6 +546,56 @@ _PRIORITY_QUERIES = (
     "ml_breusch_pagan",
     "agg_theil_decomposition",
     "stream_live_fits_ingest",
+    "fits_tdisp_render",
+    "astro_epoch_xmatch",
+    "fits_write_roundtrip",
+    "join_xmatch_healpix",
+    "fits_image_blank",
+    "pipeline_global_shuffle",
+    "votable_write_roundtrip",
+    "fits_ascii_write_roundtrip",
+    "fits_checksum_verified_scan",
+    "add_rowid",
+    "agg_conditional",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_global",
+    "agg_groupby",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "array_expand",
+    "cast_types",
+    "filter_pred",
+    "fits_ingest",
+    "join_anti",
+    "join_asof",
+    "join_cross",
+    "join_full",
+    "join_inner_hash",
+    "join_left",
+    "join_right",
+    "join_self_pairs",
+    "join_semi",
+    "join_sortmerge",
+    "join_star_q5",
+    "join_theta_range",
+    "multi_file_union",
+    "nan_to_null",
+    "null_default",
+    "project_rename",
+    "scan_csv",
+    "scan_json",
+    "scan_parquet",
+    "sort_multi",
+    "topk_global",
+    "win_first_last",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_rank",
 )
 _PRIORITY_MODULE_ORDER = (
     "fits2db_spark.operators.llm_text",

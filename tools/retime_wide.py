@@ -37,6 +37,34 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def _wide(doc: dict) -> dict:
+    """Extract the wide-tier metrics from a bench artifact.
+
+    Accepts both shapes (r13 verdict "What's wrong" item 1):
+
+    * raw ``bench.py`` output: ``{"metric": ..., "wide": {...}, ...}``;
+    * committed driver artifacts ``BENCH_r*.json``:
+      ``{"n", "rc", "cpus", "sf", "tail", "parsed"}`` with the metrics
+      nested under ``parsed`` — and, as a last resort, a ``tail`` string
+      whose final ``{"metric": ...}`` JSON line carries the same payload.
+    """
+    for candidate in (doc, doc.get("parsed") or {}):
+        if isinstance(candidate, dict) and isinstance(candidate.get("wide"), dict):
+            return candidate["wide"]
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        for line in reversed(tail.splitlines()):
+            line = line.strip()
+            if line.startswith("{") and '"wide"' in line:
+                try:
+                    parsed = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(parsed.get("wide"), dict):
+                    return parsed["wide"]
+    return {}
+
+
 def _artifacts() -> list[str]:
     def rnd(p: str) -> int:
         return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
@@ -56,7 +84,15 @@ def main() -> None:
     ref_path = args[1] if len(args) > 1 else [a for a in arts if a != cur_path][-1]
     cur = json.load(open(cur_path))
     ref = json.load(open(ref_path))
-    cur_wide, ref_wide = cur.get("wide", {}), ref.get("wide", {})
+    cur_wide, ref_wide = _wide(cur), _wide(ref)
+    if not cur_wide or not ref_wide:
+        missing = [
+            os.path.basename(p)
+            for p, w in ((cur_path, cur_wide), (ref_path, ref_wide))
+            if not w
+        ]
+        print(f"ERROR: no wide-tier metrics found in {missing}", file=sys.stderr)
+        sys.exit(2)
 
     suspects = {
         name: (t, ref_wide[name])
