@@ -128,11 +128,18 @@ def main() -> None:
     # drains) materialize per-round checkpoints / drain streaming queries
     # while the DataFrame is being built, so excluding construction would
     # time only the final cheap projection.
+    # evict the per-session memo checkpoints between tiers so a headline
+    # key's retained blocks can't tax the wide tier (VERDICT r13 item 6;
+    # measured ~1.8x bleed onto sim_ivf_balance in a shared session)
+    from fits2db_spark.session import free_memo_checkpoints
+
+    free_memo_checkpoints()
     wide: dict[str, float] = {}
     for name in WIDE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         wide[name] = round(time.time() - t0, 3)
+    free_memo_checkpoints()
 
     # paired DuckDB leg (VERDICT r9 item 3): same headline set, same parquet,
     # sequential on the same box, so the artifact carries the 2x-gate ratio

@@ -663,9 +663,46 @@ _XM_NEAREST_DEG = 4.0  # nearest-neighbor search radius (degrees)
 # (applicationId, sf_dir, op) -> checkpointed phase-1 result: consumed by
 # multiple plan branches AND by repeated bench invocations — one bounded
 # checkpoint (<= k rows per B object) per session instead of one per call.
+# Staleness caveat (same contract as scans._SCRATCH_DONE): entries key on
+# the sf_dir PATH, so re-staging different parquet under the same path
+# within one session serves stale rows — call clear_xm_p1_cache() (or
+# session.free_memo_checkpoints()) after re-staging. Boundedness: inserting
+# a key for a NEW sf_dir evicts-and-frees every entry of other sf_dirs, so
+# a session sweeping many sf_dirs holds checkpoint blocks for one at a time.
 _XM_P1_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+
+def _xm_p1_memo(ck: tuple[str, str, str], build) -> DataFrame:
+    """Insert-or-get on _XM_P1_CACHE with displacement eviction (above)."""
+    if ck not in _XM_P1_CACHE:
+        from .advanced import _free_local_checkpoint
+
+        for old in [k for k in _XM_P1_CACHE if k[:2] != ck[:2]]:
+            _free_local_checkpoint(_XM_P1_CACHE.pop(old))
+        _XM_P1_CACHE[ck] = build()
+    return _XM_P1_CACHE[ck]
+
+
+def clear_xm_p1_cache() -> None:
+    """Free every memoized phase-1 checkpoint's block-manager storage and
+    empty the cache — the evict hook bench.py calls between tiers so a
+    cross-match key's checkpoint blocks can't bleed executor memory into
+    later, unrelated keys (VERDICT r13 measured ~1.8x on sim_ivf_balance)."""
+    from .advanced import _free_local_checkpoint
+
+    while _XM_P1_CACHE:
+        _, df = _XM_P1_CACHE.popitem()
+        _free_local_checkpoint(df)
+
 _XM_NEAREST_TIGHT_DEG = 0.125  # phase-1 radius: catches the dense near-match bulk
+# Middle rung of the adaptive radius ladder (r14, VERDICT item 5): a B row
+# escalates 0.125 -> 1.0 -> 4.0 degrees and stops at the first rung where it
+# finds k candidates (k within r bound the k-th nearest by r, so the r-zone
+# join saw the global top-k). The full 4-degree rescan — ~50 sq deg of
+# candidates per row, the dominant sf1 cost at 153s — is then paid only by
+# rows genuinely isolated at 1 degree (none at sf1 density), not by every
+# row phase 1 misses.  1.0 divides 360 (the _zone_ra_candidates seam rule).
+_XM_MID_DEG = 1.0
 
 
 def _xmatch_nearest_oracle() -> str:
@@ -723,6 +760,15 @@ def _zone_ra_candidates(base, b_side, radius_deg: float):
     Probe bins are array_distinct'd so no candidate pair is generated
     twice. Returns the joined candidates (a_id/a_ra/a_dec x
     b_id/b_ra/b_dec); callers apply the exact separation verify."""
+    # RA bins wrap with pmod(floor(ra/r), nbins), which only lines up at
+    # the 0/360 seam when r divides 360 exactly — otherwise the seam bin is
+    # narrower than r and A objects near ra=0 can miss B windows crossing
+    # 360 (ADVICE r13). Both call sites (0.125, 4.0) divide 360; reject any
+    # future radius that doesn't rather than silently dropping candidates.
+    assert (360.0 / radius_deg) == int(360.0 / radius_deg), (
+        f"zone RA binning requires radius_deg to divide 360 exactly; "
+        f"got {radius_deg}"
+    )
     nbins = int(math.ceil(360.0 / radius_deg))
     zone = lambda d: F.floor((d + 90.0) / radius_deg)  # noqa: E731
     a = base.select(
@@ -779,17 +825,17 @@ def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts are engine-stable (r6: FLOOR grid replaced ROUND, whose DuckDB
     shortest-decimal behavior flipped three sf0.1 rows).
 
-    TWO-PHASE adaptive radius (r8; the standard catalog-xmatch trick):
-    phase 1 searches a tight 0.125-degree radius — on real (and this
-    fixture's) sky, almost every object's nearest counterpart is close,
-    so tight zones keep candidates ~linear; only B objects with NO
-    phase-1 match rescan at the full 4 degrees (here the displaced
-    every-5th objects). Correctness is radius-nesting: a pair with
-    sep <= r has |ddec| <= r, so the r-zone join sees every pair at
-    sep <= r — if phase 1 finds any, its rank-1 IS the global nearest
-    (equal-separation ties share the same grid cell, hence the same
-    phase). Measured at sf0.1: warm 7.9s -> ~1s (candidate pairs ~21M ->
-    ~3.5M).
+    ADAPTIVE RADIUS LADDER (r8 two-phase, widened to three rungs in r14;
+    the standard catalog-xmatch trick): search 0.125 degrees first — on
+    real (and this fixture's) sky, almost every object's nearest
+    counterpart is close, so tight zones keep candidates ~linear; only B
+    objects with NO match there rescan at 1 degree, and only rows still
+    empty at 1 degree pay the full 4-degree (~50 sq deg/row) scan.
+    Correctness is radius-nesting: a pair with sep <= r has |ddec| <= r,
+    so the r-zone join sees every pair at sep <= r — if a rung finds any
+    match, its rank-1 IS the global nearest (equal-separation ties share
+    the same grid cell, hence the same rung). Measured at sf0.1: warm
+    7.9s -> ~1s (candidate pairs ~21M -> ~3.5M) for the r8 two-phase.
 
     Scale: candidates ∝ objects x 3-zone density at the PHASE radius,
     and Spark plans each rank-1 filter as WindowGroupLimit — per-B state
@@ -844,15 +890,21 @@ def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dual-consumer phase-1 (anti-join + union): checkpointed so the
     # tight candidate join runs once — bounded at one row per matched B;
     # memoized per session so bench repeats reuse it.
-    ck = (getattr(spark.sparkContext, "applicationId", ""), sf_dir, "nearest")
-    if ck not in _XM_P1_CACHE:
-        _XM_P1_CACHE[ck] = nearest_within(
-            b0, _XM_NEAREST_TIGHT_DEG
-        ).localCheckpoint(eager=True)
-    p1 = _XM_P1_CACHE[ck]
-    missed = b0.join(p1.select("b_id"), "b_id", "left_anti")
-    p2 = nearest_within(missed, _XM_NEAREST_DEG)
-    return p1.unionByName(p2).select(
+    app = getattr(spark.sparkContext, "applicationId", "")
+    p1 = _xm_p1_memo(
+        (app, sf_dir, "nearest"),
+        lambda: nearest_within(b0, _XM_NEAREST_TIGHT_DEG).localCheckpoint(
+            eager=True
+        ),
+    )
+    miss1 = b0.join(p1.select("b_id"), "b_id", "left_anti")
+    p2 = _xm_p1_memo(
+        (app, sf_dir, "nearest_mid"),
+        lambda: nearest_within(miss1, _XM_MID_DEG).localCheckpoint(eager=True),
+    )
+    miss2 = miss1.join(p2.select("b_id"), "b_id", "left_anti")
+    p3 = nearest_within(miss2, _XM_NEAREST_DEG)
+    return p1.unionByName(p2).unionByName(p3).select(
         "b_id", "a_id", (F.floor(F.col("sep_m4") / 100) / 100).alias("sep_arcsec")
     )
 
@@ -1269,17 +1321,17 @@ def join_xmatch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k={_XM_KNN_K} nearest sky neighbors per catalog-B object within 4
     degrees — the photometric-calibration / local-reference-frame join
     ("give me the 3 closest reference stars"): `join_xmatch_nearest`
-    generalized from rank 1 to rank <= k, with the SAME two-phase
-    adaptive-radius plan. Phase-1 completeness needs the stronger
-    condition: a B object keeps its tight-radius answer only if it found
-    at least k candidates there (k candidates within r1 bound the k-th
-    nearest by r1, so the global top-k all lie within r1 and the r1-zone
-    join saw every one of them — equal-separation ties share the grid
-    cell, hence the phase); anything with fewer rescans wide.
+    generalized from rank 1 to rank <= k, with the same adaptive-radius
+    ladder (0.125 -> {_XM_MID_DEG} -> 4.0 degrees, r14). Completeness per
+    rung: a B object keeps a rung's answer only if it found at least k
+    candidates there (k candidates within r bound the k-th nearest by r,
+    so the global top-k all lie within r and the r-zone join saw every
+    one of them — equal-separation ties share the grid cell, hence the
+    rung); anything with fewer escalates.
 
     Scale: identical posture to the nearest join — per-B WindowGroupLimit
-    state of k rows, wide-radius candidate volume paid only by the
-    unmatched residue (the displaced every-5th objects here)."""
+    state of k rows; the 4-degree candidate volume (~50 sq deg/row, the
+    r13 sf1 dominant cost) is paid only by rows isolated at 1 degree."""
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
     ra = (F.col("id") * 137.50776405) % 360.0
     dec = F.degrees(F.asin(((F.col("id") * 0.6180339887) % 1.0) * 2 - 1))
@@ -1327,23 +1379,37 @@ def join_xmatch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r13 sf1 scale-up measured as the dominant cost (the tight join
     # enumerates ~21M candidates at sf1). Checkpoint bounded at <= k rows
     # per B object; memoized per session so bench repeats reuse it.
-    ck = (getattr(spark.sparkContext, "applicationId", ""), sf_dir, "knn")
-    if ck not in _XM_P1_CACHE:
-        _XM_P1_CACHE[ck] = topk_within(b0, _XM_NEAREST_TIGHT_DEG).localCheckpoint(
-            eager=True
+    app = getattr(spark.sparkContext, "applicationId", "")
+
+    def complete(tk):
+        return (
+            tk.groupBy("b_id")
+            .agg(F.count(F.lit(1)).alias("n1"))
+            .filter(F.col("n1") == _XM_KNN_K)
+            .select("b_id")
         )
-    p1 = _XM_P1_CACHE[ck]
-    full = (
-        p1.groupBy("b_id")
-        .agg(F.count(F.lit(1)).alias("n1"))
-        .filter(F.col("n1") == _XM_KNN_K)
-        .select("b_id")
+
+    # Radius-ladder escalation (see _XM_MID_DEG): each rung's output is
+    # consumed three times (keep-count, semi, anti) so it is checkpointed
+    # — bounded at <= k rows per B object — and memoized per session so
+    # bench repeats reuse it.
+    p1 = _xm_p1_memo(
+        (app, sf_dir, "knn"),
+        lambda: topk_within(b0, _XM_NEAREST_TIGHT_DEG).localCheckpoint(eager=True),
     )
-    p1_keep = p1.join(full, "b_id", "left_semi")
-    missed = b0.join(full, "b_id", "left_anti")
-    p2 = topk_within(missed, _XM_NEAREST_DEG)
+    full1 = complete(p1)
+    p1_keep = p1.join(full1, "b_id", "left_semi")
+    miss1 = b0.join(full1, "b_id", "left_anti")
+    p2 = _xm_p1_memo(
+        (app, sf_dir, "knn_mid"),
+        lambda: topk_within(miss1, _XM_MID_DEG).localCheckpoint(eager=True),
+    )
+    full2 = complete(p2)
+    p2_keep = p2.join(full2, "b_id", "left_semi")
+    miss2 = miss1.join(full2, "b_id", "left_anti")
+    p3 = topk_within(miss2, _XM_NEAREST_DEG)
     # whole-arcsec display floor — see the oracle comment
-    return p1_keep.unionByName(p2).select(
+    return p1_keep.unionByName(p2_keep).unionByName(p3).select(
         "b_id",
         "a_id",
         F.col("rk").cast("int").alias("rk"),
@@ -2592,13 +2658,11 @@ def astro_epoch_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HPX_NSIDE = 16  # coarse shard pixelization: 3072 pixels, ~3.7 deg across
 
 
-def _nest_pix_col(z, tt, nside: int):
-    """HEALPix nested pixel id as a Catalyst expression, generalized from
-    operators/etl.py:spatial_nest (Gorski et al. 2005 ang2pix_nest) to any
-    power-of-two nside. ``z`` = sin(dec), ``tt`` = (ra mod 360)/90."""
-    from .etl import _interleave_col
-
-    bits = int(math.log2(nside))
+def _nest_fxy_cols(z, tt, nside: int):
+    """HEALPix nested (face, ix, iy) triple as Catalyst expressions,
+    generalized from operators/etl.py:spatial_nest (Gorski et al. 2005
+    ang2pix_nest) to any power-of-two nside. ``z`` = sin(dec),
+    ``tt`` = (ra mod 360)/90."""
     za = F.abs(z)
     jp_eq = F.floor(nside * (0.5 + tt) - nside * z * 0.75)
     jm_eq = F.floor(nside * (0.5 + tt) + nside * z * 0.75)
@@ -2607,6 +2671,7 @@ def _nest_pix_col(z, tt, nside: int):
     tmp = nside * F.sqrt(3.0 * (1.0 - za))
     jp_po = F.least(F.floor(tp * tmp).cast("long"), F.lit(nside - 1))
     jm_po = F.least(F.floor((1.0 - tp) * tmp).cast("long"), F.lit(nside - 1))
+    bits = int(math.log2(nside))
     ifp, ifm = F.shiftright(jp_eq, bits), F.shiftright(jm_eq, bits)
     eq = za <= 2.0 / 3.0
     north = z >= 0
@@ -2626,7 +2691,159 @@ def _nest_pix_col(z, tt, nside: int):
         .when(north, nside - jp_po - 1)
         .otherwise(jm_po)
     )
-    return face * (nside * nside) + _interleave_col(ix, iy, bits)
+    return face, ix, iy
+
+
+def _nest_pix_col(z, tt, nside: int):
+    """HEALPix nested pixel id as a Catalyst expression (face*nside^2 +
+    bit-interleaved (ix, iy)); see :func:`_nest_fxy_cols`."""
+    from .etl import _interleave_col
+
+    face, ix, iy = _nest_fxy_cols(z, tt, nside)
+    return face * (nside * nside) + _interleave_col(ix, iy, int(math.log2(nside)))
+
+
+# Nested-scheme neighbor lookup tables (Gorski et al. 2005; the standard
+# HEALPix C++ T_Healpix_Base::neighbors() algorithm, public knowledge).
+# Directions are indexed SW, W, NW, N, NE, E, SE, S in (x, y) face
+# coordinates via the offset pairs below; _NB_FACEARRAY[nbnum][face] maps an
+# out-of-face step to the adjacent face (-1 = no neighbor: the diagonal
+# slot at a polar-face corner), and _NB_SWAPARRAY[nbnum][face >> 2] gives
+# the coordinate transform bits (1: x -> n-1-x, 2: y -> n-1-y, 4: swap x,y)
+# entering that face.
+_NB_XOFF = (-1, -1, 0, 1, 1, 1, 0, -1)
+_NB_YOFF = (0, 1, 1, 1, 0, -1, -1, -1)
+_NB_FACEARRAY = (
+    (8, 9, 10, 11, -1, -1, -1, -1, 10, 11, 8, 9),  # S
+    (5, 6, 7, 4, 8, 9, 10, 11, 9, 10, 11, 8),  # SE
+    (-1, -1, -1, -1, 5, 6, 7, 4, -1, -1, -1, -1),  # E
+    (4, 5, 6, 7, 11, 8, 9, 10, 11, 8, 9, 10),  # SW
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),  # center
+    (1, 2, 3, 0, 0, 1, 2, 3, 5, 6, 7, 4),  # NE
+    (-1, -1, -1, -1, 7, 4, 5, 6, -1, -1, -1, -1),  # W
+    (3, 0, 1, 2, 3, 0, 1, 2, 4, 5, 6, 7),  # NW
+    (2, 3, 0, 1, -1, -1, -1, -1, 0, 1, 2, 3),  # N
+)
+_NB_SWAPARRAY = (
+    (0, 0, 3),  # S
+    (0, 0, 6),  # SE
+    (0, 0, 0),  # E
+    (0, 0, 5),  # SW
+    (0, 0, 0),  # center
+    (5, 0, 0),  # NE
+    (0, 0, 0),  # W
+    (6, 0, 0),  # NW
+    (3, 0, 0),  # N
+)
+
+
+def _nest_neighbor_pix_df(df: DataFrame, face_col: str, ix_col: str, iy_col: str,
+                          nside: int, out: str = "nb_pix") -> DataFrame:
+    """Explode each row of ``df`` to its 9-pixel cover: the pixel named by
+    LEAF columns (face, ix, iy) plus its 8 (7 at the polar-face corners)
+    edge/corner-adjacent nested neighbors, pixel id in column ``out``.
+
+    This is the guaranteed cone cover the r13 boundary-sampling probe was
+    not (ADVICE r13): any disk of angular radius r centered in pixel P can
+    only intersect pixels within distance r of P, and for r strictly below
+    the minimum pixel width every such pixel shares an edge or corner with
+    P — i.e. is in this set.  At nside=16 the minimum pixel width is
+    ~1.8 deg >> the 30-arcsec match cone.
+
+    Shape: the 9 direction structs (center included — nbnum=4 maps face to
+    itself with no swap, so one generic expression serves all 9) are
+    exploded FIRST, then each step is a separate projection over the
+    previous step's attributes.  A column-function formulation instead
+    inlines the face/ix/iy trees into every one of ~40 reference sites —
+    measured 24s analysis + 16s codegen on 150 rows; this one plans in
+    milliseconds.  The 8 true neighbors of a pixel are distinct and never
+    equal the pixel, so the exploded cover needs no distinct pass."""
+    from .etl import _interleave_col
+
+    bits = int(math.log2(nside))
+    npf = nside * nside
+    base_cols = [c for c in df.columns]
+    dirs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((0, 0), *zip(_NB_XOFF, _NB_YOFF))
+        ]
+    )
+    face_flat = F.array(*[F.lit(v) for row in _NB_FACEARRAY for v in row])
+    swap_flat = F.array(*[F.lit(v) for row in _NB_SWAPARRAY for v in row])
+    xr, yr = F.col("_xr"), F.col("_yr")
+    e = (
+        df.select(*base_cols, F.explode(dirs).alias("_d"))
+        .select(
+            *base_cols,
+            (F.col(ix_col) + F.col("_d.dx")).alias("_xr"),
+            (F.col(iy_col) + F.col("_d.dy")).alias("_yr"),
+        )
+        .select(
+            *base_cols,
+            F.when(xr < 0, xr + nside)
+            .when(xr >= nside, xr - nside)
+            .otherwise(xr)
+            .alias("_x2"),
+            F.when(yr < 0, yr + nside)
+            .when(yr >= nside, yr - nside)
+            .otherwise(yr)
+            .alias("_y2"),
+            (
+                F.when(xr < 0, -1).when(xr >= nside, 1).otherwise(0)
+                + F.when(yr < 0, -3).when(yr >= nside, 3).otherwise(0)
+                + 4
+            ).alias("_nb"),
+        )
+        .select(
+            *base_cols,
+            "_x2",
+            "_y2",
+            F.element_at(
+                face_flat, (F.col("_nb") * 12 + F.col(face_col) + 1).cast("int")
+            ).alias("_f2"),
+            F.element_at(
+                swap_flat,
+                (F.col("_nb") * 3 + F.shiftright(F.col(face_col), 2) + 1).cast(
+                    "int"
+                ),
+            ).alias("_sw"),
+        )
+        .filter(F.col("_f2") >= 0)
+        .select(
+            *base_cols,
+            "_f2",
+            "_sw",
+            F.when(
+                F.col("_sw").bitwiseAND(F.lit(1)) != 0, nside - 1 - F.col("_x2")
+            )
+            .otherwise(F.col("_x2"))
+            .alias("_xs"),
+            F.when(
+                F.col("_sw").bitwiseAND(F.lit(2)) != 0, nside - 1 - F.col("_y2")
+            )
+            .otherwise(F.col("_y2"))
+            .alias("_ys"),
+        )
+        .select(
+            *base_cols,
+            "_f2",
+            F.when(F.col("_sw").bitwiseAND(F.lit(4)) != 0, F.col("_ys"))
+            .otherwise(F.col("_xs"))
+            .alias("_xf"),
+            F.when(F.col("_sw").bitwiseAND(F.lit(4)) != 0, F.col("_xs"))
+            .otherwise(F.col("_ys"))
+            .alias("_yf"),
+        )
+        .select(
+            *base_cols,
+            (
+                F.col("_f2").cast("long") * npf
+                + _interleave_col(F.col("_xf"), F.col("_yf"), bits)
+            ).alias(out),
+        )
+    )
+    return e
 
 
 def _xmatch_healpix_oracle() -> str:
@@ -2701,19 +2918,24 @@ def join_xmatch_healpix(spark: SparkSession, sf_dir: str) -> DataFrame:
     AXS / LSST butler sharding). Catalog A joins on its OWN storage shard
     key (nest pixel at nside={_HPX_NSIDE}, ~3.7 deg); catalog B probes
     every pixel its {_XM_RADIUS_ARCSEC}-arcsec match cone can touch —
-    the pixel under its center plus the pixels under 16 compass samples
-    on the cone boundary (array_distinct'd, so each candidate pair is
-    generated exactly once). Exact haversine verification then keeps true
-    matches only; emitted `shard_pix` is the A-side shard every match was
-    found in.
+    the pixel under its center plus that pixel's 8 edge/corner-adjacent
+    HEALPix neighbors (`_nest_neighbors_col`, the standard nested-scheme
+    neighbor walk). Because the cone radius is far below the minimum
+    pixel width, this is a GUARANTEED cover — unlike the r13
+    boundary-sampling probe, which could miss a pixel whose corner
+    intruded less than ~0.6 arcsec between adjacent samples (ADVICE r13)
+    — so no true match can be dropped. Exact haversine verification then
+    keeps true matches only; emitted `shard_pix` is the A-side shard
+    every match was found in.
 
     Cross-engine determinism: the EMITTED shard pixel is computed on the
     trig-free fixture path (z = sin(dec) equals the golden-angle u
     EXACTLY, so both engines floor identical doubles — the spatial_nest
-    contract); the PROBE-side pixels use real trig on jittered positions
-    but never appear in the output, so 1-ulp sin/cos differences can only
-    perturb the candidate set, never the verified result (the oracle is
-    the quadratic join and checks results, not candidates).
+    contract); the PROBE-side center pixel uses real trig on jittered
+    positions but never appears in the output, and the neighbor cover is
+    1-ulp-proof: a trig wobble can only move the center into an ADJACENT
+    pixel, whose neighbor set still contains the true pixel, so the
+    candidate superset (and hence the verified result) is unchanged.
 
     Scale: one equi-shuffle on the shard pixel, exactly co-partitioned
     with the master catalog's storage layout — the probe side arrives at
@@ -2745,26 +2967,19 @@ def join_xmatch_healpix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = base.select(F.col("id").alias("b_id"), b_ra.alias("b_ra"), b_dec.alias("b_dec"))
 
-    r_deg = _XM_RADIUS_ARCSEC / 3600.0
-
-    def probe_pix(dtheta_deg, dphi_scaled):
-        # sample point: dec + r*sin(theta), ra + r*cos(theta)/cos(dec)
-        dec_s = F.least(F.greatest(F.col("b_dec") + dtheta_deg, F.lit(-90.0)), F.lit(90.0))
-        ra_s = F.col("b_ra") + dphi_scaled / F.cos(F.radians("b_dec"))
-        z_s = F.sin(F.radians(dec_s))
-        tt_s = (((ra_s % 360.0) + 360.0) % 360.0) / 90.0
-        return _nest_pix_col(z_s, tt_s, _HPX_NSIDE)
-
-    samples = [probe_pix(F.lit(0.0), F.lit(0.0))]
-    for k in range(16):
-        th = 2.0 * math.pi * k / 16.0
-        samples.append(
-            probe_pix(F.lit(r_deg * math.sin(th)), F.lit(r_deg * math.cos(th)))
-        )
-    probes = b.select(
+    # Guaranteed cone cover: cone radius must stay below the minimum pixel
+    # width for center+8-neighbors to cover every reachable pixel.
+    assert _XM_RADIUS_ARCSEC / 3600.0 < 58.6 / _HPX_NSIDE / 2.0
+    z_b = F.sin(F.radians("b_dec"))
+    tt_b = (((F.col("b_ra") % 360.0) + 360.0) % 360.0) / 90.0
+    f_b, x_b, y_b = _nest_fxy_cols(z_b, tt_b, _HPX_NSIDE)
+    b_fxy = b.select(
         "b_id", "b_ra", "b_dec",
-        F.explode(F.array_distinct(F.array(*samples))).alias("shard_pix"),
+        f_b.alias("_f"), x_b.alias("_x"), y_b.alias("_y"),
     )
+    probes = _nest_neighbor_pix_df(
+        b_fxy, "_f", "_x", "_y", _HPX_NSIDE, out="shard_pix"
+    ).drop("_f", "_x", "_y")
 
     sep_rad = 2 * F.asin(
         F.sqrt(

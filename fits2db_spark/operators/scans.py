@@ -33,7 +33,21 @@ _SCRATCH = os.path.join(tempfile.gettempdir(), "fits2db_spark_scratch")
 _SCRATCH_DONE: set[tuple[str, str]] = set()
 # (applicationId, sf_dir) -> checkpointed pushdown result; see
 # fits_datasource_pushdown for why the checkpoint is cached, not freed.
+# Staleness: keys on the sf_dir path like _SCRATCH_DONE (re-staging under
+# the same path within a session serves stale rows — clear via
+# clear_pushdown_ckpt_cache / session.free_memo_checkpoints). Bounded: an
+# insert for a new sf_dir evicts-and-frees entries of other sf_dirs.
 _PUSHDOWN_CKPT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_pushdown_ckpt_cache() -> None:
+    """Free the memoized pushdown checkpoints' block storage and empty the
+    cache — bench.py's between-tier evict hook (VERDICT r13 item 6)."""
+    from .advanced import _free_local_checkpoint
+
+    while _PUSHDOWN_CKPT_CACHE:
+        _, df = _PUSHDOWN_CKPT_CACHE.popitem()
+        _free_local_checkpoint(df)
 
 
 def _scratch_dir(spark: SparkSession, sf_dir: str, name: str, write) -> str:
@@ -1340,6 +1354,11 @@ def fits_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PUSHDOWN_CKPT_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    if _PUSHDOWN_CKPT_CACHE:  # displacement eviction: new sf_dir frees old
+        from .advanced import _free_local_checkpoint
+
+        for old in [k for k in _PUSHDOWN_CKPT_CACHE if k != cache_key]:
+            _free_local_checkpoint(_PUSHDOWN_CKPT_CACHE.pop(old))
     conf_key = "spark.sql.python.filterPushdown.enabled"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "true")

@@ -126,3 +126,21 @@ def get_spark(app_name: str = "fits2db_spark", shuffle_partitions: int | None = 
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return ensure_runtime_confs(spark)
+
+
+def free_memo_checkpoints() -> None:
+    """Evict every per-session memoized ``localCheckpoint`` the operator
+    modules hold (cross-match phase-1 results, the FITS pushdown scan) and
+    free their block-manager storage.
+
+    The memo caches make repeated invocations of the SAME key cheap, but
+    they hold executor storage for the whole session: VERDICT r13 measured
+    ~1.8x slowdown on an unrelated later key sharing the session with
+    ``join_xmatch_knn``'s retained checkpoint. bench.py calls this between
+    tiers; long-lived sessions that re-stage data under an sf_dir should
+    call it to drop stale entries."""
+    from .operators.joins import clear_xm_p1_cache
+    from .operators.scans import clear_pushdown_ckpt_cache
+
+    clear_xm_p1_cache()
+    clear_pushdown_ckpt_cache()

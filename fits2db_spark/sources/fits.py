@@ -774,13 +774,25 @@ def write_fits_dataset(
                 s = sentinels[name]
                 values = [s if v is None else v for v in values]
             columns.append((name, tform, values))
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.fits")
         blob = write_fits_multi(
             [{"columns": columns, "extname": extname, "extra_cards": cards}]
         )
-        with open(path, "wb") as f:
+        # Task-commit protocol (ADVICE r13): write to an attempt-unique temp
+        # name, then os.rename into place — atomic on the same filesystem —
+        # so a retried or speculative duplicate attempt never interleaves
+        # writes on the final path, and a killed task leaves only a
+        # dot-prefixed temp that Spark's file index treats as hidden (the
+        # same convention that hides _SUCCESS/_temporary), never a
+        # truncated part file.
+        tmp = os.path.join(
+            out_dir, f".part-{pid:05d}.attempt-{ctx.taskAttemptId()}.tmp"
+        )
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.rename(tmp, path)
         yield pa.RecordBatch.from_arrays(
             [pa.array([path]), pa.array([tbl.num_rows], type=pa.int64())],
             names=["path", "nrows"],

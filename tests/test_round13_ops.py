@@ -92,6 +92,34 @@ def test_write_fits_dataset_roundtrip_nulls_scale_multifile(spark, tmp_path):
     assert meta["cents"].get("fits.tunit") == "usd"
 
 
+def test_write_fits_dataset_task_commit_is_atomic_and_tmp_invisible(
+    spark, tmp_path
+):
+    """ADVICE r13: tasks must never open the final part path directly.
+    After a successful write no temp files remain; a leftover dot-prefixed
+    temp from a (simulated) killed attempt is hidden from the read-back
+    binaryFile scan, so a retry that re-wrote the real part is unaffected."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.sources.fits import read_fits, write_fits_dataset
+
+    df = spark.range(0, 12).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("int").alias("v")
+    ).repartitionByRange(2, "k")
+    out = str(tmp_path / "ds")
+    write_fits_dataset(df, out, tforms={"k": "K", "v": "J"}, extname="RT")
+    assert not glob.glob(os.path.join(out, "*.tmp")), "temp files left behind"
+    assert not glob.glob(os.path.join(out, ".*.tmp")), "temp files left behind"
+    # simulate a killed attempt's orphan: truncated garbage under a hidden name
+    with open(os.path.join(out, ".part-00099.attempt-7.tmp"), "wb") as f:
+        f.write(b"SIMPLE  =      T / truncated torso")
+    back = read_fits(spark, out, hdu="RT")
+    assert back.count() == 12, "hidden temp file leaked into the scan"
+
+
 def test_write_fits_dataset_requires_tform_for_every_column(spark, tmp_path):
     import pytest
 

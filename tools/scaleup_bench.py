@@ -256,10 +256,136 @@ def wide_scaleup(cap_sec: float = 90.0) -> dict:
     }
 
 
+# --- standing scale gate (VERDICT r13 items 3/4/7) -------------------------
+# Per-key sf1/sf0.1 wall-clock budgets. Default: 10x for 10x data. The two
+# documented floors are pinned at their r13 measured ratios plus slack:
+#   events_granger   15.3x — the daily lag frame x trial grid is day-span
+#                    bound, not row bound; absolute time stays small.
+#   stream_live_dedup 7.0x (pre-r14) — per-micro-batch state-store machinery
+#                    times number of drained batches.
+_SCALE_BUDGET_DEFAULT = 10.0
+_SCALE_BUDGETS = {
+    "events_granger": 20.0,
+    "stream_live_dedup": 12.0,
+}
+# Keys whose sf1 absolute time is below this are never violations: ratio
+# gating on sub-5s numbers grades scheduler noise, not plan shape.
+_SCALE_ABS_FLOOR_SEC = 5.0
+# ANN recall@3 floors at BOTH tiers (VERDICT r13 item 7) — fixture-scale
+# pytest floors are 0.9 (LSH) / 0.85 (IVF); the sf1 tier replicates every
+# embedding 10x, which stresses bucket occupancy, so pin slightly below.
+_RECALL_FLOORS = {"sim_ann_lsh": 0.85, "sim_ann_ivf": 0.80}
+
+
+def _ivf_recall(spark, qs, sf_dir: str) -> float:
+    """recall@3 of sim_ann_ivf vs sim_topk_bruteforce at ``sf_dir`` —
+    the same composition tests/test_rows_only_quality.py asserts at
+    fixture scale, evaluated distributed (only the matched-count reaches
+    the driver)."""
+    from pyspark.sql import functions as F
+
+    bf = (
+        qs["sim_topk_bruteforce"](spark, sf_dir)
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = qs["sim_ann_ivf"](spark, sf_dir).select("query_id", "neighbor_id")
+    n_truth = bf.count()
+    n_hit = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
+    return n_hit / n_truth if n_truth else 0.0
+
+
+def scale_gate() -> int:
+    """Run the 20 pinned wide keys at sf0.1 and the synthetic sf1 tier and
+    FAIL (exit 1) on any key whose scale-up ratio exceeds its budget, or
+    any ANN recall below its floor. The r13 round proved this measurement
+    finds real defects (join_xmatch_knn's 118x); this makes it a standing
+    gate instead of an optional audit."""
+    if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
+        t0 = time.time()
+        generate(10)
+        print(f"generated {OUT} in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    from bench import WIDE
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.registry import all_queries
+    from fits2db_spark.session import free_memo_checkpoints, get_spark
+    from fits2db_spark.tables import warm_cache
+
+    spark = get_spark("scale_gate", shuffle_partitions=8)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs = all_queries()
+    tiers = {"sf0.1": SRC, "sf1": OUT}
+    times: dict[str, dict[str, float]] = {k: {} for k in tiers}
+    recalls: dict[str, dict[str, float]] = {k: {} for k in tiers}
+    for label, sf_dir in tiers.items():
+        warm_cache(spark, sf_dir, partitions=8)
+        for name in WIDE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[label][name] = round(time.time() - t0, 3)
+            print(f"{label} {name}: {times[label][name]}s", file=sys.stderr)
+        lsh_recall = (
+            qs["sim_ann_recall_eval"](spark, sf_dir)
+            .agg(F.avg("recall_at_3"))
+            .collect()[0][0]
+        )
+        recalls[label] = {
+            "sim_ann_lsh": round(float(lsh_recall), 4),
+            "sim_ann_ivf": round(_ivf_recall(spark, qs, sf_dir), 4),
+        }
+        free_memo_checkpoints()  # no cross-tier block bleed
+
+    violations: list[str] = []
+    rows = []
+    for name in WIDE:
+        s01, s1 = times["sf0.1"][name], times["sf1"][name]
+        budget = _SCALE_BUDGETS.get(name, _SCALE_BUDGET_DEFAULT)
+        ratio = round(s1 / s01, 2) if s01 > 0 else None
+        bad = (
+            ratio is not None
+            and ratio > budget
+            and s1 > _SCALE_ABS_FLOOR_SEC
+        )
+        if bad:
+            violations.append(f"{name}: {ratio}x > budget {budget}x ({s01}s -> {s1}s)")
+        rows.append(
+            {"key": name, "sf01": s01, "sf1": s1, "x": ratio, "budget": budget,
+             "ok": not bad}
+        )
+    for tier, floors in recalls.items():
+        for key, rec in floors.items():
+            if rec < _RECALL_FLOORS[key]:
+                violations.append(
+                    f"{key}@{tier}: recall {rec} < floor {_RECALL_FLOORS[key]}"
+                )
+    print(
+        json.dumps(
+            {
+                "gate": "scaleup",
+                "violations": violations,
+                "recall": recalls,
+                "per_key": rows,
+                "total_sf01": round(sum(times["sf0.1"].values()), 2),
+                "total_sf1": round(sum(times["sf1"].values()), 2),
+            },
+            indent=2,
+        )
+    )
+    if violations:
+        print(f"SCALE GATE RED: {violations}", file=sys.stderr)
+        return 1
+    print("scale gate green", file=sys.stderr)
+    return 0
+
+
 def main() -> None:
     factor = 10
     if "--factor" in sys.argv:
         factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    if "--gate" in sys.argv:
+        sys.exit(scale_gate())
     if "--wide" in sys.argv:
         if "--skip-gen" not in sys.argv and not os.path.exists(
             os.path.join(OUT, "embeddings.parquet")

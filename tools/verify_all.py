@@ -12,9 +12,12 @@ Appends one JSON line per run to PROGRESS.jsonl so each verify is on the
 record. Run this before every end-of-round commit — a repo-wide breakage
 must never survive a round again (round-3 postmortem).
 
-Usage: python tools/verify_all.py [--fast] [--deep]
-  --fast  skip pytest and bench (oracle gate + driver sim only)
-  --deep  additionally run the full oracle gate at sf0.1 (10x tier)
+Usage: python tools/verify_all.py [--fast] [--deep] [--scaleup]
+  --fast     skip pytest and bench (oracle gate + driver sim only)
+  --deep     additionally run the full oracle gate at sf0.1 (10x tier)
+  --scaleup  additionally run the sf1 scale gate (tools/scaleup_bench.py
+             --gate): 20 wide keys' sf1/sf0.1 ratios vs pinned budgets +
+             ANN recall floors at both tiers — FAILS on any violation
 """
 
 from __future__ import annotations
@@ -90,6 +93,10 @@ def main() -> int:
                 "/root/testdata/sf0.1",
             ],
         )
+    if "--scaleup" in sys.argv:
+        # the r13 sf1 audit found a real 118x defect; keep it a GATE, not
+        # an optional audit (VERDICT r13 item 3)
+        run("scale-gate-sf1", [sys.executable, "tools/scaleup_bench.py", "--gate"])
     _record("all", True, time.time() - t0)
     mode = " fast" if fast else (" deep" if deep else "")
     print(f"=== verify_all GREEN ({time.time() - t0:.1f}s{mode}) ===")
