@@ -2952,11 +2952,26 @@ def join_xmatch_healpix(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = c.select(
         "id", ra.alias("ra"), dec.alias("dec"), z.alias("z"), tt.alias("tt")
     )
+    # stage (face, ix, iy) as leaf attributes before interleaving — the
+    # one-expression _nest_pix_col form inlines each subtree ~9x into the
+    # bit spread (same Catalyst-duplication trap _nest_neighbor_pix_df
+    # documents)
+    f_a, x_a, y_a = _nest_fxy_cols(F.col("z"), F.col("tt"), _HPX_NSIDE)
+    from .etl import _interleave_col
+
     a = base.select(
         F.col("id").alias("a_id"),
         F.col("ra").alias("a_ra"),
         F.col("dec").alias("a_dec"),
-        _nest_pix_col(F.col("z"), F.col("tt"), _HPX_NSIDE).alias("shard_pix"),
+        f_a.alias("_f"), x_a.alias("_x"), y_a.alias("_y"),
+    ).select(
+        "a_id", "a_ra", "a_dec",
+        (
+            F.col("_f") * (_HPX_NSIDE * _HPX_NSIDE)
+            + _interleave_col(
+                F.col("_x"), F.col("_y"), int(math.log2(_HPX_NSIDE))
+            )
+        ).alias("shard_pix"),
     )
 
     b_ra = F.col("ra") + ((F.col("id") % 21) - 10) * 0.0001
