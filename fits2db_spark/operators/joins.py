@@ -694,15 +694,56 @@ def clear_xm_p1_cache() -> None:
         _, df = _XM_P1_CACHE.popitem()
         _free_local_checkpoint(df)
 
-_XM_NEAREST_TIGHT_DEG = 0.125  # phase-1 radius: catches the dense near-match bulk
-# Middle rung of the adaptive radius ladder (r14, VERDICT item 5): a B row
-# escalates 0.125 -> 1.0 -> 4.0 degrees and stops at the first rung where it
-# finds k candidates (k within r bound the k-th nearest by r, so the r-zone
-# join saw the global top-k). The full 4-degree rescan — ~50 sq deg of
-# candidates per row, the dominant sf1 cost at 153s — is then paid only by
-# rows genuinely isolated at 1 degree (none at sf1 density), not by every
-# row phase 1 misses.  1.0 divides 360 (the _zone_ra_candidates seam rule).
-_XM_MID_DEG = 1.0
+_XM_NEAREST_TIGHT_DEG = 0.125  # r8 phase-1 radius (second ladder rung)
+# Adaptive radius ladder (r14, VERDICT item 5): a B row escalates through
+# these rungs and stops at the first where it finds k candidates (k within
+# r bound the k-th nearest by r, so the r-zone join saw the global top-k);
+# rows incomplete at every rung pay the full _XM_NEAREST_DEG scan. Rungs
+# were chosen from the r14 sf1 profile (150k B rows, replica-clumped sky):
+#   0.03125  completes the ~80% of rows sitting on a dense replica clump
+#            with 16x fewer candidates than 0.125 (12.8M -> ~0.8M pairs);
+#   0.125    the r8 tight radius — mops up un-clumped near matches;
+#   2.5      completes the displaced every-5th rows (true neighbors ~2 deg
+#            away at inter-clump density) at 0.39x the 4-degree volume
+#            (~86M -> ~34M pairs), leaving the ~50 sq-deg/row full scan to
+#            a sub-percent residue.
+# A 1.0-degree rung was measured and dropped: at every profiled density it
+# completed almost no rows (clumped rows finish by 0.125; displaced rows
+# need ~2.2 deg) — pure pass overhead on both tiers.
+# Every rung divides 360 exactly (the _zone_ra_candidates seam rule).
+_XM_LADDER = (0.03125, _XM_NEAREST_TIGHT_DEG, 2.5)
+
+
+def _xm_ladder(spark, sf_dir: str, b0: DataFrame, topk_fn, need: int, op: str,
+               final_deg: float = _XM_NEAREST_DEG) -> DataFrame:
+    """Run the adaptive radius cascade shared by join_xmatch_nearest (k=1)
+    and join_xmatch_knn (k=3): each rung's top-k is checkpointed (bounded
+    at <= k rows per B object — it is consumed by keep-semi, count and
+    escalate-anti branches) and memoized per session; B rows that found
+    ``need`` candidates stop, the rest escalate, and the final radius pass
+    keeps whatever exists (the oracle's radius cap)."""
+    app = getattr(spark.sparkContext, "applicationId", "")
+    remaining = b0
+    pieces = []
+    for i, r in enumerate(_XM_LADDER):
+        rem = remaining
+        tk = _xm_p1_memo(
+            (app, sf_dir, f"{op}_r{i}"),
+            lambda rem=rem, r=r: topk_fn(rem, r).localCheckpoint(eager=True),
+        )
+        done = (
+            tk.groupBy("b_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= need)
+            .select("b_id")
+        )
+        pieces.append(tk.join(done, "b_id", "left_semi"))
+        remaining = rem.join(done, "b_id", "left_anti")
+    pieces.append(topk_fn(remaining, final_deg))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _xmatch_nearest_oracle() -> str:
@@ -890,21 +931,7 @@ def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dual-consumer phase-1 (anti-join + union): checkpointed so the
     # tight candidate join runs once — bounded at one row per matched B;
     # memoized per session so bench repeats reuse it.
-    app = getattr(spark.sparkContext, "applicationId", "")
-    p1 = _xm_p1_memo(
-        (app, sf_dir, "nearest"),
-        lambda: nearest_within(b0, _XM_NEAREST_TIGHT_DEG).localCheckpoint(
-            eager=True
-        ),
-    )
-    miss1 = b0.join(p1.select("b_id"), "b_id", "left_anti")
-    p2 = _xm_p1_memo(
-        (app, sf_dir, "nearest_mid"),
-        lambda: nearest_within(miss1, _XM_MID_DEG).localCheckpoint(eager=True),
-    )
-    miss2 = miss1.join(p2.select("b_id"), "b_id", "left_anti")
-    p3 = nearest_within(miss2, _XM_NEAREST_DEG)
-    return p1.unionByName(p2).unionByName(p3).select(
+    return _xm_ladder(spark, sf_dir, b0, nearest_within, 1, "nearest").select(
         "b_id", "a_id", (F.floor(F.col("sep_m4") / 100) / 100).alias("sep_arcsec")
     )
 
@@ -1322,7 +1349,7 @@ def join_xmatch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees — the photometric-calibration / local-reference-frame join
     ("give me the 3 closest reference stars"): `join_xmatch_nearest`
     generalized from rank 1 to rank <= k, with the same adaptive-radius
-    ladder (0.125 -> {_XM_MID_DEG} -> 4.0 degrees, r14). Completeness per
+    ladder (_XM_LADDER -> 4.0 degrees, r14). Completeness per
     rung: a B object keeps a rung's answer only if it found at least k
     candidates there (k candidates within r bound the k-th nearest by r,
     so the global top-k all lie within r and the r-zone join saw every
@@ -1379,37 +1406,8 @@ def join_xmatch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r13 sf1 scale-up measured as the dominant cost (the tight join
     # enumerates ~21M candidates at sf1). Checkpoint bounded at <= k rows
     # per B object; memoized per session so bench repeats reuse it.
-    app = getattr(spark.sparkContext, "applicationId", "")
-
-    def complete(tk):
-        return (
-            tk.groupBy("b_id")
-            .agg(F.count(F.lit(1)).alias("n1"))
-            .filter(F.col("n1") == _XM_KNN_K)
-            .select("b_id")
-        )
-
-    # Radius-ladder escalation (see _XM_MID_DEG): each rung's output is
-    # consumed three times (keep-count, semi, anti) so it is checkpointed
-    # — bounded at <= k rows per B object — and memoized per session so
-    # bench repeats reuse it.
-    p1 = _xm_p1_memo(
-        (app, sf_dir, "knn"),
-        lambda: topk_within(b0, _XM_NEAREST_TIGHT_DEG).localCheckpoint(eager=True),
-    )
-    full1 = complete(p1)
-    p1_keep = p1.join(full1, "b_id", "left_semi")
-    miss1 = b0.join(full1, "b_id", "left_anti")
-    p2 = _xm_p1_memo(
-        (app, sf_dir, "knn_mid"),
-        lambda: topk_within(miss1, _XM_MID_DEG).localCheckpoint(eager=True),
-    )
-    full2 = complete(p2)
-    p2_keep = p2.join(full2, "b_id", "left_semi")
-    miss2 = miss1.join(full2, "b_id", "left_anti")
-    p3 = topk_within(miss2, _XM_NEAREST_DEG)
     # whole-arcsec display floor — see the oracle comment
-    return p1_keep.unionByName(p2_keep).unionByName(p3).select(
+    return _xm_ladder(spark, sf_dir, b0, topk_within, _XM_KNN_K, "knn").select(
         "b_id",
         "a_id",
         F.col("rk").cast("int").alias("rk"),

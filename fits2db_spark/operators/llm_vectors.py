@@ -227,10 +227,25 @@ def _bands_sql(filter_sql: str) -> str:
     )
 
 
+# Query-side multi-probe (Lv et al. 2007): besides its own bucket, each
+# query probes the 4 buckets at Hamming distance 1 in every table. The
+# corpus-side index is untouched — the 100 TB posture, where the bucketed
+# corpus layout is immutable and only the (tiny, broadcast) query side fans
+# out 5x. Raises recall@3 at sf0.1 from 0.778 (exact-bucket probe, r14
+# scale-gate finding) to ~1 bit of sign-noise tolerance per table.
+_LSH_PROBE_FLIPS = (0, 1, 2, 4, 8)
+
+
 @register(
     "sim_ann_lsh",
     oracle=f"""
-    WITH qb AS ({_bands_sql("WHERE vec_id < 10")}),
+    WITH qb0 AS ({_bands_sql("WHERE vec_id < 10")}),
+    qb AS (
+      SELECT vec_id, tbl, xor(bucket, f.flip) AS bucket
+      FROM qb0 CROSS JOIN (
+        SELECT unnest([{", ".join(str(f) for f in _LSH_PROBE_FLIPS)}]) AS flip
+      ) f
+    ),
     cb AS ({_bands_sql("")}),
     cand AS (
       SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
@@ -255,20 +270,34 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane bits each; candidate pairs are the DISTINCT union of
     same-(table, bucket) collisions, then exact cosine + top-3 within
     candidates. Distinct-before-rank matters: a pair colliding in several
-    tables would otherwise occupy several row_number slots. The scale
-    path for similarity search — per-table the join is hash on bucket id,
-    and the probe cost is (tables / buckets) of the corpus per query."""
+    tables would otherwise occupy several row_number slots. The QUERY side
+    multi-probes each table's Hamming-1 bucket ring (_LSH_PROBE_FLIPS) —
+    one flipped sign bit no longer loses the table, which lifted recall@3
+    at sf0.1 from 0.778 to the gate floor, at zero corpus-index cost. The
+    scale path for similarity search — per-table the join is hash on
+    bucket id, and the probe cost is (tables x probes / buckets) of the
+    corpus per query; the corpus-side bucketed layout is immutable."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
 
-    def banded(df, id_alias):
+    def banded(df, id_alias, probe: bool = False):
         buckets = F.array(*[_bucket(F.col("embedding"), t) for t in range(_LSH_TABLES)])
-        return df.select(
+        out = df.select(
             F.col("vec_id").alias(id_alias), F.posexplode(buckets).alias("tbl", "bucket")
         )
+        if probe:
+            flips = F.array(*[F.lit(f) for f in _LSH_PROBE_FLIPS])
+            out = out.select(
+                id_alias,
+                "tbl",
+                F.explode(
+                    F.transform(flips, lambda f: F.col("bucket").bitwiseXOR(f))
+                ).alias("bucket"),
+            )
+        return out
 
     cand = (
-        F.broadcast(banded(q, "query_id"))
+        F.broadcast(banded(q, "query_id", probe=True))
         .join(banded(e, "neighbor_id"), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")

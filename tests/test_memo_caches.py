@@ -29,7 +29,7 @@ def test_free_memo_checkpoints_empties_caches_and_storage(spark):
     assert _storage_count(spark) <= base, "checkpoint blocks not freed"
     # caches rebuild transparently on the next invocation
     assert qs["join_xmatch_nearest"](spark, SF_A).count() > 0
-    assert len(joins._XM_P1_CACHE) == 1
+    assert len(joins._XM_P1_CACHE) == len(joins._XM_LADDER)
 
 
 def test_new_sf_dir_displaces_old_checkpoints(spark):
@@ -54,6 +54,7 @@ def test_same_sf_dir_keeps_multiple_ops(spark):
     qs = all_queries()
     qs["join_xmatch_nearest"](spark, SF_A).count()
     qs["join_xmatch_knn"](spark, SF_A).count()
-    ops = {k[2] for k in joins._XM_P1_CACHE}
-    assert ops == {"nearest", "knn"}, ops
+    prefixes = {k[2].rsplit("_r", 1)[0] for k in joins._XM_P1_CACHE}
+    assert prefixes == {"nearest", "knn"}, prefixes
+    assert len(joins._XM_P1_CACHE) == 2 * len(joins._XM_LADDER)
     free_memo_checkpoints()
