@@ -851,7 +851,26 @@ def _zone_ra_candidates(base, b_side, radius_deg: float):
             "b_id", "b_ra", "b_dec", "zone", F.explode("_rbins").alias("rbin")
         )
     )
-    return a.join(b, ["zone", "rbin"])
+    # Candidates are born at MACHINE width, not the session's (bench-tuned,
+    # narrow) shuffle width: pair ENUMERATION is the dominant cost of a
+    # sky-density-bound rung (r14 sf1 profile: the 2.5-degree rung spent
+    # 38.5s of its 62.3s forming+verifying 47M pairs through an 8-wide
+    # SMJ — ~2us/enumerated pair of join machinery that parallelizes
+    # perfectly). Hash-repartitioning the (small, pre-join) inputs on the
+    # join key REPLACES the join's own narrow exchanges, so the pairs are
+    # produced, verified and partial-top-k'd (WindowGroupLimit) at full
+    # width and the downstream rank exchange only ever sees <= k rows per
+    # (b object x producing partition) — the full candidate set never
+    # crosses the wire. On a real cluster defaultParallelism is the
+    # executor-core total, which is exactly the width a 100 TB xmatch
+    # wants for its CPU-bound enumeration stage.
+    width = max(
+        base.sparkSession.sparkContext.defaultParallelism,
+        int(base.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")),
+    )
+    return a.repartition(width, "zone", "rbin").join(
+        b.repartition(width, "zone", "rbin"), ["zone", "rbin"]
+    )
 
 
 
@@ -914,16 +933,14 @@ def join_xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor-grid rank key/display: see the oracle comment
             .select("b_id", "a_id", F.floor(sep_deg * 36000000).alias("sep_m4"))
         )
-        # The rank's partial top-k locally SORTS each input partition; the
-        # join inherits the session's bench-tuned narrow width, so at high
-        # sky density the sort is the whole cost (r13 sf1 profile: 333s of
-        # 403s). Re-spread the verified candidates to the machine width —
-        # hashpartitioning(b_id, N) satisfies the window's distribution,
-        # so this REPLACES the window exchange rather than adding one.
-        width = spark.sparkContext.defaultParallelism
+        # The candidates arrive machine-wide from _zone_ra_candidates (the
+        # input repartition replaced the join's narrow exchanges), so the
+        # rank-1 filter's partial WindowGroupLimit sorts at full width and
+        # the window's own exchange moves <= 1 row per (b object x
+        # producing partition) — the r13 full-candidate re-spread (which
+        # shuffled every verified pair) is gone.
         return (
-            cand.repartition(width, "b_id")
-            .withColumn("rk", F.row_number().over(w))
+            cand.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("b_id", "a_id", "sep_m4")
         )
@@ -1390,13 +1407,13 @@ def join_xmatch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(sep_deg <= radius_deg)
             .select("b_id", "a_id", F.floor(sep_deg * 36000000).alias("sep_m4"))
         )
-        # See nearest_within: widen the rank sort to the machine width
-        # (replaces the window exchange; r13 sf1 profile showed the
-        # 8-wide partial-top-k local sort dominating at 333s).
-        width = spark.sparkContext.defaultParallelism
+        # See nearest_within: candidates are born machine-wide, so the
+        # top-k filter's partial WindowGroupLimit runs at full width and
+        # only <= k rows per (b object x producing partition) reach the
+        # window's exchange (r14; replaces the r13 full-candidate
+        # re-spread).
         return (
-            cand.repartition(width, "b_id")
-            .withColumn("rk", F.row_number().over(w))
+            cand.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= _XM_KNN_K)
             .select("b_id", "a_id", "rk", "sep_m4")
         )
