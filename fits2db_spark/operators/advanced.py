@@ -1008,6 +1008,35 @@ from ..tables import register_aux_cache  # noqa: E402
 _TRI_EDGE_CACHE: dict = register_aux_cache({})
 
 
+def _co_supply_pair_counts(spark, ps):
+    """Shared-part count per supplier pair (u < v, double `c`) from a
+    distinct (p, s) projection — the weighted co-supply edge list every
+    graph_* operator thresholds on.
+
+    The aggregate is ONE-PHASE at machine width, deliberately: the pair
+    stream's group cardinality is the same order as its row count (a pair
+    recurs in only a handful of parts, scattered across part-partitioned
+    join output), so the default partial+final plan hashes every row
+    twice at the session's narrow shuffle width for ~2x compression at
+    best. An explicit machine-wide repartition on the group key measured
+    8.9s vs 17.1s on the ~87M-pair sf1 tier (r14). The same reasoning
+    holds on a cluster: high-cardinality group-bys want one wide hash
+    table, not two narrow ones — and the pair-stream exchange this buys
+    is the partial output's size anyway when compression is ~2x."""
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "8")),
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .repartition(width, "u", "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+
+
 @register(
     "graph_triangles",
     oracle="""
@@ -1065,12 +1094,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection itself partial-aggregates per (part) before shuffling pairs."""
     li = load(spark, sf_dir, "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    sh = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-    )
+    sh = _co_supply_pair_counts(spark, ps)
     thr = sh.agg(F.percentile("c", F.lit(0.99)).alias("thr"))
     # e is consumed by 4 plan branches (3 triangle legs + degree); persist
     # once per (session, sf) — it holds only the p99-thresholded edge list
@@ -1174,12 +1198,10 @@ def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept = sp.join(deg.filter(F.col("d") <= 31), "p").select("s", "p").persist()
         _TRI_EDGE_CACHE[memo_key] = kept
     sz = kept.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("n"))
-    a = kept.alias("a")
-    b = kept.alias("b")
     co = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        _co_supply_pair_counts(spark, kept.select("p", "s"))
+        .withColumnRenamed("u", "s1")
+        .withColumnRenamed("v", "s2")
     )
     scored = (
         co.join(F.broadcast(sz.withColumnRenamed("s", "s1").withColumnRenamed("n", "nx")), "s1")
@@ -1271,7 +1293,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps = li.select(
             F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
         ).distinct()
-        a, b = ps.alias("a"), ps.alias("b")
         # materialize the pair-count aggregate ONCE (r11): the percentile
         # threshold is a broadcast build (its own job) and the e0 filter a
         # second job, so without the cut the ~C(|suppliers per part|,2)
@@ -1280,12 +1301,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(supplier-pairs) (~500k rows), far smaller than the raw pair
         # stream, so the checkpoint is cheap; it is freed as soon as the
         # (also checkpointed) thresholded edge list exists.
-        sh = (
-            a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-            .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-            .agg(F.count(F.lit(1)).cast("double").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        sh = _co_supply_pair_counts(spark, ps).localCheckpoint(eager=True)
         thr = sh.agg(F.percentile("c", F.lit(_KCORE_EDGE_Q)).alias("thr"))
         e = (
             sh.crossJoin(F.broadcast(thr))
@@ -1989,12 +2005,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    sh = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-    )
+    sh = _co_supply_pair_counts(spark, ps)
     thr = sh.agg(F.percentile("c", F.lit(0.99)).alias("thr"))
     try:
         memo_key = (spark.sparkContext.applicationId, sf_dir)
