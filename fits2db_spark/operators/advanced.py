@@ -1090,8 +1090,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     of deg^2, so the percentile edge threshold doubles as the hub cap that
     keeps the wedge explosion bounded — the same guard the dedup self-joins
     use (_SH_DF_CAP). The p99 threshold is computed as a 1-row aggregate
-    and broadcast (no driver collect); at 100 TB the co-occurrence
-    projection itself partial-aggregates per (part) before shuffling pairs."""
+    and broadcast (no driver collect); the co-occurrence weights come from
+    _co_supply_pair_counts' one-phase machine-wide aggregate (see its
+    docstring for why partial aggregation loses on this pair stream)."""
     li = load(spark, sf_dir, "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
     sh = _co_supply_pair_counts(spark, ps)
