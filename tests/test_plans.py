@@ -377,3 +377,84 @@ def test_parallax_is_single_arrow_pass(spark):
     plan = _plan(df)
     assert plan.count("MapInArrow") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_xmatch_candidates_born_wide_no_candidate_respread(spark):
+    """The r14 ladder contract: zone-join inputs are explicitly
+    repartitioned machine-wide on the join key (REPARTITION_BY_NUM on
+    (zone, rbin)), the rank filter gets a PARTIAL WindowGroupLimit below
+    the window's own exchange, and NO explicit re-spread of the full
+    candidate set on b_id exists (the r13 repartition that shuffled every
+    verified pair)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.operators.joins import _zone_ra_candidates
+    from fits2db_spark.tables import load
+
+    c = load(spark, SF_SMOKE, "customer").select(F.col("c_custkey").alias("id"))
+    base = c.select(
+        "id",
+        ((F.col("id") * 137.5) % 360).alias("ra"),
+        (F.col("id") % 89 - 44).cast("double").alias("dec"),
+    )
+    b0 = base.select(
+        F.col("id").alias("b_id"),
+        F.col("ra").alias("b_ra"),
+        F.col("dec").alias("b_dec"),
+    )
+    w = Window.partitionBy("b_id").orderBy("sep_m4", "a_id")
+    tk = (
+        _zone_ra_candidates(base, b0, 0.125)
+        .select("b_id", "a_id", F.lit(1).alias("sep_m4"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+    plan = _plan(tk)
+    assert "row_number(), 3, Partial" in plan, plan
+    # both join inputs explicitly widened on the join key
+    zone_repart = [
+        ln
+        for ln in plan.splitlines()
+        if "REPARTITION_BY_NUM" in ln and "zone" in ln and "rbin" in ln
+    ]
+    assert len(zone_repart) >= 1, plan
+    # and no explicit full-candidate re-spread keyed on b_id
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "REPARTITION_BY_NUM" in ln and "b_id" in ln
+    ]
+    assert not bad, bad
+
+
+def test_co_supply_agg_is_one_wide_pass(spark):
+    """_co_supply_pair_counts' contract: the (u, v) aggregate sits directly
+    on the EXPLICIT machine-wide exchange (REPARTITION_BY_NUM on the group
+    key) — Spark inserts no ENSURE_REQUIREMENTS exchange for the agg, so
+    partial and final run back-to-back in one wide stage over an
+    already-clustered stream instead of hashing the full pair stream twice
+    across a narrow shuffle."""
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.operators.advanced import _co_supply_pair_counts
+    from fits2db_spark.tables import load
+
+    ps = (
+        load(spark, SF_SMOKE, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    plan = _plan(_co_supply_pair_counts(spark, ps))
+    uv_repart = [
+        ln
+        for ln in plan.splitlines()
+        if "REPARTITION_BY_NUM" in ln and "u#" in ln and "v#" in ln
+    ]
+    assert len(uv_repart) == 1, plan
+    uv_ensure = [
+        ln
+        for ln in plan.splitlines()
+        if "ENSURE_REQUIREMENTS" in ln and "u#" in ln and "v#" in ln
+    ]
+    assert not uv_ensure, uv_ensure
