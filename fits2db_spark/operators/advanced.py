@@ -1312,6 +1312,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _free_local_checkpoint(sh)
         _TRI_EDGE_CACHE[memo_key] = e
+    # Early-exit on convergence (r14 optimization round): the peel is a
+    # deterministic contraction, so when a round removes no edge every
+    # later round is the identity and the remaining passes are pure
+    # machinery — measured at sf0.1 the fixture converges at ROUND 0 (all
+    # 4 rounds return 58,854 edges) yet the 3 no-op rounds still cost
+    # ~1.7s of degree-agg + checkpoint jobs. The edge count is read off
+    # the freshly checkpointed survivor list (a cheap count over
+    # materialized blocks), so the check costs one tiny job per round and
+    # saves two jobs per skipped round at ANY scale. Output equality with
+    # the oracle's fixed {_KCORE_ROUNDS}-round unroll is preserved exactly
+    # BECAUSE converged rounds are no-ops (the docstring's determinism
+    # contract, now exploited in both directions).
+    n_edges = e.count()
     for i in range(_KCORE_ROUNDS):
         deg = (
             e.select(F.explode(F.array("u", "v")).alias("node"))
@@ -1344,6 +1357,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             # is the memoized edge cache — never freed; the final round's
             # blocks feed the lazily-returned aggregate, also kept)
             _free_local_checkpoint(prev)
+        n_new = e.count()
+        if n_new == n_edges:
+            break
+        n_edges = n_new
     return (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")

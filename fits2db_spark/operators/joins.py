@@ -713,6 +713,33 @@ _XM_NEAREST_TIGHT_DEG = 0.125  # r8 phase-1 radius (second ladder rung)
 # Every rung divides 360 exactly (the _zone_ra_candidates seam rule).
 _XM_LADDER = (0.03125, _XM_NEAREST_TIGHT_DEG, 2.5)
 
+# Catalog size below which the ladder is SKIPPED and the whole match runs as
+# one full-radius pass (r14 optimization round). Each rung is a serial
+# join + window + eager-checkpoint pass whose fixed machinery (~2-3s at
+# local fixture scale) dwarfs its candidate savings when the catalog is
+# small: measured at sf0.1 (15k objects, min-of-3 under load noise) the
+# single 4-degree pass runs 3.5-5.0s vs 12-15s for the 3-rung ladder,
+# while at the sf1 tier (150k objects) the ladder is what holds the key at
+# 36s vs 450s (r13) — candidate volume there grows with sky density
+# squared and the rungs bound it. The switch derives from the INPUT SIZE
+# (parquet footer row count — pure metadata, no Spark job, the same number
+# a catalog's table stats provide at 100 TB), exactly the
+# "derive partitioning/plan shape from data volume, not from a constant
+# tuned for one scale" rule of the optimization guide (§2).
+_XM_LADDER_MIN_ROWS = 50_000
+
+
+def _catalog_rows(sf_dir: str) -> int:
+    """Row count of the xmatch base catalog from parquet footer metadata
+    (no Spark job). Unknown/unreadable => assume large, keeping the
+    scale-safe ladder path."""
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows)
+    except Exception:
+        return 1 << 62
+
 
 def _xm_ladder(spark, sf_dir: str, b0: DataFrame, topk_fn, need: int, op: str,
                final_deg: float = _XM_NEAREST_DEG) -> DataFrame:
@@ -721,11 +748,15 @@ def _xm_ladder(spark, sf_dir: str, b0: DataFrame, topk_fn, need: int, op: str,
     at <= k rows per B object — it is consumed by keep-semi, count and
     escalate-anti branches) and memoized per session; B rows that found
     ``need`` candidates stop, the rest escalate, and the final radius pass
-    keeps whatever exists (the oracle's radius cap)."""
+    keeps whatever exists (the oracle's radius cap). Results are invariant
+    to the rung set (every rung keeps only provably-global top-k rows), so
+    the ladder is dropped entirely below _XM_LADDER_MIN_ROWS objects where
+    per-rung machinery dominates (see the constant's comment)."""
     app = getattr(spark.sparkContext, "applicationId", "")
+    ladder = _XM_LADDER if _catalog_rows(sf_dir) >= _XM_LADDER_MIN_ROWS else ()
     remaining = b0
     pieces = []
-    for i, r in enumerate(_XM_LADDER):
+    for i, r in enumerate(ladder):
         rem = remaining
         tk = _xm_p1_memo(
             (app, sf_dir, f"{op}_r{i}"),

@@ -3668,11 +3668,21 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # The contracted (doc, shingle, tf) frame feeds FOUR branches (the ICWS
+    # sampling, both exact-verify sides, the mass aggregate) and the two
+    # mass broadcasts are their own jobs — uncut, the shingle explode +
+    # groupBy executed ~6x per invocation and the 5-md5 ICWS expression
+    # twice (r14 optimization round; measured 12.8-71.9s cold at sf0.1).
+    # One eager checkpoint each for tf and the (n_docs x K)-bounded sample
+    # table makes every branch a leaf read: 12.8s -> ~3s. Checkpoint blocks
+    # are freed below after the (tiny) result materializes — the
+    # graph_pagerank discipline.
     tf = (
         d.filter(F.size(l) >= 3)
         .select("doc_id", sh.alias("sh"))
         .groupBy("doc_id", "sh")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint(eager=True)
     )
     ks = spark.sql(f"SELECT explode(sequence(0, {_ICWS_K - 1})) AS k")
     rows = tf.crossJoin(F.broadcast(ks))
@@ -3689,6 +3699,7 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") == 1)
         .select("doc_id", "k", "sh", "t")
+        .localCheckpoint(eager=True)
     )
     hot = (
         samp.groupBy("k", "sh", "t")
@@ -3748,12 +3759,23 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return exact.filter(F.col("jw") >= _ICWS_JW).select(
-        "doc_a",
-        "doc_b",
-        F.round(F.col("matches") / float(_ICWS_K), 6).alias("est_jw"),
-        F.round("jw", 6).alias("exact_jw"),
+    # Materialize the (near-dup pairs only, tiny) result eagerly so the tf
+    # and samp checkpoint blocks can be freed before returning.
+    from .advanced import _free_local_checkpoint
+
+    result = (
+        exact.filter(F.col("jw") >= _ICWS_JW)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("matches") / float(_ICWS_K), 6).alias("est_jw"),
+            F.round("jw", 6).alias("exact_jw"),
+        )
+        .localCheckpoint(eager=True)
     )
+    for interim in (tf, samp):
+        _free_local_checkpoint(interim)
+    return result
 
 
 # ---------------------------------------------------------------------------
