@@ -2791,11 +2791,20 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "cls")
         .agg(F.round(F.sum(F.col("x") * F.col("pv")), 6).alias("dot"))
     )
-    wl = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "cls")
+    # argmax(dot) with smaller-cls tiebreak as a partial-aggregable
+    # max(struct(dot, -cls)) instead of a row_number sort window — the
+    # window shuffled and fully sorted all N x classes rows; the struct
+    # max combines map-side to one row per vec_id per partition (r14
+    # optimization round, guide §2: partial/map-side aggregation). dot is
+    # ROUND(6) so the comparison is the same deterministic one the window
+    # made. The (vec_id, lab) frame is consumed by BOTH sides of the
+    # test x train cross join below, so it is checkpointed once — uncut,
+    # the explode + proto join + two aggregates ran twice.
     lab = (
-        dots.withColumn("rk", F.row_number().over(wl))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("cls").alias("lab"))
+        dots.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("dot"), (-F.col("cls")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).cast("int").alias("lab"))
+        .localCheckpoint(eager=True)
     )
     base = e.join(lab, "vec_id").select(
         "vec_id",
@@ -2808,27 +2817,33 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("is_test"),
     )
-    t = base.filter("is_test").select(
-        F.col("vec_id").alias("tid"),
-        F.col("embedding").alias("te"),
-        F.col("lab").alias("true_lab"),
-    )
-    r = base.filter("NOT is_test").select(
-        F.col("vec_id").alias("rid"),
-        F.col("embedding").alias("re"),
-        F.col("lab").alias("nbr_lab"),
-    )
-
     def fold_dot(xa, xb):
         return F.aggregate(
             F.zip_with(xa, xb, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
         )
 
-    cos = (
-        fold_dot(F.col("te"), F.col("re"))
-        / F.sqrt(fold_dot(F.col("te"), F.col("te")))
-        / F.sqrt(fold_dot(F.col("re"), F.col("re")))
+    # Self-norms hoisted OUT of the pair expression (r14 optimization
+    # round): cos was dot(te,re)/sqrt(dot(te,te))/sqrt(dot(re,re)) with
+    # all three zip_with+fold subtrees evaluated PER PAIR — at sf0.1
+    # that is 360k pairs x 3 folds x 64 dims in the higher-order-function
+    # interpreter, two of which depend on one row only. Precomputing
+    # sqrt(dot(x,x)) per row keeps the identical op sequence (the same
+    # doubles divided in the same order — bit-identical cos, so the
+    # neighbour ranking cannot move) while cutting per-pair work 3x.
+    t = base.filter("is_test").select(
+        F.col("vec_id").alias("tid"),
+        F.col("embedding").alias("te"),
+        F.col("lab").alias("true_lab"),
+        F.sqrt(fold_dot(F.col("embedding"), F.col("embedding"))).alias("tn"),
     )
+    r = base.filter("NOT is_test").select(
+        F.col("vec_id").alias("rid"),
+        F.col("embedding").alias("re"),
+        F.col("lab").alias("nbr_lab"),
+        F.sqrt(fold_dot(F.col("embedding"), F.col("embedding"))).alias("rn"),
+    )
+
+    cos = fold_dot(F.col("te"), F.col("re")) / F.col("tn") / F.col("rn")
     pairs = F.broadcast(t).crossJoin(r).select(
         "tid", "true_lab", "rid", "nbr_lab", cos.alias("cos")
     )
@@ -3133,8 +3148,20 @@ def agg_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = li.select(F.lit("line_price").alias("variable"), F.col("l_extendedprice").alias("v"))
     vals = rev.unionByName(raw)
-    m = vals.groupBy("variable").agg(
-        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    # One combined aggregate per variable (moments + the full percentile
+    # array) instead of separate m/qarr aggregates, and the Ryan-Joiner
+    # correlation as a WINDOW aggregate over the exploded 19-point grid
+    # instead of a groupBy + join back — the r13 plan recomputed the
+    # lineitem scan + union + aggregate lineage ~4x (m, qarr, and both
+    # sides of the rj self-join); this shape scans lineitem exactly twice
+    # (once per union leg, irreducible) and everything after the aggregate
+    # is O(vars x 19) rows (r14 optimization round). corr over an
+    # unbounded window partition equals groupBy corr exactly — same
+    # Pearson aggregate, same inputs, same fold.
+    stats = vals.groupBy("variable").agg(
+        F.avg("v").alias("mu"),
+        F.stddev_samp("v").alias("sd"),
+        F.percentile("v", F.array(*[F.lit(p) for p in _QQ_PS])).alias("qarr"),
     )
     grid = spark.sql(
         "SELECT col1 AS idx, col2 AS p, col3 AS z FROM (VALUES "
@@ -3143,32 +3170,26 @@ def agg_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ")"
     )
-    qarr = vals.groupBy("variable").agg(
-        F.percentile("v", F.array(*[F.lit(p) for p in _QQ_PS])).alias("qarr")
-    )
-    qs = (
-        qarr.select("variable", F.posexplode("qarr").alias("idx", "q_obs"))
+    qq = (
+        stats.select("variable", "mu", "sd", F.posexplode("qarr").alias("idx", "q_obs"))
         .join(F.broadcast(grid), "idx")
-        .select("variable", "p", "z", "q_obs")
+        .select(
+            "variable",
+            F.col("p").cast("double").alias("p"),
+            F.col("z").cast("double").alias("z_theoretical"),
+            "q_obs",
+            (F.col("mu") + F.col("sd") * F.col("z")).alias("fitted"),
+        )
     )
-    qq = qs.join(F.broadcast(m), "variable").select(
-        "variable",
-        F.col("p").cast("double").alias("p"),
-        F.col("z").cast("double").alias("z_theoretical"),
-        "q_obs",
-        (F.col("mu") + F.col("sd") * F.col("z")).alias("fitted"),
-    )
-    rj = qq.groupBy("variable").agg(
-        F.corr("q_obs", "z_theoretical").alias("r")
-    )
-    return qq.join(F.broadcast(rj), "variable").select(
+    w_var = Window.partitionBy("variable")
+    return qq.select(
         "variable",
         "p",
         "z_theoretical",
         F.round("q_obs", 4).alias("q_observed"),
         F.round("fitted", 4).alias("fitted"),
         F.round(F.col("q_obs") - F.col("fitted"), 4).alias("deviation"),
-        F.round("r", 6).alias("rj_stat"),
+        F.round(F.corr("q_obs", "z_theoretical").over(w_var), 6).alias("rj_stat"),
     )
 
 

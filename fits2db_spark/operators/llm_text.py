@@ -2740,15 +2740,17 @@ def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document and its doc-id successor within the same source — the
     summarization/near-dup similarity that n-gram Jaccard misses when
     tokens match in ORDER but not contiguously. Token streams cap at
-    {_RL_TOK} per side, bounding the LCS DP at {_RL_TOK}x{_RL_TOK} per
-    pair; the full DP runs as two nested sequential array folds with an
-    identical op sequence in both engines (the `events_dtw_distance`
-    machinery on integer state — exact, no float concerns).
+    {_RL_TOK} per side, bounding the LCS work at {_RL_TOK}x{_RL_TOK} per
+    pair; the LCS length is computed bit-parallel (Allison & Dix 1986:
+    the DP column lives in one long, see the inline comment) — an exact
+    integer, so the oracle's textbook array DP provably agrees (an LCS
+    length is algorithm-independent; no float concerns on either side).
 
-    Scale: pairing is one LEAD window per source (no self-join); the DP
-    is in-row compute, embarrassingly parallel, O({_RL_TOK}²) integers
-    per pair. At 100 TB the same shape scores ANY candidate pair list —
-    swap the window pairing for the LSH candidate join."""
+    Scale: pairing is one LEAD window per source (no self-join); the LCS
+    is in-row compute, embarrassingly parallel, O({_RL_TOK}²) integer ops
+    and ZERO allocations per pair. At 100 TB the same shape scores ANY
+    candidate pair list — swap the window pairing for the LSH candidate
+    join."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -2764,33 +2766,43 @@ def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("t").over(w).alias("t2"),
     ).filter(F.col("nxt_id").isNotNull() & (F.size("t") > 0) & (F.size("t2") > 0))
 
-    def dp_row(prev, ib):
-        # ib is a 1-element boxed index array (mirrors the DuckDB fold,
-        # whose accumulator and element types must match)
-        return F.aggregate(
-            F.sequence(F.lit(1), F.size("t2")),
-            F.array(F.lit(0)),
-            lambda rowacc, j: F.concat(
-                rowacc,
-                F.array(
-                    F.when(
-                        F.element_at(F.col("t"), F.element_at(ib, 1))
-                        == F.element_at(F.col("t2"), j),
-                        F.element_at(prev, j) + 1,
-                    ).otherwise(
-                        F.greatest(
-                            F.element_at(prev, j + 1), F.element_at(rowacc, j)
-                        )
-                    )
-                ),
+    # Bit-parallel LCS (Allison & Dix 1986), r14 optimization round: with
+    # the token cap at {_RL_TOK} <= 62 the whole DP column fits ONE long,
+    # so the classic row-DP (an array-accumulator fold whose every cell
+    # CONCATs a fresh 30-element array — O(n^3) copying in the Catalyst
+    # higher-order-function interpreter; measured 8.7-8.9 s at sf0.1)
+    # becomes a long-accumulator fold with zero allocations: per t2 token
+    # build the match mask M over t's positions, then
+    # V' = ((V + (V & M)) | (V & ~M)) & mask, LCS = |t| - bit_count(V).
+    # The LCS length is an integer uniquely determined by the inputs, so
+    # algorithm choice cannot change the result — equivalence to the
+    # oracle's textbook DP is property-tested over random token streams
+    # in tests/test_r14_opts.py and pinned by the 3-SF oracle gate.
+    # pyspark's shiftleft() only takes a Python-int count, so the
+    # column-count shifts 1<<k are spelled pow(2, k) — double-exact for
+    # every k <= _RL_TOK <= 52.
+    def bit(k):
+        return F.pow(F.lit(2.0), k.cast("double")).cast("long")
+
+    m_bits = bit(F.size("t")) - 1
+
+    def step(V, c):
+        M = F.aggregate(
+            F.sequence(F.lit(1), F.size("t")),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc.bitwiseOR(
+                F.when(
+                    F.element_at(F.col("t"), i) == c,
+                    bit(i - 1),
+                ).otherwise(F.lit(0).cast("long"))
             ),
         )
+        u = V.bitwiseAND(M)
+        return ((V + u).bitwiseOR(V.bitwiseAND(F.bitwise_not(M)))).bitwiseAND(
+            m_bits
+        )
 
-    init = F.transform(
-        F.sequence(F.lit(0), F.size("t2")), lambda j: F.lit(0)
-    )
-    boxed = F.transform(F.sequence(F.lit(1), F.size("t")), lambda i: F.array(i))
-    lcs = F.element_at(F.aggregate(boxed, init, dp_row), F.size("t2") + 1)
+    lcs = F.size("t") - F.bit_count(F.aggregate(F.col("t2"), m_bits, step))
     scored = pairs.select(
         "doc_id",
         "nxt_id",
@@ -3650,21 +3662,28 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization convention).
 
     Scale: the corpus contracts to the (doc, shingle, tf) frame;
-    sampling is a per-row expression over tf x {_ICWS_K} plus one
-    per-(doc, k) WindowGroupLimit; candidates come from a capped
+    sampling is a per-row expression over tf x {_ICWS_K} and the
+    per-(doc, k) argmin partial-aggregates map-side; candidates come
+    from a capped
     equi-join on sample buckets — never all-pairs — and the exact
     verify joins only candidate tf rows. The dedup_near_minhash cost
     envelope, with weights."""
     d = load(spark, sf_dir, "documents")
     l = F.split("text", " ")
+    # Tokenize into a REAL column before the shingle transform (r14
+    # optimization round): with the split() subtree captured inside the
+    # higher-order lambda it re-split the full document text for every
+    # element_at of every 3-gram (no CSE in the HOF interpreter); staged
+    # as a column the array materializes once per row.
+    tkc = F.col("tk")
     sh = F.explode(
         F.transform(
-            F.sequence(F.lit(1), F.size(l) - 2),
+            F.sequence(F.lit(1), F.size(tkc) - 2),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(l, i),
-                F.element_at(l, i + 1),
-                F.element_at(l, i + 2),
+                F.element_at(tkc, i),
+                F.element_at(tkc, i + 1),
+                F.element_at(tkc, i + 2),
             ),
         )
     )
@@ -3679,12 +3698,20 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph_pagerank discipline.
     tf = (
         d.filter(F.size(l) >= 3)
+        .select("doc_id", l.alias("tk"))
         .select("doc_id", sh.alias("sh"))
         .groupBy("doc_id", "sh")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .localCheckpoint(eager=True)
     )
     ks = spark.sql(f"SELECT explode(sequence(0, {_ICWS_K - 1})) AS k")
+    # (r14 note: drawing the 5 md5 uniforms once per DISTINCT (sh, k) —
+    # 27,213 shingles vs 260,388 tf rows at sf0.1 — was prototyped both
+    # as a shuffle join (min 17.7 s) and a broadcast join (min 9.7 s):
+    # both LOSE to the inline form (min 8.0 s) because the extra
+    # draw-table job + join machinery outweighs the md5 savings at this
+    # corpus/vocabulary ratio. Kept inline; re-evaluate if a profile ever
+    # shows the hash draws dominating.)
     rows = tf.crossJoin(F.broadcast(ks))
     k, shc = F.col("k"), F.col("sh")
     r = -F.log(_icws_u(shc, k, 1) * _icws_u(shc, k, 2))
@@ -3693,12 +3720,19 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.floor(F.log("w") / r + beta).cast("long")
     y_er = F.exp(r * (t + 1.0 - beta))  # y * e^r == e^(r (t + 1 - beta))
     a_key = F.round(c / y_er, 9)
-    w_rank = Window.partitionBy("doc_id", "k").orderBy("a", "sh")
+    # Per-(doc, k) argmin as a partial-aggregable min(struct(a, sh, t))
+    # instead of a row_number sort window (r14 optimization round): the
+    # window shuffled and fully sorted all nnz x K sample rows; the
+    # struct min combines map-side, so only ~n_docs x K partial rows per
+    # partition cross the wire (guide §2). Lexicographic struct order ==
+    # the window's (a ASC, sh ASC) order, and sh is unique within a
+    # (doc, k) group, so the selected sample (and its carried t) is
+    # identical row-for-row.
     samp = (
         rows.select("doc_id", "k", "sh", t.alias("t"), a_key.alias("a"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "k", "sh", "t")
+        .groupBy("doc_id", "k")
+        .agg(F.min(F.struct("a", "sh", "t")).alias("m"))
+        .select("doc_id", "k", F.col("m.sh").alias("sh"), F.col("m.t").alias("t"))
         .localCheckpoint(eager=True)
     )
     hot = (

@@ -80,3 +80,52 @@ def test_probe_keys_cold_flag_importable():
     # import only (main() guarded); no Spark session is built
     spec.loader.exec_module(mod)
     assert hasattr(mod, "main")
+
+
+def test_bitparallel_lcs_equals_textbook_dp(spark):
+    """text_rouge_l's Allison-Dix fold must agree with the classic DP
+    (the oracle's formulation) on arbitrary token streams — LCS length
+    is algorithm-independent, this pins the bit fiddling."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    def dp(a, b):
+        cur = [0] * (len(b) + 1)
+        for x in a:
+            prev, cur = cur, [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        return cur[len(b)]
+
+    rng = random.Random(14)
+    rows = []
+    for i in range(80):
+        a = [str(rng.randint(0, 5)) for _ in range(rng.randint(1, 30))]
+        b = [str(rng.randint(0, 5)) for _ in range(rng.randint(1, 30))]
+        rows.append((i, a, b, dp(a, b)))
+    df = spark.createDataFrame(rows, "id long, t array<string>, t2 array<string>, want long")
+
+    def bit(k):
+        return F.pow(F.lit(2.0), k.cast("double")).cast("long")
+
+    m_bits = bit(F.size("t")) - 1
+
+    def step(V, c):
+        M = F.aggregate(
+            F.sequence(F.lit(1), F.size("t")),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc.bitwiseOR(
+                F.when(
+                    F.element_at(F.col("t"), i) == c, bit(i - 1)
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        )
+        u = V.bitwiseAND(M)
+        return ((V + u).bitwiseOR(V.bitwiseAND(F.bitwise_not(M)))).bitwiseAND(m_bits)
+
+    lcs = F.size("t") - F.bit_count(F.aggregate(F.col("t2"), m_bits, step))
+    bad = df.select("id", "want", lcs.cast("long").alias("got")).filter(
+        F.col("want") != F.col("got")
+    )
+    assert bad.count() == 0

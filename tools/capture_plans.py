@@ -13,7 +13,9 @@ from __future__ import annotations
 import os
 import sys
 
-REPO = "/root/repo"
+# Source tree to capture plans FROM (a git worktree of an older commit for
+# the "_before" files); output always lands in /root/repo/plans/r14.
+REPO = os.environ.get("PLANS_SRC_REPO", "/root/repo")
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
@@ -28,14 +30,14 @@ def main() -> None:
     from fits2db_spark.tables import warm_cache
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join("/root/repo", "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("fits2db_spark_plans", shuffle_partitions=8)
     warm_cache(spark, sf_dir, partitions=8)
 
     qs = all_queries()
-    keys = [k for k in (*bench.HEADLINE, *bench.WIDE) if not only or k in only]
+    keys = sorted(only) if only else [*bench.HEADLINE, *bench.WIDE]
     for name in keys:
         spark.sparkContext.setJobDescription(f"plan-capture: {name}")
         try:
