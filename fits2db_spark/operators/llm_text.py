@@ -367,8 +367,15 @@ def _doc_shingle_arrays(d: DataFrame) -> DataFrame:
     ~n^2/2^61 — negligible, and identical in the DuckDB oracle, which hashes
     the same way). Kept un-exploded: the minhash signature AND the exact
     verify both work on the arrays directly (array_min / array_intersect),
-    so the expensive md5 pass runs once and nothing re-shuffles it."""
-    t = F.split("text", " ")
+    so the expensive md5 pass runs once and nothing re-shuffles it.
+
+    The token array is staged as a REAL column before the 3-gram
+    transform (r14 optimization round): a split() subtree captured
+    inside the lambda is re-evaluated by the HOF interpreter for every
+    element_at of every shingle — re-splitting the full document text
+    ~3 x n_shingles times per doc (the weighted-minhash fix, applied at
+    the shared root of the whole shingle-cache family)."""
+    t = F.col("_tk")
     tri = F.transform(
         F.sequence(F.lit(0), F.size(t) - 3),
         lambda i: F.concat_ws(
@@ -381,6 +388,7 @@ def _doc_shingle_arrays(d: DataFrame) -> DataFrame:
     hashed = F.array_distinct(F.transform(tri, _h64))
     return (
         d.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.split("text", " ").alias("_tk"))
         .select("doc_id", hashed.alias("shingles"))
     )
 
@@ -1100,7 +1108,8 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry — the plagiarism/near-dup detection classic, all as array
     expressions (hash positions stay inside the row; no explode)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    t = F.split("text", " ")
+    # token array staged as a real column: see _doc_shingle_arrays
+    t = F.col("_tk")
     tri = F.transform(
         F.sequence(F.lit(0), F.size(t) - 3),
         lambda i: F.concat_ws(
@@ -1110,8 +1119,10 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(t, (i + 3).cast("int")),
         ),
     )
-    base = d.filter(F.size(F.split("text", " ")) >= 6).select(
-        "doc_id", F.transform(tri, _h64).alias("hs")
+    base = (
+        d.filter(F.size(F.split("text", " ")) >= 6)
+        .select("doc_id", F.split("text", " ").alias("_tk"))
+        .select("doc_id", F.transform(tri, _h64).alias("hs"))
     )
     windows_min = F.transform(
         F.sequence(F.lit(1), F.size("hs") - 3),
@@ -2975,9 +2986,13 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `bpe_train_merges`' word table. No windows, no sort, no driver state.
     """
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # token array staged as a real column so the chunk lambda doesn't
+    # re-split the text per chunk (see _doc_shingle_arrays, r14)
+    toks = F.col("_tk")
     nchunks = F.ceil(F.size(toks) / F.lit(float(_LD_CHUNK))).cast("int")
     chunks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("_tk")
+    ).select(
         "doc_id",
         "source",
         F.explode(
@@ -3256,7 +3271,9 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the only exchange is the final per-source rollup. At 100 TB
     the corpus pays exactly one scan."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # token array staged as a real column so the window sweep doesn't
+    # re-split the text per window (see _doc_shingle_arrays, r14)
+    toks = F.col("_tk")
     n = F.size(toks)
     win_ttr = F.transform(
         F.sequence(F.lit(0), n - _MATTR_W),
@@ -3269,7 +3286,8 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(win_ttr, F.lit(0.0), lambda a, x: a + x) / F.size(win_ttr)
     )
     return (
-        d.select("source", mattr.alias("mattr"))
+        d.select("source", F.split("text", " ").alias("_tk"))
+        .select("source", mattr.alias("mattr"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -3987,8 +4005,14 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_h64` md5 hash (8-byte shuffle keys, same function in the oracle).
     At 100 TB this is the standard dedup-storage accounting pass: one map
     stage plus a near-linear hash aggregation, never pairwise."""
-    d = load(spark, sf_dir, "documents")
-    t = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").select(
+        # token array staged as a real column so the boundary filter
+        # doesn't re-split the text per candidate position (see
+        # _doc_shingle_arrays, r14)
+        "source",
+        F.split("text", " ").alias("_tk"),
+    )
+    t = F.col("_tk")
     n = F.size(t)
     win = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(t, (i + k).cast("int")) for k in range(_CDC_W)]

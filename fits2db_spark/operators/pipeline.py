@@ -2513,8 +2513,15 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is the final per-source rollup of boolean sums. At 100 TB
     the gate is a single map pass over the corpus — the cheapest shape a
     document filter can have."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").select(
+        # token array staged as a real column so the nested top-token
+        # filter doesn't re-split the text per distinct token (the
+        # llm_text._doc_shingle_arrays fix, r14)
+        "source",
+        "lang",
+        F.split("text", " ").alias("_tk"),
+    )
+    toks = F.col("_tk")
     top_cnt = F.array_max(
         F.transform(
             F.array_distinct(toks),
