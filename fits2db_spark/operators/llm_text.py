@@ -462,7 +462,7 @@ def _arrays_cached(spark: SparkSession, d: DataFrame, sf_dir: str) -> DataFrame:
 _BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # exact-Jaccard candidate pairs per (session, sf_dir): three exact-dedup
 # operators (ngram_jaccard, containment, lsh_recall's truth) share the
-# inverted-index self-join + DISTINCT — by far their dominant stage (r8)
+# inverted-index self-join + pair aggregate — by far their dominant stage (r8)
 _JACC_CAND_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -520,11 +520,17 @@ _SHINGLES_SQL = """
 
 
 def _jaccard_candidates(sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from the inverted shingle index,
+    """(doc_a, doc_b, n_cc) candidate pairs from the inverted shingle index,
     document-frequency capped: shingles in more than ``_SH_DF_CAP`` docs are
     excluded before the self-join (the quadratic-blowup guard — a stop-phrase
     shared by k docs would emit k(k-1)/2 pairs). The hot-shingle list is tiny
-    by construction, so the exclusion is a broadcast anti-join."""
+    by construction, so the exclusion is a broadcast anti-join.
+
+    ``n_cc`` counts the pair's shared CAPPED shingles — the same groupBy
+    exchange the old DISTINCT paid (plus a map-side-combined long), and it
+    lets the exact verify run on three ints per pair instead of intersecting
+    two full shingle arrays (r14: the verify join was the dominant cold cost
+    of every consumer; see :func:`_pair_exact_common`)."""
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -540,20 +546,69 @@ def _jaccard_candidates(sh: DataFrame) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_cc"))
     )
 
 
-def _jaccard_candidates_cached(
-    spark: SparkSession, sh: DataFrame, sf_dir: str
-) -> DataFrame:
-    try:
-        key = (spark.sparkContext.applicationId, sf_dir)
-    except Exception:
-        return _jaccard_candidates(sh)
-    if key not in _JACC_CAND_CACHE:
-        _JACC_CAND_CACHE[key] = _jaccard_candidates(sh).persist()
-    return _JACC_CAND_CACHE[key]
+def _pair_exact_common(sh: DataFrame, arrs: DataFrame, cand: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b) with ``n_common`` EXACT over the
+    FULL shingle sets: the capped-index shared count the candidate aggregate
+    already carries, plus the intersection of the pair's HOT shingles
+    (df > ``_SH_DF_CAP``, excluded from the index). A doc's shingles are
+    partitioned by the global df cap into capped + hot, so
+    n_cc + |hot_a n hot_b| == |shingles_a n shingles_b| exactly.
+
+    Replaces the full-array ``array_intersect`` verify join (r14): the
+    per-pair join payload drops from two ~95-element arrays to three ints,
+    and the intersect runs only over hot arrays — EMPTY at fixture scale,
+    short by construction at any scale (a corpus has few stop-phrases, and
+    a doc contains few of them). The joins stay broadcast-sized for the
+    same reason the old arrs joins were; at 100 TB they degrade to shuffle
+    joins of narrow ints instead of full arrays."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SH_DF_CAP)
+        .select("shingle")
+    )
+    doc_hot = (
+        sh.join(F.broadcast(hot), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("hot_sh"))
+    )
+    side = arrs.select("doc_id", F.size("shingles").alias("n_sh")).join(
+        doc_hot, "doc_id", "left"
+    )
+    n_hot = F.when(
+        F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
+        F.size(F.array_intersect("hot_a", "hot_b")),
+    ).otherwise(F.lit(0))
+    return (
+        cand.join(
+            side.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_sh").alias("n_a"),
+                F.col("hot_sh").alias("hot_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            side.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_sh").alias("n_b"),
+                F.col("hot_sh").alias("hot_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_cc") + n_hot).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
 
 
 @register(
@@ -593,24 +648,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = _shingles_cached(spark, d, sf_dir)
     cand = _jaccard_candidates_cached(spark, sh, sf_dir)
-    # verify on the cached per-doc shingle ARRAYS (the dedup_near_minhash
-    # r4 rewrite, applied here in r8: the exploded cand x shingle join-back
-    # multiplied candidates by ~95 shingles/doc before matching — 10.6s ->
-    # ~1s warm at sf0.1; array_intersect computes the overlap in-row)
+    # exact verify from the candidate aggregate's shared-capped count plus
+    # the hot-shingle intersect (r14; see _pair_exact_common — replaces the
+    # full-array array_intersect join, which was the dominant cold cost)
     arrs = _arrays_cached(spark, d, sf_dir)
-    pairs = cand.join(
-        arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-        "doc_a",
-    ).join(
-        arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-        "doc_b",
-    )
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    stats = _pair_exact_common(sh, arrs, cand)
+    n_common = F.col("n_common")
     jac = n_common.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - n_common
+        F.col("n_a") + F.col("n_b") - n_common
     )
     return (
-        pairs.filter(jac >= _JACCARD_T)
+        stats.filter(jac >= _JACCARD_T)
         .select(
             "doc_a",
             "doc_b",
@@ -690,18 +738,6 @@ def _lsh_candidates(bands: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-
-
-def _jaccard_candidates_cached(
-    spark: SparkSession, sh: DataFrame, sf_dir: str
-) -> DataFrame:
-    try:
-        key = (spark.sparkContext.applicationId, sf_dir)
-    except Exception:
-        return _jaccard_candidates(sh)
-    if key not in _JACC_CAND_CACHE:
-        _JACC_CAND_CACHE[key] = _jaccard_candidates(sh).persist()
-    return _JACC_CAND_CACHE[key]
 
 
 @register(
@@ -1481,19 +1517,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = _shingles_cached(spark, d, sf_dir)
     cand = _jaccard_candidates_cached(spark, sh, sf_dir)
-    # in-row array_intersect verify (see dedup_ngram_jaccard's r8 note)
+    # exact verify from pair common-counts (r14; see _pair_exact_common)
     arrs = _arrays_cached(spark, d, sf_dir)
-    pairs = cand.join(
-        arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-        "doc_a",
-    ).join(
-        arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-        "doc_b",
-    )
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    cont = n_common.cast("double") / F.least(F.size("sh_a"), F.size("sh_b"))
+    stats = _pair_exact_common(sh, arrs, cand)
+    n_common = F.col("n_common")
+    cont = n_common.cast("double") / F.least(F.col("n_a"), F.col("n_b"))
     return (
-        pairs.filter(cont >= _CONTAIN_T)
+        stats.filter(cont >= _CONTAIN_T)
         .select(
             "doc_a",
             "doc_b",

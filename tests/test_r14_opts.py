@@ -129,3 +129,65 @@ def test_bitparallel_lcs_equals_textbook_dp(spark):
         F.col("want") != F.col("got")
     )
     assert bad.count() == 0
+
+
+def test_pair_exact_common_equals_array_intersect(spark):
+    """The count-based exact verify (_pair_exact_common) must agree with a
+    direct array_intersect over the FULL per-doc shingle arrays for every
+    candidate pair — including hot-shingle contributions, exercised here by
+    forcing a tiny df cap so the fixture actually produces hot shingles."""
+    import pyspark.sql.functions as F
+
+    from fits2db_spark.operators import llm_text as L
+    from fits2db_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    for cap in (L._SH_DF_CAP, 2):  # real cap (no hot) + forced-hot regime
+        orig = L._SH_DF_CAP
+        try:
+            L._SH_DF_CAP = cap
+            sh = L._shingles(d)
+            arrs = L._doc_shingle_arrays(d)
+            cand = L._jaccard_candidates(sh)
+            got = {
+                (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b)
+                for r in L._pair_exact_common(sh, arrs, cand).collect()
+            }
+        finally:
+            L._SH_DF_CAP = orig
+        ref_pairs = cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        ).join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        want = {
+            (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b)
+            for r in ref_pairs.select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+                F.size("sh_a").alias("n_a"),
+                F.size("sh_b").alias("n_b"),
+            ).collect()
+        }
+        assert got == want and len(got) > 0, f"cap={cap}"
+
+
+def test_forced_hot_cap_produces_hot_shingles(spark):
+    """Guard for the test above: cap=2 must actually create hot shingles at
+    fixture scale, or the hot-intersect arm is never exercised."""
+    import pyspark.sql.functions as F
+
+    from fits2db_spark.operators import llm_text as L
+    from fits2db_spark.tables import load
+
+    sh = L._shingles(load(spark, SF_SMOKE, "documents"))
+    n_hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 2)
+        .count()
+    )
+    assert n_hot > 0
