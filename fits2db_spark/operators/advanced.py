@@ -1095,8 +1095,6 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring for why partial aggregation loses on this pair stream)."""
     li = load(spark, sf_dir, "lineitem")
     ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
-    sh = _co_supply_pair_counts(spark, ps)
-    thr = sh.agg(F.percentile("c", F.lit(0.99)).alias("thr"))
     # e is consumed by 4 plan branches (3 triangle legs + degree); persist
     # once per (session, sf) — it holds only the p99-thresholded edge list
     # (~1% of supplier pairs), and memoizing prevents re-persisting the
@@ -1107,12 +1105,19 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         memo_key = ("", sf_dir)
     e = _TRI_EDGE_CACHE.get(memo_key)
     if e is None:
+        # sh feeds BOTH the p99 threshold and the filter it gates — uncut,
+        # the pair aggregate (the operator's dominant stage) runs twice per
+        # edge-list build (r14). Checkpoint once, free after e materializes.
+        sh = _co_supply_pair_counts(spark, ps).localCheckpoint(eager=True)
+        thr = sh.agg(F.percentile("c", F.lit(0.99)).alias("thr"))
         e = (
             sh.crossJoin(F.broadcast(thr))
             .filter(F.col("c") >= F.col("thr"))
             .select("u", "v")
             .persist()
         )
+        e.count()  # force the persist so the sh blocks can go
+        _free_local_checkpoint(sh)
         _TRI_EDGE_CACHE[memo_key] = e
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -1475,8 +1480,16 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # the edge list feeds ~9 plan branches (und twice, deg via und, both
+    # degree join legs, both counts) — uncut, the per-order self-join +
+    # DISTINCT re-ran for each (r14). One eager checkpoint makes them all
+    # leaf reads; blocks freed once the 1-row result materializes.
     edges = (
-        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(
@@ -1486,7 +1499,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    return (
+    result = (
         und.join(du, "u")
         .join(dv, "v")
         .agg(
@@ -1496,7 +1509,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_nodes))
         .crossJoin(F.broadcast(n_edges))
         .select("n_nodes", "n_edges", "avg_edge_degree", "assortativity")
+        .localCheckpoint(eager=True)
     )
+    _free_local_checkpoint(edges)
+    return result
 
 
 # ---------------------------------------------------------------------------

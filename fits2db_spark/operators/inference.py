@@ -7337,8 +7337,16 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 4
     )
-    d = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.col("o_totalprice").alias("y"), "x", part.alias("part")
+    # The (y, x, part) frame feeds three disjoint-split aggregates, and the
+    # staged fit/quantile cross-joins re-inline it ~10x in the composed plan
+    # (r14 plan read) — one eager checkpoint makes every consumer a leaf
+    # read, so the lineitem contraction + equi-join genuinely runs ONCE (the
+    # docstring's scale claim). Blocks are freed after the 1-row result
+    # materializes (the dedup_weighted_minhash discipline).
+    d = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_totalprice").alias("y"), "x", part.alias("part"))
+        .localCheckpoint(eager=True)
     )
     fit0 = d.filter(F.col("part").isin(0, 1)).agg(
         F.sum("x").alias("sx"),
@@ -7352,6 +7360,7 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
         2,
     )
+    fit0 = fit0.localCheckpoint(eager=True)  # 1 row; feeds fit2 twice
     fit2 = fit0.select(
         F.col("n").alias("n_train"),
         b.alias("b"),
@@ -7366,6 +7375,7 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(fit2))
         .groupBy(F.floor(resid / _CONF_BINW).cast("long").alias("bucket"))
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)  # O(buckets) rows; 3 consumers
     )
     caln = calh.agg(F.sum("c").alias("n_cal"))
     w = Window.orderBy("bucket").rowsBetween(
@@ -7386,7 +7396,7 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((resid <= F.col("q_hat")).cast("double")).alias("cov"),
         )
     )
-    return (
+    result = (
         fit2.crossJoin(F.broadcast(caln))
         .crossJoin(F.broadcast(qh))
         .crossJoin(F.broadcast(test))
@@ -7399,7 +7409,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_hat").alias("q_hat"),
             F.round(F.col("cov") / F.col("n_test"), 6).alias("coverage"),
         )
+        .localCheckpoint(eager=True)  # 1 row; lets the interim blocks go
     )
+    from .advanced import _free_local_checkpoint
+
+    for interim in (d, fit0, calh):
+        _free_local_checkpoint(interim)
+    return result
 
 
 # ---------------------------------------------------------------------------
