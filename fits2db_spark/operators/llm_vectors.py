@@ -468,6 +468,14 @@ def _ivf_lloyd_cents(spark: SparkSession, sf_dir: str, k: int, iters: int):
             e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
         )
     ]
+    # r14 A/B note: a columnar form (64 per-dimension F.sum(element_at)
+    # aggregates + count per cell, no posexplode, one fewer shuffle) was
+    # measured SLOWER warm at sf0.1 (2.7-3.2s vs 2.0-2.5s for the 3-round
+    # train): each round's plan carries fresh centroid literals, so Janino
+    # recompiles the 64-buffer HashAggregate codegen every round and the
+    # compile cost exceeds the explode savings at this dimensionality.
+    # Kept the explode+avg form; re-try only if _DIM or the round count
+    # changes the balance.
     for _ in range(iters):
         assigned = e.select(
             "vec_id", "embedding", F.element_at(_ivf_nearest(cents, 1), 1).alias("cell")
@@ -1320,107 +1328,101 @@ def _power_iter_oracle() -> str:
 
 @register("vec_power_iteration", oracle=_power_iter_oracle())
 def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading covariance eigenvector via {_PI_ROUNDS} statically-unrolled
-    power-iteration rounds — the deterministic, fully-relational sibling
-    of the rows-only `vec_pca_evr` (whose LAPACK eigendecomposition no
-    SQL engine reproduces): v_t+1 = normalize(C v_t) from an all-ones
-    start, eigenvalue = the final pre-normalization norm (||C v|| for
-    unit v). Every step is matrix algebra as relations — the covariance
-    is a (i, j, value) table built with one self-join-on-vec_id
-    aggregate, each round one join + groupBy over {_DIM}x{_DIM} rows —
-    so the oracle runs the IDENTICAL arithmetic and the result is
-    hash-checked, unlike any eig() call.
+    """Leading covariance eigenvector via {_PI_ROUNDS} power-iteration
+    rounds: v_t+1 = normalize(C v_t) from an all-ones start, eigenvalue =
+    the final pre-normalization norm (||C v|| for unit v).
 
-    Scale: C is a {_DIM}x{_DIM} aggregate of the data (one pass,
-    partial-agg'd; at 100 TB this is the standard Gram-matrix reduce),
-    and the iteration itself touches only the {_DIM}x{_DIM} table —
-    driver-independent, persisted once per (session, sf)."""
-    e = load(spark, sf_dir, "embeddings")
+    Shape (r14): the only data-sized pass is the Gram/mean reduce — each
+    Arrow batch contributes its d x d partial X^T X (one BLAS GEMM) plus
+    per-dimension sums, reduced by one d^2-row groupBy (the vec_pca_evr
+    pattern; at 100 TB this is the standard distributed Gram reduce, and
+    the shuffle is O(batches * d^2) regardless of corpus size). The
+    iteration itself is O(d^2) work on a d x d matrix, far below any
+    distribution threshold, so it runs vectorized (numpy matvec) inside
+    ONE executor task over the single coalesced cov partition — nothing
+    ever reaches the driver, and the 8 rounds cost one stage instead of
+    the r10-r13 relational unroll's 8 joins + 8 aggregates + 3 lineage
+    cuts (~20 jobs, ~2.5s of pure machinery at sf0.1). Fold-order noise
+    vs the oracle's relational sums is absorbed by ROUND(6), exactly as
+    it already was for the JVM partial aggregates; the final rounding is
+    Spark's own ROUND so both engines keep half-up decimal semantics."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("embedding")
     key = ("powiter", getattr(spark.sparkContext, "applicationId", ""), sf_dir)
     cov = _PQ_FIT_CACHE.get(key)
     if cov is None:
-        # E[x_i x_j] via a PER-ROW outer-product expansion (r10): the prior
-        # shape self-joined the (vec_id, i, x) components on vec_id, which
-        # shuffles n x d rows only to rebuild pairs that already live
-        # together in each row. flatten(transform x transform) emits the
-        # same n x d^2 (i, j, x*y) entries map-side, straight into the
-        # partial aggregate — zero joins, one tiny d^2-row shuffle
-        # (measured 2.6s -> 0.9s at sf0.1 for the cov build).
-        emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        outer = F.flatten(
-            F.transform(
-                emb,
-                lambda x, i: F.transform(
-                    emb,
-                    lambda y, j: F.struct(
-                        (i + 1).alias("i"), (j + 1).alias("j"), (x * y).alias("xy")
-                    ),
-                ),
-            )
-        )
-        pairs = e.select(F.explode(outer).alias("o")).select(
-            F.col("o.i").alias("i"), F.col("o.j").alias("j"), F.col("o.xy").alias("xy")
-        )
-        exx = pairs.groupBy("i", "j").agg(F.avg("xy").alias("exx"))
-        comps = e.select(F.posexplode("embedding").alias("p", "x")).select(
-            (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x")
-        )
-        mu = comps.groupBy("i").agg(F.avg("x").alias("m"))
+
+        def partial_gram(batches):
+            for pdf in batches:
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                if not len(x):
+                    continue
+                g = x.T @ x
+                i, j = np.indices(g.shape)
+                yield pd.DataFrame(
+                    {
+                        "i": np.append(i.ravel(), np.full(x.shape[1], -1)),
+                        "j": np.append(j.ravel(), np.arange(x.shape[1])),
+                        "v": np.append(g.ravel(), x.sum(axis=0)),
+                        "n": np.append(
+                            np.zeros(g.size, dtype=np.int64),
+                            np.full(x.shape[1], len(x), dtype=np.int64),
+                        ),
+                    }
+                )
+
         cov = (
-            exx.join(F.broadcast(mu.withColumnRenamed("m", "ma")), "i")
-            .join(
-                F.broadcast(
-                    mu.withColumnRenamed("i", "j").withColumnRenamed("m", "mb")
-                ),
-                "j",
-            )
-            .select("i", "j", (F.col("exx") - F.col("ma") * F.col("mb")).alias("c"))
+            e.mapInPandas(partial_gram, "i int, j int, v double, n long")
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
             .persist()
         )
         _PQ_FIT_CACHE[key] = cov
-    # FULLY-RELATIONAL rounds (r10; the r7-r9 shape collected the 64-row
-    # vector each round and re-broadcast it as literals — 8 collects, 8
-    # structurally-distinct plans to compile, plus a createDataFrame round
-    # trip for the output, ~2.2s of fixed cost). Each round is matvec
-    # (join + groupBy over the d^2 cov table) -> norm (1-row broadcast) ->
-    # rescale, all inside the plan; lineage is cut every SECOND round
-    # because w feeds BOTH the norm and the next vector (the uncut chain
-    # quadruples per round — the graph_hits discipline; within one 2-round
-    # block the duplication tops out at 16 copies of a 64-row subtree).
-    # Nothing ever reaches the driver; the arithmetic is the oracle's own
-    # relational sums, fold-order noise absorbed by ROUND(6).
-    from .advanced import _free_local_checkpoint
 
-    v = spark.range(1, _DIM + 1).select(
-        F.col("id").cast("int").alias("j"), F.lit(1.0).alias("val")
-    )
-    w = nrm = None
-    cuts: list[DataFrame] = []
-    for t in range(_PI_ROUNDS):
-        w = (
-            cov.join(v, cov.j == v.j)
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("val")).alias("w"))
+    def power_rounds(batches):
+        rows = pd.concat(list(batches), ignore_index=True)
+        d = _DIM
+        ii = rows["i"].to_numpy()
+        jj = rows["j"].to_numpy()
+        vv = rows["v"].to_numpy()
+        gram = np.zeros((d, d))
+        mean_sum = np.zeros(d)
+        mask = ii >= 0
+        gram[ii[mask], jj[mask]] = vv[mask]
+        mean_sum[jj[~mask]] = vv[~mask]
+        n = int(rows["n"].to_numpy()[~mask].max())
+        mu = mean_sum / n
+        c = gram / n - np.outer(mu, mu)
+        v = np.ones(d)
+        nrm = 0.0
+        for _ in range(_PI_ROUNDS):
+            w = c @ v
+            nrm = float(np.sqrt(float(w @ w)))
+            v = w / nrm
+        yield pd.DataFrame(
+            {
+                "component": np.arange(1, d + 1, dtype=np.int32),
+                "loading": v,
+                "eigenvalue": np.full(d, nrm),
+            }
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("val")
-        )
-        if t % 2 == 1 and t < _PI_ROUNDS - 1:
-            v = v.localCheckpoint(eager=True)
-            cuts.append(v)
-    out = (
-        v.crossJoin(F.broadcast(nrm))
+
+    # coalesce(1): the reduced cov is d^2 + d rows — one task holds the
+    # whole matrix with no extra exchange (coalesce is narrow over the
+    # aggregate's 8 post-shuffle partitions)
+    return (
+        cov.coalesce(1)
+        .mapInPandas(power_rounds, "component int, loading double, eigenvalue double")
         .select(
-            F.col("j").cast("int").alias("component"),
-            F.round("val", 6).alias("loading"),
-            F.round("nrm", 6).alias("eigenvalue"),
+            "component",
+            F.round("loading", 6).alias("loading"),
+            F.round("eigenvalue", 6).alias("eigenvalue"),
         )
-        .localCheckpoint(eager=True)
     )
-    for interim in cuts:
-        _free_local_checkpoint(interim)
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -4,12 +4,23 @@ storage, and inserting a new sf_dir displaces entries of old ones, so a
 session never accumulates checkpoint blocks across scale factors or tiers.
 """
 
+import pytest
+
 from fits2db_spark.operators import joins, scans
 from fits2db_spark.registry import all_queries
 from fits2db_spark.session import free_memo_checkpoints
 
 SF_A = "/root/testdata/sf0.001"
 SF_B = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(autouse=True)
+def _force_ladder(monkeypatch):
+    """These tests exercise the phase-1 memo cache, which only populates on
+    the radius-ladder path; r14 skips the ladder below _XM_LADDER_MIN_ROWS
+    catalog rows, so at fixture scale the cache would stay empty. Force the
+    ladder on so the cache lifecycle under test actually runs."""
+    monkeypatch.setattr(joins, "_XM_LADDER_MIN_ROWS", 0)
 
 
 def _storage_count(spark) -> int:

@@ -191,3 +191,33 @@ def test_forced_hot_cap_produces_hot_shingles(spark):
         .count()
     )
     assert n_hot > 0
+
+
+def test_power_iteration_matches_numpy_reference(spark):
+    """The r14 GEMM-reduce + single-task-rounds shape must agree with a
+    direct single-node numpy power iteration on the same fixture (the
+    oracle pins DuckDB equality; this pins the numerics independent of
+    any SQL engine)."""
+    import numpy as np
+    import pandas as pd
+
+    from fits2db_spark.operators import llm_vectors as LV
+    from fits2db_spark.registry import all_queries
+
+    got = {
+        r.component: (r.loading, r.eigenvalue)
+        for r in all_queries()["vec_power_iteration"](spark, SF_SMOKE).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    c = (x.T @ x) / len(x) - np.outer(x.mean(axis=0), x.mean(axis=0))
+    v = np.ones(x.shape[1])
+    nrm = 0.0
+    for _ in range(LV._PI_ROUNDS):
+        w = c @ v
+        nrm = float(np.sqrt(w @ w))
+        v = w / nrm
+    assert len(got) == x.shape[1]
+    for k in range(x.shape[1]):
+        assert abs(got[k + 1][0] - v[k]) < 1e-6, k
+        assert abs(got[k + 1][1] - nrm) < 1e-6
