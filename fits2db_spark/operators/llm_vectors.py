@@ -1232,56 +1232,71 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.cand_id").alias("c1"),
         F.col("b.cand_id").alias("c2"),
         _cos(F.col("a.c_emb"), F.col("b.c_emb")).alias("sim"),
-    ).localCheckpoint(eager=True)  # O(queries x topn^2) rows, reused K times
+    )
     lam, om = _MMR_LAMBDA, 1 - _MMR_LAMBDA
-    selected = None
     slim = cand.select("query_id", "cand_id", "rel")
-    for t in range(1, _MMR_K + 1):
-        if selected is None:
-            ms = slim.withColumn("max_sim", F.lit(0.0))
-        else:
-            sel_keys = selected.select("query_id", F.col("cand_id").alias("s_id"))
-            remaining = slim.join(
-                selected.select("query_id", "cand_id"), ["query_id", "cand_id"],
-                "left_anti",
-            )
-            ms = (
-                remaining.join(sel_keys, "query_id")
-                .join(
-                    pair,
-                    (pair.query_id == remaining.query_id)
-                    & (pair.c1 == remaining.cand_id)
-                    & (pair.c2 == F.col("s_id")),
-                )
-                .groupBy(remaining.query_id, remaining.cand_id, remaining.rel)
-                .agg(F.max("sim").alias("max_sim"))
-            )
-        # floor-to-micro integer score: ROUND diverges across engines at
-        # shortest-repr half boundaries (measured: 0.26004 vs 0.260039);
-        # FLOOR on identical doubles is exact in both
-        mmr_micro = F.floor(
-            (lam * F.col("rel") - om * F.col("max_sim")) * 1000000
-        ).cast("long")
-        ww = Window.partitionBy("query_id").orderBy(
-            F.col("mmr_micro").desc(), "cand_id"
+
+    # Greedy selection as ONE cogrouped Arrow task per query shard (r14):
+    # the r7-r13 shape unrolled the K steps into Catalyst (per step an
+    # anti-join + selected-join + max agg + rank window + eager lineage
+    # cut — ~4 jobs/step of machinery over topn rows/query). Every number
+    # the greedy loop consumes (rel: ROUND-6; sim: the raw pair cosine) is
+    # STILL computed by the same Spark expressions above and crosses to
+    # Arrow bit-identically; the loop itself is scalar IEEE arithmetic
+    # (multiply, subtract, floor, max over a set) with no fold-order
+    # freedom, so selections are bit-exact vs the unrolled plan — and the
+    # floor-to-micro grid + ascending-cand_id strict-improvement scan
+    # reproduce the rank window's (mmr_micro DESC, cand_id) tie-break
+    # exactly. At 100 TB the shortlists shard by query_id; per-shard work
+    # stays O(k * topn^2) regardless of corpus size (guide §4.2).
+    import math
+
+    def _greedy(left, right):
+        import pandas as pd
+
+        if not len(left):
+            return pd.DataFrame(
+                {"query_id": [], "cand_id": [], "rk": [], "mmr": []}
+            ).astype({"query_id": "int64", "cand_id": "int64", "rk": "int32",
+                      "mmr": "float64"})
+        qid = int(left["query_id"].iloc[0])
+        rel = dict(zip(left["cand_id"].astype("int64"), left["rel"]))
+        sim = {
+            (int(c1), int(c2)): s
+            for c1, c2, s in zip(right["c1"], right["c2"], right["sim"])
+        }
+        selected: list[int] = []
+        out_id, out_rk, out_mmr = [], [], []
+        remaining = set(rel)
+        for t in range(1, _MMR_K + 1):
+            best_id, best_mm = None, None
+            for cid in sorted(remaining):
+                max_sim = max((sim[(cid, s)] for s in selected), default=0.0)
+                mm = math.floor((lam * rel[cid] - om * max_sim) * 1000000)
+                if best_mm is None or mm > best_mm:
+                    best_id, best_mm = cid, mm
+            selected.append(best_id)
+            remaining.discard(best_id)
+            out_id.append(best_id)
+            out_rk.append(t)
+            out_mmr.append(float(best_mm) / 1000000)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(out_id),
+                "cand_id": out_id,
+                "rk": out_rk,
+                "mmr": out_mmr,
+            }
+        ).astype({"query_id": "int64", "cand_id": "int64", "rk": "int32",
+                  "mmr": "float64"})
+
+    return (
+        slim.groupby("query_id")
+        .cogroup(pair.groupby("query_id"))
+        .applyInPandas(
+            _greedy, "query_id long, cand_id long, rk int, mmr double"
         )
-        step = (
-            ms.withColumn("mmr_micro", mmr_micro)
-            .withColumn("rn", F.row_number().over(ww))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "cand_id",
-                F.lit(t).alias("rk"),
-                (F.col("mmr_micro").cast("double") / 1000000).alias("mmr"),
-            )
-        )
-        # per-step cut: `selected` is consumed twice next step (anti-join +
-        # selected-keys join), so the uncut unrolled plan triples per step
-        selected = (
-            step if selected is None else selected.unionByName(step)
-        ).localCheckpoint(eager=True)
-    return selected
+    )
 
 
 # ---------------------------------------------------------------------------

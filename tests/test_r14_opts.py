@@ -221,3 +221,82 @@ def test_power_iteration_matches_numpy_reference(spark):
     for k in range(x.shape[1]):
         assert abs(got[k + 1][0] - v[k]) < 1e-6, k
         assert abs(got[k + 1][1] - nrm) < 1e-6
+
+
+def test_mmr_cogroup_greedy_matches_reference(spark):
+    """r14 moved MMR's greedy loop from an unrolled Catalyst plan into one
+    cogrouped Arrow task. The loop consumes only Spark-computed doubles
+    (ROUND-6 rel, raw pair cosine), so a pure-Python greedy over those
+    same values must reproduce the operator's output exactly —
+    including the floor-to-micro grid and the ascending-cand_id
+    tie-break."""
+    import math
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from fits2db_spark.operators import llm_vectors as LV
+    from fits2db_spark.registry import all_queries
+    from fits2db_spark.tables import load
+
+    got = sorted(
+        (r.query_id, r.cand_id, r.rk, r.mmr)
+        for r in all_queries()["sim_mmr_rerank"](spark, SF_SMOKE).collect()
+    )
+
+    # rebuild the operator's phase-1 shortlist/pair frames with the same
+    # Spark expressions, then run the greedy in plain Python
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < LV._MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rel = LV._cos(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rel_raw").desc(), "cand_id")
+    cand = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("cand_id"), "embedding"))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", F.col("embedding").alias("c_emb"),
+            rel.alias("rel_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LV._MMR_TOPN)
+        .select("query_id", "cand_id", "c_emb", F.round("rel_raw", 6).alias("rel"))
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_rows = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cand_id") != F.col("b.cand_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand_id").alias("c1"),
+            F.col("b.cand_id").alias("c2"),
+            LV._cos(F.col("a.c_emb"), F.col("b.c_emb")).alias("sim"),
+        )
+        .collect()
+    )
+    rels: dict = {}
+    for r in cand.select("query_id", "cand_id", "rel").collect():
+        rels.setdefault(r.query_id, {})[r.cand_id] = r.rel
+    sims = {(r.query_id, r.c1, r.c2): r.sim for r in pair_rows}
+
+    lam, om = LV._MMR_LAMBDA, 1 - LV._MMR_LAMBDA
+    want = []
+    for qid, rl in rels.items():
+        selected: list = []
+        remaining = set(rl)
+        for t in range(1, LV._MMR_K + 1):
+            best_id, best_mm = None, None
+            for cid in sorted(remaining):
+                mx = max((sims[(qid, cid, s)] for s in selected), default=0.0)
+                mm = math.floor((lam * rl[cid] - om * mx) * 1000000)
+                if best_mm is None or mm > best_mm:
+                    best_id, best_mm = cid, mm
+            selected.append(best_id)
+            remaining.discard(best_id)
+            want.append((qid, best_id, t, float(best_mm) / 1000000))
+    assert got == sorted(want) and len(got) == LV._MMR_NQ * LV._MMR_K
