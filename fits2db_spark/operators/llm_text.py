@@ -1640,6 +1640,44 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 8
 
 
+def _bpe_merge_rounds(batches):
+    """All BPE merge rounds over the (bracket-symbol word, freq) table in
+    one task — see bpe_train_merges for the exactness argument vs the
+    per-round relational unroll (order-exact integer-valued sums,
+    identical ASCII tie-break, identical left-to-right non-overlapping
+    replace)."""
+    import pandas as pd
+
+    words: list[tuple[str, float]] = []
+    for pdf in batches:
+        words.extend(zip(pdf["ws"], pdf["freq"]))
+    merges: list[tuple[int, str, str, int]] = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        cnt: dict[tuple[str, str], float] = {}
+        for ws, fq in words:
+            syms = ws.split(" ")
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                cnt[k] = cnt.get(k, 0.0) + fq
+        if not cnt:
+            break
+        (p1, p2), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = "<" + p1[1:-1] + p2[1:-1] + ">"
+        merges.append((t, p1[1:-1], p2[1:-1], int(c)))
+        pat, rep = f"{p1} {p2}", merged
+        words = [(ws.replace(pat, rep), fq) for ws, fq in words]
+    yield pd.DataFrame(
+        {
+            "round": pd.array([m[0] for m in merges], dtype="int32"),
+            "left_sym": [m[1] for m in merges],
+            "right_sym": [m[2] for m in merges],
+            "pair_count": pd.array([m[3] for m in merges], dtype="int64"),
+        }
+    )
+
+
 def _bpe_oracle() -> str:
     rounds = []
     for t in range(1, _BPE_ROUNDS + 1):
@@ -1718,42 +1756,30 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     w0 = words.select(
         F.rtrim(F.regexp_replace("token", "(.)", "<$1> ")).alias("ws"), "freq"
     ).localCheckpoint(eager=True)
-    w = w0
-    merges = []
-    for t in range(1, _BPE_ROUNDS + 1):
-        pairs = (
-            w.select(F.split("ws", " ").alias("s"), "freq")
-            # single-symbol words carry no pairs (and sequence(1, 0) would
-            # step BACKWARD in Spark, indexing out of bounds)
-            .filter(F.size("s") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1),"
-                        " i -> struct(s[i-1] AS p1, s[i] AS p2))"
-                    )
-                ).alias("p"),
-                "freq",
-            )
-            .groupBy("p.p1", "p.p2")
-            .agg(F.sum("freq").cast("long").alias("cnt"))
+    # All {_BPE_ROUNDS} merge rounds run in ONE task over the coalesced
+    # word table (r14; was: per round one pair-count aggregate + an
+    # orderBy-limit-1 collect — 8 driver round trips of machinery over the
+    # same O(vocabulary) rows). Exactness vs the relational unroll:
+    # frequencies are whole numbers, so pair-count sums are order-exact in
+    # doubles (<= 2^53), the (count desc, p1, p2) tie-break compares ASCII
+    # bracket symbols identically in Python and the JVM, and Python
+    # str.replace is the same left-to-right non-overlapping scan as
+    # Spark's replace() — the property the bracket representation was
+    # chosen for. A real tokenizer trainer is exactly this: distributed
+    # corpus -> word-frequency contraction, then a single-node merge loop
+    # over the vocabulary (guide §4.2).
+    out = (
+        w0.coalesce(1)
+        .mapInPandas(
+            _bpe_merge_rounds,
+            "round int, left_sym string, right_sym string, pair_count bigint",
         )
-        top = pairs.orderBy(F.col("cnt").desc(), "p1", "p2").limit(1).collect()[0]
-        p1, p2, cnt = top["p1"], top["p2"], top["cnt"]
-        merged = "<" + p1[1:-1] + p2[1:-1] + ">"
-        merges.append((t, p1[1:-1], p2[1:-1], cnt))
-        w = w.select(
-            F.replace(F.col("ws"), F.lit(f"{p1} {p2}"), F.lit(merged)).alias("ws"),
-            "freq",
-        )
-    # the merge table is already collected Python state — release the
-    # checkpointed word-frequency blocks (unpersist() would not; r10 advice)
+        .localCheckpoint(eager=True)  # 8 rows; lets w0's blocks free now
+    )
     from .advanced import _free_local_checkpoint
 
     _free_local_checkpoint(w0)
-    return spark.createDataFrame(
-        merges, "round int, left_sym string, right_sym string, pair_count bigint"
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -300,3 +300,83 @@ def test_mmr_cogroup_greedy_matches_reference(spark):
             remaining.discard(best_id)
             want.append((qid, best_id, t, float(best_mm) / 1000000))
     assert got == sorted(want) and len(got) == LV._MMR_NQ * LV._MMR_K
+
+
+def test_bpe_single_task_matches_relational_unroll(spark):
+    """r14 moved the BPE merge loop into one task over the word table. A
+    relational reference (the r10-r13 per-round aggregate + replace,
+    reconstructed here) must produce the identical merge table — pinning
+    the order-exact integer sums, the (cnt desc, p1, p2) tie-break and
+    the left-to-right non-overlapping replace semantics."""
+    import pyspark.sql.functions as F
+
+    from fits2db_spark.operators import llm_text as L
+    from fits2db_spark.registry import all_queries
+    from fits2db_spark.tables import load
+
+    got = sorted(
+        (r.round, r.left_sym, r.right_sym, r.pair_count)
+        for r in all_queries()["bpe_train_merges"](spark, SF_SMOKE).collect()
+    )
+
+    d = load(spark, SF_SMOKE, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    w = words.select(
+        F.rtrim(F.regexp_replace("token", "(.)", "<$1> ")).alias("ws"), "freq"
+    ).localCheckpoint(eager=True)
+    want = []
+    for t in range(1, L._BPE_ROUNDS + 1):
+        pairs = (
+            w.select(F.split("ws", " ").alias("s"), "freq")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i-1] AS p1, s[i] AS p2))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.p1", "p.p2")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "p1", "p2").limit(1).collect()[0]
+        p1, p2, cnt = top["p1"], top["p2"], top["cnt"]
+        merged = "<" + p1[1:-1] + p2[1:-1] + ">"
+        want.append((t, p1[1:-1], p2[1:-1], cnt))
+        w = w.select(
+            F.replace(F.col("ws"), F.lit(f"{p1} {p2}"), F.lit(merged)).alias("ws"),
+            "freq",
+        )
+    assert got == sorted(want) and len(got) == L._BPE_ROUNDS
+
+
+def test_bpe_py_replace_is_greedy_nonoverlapping():
+    """'<a> <a> <a>' + merge (a,a) must become '<aa> <a>' (BPE greedy
+    semantics) in the single-task trainer, matching Spark's replace()."""
+    import pandas as pd
+
+    from fits2db_spark.operators.llm_text import _bpe_merge_rounds
+
+    out = pd.concat(
+        list(
+            _bpe_merge_rounds(
+                iter([pd.DataFrame({"ws": ["<a> <a> <a>"], "freq": [7.0]})])
+            )
+        )
+    )
+    first = out.iloc[0]
+    # round 1: pair (a, a) seen twice in the 3-symbol word, count 2*7
+    assert (first["left_sym"], first["right_sym"], first["pair_count"]) == (
+        "a", "a", 14
+    )
+    # round 2 operates on '<aa> <a>': the only pair is (aa, a)
+    second = out.iloc[1]
+    assert (second["left_sym"], second["right_sym"], second["pair_count"]) == (
+        "aa", "a", 7
+    )
