@@ -288,7 +288,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # as agg_mann_whitney (r10)
     "agg_kruskal_wallis",
     "agg_dunn_posthoc",
-    "ml_conformal_interval",
+    # ml_conformal_interval left this list in r14: its calibration-ECDF
+    # window now runs during construction, behind the eager checkpoint of
+    # the bucket histogram (commit 225c79c), so the returned plan holds no
+    # global window node — the window itself is still the O(residual-
+    # buckets) post-aggregation shape documented in docs/SCALE.md
     "ml_logrank_test",
     # TPR/FPR cumulative windows over the same O(price-buckets) histogram
     # (r10)
