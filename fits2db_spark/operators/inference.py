@@ -4266,8 +4266,15 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("y"),
     )
-    cells = per.groupBy("x1", "x2").agg(
-        F.count(F.lit(1)).cast("double").alias("n"), F.sum("y").alias("pos")
+    # one eager cut: cells feeds all 5 chained gradient rounds plus the
+    # final fit aggregate — uncut, each consumer re-ran the orders scan +
+    # bin aggregate (6 executions of the data-sized subtree per
+    # invocation); checkpointed, every round is an aggregate over the
+    # O(price-bins x date-bins) leaf (r14; the shared-subtree discipline)
+    cells = (
+        per.groupBy("x1", "x2")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"), F.sum("y").alias("pos"))
+        .localCheckpoint(eager=True)
     )
     params = spark.sql(
         "SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,"
@@ -4324,13 +4331,17 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("b1").alias("b1"),
         F.max("b2").alias("b2"),
     )
-    return fit.select(
+    out = fit.select(
         F.round("b0", 6).alias("b0"),
         F.round("b1", 6).alias("b1"),
         F.round("b2", 6).alias("b2"),
         F.round("logloss", 6).alias("logloss"),
         F.round("cell_accuracy", 6).alias("cell_majority_accuracy"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row; lets the cells blocks free now
+    from .advanced import _free_local_checkpoint
+
+    _free_local_checkpoint(cells)
+    return out
 
 
 # ---------------------------------------------------------------------------
