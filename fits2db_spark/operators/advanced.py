@@ -295,6 +295,8 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny), assign via JVM-side argmin over squared distance, recompute
     centroids with posexplode + groupBy(cluster, pos). Only k*64 doubles ever
     reach the driver — the assignment pass streams at any corpus size."""
+    from .llm_vectors import _lloyd_mean_update
+
     k, iters = 5, 5
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # cents carries (label, centroid) pairs: labels stay STABLE if a Lloyd
@@ -304,43 +306,39 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, [float(x) for x in r.embedding])
         for i, r in enumerate(e.filter(F.col("vec_id") < k).orderBy("vec_id").collect())
     ]
-    for _ in range(iters):
-        cent_col = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
-        label_col = F.array(*[F.lit(lb) for lb, _ in cents])
-        dist2 = lambda c: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("embedding"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        # Single-evaluation argmin: one k-element distance array per row,
-        # min over struct(dist, label) — struct ordering breaks distance
-        # ties to the lowest label, matching the oracle's ORDER BY dist,
-        # cluster. (The previous array_position(transform, array_min(
-        # transform)) form built the distance array TWICE per row; codegen
-        # CSE does not reliably merge the copies, so plan size and per-row
-        # cost scaled 2x in k.)
-        assigned = e.select(
-            "vec_id",
-            "embedding",
-            F.array_min(
-                F.zip_with(
-                    F.transform(cent_col, dist2),
-                    label_col,
-                    lambda dd, lb: F.struct(dd.alias("d"), lb.alias("lb")),
-                )
-            )["lb"].alias("cluster"),
-        )
-        new_cents = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
-            .select("cluster", F.col("ps.m").alias("centroid"))
-            .orderBy("cluster")
-            .collect()
-        )
-        cents = [(int(r.cluster), [float(x) for x in r.centroid]) for r in new_cents]
+    # iters - 1 mean updates: the oracle's CTE chain (and the unrolled
+    # relational loop this replaces) never consumes the last round's
+    # centroid update — the reported assignment runs under c_{iters-1}.
+    # Each update is one vectorized pass (numpy assignment + per-cluster
+    # partial sums; k x 65 doubles per batch cross the shuffle) instead of
+    # a posexplode of n x 64 rows (r14; see _lloyd_mean_update).
+    for _ in range(iters - 1):
+        cents = _lloyd_mean_update(spark, e, cents)
+    cent_col = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
+    label_col = F.array(*[F.lit(lb) for lb, _ in cents])
+    dist2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("embedding"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    # Single-evaluation argmin: one k-element distance array per row,
+    # min over struct(dist, label) — struct ordering breaks distance
+    # ties to the lowest label, matching the oracle's ORDER BY dist,
+    # cluster. (The previous array_position(transform, array_min(
+    # transform)) form built the distance array TWICE per row; codegen
+    # CSE does not reliably merge the copies, so plan size and per-row
+    # cost scaled 2x in k.)
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        F.array_min(
+            F.zip_with(
+                F.transform(cent_col, dist2),
+                label_col,
+                lambda dd, lb: F.struct(dd.alias("d"), lb.alias("lb")),
+            )
+        )["lb"].alias("cluster"),
+    )
     own_cent = F.element_at(
         cent_col, F.array_position(label_col, F.col("cluster")).cast("int")
     )
@@ -2318,6 +2316,8 @@ def vec_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the corpus against the broadcast centroid array — a and b
     fall out of a single per-row distance array, no joins, no shuffles
     beyond the final per-cluster rollup."""
+    from .llm_vectors import _lloyd_mean_update
+
     k, iters = 5, 5
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = [
@@ -2326,44 +2326,33 @@ def vec_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
         )
     ]
-    assigned = None
-    for _ in range(iters):
-        cent_col = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
-        label_col = F.array(*[F.lit(lb) for lb, _ in cents])
-        dist2 = lambda c: F.aggregate(  # noqa: E731
+    # the same iters-1 vectorized mean updates as vec_kmeans (the two
+    # operators must agree on assignments; see _lloyd_mean_update), then
+    # ONE Catalyst assignment pass under the final centroids
+    for _ in range(iters - 1):
+        cents = _lloyd_mean_update(spark, e, cents)
+    cent_col = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in cents])
+    label_col = F.array(*[F.lit(lb) for lb, _ in cents])
+    dist2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("embedding"),
+            c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        F.array_min(
             F.zip_with(
-                F.col("embedding"),
-                c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        assigned = e.select(
-            "vec_id",
-            "embedding",
-            F.array_min(
-                F.zip_with(
-                    F.transform(cent_col, dist2),
-                    label_col,
-                    lambda dd, lb: F.struct(dd.alias("d"), lb.alias("lb")),
-                )
-            )["lb"].alias("cluster"),
-        )
-        if _ < iters - 1:
-            new_cents = (
-                assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
-                .groupBy("cluster", "pos")
-                .agg(F.avg(F.col("v").cast("double")).alias("m"))
-                .groupBy("cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
-                .select("cluster", F.col("ps.m").alias("centroid"))
-                .orderBy("cluster")
-                .collect()
+                F.transform(cent_col, dist2),
+                label_col,
+                lambda dd, lb: F.struct(dd.alias("d"), lb.alias("lb")),
             )
-            cents = [
-                (int(r.cluster), [float(x) for x in r.centroid]) for r in new_cents
-            ]
+        )["lb"].alias("cluster"),
+    )
     # one per-row pass against the FINAL round's centroids: pairs of
     # (euclidean distance, label), then a = own-cluster distance and
     # b = nearest other-cluster distance from the same array

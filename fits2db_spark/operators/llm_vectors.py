@@ -446,6 +446,82 @@ def _ivf_nearest(cents, n):
     )
 
 
+def _lloyd_mean_update(spark: SparkSession, e: DataFrame, cents):
+    """One Lloyd round (assign + mean) as a single vectorized pass: each
+    Arrow batch assigns its vectors to the nearest centroid in numpy
+    (exact per-pair elementwise (x-c)^2 sums; ``argmin`` over the
+    ascending-label centroid list reproduces the ties-to-lowest-label rule
+    of `_ivf_nearest` / the kmeans struct-min) and emits only per-cell
+    partial sums and counts — k x (d+1) doubles per batch — which one tiny
+    groupBy reduces; k x d doubles reach the driver. Replaces the
+    posexplode (n x d rows) + groupBy(cell, pos) round shape: the shuffle
+    no longer scales with the corpus, and the plan carries no centroid
+    literals, so nothing is Janino-recompiled per round (the failure that
+    sank the r14 columnar-aggregate prototype recorded below). Mean
+    fold-order shifts vs the relational avg are the same ulp class as the
+    engine-vs-oracle difference the operators already absorb (each engine
+    folds its own order; assignment margins sit many orders above 1e-13).
+
+    Empty cells drop from the returned list with every other label stable,
+    matching the relational form's semantics."""
+    import numpy as np
+    import pandas as pd
+
+    labels = [lb for lb, _ in cents]
+    assert labels == sorted(labels), "centroid labels must be ascending"
+    lbs = np.asarray(labels, dtype=np.int64)
+    cc = np.asarray([c for _, c in cents], dtype=np.float64)
+    k, d = cc.shape
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            sums = np.zeros((k, d))
+            counts = np.zeros(k, dtype=np.int64)
+            for lo in range(0, len(x), 2048):  # bound the n*k*d temp
+                xs = x[lo : lo + 2048]
+                d2 = ((xs[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                counts += np.bincount(a, minlength=k)
+                for ci in np.unique(a):
+                    sums[ci] += xs[a == ci].sum(axis=0)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(
+                        [np.repeat(lbs[nz], d), lbs[nz]]
+                    ),
+                    "pos": np.concatenate(
+                        [np.tile(np.arange(d, dtype=np.int64), nz.size),
+                         np.full(nz.size, -1, dtype=np.int64)]
+                    ),
+                    "v": np.concatenate(
+                        [sums[nz].ravel(), counts[nz].astype(np.float64)]
+                    ),
+                }
+            )
+
+    rows = (
+        e.select("embedding")
+        .mapInPandas(partial, "cell int, pos int, v double")
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    sums: dict = {}
+    counts: dict = {}
+    for r in rows:
+        if r.pos < 0:
+            counts[r.cell] = r.v
+        else:
+            sums.setdefault(r.cell, [0.0] * d)[r.pos] = r.v
+    return [
+        (int(cl), [s / counts[cl] for s in sums[cl]]) for cl in sorted(sums)
+    ]
+
+
 def _ivf_lloyd_cents(spark: SparkSession, sf_dir: str, k: int, iters: int):
     """Deterministic Lloyd training for the IVF coarse quantizer: seeds
     from vec_id 0..k-1, ``iters`` assignment+mean rounds. Only k x 64
@@ -468,31 +544,16 @@ def _ivf_lloyd_cents(spark: SparkSession, sf_dir: str, k: int, iters: int):
             e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
         )
     ]
-    # r14 A/B note: a columnar form (64 per-dimension F.sum(element_at)
-    # aggregates + count per cell, no posexplode, one fewer shuffle) was
-    # measured SLOWER warm at sf0.1 (2.7-3.2s vs 2.0-2.5s for the 3-round
-    # train): each round's plan carries fresh centroid literals, so Janino
-    # recompiles the 64-buffer HashAggregate codegen every round and the
-    # compile cost exceeds the explode savings at this dimensionality.
-    # Kept the explode+avg form; re-try only if _DIM or the round count
-    # changes the balance.
+    # r14 A/B note: a columnar Catalyst form (64 per-dimension
+    # F.sum(element_at) aggregates + count per cell, no posexplode, one
+    # fewer shuffle) was measured SLOWER warm at sf0.1 (2.7-3.2s vs
+    # 2.0-2.5s for the 3-round train): each round's plan carries fresh
+    # centroid literals, so Janino recompiles the 64-buffer HashAggregate
+    # codegen every round and the compile cost exceeds the explode
+    # savings at this dimensionality. The vectorized `_lloyd_mean_update`
+    # sidesteps both costs (no explode, no literals in the plan).
     for _ in range(iters):
-        assigned = e.select(
-            "vec_id", "embedding", F.element_at(_ivf_nearest(cents, 1), 1).alias("cell")
-        )
-        cents = [
-            (int(r.cell), [float(x) for x in r.centroid])
-            for r in (
-                assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-                .groupBy("cell", "pos")
-                .agg(F.avg(F.col("v").cast("double")).alias("m"))
-                .groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
-                .select("cell", F.col("ps.m").alias("centroid"))
-                .orderBy("cell")
-                .collect()
-            )
-        ]
+        cents = _lloyd_mean_update(spark, e, cents)
     _IVF_TRAIN_CACHE[key] = cents
     return cents
 
