@@ -1843,10 +1843,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each round rescales both score vectors to mean 1 (an L1 normalization
     that needs no sqrt) so the magnitudes stay O(1) at any graph size and
-    ROUND(6) keeps real precision. Normalizers are 1-row aggregates
-    broadcast back onto the scores — never a driver collect. Fold-order
-    ulp noise absorbs into ROUND(6), ties order by node id (the
-    `graph_pagerank` determinism convention).
+    ROUND(6) keeps real precision. Each normalizer is a 1-row scalar
+    aggregate over the raw score table the half-round just materialized
+    (bounded driver state: one double), inlined into the rescale as a
+    literal. Fold-order ulp noise absorbs into ROUND(6), ties order by
+    node id (the `graph_pagerank` determinism convention).
 
     Scale: per round, one join of scores onto the edge list + one
     partial-aggregating groupBy per side — the canonical distributed
@@ -1859,81 +1860,55 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    # materialize the degree tables and node counts ONCE (r11): every
-    # normalizer below is a broadcast BUILD — its own job — so without the
-    # cut each of the 2 x _HITS_ROUNDS half-rounds re-ran these O(edges)
-    # groupBys / distinct-counts against the persisted edge list. All four
-    # are O(nodes) or 1-row; freed before return with the score tables.
-    sdeg = (
-        edges.groupBy("s")
-        .agg(F.count(F.lit(1)).cast("double").alias("n_p"))
-        .localCheckpoint(eager=True)
-    )
-    pdeg = (
-        edges.groupBy("p")
-        .agg(F.count(F.lit(1)).cast("double").alias("n_s"))
-        .localCheckpoint(eager=True)
-    )
-    n_sup = (
-        sdeg.agg(F.count(F.lit(1)).cast("double").alias("n_sup"))
-        .localCheckpoint(eager=True)
-    )
-    n_par = (
-        pdeg.agg(F.count(F.lit(1)).cast("double").alias("n_par"))
-        .localCheckpoint(eager=True)
-    )
-    h = edges.select("s").distinct().select("s", F.lit(1.0).alias("score"))
+    # Node counts are loop-invariant scalars: collect them once (bounded,
+    # 1 row) and inline as literals. The r11 sdeg/pdeg degree tables are
+    # gone entirely (r14): the mean-1 normalizer sum_s h_s * outdeg(s)
+    # equals the plain column sum of the FRESH raw scores
+    # (sum_p raw_a(p) = sum_p sum_{s->p} h_s — the same number the
+    # oracle's degree-weighted subquery computes, modulo fold order that
+    # ROUND(6) already absorbs), so each half-round reads its normalizer
+    # from the score table it just materialized instead of joining a
+    # degree table onto the previous scores — two O(edges) groupBys and
+    # 2 x _HITS_ROUNDS O(nodes) joins removed.
+    sup_nodes = edges.select("s").distinct().localCheckpoint(eager=True)
+    n_sup = float(sup_nodes.count())
+    n_par = float(edges.select("p").distinct().count())
+    h = sup_nodes.select("s", F.lit(1.0).alias("score"))
     a = None
+    cuts: list[DataFrame] = []
     for _ in range(_HITS_ROUNDS):
-        # broadcast the O(nodes) score table onto the edge list: h/a are
-        # checkpointed (no size stats), so Catalyst would SMJ — re-sorting
-        # the edge list every half-round (the pagerank r10 finding)
+        # broadcast the O(nodes) score table onto the edge list: the score
+        # frames derive from checkpoints (no size stats), so Catalyst
+        # would SMJ — re-sorting the edge list every half-round (the
+        # pagerank r10 finding). Each half-round materializes ONE
+        # checkpoint (the raw sums — consumed by both the normalizer agg
+        # and the next half-round's rescaled broadcast); the rescale rides
+        # the next consumer as a lazy projection.
         raw_a = (
             edges.join(F.broadcast(h), "s")
             .groupBy("p")
             .agg(F.sum("score").alias("raw"))
-        )
-        # mean-1 rescale: sum over edges of h = sum_s h_s * outdeg(s)
-        # (measured r11: broadcast-hinting sdeg/pdeg here LOSES ~0.5s — the
-        # build jobs cost more than the tiny shuffle they avoid; the score
-        # joins below are where the broadcast pays)
-        anorm = (
-            h.join(sdeg, "s")
-            .agg(F.sum(F.col("score") * F.col("n_p")).alias("tot"))
-            .crossJoin(F.broadcast(n_par))
-        )
-        # truncate lineage each half-round: h and a are each consumed TWICE
-        # (score join + normalizer), so without a cut the logical plan grows
-        # 4x per round — 4^rounds subtree copies that Catalyst re-optimizes
-        # and the executor recomputes (measured 20s -> ~2s at sf0.01). The
-        # checkpointed frames are O(nodes) score tables, the same per-round
-        # materialization any distributed power iteration ships.
-        prev_a = a
-        a = (
-            raw_a.crossJoin(F.broadcast(anorm))
-            .select("p", (F.col("raw") * F.col("n_par") / F.col("tot")).alias("score"))
             .localCheckpoint(eager=True)
         )
-        if prev_a is not None:
-            _free_local_checkpoint(prev_a)  # superseded score table's blocks
+        cuts.append(raw_a)
+        tot_a = raw_a.agg(F.sum("raw")).first()[0]
+        a = raw_a.select(
+            "p", (F.col("raw") * F.lit(n_par) / F.lit(tot_a)).alias("score")
+        )
         raw_h = (
             edges.join(F.broadcast(a), "p")
             .groupBy("s")
             .agg(F.sum("score").alias("raw"))
-        )
-        hnorm = (
-            a.join(pdeg, "p")
-            .agg(F.sum(F.col("score") * F.col("n_s")).alias("tot"))
-            .crossJoin(F.broadcast(n_sup))
-        )
-        prev_h = h
-        h = (
-            raw_h.crossJoin(F.broadcast(hnorm))
-            .select("s", (F.col("raw") * F.col("n_sup") / F.col("tot")).alias("score"))
             .localCheckpoint(eager=True)
         )
-        if prev_h is not None:
-            _free_local_checkpoint(prev_h)
+        cuts.append(raw_h)
+        tot_h = raw_h.agg(F.sum("raw")).first()[0]
+        h = raw_h.select(
+            "s", (F.col("raw") * F.lit(n_sup) / F.lit(tot_h)).alias("score")
+        )
+        # free superseded raw tables (keep the two feeding h/a)
+        while len(cuts) > 2:
+            _free_local_checkpoint(cuts.pop(0))
     hubs = (
         h.select(
             F.lit("hub").alias("node_type"),
@@ -1954,7 +1929,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = hubs.unionByName(auths).localCheckpoint(eager=True)
     edges.unpersist()
-    for interim in (a, h, sdeg, pdeg, n_sup, n_par):
+    for interim in (sup_nodes, *cuts):
         _free_local_checkpoint(interim)
     return result
 
