@@ -347,7 +347,16 @@ def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, evicted as event-time advances; the identical plan is the
     standard exactly-once idempotent-ingest guard in front of a streaming
     sink (streaming/live.py:dedup_stream is the event_id variant, tested
-    for batch/stream parity in tests/test_streaming_live.py)."""
+    for batch/stream parity in tests/test_streaming_live.py).
+
+    Drain cost (r14, the r10 interval-join/counters argument applied
+    here): the registry entry drains ONE availableNow micro-batch — the
+    projected distinct key set is batch-split-invariant (the docstring's
+    own oracle-checkability argument), and each extra micro-batch paid a
+    full state-store commit round per shard; ~600 state keys at sf0.1
+    need one shard (the knob scales to state volume on a real cluster).
+    The per-file 3-batch replay (cross-batch dedup state) stays pinned in
+    tests/test_streaming_live.py::test_stream_dedup_drops_duplicates."""
     from ..streaming.live import events_stream
 
     key = _live_key(spark, sf_dir, "dedup")
@@ -355,12 +364,14 @@ def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(_LIVE_DONE[key])
     staging = _staged_events_dir(spark, sf_dir)
     stream = (
-        events_stream(spark, staging, max_files_per_trigger=1)
+        events_stream(spark, staging, max_files_per_trigger=None)
         .withWatermark("ts", "100 days")
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _drain_live(spark, key, "live_dedup", stream, "append")
+    return _drain_live(
+        spark, key, "live_dedup", stream, "append", state_partitions=1
+    )
 
 
 @register(
