@@ -833,9 +833,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True
     )
+    # Carry the SOURCE degree on the edge row once (r14): the per-round
+    # contribution rank(src)/deg(src) previously required joining ranks
+    # onto deg inside every round's broadcast build — 5 O(nodes) joins.
+    # With deg a column of the persisted edge list, each round broadcasts
+    # the bare rank table and the division rides the edge-side projection
+    # (identical doubles per edge, identical grouping — only the join
+    # disappears). The broadcast of deg is O(nodes) and happens once.
+    edges_w = edges.join(F.broadcast(deg), "src").persist()
     ranks = deg.select("src", F.lit(1.0).alias("rank"))
-    # Per round: fold rank/deg on the O(nodes) side, BROADCAST it onto the
-    # persisted edge list (edges never re-shuffle or re-sort — without the
+    # Per round: BROADCAST the O(nodes) rank table onto the persisted
+    # weighted edge list (edges never re-shuffle or re-sort — without the
     # hint the checkpointed rank frame has no size stats and Catalyst picks
     # a sort-merge join that re-sorts all edges every round), then one
     # map-side-combining groupBy. Because the edge list holds both
@@ -848,12 +856,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # profile stays one small-side exchange + one partial agg either way.
     cuts: list[DataFrame] = []
     for i in range(5):
-        rd = ranks.join(deg, "src").select(
-            "src", (F.col("rank") / F.col("deg")).alias("w")
-        )
         ranks = (
-            edges.join(F.broadcast(rd), "src")
-            .select(F.col("dst").alias("src"), F.col("w").alias("c"))
+            edges_w.join(F.broadcast(ranks), "src")
+            .select(
+                F.col("dst").alias("src"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
             .groupBy("src")
             .agg((F.lit(0.15) + F.lit(0.85) * F.sum("c")).alias("rank"))
         )
@@ -879,6 +887,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     edges.unpersist()
+    edges_w.unpersist()
     for interim in (deg, *cuts):
         _free_local_checkpoint(interim)
     return result
