@@ -1586,7 +1586,6 @@ def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
     prev = None
     for _ in range(_LPA_ROUNDS):
         votes = (
@@ -1598,12 +1597,21 @@ def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
         # per round (vote join + union), and the former lazy persist was
         # unpersisted before any action materialized it — the same
         # 2^rounds lineage doubling as graph_bfs_distance.
+        #
+        # Top-1 selection (r14): the oracle's per-node ROW_NUMBER window
+        # (ORDER BY c DESC, label ASC, rn=1) is computed as the
+        # partial-aggregable min(struct(-c, label)) — lexicographic struct
+        # order picks the same (highest-count, smallest-label) vote because
+        # counts are exact integers and label is unique within a (node,
+        # label) group. Replaces the per-node sort with a map-side-combining
+        # hash aggregate: at scale the second exchange carries one partial
+        # min per (node, map partition) instead of every distinct label.
         labels = (
             votes.groupBy("node", "label")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
             .localCheckpoint(eager=True)
         )
         if prev is not None:

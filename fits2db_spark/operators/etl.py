@@ -1052,10 +1052,22 @@ def spatial_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
     of an edge plane (generic golden-angle positions; the three-way
     numpy/UDF/SQL agreement test pins the whole id, like nest and ring).
 
-    Scale: a narrow 38-projection whole-stage-codegen chain, zero
-    shuffles, zero UDFs — the per-level state is 13 doubles/row. HTM ids
-    are the classic spatial-join key of the SDSS SkyServer lineage; at
-    load time this expression IS the partition-column generator."""
+    Scale: a narrow 38-projection chain, zero shuffles, zero UDFs — the
+    per-level state is 13 doubles/row. HTM ids are the classic
+    spatial-join key of the SDSS SkyServer lineage; at load time this
+    expression IS the partition-column generator.
+
+    Codegen sizing (r14): the FULL 38-projection chain generates a
+    ~17k-line whole-stage-codegen class that Janino fails to compile
+    ("Failed to compile the generated Java code", observed on every
+    invocation), so the entire chain silently executed INTERPRETED. An
+    eager ``localCheckpoint`` every 3 levels cuts the chain into spans
+    Janino compiles fine; the inter-level state is only the 14 narrow
+    columns (id + 3 vertices + point), so each cut materializes a few
+    hundred KB. Interim blocks are freed once the (2-column) result
+    materializes — the established shared-subtree discipline."""
+    from .advanced import _free_local_checkpoint
+
     c = load(spark, sf_dir, "customer")
     base = c.selectExpr(
         "c_custkey",
@@ -1070,14 +1082,23 @@ def spatial_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = base
     for sel in _htm_root_selects():
         df = df.selectExpr("*", *sel)
-    for _ in range(_HTM_LEVEL):
+    interims: list[DataFrame] = []
+    for lv in range(_HTM_LEVEL):
         stages = _htm_level_selects()
         for j, sel in enumerate(stages):
             if j < 3:
                 df = df.selectExpr("*", *sel)
             else:
                 df = df.selectExpr("c_custkey", "px", "py", "pz", *sel)
-    return df.select("c_custkey", F.col("id").alias("htm9"))
+        if lv % 3 == 2 and lv < _HTM_LEVEL - 1:
+            df = df.localCheckpoint(eager=True)
+            interims.append(df)
+    result = df.select("c_custkey", F.col("id").alias("htm9")).localCheckpoint(
+        eager=True
+    )
+    for it in interims:
+        _free_local_checkpoint(it)
+    return result
 
 
 # ---------------------------------------------------------------------------
