@@ -1688,11 +1688,25 @@ def vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed sample above — hubness is a distributional property, stable
     under sampling)."""
     e = load(spark, sf_dir, "embeddings")
+    # Hoist the self-norms out of the pair expression (r14, the
+    # ml_knn_classify fix): sqrt(dot(x, x)) is computed once per ROW on
+    # each side instead of once per PAIR, so the 500 x N cross product
+    # evaluates ONE 64-dim fold (the dot) per pair instead of three.
+    # Bit-identical cosine: same doubles from the same per-array fold,
+    # same multiply and division order — only hoisted.
     q = e.filter(F.col("vec_id") < _HUB_MAX_Q).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    sim6 = F.round(_cos(F.col("qe"), F.col("ce")), 6)
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
+    sim6 = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), "neighbor_id")
     knn = (
         F.broadcast(q)
