@@ -171,11 +171,20 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     query sets the same API is served by block-matmul (mapInArrow + numpy)
     or the LSH variant below."""
     e = load(spark, sf_dir, "embeddings")
+    # self-norms hoisted per ROW (r14, the vec_hubness/ml_knn_classify fix):
+    # one 64-dim fold (the dot) per pair instead of three — bit-identical
+    # cosine, same folds and division order.
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    sim = _cos(F.col("qe"), F.col("ce"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
     return (
         F.broadcast(q)
@@ -303,9 +312,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qe = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    sim = _cos(F.col("qe"), F.col("ce"))
+    # self-norms hoisted per ROW (r14): one fold per candidate pair.
+    qe = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
     return (
         cand.join(F.broadcast(qe), "query_id")
@@ -335,13 +353,20 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     key comes from an IVF/LSH assignment instead of a given label — the
     join shape is identical."""
     e = load(spark, sf_dir, "embeddings")
+    # self-norms hoisted per ROW (r14): one fold per blocked pair.
     a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
     )
-    sim = _cos(F.col("ea"), F.col("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", sim.alias("sim_raw"))
@@ -392,11 +417,18 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate runs over the multi-table LSH candidates (sim_ann_lsh's
     _lsh-style bucketing) instead of the full cross product."""
     e = load(spark, sf_dir, "embeddings")
+    # self-norms hoisted per ROW (r14): one fold per streamed pair.
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    sim = _cos(F.col("qe"), F.col("ce"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     return (
         F.broadcast(q)
         .crossJoin(c)
@@ -660,9 +692,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, iters, nprobe = 8, 3, 3
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = _ivf_lloyd_cents(spark, sf_dir, k, iters)
+    # self-norms hoisted per ROW (r14, the vec_hubness fix): the probe join
+    # evaluates one 64-dim fold (the dot) per (query, cell-mate) pair
+    # instead of three — bit-identical cosine, same folds, same division.
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
         F.element_at(_ivf_nearest(cents, 1), 1).alias("cell"),
     )
     probes = (
@@ -670,10 +706,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            _norm(F.col("embedding")).alias("qn"),
             F.explode(_ivf_nearest(cents, nprobe)).alias("cell"),
         )
     )
-    sim = _cos(F.col("qe"), F.col("ce"))
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     # Rank on the ROUNDED cosine (as sim_topk_matmul does): the unrounded
     # values depend on each engine's fold order for the 64-term dot product,
     # so near-ties could flip the rk<=3 cut between Spark and the oracle.
@@ -1262,14 +1299,26 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size. The oracle unrolls the same steps with
     MATERIALIZED CTEs."""
     e = load(spark, sf_dir, "embeddings")
+    # self-norms hoisted per ROW in the relevance scan (r14): one fold per
+    # (query, candidate) pair instead of three — bit-identical cosine.
     q = e.filter(F.col("vec_id") < _MMR_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_n"),
     )
-    rel = _cos(F.col("q_emb"), F.col("embedding"))
+    rel = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_n") * F.col("c_n")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("rel_raw").desc(), "cand_id")
     cand = (
         F.broadcast(q)
-        .crossJoin(e.select(F.col("vec_id").alias("cand_id"), "embedding"))
+        .crossJoin(
+            e.select(
+                F.col("vec_id").alias("cand_id"),
+                "embedding",
+                _norm(F.col("embedding")).alias("c_n"),
+            )
+        )
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id", "cand_id", F.col("embedding").alias("c_emb"),

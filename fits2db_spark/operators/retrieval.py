@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load
 from .llm_text import _h64
-from .llm_vectors import _cos, _d_cos
+from .llm_vectors import _cos, _d_cos, _dot, _norm
 
 # ---------------------------------------------------------------------------
 # BM25 ranked retrieval
@@ -471,18 +471,28 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB each leg is its own ANN query and fusion touches only
     O(queries x depth) rows."""
     e = load(spark, sf_dir, "embeddings")
+    # self-norms hoisted per ROW (r14, the vec_hubness fix): the corpus-wide
+    # pair projection evaluates one 64-dim fold (the dot) per pair instead
+    # of three — bit-identical cosine, same folds, same division order.
     codes = e.select(
-        "vec_id", "embedding", _bq_code_col(F.col("embedding")).alias("code")
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("vnorm"),
+        _bq_code_col(F.col("embedding")).alias("code"),
     )
     q = codes.filter(F.col("vec_id") < _RRF_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("vnorm").alias("q_norm"),
         F.col("code").alias("q_code"),
     )
     pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        _cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        (
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("vnorm"))
+        ).alias("cos"),
         F.bit_count(F.col("q_code").bitwiseXOR(F.col("code"))).alias("hamming"),
     )
     wc = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
