@@ -380,3 +380,79 @@ def test_bpe_py_replace_is_greedy_nonoverlapping():
     assert (second["left_sym"], second["right_sym"], second["pair_count"]) == (
         "aa", "a", 7
     )
+
+
+def test_spatial_htm_chain_is_split_and_freed(spark, monkeypatch):
+    """The HTM projection chain must stay cut into codegen-compilable
+    spans: construction materializes exactly 2 interim checkpoints (after
+    levels 3 and 6) plus the eager result, and frees exactly the 2
+    interims (the full 38-projection span is what Janino failed to
+    compile — OPTIMIZATION_r14.md §22)."""
+    from fits2db_spark.operators import advanced as A
+    from fits2db_spark.operators import etl as E
+
+    freed = []
+    monkeypatch.setattr(
+        A, "_free_local_checkpoint", lambda df: freed.append(df)
+    )
+    out = E.spatial_htm(spark, SF_SMOKE)
+    assert len(freed) == 2, "chain must checkpoint (and free) 2 interim spans"
+    # the returned frame is the eager result checkpoint: a leaf scan, so
+    # downstream consumers never re-plan the giant chain
+    assert "LogicalRDD" in out._jdf.queryExecution().analyzed().toString()
+    assert out.count() > 0
+
+
+def test_lpa_struct_top1_matches_window_semantics(spark):
+    """min(struct(-c, label)) must pick the most frequent label with ties
+    to the SMALLEST label — the exact ROW_NUMBER (c DESC, label ASC)
+    semantics the oracle uses, including the tie case."""
+    from pyspark.sql import functions as F
+
+    votes = spark.createDataFrame(
+        # node 1: label 7 wins on count; node 2: tie between 5 and 9 -> 5
+        [(1, 7), (1, 7), (1, 3), (2, 9), (2, 5)],
+        "node BIGINT, label BIGINT",
+    )
+    got = _rows(
+        votes.groupBy("node", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("node")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+        .select("node", F.col("m.label").alias("label")),
+        "node",
+        "label",
+    )
+    assert got == [(1, 7), (2, 5)]
+
+
+def test_hoisted_norm_cosine_is_bit_identical(spark):
+    """dot/(|a|*|b|) with per-row hoisted norms must equal the inline
+    _cos EXACTLY (same folds, same division order) — the bit-identity
+    claim behind the r14 sim-family hoist, asserted with equality on the
+    raw doubles, not a tolerance."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fits2db_spark.operators.llm_vectors import _cos, _dot, _norm
+
+    rng = random.Random(14)
+    rows = [
+        ([rng.uniform(-1, 1) for _ in range(64)],
+         [rng.uniform(-1, 1) for _ in range(64)])
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    mismatch = (
+        df.select(
+            _cos(F.col("a"), F.col("b")).alias("inline"),
+            (
+                _dot(F.col("a"), F.col("b"))
+                / (_norm(F.col("a")) * _norm(F.col("b")))
+            ).alias("hoisted"),
+        )
+        .filter(F.col("inline") != F.col("hoisted"))
+        .count()
+    )
+    assert mismatch == 0
