@@ -909,35 +909,17 @@ def vec_pca_evr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver, where the eigendecomposition is O(64^3) scalar work.
     Returns the top-8 components' eigenvalues and explained-variance
     ratios. Checked against single-node numpy PCA in
-    tests/test_rows_only_quality.py."""
+    tests/test_rows_only_quality.py.
+
+    r14: the Gram/mean reduce is the shared ``cov_gram_parts`` helper —
+    ``vec_power_iteration`` consumes the identical covariance, so a session
+    running both keys pays the corpus pass once (duplicated-subtree rule,
+    guide §1.2). Only the d^2 + d reduced rows are collected here."""
     import numpy as np
-    import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select("embedding")
+    from .llm_vectors import cov_gram_parts
 
-    def partial_gram(batches):
-        for pdf in batches:
-            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            if not len(x):
-                continue
-            g = x.T @ x
-            i, j = np.indices(g.shape)
-            yield pd.DataFrame(
-                {
-                    "i": np.append(i.ravel(), np.full(x.shape[1], -1)),
-                    "j": np.append(j.ravel(), np.arange(x.shape[1])),
-                    "v": np.append(g.ravel(), x.sum(axis=0)),
-                    "n": np.append(np.zeros(g.size, dtype=np.int64),
-                                    np.full(x.shape[1], len(x), dtype=np.int64)),
-                }
-            )
-
-    parts = (
-        e.mapInPandas(partial_gram, "i int, j int, v double, n long")
-        .groupBy("i", "j")
-        .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
-        .collect()
-    )
+    parts = cov_gram_parts(spark, sf_dir).collect()
     d = 64
     gram = np.zeros((d, d))
     mean_sum = np.zeros(d)

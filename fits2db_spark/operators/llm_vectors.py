@@ -1451,33 +1451,30 @@ def _power_iter_oracle() -> str:
     """
 
 
-@register("vec_power_iteration", oracle=_power_iter_oracle())
-def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading covariance eigenvector via {_PI_ROUNDS} power-iteration
-    rounds: v_t+1 = normalize(C v_t) from an all-ones start, eigenvalue =
-    the final pre-normalization norm (||C v|| for unit v).
+def cov_gram_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized distributed Gram/mean reduce over the embeddings corpus:
+    one (i, j, v, n) row per Gram cell (v = sum_x x_i * x_j) plus the
+    per-dimension sum rows flagged i = -1 — everything a consumer needs to
+    form the d x d covariance. Each Arrow batch contributes its partial
+    X^T X via one BLAS GEMM inside ``mapInPandas``; a single d^2-row
+    groupBy reduces the partials, so the shuffle is O(batches * d^2)
+    regardless of corpus size.
 
-    Shape (r14): the only data-sized pass is the Gram/mean reduce — each
-    Arrow batch contributes its d x d partial X^T X (one BLAS GEMM) plus
-    per-dimension sums, reduced by one d^2-row groupBy (the vec_pca_evr
-    pattern; at 100 TB this is the standard distributed Gram reduce, and
-    the shuffle is O(batches * d^2) regardless of corpus size). The
-    iteration itself is O(d^2) work on a d x d matrix, far below any
-    distribution threshold, so it runs vectorized (numpy matvec) inside
-    ONE executor task over the single coalesced cov partition — nothing
-    ever reaches the driver, and the 8 rounds cost one stage instead of
-    the r10-r13 relational unroll's 8 joins + 8 aggregates + 3 lineage
-    cuts (~20 jobs, ~2.5s of pure machinery at sf0.1). Fold-order noise
-    vs the oracle's relational sums is absorbed by ROUND(6), exactly as
-    it already was for the JVM partial aggregates; the final rounding is
-    Spark's own ROUND so both engines keep half-up decimal semantics."""
+    Shared by ``vec_power_iteration`` and ``vec_pca_evr`` (r14): both keys
+    consume the SAME covariance, and before this helper each ran its own
+    full corpus pass in one session — a duplicated subtree across keys
+    (guide §1.2), ~2-4s of first-invocation machinery per key at sf0.1 and
+    a duplicated full-data pass at any scale. The reduced frame is d^2 + d
+    rows, persisted per (applicationId, sf_dir) in the aux-cache registry
+    (freed by ``tables.clear_cache``; fresh driver/oracle sessions build it
+    from parquet every run — nothing survives a process)."""
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select("embedding")
-    key = ("powiter", getattr(spark.sparkContext, "applicationId", ""), sf_dir)
+    key = ("cov_parts", getattr(spark.sparkContext, "applicationId", ""), sf_dir)
     cov = _PQ_FIT_CACHE.get(key)
     if cov is None:
+        e = load(spark, sf_dir, "embeddings").select("embedding")
 
         def partial_gram(batches):
             for pdf in batches:
@@ -1507,6 +1504,33 @@ def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         _PQ_FIT_CACHE[key] = cov
+    return cov
+
+
+@register("vec_power_iteration", oracle=_power_iter_oracle())
+def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading covariance eigenvector via {_PI_ROUNDS} power-iteration
+    rounds: v_t+1 = normalize(C v_t) from an all-ones start, eigenvalue =
+    the final pre-normalization norm (||C v|| for unit v).
+
+    Shape (r14): the only data-sized pass is the Gram/mean reduce — each
+    Arrow batch contributes its d x d partial X^T X (one BLAS GEMM) plus
+    per-dimension sums, reduced by one d^2-row groupBy (the vec_pca_evr
+    pattern; at 100 TB this is the standard distributed Gram reduce, and
+    the shuffle is O(batches * d^2) regardless of corpus size). The
+    iteration itself is O(d^2) work on a d x d matrix, far below any
+    distribution threshold, so it runs vectorized (numpy matvec) inside
+    ONE executor task over the single coalesced cov partition — nothing
+    ever reaches the driver, and the 8 rounds cost one stage instead of
+    the r10-r13 relational unroll's 8 joins + 8 aggregates + 3 lineage
+    cuts (~20 jobs, ~2.5s of pure machinery at sf0.1). Fold-order noise
+    vs the oracle's relational sums is absorbed by ROUND(6), exactly as
+    it already was for the JVM partial aggregates; the final rounding is
+    Spark's own ROUND so both engines keep half-up decimal semantics."""
+    import numpy as np
+    import pandas as pd
+
+    cov = cov_gram_parts(spark, sf_dir)
 
     def power_rounds(batches):
         rows = pd.concat(list(batches), ignore_index=True)

@@ -223,6 +223,45 @@ def test_power_iteration_matches_numpy_reference(spark):
         assert abs(got[k + 1][1] - nrm) < 1e-6
 
 
+def test_cov_gram_parts_shared_by_power_iteration_and_pca(spark):
+    """r14 session 22: vec_power_iteration and vec_pca_evr consume the same
+    covariance, so both now read the memoized ``cov_gram_parts`` reduce —
+    one corpus pass per session instead of two. Pins (1) the memo is
+    actually shared (same DataFrame object on a second call), and (2)
+    vec_pca_evr's eigenvalues equal a LAPACK eig of the covariance formed
+    from those same shared rows — i.e. the reduce carries everything the
+    consumer needs.  (Power iteration's ||C v|| after its fixed 8 rounds
+    is NOT asserted equal to the top eigenvalue: on the tiny fixture the
+    iteration has not converged, so that is not an invariant.)"""
+    import numpy as np
+
+    from fits2db_spark.operators import llm_vectors as LV
+    from fits2db_spark.registry import all_queries
+
+    first = LV.cov_gram_parts(spark, SF_SMOKE)
+    assert LV.cov_gram_parts(spark, SF_SMOKE) is first
+
+    d = LV._DIM
+    gram = np.zeros((d, d))
+    mean_sum = np.zeros(d)
+    n = 0
+    for r in first.collect():
+        if r.i < 0:
+            mean_sum[r.j] = r.v
+            n = max(n, r.n)
+        else:
+            gram[r.i, r.j] = r.v
+    cov = gram / n - np.outer(mean_sum / n, mean_sum / n)
+    expect = np.linalg.eigvalsh(cov)[::-1]
+    got = {
+        r.component: r.eigenvalue
+        for r in all_queries()["vec_pca_evr"](spark, SF_SMOKE).collect()
+    }
+    for k in range(8):
+        # the operator reports ROUND(eigenvalue, 8) — allow that half-ulp
+        assert abs(got[k + 1] - expect[k]) < 1e-7, k
+
+
 def test_mmr_cogroup_greedy_matches_reference(spark):
     """r14 moved MMR's greedy loop from an unrolled Catalyst plan into one
     cogrouped Arrow task. The loop consumes only Spark-computed doubles
