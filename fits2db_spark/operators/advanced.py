@@ -818,12 +818,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay O(1). Returns the top-20 nodes by rank. Invariants (rank
     conservation, positivity, determinism) in
     tests/test_rows_only_quality.py."""
-    li = load(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(
-            (F.col("l_partkey") + 1_000_000).alias("src"), F.col("l_suppkey").alias("dst")
-        )
-        .distinct()
+    # the distinct (part, supplier) base is the session-shared _ps_pairs
+    # memo (r14 session 22); only the symmetrize + degree fold stay
+    # per-invocation
+    edges = _ps_pairs(spark, sf_dir).select(
+        (F.col("p") + 1_000_000).alias("src"), F.col("s").alias("dst")
     )
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1026,6 +1025,71 @@ def _co_supply_pair_counts(spark, ps):
     )
 
 
+def _ps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized DISTINCT (l_partkey, l_suppkey) pair set from lineitem —
+    the base every bipartite part-supplier graph key derives its edge list
+    from (pagerank, HITS, LPA/modularity, BFS, degree-powerlaw, and the
+    co-supply edge-memo builds of
+    triangles/kcore/clustering-coeff/node-similarity). One
+    lineitem scan + one distinct exchange per session instead of one per
+    key (the cov_gram_parts cross-key duplicated-subtree discipline, guide
+    §1.2). Each consumer's own projection (node-id offset, column order)
+    is a bijection, so distinct-then-project yields the identical row
+    multiset the former inline project-then-distinct did. Persisted (long
+    pairs, O(distinct part-supplier pairs)); freed by tables.clear_cache;
+    fresh single-key processes build it from parquet every run."""
+    try:
+        key = ("ps_pairs", spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        key = ("ps_pairs", "", sf_dir)
+    ps = _TRI_EDGE_CACHE.get(key)
+    if ps is None:
+        li = load(spark, sf_dir, "lineitem")
+        ps = (
+            li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+            .distinct()
+            .persist()
+        )
+        _TRI_EDGE_CACHE[key] = ps
+    return ps
+
+
+def _lpa_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized md5-sampled symmetric part-supplier edge list (src, dst;
+    parts offset by 10^6) — shared VERBATIM by graph_label_propagation /
+    graph_modularity (via `_lpa_edges_labels`) and graph_bfs_distance,
+    each of which previously built and persisted its own identical copy
+    per invocation. Derived from `_ps_pairs`; persisted; freed by
+    tables.clear_cache."""
+    try:
+        key = ("lpa_sym_edges", spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        key = ("lpa_sym_edges", "", sf_dir)
+    edges = _TRI_EDGE_CACHE.get(key)
+    if edges is None:
+        sp = _ps_pairs(spark, sf_dir).select(
+            (F.col("p") + 1_000_000).alias("a"), F.col("s").alias("b")
+        )
+        kept = sp.filter(
+            F.conv(
+                F.substring(
+                    F.md5((F.col("a") * 100_000 + F.col("b")).cast("string")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < _LPA_EDGE_PCT
+        )
+        edges = (
+            kept.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(kept.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .persist()
+        )
+        _TRI_EDGE_CACHE[key] = edges
+    return edges
+
+
 @register(
     "graph_triangles",
     oracle="""
@@ -1082,8 +1146,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast (no driver collect); the co-occurrence weights come from
     _co_supply_pair_counts' one-phase machine-wide aggregate (see its
     docstring for why partial aggregation loses on this pair stream)."""
-    li = load(spark, sf_dir, "lineitem")
-    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    ps = _ps_pairs(spark, sf_dir)
     # e is consumed by 4 plan branches (3 triangle legs + degree); persist
     # once per (session, sf) — it holds only the p99-thresholded edge list
     # (~1% of supplier pairs), and memoizing prevents re-persisting the
@@ -1179,16 +1242,13 @@ def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-run the distinct + degree aggregation; it is persisted once per
     (session, sf) exactly like graph_triangles' _TRI_EDGE_CACHE (the r5
     verdict item) — at 100 TB that is one fact-table scan instead of ~6."""
-    li = load(spark, sf_dir, "lineitem")
     try:
         memo_key = ("nodesim", spark.sparkContext.applicationId, sf_dir)
     except Exception:
         memo_key = ("nodesim", "", sf_dir)
     kept = _TRI_EDGE_CACHE.get(memo_key)
     if kept is None:
-        sp = li.select(
-            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-        ).distinct()
+        sp = _ps_pairs(spark, sf_dir).select("s", "p")
         deg = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
         kept = sp.join(deg.filter(F.col("d") <= 31), "p").select("s", "p").persist()
         _TRI_EDGE_CACHE[memo_key] = kept
@@ -1278,16 +1338,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted once per (session, sf) like _TRI_EDGE_CACHE — at 100 TB
     each round's survivor edges would be persisted too (the peel is a
     contraction, so memory shrinks monotonically)."""
-    li = load(spark, sf_dir, "lineitem")
     try:
         memo_key = ("kcore", spark.sparkContext.applicationId, sf_dir)
     except Exception:
         memo_key = ("kcore", "", sf_dir)
     e = _TRI_EDGE_CACHE.get(memo_key)
     if e is None:
-        ps = li.select(
-            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-        ).distinct()
+        ps = _ps_pairs(spark, sf_dir)
         # materialize the pair-count aggregate ONCE (r11): the percentile
         # threshold is a broadcast build (its own job) and the e0 filter a
         # second job, so without the cut the ~C(|suppliers per part|,2)
@@ -1546,25 +1603,10 @@ def _lpa_edges_labels(spark: SparkSession, sf_dir: str):
     """Shared LPA machinery: the md5-sampled symmetric edge list and the
     converged (fixed-round) label table — consumed by
     `graph_label_propagation` (top communities) and `graph_modularity`
-    (partition quality). One definition so the two can never drift."""
-    li = load(spark, sf_dir, "lineitem")
-    sp = li.select(
-        (F.col("l_partkey") + 1_000_000).alias("a"), F.col("l_suppkey").alias("b")
-    ).distinct()
-    kept = sp.filter(
-        F.conv(
-            F.substring(
-                F.md5((F.col("a") * 100_000 + F.col("b")).cast("string")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-        < _LPA_EDGE_PCT
-    )
-    edges = kept.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        kept.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    (partition quality). One definition so the two can never drift. The
+    edge list itself is the session-shared `_lpa_sym_edges` memo (r14
+    session 22) — also served to `graph_bfs_distance`."""
+    edges = _lpa_sym_edges(spark, sf_dir)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -1728,25 +1770,11 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join + one MIN partial agg, the pagerank per-round exchange
     budget, and distance state (O(reached nodes), monotonically
     refined) never leaves the executors. Pure integer math — no float
-    anywhere, hash-exact by construction."""
-    li = load(spark, sf_dir, "lineitem")
-    sp = li.select(
-        (F.col("l_partkey") + 1_000_000).alias("a"), F.col("l_suppkey").alias("b")
-    ).distinct()
-    kept = sp.filter(
-        F.conv(
-            F.substring(
-                F.md5((F.col("a") * 100_000 + F.col("b")).cast("string")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-        < _LPA_EDGE_PCT
-    )
-    edges = kept.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        kept.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    anywhere, hash-exact by construction. The edge list is the
+    session-shared `_lpa_sym_edges` memo (r14 session 22) — the same
+    persisted rows LPA/modularity iterate over, built once per
+    session instead of once per key."""
+    edges = _lpa_sym_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     dist = (
         nodes.filter(F.col("node") < 1_000_000)
@@ -1851,14 +1879,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per round, one join of scores onto the edge list + one
     partial-aggregating groupBy per side — the canonical distributed
     power-iteration shuffle profile; executor state is two O(nodes) score
-    tables, driver state zero. Edge list persists for the {_HITS_ROUNDS}
-    rounds and unpersists before return."""
-    li = load(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .persist()
-    )
+    tables, driver state zero. The edge list is the session-shared
+    `_ps_pairs` memo (persisted once per session, freed by
+    tables.clear_cache)."""
+    # read the (s, p) projection straight off the session-shared _ps_pairs
+    # memo (r14 session 22) — the rounds' joins scan the persisted base;
+    # no second per-key persist of the same pairs
+    edges = _ps_pairs(spark, sf_dir).select(F.col("s"), F.col("p"))
     # Node counts are loop-invariant scalars: collect them once (bounded,
     # 1 row) and inline as literals. The r11 sdeg/pdeg degree tables are
     # gone entirely (r14): the mean-1 normalizer sum_s h_s * outdeg(s)
@@ -1927,7 +1954,6 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     result = hubs.unionByName(auths).localCheckpoint(eager=True)
-    edges.unpersist()
     for interim in (sup_nodes, *cuts):
         _free_local_checkpoint(interim)
     return result
@@ -2007,10 +2033,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list) — two shuffle joins bounded by the p99 hub cap; the wedge
     denominator needs only the degree table. The global ratio is a 1-row
     aggregate broadcast onto 20 rows."""
-    li = load(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    ps = _ps_pairs(spark, sf_dir)
     sh = _co_supply_pair_counts(spark, ps)
     thr = sh.agg(F.percentile("c", F.lit(0.99)).alias("thr"))
     try:
@@ -2232,10 +2255,13 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one distinct-pair groupBy (the volume stage), then O(distinct
     degrees) histogram math; both fits are single-row reduces. ln on
-    identical integer-derived doubles agrees across engines; ROUND(6)."""
-    li = load(spark, sf_dir, "lineitem")
-    deg = li.groupBy(F.col("l_suppkey").alias("node")).agg(
-        F.countDistinct("l_partkey").cast("long").alias("k")
+    identical integer-derived doubles agrees across engines; ROUND(6).
+    The distinct-pair volume stage is the session-shared `_ps_pairs` memo
+    (r14 session 22): COUNT(*) over the already-distinct pair set is the
+    same exact integer COUNT(DISTINCT l_partkey) computes from raw
+    lineitem, minus the expand+dedup pass."""
+    deg = _ps_pairs(spark, sf_dir).groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
     )
     hist = deg.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     lk, lc = F.log(F.col("k").cast("double")), F.log(F.col("cnt").cast("double"))
