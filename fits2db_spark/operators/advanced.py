@@ -996,6 +996,23 @@ from ..tables import register_aux_cache  # noqa: E402
 _TRI_EDGE_CACHE: dict = register_aux_cache({})
 
 
+def clear_graph_memos() -> None:
+    """Unpersist AND forget every session-shared graph memo (_ps_pairs,
+    _lpa_sym_edges, _co_supply_counts, the thresholded edge lists).
+    ``_TRI_EDGE_CACHE.clear()`` alone is NOT a reset: the persisted
+    frames stay registered with Spark's cache manager, which keeps
+    substituting InMemoryTableScans into any logically-equal subtree
+    (changing other queries' physical plans) while nothing can release
+    the storage anymore. tables.clear_cache() does the same unpersist
+    via the aux-cache registry; this helper is the targeted variant."""
+    for df in _TRI_EDGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _TRI_EDGE_CACHE.clear()
+
+
 def _co_supply_pair_counts(spark, ps):
     """Shared-part count per supplier pair (u < v, double `c`) from a
     distinct (p, s) projection — the weighted co-supply edge list every
@@ -1090,6 +1107,27 @@ def _lpa_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def _co_supply_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized co-supply pair-count aggregate over `_ps_pairs` — the
+    weighted (u, v, c) supplier edge list that graph_triangles /
+    graph_clustering_coeff (p99 threshold) and graph_kcore (its own
+    quantile) all threshold before their joins. The one-phase
+    machine-wide aggregate inside `_co_supply_pair_counts` is the
+    family's dominant stage (~2-3 s at sf0.1; O(co-supply pairs) at any
+    scale), and before r14 session 23 each key's memo build re-ran it.
+    Persisted once per (applicationId, sf_dir); freed by
+    tables.clear_cache; fresh single-key processes build from parquet."""
+    try:
+        key = ("cosupply", spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        key = ("cosupply", "", sf_dir)
+    sh = _TRI_EDGE_CACHE.get(key)
+    if sh is None:
+        sh = _co_supply_pair_counts(spark, _ps_pairs(spark, sf_dir)).persist()
+        _TRI_EDGE_CACHE[key] = sh
+    return sh
+
+
 @register(
     "graph_triangles",
     oracle="""
@@ -1146,7 +1184,6 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast (no driver collect); the co-occurrence weights come from
     _co_supply_pair_counts' one-phase machine-wide aggregate (see its
     docstring for why partial aggregation loses on this pair stream)."""
-    ps = _ps_pairs(spark, sf_dir)
     # e is consumed by 4 plan branches (3 triangle legs + degree); persist
     # once per (session, sf) — it holds only the p99-thresholded edge list
     # (~1% of supplier pairs), and memoizing prevents re-persisting the
@@ -1157,10 +1194,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         memo_key = ("", sf_dir)
     e = _TRI_EDGE_CACHE.get(memo_key)
     if e is None:
-        # sh feeds BOTH the p99 threshold and the filter it gates — uncut,
-        # the pair aggregate (the operator's dominant stage) runs twice per
-        # edge-list build (r14). Checkpoint once, free after e materializes.
-        sh = _co_supply_pair_counts(spark, ps).localCheckpoint(eager=True)
+        # the pair aggregate (the operator's dominant stage) is the
+        # session-shared _co_supply_counts memo: it feeds BOTH the p99
+        # threshold and the filter it gates here, AND graph_kcore's
+        # separately-thresholded build, computing once for all of them.
+        sh = _co_supply_counts(spark, sf_dir)
         thr = sh.agg(F.percentile("c", F.lit(0.99)).alias("thr"))
         e = (
             sh.crossJoin(F.broadcast(thr))
@@ -1168,8 +1206,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .persist()
         )
-        e.count()  # force the persist so the sh blocks can go
-        _free_local_checkpoint(sh)
+        e.count()  # materialize e (and the shared sh cache) eagerly
         _TRI_EDGE_CACHE[memo_key] = e
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -1344,16 +1381,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         memo_key = ("kcore", "", sf_dir)
     e = _TRI_EDGE_CACHE.get(memo_key)
     if e is None:
-        ps = _ps_pairs(spark, sf_dir)
-        # materialize the pair-count aggregate ONCE (r11): the percentile
-        # threshold is a broadcast build (its own job) and the e0 filter a
-        # second job, so without the cut the ~C(|suppliers per part|,2)
-        # pair enumeration — the operator's dominant cost, 3.8s of the
-        # 7.2s cold total at sf0.1 — executed twice over. Post-agg sh is
+        # the ~C(|suppliers per part|,2) pair enumeration + aggregate —
+        # the operator's dominant cost, 3.8s of the 7.2s cold total at
+        # sf0.1 (r11) — is the session-shared _co_supply_counts memo:
+        # cached once for this build, the percentile-threshold job, AND
+        # graph_triangles' separately-thresholded build. Post-agg sh is
         # O(supplier-pairs) (~500k rows), far smaller than the raw pair
-        # stream, so the checkpoint is cheap; it is freed as soon as the
-        # (also checkpointed) thresholded edge list exists.
-        sh = _co_supply_pair_counts(spark, ps).localCheckpoint(eager=True)
+        # stream, so holding it persisted for the session is cheap.
+        sh = _co_supply_counts(spark, sf_dir)
         thr = sh.agg(F.percentile("c", F.lit(_KCORE_EDGE_Q)).alias("thr"))
         e = (
             sh.crossJoin(F.broadcast(thr))
@@ -1361,7 +1396,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        _free_local_checkpoint(sh)
         _TRI_EDGE_CACHE[memo_key] = e
     # Early-exit on convergence (r14 optimization round): the peel is a
     # deterministic contraction, so when a round removes no edge every
@@ -2033,15 +2067,14 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list) — two shuffle joins bounded by the p99 hub cap; the wedge
     denominator needs only the degree table. The global ratio is a 1-row
     aggregate broadcast onto 20 rows."""
-    ps = _ps_pairs(spark, sf_dir)
-    sh = _co_supply_pair_counts(spark, ps)
-    thr = sh.agg(F.percentile("c", F.lit(0.99)).alias("thr"))
     try:
         memo_key = (spark.sparkContext.applicationId, sf_dir)
     except Exception:
         memo_key = ("", sf_dir)
     e = _TRI_EDGE_CACHE.get(memo_key)
     if e is None:
+        sh = _co_supply_counts(spark, sf_dir)
+        thr = sh.agg(F.percentile("c", F.lit(0.99)).alias("thr"))
         e = (
             sh.crossJoin(F.broadcast(thr))
             .filter(F.col("c") >= F.col("thr"))

@@ -441,8 +441,16 @@ def test_co_supply_agg_is_one_wide_pass(spark):
     across a narrow shuffle."""
     from pyspark.sql import functions as F
 
+    from fits2db_spark.operators import advanced as A
     from fits2db_spark.operators.advanced import _co_supply_pair_counts
     from fits2db_spark.tables import load
+
+    # drop the session-shared graph memos first: if _co_supply_counts is
+    # persisted (an earlier test ran a graph key), the cache manager
+    # substitutes an InMemoryTableScan for this whole subtree and the
+    # explain text prints the cached build plan's Final AND Initial
+    # sections — doubling the REPARTITION_BY_NUM line this test counts.
+    A.clear_graph_memos()
 
     ps = (
         load(spark, SF_SMOKE, "lineitem")

@@ -57,13 +57,13 @@ def test_kcore_unroll_invariance(spark, monkeypatch):
     from fits2db_spark.operators import advanced as A
 
     def run():
-        A._TRI_EDGE_CACHE.clear()
+        A.clear_graph_memos()
         return _rows(A.graph_kcore(spark, SF_SMOKE), "node", "core_degree")
 
     base = run()
     monkeypatch.setattr(A, "_KCORE_ROUNDS", A._KCORE_ROUNDS + 3)
     more = run()
-    A._TRI_EDGE_CACHE.clear()
+    A.clear_graph_memos()
     assert base == more
 
 
@@ -495,3 +495,59 @@ def test_hoisted_norm_cosine_is_bit_identical(spark):
         .count()
     )
     assert mismatch == 0
+
+
+def test_ps_pairs_memo_shared_and_equivalent(spark):
+    """Session-22 graph-base sharing: the (part, supplier) pair base every
+    bipartite graph key derives its edges from is ONE persisted memo per
+    (session, sf) — and the shared distinct-then-project equals the inline
+    project-then-distinct it replaced (the bijection argument, concrete)."""
+    from pyspark.sql import functions as F
+
+    from fits2db_spark import tables
+    from fits2db_spark.operators import advanced as A
+
+    A.clear_graph_memos()
+    base = A._ps_pairs(spark, SF_SMOKE)
+    assert A._ps_pairs(spark, SF_SMOKE) is base, "memo must return one frame"
+    sym = A._lpa_sym_edges(spark, SF_SMOKE)
+    assert A._lpa_sym_edges(spark, SF_SMOKE) is sym
+
+    li = tables.load(spark, SF_SMOKE, "lineitem")
+    inline = sorted(
+        tuple(r)
+        for r in li.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(inline) > 0
+    assert inline == sorted(tuple(r) for r in base.collect())
+
+    # the sampled edge list is exactly symmetric (each kept pair both ways)
+    e = sorted(tuple(r) for r in sym.collect())
+    assert len(e) > 0 and len(e) % 2 == 0
+    assert e == sorted((d, s) for s, d in e)
+
+    # clear_cache stays the ONE reset path for the shared graph base
+    tables.clear_cache()
+    assert A._TRI_EDGE_CACHE == {}
+
+
+def test_co_supply_counts_memo_shared_by_threshold_builds(spark):
+    """Session-23: the co-supply pair aggregate (the dominant stage of the
+    triangles/kcore/clustering-coeff family) is ONE shared memo — both
+    thresholded edge-list builds must read the same persisted frame."""
+    from fits2db_spark.operators import advanced as A
+
+    A.clear_graph_memos()
+    sh = A._co_supply_counts(spark, SF_SMOKE)
+    assert A._co_supply_counts(spark, SF_SMOKE) is sh, "memo must return one frame"
+    A.graph_triangles(spark, SF_SMOKE).collect()
+    cosupply = [k for k in A._TRI_EDGE_CACHE if k and k[0] == "cosupply"]
+    assert len(cosupply) == 1
+    assert A._TRI_EDGE_CACHE[cosupply[0]] is sh
+    A.graph_kcore(spark, SF_SMOKE).collect()
+    assert A._TRI_EDGE_CACHE[cosupply[0]] is sh, "kcore build must reuse it"
+    A.clear_graph_memos()
