@@ -53,69 +53,19 @@ _OPERATOR_MODULES = (
 _loaded = False
 
 # The external driver verifies queries in dict-iteration order and may stop
-# after a fixed budget (~50 keys per round).  Round-14 rotation, regenerated
-# from CORRECTNESS_r01∪…∪r13 (r13 covered the first 50 of the r13 queue,
-# 50/50 green; after r13 every registered key has at least one driver hash
-# row — zero never-checked keys remain).  Ordering policy (VERDICT r13
-# "Next round" item 1): pure stalest-first — each key sorts by the LATEST
-# round whose CORRECTNESS_r*.json window contains it (ascending), ties by
-# prior queue order.  The r14 window therefore re-certifies the 50 stalest
-# keys (3 last seen in r01, 38 in r03, 9 in r04).  New round-14 keys, never
-# driver-checked by definition, must PREPEND to the queue as they land
-# (tests/test_rotation.py enforces never-checked-keys-first).
+# after a fixed budget (~50 keys per round).  Round-15 rotation, regenerated
+# from CORRECTNESS_r01∪…∪r14 (r14 re-certified the 50 stalest keys, 50/50
+# green; every registered key has at least one driver hash row — zero
+# never-checked keys remain).  Ordering policy (VERDICT r13 "Next round"
+# item 1, re-applied per VERDICT r14 item 8): pure stalest-first — each key
+# sorts by the LATEST round whose CORRECTNESS_r*.json window contains it
+# (ascending), ties by prior queue order.  The r15 window therefore
+# re-certifies the next-50-stalest keys (34 last seen in r04, 16 in r05).
+# New keys, never driver-checked by definition, must PREPEND to the queue
+# as they land (tests/test_rotation.py enforces never-checked-keys-first).
 # Every key is locally hash-green under tools/check_oracle.py at sf0.001
 # and sf0.01 (and the sf0.1 deep sweeps, docs/ROUND_NOTES.md).
 _PRIORITY_QUERIES = (
-    "win_row_number",
-    "win_running_sum",
-    "win_topk_per_group",
-    "agg_collect",
-    "dedup_embed_cosine",
-    "dedup_exact_text",
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_winnowing",
-    "fn_array",
-    "fn_cond",
-    "fn_date",
-    "fn_encode",
-    "fn_fuzzy",
-    "fn_hash",
-    "fn_math",
-    "fn_regex",
-    "fn_string",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    "multimodal_join",
-    "sim_ann_lsh",
-    "sim_pair_cosine",
-    "sim_topk_bruteforce",
-    "text_lang_stats",
-    "text_langid",
-    "text_ngram",
-    "text_quality_score",
-    "text_tfidf",
-    "text_token_count_bpeish",
-    "text_tokenize_counts",
-    "udf_grouped_map",
-    "udf_map_arrow",
-    "udf_pandas_grouped_agg",
-    "udf_pandas_scalar",
-    "udf_python_scalar",
-    "udf_table_udtf",
-    "vec_centroid",
-    "vec_norm_stats",
-    "agg_extras",
-    "agg_histogram",
-    "agg_mode_median",
-    "agg_skew_salted",
-    "agg_string_concat",
-    "anomaly_zscore",
-    "contamination_ngram",
-    "corr_covar",
-    "dedup_components_bigstar",
     "dedup_keep_longest",
     "distinct_rows",
     "dq_expectations",
@@ -596,6 +546,56 @@ _PRIORITY_QUERIES = (
     "win_lag_lead",
     "win_moving_avg",
     "win_rank",
+    "win_row_number",
+    "win_running_sum",
+    "win_topk_per_group",
+    "agg_collect",
+    "dedup_embed_cosine",
+    "dedup_exact_text",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_winnowing",
+    "fn_array",
+    "fn_cond",
+    "fn_date",
+    "fn_encode",
+    "fn_fuzzy",
+    "fn_hash",
+    "fn_math",
+    "fn_regex",
+    "fn_string",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "multimodal_join",
+    "sim_ann_lsh",
+    "sim_pair_cosine",
+    "sim_topk_bruteforce",
+    "text_lang_stats",
+    "text_langid",
+    "text_ngram",
+    "text_quality_score",
+    "text_tfidf",
+    "text_token_count_bpeish",
+    "text_tokenize_counts",
+    "udf_grouped_map",
+    "udf_map_arrow",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_scalar",
+    "udf_python_scalar",
+    "udf_table_udtf",
+    "vec_centroid",
+    "vec_norm_stats",
+    "agg_extras",
+    "agg_histogram",
+    "agg_mode_median",
+    "agg_skew_salted",
+    "agg_string_concat",
+    "anomaly_zscore",
+    "contamination_ngram",
+    "corr_covar",
+    "dedup_components_bigstar",
 )
 _PRIORITY_MODULE_ORDER = (
     "fits2db_spark.operators.llm_text",

@@ -2,7 +2,7 @@
 
 Usage: python tools/capture_plans.py <suffix> [key ...]
 
-Writes plans/r14/<key>_<suffix>.txt for every headline + wide bench key (or
+Writes plans/<round>/<key>_<suffix>.txt for every headline + wide bench key (or
 just the listed keys). The optimization-round evidence contract: the judge
 cannot run Spark, so plan-shape claims in OPTIMIZATION_r14.md must be
 checkable against these files.
@@ -14,7 +14,7 @@ import os
 import sys
 
 # Source tree to capture plans FROM (a git worktree of an older commit for
-# the "_before" files); output always lands in /root/repo/plans/r14.
+# the "_before" files); output lands in /root/repo/plans/$PLANS_ROUND (default r15).
 REPO = os.environ.get("PLANS_SRC_REPO", "/root/repo")
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
@@ -30,7 +30,7 @@ def main() -> None:
     from fits2db_spark.tables import warm_cache
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join("/root/repo", "plans", "r14")
+    out_dir = os.path.join("/root/repo", "plans", os.environ.get("PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("fits2db_spark_plans", shuffle_partitions=8)
