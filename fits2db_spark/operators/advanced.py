@@ -1054,16 +1054,34 @@ def _ps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a bijection, so distinct-then-project yields the identical row
     multiset the former inline project-then-distinct did. Persisted (long
     pairs, O(distinct part-supplier pairs)); freed by tables.clear_cache;
-    fresh single-key processes build it from parquet every run."""
+    fresh single-key processes build it from parquet every run.
+
+    Partitioned BY p at machine width before the distinct (r15, guide
+    §2.4 "two operations keyed the same way can share one exchange"):
+    HashPartitioning(p) satisfies the (p, s) distinct's clustering
+    requirement (equal pairs share p), the cached relation preserves
+    that partitioning, and every downstream per-part consumer — the
+    co-supply pair self-join's BOTH legs (a.p = b.p) and
+    graph_node_similarity's part-degree groupBy — then runs exchange-
+    free on the cache. Measured at the sf1 tier (alternating laps, one
+    session): ps-build + pair-aggregate 10.2/13.1/19.5 s vs the
+    unpartitioned build's 11.5/16.4/20.0 s, and the pair-aggregate
+    plan drops both join-leg exchanges. The repartition+distinct is a
+    row-multiset identity, so every consumer's results are unchanged."""
     try:
         key = ("ps_pairs", spark.sparkContext.applicationId, sf_dir)
     except Exception:
         key = ("ps_pairs", "", sf_dir)
     ps = _TRI_EDGE_CACHE.get(key)
     if ps is None:
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "8")),
+        )
         li = load(spark, sf_dir, "lineitem")
         ps = (
             li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+            .repartition(width, "p")
             .distinct()
             .persist()
         )
