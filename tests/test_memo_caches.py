@@ -69,3 +69,35 @@ def test_same_sf_dir_keeps_multiple_ops(spark):
     assert prefixes == {"nearest", "knn"}, prefixes
     assert len(joins._XM_P1_CACHE) == 2 * len(joins._XM_LADDER)
     free_memo_checkpoints()
+
+
+def test_free_memo_checkpoints_covers_full_aux_registry(spark):
+    """VERDICT r14 item 2: the evict hook used to free only the
+    checkpoint caches while the graph/vector/text memos stayed persisted
+    for the session. It must now empty the ENTIRE tables._AUX_CACHES
+    registry (_TRI_EDGE_CACHE incl. _ps_pairs/_co_supply_counts,
+    _PQ_FIT_CACHE incl. cov_gram_parts, _IVF_TRAIN_CACHE) plus the
+    llm_text shingle/band/component caches, and return block-manager
+    storage to its pre-build level."""
+    from fits2db_spark import tables
+    from fits2db_spark.operators import advanced, llm_text
+    from fits2db_spark.operators.llm_vectors import cov_gram_parts
+
+    free_memo_checkpoints()
+    base = _storage_count(spark)
+    advanced._co_supply_counts(spark, SF_A).count()  # also builds _ps_pairs
+    cov_gram_parts(spark, SF_A).count()
+    all_queries()["dedup_near_minhash"](spark, SF_A).count()
+    assert advanced._TRI_EDGE_CACHE, "graph memo should be populated"
+    assert any(aux for aux in tables._AUX_CACHES)
+    assert _storage_count(spark) > base
+    free_memo_checkpoints()
+    for aux in tables._AUX_CACHES:
+        assert not aux, "aux cache survived free_memo_checkpoints"
+    for cache in (llm_text._SH_CACHE, llm_text._ARR_CACHE,
+                  llm_text._BANDS_CACHE, llm_text._CC_FINAL_CACHE,
+                  llm_text._JACC_CAND_CACHE):
+        assert not cache, "llm_text cache survived free_memo_checkpoints"
+    assert _storage_count(spark) <= base, "aux-cache blocks not freed"
+    # memos rebuild transparently on the next invocation
+    assert advanced._co_supply_counts(spark, SF_A).count() > 0
