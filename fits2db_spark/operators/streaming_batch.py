@@ -250,6 +250,37 @@ def _drain_live(
     return spark.table(name)
 
 
+# ~rows of staged source per state-store shard. Each shard pays a fixed
+# per-commit maintenance round trip per micro-batch (~0.1-0.2s here), so
+# shards only win once the per-shard data path outweighs that: the r12
+# floor probe measured 1 shard fastest at sf0.1 (100k rows: 1.85-1.9s vs
+# 2.0-2.4s at 4), and the r15 sf1 sweep measured 4 shards fastest at 1M
+# rows (interval join 4.3/4.5s vs 7.4/6.1s at 1 shard; dedup 1.4/1.6 vs
+# 2.8/1.7). 250k rows/shard reproduces both measured optima and keeps
+# growing the shard count linearly with staged volume, capped at machine
+# width — the VERDICT r14 item 3 fix for the fixture-scale constant.
+_STATE_ROWS_PER_SHARD = 250_000
+
+
+def _state_shards(spark: SparkSession, sf_dir: str) -> int:
+    """Streaming state-store shard count sized to the staged source volume
+    (events parquet footer row count — pure metadata, no Spark job; the
+    same number table stats provide at 100 TB), the `_XM_LADDER_MIN_ROWS`
+    derive-plan-shape-from-data-volume rule applied to streaming state."""
+    try:
+        import pyarrow.parquet as pq
+
+        rows = int(
+            pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        )
+    except Exception:  # unknown volume => machine width (the scale-safe end)
+        return spark.sparkContext.defaultParallelism
+    return max(
+        1,
+        min(spark.sparkContext.defaultParallelism, rows // _STATE_ROWS_PER_SHARD),
+    )
+
+
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as 3 time-ordered parquet files (one per
     future micro-batch). Memoized per (session, sf_dir) via _scratch_dir,
@@ -353,9 +384,11 @@ def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     here): the registry entry drains ONE availableNow micro-batch — the
     projected distinct key set is batch-split-invariant (the docstring's
     own oracle-checkability argument), and each extra micro-batch paid a
-    full state-store commit round per shard; ~600 state keys at sf0.1
-    need one shard (the knob scales to state volume on a real cluster).
-    The per-file 3-batch replay (cross-batch dedup state) stays pinned in
+    full state-store commit round per shard. Shards are sized from the
+    staged source volume by ``_state_shards`` (r15: the r14 constant 1
+    was the sf0.1 optimum; at the 1M-row sf1 tier 4 shards measured
+    1.4-1.6s vs 2.8/1.7s at 1). The per-file 3-batch replay (cross-batch
+    dedup state) stays pinned in
     tests/test_streaming_live.py::test_stream_dedup_drops_duplicates."""
     from ..streaming.live import events_stream
 
@@ -370,7 +403,8 @@ def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _drain_live(
-        spark, key, "live_dedup", stream, "append", state_partitions=1
+        spark, key, "live_dedup", stream, "append",
+        state_partitions=_state_shards(spark, sf_dir),
     )
 
 
@@ -425,13 +459,15 @@ def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 2 state stores (one per join side) x shards x per-batch commit cost.
     # r12 floor probe (BASELINE.md): warm single-batch drain is 2.0-2.4s at
-    # 4 shards vs 1.85-1.9s at 1 shard, and the data path is only ~1.5s of
-    # the total — at ~600 joined-side rows ONE shard is the right local
-    # sizing (the knob scales to state volume on a real cluster, module
-    # docstring). The residue is availableNow machinery: a 1-row staging
-    # through the identical plan still costs 2.8s cold / ~1.9s warm.
+    # 4 shards vs 1.85-1.9s at 1 shard at sf0.1, but the r15 sf1 sweep
+    # measured 4 shards at 4.3/4.5s vs 7.4/6.1s at 1 shard — the optimum
+    # moves with staged volume, so _state_shards derives it from the
+    # events footer row count (1 at sf0.1, 4 at sf1, machine width cap).
+    # The residue is availableNow machinery: a 1-row staging through the
+    # identical plan still costs 2.8s cold / ~1.9s warm.
     return _drain_live(
-        spark, key, "live_ivjoin", joined, "append", state_partitions=1
+        spark, key, "live_ivjoin", joined, "append",
+        state_partitions=_state_shards(spark, sf_dir),
     )
 
 
