@@ -286,6 +286,24 @@ _SCALE_BUDGETS = {
 # Keys whose sf1 absolute time is below this are never violations: ratio
 # gating on sub-5s numbers grades scheduler noise, not plan shape.
 _SCALE_ABS_FLOOR_SEC = 5.0
+# Absolute sf1 wall-clock ceilings (seconds) for the r14 single-Arrow-task
+# conversions (VERDICT r14 item 6): each moved a loop into ONE executor
+# task sized by a BOUNDED input (BPE: the distinct-word table; MMR:
+# k x topn^2 per query shard; power iteration / PCA: the d^2 Gram; Lloyd:
+# k x (d+1) partials). The ratio gate cannot see a fixture change that
+# unbounds one of those inputs (the ratio would stay plausible while the
+# task heads toward OOM), so these pin generous ABSOLUTE budgets (~5x the
+# r15-measured sf1 times) that such a change would trip first.
+# r15 gate measured sf1 (best-of-1, shared session): bpe 0.79s, mmr 2.06s,
+# power-iter 0.68s, pca 0.55s, kmeans 2.13s, ivf 3.40s.
+_SCALE_ABS_BUDGETS_SEC: dict[str, float] = {
+    "bpe_train_merges": 8.0,
+    "sim_mmr_rerank": 12.0,
+    "vec_power_iteration": 5.0,
+    "vec_pca_evr": 5.0,
+    "vec_kmeans": 12.0,
+    "sim_ann_ivf": 18.0,
+}
 # ANN recall@3 floors at BOTH tiers (VERDICT r13 item 7) — fixture-scale
 # pytest floors are 0.9 (LSH) / 0.85 (IVF); the sf1 tier replicates every
 # embedding 10x, which stresses bucket occupancy, so pin slightly below.
@@ -365,9 +383,16 @@ def scale_gate() -> int:
         )
         if bad:
             violations.append(f"{name}: {ratio}x > budget {budget}x ({s01}s -> {s1}s)")
+        abs_budget = _SCALE_ABS_BUDGETS_SEC.get(name)
+        if abs_budget is not None and s1 > abs_budget:
+            bad = True
+            violations.append(
+                f"{name}: sf1 {s1}s > absolute budget {abs_budget}s "
+                "(a bounded single-task input may have become unbounded)"
+            )
         rows.append(
             {"key": name, "sf01": s01, "sf1": s1, "x": ratio, "budget": budget,
-             "ok": not bad}
+             "abs_budget": abs_budget, "ok": not bad}
         )
     for tier, floors in recalls.items():
         for key, rec in floors.items():
@@ -395,10 +420,101 @@ def scale_gate() -> int:
     return 0
 
 
+# --- core-scaling tier (VERDICT r14 item 7) --------------------------------
+# The driver's 8-vs-32-core comparison runs at sf0.1, where every headline
+# key is sub-0.5s and the ratio grades the per-query scheduling/codegen
+# floor, not operator parallelism. This tier re-runs the most expensive
+# DATA-BOUND wide keys at sf1 under both core counts — each in its own
+# subprocess, because local[N] is fixed at JVM start — so the artifact can
+# say which operators actually parallelize. Keys: the top sf1 spenders from
+# the r15 scale-gate run whose cost is the distributed data path (streaming
+# drains excluded: their cost is the per-batch state-store commit floor).
+# (r15 gate, sf1 best-of-1: xmatch_knn 30.5s, kcore 15.0s, hits 14.1s,
+# bfs 14.0s, spatial_htm 8.5s — the next spender, stream_live_counters
+# 7.0s, is the state-store commit floor, excluded by the rule above.)
+_CORESCALE_KEYS = [
+    "join_xmatch_knn",
+    "graph_kcore",
+    "graph_hits",
+    "graph_bfs_distance",
+    "spatial_htm",
+]
+
+
+def _corescale_child(keys: list[str]) -> None:
+    """Run ``keys`` at the sf1 tier on the session SPARK_GRAFT_CPUS builds
+    and print one JSON line {key: best_of_2_sec}."""
+    import time as _t
+
+    from fits2db_spark.registry import all_queries
+    from fits2db_spark.session import free_memo_checkpoints, get_spark
+    from fits2db_spark.tables import warm_cache
+
+    spark = get_spark("corescale_child")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # size the cached-table layout to the core count under test: the
+    # bench's fixed partitions=8 would cap scan parallelism at 8 in BOTH
+    # legs and the ratio would grade nothing (measured: every key ~1.0
+    # or below before this line changed)
+    warm_cache(spark, OUT, partitions=spark.sparkContext.defaultParallelism)
+    qs = all_queries()
+    out: dict[str, float] = {}
+    for name in keys:
+        best = float("inf")
+        for _ in range(2):  # best-of-2: one reading per key is steal-bait
+            free_memo_checkpoints()
+            t0 = _t.time()
+            qs[name](spark, OUT).write.format("noop").mode("overwrite").save()
+            best = min(best, _t.time() - t0)
+        out[name] = round(best, 3)
+        print(f"corescale cpus={os.environ.get('SPARK_GRAFT_CPUS')} "
+              f"{name}: {out[name]}s", file=sys.stderr)
+    print(json.dumps(out))
+
+
+def corescale() -> None:
+    """Measure the pinned keys at sf1 under local[32] and local[8] (fresh
+    subprocess per core count) and report per-key 8/32 wall-clock ratios —
+    a data-bound operator should read well above 1 (ideally toward 4x);
+    ~1 means the key is floor-bound at this tier."""
+    if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
+        t0 = time.time()
+        generate(10)
+        print(f"generated {OUT} in {time.time()-t0:.1f}s", file=sys.stderr)
+    results: dict[str, dict[str, float]] = {}
+    for cpus in ("32", "8"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=OUT)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--corescale-child",
+             ",".join(_CORESCALE_KEYS)],
+            cwd=REPO, env=env, capture_output=True, text=True,
+        )
+        sys.stderr.write(proc.stderr[-3000:])
+        if proc.returncode != 0:
+            raise RuntimeError(f"corescale child (cpus={cpus}) rc={proc.returncode}")
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        results[cpus] = json.loads(lines[-1])
+    rows = []
+    for name in _CORESCALE_KEYS:
+        t32, t8 = results["32"][name], results["8"][name]
+        rows.append({
+            "key": name, "sf1_32core": t32, "sf1_8core": t8,
+            "ratio_8_over_32": round(t8 / t32, 2) if t32 else None,
+        })
+    print(json.dumps({"tier": OUT, "corescale": rows}, indent=2))
+
+
 def main() -> None:
     factor = 10
     if "--factor" in sys.argv:
         factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    if "--corescale-child" in sys.argv:
+        keys = sys.argv[sys.argv.index("--corescale-child") + 1].split(",")
+        _corescale_child(keys)
+        return
+    if "--corescale" in sys.argv:
+        corescale()
+        return
     if "--gate" in sys.argv:
         sys.exit(scale_gate())
     if "--wide" in sys.argv:
